@@ -1,0 +1,172 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.{Cond, Dedup, FilterVectorized, InvertedIndex}
+import graft.functions.{TextFunctions => T}
+
+/** Text-search operator inventory (SURVEY.md §2.2 CONTAINS/LIKE, §2.6
+  * inverted index) plus the LLM-pipeline text-analysis layer (token
+  * counting, quality scoring, language-ID, fingerprinting, dedup).
+  * The oracle tokenizer contract: whitespace split (`string_split` in
+  * DuckDB == split(' ') in Spark, empties removed).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // DuckDB-side whitespace tokens with empties removed.
+  private val duckToks =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // CONTAINS = token containment (fuzzy_match single-term)
+    QueryDef("q40_text_contains",
+      (s, dir) => FilterVectorized(docs(s, dir),
+          Seq(Cond("text", "CONTAINS", "vector")))
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+        WHERE list_contains($duckToks, 'vector') ORDER BY doc_id""")),
+
+    // fuzzy_match: ALL tokens must appear (AND of tokens)
+    QueryDef("q41_text_fuzzy_and",
+      (s, dir) => FilterVectorized(docs(s, dir),
+          Seq(Cond("text", "CONTAINS", "vector join window")))
+        .select("doc_id").orderBy("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+        WHERE list_contains($duckToks, 'vector')
+          AND list_contains($duckToks, 'join')
+          AND list_contains($duckToks, 'window') ORDER BY doc_id""")),
+
+    // complex_fuzzy_match: "a b||c d" = (a AND b) OR (c AND d)
+    QueryDef("q42_text_complex_or",
+      (s, dir) => FilterVectorized(docs(s, dir),
+          Seq(Cond("text", "CONTAINS", "vector join||stream batch")))
+        .select("doc_id").orderBy("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+        WHERE (list_contains($duckToks, 'vector') AND list_contains($duckToks, 'join'))
+           OR (list_contains($duckToks, 'stream') AND list_contains($duckToks, 'batch'))
+        ORDER BY doc_id""")),
+
+    // the same CONTAINS routed through the posting-table inverted index
+    QueryDef("q43_text_contains_indexed",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val idx = InvertedIndex.build(d, "text", "doc_id")
+        InvertedIndex.search(d, "doc_id", idx, "vector join||stream batch")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id FROM documents
+        WHERE (list_contains($duckToks, 'vector') AND list_contains($duckToks, 'join'))
+           OR (list_contains($duckToks, 'stream') AND list_contains($duckToks, 'batch'))
+        ORDER BY doc_id""")),
+
+    // range_match (BETWEEN via numeric index in the reference)
+    QueryDef("q44_text_range_match",
+      (s, dir) => FilterVectorized(docs(s, dir),
+          Seq(Cond("n_chars", "BETWEEN", Seq(100L, 200L))))
+        .select("doc_id", "n_chars").orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM documents
+        WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id""")),
+
+    // token counting
+    QueryDef("q45_token_count",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"),
+          T.tokenEstimate(col("text")).as("bpe_estimate"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len($duckToks) AS n_tokens,
+        (SELECT SUM(1 + CAST(FLOOR((length(x) - 1) / 4) AS BIGINT))
+           FROM UNNEST($duckToks) AS u(x)) AS bpe_estimate
+        FROM documents ORDER BY doc_id""")),
+
+    // quality scoring: stopword ratio + mean word length, exact ratios
+    QueryDef("q46_quality_features",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          T.stopwordCount(col("text")).as("stopword_hits"),
+          aggregate(transform(T.tokens(col("text")), t => length(t).cast("long")),
+            lit(0L), (a, v) => a + v).as("char_total"),
+          T.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("mean_word_len",
+          col("char_total").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("stopword_ratio",
+          col("stopword_hits").cast("double") / col("n_tokens").cast("double"))
+        .drop("char_total")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents)
+        SELECT doc_id,
+          len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS stopword_hits,
+          len(toks) AS n_tokens,
+          CAST((SELECT SUM(length(x)) FROM UNNEST(toks) AS u(x)) AS DOUBLE) / len(toks) AS mean_word_len,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(toks) AS stopword_ratio
+        FROM tk ORDER BY doc_id""")),
+
+    // language-ID heuristic: marker-token argmax
+    QueryDef("q47_lang_id",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          T.langId(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess"),
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+        scored AS (SELECT lang,
+          len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+          len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+          len(list_filter(toks, x -> list_contains(['el','la','de','que','es'], x))) AS s_es,
+          len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+          FROM tk),
+        guessed AS (SELECT lang, CASE
+          WHEN s_de >= GREATEST(s_en, s_es, s_zh) AND s_de > 0 THEN 'de'
+          WHEN s_en >= GREATEST(s_es, s_zh) AND s_en > 0 THEN 'en'
+          WHEN s_es >= s_zh AND s_es > 0 THEN 'es'
+          WHEN s_zh > 0 THEN 'zh'
+          ELSE 'und' END AS lang_guess FROM scored)
+        SELECT lang, lang_guess, COUNT(*) AS n FROM guessed
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // md5 content fingerprint + exact dedup groups
+    QueryDef("q48_fingerprint_md5",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), T.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q49_dedup_exact",
+      (s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id")
+        .select("doc_id", "dup_count").orderBy("doc_id"),
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ORDER BY 1""")),
+
+    // exact n-gram Jaccard near-dup pairs (the oracle-checkable near-dup)
+    QueryDef("q50_ngram_jaccard_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+          shingleN = 2, threshold = 0.30, blockCol = Some("source"))
+        .withColumn("jaccard_pct", round(col("jaccard") * 1000).cast("long"))
+        .select("doc_id_a", "doc_id_b", "jaccard_pct")
+        .orderBy("doc_id_a", "doc_id_b"),
+      Some(s"""WITH sh AS (
+          SELECT doc_id, source, list_distinct([list_aggregate(toks[i:i+1], 'string_agg', ' ')
+            FOR i IN range(1, len(toks) - 0)]) AS shingles
+          FROM (SELECT doc_id, source, $duckToks AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        ex AS (SELECT doc_id, source, UNNEST(shingles) AS s FROM sh),
+        inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+          FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        cnt AS (SELECT doc_id, len(shingles) AS c FROM sh)
+        SELECT doc_id_a, doc_id_b,
+          CAST(ROUND(1000.0 * i / (ca.c + cb.c - i)) AS BIGINT) AS jaccard_pct
+        FROM inter JOIN cnt ca ON ca.doc_id = doc_id_a
+        JOIN cnt cb ON cb.doc_id = doc_id_b
+        WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.30
+        ORDER BY doc_id_a, doc_id_b"""))
+  )
+}

@@ -1,0 +1,164 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, VectorSearch}
+import graft.functions.{VectorFunctions => V}
+
+/** Vector-search operator inventory (SURVEY.md §2.7) over the `embeddings`
+  * table, plus embedding-based near-dup (LLM-pipeline layer).
+  *
+  * Determinism contract for oracle-checked queries: all similarity math
+  * runs on the scaled-int64 grid (V.*Scaled), ties broken by vec_id, and
+  * any floating score is rounded onto a 1e6 grid and emitted as BIGINT —
+  * so Spark and DuckDB produce bit-identical values.
+  *
+  * DuckDB-side expression of the same math uses list_zip + list_transform
+  * + list_sum over the same int64 grid.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // DuckDB: int64-grid quantization of a float list (matches V.qint)
+  private def dq(c: String) =
+    s"list_transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT))"
+  // DuckDB: exact int64 dot product of two quantized lists
+  private def ddot(a: String, b: String) =
+    s"list_sum(list_transform(list_zip(${dq(a)}, ${dq(b)}), s -> s.list_1 * s.list_2))"
+  private def dl2(a: String, b: String) =
+    s"list_sum(list_transform(list_zip(${dq(a)}, ${dq(b)}), s -> (s.list_1 - s.list_2) * (s.list_1 - s.list_2)))"
+  private def dcos(a: String, b: String) =
+    s"(CAST(${ddot(a, b)} AS DOUBLE) / (sqrt(CAST(${ddot(a, a)} AS DOUBLE)) * sqrt(CAST(${ddot(b, b)} AS DOUBLE))))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // exact brute-force top-k, cosine — the FLAT-index-equivalent path
+    QueryDef("q60_vector_topk_cosine",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("_qvec"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0L)
+          .withColumn("cos_x1e6",
+            round(V.cosineScaled(col("embedding"), col("_qvec")) * lit(1e6))
+              .cast("long"))
+          .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
+          .limit(10)
+          .select("vec_id", "cos_x1e6")
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, CAST(round(${dcos("embedding", "qv")} * 1000000.0) AS BIGINT) AS cos_x1e6
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY cos_x1e6 DESC, vec_id ASC LIMIT 10""")),
+
+    // exact top-k, l2 — pure int64 arithmetic end to end
+    QueryDef("q61_vector_topk_l2",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 1L)
+          .select(col("embedding").as("_qvec"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 1L)
+          .withColumn("l2sq_scaled",
+            V.l2SqScaled(col("embedding"), col("_qvec")))
+          .orderBy(col("l2sq_scaled").asc, col("vec_id").asc)
+          .limit(10)
+          .select("vec_id", "l2sq_scaled")
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        SELECT vec_id, ${dl2("embedding", "qv")} AS l2sq_scaled
+        FROM embeddings, q WHERE vec_id <> 1
+        ORDER BY l2sq_scaled ASC, vec_id ASC LIMIT 10""")),
+
+    // batched top-k: one corpus scan for a broadcast query batch
+    QueryDef("q62_vector_batch_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 3L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        VectorSearch.batchTopK(
+            e, "embedding", "vec_id", queries, "qid", "qvec",
+            metric = "l2", k = 5, exact = true)
+          .withColumnRenamed("_score", "score")
+          .select(col("query_id"), col("vec_id"), col("rank"),
+            col("score").cast("long").as("l2sq_scaled"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 3),
+        scored AS (SELECT q.query_id, e.vec_id,
+          ${dl2("e.embedding", "q.qv")} AS l2sq_scaled
+          FROM embeddings e, q),
+        ranked AS (SELECT query_id, vec_id, l2sq_scaled,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY l2sq_scaled ASC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, rank, l2sq_scaled FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // embedding-cosine near-dup pairs, blocked on label (no full cross join)
+    QueryDef("q63_embedding_near_dup",
+      (s, dir) => Dedup.embeddingNearDup(emb(s, dir), "embedding", "vec_id",
+          blockCol = "label", threshold = 0.99)
+        .withColumn("cos_x1e6", round(col("cos_sim") * lit(1e6)).cast("long"))
+        .select("vec_id_a", "vec_id_b", "cos_x1e6")
+        .orderBy("vec_id_a", "vec_id_b"),
+      Some(s"""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        CAST(round(${dcos("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_x1e6
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${dcos("a.embedding", "b.embedding")} >= 0.99
+        ORDER BY vec_id_a, vec_id_b""")),
+
+    // centroid aggregation per label: the building block of IVF build /
+    // k-means — mean vector via exact int64 sums, emitted on the 1e6 grid
+    QueryDef("q64_label_centroids",
+      (s, dir) => emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(sum(round(col("x").cast("double") * lit(1e7)).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("mean_x1e6",
+          round(col("sx").cast("double") / col("n").cast("double") / lit(10.0))
+            .cast("long"))
+        .select("label", "dim", "mean_x1e6")
+        .orderBy("label", "dim"),
+      Some("""SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+        CAST(round(CAST(SUM(CAST(round(CAST(u.x AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 10.0) AS BIGINT) AS mean_x1e6
+        FROM embeddings, UNNEST(embedding) WITH ORDINALITY AS u(x, i)
+        GROUP BY label, dim ORDER BY label, dim""")),
+
+    // approximate paths — no SQL oracle (driver rows-only check):
+    // IVF-lite probe search (SURVEY.md §2.7 IVFPQ analogue)
+    QueryDef("q65_vector_ivf_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val first = e.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val (assigned, centroids) = VectorSearch.ivfBuild(e, "embedding", "vec_id", nlist = 16)
+        VectorSearch.ivfTopK(assigned, centroids, "embedding", "vec_id",
+          first, metric = "l2", k = 10, nprobe = 4)
+      },
+      None),
+
+    // MinHash-LSH near-dup on documents (Spark murmur3 — not oracle-able)
+    QueryDef("q66_dedup_minhash_lsh",
+      (s, dir) => Dedup.minHashLsh(
+          Tables.load(s, dir, "documents"), "text", "doc_id",
+          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+        .select("doc_id_a", "doc_id_b")
+        .orderBy("doc_id_a", "doc_id_b"),
+      None),
+
+    // SimHash fingerprint + hamming near-dup buckets (not oracle-able)
+    QueryDef("q67_dedup_simhash",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      None)
+  )
+}

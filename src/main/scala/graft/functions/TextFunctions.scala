@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristics,
+  * fingerprinting. All pure Catalyst expressions (codegen'd, no UDFs).
+  *
+  * The reference has no scalar-function catalog (SURVEY.md §2.12); its text
+  * handling lives in the tokenizer of the inverted index
+  * (muller/core/query/inverted_index_vectorized.py:121-158). We standardize
+  * on a whitespace tokenizer (the corpus is space-separated; a CJK
+  * segmenter would slot in behind the same `tokens` entry point).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer; drops empty tokens. */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword estimate: word count + extra tokens for long words
+    * (a deterministic stand-in for a real BPE vocab: every 4 chars beyond
+    * the first 4 costs an extra token).
+    */
+  def tokenEstimate(c: Column): Column =
+    aggregate(
+      transform(tokens(c), t =>
+        lit(1L) + floor((length(t) - lit(1)) / lit(4)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Small fixed English stopword set used by quality scoring / lang-id. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(c: Column): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(sw, t)))
+  }
+
+  /** Stopword ratio — classic quality-scoring feature. Exact: scaled-int
+    * numerator/denominator avoid any float division ambiguity.
+    */
+  def stopwordRatio(c: Column): Column =
+    stopwordCount(c).cast("double") / tokenCount(c).cast("double")
+
+  /** Mean word length (characters per token). */
+  def meanWordLen(c: Column): Column =
+    aggregate(transform(tokens(c), t => length(t).cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("double") /
+      tokenCount(c).cast("double")
+
+  /** Non-alphanumeric character ratio (punctuation/symbol density). */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+      length(c).cast("double")
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, few
+    * stopwords is suspicious for English, punctuation noise penalized.
+    * Deterministic closed-form so it is oracle-checkable.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / lit(64.0), lit(1.0))
+    val swScore = least(stopwordRatio(c) * lit(8.0), lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(c) * lit(4.0), lit(1.0))
+    (lenScore + swScore + punctPenalty) / lit(3.0)
+  }
+
+  /** N-gram-heuristic language ID: counts marker-token hits per language,
+    * picks the argmax (ties → 'und'). Marker lists are tiny stand-ins for
+    * real char-n-gram profiles; the plumbing (score-per-lang + argmax in
+    * one pass) is the scale-relevant part.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(c: Column, lang: String): Column = {
+    val markers = array(langMarkers(lang).map(lit): _*)
+    size(filter(tokens(c), t => array_contains(markers, t)))
+  }
+
+  def langId(c: Column): Column = {
+    // argmax with deterministic tie-break by language code order;
+    // all-zero → 'und'
+    val langs = langMarkers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(c, l).as("score"), lit(l).as("lang")))
+    val best = aggregate(
+      array(scored: _*),
+      struct(lit(0).as("score"), lit("und").as("lang")),
+      (acc, s) => when(s.getField("score") > acc.getField("score"), s).otherwise(acc))
+    best.getField("lang")
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key.
+    */
+  def fingerprintMd5(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** 64-bit rolling (polynomial) hash over tokens, base 31 mod 2^61-1.
+    * Order-sensitive: permuted token order → different fingerprint, unlike
+    * a bag-of-tokens hash. Used for shift-robust document fingerprinting.
+    */
+  def rollingHash(c: Column): Column = {
+    val mod = lit(2305843009213693951L) // 2^61 - 1
+    aggregate(
+      transform(tokens(c), t => (hash(t).cast("long") + lit(2147483648L))),
+      lit(0L),
+      (acc, v) => pmod(acc * lit(31L) + v, mod))
+  }
+
+  /** Character n-gram shingles of the normalized text (distinct), for
+    * Jaccard. Guarded: Spark `sequence(a,b)` DESCENDS when a > b, so short
+    * texts must short-circuit to an empty array.
+    */
+  def charShingles(c: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(c)), "\\s+", " ")
+    when(length(norm) >= lit(n),
+      array_distinct(
+        transform(sequence(lit(1), length(norm) - lit(n - 1)),
+          i => norm.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Token n-gram shingles (distinct), for n-gram Jaccard similarity. */
+  def tokenShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= lit(n),
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

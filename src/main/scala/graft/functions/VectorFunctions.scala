@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distance / similarity primitives over `ArrayType(FloatType)` embedding
+  * columns — the Spark-native replacement for MULLER's vector-search
+  * metrics (reference: muller/core/vector/utils.py:25-95 — l2 / cosine /
+  * inner_product on faiss).
+  *
+  * Two families:
+  *   - **float path** (`dot`, `cosine`, `l2Sq`): plain double arithmetic via
+  *     `zip_with` + `aggregate` higher-order functions — codegen-friendly,
+  *     what production queries should use.
+  *   - **scaled-int path** (`dotScaled`, `cosineScaled`, `l2SqScaled`):
+  *     quantizes each float to a 1e-7-step int64 grid first, so every sum is
+  *     exact int64 arithmetic — order-independent and bit-identical across
+  *     engines. Used for oracle-checked correctness queries where a
+  *     double-sum's non-associativity would break hash comparison.
+  */
+object VectorFunctions {
+
+  /** Quantize a float array onto an int64 grid of step 1e-7. */
+  def qint(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(1e7)).cast("long"))
+
+  // ---- float path -------------------------------------------------------
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  // ---- exact scaled-int path (deterministic across engines) -------------
+
+  /** Exact dot product on the 1e-7 grid. 64 dims × (1e7)^2 ≈ 6.4e15 — fits
+    * int64 with huge margin and converts to double losslessly (< 2^53).
+    */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(zip_with(qint(a), qint(b), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+
+  def normSqScaled(a: Column): Column = dotScaled(a, a)
+
+  /** Cosine from exact int64 dot/norms; the final double ops are IEEE-exact
+    * on integer inputs → deterministic.
+    */
+  def cosineScaled(a: Column, b: Column): Column =
+    dotScaled(a, b).cast("double") /
+      (sqrt(normSqScaled(a).cast("double")) * sqrt(normSqScaled(b).cast("double")))
+
+  def l2SqScaled(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(qint(a), qint(b), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.expr
+
+/** Spark-native equivalent of MULLER's safe-eval string-query language
+  * (reference: muller/core/query/safe_evaluator.py:46-218 — AST-whitelist
+  * evaluator; surface documented in SURVEY.md §2.2).
+  *
+  * Supported, matching the reference whitelist:
+  *   comparisons `== != < <= > >=` (incl. chained via and), `and/or/not`,
+  *   `in` / `not in` over list literals, arithmetic `+ - * / %`,
+  *   numeric/string/bool literals, parentheses.
+  *
+  * Instead of interpreting an AST row-at-a-time like the reference, we
+  * VALIDATE the expression against the same whitelist and then translate it
+  * to a Catalyst expression via `expr()` — so string queries run inside
+  * whole-stage codegen with predicate pushdown, not a Python interpreter.
+  *
+  * Blocked (like safe_evaluator.py:106-218): function calls, lambdas,
+  * imports, attribute access, subscripts, comprehensions, semicolons.
+  */
+object SafeExpr {
+
+  private val keywords = Set("and", "or", "not", "in", "true", "false", "null")
+
+  private sealed trait Tok
+  private case class Ident(s: String) extends Tok
+  private case class Num(s: String) extends Tok
+  private case class Str(s: String) extends Tok
+  private case class Sym(s: String) extends Tok
+
+  private def tokenize(q: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val ch = q(i)
+      if (ch.isWhitespace) i += 1
+      else if (ch.isLetter || ch == '_') {
+        val start = i
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        out += Ident(q.substring(start, i))
+      } else if (ch.isDigit || (ch == '.' && i + 1 < n && q(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (q(i).isDigit || q(i) == '.' || q(i) == 'e' ||
+          q(i) == 'E' || ((q(i) == '+' || q(i) == '-') && i > start &&
+            (q(i - 1) == 'e' || q(i - 1) == 'E')))) i += 1
+        out += Num(q.substring(start, i))
+      } else if (ch == '\'' || ch == '"') {
+        val quoteCh = ch
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && q(i) != quoteCh) {
+          if (q(i) == '\\' && i + 1 < n) { sb.append(q(i + 1)); i += 2 }
+          else { sb.append(q(i)); i += 1 }
+        }
+        if (i >= n) throw new IllegalArgumentException(s"unterminated string in: $q")
+        i += 1
+        out += Str(sb.toString)
+      } else {
+        val two = if (i + 1 < n) q.substring(i, i + 2) else ""
+        if (Set("==", "!=", "<=", ">=", "**", "//").contains(two)) {
+          out += Sym(two); i += 2
+        } else if ("<>+-*/%()[],".indexOf(ch) >= 0) {
+          out += Sym(ch.toString); i += 1
+        } else throw new IllegalArgumentException(
+          s"illegal character '$ch' in query: $q")
+      }
+    }
+    out.toList
+  }
+
+  /** Validate tokens against the whitelist and translate to Spark SQL. */
+  def toSql(query: String, columns: Seq[String]): String = {
+    val colSet = columns.toSet
+    val toks = tokenize(query)
+    if (toks.isEmpty) throw new IllegalArgumentException("empty query")
+    val sb = new StringBuilder
+    var prevIdent = false
+    toks.foreach { t =>
+      val piece = t match {
+        case Ident(s) if keywords.contains(s.toLowerCase) =>
+          prevIdent = false; s.toUpperCase
+        case Ident(s) =>
+          if (!colSet.contains(s)) throw new IllegalArgumentException(
+            s"unknown identifier '$s' (not a column); function calls and " +
+              "names outside the dataset schema are blocked")
+          prevIdent = true
+          s"`$s`"
+        case Num(s) => prevIdent = false; s
+        case Str(s) => prevIdent = false; "'" + s.replace("'", "\\'") + "'"
+        case Sym("(") =>
+          if (prevIdent) throw new IllegalArgumentException(
+            "function calls are blocked in safe query expressions")
+          prevIdent = false; "("
+        case Sym("==") => prevIdent = false; "="
+        case Sym("**") | Sym("//") => throw new IllegalArgumentException(
+          "operators ** and // are not supported; use explicit arithmetic")
+        case Sym("[") => prevIdent = false; "("  // `in [a,b]` → `IN (a,b)`
+        case Sym("]") => prevIdent = false; ")"
+        case Sym(s) => prevIdent = false; s
+      }
+      sb.append(piece).append(' ')
+    }
+    sb.toString.trim
+  }
+
+  /** Compile a safe string query into a Catalyst predicate for `df`. */
+  def compile(df: DataFrame, query: String): Column =
+    expr(toSql(query, df.columns.toSeq))
+
+  def filter(df: DataFrame, query: String): DataFrame =
+    df.filter(compile(df, query))
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{VectorFunctions => V}
+
+/** Vector (ANN) search over an embedding column — the Spark-native
+  * replacement for MULLER's faiss/diskann vector indexes
+  * (reference: muller/core/vector/algorithms/faiss_index.py:133-272,
+  * mixins/query.py:264-270; search surface dataset.py:1564-1568).
+  *
+  * Paths:
+  *   - `bruteForceTopK` — exact FLAT-equivalent: distance expression +
+  *     sort+limit (Spark TakeOrderedAndProject ⇒ per-partition top-k then
+  *     k-way merge on the driver — no full sort, no full shuffle).
+  *   - `ivfTopK` — IVF-style approximate path: k-means-lite centroid
+  *     assignment (centroids = deterministic sample), search only the
+  *     `nprobe` closest cells. The 100 TB shape: centroid table is tiny →
+  *     broadcast; data shuffled once by cell at index-build time.
+  *   - `batchTopK` — many queries at once: broadcast the query batch,
+  *     one pass over the data, per-query window top-k.
+  *
+  * Metrics: `cosine`, `l2`, `ip` (muller/core/vector/utils.py:25-29).
+  */
+object VectorSearch {
+
+  /** Score column for a metric; `exact=true` uses the scaled-int
+    * deterministic path (for oracle-checked runs).
+    */
+  def score(metric: String, a: Column, b: Column, exact: Boolean): Column =
+    (metric, exact) match {
+      case ("cosine", true)  => V.cosineScaled(a, b)
+      case ("cosine", false) => V.cosine(a, b)
+      case ("l2", true)      => V.l2SqScaled(a, b)
+      case ("l2", false)     => V.l2Sq(a, b)
+      case ("ip", true)      => V.dotScaled(a, b).cast("double")
+      case ("ip", false)     => V.dot(a, b)
+      case (m, _) => throw new IllegalArgumentException(s"bad metric $m")
+    }
+
+  /** Higher score = better match (l2 negated). */
+  private def rankOrder(metric: String, s: Column): Column =
+    if (metric == "l2") s.asc else s.desc
+
+  /** Exact top-k for one query vector (as a literal array). */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Float], metric: String, k: Int,
+                     exact: Boolean = false): DataFrame = {
+    val q = array(query.map(x => lit(x)): _*)
+    df.withColumn("_score", score(metric, col(vecCol), q, exact))
+      .orderBy(rankOrder(metric, col("_score")), col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("_score").as("score"))
+  }
+
+  /** Batched top-k: one scan of the corpus for all queries. The query
+    * batch (id, vector) is broadcast; per-query ranking via window top-k —
+    * the idiomatic replacement for faiss batch search
+    * (exp_scripts/vector_filter.py:85-101).
+    */
+  def batchTopK(df: DataFrame, vecCol: String, idCol: String,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                metric: String, k: Int, exact: Boolean = false): DataFrame = {
+    val joined = df.crossJoin(broadcast(
+        queries.select(col(qIdCol).as("_qid"), col(qVecCol).as("_qvec"))))
+      .withColumn("_score", score(metric, col(vecCol), col("_qvec"), exact))
+    val w = Window.partitionBy("_qid")
+      .orderBy(rankOrder(metric, col("_score")), col(idCol).asc)
+    joined.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .select(col("_qid").as("query_id"), col(idCol), col("_rank").as("rank"),
+        col("_score").as("score"))
+  }
+
+  /** Deterministic IVF-lite index: `nlist` centroids chosen as the
+    * normalized vectors of every (n/nlist)-th row (k-means seeding without
+    * the iterations — deterministic, good enough for cell routing).
+    * Returns (cellAssignments, centroids).
+    */
+  def ivfBuild(df: DataFrame, vecCol: String, idCol: String,
+               nlist: Int): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(col(idCol))
+    val numbered = df.withColumn("_rn", row_number().over(w) - lit(1))
+    val n = numbered.count()
+    val stride = math.max(n / nlist, 1L)
+    val centroids = numbered
+      .filter(col("_rn") % stride === 0 && col("_rn") / stride < nlist)
+      .select((col("_rn") / stride).cast("int").as("cell"),
+        col(vecCol).as("_centroid"))
+    val assigned = assignCells(df, vecCol, centroids)
+    (assigned, centroids)
+  }
+
+  /** Assign every row to its nearest centroid cell (broadcast centroids,
+    * argmin inside one projection — no shuffle).
+    */
+  def assignCells(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents = centroids.collect().map(r =>
+      (r.getAs[Int]("cell"), r.getSeq[Float](1)))
+    val pairs = cents.map { case (cell, vec) =>
+      struct(V.l2Sq(col(vecCol), array(vec.map(lit): _*)).as("d"),
+        lit(cell).as("cell"))
+    }
+    val best = aggregate(
+      array(pairs: _*),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cell")),
+      (acc, s) => when(s.getField("d") < acc.getField("d"), s).otherwise(acc))
+    df.withColumn("cell", best.getField("cell"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest cells only. At scale the
+    * assignments table is written partitioned by `cell`, so this prunes
+    * to nprobe/nlist of the data before any distance math.
+    */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, vecCol: String,
+              idCol: String, query: Seq[Float], metric: String, k: Int,
+              nprobe: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val probeCells = centroids
+      .withColumn("_d", V.l2Sq(col("_centroid"), q))
+      .orderBy(col("_d").asc).limit(nprobe)
+      .select("cell")
+    assigned.join(broadcast(probeCells), "cell")
+      .withColumn("_score", score(metric, col(vecCol), q, exact = false))
+      .orderBy(rankOrder(metric, col("_score")), col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("_score").as("score"))
+  }
+}
