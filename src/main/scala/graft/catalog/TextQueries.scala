@@ -78,9 +78,11 @@ object TextQueries {
         .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"),
           T.tokenEstimate(col("text")).as("bpe_estimate"))
         .orderBy("doc_id"),
+      // outer CAST: DuckDB SUM(BIGINT) yields HUGEINT → float64 in pandas,
+      // which breaks the driver's value-hash vs Spark's int64
       Some(s"""SELECT doc_id, len($duckToks) AS n_tokens,
-        (SELECT SUM(1 + CAST(FLOOR((length(x) - 1) / 4) AS BIGINT))
-           FROM UNNEST($duckToks) AS u(x)) AS bpe_estimate
+        CAST((SELECT SUM(1 + CAST(FLOOR((length(x) - 1) / 4) AS BIGINT))
+           FROM UNNEST($duckToks) AS u(x)) AS BIGINT) AS bpe_estimate
         FROM documents ORDER BY doc_id""")),
 
     // quality scoring: stopword ratio + mean word length, exact ratios

@@ -26,13 +26,20 @@ object VectorQueries {
   // DuckDB: int64-grid quantization of a float list (matches V.qint)
   private def dq(c: String) =
     s"list_transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT))"
-  // DuckDB: exact int64 dot product of two quantized lists
+  // DuckDB: exact int64 dot product of two quantized lists. Notes for the
+  // driver's DuckDB 1.0: list_zip yields UNNAMED structs (numeric access
+  // s[1]/s[2] only — s.list_1 is a binder error), and list_sum over BIGINT
+  // returns HUGEINT (→ float64 in pandas), so every raw emission must be
+  // CAST back to BIGINT to hash-match Spark's int64.
   private def ddot(a: String, b: String) =
-    s"list_sum(list_transform(list_zip(${dq(a)}, ${dq(b)}), s -> s.list_1 * s.list_2))"
+    s"CAST(list_sum(list_transform(list_zip(${dq(a)}, ${dq(b)}), s -> s[1] * s[2])) AS BIGINT)"
   private def dl2(a: String, b: String) =
-    s"list_sum(list_transform(list_zip(${dq(a)}, ${dq(b)}), s -> (s.list_1 - s.list_2) * (s.list_1 - s.list_2)))"
+    s"CAST(list_sum(list_transform(list_zip(${dq(a)}, ${dq(b)}), s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
   private def dcos(a: String, b: String) =
     s"(CAST(${ddot(a, b)} AS DOUBLE) / (sqrt(CAST(${ddot(a, a)} AS DOUBLE)) * sqrt(CAST(${ddot(b, b)} AS DOUBLE))))"
+  // dot of two ALREADY-quantized int64 lists (pairs with a prep CTE)
+  private def qdot(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
 
   val all: Seq[QueryDef] = Seq(
 
@@ -107,11 +114,18 @@ object VectorQueries {
         .withColumn("cos_x1e6", round(col("cos_sim") * lit(1e6)).cast("long"))
         .select("vec_id_a", "vec_id_b", "cos_x1e6")
         .orderBy("vec_id_a", "vec_id_b"),
-      Some(s"""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-        CAST(round(${dcos("a.embedding", "b.embedding")} * 1000000.0) AS BIGINT) AS cos_x1e6
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ${dcos("a.embedding", "b.embedding")} >= 0.99
+      // quantize + self-dot once per row, pair dot once per pair — the
+      // same precompute shape as the Spark side
+      Some(s"""WITH prep AS (SELECT vec_id, label, ${dq("embedding")} AS qv FROM embeddings),
+        normed AS (SELECT vec_id, label, qv,
+          sqrt(CAST(${qdot("qv", "qv")} AS DOUBLE)) AS nrm FROM prep),
+        pairs AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+          CAST(${qdot("a.qv", "b.qv")} AS DOUBLE) / (a.nrm * b.nrm) AS cos
+          FROM normed a JOIN normed b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_id_a, vec_id_b,
+          CAST(round(cos * 1000000.0) AS BIGINT) AS cos_x1e6
+        FROM pairs WHERE cos >= 0.99
         ORDER BY vec_id_a, vec_id_b""")),
 
     // centroid aggregation per label: the building block of IVF build /
@@ -127,9 +141,11 @@ object VectorQueries {
             .cast("long"))
         .select("label", "dim", "mean_x1e6")
         .orderBy("label", "dim"),
-      Some("""SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
-        CAST(round(CAST(SUM(CAST(round(CAST(u.x AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 10.0) AS BIGINT) AS mean_x1e6
-        FROM embeddings, UNNEST(embedding) WITH ORDINALITY AS u(x, i)
+      // DuckDB 1.0 lacks WITH ORDINALITY → index the 64-dim list via a
+      // range() lateral instead (embedding[i] is 1-based).
+      Some("""SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+        CAST(round(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 10.0) AS BIGINT) AS mean_x1e6
+        FROM embeddings, range(1, 65) t(i)
         GROUP BY label, dim ORDER BY label, dim""")),
 
     // approximate paths — no SQL oracle (driver rows-only check):

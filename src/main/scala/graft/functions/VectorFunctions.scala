@@ -51,6 +51,13 @@ object VectorFunctions {
     aggregate(zip_with(qint(a), qint(b), (x, y) => x * y),
       lit(0L), (acc, v) => acc + v)
 
+  /** Dot of two ALREADY-quantized int64 arrays. Pairwise operators should
+    * quantize each row once (`qint`) and then use this per pair — for an
+    * n-row block that is O(n) quantizations instead of O(n²).
+    */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   def normSqScaled(a: Column): Column = dotScaled(a, a)
 
   /** Cosine from exact int64 dot/norms; the final double ops are IEEE-exact

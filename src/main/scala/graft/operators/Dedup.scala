@@ -30,24 +30,23 @@ object Dedup {
 
   // ---- MinHash + LSH ----------------------------------------------------
 
-  /** One MinHash value: min over token shingles of a seeded 32-bit hash.
-    * `hash(shingle, seed)` is Spark's murmur3 — evaluated per element with
-    * no UDF.
-    */
-  private def minHash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s => hash(s, lit(seed))))
-
-  /** MinHash signature as `numHashes` columns `mh_0..mh_{k-1}` over token
-    * `n`-gram shingles.
+  /** MinHash signature as one `_mh` array column of `numHashes` values
+    * over token `n`-gram shingles. The hash family is murmur3 of the
+    * (shingle, seed) pair — evaluated per element with no UDF; the whole
+    * signature is a single projection (one pass over the shingle array per
+    * seed, all inside codegen).
     */
   def minHashSignature(df: DataFrame, textCol: String,
-                       numHashes: Int, shingleN: Int): DataFrame = {
-    val withSh = df.withColumn("_sh", T.tokenShingles(col(textCol), shingleN))
+                       numHashes: Int, shingleN: Int): DataFrame =
+    // repartition first: signature cost is CPU-per-row, so partitioning
+    // must follow cores, not input file sizes (a single small parquet file
+    // would otherwise run the whole corpus on one task)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("_sh", T.tokenShingles(col(textCol), shingleN))
       .filter(size(col("_sh")) > 0)
-    (0 until numHashes).foldLeft(withSh) { (d, i) =>
-      d.withColumn(s"mh_$i", minHash(col("_sh"), i))
-    }.drop("_sh")
-  }
+      .withColumn("_mh", transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("_sh"), s => hash(s, i)))))
+      .drop("_sh")
 
   /** LSH banding: group the signature into `bands` bands of `rowsPerBand`
     * hashes; two docs sharing ANY band bucket become a candidate pair.
@@ -63,12 +62,19 @@ object Dedup {
                     bands: Int, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"), hash(cols: _*).as("bucket"))
-    }
-    val buckets = sig
-      .withColumn("_bb", explode(array(bandCols: _*)))
+    val bandCols = transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        hash(slice(col("_mh"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
+          .as("bucket")))
+    // The repartition is a MATERIALIZATION BARRIER, not (just) a balance
+    // fix: without the exchange, CollapseProject inlines the full `_mh`
+    // signature expression into the explode generator below, and
+    // higher-order array functions have no CSE — the 32-minhash signature
+    // would be recomputed once PER BAND (8× the work, measured).
+    val mat = sig.select(col(idCol), col("_mh"))
+      .repartition(sig.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val buckets = mat
+      .withColumn("_bb", explode(bandCols))
       .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
     val small = buckets
       .withColumn("_n", count(lit(1)).over(
@@ -91,7 +97,9 @@ object Dedup {
                  threshold: Double = 0.7): DataFrame = {
     val sig = minHashSignature(df, textCol, numHashes, shingleN)
     val cand = lshCandidates(sig, idCol, numHashes, bands)
-    val sh = df.select(col(idCol), T.tokenShingles(col(textCol), shingleN).as("_sh"))
+    val sh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), T.tokenShingles(col(textCol), shingleN).as("_sh"))
     cand
       .join(sh.withColumnRenamed(idCol, s"${idCol}_a").withColumnRenamed("_sh", "_sa"), s"${idCol}_a")
       .join(sh.withColumnRenamed(idCol, s"${idCol}_b").withColumnRenamed("_sh", "_sb"), s"${idCol}_b")
@@ -104,27 +112,44 @@ object Dedup {
 
   // ---- exact n-gram Jaccard (the oracle-checkable near-dup path) --------
 
-  /** Exact pairwise n-gram Jaccard over explode + shuffle-join on shingle:
-    * candidate pairs are docs sharing >= 1 shingle (optionally restricted
-    * to a `blockCol` like source/bucket to bound the join), exact
-    * similarity from intersection counts + per-doc distinct-shingle counts.
+  /** Exact pairwise n-gram Jaccard: explode shingles, shuffle-join on
+    * shingle (within an optional `blockCol` to bound the join), count
+    * shared shingles per pair in ONE groupBy — per-doc set sizes are
+    * carried THROUGH the join so no re-join against a counts table is
+    * needed — then exact similarity from |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * Pruning: the length filter (`jaccard >= t` forces
+    * `t*|a| <= |b| <= |a|/t`) is applied inside the join condition, so
+    * wildly different-sized docs never reach the aggregation. For high
+    * thresholds (>= ~0.5) AllPairs/PPJoin prefix filtering would prune the
+    * candidate space further; at the low thresholds typical of analysis
+    * queries most pairs survive prefix filtering anyway and the extra
+    * shuffles cost more than they save (measured on this corpus).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, threshold: Double,
                         blockCol: Option[String] = None): DataFrame = {
-    val base = df.select(
-      (Seq(col(idCol)) ++ blockCol.map(col)) :+
-        T.tokenShingles(col(textCol), shingleN).as("_sh"): _*)
-    val counts = base.select(col(idCol).as("_id"), size(col("_sh")).as("_cnt"))
+    val blk = blockCol.toSeq
+    // shingle compute is CPU-per-row → partition by cores, not file count
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        (Seq(col(idCol).as("_id")) ++ blk.map(col)) :+
+          T.tokenShingles(col(textCol), shingleN).as("_sh"): _*)
+      .withColumn("_cnt", size(col("_sh")))
+      .filter(col("_cnt") > 0)
     val ex = base.select(
-      (Seq(col(idCol)) ++ blockCol.map(col)) :+ explode(col("_sh")).as("_s"): _*)
-    val joinCond = blockCol.map(bc => col(s"a.$bc") === col(s"b.$bc"))
-      .foldLeft(col(s"a.$idCol") < col(s"b.$idCol") && col("a._s") === col("b._s"))(_ && _)
+      (Seq(col("_id"), col("_cnt")) ++ blk.map(col)) :+
+        explode(col("_sh")).as("_s"): _*)
+    val joinCond = blk.map(bc => col(s"a.$bc") === col(s"b.$bc"))
+      .foldLeft(
+        col("a._s") === col("b._s") && col("a._id") < col("b._id") &&
+          col("b._cnt") * lit(threshold) <= col("a._cnt") &&
+          col("a._cnt") * lit(threshold) <= col("b._cnt"))(_ && _)
     ex.as("a").join(ex.as("b"), joinCond)
-      .groupBy(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+      .groupBy(col("a._id").as(s"${idCol}_a"), col("b._id").as(s"${idCol}_b"),
+        col("a._cnt").as("_ca"), col("b._cnt").as("_cb"))
       .agg(count(lit(1)).as("_inter"))
-      .join(counts.withColumnRenamed("_id", s"${idCol}_a").withColumnRenamed("_cnt", "_ca"), s"${idCol}_a")
-      .join(counts.withColumnRenamed("_id", s"${idCol}_b").withColumnRenamed("_cnt", "_cb"), s"${idCol}_b")
       .withColumn("jaccard",
         col("_inter").cast("double") /
           (col("_ca") + col("_cb") - col("_inter")).cast("double"))
@@ -166,14 +191,27 @@ object Dedup {
     * `blockCol` (e.g. an LSH bucket or label) so the self-join never goes
     * quadratic in the full corpus. Uses the exact scaled-int path so the
     * result is engine-deterministic.
+    *
+    * Each row is quantized and self-dotted ONCE before the join (O(n) prep),
+    * so the per-pair work inside the O(pairs) join is a single int64 dot —
+    * ~6× less expression work than re-deriving both operands per pair.
+    * Few distinct block values → a skewed shuffle; AQE skew-join handles
+    * moderate cases, and a pathological block should be pre-salted by the
+    * caller (or use [[minHashLsh]] buckets as blocks).
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-                       blockCol: String, threshold: Double): DataFrame =
-    df.as("a").join(df.as("b"),
+                       blockCol: String, threshold: Double): DataFrame = {
+    val prep = df.select(col(idCol), col(blockCol),
+        V.qint(col(vecCol)).as("_qv"))
+      .withColumn("_nrm", sqrt(V.dotQ(col("_qv"), col("_qv")).cast("double")))
+    prep.as("a").join(prep.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos_sim", V.cosineScaled(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .withColumn("cos_sim",
+        V.dotQ(col("a._qv"), col("b._qv")).cast("double") /
+          (col("a._nrm") * col("b._nrm")))
       .filter(col("cos_sim") >= threshold)
       .select(col(s"a.$idCol").as(s"${idCol}_a"),
         col(s"b.$idCol").as(s"${idCol}_b"), col("cos_sim"))
+  }
 }
