@@ -1,0 +1,161 @@
+package graft.format
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+import java.nio.charset.StandardCharsets
+
+/** One commit of a Graft table: a FULL manifest snapshot (like a Delta
+  * checkpoint) — base data files, merge-on-read update files (later wins),
+  * and tombstone files — plus the user schema as of this commit and the
+  * next free row-uuid.
+  *
+  * This is the Spark-native re-design of the reference's version-control
+  * metadata (muller/core/version_control/commit_node.py +
+  * commit_chunk_map.py): instead of per-commit chunk maps and diff sets
+  * over mutable chunks, every commit pins an immutable file manifest;
+  * snapshot isolation falls out of immutability, and no locks are needed
+  * for readers. Writers serialize on an atomic create of the commit file
+  * (optimistic concurrency; the reference uses storage locks,
+  * commits.py:383-399).
+  *
+  * All file paths are RELATIVE to the table root, so tables are
+  * relocatable across storage providers (the Hadoop FileSystem API gives
+  * local/HDFS/S3/OBS, mirroring muller/core/storage).
+  */
+final case class CommitMeta(
+    id: String,
+    parent: Option[String],
+    mergeParent: Option[String],
+    message: String,
+    timestampMs: Long,
+    schemaJson: String,
+    files: Seq[String],
+    updates: Seq[String],
+    tombstones: Seq[String],
+    renames: Seq[Seq[String]]) // ordered chain of (oldName, newName) pairs
+
+object CommitLog {
+  implicit val fmts: Formats = DefaultFormats
+
+  def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def commitsDir(root: String) = new Path(root, "_graft/commits")
+  def branchesFile(root: String) = new Path(root, "_graft/branches.json")
+
+  private def writeString(fs: FileSystem, p: Path, s: String,
+                          overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Atomic publish: create-without-overwrite is the commit point; a
+    * concurrent writer of the same id loses with an exception.
+    */
+  def writeCommit(spark: SparkSession, root: String, meta: CommitMeta): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(commitsDir(root))
+    writeString(f, new Path(commitsDir(root), s"${meta.id}.json"),
+      Serialization.write(meta), overwrite = false)
+  }
+
+  def readCommit(spark: SparkSession, root: String, id: String): CommitMeta =
+    JsonMethods.parse(
+      readString(fs(spark, root), new Path(commitsDir(root), s"$id.json")))
+      .extract[CommitMeta]
+
+  def listCommits(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val dir = commitsDir(root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+  }
+
+  def readBranches(spark: SparkSession, root: String): Map[String, String] = {
+    val f = fs(spark, root)
+    val p = branchesFile(root)
+    if (!f.exists(p)) Map.empty
+    else JsonMethods.parse(readString(f, p)).extract[Map[String, String]]
+  }
+
+  def writeBranches(spark: SparkSession, root: String,
+                    branches: Map[String, String]): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root, "_graft"))
+    writeString(f, branchesFile(root), Serialization.write(branches),
+      overwrite = true)
+  }
+
+  /** Commit ids are zero-padded sequence numbers → lexicographic order is
+    * creation order (handy for humans; correctness never relies on it).
+    */
+  def nextCommitId(spark: SparkSession, root: String): String = {
+    val n = listCommits(spark, root)
+      .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+      .foldLeft(-1L)(math.max)
+    f"${n + 1}%08d"
+  }
+
+  /** Claim a globally-unique, monotonically-increasing reservation number
+    * via atomic file create — the allocator behind row-uuid spaces
+    * (`uuid = reservation << 40 | rowIndex`). Concurrent appenders race on
+    * the create and the loser simply claims the next number; uuids are
+    * collision-free across branches and writers BY CONSTRUCTION (the
+    * watermark-per-commit alternative collides when two branches append
+    * concurrently from the same base).
+    */
+  def claimReservation(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val dir = new Path(root, "_graft/reservations")
+    f.mkdirs(dir)
+    val taken =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.forall(_.isDigit)).map(_.toLong)
+    var n = taken.foldLeft(0L)(math.max) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        f.create(new Path(dir, n.toString), false).close()
+        claimed = true
+      } catch { case _: java.io.IOException => n += 1 }
+    }
+    n
+  }
+
+  /** Walk parents (both of them for merge commits) to the root. */
+  def ancestors(spark: SparkSession, root: String, id: String): Set[String] = {
+    val seen = scala.collection.mutable.Set[String]()
+    val stack = scala.collection.mutable.Stack(id)
+    while (stack.nonEmpty) {
+      val c = stack.pop()
+      if (!seen.contains(c)) {
+        seen += c
+        val m = readCommit(spark, root, c)
+        m.parent.foreach(stack.push)
+        m.mergeParent.foreach(stack.push)
+      }
+    }
+    seen.toSet
+  }
+
+  /** Lowest common ancestor of two commits: the ancestor of both with the
+    * highest sequence number (sequence order is a topological order since
+    * parents always have smaller ids). Mirrors the reference LCA walk
+    * (muller/core/version_control/operations/diff.py:370-388).
+    */
+  def lca(spark: SparkSession, root: String, a: String, b: String): String = {
+    val common = ancestors(spark, root, a) intersect ancestors(spark, root, b)
+    require(common.nonEmpty, s"no common ancestor of $a and $b")
+    common.max
+  }
+}

@@ -1,0 +1,461 @@
+package graft.format
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType, DataType, StructField}
+
+/** A versioned, mutable table over immutable Parquet — the Spark-native
+  * equivalent of the reference's Dataset abstraction
+  * (muller/core/dataset/dataset.py:114-200) with its Git-like version
+  * control (muller/core/version_control).
+  *
+  * Mechanics (SURVEY.md §7.1): every commit pins a full file manifest;
+  *   - append  → new base parquet files           (crud_operations.py:140-258)
+  *   - update  → merge-on-read update files, last wins, keyed by the
+  *               hidden `_uuid` row id             (chunk/operations/update.py)
+  *   - pop     → tombstone files of `_uuid`s       (chunk/operations/pop.py)
+  *   - compact → rewrite snapshot to fresh base files ("rechunk",
+  *               muller/core/dataset/rechunk_operations.py)
+  * Reads are snapshot-isolated for free (manifests are immutable); the
+  * merge-on-read joins are uuid-keyed shuffles that scale horizontally,
+  * and `compact()` bounds read amplification exactly like the reference's
+  * rechunk bounds chunk fragmentation.
+  *
+  * Row identity: `_uuid LONG` = (globally-unique append reservation
+  * << 40) | row index (reference: hidden `_uuid` tensor,
+  * crud_operations.py:407-418). Merge and diff operate on uuid sets,
+  * never positions (merge.py:102-154).
+  */
+class GraftDataset private[format] (
+    val spark: SparkSession,
+    val root: String,
+    private var branchName: Option[String],
+    private var headId: Option[String]) {
+
+  import GraftDataset._
+
+  // ---- staged (uncommitted) state -----------------------------------------
+
+  private var stFiles: Vector[String] = Vector.empty
+  private var stUpdates: Vector[String] = Vector.empty
+  private var stTombstones: Vector[String] = Vector.empty
+  private var stRenames: Vector[(String, String)] = Vector.empty
+  private var stSchema: StructType = new StructType()
+  private var dirty: Boolean = false
+
+  loadHead()
+
+  private def loadHead(): Unit = {
+    headId match {
+      case Some(id) =>
+        val m = CommitLog.readCommit(spark, root, id)
+        stFiles = m.files.toVector
+        stUpdates = m.updates.toVector
+        stTombstones = m.tombstones.toVector
+        stRenames = m.renames.map(p => (p(0), p(1))).toVector
+        stSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      case None =>
+        stFiles = Vector.empty; stUpdates = Vector.empty
+        stTombstones = Vector.empty; stRenames = Vector.empty
+        stSchema = new StructType()
+    }
+    dirty = false
+  }
+
+  def branch: Option[String] = branchName
+  def head: Option[String] = headId
+  def schema: StructType = stSchema
+  def hasUncommitted: Boolean = dirty
+
+  // ---- snapshot read ------------------------------------------------------
+
+  private def emptyDf(s: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+
+  private def withUuidSchema(s: StructType): StructType =
+    StructType(s.fields :+ StructField(UuidCol, LongType, nullable = false))
+
+  /** Align a stored file's frame to the target schema: apply the rename
+    * chain, null-backfill missing columns, drop extras, order columns.
+    */
+  private def align(df: DataFrame, target: StructType): DataFrame = {
+    val renamed = stRenames.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from) && !d.columns.contains(to))
+        d.withColumnRenamed(from, to)
+      else d
+    }
+    val cols = target.fields.map { f =>
+      if (renamed.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    renamed.select(cols.toIndexedSeq: _*)
+  }
+
+  private def readManifest(files: Seq[String], target: StructType): DataFrame =
+    if (files.isEmpty) emptyDf(target)
+    else {
+      val paths = files.map(f => new Path(root, f).toString)
+      align(spark.read.option("mergeSchema", "true").parquet(paths: _*), target)
+    }
+
+  /** Snapshot with the hidden `_uuid` column (internal + merge/diff). */
+  private[format] def snapshotWithUuid(
+      files: Seq[String] = stFiles, updates: Seq[String] = stUpdates,
+      tombstones: Seq[String] = stTombstones,
+      schema: StructType = stSchema): DataFrame = {
+    val target = withUuidSchema(schema)
+    var df = readManifest(files, target)
+    // merge-on-read: each update file replaces rows by uuid (last wins)
+    for (u <- updates) {
+      val upd = readManifest(Seq(u), target)
+      df = df.join(upd.select(UuidCol), Seq(UuidCol), "left_anti")
+        .unionByName(upd)
+    }
+    if (tombstones.nonEmpty) {
+      val dead = spark.read.parquet(
+        tombstones.map(t => new Path(root, t).toString): _*)
+      df = df.join(dead.select(UuidCol), Seq(UuidCol), "left_anti")
+    }
+    df
+  }
+
+  /** The user-facing snapshot (hidden columns dropped). */
+  def toDF: DataFrame = snapshotWithUuid().drop(UuidCol)
+
+  /** Snapshot of an arbitrary commit (time travel). */
+  def snapshotAt(commitId: String): DataFrame = snapshotAtWithUuid(commitId).drop(UuidCol)
+
+  private[format] def snapshotAtWithUuid(commitId: String): DataFrame = {
+    val m = CommitLog.readCommit(spark, root, commitId)
+    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    // renames of THAT commit apply; borrow a temp dataset view
+    val tmp = new GraftDataset(spark, root, None, Some(commitId))
+    tmp.snapshotWithUuid(m.files, m.updates, m.tombstones, sch)
+  }
+
+  // ---- CRUD ---------------------------------------------------------------
+
+  private def newDataPath(kind: String): String =
+    s"data/$kind-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+
+  private def writeData(df: DataFrame, kind: String): String = {
+    val rel = newDataPath(kind)
+    df.write.parquet(new Path(root, rel).toString)
+    rel
+  }
+
+  /** Define a new column (reference `create_tensor`,
+    * dataset.py:828-870) — metadata-only; existing rows read as null.
+    */
+  def createTensor(name: String, dataType: DataType): Unit = {
+    require(!stSchema.fieldNames.contains(name), s"column $name exists")
+    require(name != UuidCol, s"$UuidCol is reserved")
+    stSchema = stSchema.add(name, dataType)
+    dirty = true
+  }
+
+  def deleteTensor(name: String): Unit = {
+    require(stSchema.fieldNames.contains(name), s"no column $name")
+    stSchema = StructType(stSchema.fields.filterNot(_.name == name))
+    dirty = true
+  }
+
+  def renameTensor(from: String, to: String): Unit = {
+    require(stSchema.fieldNames.contains(from), s"no column $from")
+    require(!stSchema.fieldNames.contains(to), s"column $to exists")
+    stSchema = StructType(stSchema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    stRenames :+= (from, to)
+    dirty = true
+  }
+
+  /** Append rows. Columns may be a subset of the schema (reference
+    * `skip_ok` append semantics, crud_operations.py:140-258): missing
+    * columns become null. Assigns dense uuids from the watermark via a
+    * distributed two-pass zipWithIndex (no driver materialization).
+    */
+  def append(df: DataFrame): Unit = {
+    val unknown = df.columns.filterNot(c => stSchema.fieldNames.contains(c))
+    require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(",")}")
+    val aligned = stSchema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    // uuid space: a globally-unique reservation per append shifted over a
+    // 40-bit row index — collision-free across branches/writers; the index
+    // comes from a distributed two-pass zipWithIndex
+    val reservation = CommitLog.claimReservation(spark, root)
+    val base = reservation << 40
+    val prepared = df.select(aligned.toIndexedSeq: _*)
+    val withUuid = spark.createDataFrame(
+      prepared.rdd.zipWithIndex().map { case (r, i) =>
+        require(i < (1L << 40), "append larger than 2^40 rows; split it")
+        Row.fromSeq(r.toSeq :+ (base + i)) },
+      withUuidSchema(stSchema))
+    stFiles :+= writeData(withUuid, "base")
+    dirty = true
+  }
+
+  /** In-place update (reference `ds.update` / `tensor[i] = v`,
+    * crud_operations.py:216-258): rows matching `cond` get `assignments`
+    * applied, written as a merge-on-read update file.
+    */
+  def update(cond: Column, assignments: Map[String, Column]): Long = {
+    val bad = assignments.keySet.filterNot(stSchema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown columns: ${bad.mkString(",")}")
+    val changed = assignments.foldLeft(snapshotWithUuid().filter(cond)) {
+      case (d, (c, v)) => d.withColumn(c, v.cast(stSchema(c).dataType))
+    }
+    val n = changed.count()
+    if (n > 0) { stUpdates :+= writeData(changed, "update"); dirty = true }
+    n
+  }
+
+  /** Delete rows matching `cond` (reference `pop`,
+    * crud_operations.py:259-292) — writes a uuid tombstone file.
+    */
+  def pop(cond: Column): Long = {
+    val dead = snapshotWithUuid().filter(cond).select(UuidCol)
+    val n = dead.count()
+    if (n > 0) { stTombstones :+= writeData(dead, "tombstone"); dirty = true }
+    n
+  }
+
+  /** Rewrite the snapshot into fresh base files, collapsing update and
+    * tombstone files (reference `rechunk`, dataset.py:1018-1035). Run
+    * periodically to bound merge-on-read amplification; also the natural
+    * place to re-bucket/sort at scale.
+    */
+  def compact(): Unit = {
+    val snap = snapshotWithUuid()
+    val rel = writeData(snap, "compact")
+    stFiles = Vector(rel); stUpdates = Vector.empty
+    stTombstones = Vector.empty; stRenames = Vector.empty
+    dirty = true
+  }
+
+  // ---- version control ----------------------------------------------------
+
+  def commit(message: String, allowEmpty: Boolean = false): String = {
+    require(dirty || allowEmpty, "nothing to commit (allowEmpty=false)")
+    val id = CommitLog.nextCommitId(spark, root)
+    publishCommit(id, message, headId, None)
+    id
+  }
+
+  private def publishCommit(id: String, message: String,
+                            parent: Option[String],
+                            mergeParent: Option[String]): Unit = {
+    CommitLog.writeCommit(spark, root, CommitMeta(
+      id = id, parent = parent, mergeParent = mergeParent, message = message,
+      timestampMs = System.currentTimeMillis(),
+      schemaJson = stSchema.json,
+      files = stFiles, updates = stUpdates, tombstones = stTombstones,
+      renames = stRenames.map(p => Seq(p._1, p._2))))
+    headId = Some(id)
+    branchName.foreach { b =>
+      CommitLog.writeBranches(spark, root,
+        CommitLog.readBranches(spark, root) + (b -> id))
+    }
+    dirty = false
+  }
+
+  def branches: Map[String, String] = CommitLog.readBranches(spark, root)
+
+  /** First-parent history from HEAD (reference `log`/`commits`). */
+  def log: Seq[CommitMeta] = {
+    val out = Vector.newBuilder[CommitMeta]
+    var cur = headId
+    while (cur.isDefined) {
+      val m = CommitLog.readCommit(spark, root, cur.get)
+      out += m
+      cur = m.parent
+    }
+    out.result()
+  }
+
+  /** Switch branch/commit; `create=true` branches from HEAD (reference
+    * checkout, commits.py:184-253). Uncommitted changes must be committed
+    * or `reset()` first.
+    */
+  def checkout(ref: String, create: Boolean = false): Unit = {
+    require(!dirty, "uncommitted changes; commit or reset first")
+    if (create) {
+      require(!branches.contains(ref), s"branch $ref exists")
+      CommitLog.writeBranches(spark, root, branches + (ref -> headId.getOrElse(
+        throw new IllegalStateException("cannot branch before first commit"))))
+      branchName = Some(ref)
+    } else branches.get(ref) match {
+      case Some(commitId) =>
+        branchName = Some(ref); headId = Some(commitId); loadHead()
+      case None => // detached checkout of a commit id
+        require(CommitLog.listCommits(spark, root).contains(ref),
+          s"no branch or commit $ref")
+        branchName = None; headId = Some(ref); loadHead()
+    }
+  }
+
+  /** Discard uncommitted changes (reference `reset(force)`). */
+  def reset(): Unit = loadHead()
+
+  def deleteBranch(name: String): Unit = {
+    require(!branchName.contains(name), "cannot delete the current branch")
+    require(branches.contains(name), s"no branch $name")
+    CommitLog.writeBranches(spark, root, branches - name)
+  }
+
+  // ---- diff / merge -------------------------------------------------------
+
+  private def resolveRef(ref: String): String =
+    branches.getOrElse(ref,
+      { require(CommitLog.listCommits(spark, root).contains(ref),
+          s"no branch or commit $ref"); ref })
+
+  private def threeWayInputs(targetRef: String) = {
+    val ourId = headId.getOrElse(throw new IllegalStateException("no HEAD"))
+    val theirId = resolveRef(targetRef)
+    val lcaId = CommitLog.lca(spark, root, ourId, theirId)
+    (ourId, theirId, lcaId)
+  }
+
+  /** Per-side change sets vs the LCA (reference `diff`). */
+  def diff(targetRef: String): DataFrame = {
+    val (ourId, theirId, lcaId) = threeWayInputs(targetRef)
+    Versioning.diffReport(
+      snapshotAtWithUuid(lcaId), snapshotAtWithUuid(ourId),
+      snapshotAtWithUuid(theirId),
+      Versioning.mergedSchema(stSchema, schemaAt(theirId)))
+  }
+
+  /** Row-level value diff between HEAD and another ref
+    * (reference `direct_diff`).
+    */
+  def directDiff(targetRef: String): DataFrame = {
+    val theirId = resolveRef(targetRef)
+    Versioning.directDiff(
+      snapshotWithUuid(), snapshotAtWithUuid(theirId),
+      Versioning.mergedSchema(stSchema, schemaAt(theirId)))
+  }
+
+  /** Conflict report for merging `targetRef` into HEAD
+    * (reference `detect_merge_conflict`).
+    */
+  def detectMergeConflict(targetRef: String): DataFrame = {
+    val (ourId, theirId, lcaId) = threeWayInputs(targetRef)
+    Versioning.conflicts(
+      snapshotAtWithUuid(lcaId), snapshotAtWithUuid(ourId),
+      snapshotAtWithUuid(theirId),
+      Versioning.mergedSchema(stSchema, schemaAt(theirId)))
+  }
+
+  private def schemaAt(commitId: String): StructType =
+    org.apache.spark.sql.types.DataType
+      .fromJson(CommitLog.readCommit(spark, root, commitId).schemaJson)
+      .asInstanceOf[StructType]
+
+  /** Three-way merge of `targetRef` into the current branch (reference
+    * `merge`, commits.py:305-401 + merge.py:499-543). Fast-forward-safe:
+    * if the LCA equals the target head the merge is a no-op (reference
+    * "target is an ancestor", merge.py:528-530). Returns the new commit id
+    * (or current HEAD on no-op).
+    */
+  def merge(targetRef: String,
+            resolutions: Versioning.MergeResolutions =
+              Versioning.MergeResolutions()): String = {
+    require(!dirty, "uncommitted changes; commit or reset first")
+    val (ourId, theirId, lcaId) = threeWayInputs(targetRef)
+    if (lcaId == theirId) return ourId // target already merged
+    val newSchema = Versioning.mergedSchema(stSchema, schemaAt(theirId))
+    val merged = Versioning.mergeSnapshots(
+      snapshotAtWithUuid(lcaId), snapshotAtWithUuid(ourId),
+      snapshotAtWithUuid(theirId), withUuidSchema(newSchema), resolutions)
+    val rel = writeData(merged, "merge")
+    stFiles = Vector(rel); stUpdates = Vector.empty
+    stTombstones = Vector.empty; stRenames = Vector.empty
+    stSchema = newSchema
+    dirty = true
+    val id = CommitLog.nextCommitId(spark, root)
+    publishCommit(id, s"merge $targetRef", Some(ourId), Some(theirId))
+    id
+  }
+
+  // ---- views (reference save_view/load_view, view_operations.py) ----------
+
+  private def viewsDir = new Path(root, "_graft/views")
+
+  /** Persist the row set matching `cond` as a named view: a parquet of
+    * matching uuids + the predicate text, bound to the current commit.
+    */
+  def saveView(name: String, cond: Column): Unit = {
+    val dir = new Path(viewsDir, name)
+    snapshotWithUuid().filter(cond).select(UuidCol)
+      .write.mode("overwrite").parquet(new Path(dir, "ids").toString)
+    val f = CommitLog.fs(spark, root)
+    val out = f.create(new Path(dir, "meta.json"), true)
+    try out.write(org.json4s.jackson.Serialization.write(Map(
+      "query" -> cond.toString, "commit" -> headId.getOrElse("")))(
+      org.json4s.DefaultFormats).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Materialize a saved view as a DataFrame (semi-join on uuid). */
+  def loadView(name: String): DataFrame = {
+    val ids = spark.read.parquet(
+      new Path(new Path(viewsDir, name), "ids").toString)
+    snapshotWithUuid().join(ids, Seq(UuidCol), "left_semi").drop(UuidCol)
+  }
+
+  def views: Seq[String] = {
+    val f = CommitLog.fs(spark, root)
+    if (!f.exists(viewsDir)) Seq.empty
+    else f.listStatus(viewsDir).toSeq.map(_.getPath.getName).sorted
+  }
+
+  def deleteView(name: String): Unit = {
+    CommitLog.fs(spark, root).delete(new Path(viewsDir, name), true)
+    ()
+  }
+}
+
+object GraftDataset {
+  /** Hidden row-identity column (reference `_uuid` tensor). */
+  val UuidCol = "_uuid"
+
+  /** Create a new table (reference `muller.empty` / `muller.dataset`). */
+  def create(spark: SparkSession, root: String, schema: StructType,
+             branch: String = "main"): GraftDataset = {
+    require(CommitLog.listCommits(spark, root).isEmpty, s"table exists: $root")
+    val ds = new GraftDataset(spark, root, Some(branch), None)
+    ds.stSchema = schema
+    ds.dirty = true
+    ds.commit("init", allowEmpty = true)
+    ds
+  }
+
+  /** Load an existing table at a branch (reference `muller.load`,
+    * `path@branch` addressing).
+    */
+  def load(spark: SparkSession, root: String,
+           branch: String = "main"): GraftDataset = {
+    val heads = CommitLog.readBranches(spark, root)
+    require(heads.contains(branch), s"no branch $branch at $root")
+    new GraftDataset(spark, root, Some(branch), Some(heads(branch)))
+  }
+
+  /** Schema-only copy (reference `muller.like`, api/dataset/copy.py). */
+  def like(spark: SparkSession, destRoot: String, src: GraftDataset,
+           tensors: Seq[String] = Nil): GraftDataset = {
+    val fields =
+      if (tensors.isEmpty) src.schema.fields
+      else src.schema.fields.filter(f => tensors.contains(f.name))
+    create(spark, destRoot, StructType(fields))
+  }
+
+  /** Drop the whole table (reference `muller.delete`). */
+  def delete(spark: SparkSession, root: String): Unit = {
+    val f = CommitLog.fs(spark, root)
+    f.delete(new Path(root), true)
+    ()
+  }
+}

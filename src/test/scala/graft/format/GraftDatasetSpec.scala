@@ -1,0 +1,136 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** CRUD + snapshot semantics of the versioned table format
+  * (mirrors reference tests/integration/dataset + version_control areas).
+  */
+class GraftDatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("label", StringType),
+    StructField("score", DoubleType)))
+
+  private def freshTable(): GraftDataset = {
+    val ds = GraftDataset.create(spark, tmpDir("graft"), schema)
+    ds.append(Seq((0L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0))
+      .toDF("id", "label", "score"))
+    ds.commit("rows")
+    ds
+  }
+
+  test("create + append + read roundtrip") {
+    val ds = freshTable()
+    val got = ds.toDF.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0)))
+    assert(ds.toDF.columns.toSeq == Seq("id", "label", "score")) // _uuid hidden
+  }
+
+  test("append with missing columns null-backfills (skip_ok)") {
+    val ds = freshTable()
+    ds.append(Seq(3L).toDF("id"))
+    ds.commit("partial")
+    val r = ds.toDF.filter($"id" === 3L).head()
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("update rewrites matching rows, last update wins") {
+    val ds = freshTable()
+    assert(ds.update($"id" === 1L, Map("score" -> lit(20.0))) == 1L)
+    assert(ds.update($"id" === 1L, Map("score" -> lit(30.0))) == 1L)
+    ds.commit("updates")
+    assert(ds.toDF.filter($"id" === 1L).head().getDouble(2) == 30.0)
+    assert(ds.toDF.count() == 3)
+  }
+
+  test("pop deletes rows; compact collapses the manifest") {
+    val ds = freshTable()
+    assert(ds.pop($"label" === "b") == 1L)
+    ds.commit("popped")
+    assert(ds.toDF.count() == 2)
+    ds.compact()
+    ds.commit("compacted")
+    assert(ds.toDF.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((0L, "a", 1.0), (2L, "c", 3.0)))
+  }
+
+  test("schema evolution: createTensor, renameTensor, deleteTensor") {
+    val ds = freshTable()
+    ds.createTensor("extra", IntegerType)
+    ds.commit("add col")
+    assert(ds.toDF.filter($"extra".isNotNull).count() == 0)
+    ds.append(spark.createDataFrame(
+      java.util.List.of(Row(9L, "z", 0.5, 7)),
+      StructType(schema.fields :+ StructField("extra", IntegerType))))
+    ds.commit("row with extra")
+    assert(ds.toDF.filter($"extra" === 7).count() == 1)
+    ds.renameTensor("extra", "bonus")
+    ds.commit("rename")
+    assert(ds.toDF.filter($"bonus" === 7).count() == 1)
+    ds.deleteTensor("bonus")
+    ds.commit("drop")
+    assert(!ds.toDF.columns.contains("bonus"))
+  }
+
+  test("branching, checkout, log, time travel, reset") {
+    val ds = freshTable()
+    val c1 = ds.head.get
+    ds.checkout("dev", create = true)
+    ds.append(Seq((10L, "d", 4.0)).toDF("id", "label", "score"))
+    ds.commit("dev row")
+    assert(ds.toDF.count() == 4)
+    ds.checkout("main")
+    assert(ds.toDF.count() == 3)
+    ds.checkout("dev")
+    assert(ds.toDF.count() == 4)
+    assert(ds.log.map(_.message).contains("dev row"))
+    assert(ds.snapshotAt(c1).count() == 3)
+    ds.append(Seq((11L, "e", 5.0)).toDF("id", "label", "score"))
+    assert(ds.hasUncommitted)
+    ds.reset()
+    assert(!ds.hasUncommitted && ds.toDF.count() == 4)
+    ds.checkout("main")
+    ds.deleteBranch("dev")
+    assert(!ds.branches.contains("dev"))
+  }
+
+  test("load reopens a table at a branch") {
+    val ds = freshTable()
+    val again = GraftDataset.load(spark, ds.root)
+    assert(again.toDF.count() == 3)
+    assert(again.head == ds.head)
+  }
+
+  test("like copies only the schema") {
+    val ds = freshTable()
+    val copy = GraftDataset.like(spark, tmpDir("graft-like"), ds)
+    assert(copy.schema == ds.schema)
+    assert(copy.toDF.count() == 0)
+  }
+
+  test("views: save, list, load, delete") {
+    val ds = freshTable()
+    ds.saveView("high", $"score" >= 2.0)
+    assert(ds.views == Seq("high"))
+    assert(ds.loadView("high").orderBy("id").as[(Long, String, Double)]
+      .collect().toSeq == Seq((1L, "b", 2.0), (2L, "c", 3.0)))
+    ds.deleteView("high")
+    assert(ds.views.isEmpty)
+  }
+
+  test("uuids are dense and stable across updates") {
+    val ds = freshTable()
+    ds.update($"id" === 0L, Map("score" -> lit(9.9)))
+    ds.commit("u")
+    // time-travel diff sees exactly one changed row, no identity churn
+    val first = ds.log.find(_.message == "rows").get.id
+    val dd = ds.directDiff(first)
+    assert(dd.count() == 1)
+    assert(dd.head().getString(0) == "changed")
+  }
+}

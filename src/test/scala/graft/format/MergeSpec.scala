@@ -1,0 +1,147 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Three-way merge matrix — mirrors the reference's
+  * tests/integration/version_control/test_detect_merge.py:
+  * append/update/pop on each side × ours/theirs/both resolutions,
+  * conflict detection, schema merge, fast-forward no-op.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  /** Table with rows 0,1,2 on main; branch `dev` created at that commit. */
+  private def baseTable(): GraftDataset = {
+    val ds = GraftDataset.create(spark, tmpDir("merge"), schema)
+    ds.append(Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("id", "v"))
+    ds.commit("base")
+    ds.checkout("dev", create = true)
+    ds.checkout("main")
+    ds
+  }
+
+  private def rows(ds: GraftDataset): Set[(Long, String)] =
+    ds.toDF.as[(Long, String)].collect().toSet
+
+  test("append on both sides: both / ours / theirs resolutions") {
+    def setup(): GraftDataset = {
+      val ds = baseTable()
+      ds.checkout("dev")
+      ds.append(Seq((10L, "dev-add")).toDF("id", "v")); ds.commit("dev add")
+      ds.checkout("main")
+      ds.append(Seq((20L, "main-add")).toDF("id", "v")); ds.commit("main add")
+      ds
+    }
+    val both = setup(); both.merge("dev")
+    assert(rows(both) == Set((0L, "zero"), (1L, "one"), (2L, "two"),
+      (10L, "dev-add"), (20L, "main-add")))
+    val ours = setup()
+    ours.merge("dev", Versioning.MergeResolutions(append = "ours"))
+    assert(rows(ours).contains((20L, "main-add")) &&
+      !rows(ours).contains((10L, "dev-add")))
+    val theirs = setup()
+    theirs.merge("dev", Versioning.MergeResolutions(append = "theirs"))
+    assert(rows(theirs).contains((10L, "dev-add")) &&
+      !rows(theirs).contains((20L, "main-add")))
+  }
+
+  test("update/update conflict: ours wins by default, theirs on request") {
+    def setup(): GraftDataset = {
+      val ds = baseTable()
+      ds.checkout("dev")
+      ds.update($"id" === 1L, Map("v" -> lit("dev-edit"))); ds.commit("dev edit")
+      ds.checkout("main")
+      ds.update($"id" === 1L, Map("v" -> lit("main-edit"))); ds.commit("main edit")
+      ds
+    }
+    val ours = setup()
+    val conf = ours.detectMergeConflict("dev")
+    assert(conf.filter($"conflict_type" === "update_update").count() == 1)
+    ours.merge("dev")
+    assert(rows(ours).contains((1L, "main-edit")))
+    val theirs = setup()
+    theirs.merge("dev", Versioning.MergeResolutions(update = "theirs"))
+    assert(rows(theirs).contains((1L, "dev-edit")))
+  }
+
+  test("one-sided update flows through without conflict") {
+    val ds = baseTable()
+    ds.checkout("dev")
+    ds.update($"id" === 2L, Map("v" -> lit("dev-only"))); ds.commit("dev edit")
+    ds.checkout("main")
+    ds.append(Seq((30L, "main-new")).toDF("id", "v")); ds.commit("main add")
+    assert(ds.detectMergeConflict("dev").count() == 0)
+    ds.merge("dev")
+    assert(rows(ds) == Set((0L, "zero"), (1L, "one"), (2L, "dev-only"),
+      (30L, "main-new")))
+  }
+
+  test("pop resolutions: both / ours / theirs") {
+    def setup(): GraftDataset = {
+      val ds = baseTable()
+      ds.checkout("dev")
+      ds.pop($"id" === 0L); ds.commit("dev pop 0")
+      ds.checkout("main")
+      ds.pop($"id" === 2L); ds.commit("main pop 2")
+      ds
+    }
+    val both = setup(); both.merge("dev")
+    assert(rows(both) == Set((1L, "one"))) // both deletions honored
+    val ours = setup()
+    ours.merge("dev", Versioning.MergeResolutions(pop = "theirs"))
+    // only theirs' (dev's) deletion of id=0 honored; ours' pop of id=2 is
+    // not, and dev still has id=2 → it survives
+    assert(rows(ours) == Set((1L, "one"), (2L, "two")))
+  }
+
+  test("delete vs update is reported as a conflict") {
+    val ds = baseTable()
+    ds.checkout("dev")
+    ds.update($"id" === 0L, Map("v" -> lit("dev-edit"))); ds.commit("dev edit")
+    ds.checkout("main")
+    ds.pop($"id" === 0L); ds.commit("main pop")
+    val conf = ds.detectMergeConflict("dev")
+    assert(conf.head().getString(0) == "delete_ours_update_theirs")
+  }
+
+  test("schema merge copies target-only columns") {
+    val ds = baseTable()
+    ds.checkout("dev")
+    ds.createTensor("extra", IntegerType)
+    ds.update($"id" === 1L, Map("extra" -> lit(42))); ds.commit("dev col")
+    ds.checkout("main")
+    ds.append(Seq((3L, "three")).toDF("id", "v")); ds.commit("main row")
+    ds.merge("dev")
+    assert(ds.schema.fieldNames.contains("extra"))
+    assert(ds.toDF.filter($"extra" === 42).count() == 1)
+    assert(ds.toDF.filter($"id" === 3L).head().isNullAt(2))
+  }
+
+  test("merging an ancestor is a no-op; diff classifies per side") {
+    val ds = baseTable()
+    val head = ds.head.get
+    ds.append(Seq((5L, "five")).toDF("id", "v")); ds.commit("ahead")
+    assert(ds.merge("dev") == ds.head.get) // dev == LCA → no-op
+    val d = ds.diff("dev").as[(String, String, Long)].collect().toSet
+    assert(d.exists(x => x._1 == "ours" && x._2 == "append"))
+    assert(!d.exists(x => x._1 == "theirs"))
+    assert(ds.head.get != head)
+  }
+
+  test("fast-forward shape: ours unchanged since LCA takes theirs") {
+    val ds = baseTable()
+    ds.checkout("dev")
+    ds.append(Seq((7L, "seven")).toDF("id", "v"))
+    ds.update($"id" === 0L, Map("v" -> lit("edited")))
+    ds.pop($"id" === 2L)
+    ds.commit("dev work")
+    ds.checkout("main")
+    ds.merge("dev")
+    assert(rows(ds) == Set((0L, "edited"), (1L, "one"), (7L, "seven")))
+  }
+}
