@@ -416,6 +416,122 @@ class GraftDataset private[format] (
     CommitLog.fs(spark, root).delete(new Path(viewsDir, name), true)
     ()
   }
+
+  // ---- query surface (reference mixins/query.py) --------------------------
+
+  /** Flagship condition-tuple filter (reference `filter_vectorized`). */
+  def filterVectorized(conds: Seq[graft.operators.Cond],
+                       connectors: Seq[String] = Nil): DataFrame =
+    graft.operators.FilterVectorized(toDF, conds, connectors)
+
+  /** Safe string-query filter (reference `ds.filter("labels > 1 and ...")`,
+    * the AST-whitelist evaluator).
+    */
+  def filterQuery(query: String): DataFrame =
+    graft.operators.SafeExpr.filter(toDF, query)
+
+  /** Grouped aggregation (reference `aggregate_vectorized`). */
+  def aggregateVectorized(groupBy: Seq[String], aggregateTensors: Seq[String],
+                          method: String, orderBy: Seq[String] = Nil,
+                          direction: String = "ASC"): DataFrame =
+    graft.operators.AggregateVectorized(
+      toDF, groupBy, aggregateTensors, method, orderBy, direction)
+
+  /** Per-column statistics (reference `ds.summary`/statistics). */
+  def summary(): DataFrame = graft.operators.Statistics.columnStatistics(toDF)
+
+  // ---- index lifecycle (reference mixins/query.py create_index_*) ---------
+
+  private def indexDir(kind: String, column: String) =
+    new Path(root, s"_graft/indexes/$kind/$column")
+
+  /** Build + persist the inverted text index for `column`, bound to the
+    * current commit (reference `create_index_vectorized`; staleness is
+    * detected by comparing the recorded commit id, like
+    * filter_vectorized.py:476-492).
+    */
+  def createIndexVectorized(column: String, numShards: Int = 16): Unit = {
+    require(!dirty, "commit before indexing")
+    val dir = indexDir("inverted", column)
+    val idx = graft.operators.InvertedIndex.build(
+      snapshotWithUuid(), column, UuidCol, numShards)
+    graft.operators.InvertedIndex.save(idx, new Path(dir, "postings").toString)
+    writeIndexMeta(dir)
+  }
+
+  private def writeIndexMeta(dir: Path): Unit = {
+    val f = CommitLog.fs(spark, root)
+    val out = f.create(new Path(dir, "meta.json"), true)
+    try out.write(org.json4s.jackson.Serialization.write(
+      Map("commit" -> headId.getOrElse("")))(org.json4s.DefaultFormats)
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def indexCommit(dir: Path): Option[String] = {
+    val f = CommitLog.fs(spark, root)
+    val p = new Path(dir, "meta.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      org.json4s.jackson.JsonMethods.parse(s)
+        .\("commit").extractOpt[String](org.json4s.DefaultFormats,
+          implicitly[Manifest[String]])
+    }
+  }
+
+  /** True if the persisted index for `column` matches HEAD. */
+  def indexFresh(kind: String, column: String): Boolean =
+    indexCommit(indexDir(kind, column)) == headId
+
+  /** Indexed CONTAINS search routed through the posting table
+    * (reference indexed fuzzy/complex match). Falls back to the scan
+    * predicate when the index is stale — same answer, different plan
+    * (the reference WARNS and searches the stale index instead).
+    */
+  def textSearch(column: String, query: String): DataFrame = {
+    val dir = indexDir("inverted", column)
+    if (indexFresh("inverted", column)) {
+      val idx = graft.operators.InvertedIndex.load(
+        spark, new Path(dir, "postings").toString)
+      graft.operators.InvertedIndex.search(
+        snapshotWithUuid(), UuidCol, idx, query).drop(UuidCol)
+    } else
+      toDF.filter(graft.operators.FilterVectorized.containsPredicate(
+        col(column), query))
+  }
+
+  /** Build + persist the IVF vector index for an embedding `column`
+    * (reference `create_vector_index`; artifacts live beside the data
+    * keyed by commit, vector/artifact_store.py).
+    */
+  def createVectorIndex(column: String, nlist: Int = 64): Unit = {
+    require(!dirty, "commit before indexing")
+    val dir = indexDir("vector", column)
+    val (assigned, centroids) = graft.operators.VectorSearch.ivfBuild(
+      snapshotWithUuid(), column, UuidCol, nlist)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(new Path(dir, "assigned").toString)
+    centroids.write.mode("overwrite")
+      .parquet(new Path(dir, "centroids").toString)
+    writeIndexMeta(dir)
+  }
+
+  /** ANN search through the persisted IVF index (probes `nprobe` cells —
+    * partition-pruned read); requires a fresh index.
+    */
+  def vectorSearch(column: String, queryVec: Seq[Float], k: Int,
+                   metric: String = "cosine", nprobe: Int = 8): DataFrame = {
+    val dir = indexDir("vector", column)
+    require(indexFresh("vector", column),
+      s"vector index for $column is stale or missing; createVectorIndex first")
+    val assigned = spark.read.parquet(new Path(dir, "assigned").toString)
+    val centroids = spark.read.parquet(new Path(dir, "centroids").toString)
+    graft.operators.VectorSearch.ivfTopK(
+      assigned, centroids, column, UuidCol, queryVec, metric, k, nprobe)
+      .withColumnRenamed(UuidCol, "row_uuid")
+  }
 }
 
 object GraftDataset {

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling — SURVEY.md §1.2's
+  * htype mapping made concrete: media travel as opaque `binary` payloads
+  * beside typed metadata columns (shape, format), exactly how the
+  * reference stores compressed samples per tensor
+  * (muller/core/sample.py, compression.py:73-101).
+  *
+  * The DECODE step is a clearly-marked deterministic STUB (this
+  * environment ships no image/audio codecs); everything around it — the
+  * schema contract, the `mapPartitions` batch shape, partition sizing for
+  * CPU-bound work, and the feature-extraction plumbing — is the real,
+  * tested scale path. Swapping the stub for javacv/ImageIO (or a Pandas
+  * UDF under PySpark) changes ONE function.
+  */
+object Multimodal {
+
+  /** Standard media-column triple: payload + declared shape + codec tag
+    * (reference tensor meta: htype, sample_compression —
+    * muller/core/meta/tensor_meta.py:37-49).
+    */
+  def mediaSchema(prefix: String): Seq[StructField] = Seq(
+    StructField(s"${prefix}_bytes", BinaryType),
+    StructField(s"${prefix}_shape", ArrayType(IntegerType)),
+    StructField(s"${prefix}_format", StringType))
+
+  /** Decoded-image feature row appended by [[decodeImages]]. */
+  val decodedMeta: Seq[StructField] = Seq(
+    StructField("height", IntegerType), StructField("width", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_intensity", DoubleType))
+
+  /** STUB decoder: a real build decodes `bytes` with an image codec.
+    * This deterministic fake derives (h, w, c, mean) from the payload
+    * bytes so tests can assert exact values end-to-end.
+    */
+  private[graft] def decodeStub(bytes: Array[Byte],
+                                declaredShape: Seq[Int]): (Int, Int, Int, Double) = {
+    val h = if (declaredShape.nonEmpty) declaredShape(0)
+            else 1 + math.floorMod(bytes.length, 64)
+    val w = if (declaredShape.length > 1) declaredShape(1)
+            else 1 + math.floorMod(bytes.length * 31, 64)
+    val c = if (declaredShape.length > 2) declaredShape(2) else 3
+    val mean = if (bytes.isEmpty) 0.0
+               else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+    (h, w, c, mean)
+  }
+
+  /** Decode + feature-extract over media rows. Structure mirrors a
+    * production decode job: repartition by cores (decode is CPU-bound, so
+    * partitioning must not follow input file count), then ONE
+    * `mapPartitions` pass that batches rows through the (stubbed) codec.
+    */
+  def decodeImages(df: DataFrame, prefix: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ decodedMeta)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bytesIdx = df.schema.fieldIndex(s"${prefix}_bytes")
+    val shapeIdx = df.schema.fieldIndex(s"${prefix}_shape")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](bytesIdx)
+          val shape = Option(r.getAs[scala.collection.Seq[Int]](shapeIdx))
+            .map(_.toSeq).getOrElse(Seq.empty)
+          val (h, w, c, m) = decodeStub(bytes, shape)
+          Row.fromSeq(r.toSeq ++ Seq[Any](h, w, c, m))
+        }
+      }
+  }
+
+  /** Resize plan: emits the target shape column (the pixel work happens
+    * inside the decode stub in this environment). Kept as an expression —
+    * no UDF — so it stays in codegen.
+    */
+  def resizePlan(df: DataFrame, prefix: String, h: Int, w: Int): DataFrame =
+    df.withColumn(s"${prefix}_shape",
+      when(col(s"${prefix}_shape").isNotNull && size(col(s"${prefix}_shape")) > 2,
+        array(lit(h), lit(w), element_at(col(s"${prefix}_shape"), 3)))
+        .otherwise(array(lit(h), lit(w))))
+
+  /** Frame sampling for video payloads: one output row per sampled frame
+    * index — pure plan-side explode; the actual frame extraction belongs
+    * to the decode stage.
+    */
+  def sampleFrames(df: DataFrame, frameCountCol: String,
+                   everyN: Int): DataFrame =
+    df.withColumn("frame_index",
+      explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)),
+        lit(everyN))))
+}

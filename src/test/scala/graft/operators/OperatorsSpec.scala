@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the query-compiler operators (reference filter_vectorized /
+  * safe-eval / aggregate_vectorized behaviors from SURVEY.md §2.2/§2.4).
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, 10.0, "alpha beta gamma", "x"),
+    (2L, 20.0, "beta delta", "y"),
+    (3L, 30.0, "alpha delta epsilon", "x"),
+    (4L, 40.0, "zeta", "y"),
+    (5L, 50.0, "alpha beta", "x")).toDF("id", "v", "text", "tag")
+
+  test("filter ops: comparisons, BETWEEN closed, LIKE regex, CONTAINS, NOT") {
+    def ids(c: Cond*): Set[Long] =
+      FilterVectorized(df, c.toSeq, List.fill(c.length - 1)("AND"))
+        .select("id").as[Long].collect().toSet
+    assert(ids(Cond("v", ">", 30.0)) == Set(4L, 5L))
+    assert(ids(Cond("v", "BETWEEN", Seq(20.0, 40.0))) == Set(2L, 3L, 4L))
+    assert(ids(Cond("text", "LIKE", "^al.*ta$")) == Set(5L))
+    assert(ids(Cond("text", "CONTAINS", "alpha beta")) == Set(1L, 5L))
+    assert(ids(Cond("text", "CONTAINS", "alpha beta||zeta")) == Set(1L, 4L, 5L))
+    assert(ids(Cond("v", ">", 30.0, negation = true)) == Set(1L, 2L, 3L))
+  }
+
+  test("connectors fold LEFT-TO-RIGHT with no precedence") {
+    // a OR b AND c  ==  (a OR b) AND c   (filter_vectorized.py:370-380)
+    val out = FilterVectorized(df, Seq(
+      Cond("id", "==", 1L), Cond("id", "==", 4L), Cond("v", "<", 35.0)),
+      Seq("OR", "AND")).select("id").as[Long].collect().toSet
+    assert(out == Set(1L)) // standard precedence would also keep id=4
+  }
+
+  test("paged filter: stable offset/limit") {
+    val page = FilterVectorized.paged(df, Seq(Cond("v", ">", 10.0)), Nil,
+      sortCols = Seq("id"), offset = 1, limit = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(page == Seq(3L, 4L))
+  }
+
+  test("safe-eval string queries compile to Catalyst predicates") {
+    assert(SafeExpr.filter(df, "v > 15 and v < 45").count() == 3)
+    assert(SafeExpr.filter(df, "tag == 'x' or id in [2, 4]").count() == 5)
+    assert(SafeExpr.filter(df, "not (v >= 20)").count() == 1)
+    assert(SafeExpr.filter(df, "v % 20 == 0").count() == 2)
+  }
+
+  test("safe-eval blocks function calls and unknown identifiers") {
+    intercept[IllegalArgumentException](SafeExpr.filter(df, "rand() > 0.5"))
+    intercept[IllegalArgumentException](SafeExpr.filter(df, "nope > 1"))
+    intercept[IllegalArgumentException](SafeExpr.filter(df, "v; drop table"))
+  }
+
+  test("aggregateVectorized: one method per call, order direction") {
+    val out = AggregateVectorized(df, Seq("tag"), Seq("v"), "sum",
+      orderBy = Seq("sum_v"), direction = "DESC")
+    assert(out.columns.toSeq == Seq("tag", "sum_v"))
+    assert(out.as[(String, Double)].collect().toSeq ==
+      Seq(("x", 90.0), ("y", 60.0)))
+    val cnt = AggregateVectorized(df, Nil, Seq("*"), "count")
+    assert(cnt.head().getLong(0) == 5L)
+    intercept[IllegalArgumentException](
+      AggregateVectorized(df, Nil, Seq("*"), "sum"))
+  }
+
+  test("inverted index: fuzzy AND of tokens, complex OR, search parity") {
+    val idx = InvertedIndex.build(df, "text", "id")
+    assert(InvertedIndex.fuzzyMatchIds(idx, "alpha beta")
+      .as[Long].collect().toSet == Set(1L, 5L))
+    assert(InvertedIndex.complexFuzzyIds(idx, "alpha beta||zeta")
+      .as[Long].collect().toSet == Set(1L, 4L, 5L))
+    // indexed search ≡ scan predicate
+    val viaIndex = InvertedIndex.search(df, "id", idx, "alpha delta")
+      .select("id").as[Long].collect().toSet
+    val viaScan = df.filter(FilterVectorized.containsPredicate(
+      col("text"), "alpha delta")).select("id").as[Long].collect().toSet
+    assert(viaIndex == viaScan && viaIndex == Set(3L))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text functions: tokens, counts, shingles, fingerprints") {
+    val df = Seq("the quick brown fox", "  spaced   out  ", "").toDF("t")
+    val r = df.select(
+      T.tokenCount($"t").as("n"),
+      T.tokenShingles($"t", 2).as("sh2"),
+      T.fingerprintMd5($"t").as("fp")).collect()
+    assert(r(0).getInt(0) == 4)
+    assert(r(1).getInt(0) == 2) // empties dropped
+    assert(r(2).getInt(0) == 0)
+    assert(r(0).getSeq[String](1) ==
+      Seq("the quick", "quick brown", "brown fox"))
+    assert(r(2).getSeq[String](1).isEmpty) // no descending-sequence blowup
+    // same normalized content → same fingerprint
+    val fps = Seq("A  B", "a b").toDF("t")
+      .select(T.fingerprintMd5(lower($"t"))).distinct().count()
+    assert(fps == 1)
+  }
+
+  test("quality + language heuristics are deterministic") {
+    val df = Seq(
+      "the cat sat on the mat and the dog is here",
+      "der hund und die katze ist da",
+      "xyzzy qwerty").toDF("t")
+    val langs = df.select(T.langId($"t")).as[String].collect().toSeq
+    assert(langs == Seq("en", "de", "und"))
+    val q = df.select(T.qualityScore($"t")).as[Double].collect()
+    assert(q.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("id", "t")
+      .withColumn("t", lower($"t"))
+    val out = Dedup.exact(df, "t", "id")
+    assert(out.count() == 2)
+    assert(out.filter($"dup_count" === 2).head().getLong(1) == 1L) // min id kept
+  }
+
+  test("ngram jaccard: exact values, length filter keeps true pairs") {
+    val df = Seq(
+      (1L, "a b c d e"),   // shingles(2): ab bc cd de
+      (2L, "a b c d x"),   // ab bc cd dx  → inter 3, union 5 → 0.6
+      (3L, "z z z z z"))
+      .toDF("id", "t")
+    val pairs = Dedup.ngramJaccardPairs(df, "t", "id", 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0.6)))
+  }
+
+  test("minhash LSH finds near-identical docs and verifies jaccard") {
+    val docs = (0L until 20L).map(i => (i, s"unique document number $i with content " +
+      s"word${i}a word${i}b word${i}c word${i}d word${i}e word${i}f")) ++
+      Seq((100L, "identical text repeated across documents pad pad pad pad pad"),
+        (101L, "identical text repeated across documents pad pad pad pad pad"))
+    val df = docs.toDF("id", "t")
+    val out = Dedup.minHashLsh(df, "t", "id", numHashes = 16, bands = 4,
+      shingleN = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((100L, 101L, 1.0)))
+  }
+
+  test("simhash: identical text → identical fingerprint, hamming 0") {
+    val df = Seq("spark native analytics engine", "spark native analytics engine",
+      "completely different words here").toDF("t")
+      .select(Dedup.simHash32($"t").as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(df.select(Dedup.hamming(lit(hs(0)), lit(hs(2)))).head().getInt(0) > 0)
+  }
+
+  test("scaled-int vector math is exact and order-independent") {
+    val a = Seq(0.1f, 0.2f, 0.3f)
+    val b = Seq(0.3f, 0.2f, 0.1f)
+    val df = Seq((a, b)).toDF("a", "b")
+    val dot = df.select(V.dotScaled($"a", $"b")).head().getLong(0)
+    assert(dot == (3L*1 + 2*2 + 1*3) * 1000000L * 1000000L / 1000000L * 1000000L
+      || dot == 100000000000000L) // 0.1*0.3+0.2*0.2+0.3*0.1 = 0.10 on 1e14 grid
+    val cos = df.select(V.cosineScaled($"a", $"a")).head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+}

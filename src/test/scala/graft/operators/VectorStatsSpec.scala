@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+class VectorStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, d: Int) = (0 until n).map { i =>
+    (i.toLong, (0 until d).map(j =>
+      math.sin(i * 31 + j).toFloat).toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("brute-force top-k: self is the best cosine match") {
+    val df = vecs(50, 8)
+    val q = df.filter($"vec_id" === 7L).head().getSeq[Float](1)
+    val top = VectorSearch.bruteForceTopK(df, "embedding", "vec_id", q,
+      "cosine", 3).as[(Long, Double)].collect()
+    assert(top.head._1 == 7L)
+    assert(math.abs(top.head._2 - 1.0) < 1e-9)
+    assert(top.map(_._2).sliding(2).forall(p => p(0) >= p(1))) // descending
+  }
+
+  test("batch top-k matches per-query brute force") {
+    val df = vecs(40, 8)
+    val queries = df.filter($"vec_id" < 3L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val batch = VectorSearch.batchTopK(df, "embedding", "vec_id",
+      queries, "qid", "qvec", "l2", 5)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect().groupBy(_._1)
+    for (q <- 0L until 3L) {
+      val single = VectorSearch.bruteForceTopK(df, "embedding", "vec_id",
+        df.filter($"vec_id" === q).head().getSeq[Float](1), "l2", 5)
+        .as[(Long, Double)].collect().map(_._1).toSeq
+      assert(batch(q).sortBy(_._3).map(_._2).toSeq == single)
+    }
+  }
+
+  test("IVF probe search finds the exact neighbor when probing enough cells") {
+    val df = vecs(100, 8)
+    val (assigned, centroids) = VectorSearch.ivfBuild(df, "embedding", "vec_id", 8)
+    assert(assigned.select("cell").distinct().count() <= 8)
+    val q = df.filter($"vec_id" === 42L).head().getSeq[Float](1)
+    val hit = VectorSearch.ivfTopK(assigned, centroids, "embedding", "vec_id",
+      q, "l2", 1, nprobe = 8).head()
+    assert(hit.getLong(0) == 42L) // nprobe = nlist ⇒ exhaustive ⇒ exact
+  }
+
+  test("columnStatistics: counts, nulls, numeric moments") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, "a", 2.0), Row(2L, null, 4.0), Row(3L, "c", null)),
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType),
+        StructField("x", DoubleType))))
+    val st = Statistics.columnStatistics(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st("id").getLong(2) == 3 && st("id").getLong(3) == 0)
+    assert(st("s").getLong(3) == 1) // one null
+    assert(st("x").getDouble(5) == 2.0 && st("x").getDouble(6) == 4.0)
+    assert(st("x").getDouble(7) == 3.0) // mean over non-null
+    assert(st("s").isNullAt(5)) // no numeric stats for strings
+  }
+
+  test("histogram buckets cover the range") {
+    val df = (1 to 100).toDF("v")
+    val h = Statistics.histogram(df, "v", 0, 100, 10)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(h.map(_._2).sum == 100)
+    assert(h.length == 10)
+  }
+
+  test("compute pipeline: expression + row stages compose, eval into table") {
+    import graft.format.GraftDataset
+    val clean = Compute.compute("clean")(df =>
+      df.withColumn("t", lower(trim($"t"))))
+    val explodeWords = Compute.rowStage(StructType(Seq(
+      StructField("t", StringType), StructField("word", StringType)))) { r =>
+      r.getString(0).split(" ").map(w => Row(r.getString(0), w))
+    }
+    val pipe = clean.andThen(Compute.compute("words")(explodeWords))
+    val out = pipe.eval(Seq("  Hello World ").toDF("t"))
+    assert(out.select("word").as[String].collect().toSeq == Seq("hello", "world"))
+    val ds = GraftDataset.create(spark, tmpDir("compute"),
+      StructType(Seq(StructField("t", StringType), StructField("word", StringType))))
+    pipe.eval(Seq("A B").toDF("t").withColumn("t", lower($"t")), ds, "computed")
+    assert(ds.toDF.count() == 2)
+  }
+
+  test("multimodal: decode stub plumbing, resize plan, frame sampling") {
+    val schema = StructType(
+      StructField("id", LongType) +: Multimodal.mediaSchema("img"))
+    val rows = java.util.List.of(
+      Row(1L, Array[Byte](10, 20, 30), Seq(4, 6, 3), "png"),
+      Row(2L, Array[Byte](1, 2, 3, 4), null, "jpg"))
+    val df = spark.createDataFrame(rows, schema)
+    val dec = Multimodal.decodeImages(df, "img").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(dec(1L).getAs[Int]("height") == 4 && dec(1L).getAs[Int]("width") == 6)
+    assert(dec(1L).getAs[Double]("mean_intensity") == 20.0)
+    assert(dec(2L).getAs[Int]("channels") == 3) // default when shape absent
+    val rs = Multimodal.resizePlan(df, "img", 2, 2)
+      .filter($"id" === 1L).head().getAs[scala.collection.Seq[Int]]("img_shape")
+    assert(rs.toSeq == Seq(2, 2, 3))
+    val frames = Multimodal.sampleFrames(
+      Seq((1L, 10)).toDF("id", "n_frames"), "n_frames", 3)
+      .select("frame_index").as[Int].collect().toSeq
+    assert(frames == Seq(0, 3, 6, 9))
+  }
+}

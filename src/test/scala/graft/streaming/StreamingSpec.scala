@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.format.GraftDataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming append commits one snapshot per epoch") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ds = GraftDataset.create(spark, tmpDir("stream"), StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = GraftStreaming.appendStream(
+      mem.toDF.toDF("id", "v"), ds, tmpDir("ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(ds.toDF.count() == 3)
+    val epochs = ds.log.map(_.message).filter(_.startsWith("stream epoch"))
+    assert(epochs.size >= 2) // one commit per non-empty micro-batch
+    // each epoch is a time-travelable snapshot
+    val afterFirst = ds.log.reverse.find(_.message.startsWith("stream epoch")).get
+    assert(ds.snapshotAt(afterFirst.id).count() == 2)
+  }
+
+  test("watermarked windowed counts over a memory stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = GraftStreaming.windowedCounts(
+      mem.toDF.toDF("ts", "k"), "ts", "k", "10 minutes", "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("update").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    mem.addData((t(1), "a"), (t(2), "a"), (t(11), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wc").as[(java.sql.Timestamp, String, Long)]
+      .collect().map(r => (r._2, r._3)).toSet
+    assert(out == Set(("a", 2L), ("b", 1L)))
+  }
+
+  test("sessionization groups events by inactivity gap") {
+    val events = Seq(
+      Sessionize.Event(1L, 0L), Sessionize.Event(1L, 1000L),
+      Sessionize.Event(1L, 100000L), // > 30s gap → new session
+      Sessionize.Event(2L, 500L)).toDS()
+    val ses = Sessionize.sessions(events, gapMs = 30000L)
+      .collect().sortBy(s => (s.userId, s.startMs))
+    assert(ses.map(s => (s.userId, s.nEvents)).toSeq ==
+      Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    assert(ses.head.endMs == 1000L)
+  }
+}
