@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.catalog.{RelationalQueries, TextQueries, VectorQueries}
+import graft.catalog.{FormatQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.catalog.{RelationalQueries, TextQueries, VectorQueries}
 object SparkEntry {
 
   val catalog: Seq[QueryDef] =
-    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      FormatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

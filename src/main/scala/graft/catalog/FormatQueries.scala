@@ -1,0 +1,85 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.QueryDef.dec2
+import graft.format.GraftDataset
+import graft.operators.Cond
+import graft.sources.IO
+
+/** Oracle-checked queries THROUGH the versioned table format: each builds
+  * a Graft table from the driver's parquet, applies format operations
+  * (append / update / pop / branch / merge), then answers a relational
+  * query over the resulting snapshot. The DuckDB oracle simulates the same
+  * mutations with plain SQL over the source table — so the driver's gate
+  * verifies the format's merge-on-read, tombstone, and merge semantics,
+  * not just the query layer.
+  */
+object FormatQueries {
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ingest → snapshot read → filter_vectorized + aggregate
+    QueryDef("q70_format_roundtrip_agg",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        val ds = IO.fromDataFrame(li, freshRoot("q70"))
+        ds.filterVectorized(Seq(Cond("l_quantity", ">", 30.0)))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem WHERE l_quantity > 30
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // merge-on-read update files + tombstones answer queries correctly
+    QueryDef("q71_format_update_pop",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        val ds = IO.fromDataFrame(o, freshRoot("q71"))
+        ds.update(col("o_orderpriority").startsWith("1"),
+          Map("o_orderstatus" -> lit("U")))
+        ds.pop(col("o_orderstatus") === "F")
+        ds.commit("mutated")
+        ds.toDF.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH m AS (SELECT
+          CASE WHEN o_orderpriority LIKE '1%' THEN 'U' ELSE o_orderstatus END
+            AS o_orderstatus, o_totalprice
+        FROM orders)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM m WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // branch → divergent update/pop → three-way merge → snapshot
+    QueryDef("q72_format_branch_merge",
+      (s, dir) => {
+        val n = Tables.load(s, dir, "nation")
+        val ds = IO.fromDataFrame(n, freshRoot("q72"))
+        ds.checkout("dev", create = true)
+        ds.pop(col("n_nationkey") >= 20)
+        ds.commit("dev pop")
+        ds.checkout("main")
+        ds.update(col("n_regionkey") === 0, Map("n_name" -> lit("REGION-ZERO")))
+        ds.commit("main update")
+        ds.merge("dev")
+        ds.toDF.select("n_nationkey", "n_name").orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+        CASE WHEN n_regionkey = 0 THEN 'REGION-ZERO' ELSE n_name END AS n_name
+        FROM nation WHERE n_nationkey < 20 ORDER BY n_nationkey"""))
+  )
+}

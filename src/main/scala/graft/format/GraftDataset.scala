@@ -485,6 +485,68 @@ class GraftDataset private[format] (
   def indexFresh(kind: String, column: String): Boolean =
     indexCommit(indexDir(kind, column)) == headId
 
+  /** New base files since the index's commit — or None if the table saw
+    * in-place changes (updates/tombstones/renames) that an append-only
+    * delta cannot express, which forces a full rebuild.
+    */
+  private def appendOnlyDelta(indexedAt: String): Option[Seq[String]] = {
+    val old = CommitLog.readCommit(spark, root, indexedAt)
+    val appendOnly = old.updates == stUpdates.toSeq &&
+      old.tombstones == stTombstones.toSeq &&
+      old.renames == stRenames.map(p => Seq(p._1, p._2)).toSeq &&
+      old.files.forall(stFiles.contains)
+    if (appendOnly) Some(stFiles.filterNot(old.files.toSet).toSeq) else None
+  }
+
+  /** Incremental inverted-index maintenance (reference `update_index`,
+    * inverted_index_vectorized.py:397-445: tokenize ONLY the appended
+    * rows and merge shards). Appends since the indexed commit are
+    * tokenized and their postings appended to the same shard-partitioned
+    * parquet; deletions need no posting cleanup because search semi-joins
+    * back to the live snapshot. In-place updates/renames fall back to a
+    * full rebuild (the reference would serve a stale index and warn).
+    */
+  def updateIndexVectorized(column: String, numShards: Int = 16): Unit = {
+    require(!dirty, "commit before indexing")
+    val dir = indexDir("inverted", column)
+    indexCommit(dir).flatMap(appendOnlyDelta) match {
+      case Some(newFiles) =>
+        if (newFiles.nonEmpty) {
+          val added = snapshotWithUuid(files = newFiles, updates = Nil,
+            tombstones = Nil)
+          graft.operators.InvertedIndex.build(added, column, UuidCol, numShards)
+            .write.mode("append").partitionBy("shard")
+            .parquet(new Path(dir, "postings").toString)
+        }
+        writeIndexMeta(dir)
+      case None => createIndexVectorized(column, numShards)
+    }
+  }
+
+  /** Incremental IVF maintenance (reference vector_search_ops.py:51-82:
+    * diff the tensor between the index's commit and HEAD, apply appends):
+    * new rows are assigned to the EXISTING centroids and appended to the
+    * cell-partitioned assignments; non-append changes rebuild.
+    */
+  def updateVectorIndex(column: String, nlist: Int = 64): Unit = {
+    require(!dirty, "commit before indexing")
+    val dir = indexDir("vector", column)
+    indexCommit(dir).flatMap(appendOnlyDelta) match {
+      case Some(newFiles) =>
+        if (newFiles.nonEmpty) {
+          val centroids = spark.read.parquet(
+            new Path(dir, "centroids").toString)
+          val added = snapshotWithUuid(files = newFiles, updates = Nil,
+            tombstones = Nil)
+          graft.operators.VectorSearch.assignCells(added, column, centroids)
+            .write.mode("append").partitionBy("cell")
+            .parquet(new Path(dir, "assigned").toString)
+        }
+        writeIndexMeta(dir)
+      case None => createVectorIndex(column, nlist)
+    }
+  }
+
   /** Indexed CONTAINS search routed through the posting table
     * (reference indexed fuzzy/complex match). Falls back to the scan
     * predicate when the index is stale — same answer, different plan

@@ -43,6 +43,41 @@ class IndexSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(3L, 4L))
   }
 
+  test("incremental index update: appends indexed as a delta, updates rebuild") {
+    val ds = table()
+    ds.createIndexVectorized("text")
+    ds.append(Seq((4L, "delta vector postings", Seq(0f, 0f, 1f)))
+      .toDF("id", "text", "emb"))
+    ds.commit("append")
+    assert(!ds.indexFresh("inverted", "text"))
+    ds.updateIndexVectorized("text") // append-only → delta build
+    assert(ds.indexFresh("inverted", "text"))
+    assert(ds.textSearch("text", "vector").select("id")
+      .as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // in-place update cannot be expressed as a posting delta → rebuild,
+    // and the OLD tokens must stop matching
+    ds.update($"id" === 1L, Map("text" -> lit("renamed entirely")))
+    ds.commit("edit")
+    ds.updateIndexVectorized("text")
+    assert(ds.indexFresh("inverted", "text"))
+    assert(ds.textSearch("text", "vector").select("id")
+      .as[Long].collect().toSet == Set(3L, 4L))
+    assert(ds.textSearch("text", "renamed").select("id")
+      .as[Long].collect().toSet == Set(1L))
+  }
+
+  test("incremental vector index update assigns new rows to existing cells") {
+    val ds = table()
+    ds.createVectorIndex("emb", nlist = 2)
+    ds.append(Seq((5L, "new", Seq(1.0f, 0.01f, 0f))).toDF("id", "text", "emb"))
+    ds.commit("append")
+    ds.updateVectorIndex("emb")
+    assert(ds.indexFresh("vector", "emb"))
+    val top = ds.vectorSearch("emb", Seq(1.0f, 0.0f, 0.0f), k = 2,
+      metric = "cosine", nprobe = 2)
+    assert(top.count() == 2) // new row is findable through the index
+  }
+
   test("vector index: build, probe search, stale guard") {
     val ds = table()
     ds.createVectorIndex("emb", nlist = 2)
