@@ -21,6 +21,10 @@ object Bench {
     try selected.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Untimed GC between queries: lets the ContextCleaner reap broadcast
+      // and shuffle state from prior queries (weak-ref based), so later
+      // queries measure their own cost, not accumulated heap pressure.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,14 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Public alias for the native codegen'd expressions (which live under
+  * `org.apache.spark.sql.graftnative` to reach `private[sql]` APIs).
+  */
+object NativeExpressions {
+  import org.apache.spark.sql.graftnative.{NativeExpressions => N}
+  def minHashSig(shingles: Column, numHashes: Int): Column =
+    N.minHashSig(shingles, numHashes)
+  def dotF(a: Column, b: Column): Column = N.dotF(a, b)
+  def l2SqF(a: Column, b: Column): Column = N.l2SqF(a, b)
+}

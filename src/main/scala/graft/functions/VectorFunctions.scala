@@ -25,22 +25,18 @@ object VectorFunctions {
     transform(c, x => round(x.cast("double") * lit(1e7)).cast("long"))
 
   // ---- float path -------------------------------------------------------
+  // Backed by native codegen'd expressions (NativeExpressions): Spark's
+  // higher-order array functions evaluate interpreted per element, while
+  // these compile to primitive loops inside whole-stage codegen.
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = NativeExpressions.dotF(a, b)
 
   def normSq(a: Column): Column = dot(a, a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
-  def l2Sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+  def l2Sq(a: Column, b: Column): Column = NativeExpressions.l2SqF(a, b)
 
   // ---- exact scaled-int path (deterministic across engines) -------------
 

@@ -44,8 +44,8 @@ object Dedup {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("_sh", T.tokenShingles(col(textCol), shingleN))
       .filter(size(col("_sh")) > 0)
-      .withColumn("_mh", transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("_sh"), s => hash(s, i)))))
+      .withColumn("_mh",
+        graft.functions.NativeExpressions.minHashSig(col("_sh"), numHashes))
       .drop("_sh")
 
   /** LSH banding: group the signature into `bands` bands of `rowsPerBand`

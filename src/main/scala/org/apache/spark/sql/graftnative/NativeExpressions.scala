@@ -1,0 +1,175 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Native Catalyst expressions (with `doGenCode`) for the two hottest
+  * inner loops — the "(b) custom Expression beats a UDF" tier of the build
+  * plan (SURVEY.md §7.3). Spark's higher-order array functions
+  * (`transform`/`aggregate`) are NOT whole-stage-codegen'd: each element
+  * evaluation walks an interpreted expression tree with boxing. These
+  * expressions compile to tight primitive Java loops instead.
+  *
+  * [[MinHashSig]] is also algorithmically better than the HOF formulation
+  * `transform(seeds, i -> array_min(transform(sh, s -> hash(s, i))))`: the
+  * expensive string hash runs ONCE per shingle (k seed-mixes are cheap
+  * int hashes), not once per (shingle, seed) pair — identical results,
+  * k× fewer string hashes. Hash family preserved: murmur3(s, i) with
+  * seed 42 exactly like `functions.hash(s, i)`.
+  *
+  * Lives under `org.apache.spark.sql` because `AbstractDataType` and the
+  * Column↔Expression bridge are `private[sql]` — the standard placement
+  * for third-party native expressions.
+  */
+object NativeExpressions {
+
+  def minHashSig(shingles: Column, numHashes: Int): Column =
+    ExpressionUtils.column(
+      MinHashSig(ExpressionUtils.expression(shingles), numHashes))
+
+  def dotF(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def l2SqF(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      L2SqF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** MinHash signature of a string array: `array<int>` of length
+  * `numHashes`; slot i = min over shingles of murmur3(shingle, i).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = new Array[Int](numHashes)
+    java.util.Arrays.fill(sig, Int.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h1 = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+        var i = 0
+        while (i < numHashes) {
+          val h = Murmur3_x86_32.hashInt(i, h1)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val h1 = ctx.freshName("h1")
+      val h = ctx.freshName("h")
+      val m3 = classOf[Murmur3_x86_32].getName
+      s"""
+        int[] $sig = new int[$numHashes];
+        java.util.Arrays.fill($sig, Integer.MAX_VALUE);
+        for (int $j = 0; $j < $c.numElements(); $j++) {
+          if (!$c.isNullAt($j)) {
+            UTF8String $s = $c.getUTF8String($j);
+            int $h1 = $m3.hashUnsafeBytes(
+              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42);
+            for (int $i = 0; $i < $numHashes; $i++) {
+              int $h = $m3.hashInt($i, $h1);
+              if ($h < $sig[$i]) $sig[$i] = $h;
+            }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared shape for float-array pairwise reductions compiled to primitive
+  * loops. Arrays shorter than the other operand stop at the common prefix
+  * (embedding columns are fixed-dimension in practice).
+  */
+abstract class FloatPairReduction extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  protected def combineJava(acc: String, x: String, y: String): String
+  protected def combineScala(x: Float, y: Float): Double
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      acc += combineScala(x.getFloat(j), y.getFloat(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $j = 0; $j < $n; $j++) {
+          ${combineJava(acc, s"$a.getFloat($j)", s"$b.getFloat($j)")}
+        }
+        ${ev.value} = $acc;
+      """
+    })
+}
+
+/** Dot product of two float arrays as a codegen'd primitive loop. */
+case class DotF(left: Expression, right: Expression) extends FloatPairReduction {
+  override def prettyName: String = "graft_dot_f"
+  override protected def combineJava(acc: String, x: String, y: String): String =
+    s"$acc += ((double) $x) * ((double) $y);"
+  override protected def combineScala(x: Float, y: Float): Double =
+    x.toDouble * y.toDouble
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Squared L2 distance of two float arrays, codegen'd. */
+case class L2SqF(left: Expression, right: Expression) extends FloatPairReduction {
+  override def prettyName: String = "graft_l2sq_f"
+  override protected def combineJava(acc: String, x: String, y: String): String =
+    s"{ double d = ((double) $x) - ((double) $y); $acc += d * d; }"
+  override protected def combineScala(x: Float, y: Float): Double = {
+    val d = x.toDouble - y.toDouble; d * d
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}

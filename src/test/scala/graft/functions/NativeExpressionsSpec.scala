@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd expressions must agree exactly with the higher-order
+  * -function formulations they replace.
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minHashSig ≡ transform/array_min/hash formulation") {
+    val df = Seq(
+      Seq("alpha", "beta", "gamma", "delta"),
+      Seq("one two", "three four"),
+      Seq.empty[String]).toDF("sh")
+    val k = 8
+    val hof = transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(col("sh"), s => hash(s, i))))
+    val rows = df.select(
+      NativeExpressions.minHashSig(col("sh"), k).as("native"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val native = r.getSeq[Int](0)
+      val ref = r.getSeq[Any](1)
+      if (ref.forall(_ != null))
+        assert(native == ref.map(_.asInstanceOf[Int]),
+          s"native $native != ref $ref")
+      else
+        // HOF yields null mins on empty arrays; native yields MaxValue
+        assert(native.forall(_ == Int.MaxValue))
+    }
+  }
+
+  test("dotF / l2SqF ≡ zip_with/aggregate formulation") {
+    val df = Seq(
+      (Seq(0.5f, -1.25f, 3.0f), Seq(2.0f, 0.25f, -1.5f)),
+      (Seq(1.0f), Seq(1.0f))).toDF("a", "b")
+    def hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def hofL2 = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      NativeExpressions.dotF(col("a"), col("b")).as("nd"), hofDot.as("rd"),
+      NativeExpressions.l2SqF(col("a"), col("b")).as("nl"), hofL2.as("rl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
+  test("null safety: null input array yields null, not a crash") {
+    val df = Seq((Some(Seq("x")), None: Option[Seq[String]])).toDF("a", "b")
+    val r = df.select(
+      NativeExpressions.minHashSig(col("b").cast("array<string>"), 4)).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("expressions run inside whole-stage codegen (no fallback)") {
+    // force codegen-only evaluation: any interpreted fallback would throw
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val n = Seq(Seq("a", "b", "c")).toDF("sh")
+        .select(NativeExpressions.minHashSig(col("sh"), 4).as("m"),
+          NativeExpressions.dotF(array(lit(1f), lit(2f)),
+            array(lit(3f), lit(4f))).as("d"))
+        .collect()
+      assert(n.head.getSeq[Int](0).length == 4)
+      assert(n.head.getDouble(1) == 11.0)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+}
