@@ -50,11 +50,18 @@ object PipelineDemo {
     println("column statistics:")
     out.summary().show(truncate = false)
 
-    // text index bound to the commit; indexed search
+    // text index bound to the commit; indexed search (shard-routed)
     out.createIndexVectorized("text")
     println(s"index fresh: ${out.indexFresh("inverted", "text")}")
     println("search 'quick fox':")
     out.textSearch("text", "quick fox").select("doc_id").show()
+
+    // index-aware optimizer rule: same predicate, plan becomes a semi-join
+    org.apache.spark.sql.graftnative.GraftExtensions.install(spark)
+    val routed = out.filterIndexed("text", "quick fox")
+    println("routed plan uses LeftSemi: " +
+      routed.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    routed.select("doc_id").show()
 
     // multimodal plumbing with the stubbed codec
     val media = spark.createDataFrame(

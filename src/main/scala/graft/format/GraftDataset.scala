@@ -123,6 +123,18 @@ class GraftDataset private[format] (
   /** The user-facing snapshot (hidden columns dropped). */
   def toDF: DataFrame = snapshotWithUuid().drop(UuidCol)
 
+  /** Ragged-alignment views (reference `max_view`/`min_view`,
+    * dataset.py:454-523): the reference lets tensors differ in length —
+    * `max_view` None-pads to the longest, `min_view` truncates to the
+    * shortest. Relationally, partial rows are rows with nulls (skip_ok
+    * appends / later-added columns): `maxView` is the padded form (= the
+    * snapshot itself) and `minView` keeps only rows populated in EVERY
+    * column.
+    */
+  def maxView: DataFrame = toDF
+  def minView: DataFrame =
+    stSchema.fieldNames.foldLeft(toDF)((d, c) => d.filter(col(c).isNotNull))
+
   /** Snapshot of an arbitrary commit (time travel). */
   def snapshotAt(commitId: String): DataFrame = snapshotAtWithUuid(commitId).drop(UuidCol)
 
@@ -253,11 +265,23 @@ class GraftDataset private[format] (
       schemaJson = stSchema.json,
       files = stFiles, updates = stUpdates, tombstones = stTombstones,
       renames = stRenames.map(p => Seq(p._1, p._2))))
-    headId = Some(id)
+    // Optimistic concurrency on the branch pointer: advance it only if it
+    // still points at this commit's parent. A stale writer (someone else
+    // committed since we loaded HEAD) fails here instead of silently
+    // orphaning the other writer's commit; its already-written commit file
+    // is harmless garbage. (The reference serializes writers with storage
+    // locks, commits.py:383-399; we detect instead of block. The small
+    // read-check-write window assumes one writer per branch at a time,
+    // same as the reference's lock scope.)
     branchName.foreach { b =>
-      CommitLog.writeBranches(spark, root,
-        CommitLog.readBranches(spark, root) + (b -> id))
+      val heads = CommitLog.readBranches(spark, root)
+      if (heads.get(b) != parent)
+        throw new java.util.ConcurrentModificationException(
+          s"branch $b moved from $parent to ${heads.get(b)} since checkout; " +
+            "reset() and retry")
+      CommitLog.writeBranches(spark, root, heads + (b -> id))
     }
+    headId = Some(id)
     dirty = false
   }
 
@@ -456,16 +480,30 @@ class GraftDataset private[format] (
     val idx = graft.operators.InvertedIndex.build(
       snapshotWithUuid(), column, UuidCol, numShards)
     graft.operators.InvertedIndex.save(idx, new Path(dir, "postings").toString)
-    writeIndexMeta(dir)
+    writeIndexMeta(dir, Map("numShards" -> numShards.toString))
   }
 
-  private def writeIndexMeta(dir: Path): Unit = {
+  private def writeIndexMeta(dir: Path,
+                             extra: Map[String, String] = Map.empty): Unit = {
     val f = CommitLog.fs(spark, root)
     val out = f.create(new Path(dir, "meta.json"), true)
     try out.write(org.json4s.jackson.Serialization.write(
-      Map("commit" -> headId.getOrElse("")))(org.json4s.DefaultFormats)
+      Map("commit" -> headId.getOrElse("")) ++ extra)(org.json4s.DefaultFormats)
       .getBytes("UTF-8"))
     finally out.close()
+  }
+
+  private def indexMetaField(dir: Path, key: String): Option[String] = {
+    val f = CommitLog.fs(spark, root)
+    val p = new Path(dir, "meta.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      org.json4s.jackson.JsonMethods.parse(s)
+        .\(key).extractOpt[String](org.json4s.DefaultFormats,
+          implicitly[Manifest[String]])
+    }
   }
 
   private def indexCommit(dir: Path): Option[String] = {
@@ -518,7 +556,7 @@ class GraftDataset private[format] (
             .write.mode("append").partitionBy("shard")
             .parquet(new Path(dir, "postings").toString)
         }
-        writeIndexMeta(dir)
+        writeIndexMeta(dir, Map("numShards" -> numShards.toString))
       case None => createIndexVectorized(column, numShards)
     }
   }
@@ -557,11 +595,32 @@ class GraftDataset private[format] (
     if (indexFresh("inverted", column)) {
       val idx = graft.operators.InvertedIndex.load(
         spark, new Path(dir, "postings").toString)
+      // shard routing from the persisted shard count -> partition pruning
+      val numShards = indexMetaField(dir, "numShards").map(_.toInt)
       graft.operators.InvertedIndex.search(
-        snapshotWithUuid(), UuidCol, idx, query).drop(UuidCol)
+        snapshotWithUuid(), UuidCol, idx, query, numShards).drop(UuidCol)
     } else
       toDF.filter(graft.operators.FilterVectorized.containsPredicate(
         col(column), query))
+  }
+
+  /** Filter by a SELF-ROUTING indexed predicate: with the
+    * `IndexedContainsRewrite` optimizer rule installed (GraftExtensions
+    * .install / spark.sql.extensions) the predicate is rewritten into a
+    * broadcast semi-join against the shard-pruned posting table; without
+    * it, the same predicate evaluates as a scan. Plan changes, answers
+    * don't — the Catalyst-rule form of the reference's scan-vs-index
+    * routing (filter_vectorized.py:211-279).
+    */
+  def filterIndexed(column: String, query: String): DataFrame = {
+    val dir = indexDir("inverted", column)
+    require(indexFresh("inverted", column),
+      s"inverted index for $column is stale or missing")
+    val n = indexMetaField(dir, "numShards").map(_.toInt).getOrElse(16)
+    snapshotWithUuid().filter(
+      org.apache.spark.sql.graftnative.GraftIndexedContains(
+        col(column), query, new Path(dir, "postings").toString, n))
+      .drop(UuidCol)
   }
 
   /** Build + persist the IVF vector index for an embedding `column`

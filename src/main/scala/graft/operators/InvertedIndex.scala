@@ -41,23 +41,47 @@ object InvertedIndex {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Ids of docs containing ALL whitespace tokens of `query`
-    * (reference fuzzy_match).
+  /** Shard of a term — MUST match the build-side expression
+    * `pmod(xxhash64(term), numShards)` so query-time shard routing prunes
+    * to the same partitions the build wrote.
     */
-  def fuzzyMatchIds(index: DataFrame, query: String): DataFrame = {
+  def shardOf(term: String, numShards: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, 42L)
+    java.lang.Math.floorMod(h, numShards.toLong).toInt
+  }
+
+  /** Ids of docs containing ALL whitespace tokens of `query`
+    * (reference fuzzy_match). When `numShards` is known (persisted index),
+    * the query tokens' shards are computed driver-side and added to the
+    * filter — on a shard-partitioned posting table that is PARTITION
+    * PRUNING: only |distinct shards of query terms| partitions are read,
+    * the Spark equivalent of the reference's shard-file routing
+    * (inverted_index_vectorized.py:1012-1036).
+    */
+  def fuzzyMatchIds(index: DataFrame, query: String,
+                    numShards: Option[Int] = None): DataFrame = {
     val toks = query.trim.split("\\s+").toSeq.distinct.filter(_.nonEmpty)
     require(toks.nonEmpty, "empty query")
-    index.filter(col("term").isin(toks: _*))
-      .groupBy("id")
+    val base = numShards match {
+      case Some(n) =>
+        val shards = toks.map(shardOf(_, n)).distinct
+        index.filter(col("shard").isin(shards: _*) &&
+          col("term").isin(toks: _*))
+      case None => index.filter(col("term").isin(toks: _*))
+    }
+    base.groupBy("id")
       .agg(countDistinct("term").as("_nt"))
       .filter(col("_nt") === toks.length)
       .select("id")
   }
 
   /** Ids for `"a b||c"` = (a AND b) OR (c) (reference complex_fuzzy_match). */
-  def complexFuzzyIds(index: DataFrame, query: String): DataFrame =
+  def complexFuzzyIds(index: DataFrame, query: String,
+                      numShards: Option[Int] = None): DataFrame =
     query.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
-      .map(fuzzyMatchIds(index, _))
+      .map(fuzzyMatchIds(index, _, numShards))
       .reduce(_ union _)
       .distinct()
 
@@ -66,8 +90,8 @@ object InvertedIndex {
     * filter_vectorized — filter_vectorized.py:303-380).
     */
   def search(df: DataFrame, idCol: String, index: DataFrame,
-             query: String): DataFrame = {
-    val ids = complexFuzzyIds(index, query)
+             query: String, numShards: Option[Int] = None): DataFrame = {
+    val ids = complexFuzzyIds(index, query, numShards)
     df.join(broadcast(ids.withColumnRenamed("id", idCol)), Seq(idCol), "left_semi")
   }
 }

@@ -123,6 +123,28 @@ class GraftDatasetSpec extends SparkSpec {
     assert(ds.views.isEmpty)
   }
 
+  test("minView drops partial rows, maxView keeps them padded") {
+    val ds = freshTable()
+    ds.append(Seq(7L).toDF("id")) // partial row (skip_ok)
+    ds.commit("partial")
+    assert(ds.maxView.count() == 4)
+    assert(ds.minView.count() == 3)
+    assert(ds.minView.filter($"id" === 7L).count() == 0)
+  }
+
+  test("concurrent commits: atomic create makes the loser fail cleanly") {
+    val ds = freshTable()
+    val other = GraftDataset.load(spark, ds.root) // second writer, same head
+    ds.append(Seq((50L, "w1", 1.0)).toDF("id", "label", "score"))
+    other.append(Seq((60L, "w2", 2.0)).toDF("id", "label", "score"))
+    ds.commit("writer 1")
+    // writer 2 races for the same next commit id and must lose loudly,
+    // not silently clobber (optimistic concurrency on file create)
+    intercept[Exception](other.commit("writer 2"))
+    // winner's row is durable; loser can reset and retry from new head
+    assert(GraftDataset.load(spark, ds.root).toDF.count() == 4)
+  }
+
   test("uuids are dense and stable across updates") {
     val ds = freshTable()
     ds.update($"id" === 0L, Map("score" -> lit(9.9)))

@@ -78,6 +78,24 @@ class IndexSpec extends SparkSpec {
     assert(top.count() == 2) // new row is findable through the index
   }
 
+  test("index-aware rule: same answers, plan flips to a semi-join") {
+    val ds = table()
+    ds.createIndexVectorized("text")
+    val expected = Set(3L) // "vector index" → only doc 3 has both tokens
+    // without the rule: predicate evaluates as a scan, no semi-join
+    val scan = ds.filterIndexed("text", "vector index")
+    assert(scan.select("id").as[Long].collect().toSet == expected)
+    assert(!scan.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    // with the rule installed: rewritten to a posting-table semi-join
+    org.apache.spark.sql.graftnative.GraftExtensions.install(spark)
+    val routed = ds.filterIndexed("text", "vector index")
+    assert(routed.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(routed.select("id").as[Long].collect().toSet == expected)
+    // complex OR query through the rule
+    val both = ds.filterIndexed("text", "vector index||inverted shards")
+    assert(both.select("id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("vector index: build, probe search, stale guard") {
     val ds = table()
     ds.createVectorIndex("emb", nlist = 2)
