@@ -148,6 +148,27 @@ object VectorQueries {
         FROM embeddings, range(1, 65) t(i)
         GROUP BY label, dim ORDER BY label, dim""")),
 
+    // hybrid search: scalar filter + exact vector ranking in one plan
+    // (reference "hybrid search engine", README.md:19)
+    QueryDef("q68_hybrid_filter_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val qv = e.filter(col("vec_id") === 5L)
+          .select("embedding").head().getSeq[Float](0)
+        VectorSearch.hybridTopK(
+            e.filter(col("vec_id") =!= 5L),
+            col("label").isin(1, 3, 5), "embedding", "vec_id",
+            qv, metric = "cosine", k = 8, exact = true)
+          .withColumn("cos_x1e6", round(col("score") * lit(1e6)).cast("long"))
+          .select("vec_id", "cos_x1e6")
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+        scored AS (SELECT vec_id, ${dcos("embedding", "qv")} AS cos
+          FROM embeddings, q
+          WHERE vec_id <> 5 AND label IN (1, 3, 5))
+        SELECT vec_id, CAST(round(cos * 1000000.0) AS BIGINT) AS cos_x1e6
+        FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 8""")),
+
     // approximate paths — no SQL oracle (driver rows-only check):
     // IVF-lite probe search (SURVEY.md §2.7 IVFPQ analogue)
     QueryDef("q65_vector_ivf_topk",

@@ -160,11 +160,40 @@ class GraftDataset private[format] (
   /** Define a new column (reference `create_tensor`,
     * dataset.py:828-870) — metadata-only; existing rows read as null.
     */
-  def createTensor(name: String, dataType: DataType): Unit = {
+  def createTensor(name: String, dataType: DataType): Unit =
+    createTensor(name, dataType, Nil)
+
+  /** `classNames` declares a class-label column (reference htype
+    * `class_label` + `class_names` info, htype.py:163-169): values are
+    * dictionary ids; the names ride in the column metadata and string
+    * queries coerce names → ids (see [[filterQuery]]).
+    */
+  def createTensor(name: String, dataType: DataType,
+                   classNames: Seq[String]): Unit = {
     require(!stSchema.fieldNames.contains(name), s"column $name exists")
     require(name != UuidCol, s"$UuidCol is reserved")
-    stSchema = stSchema.add(name, dataType)
+    val md =
+      if (classNames.isEmpty) org.apache.spark.sql.types.Metadata.empty
+      else new org.apache.spark.sql.types.MetadataBuilder()
+        .putStringArray(GraftDataset.ClassNamesKey, classNames.toArray).build()
+    stSchema = StructType(stSchema.fields :+
+      StructField(name, dataType, nullable = true, metadata = md))
     dirty = true
+  }
+
+  /** Label dictionaries of all class-label columns. */
+  def classLabels: Map[String, Seq[String]] =
+    stSchema.fields.flatMap { f =>
+      if (f.metadata.contains(GraftDataset.ClassNamesKey))
+        Some(f.name -> f.metadata.getStringArray(GraftDataset.ClassNamesKey).toSeq)
+      else None
+    }.toMap
+
+  /** Dictionary-decoded name column for a class-label column. */
+  def labelName(column: String): Column = {
+    val names = classLabels.getOrElse(column,
+      throw new IllegalArgumentException(s"$column has no class_names"))
+    element_at(array(names.map(lit): _*), col(column).cast("int") + 1)
   }
 
   def deleteTensor(name: String): Unit = {
@@ -449,10 +478,11 @@ class GraftDataset private[format] (
     graft.operators.FilterVectorized(toDF, conds, connectors)
 
   /** Safe string-query filter (reference `ds.filter("labels > 1 and ...")`,
-    * the AST-whitelist evaluator).
+    * the AST-whitelist evaluator); class-label names in string literals
+    * are coerced to dictionary ids.
     */
   def filterQuery(query: String): DataFrame =
-    graft.operators.SafeExpr.filter(toDF, query)
+    graft.operators.SafeExpr.filter(toDF, query, classLabels)
 
   /** Grouped aggregation (reference `aggregate_vectorized`). */
   def aggregateVectorized(groupBy: Seq[String], aggregateTensors: Seq[String],
@@ -658,6 +688,9 @@ class GraftDataset private[format] (
 object GraftDataset {
   /** Hidden row-identity column (reference `_uuid` tensor). */
   val UuidCol = "_uuid"
+
+  /** StructField metadata key carrying a class-label dictionary. */
+  val ClassNamesKey = "graft.class_names"
 
   /** Create a new table (reference `muller.empty` / `muller.dataset`). */
   def create(spark: SparkSession, root: String, schema: StructType,

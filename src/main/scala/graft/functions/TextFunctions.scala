@@ -19,6 +19,25 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(c, " "), t => t =!= lit(""))
 
+  /** CJK-aware tokenizer: Han-script runs are segmented into overlapping
+    * character bigrams (the standard dictionary-free CJK indexing
+    * technique; a jieba-style dictionary segmenter would slot in behind
+    * the same entry point — the reference pins jieba,
+    * inverted_index_vectorized.py:121-158), while the remaining text
+    * splits on whitespace. Pure expressions, no UDF.
+    */
+  def tokensCjk(c: Column): Column = {
+    val cjkRuns = regexp_extract_all(c, lit("\\p{IsHan}+"), lit(0))
+    val bigrams = flatten(transform(cjkRuns, r =>
+      when(length(r) === 1, array(r))
+        .otherwise(transform(sequence(lit(1), length(r) - 1),
+          i => r.substr(i, lit(2))))))
+    val latin = filter(
+      split(regexp_replace(c, "\\p{IsHan}+", " "), "\\s+"),
+      t => t =!= lit(""))
+    concat(latin, bigrams)
+  }
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish subword estimate: word count + extra tokens for long words

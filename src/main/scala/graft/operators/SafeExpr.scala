@@ -71,25 +71,51 @@ object SafeExpr {
     out.toList
   }
 
-  /** Validate tokens against the whitelist and translate to Spark SQL. */
-  def toSql(query: String, columns: Seq[String]): String = {
+  /** Validate tokens against the whitelist and translate to Spark SQL.
+    *
+    * `classLabels` carries label dictionaries for class-label columns
+    * (reference htype `class_label`, class_names in tensor info): a string
+    * literal compared against such a column — `label == 'cat'`,
+    * `label in ['cat','dog']` — is coerced to its dictionary id exactly
+    * like the reference's evaluator (muller/core/query/query.py:104-324).
+    */
+  def toSql(query: String, columns: Seq[String],
+            classLabels: Map[String, Seq[String]] = Map.empty): String = {
     val colSet = columns.toSet
     val toks = tokenize(query)
     if (toks.isEmpty) throw new IllegalArgumentException("empty query")
     val sb = new StringBuilder
     var prevIdent = false
+    // class-label coercion context: set while the right-hand side of a
+    // comparison / IN-list against a class-label column is being emitted
+    var labelCtx: Option[Seq[String]] = None
+    var inList = false
+    val compareOps = Set("==", "!=", "<", "<=", ">", ">=")
     toks.foreach { t =>
       val piece = t match {
         case Ident(s) if keywords.contains(s.toLowerCase) =>
-          prevIdent = false; s.toUpperCase
+          prevIdent = false
+          if (s.toLowerCase != "in") { labelCtx = None; inList = false }
+          s.toUpperCase
         case Ident(s) =>
           if (!colSet.contains(s)) throw new IllegalArgumentException(
             s"unknown identifier '$s' (not a column); function calls and " +
               "names outside the dataset schema are blocked")
           prevIdent = true
+          labelCtx = classLabels.get(s)
           s"`$s`"
         case Num(s) => prevIdent = false; s
-        case Str(s) => prevIdent = false; "'" + s.replace("'", "\\'") + "'"
+        case Str(s) =>
+          prevIdent = false
+          labelCtx match {
+            case Some(names) =>
+              val id = names.indexOf(s)
+              if (id < 0) throw new IllegalArgumentException(
+                s"'$s' is not one of the class labels ${names.mkString(",")}")
+              if (!inList) labelCtx = None
+              id.toString
+            case None => "'" + s.replace("'", "\\'") + "'"
+          }
         case Sym("(") =>
           if (prevIdent) throw new IllegalArgumentException(
             "function calls are blocked in safe query expressions")
@@ -97,9 +123,12 @@ object SafeExpr {
         case Sym("==") => prevIdent = false; "="
         case Sym("**") | Sym("//") => throw new IllegalArgumentException(
           "operators ** and // are not supported; use explicit arithmetic")
-        case Sym("[") => prevIdent = false; "("  // `in [a,b]` → `IN (a,b)`
-        case Sym("]") => prevIdent = false; ")"
-        case Sym(s) => prevIdent = false; s
+        case Sym("[") => prevIdent = false; inList = true; "("
+        case Sym("]") => prevIdent = false; inList = false; labelCtx = None; ")"
+        case Sym(s) =>
+          prevIdent = false
+          if (!compareOps.contains(s) && s != ",") { labelCtx = None }
+          if (s == "==") "=" else s
       }
       sb.append(piece).append(' ')
     }
@@ -107,9 +136,11 @@ object SafeExpr {
   }
 
   /** Compile a safe string query into a Catalyst predicate for `df`. */
-  def compile(df: DataFrame, query: String): Column =
-    expr(toSql(query, df.columns.toSeq))
+  def compile(df: DataFrame, query: String,
+              classLabels: Map[String, Seq[String]] = Map.empty): Column =
+    expr(toSql(query, df.columns.toSeq, classLabels))
 
-  def filter(df: DataFrame, query: String): DataFrame =
-    df.filter(compile(df, query))
+  def filter(df: DataFrame, query: String,
+             classLabels: Map[String, Seq[String]] = Map.empty): DataFrame =
+    df.filter(compile(df, query, classLabels))
 }

@@ -73,6 +73,19 @@ object VectorSearch {
         col("_score").as("score"))
   }
 
+  /** Hybrid search (the paper's "hybrid search engine", reference
+    * README.md:19; exp_scripts/run_vector_filter_exp.sh): scalar/text
+    * predicate and vector ranking in ONE plan — pre-filter then exact
+    * top-k. Catalyst pushes the predicate to the scan, so the distance
+    * math runs only on surviving rows; with a selective predicate this
+    * beats ANN-then-refilter both in cost and in recall (no post-filter
+    * starvation).
+    */
+  def hybridTopK(df: DataFrame, pred: Column, vecCol: String, idCol: String,
+                 query: Seq[Float], metric: String, k: Int,
+                 exact: Boolean = false): DataFrame =
+    bruteForceTopK(df.filter(pred), vecCol, idCol, query, metric, k, exact)
+
   /** Deterministic IVF-lite index: `nlist` centroids chosen as the
     * normalized vectors of every (n/nlist)-th row (k-means seeding without
     * the iterations — deterministic, good enough for cell routing).

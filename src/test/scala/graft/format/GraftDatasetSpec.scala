@@ -123,6 +123,27 @@ class GraftDatasetSpec extends SparkSpec {
     assert(ds.views.isEmpty)
   }
 
+  test("class labels: dictionary metadata, name coercion in string queries") {
+    val ds = GraftDataset.create(spark, tmpDir("labels"), StructType(Seq(
+      StructField("id", LongType))))
+    ds.createTensor("animal", IntegerType, Seq("cat", "dog", "bird"))
+    ds.append(Seq((1L, 0), (2L, 1), (3L, 2), (4L, 1)).toDF("id", "animal"))
+    ds.commit("rows")
+    assert(ds.classLabels == Map("animal" -> Seq("cat", "dog", "bird")))
+    // string query with label NAMES (reference class_label coercion)
+    assert(ds.filterQuery("animal == 'dog'").select("id")
+      .as[Long].collect().toSet == Set(2L, 4L))
+    assert(ds.filterQuery("animal in ['cat', 'bird'] or id == 4")
+      .count() == 3)
+    intercept[IllegalArgumentException](ds.filterQuery("animal == 'fish'"))
+    // dictionary-decoded names
+    assert(ds.toDF.select(ds.labelName("animal")).as[String]
+      .collect().toSet == Set("cat", "dog", "bird"))
+    // dictionaries survive commit + reload (metadata in schema json)
+    val again = GraftDataset.load(spark, ds.root)
+    assert(again.classLabels("animal") == Seq("cat", "dog", "bird"))
+  }
+
   test("minView drops partial rows, maxView keeps them padded") {
     val ds = freshTable()
     ds.append(Seq(7L).toDF("id")) // partial row (skip_ok)

@@ -25,6 +25,14 @@ class TextDedupSpec extends SparkSpec {
     assert(fps == 1)
   }
 
+  test("CJK tokenizer: Han bigrams + whitespace latin, mixed text") {
+    val df = Seq("spark 引擎很快 fast", "单", "plain text").toDF("t")
+    val out = df.select(T.tokensCjk($"t")).as[Seq[String]].collect()
+    assert(out(0).toSet == Set("spark", "fast", "引擎", "擎很", "很快"))
+    assert(out(1) == Seq("单")) // single ideograph survives
+    assert(out(2) == Seq("plain", "text"))
+  }
+
   test("quality + language heuristics are deterministic") {
     val df = Seq(
       "the cat sat on the mat and the dog is here",
