@@ -76,17 +76,29 @@ object Dedup {
     val buckets = mat
       .withColumn("_bb", explode(bandCols))
       .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
-    val small = buckets
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("_n") <= maxBucket)
-      .drop("_n")
-    small.as("a").join(small.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+    // Pairs are generated per bucket from a grouped id list instead of a
+    // bucket self-join: a self-join re-executes the whole signature
+    // subtree once per side, while one groupBy runs it once; memory per
+    // group is bounded by the maxBucket cap (oversized buckets are
+    // degenerate near-identical floods, dropped here and flagged for an
+    // exact pass — same guard as before, now costing one aggregation).
+    val grouped = buckets.groupBy("band", "bucket")
+      .agg(collect_list(col(idCol)).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+    val pairs = grouped.select(explode(pairCombinations(col("_ids"))).as("_p"))
+    pairs.select(col("_p._1").as(s"${idCol}_a"), col("_p._2").as(s"${idCol}_b"))
       .distinct()
+  }
+
+  /** All (lo, hi) id pairs of a bucket's id list (lo < hi), as one
+    * expression: sort, then nested index expansion.
+    */
+  private def pairCombinations(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sequence(lit(1), size(sorted) - 1), i =>
+      transform(sequence(i + 1, size(sorted)), j =>
+        struct(element_at(sorted, i).as("_1"),
+          element_at(sorted, j).as("_2")))))
   }
 
   /** Full MinHash-LSH near-dup: candidates verified by exact Jaccard over

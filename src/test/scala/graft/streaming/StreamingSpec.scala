@@ -46,6 +46,31 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("a", 2L), ("b", 1L)))
   }
 
+  test("streamed epochs feed incremental index maintenance") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ds = GraftDataset.create(spark, tmpDir("stream-idx"), StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType))))
+    mem.addData((1L, "spark streaming index"), (2L, "batch only"))
+    val q = GraftStreaming.appendStream(
+      mem.toDF.toDF("id", "text"), ds, tmpDir("ckpt-idx"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q.processAllAvailable()
+    ds.reset() // pick up the stream's commits in this handle
+    ds.checkout("main")
+    ds.createIndexVectorized("text")
+    // next epoch arrives → index is stale → delta update, not a rebuild
+    mem.addData((3L, "late streaming row"))
+    q.processAllAvailable()
+    q.stop()
+    ds.checkout("main")
+    assert(!ds.indexFresh("inverted", "text"))
+    ds.updateIndexVectorized("text")
+    assert(ds.indexFresh("inverted", "text"))
+    assert(ds.textSearch("text", "streaming").select("id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("sessionization groups events by inactivity gap") {
     val events = Seq(
       Sessionize.Event(1L, 0L), Sessionize.Event(1L, 1000L),
