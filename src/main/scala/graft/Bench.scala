@@ -23,7 +23,11 @@ object Bench {
       // measures steady-state throughput. GC between queries lets the
       // ContextCleaner reap prior broadcast/shuffle state.
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // GC enqueues async ContextCleaner work (broadcast/shuffle removal
+      // RPCs); drain it BEFORE the timer so cleanup of earlier queries
+      // doesn't run inside this query's measurement.
       System.gc()
+      Thread.sleep(800)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -73,6 +73,10 @@ object PipelineDemo {
     Multimodal.decodeImages(media, "img")
       .select("id", "height", "width", "channels", "mean_intensity").show()
 
+    // UDF row filter (executor-side predicate)
+    println(s"docs with quality > 0.5 via row UDF: " +
+      out.filterRows(r => r.getAs[Double]("quality") > 0.5).count())
+
     // export
     IO.toJson(out.toDF, s"$work/export.json", numPartitions = 1)
     println(s"exported json rows: ${IO.fromJson(spark, s"$work/export.json").count()}")

@@ -484,6 +484,26 @@ class GraftDataset private[format] (
   def filterQuery(query: String): DataFrame =
     graft.operators.SafeExpr.filter(toDF, query, classLabels)
 
+  /** Row-predicate (UDF) filter — the reference's `ds.filter(function)`
+    * path (muller/core/query/filter.py:67-199). Runs as a typed filter on
+    * executors; prefer [[filterVectorized]]/[[filterQuery]] for anything
+    * expressible as Catalyst predicates (those get pushdown + codegen,
+    * this cannot).
+    */
+  def filterRows(f: org.apache.spark.sql.Row => Boolean): DataFrame =
+    toDF.filter(f)
+
+  /** Row-at-a-time aggregate with an optional UDF WHERE (reference
+    * `aggregate(...)` with `filter_function`, aggregate.py:124-531).
+    */
+  def aggregateRows(groupBy: Seq[String], aggregateTensors: Seq[String],
+                    method: String,
+                    where: Option[org.apache.spark.sql.Row => Boolean] = None)
+      : DataFrame =
+    graft.operators.AggregateVectorized(
+      where.fold(toDF)(f => toDF.filter(f)),
+      groupBy, aggregateTensors, method)
+
   /** Grouped aggregation (reference `aggregate_vectorized`). */
   def aggregateVectorized(groupBy: Seq[String], aggregateTensors: Seq[String],
                           method: String, orderBy: Seq[String] = Nil,

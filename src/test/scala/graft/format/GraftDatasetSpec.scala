@@ -123,6 +123,14 @@ class GraftDatasetSpec extends SparkSpec {
     assert(ds.views.isEmpty)
   }
 
+  test("UDF filter + row-at-a-time aggregate with UDF where") {
+    val ds = freshTable()
+    assert(ds.filterRows(r => r.getAs[Double]("score") > 1.5).count() == 2)
+    val agg = ds.aggregateRows(Seq.empty, Seq("score"), "sum",
+      where = Some(r => r.getAs[String]("label") != "b"))
+    assert(agg.head().getDouble(0) == 4.0)
+  }
+
   test("class labels: dictionary metadata, name coercion in string queries") {
     val ds = GraftDataset.create(spark, tmpDir("labels"), StructType(Seq(
       StructField("id", LongType))))

@@ -49,6 +49,32 @@ class VectorStatsSpec extends SparkSpec {
     assert(hit.getLong(0) == 42L) // nprobe = nlist ⇒ exhaustive ⇒ exact
   }
 
+  test("IVF recall@10 vs brute force (reference test_vector_search_recall)") {
+    val df = vecs(400, 16)
+    val (assigned, centroids) =
+      VectorSearch.ivfBuild(df, "embedding", "vec_id", nlist = 16)
+    val queries = (0L until 10L)
+    val recalls = queries.map { qid =>
+      val q = df.filter($"vec_id" === qid).head().getSeq[Float](1)
+      val exact = VectorSearch.bruteForceTopK(df, "embedding", "vec_id",
+        q, "l2", 10).select("vec_id").as[Long].collect().toSet
+      val approx = VectorSearch.ivfTopK(assigned, centroids, "embedding",
+        "vec_id", q, "l2", 10, nprobe = 4).select("vec_id")
+        .as[Long].collect().toSet
+      (exact intersect approx).size.toDouble / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@10 $mean below 0.6 (nprobe=4/16)")
+    // probing every cell is exhaustive → perfect recall
+    val q0 = df.filter($"vec_id" === 0L).head().getSeq[Float](1)
+    val all = VectorSearch.ivfTopK(assigned, centroids, "embedding",
+      "vec_id", q0, "l2", 10, nprobe = 16).select("vec_id")
+      .as[Long].collect().toSet
+    val exact0 = VectorSearch.bruteForceTopK(df, "embedding", "vec_id",
+      q0, "l2", 10).select("vec_id").as[Long].collect().toSet
+    assert(all == exact0)
+  }
+
   test("columnStatistics: counts, nulls, numeric moments") {
     val df = spark.createDataFrame(
       java.util.List.of(Row(1L, "a", 2.0), Row(2L, null, 4.0), Row(3L, "c", null)),
