@@ -73,6 +73,11 @@ object PipelineDemo {
     Multimodal.decodeImages(media, "img")
       .select("id", "height", "width", "channels", "mean_intensity").show()
 
+    // exact dedup: docs 1 and 3 are identical → corpus shrinks to 2
+    val deduped = graft.operators.Dedup.dedupCorpus(out.toDF, "text", "doc_id")
+    println(s"corpus after exact dedup: ${deduped.count()} docs " +
+      s"(ids ${deduped.select("doc_id").orderBy("doc_id").collect().map(_.get(0)).mkString(",")})")
+
     // UDF row filter (executor-side predicate)
     println(s"docs with quality > 0.5 via row UDF: " +
       out.filterRows(r => r.getAs[Double]("quality") > 0.5).count())

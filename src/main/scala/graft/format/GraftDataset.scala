@@ -416,6 +416,7 @@ class GraftDataset private[format] (
   def merge(targetRef: String,
             resolutions: Versioning.MergeResolutions =
               Versioning.MergeResolutions()): String = {
+    Versioning.validate(resolutions) // even for no-op merges
     require(!dirty, "uncommitted changes; commit or reset first")
     val (ourId, theirId, lcaId) = threeWayInputs(targetRef)
     if (lcaId == theirId) return ourId // target already merged

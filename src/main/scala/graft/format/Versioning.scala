@@ -80,12 +80,15 @@ object Versioning {
   }
 
   /** Merged snapshot (with `_uuid`) of ours+theirs vs their LCA. */
-  def mergeSnapshots(lca: DataFrame, ours: DataFrame, theirs: DataFrame,
-                     schema: StructType, r: MergeResolutions): DataFrame = {
+  def validate(r: MergeResolutions): Unit =
     require(Set("ours", "theirs", "both").contains(r.append) &&
       Set("ours", "theirs").contains(r.update) &&
       Set("ours", "theirs", "both").contains(r.pop),
       s"bad resolutions $r")
+
+  def mergeSnapshots(lca: DataFrame, ours: DataFrame, theirs: DataFrame,
+                     schema: StructType, r: MergeResolutions): DataFrame = {
+    validate(r)
     threeWay(lca, ours, theirs, schema)
       .withColumn("_w", winner(r))
       .filter(col("_w").isNotNull)

@@ -28,6 +28,19 @@ object Dedup {
       .groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** The deduplicated corpus itself: keeps the lowest-id FULL ROW per
+    * normalized-content fingerprint (what a training-data pipeline
+    * actually writes back out). One shuffle; the survivor choice is a
+    * min-by struct aggregation, no window.
+    */
+  def dedupCorpus(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cols = df.columns
+    df.withColumn("_fp", T.fingerprintMd5(col(textCol)))
+      .groupBy(col("_fp"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("_r"))
+      .select(cols.map(c => col(s"_r.$c").as(c)).toIndexedSeq: _*)
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** MinHash signature as one `_mh` array column of `numHashes` values

@@ -133,6 +133,20 @@ class MergeSpec extends SparkSpec {
     assert(ds.head.get != head)
   }
 
+  test("error paths: bad resolutions, dirty merge, unknown append columns") {
+    val ds = baseTable()
+    intercept[IllegalArgumentException](
+      ds.merge("dev", Versioning.MergeResolutions(update = "both")))
+    intercept[IllegalArgumentException](
+      ds.merge("dev", Versioning.MergeResolutions(append = "nope")))
+    ds.append(Seq((99L, "x")).toDF("id", "v")) // uncommitted
+    intercept[IllegalArgumentException](ds.merge("dev"))
+    ds.reset()
+    intercept[IllegalArgumentException](
+      ds.append(Seq((1L, "a", "extra")).toDF("id", "v", "bogus")))
+    intercept[IllegalArgumentException](ds.checkout("no-such-ref"))
+  }
+
   test("fast-forward shape: ours unchanged since LCA takes theirs") {
     val ds = baseTable()
     ds.checkout("dev")

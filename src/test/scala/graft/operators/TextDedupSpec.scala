@@ -53,6 +53,16 @@ class TextDedupSpec extends SparkSpec {
     assert(out.filter($"dup_count" === 2).head().getLong(1) == 1L) // min id kept
   }
 
+  test("dedupCorpus keeps the lowest-id full row per duplicate group") {
+    val df = Seq((5L, "same text", "keepB"), (2L, "same  TEXT ", "keepA"),
+      (9L, "unique", "u")).toDF("id", "t", "tag")
+      .withColumn("t", lower($"t"))
+    val out = Dedup.dedupCorpus(df, "t", "id")
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(2L, 9L))
+    assert(out.head._3 == "keepA") // the whole surviving row, not just id
+  }
+
   test("ngram jaccard: exact values, length filter keeps true pairs") {
     val df = Seq(
       (1L, "a b c d e"),   // shingles(2): ab bc cd de
