@@ -147,6 +147,13 @@ object TextQueries {
         GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         ORDER BY 1""")),
 
+    // SimHash banded near-dup (approximate — rows-only driver check)
+    QueryDef("q51_simhash_near_dup",
+      (s, dir) => Dedup.simHashNearDup(docs(s, dir), "text", "doc_id",
+          maxHamming = 2)
+        .orderBy("doc_id_a", "doc_id_b"),
+      None),
+
     // exact n-gram Jaccard near-dup pairs (the oracle-checkable near-dup)
     QueryDef("q50_ngram_jaccard_pairs",
       (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",

@@ -191,6 +191,14 @@ object VectorQueries {
         .orderBy("doc_id_a", "doc_id_b"),
       None),
 
+    // label-free near-dup via random-hyperplane LSH blocks (rows-only)
+    QueryDef("q69_embedding_near_dup_lsh",
+      (s, dir) => Dedup.embeddingNearDupLsh(emb(s, dir), "embedding",
+          "vec_id", threshold = 0.99)
+        .select("vec_id_a", "vec_id_b")
+        .orderBy("vec_id_a", "vec_id_b"),
+      None),
+
     // SimHash fingerprint + hamming near-dup buckets (not oracle-able)
     QueryDef("q67_dedup_simhash",
       (s, dir) => Tables.load(s, dir, "documents")

@@ -210,6 +210,48 @@ object Dedup {
   /** Hamming distance between two int64 fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs with banded candidate generation: split the
+    * 32-bit fingerprint into `maxHamming + 1` bit bands — two fingerprints
+    * within hamming distance r must agree EXACTLY on at least one of r+1
+    * bands (pigeonhole), so candidates are pairs sharing any band value,
+    * then verified by exact hamming. Same grouped pair-expansion shape as
+    * MinHash LSH — never a corpus self-join.
+    */
+  def simHashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int, maxBucket: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
+    val bands = maxHamming + 1
+    val width = 32 / bands
+    val fp = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), simHash32(col(textCol)).as("_sh32"))
+    // band b = bits [b*width, ...); the last band absorbs the remainder
+    val bandCols = (0 until bands).map { b =>
+      val lo = b * width
+      val w = if (b == bands - 1) 32 - lo else width
+      struct(lit(b).as("band"),
+        shiftright(col("_sh32"), lo).bitwiseAND(lit((1L << w) - 1)).as("bucket"))
+    }
+    val buckets = fp.withColumn("_bb", explode(array(bandCols: _*)))
+      .select(col(idCol), col("_sh32"),
+        col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
+    val cand = buckets.groupBy("band", "bucket")
+      .agg(collect_list(col(idCol)).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(pairCombinations(col("_ids"))).as("_p"))
+      .select(col("_p._1").as(s"${idCol}_a"), col("_p._2").as(s"${idCol}_b"))
+      .distinct()
+    val fps = fp.select(col(idCol), col("_sh32"))
+    cand
+      .join(fps.withColumnRenamed(idCol, s"${idCol}_a")
+        .withColumnRenamed("_sh32", "_fa"), s"${idCol}_a")
+      .join(fps.withColumnRenamed(idCol, s"${idCol}_b")
+        .withColumnRenamed("_sh32", "_fb"), s"${idCol}_b")
+      .withColumn("hamming", hamming(col("_fa"), col("_fb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(s"${idCol}_a", s"${idCol}_b", "hamming")
+  }
+
   // ---- embedding cosine near-dup ----------------------------------------
 
   /** Near-duplicate pairs by embedding cosine similarity, blocked on
@@ -224,6 +266,62 @@ object Dedup {
     * moderate cases, and a pathological block should be pre-salted by the
     * caller (or use [[minHashLsh]] buckets as blocks).
     */
+  /** Random-hyperplane sign bucket of an embedding: bit p = sign of the
+    * projection onto a deterministic pseudo-random plane (weights derived
+    * from murmur3 of (plane, dim, seed)). Vectors at angle θ disagree on
+    * one plane with probability θ/π — the classic SimHash-for-vectors LSH.
+    */
+  def rpLshBucket(vec: Column, nPlanes: Int, seed: Int): Column = {
+    require(nPlanes > 0 && nPlanes <= 63, "nPlanes in (0, 63]")
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        transform(vec, (x, i) =>
+          x.cast("double") *
+            (hash(lit(p), i, lit(seed)).cast("double") / lit(2.147483648e9))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Label-free embedding near-dup: candidates from `bands` independent
+    * random-hyperplane bucket tables (a pair lands together if ALL
+    * `planesPerBand` signs agree in at least one band), verified by exact
+    * cosine. For near-identical vectors (cos ≥ ~0.95) a handful of bands
+    * gives near-perfect recall; the blocked self-join never goes
+    * quadratic. This is the self-contained form of [[embeddingNearDup]]
+    * for corpora without a natural blocking column.
+    */
+  def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
+                          threshold: Double, planesPerBand: Int = 10,
+                          bands: Int = 4, maxBucket: Int = 2000): DataFrame = {
+    val prep = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), V.qint(col(vecCol)).as("_qv"),
+        array((0 until bands).map(b =>
+          rpLshBucket(col(vecCol), planesPerBand, seed = b * 7919 + 17)): _*)
+          .as("_bkts"))
+      .withColumn("_nrm", sqrt(V.dotQ(col("_qv"), col("_qv")).cast("double")))
+    val buckets = prep.select(col(idCol),
+      posexplode(col("_bkts")).as(Seq("band", "bucket")))
+    val cand = buckets.groupBy("band", "bucket")
+      .agg(collect_list(col(idCol)).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(pairCombinations(col("_ids"))).as("_p"))
+      .select(col("_p._1").as(s"${idCol}_a"), col("_p._2").as(s"${idCol}_b"))
+      .distinct()
+    val side = prep.select(col(idCol), col("_qv"), col("_nrm"))
+    cand
+      .join(side.select(col(idCol).as(s"${idCol}_a"), col("_qv").as("_qa"),
+        col("_nrm").as("_na")), s"${idCol}_a")
+      .join(side.select(col(idCol).as(s"${idCol}_b"), col("_qv").as("_qb"),
+        col("_nrm").as("_nb")), s"${idCol}_b")
+      .withColumn("cos_sim",
+        V.dotQ(col("_qa"), col("_qb")).cast("double") /
+          (col("_na") * col("_nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(s"${idCol}_a", s"${idCol}_b", "cos_sim")
+  }
+
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        blockCol: String, threshold: Double): DataFrame = {
     val prep = df.select(col(idCol), col(blockCol),

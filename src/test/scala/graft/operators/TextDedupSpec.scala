@@ -95,6 +95,39 @@ class TextDedupSpec extends SparkSpec {
     assert(df.select(Dedup.hamming(lit(hs(0)), lit(hs(2)))).head().getInt(0) > 0)
   }
 
+  test("simhash near-dup: banded candidates + hamming verify") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val docs = Seq(
+      (1L, base), (2L, base), // identical
+      (3L, base.replace("beta", "BETA")), // near
+      (4L, "completely different content words entirely unrelated here"))
+      .toDF("id", "t")
+    val out = Dedup.simHashNearDup(docs, "t", "id", maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.contains((1L, 2L, 0))) // identical → hamming 0
+    assert(out.forall(_._3 <= 8))
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dup via RP-LSH blocks matches brute force") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val base = vec()
+    val near = base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x }
+    val rows = Seq((0L, base), (1L, base), (2L, near)) ++
+      (3L until 60L).map(i => (i, vec()))
+    val df = rows.toDF("id", "emb")
+    val lsh = Dedup.embeddingNearDupLsh(df, "emb", "id", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over the same corpus (single block)
+    val brute = Dedup.embeddingNearDup(
+        df.withColumn("_one", lit(1)), "emb", "id", "_one", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.contains((0L, 1L)) && brute.contains((0L, 2L)))
+    assert(lsh == brute) // full recall on near-identical pairs
+  }
+
   test("scaled-int vector math is exact and order-independent") {
     val a = Seq(0.1f, 0.2f, 0.3f)
     val b = Seq(0.3f, 0.2f, 0.1f)
