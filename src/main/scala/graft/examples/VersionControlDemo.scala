@@ -58,6 +58,9 @@ object VersionControlDemo {
     ds.commit("compacted")
     println(s"rows after compaction: ${ds.toDF.count()}")
     println(s"history: ${ds.log.map(m => s"${m.id}:${m.message}").mkString(" <- ")}")
+    val root0 = ds.log.last.id
+    println(s"children of $root0: ${ds.children(root0).mkString(",")}; " +
+      s"all commits: ${ds.allCommits.size}")
     spark.stop()
   }
 }

@@ -328,6 +328,35 @@ class GraftDataset private[format] (
     out.result()
   }
 
+  /** Every commit in the table, newest first (reference `commits`). */
+  def allCommits: Seq[CommitMeta] =
+    CommitLog.listCommits(spark, root).sorted.reverse
+      .map(CommitLog.readCommit(spark, root, _))
+
+  /** Direct children of a commit across all branches (reference
+    * `get_children_nodes`).
+    */
+  def children(commitId: String): Seq[String] =
+    allCommits.filter(m =>
+      m.parent.contains(commitId) || m.mergeParent.contains(commitId))
+      .map(_.id).sorted
+
+  /** Commits on the first-parent path from `ancestorId` (exclusive) to
+    * `descendantId` (inclusive) — reference `commits_between`.
+    */
+  def commitsBetween(ancestorId: String, descendantId: String): Seq[CommitMeta] = {
+    val out = Vector.newBuilder[CommitMeta]
+    var cur: Option[String] = Some(descendantId)
+    var found = false
+    while (cur.isDefined && !found) {
+      val m = CommitLog.readCommit(spark, root, cur.get)
+      if (m.id == ancestorId) found = true
+      else { out += m; cur = m.parent }
+    }
+    require(found, s"$ancestorId is not a first-parent ancestor of $descendantId")
+    out.result().reverse
+  }
+
   /** Switch branch/commit; `create=true` branches from HEAD (reference
     * checkout, commits.py:184-253). Uncommitted changes must be committed
     * or `reset()` first.

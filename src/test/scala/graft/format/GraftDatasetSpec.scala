@@ -99,6 +99,23 @@ class GraftDatasetSpec extends SparkSpec {
     assert(!ds.branches.contains("dev"))
   }
 
+  test("history traversal: allCommits, children, commitsBetween") {
+    val ds = freshTable()
+    val base = ds.head.get
+    ds.checkout("dev", create = true)
+    ds.append(Seq((10L, "d", 4.0)).toDF("id", "label", "score"))
+    ds.commit("dev row")
+    ds.checkout("main")
+    ds.append(Seq((11L, "e", 5.0)).toDF("id", "label", "score"))
+    ds.commit("main row")
+    assert(ds.allCommits.size == 4) // init, rows, dev row, main row
+    assert(ds.children(base).size == 2) // both branches fork here
+    val between = ds.commitsBetween(base, ds.head.get)
+    assert(between.map(_.message) == Seq("main row"))
+    intercept[IllegalArgumentException](
+      ds.commitsBetween(ds.head.get, base)) // wrong direction
+  }
+
   test("load reopens a table at a branch") {
     val ds = freshTable()
     val again = GraftDataset.load(spark, ds.root)
