@@ -55,6 +55,9 @@ object PipelineDemo {
     println(s"index fresh: ${out.indexFresh("inverted", "text")}")
     println("search 'quick fox':")
     out.textSearch("text", "quick fox").select("doc_id").show()
+    out.optimizeIndex("text") // compact posting fragments
+    println(s"after optimizeIndex, still fresh: ${out.indexFresh("inverted", "text")}, " +
+      s"table bytes: ${out.sizeApprox}")
 
     // index-aware optimizer rule: same predicate, plan becomes a semi-join
     org.apache.spark.sql.graftnative.GraftExtensions.install(spark)

@@ -703,6 +703,62 @@ class GraftDataset private[format] (
       .drop(UuidCol)
   }
 
+  /** Compact the posting files of an inverted index (reference
+    * `optimize_index`, inverted_index_vectorized.py:313-394: merge shard
+    * fragments): incremental updates append small files per shard; this
+    * rewrites each shard partition into one well-sized file. Results are
+    * identical — only file layout changes.
+    */
+  def optimizeIndex(column: String): Unit =
+    rewritePostings(column, None)
+
+  /** Re-shard an inverted index to a new shard count (reference
+    * `reshard_index`): recompute `shard = xxhash64(term) % n` and rewrite.
+    */
+  def reshardIndex(column: String, newNumShards: Int): Unit =
+    rewritePostings(column, Some(newNumShards))
+
+  private def rewritePostings(column: String, newShards: Option[Int]): Unit = {
+    val dir = indexDir("inverted", column)
+    val f = CommitLog.fs(spark, root)
+    val postings = new Path(dir, "postings")
+    require(f.exists(postings), s"no inverted index for $column")
+    val cur = spark.read.parquet(postings.toString)
+    val rewritten = newShards match {
+      case Some(n) => cur.withColumn("shard",
+        pmod(xxhash64(col("term")), lit(n)).cast("int"))
+      case None => cur
+    }
+    // capture meta BEFORE rewriting: layout maintenance must preserve the
+    // index's commit binding (rebinding to HEAD would fake freshness)
+    val boundCommit = indexCommit(dir).getOrElse("")
+    val shardCount = newShards.map(_.toString)
+      .orElse(indexMetaField(dir, "numShards"))
+    val tmp = new Path(dir, "postings_tmp")
+    rewritten
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp.toString)
+    f.delete(postings, true)
+    f.rename(tmp, postings)
+    val out = f.create(new Path(dir, "meta.json"), true)
+    try out.write(org.json4s.jackson.Serialization.write(
+      Map("commit" -> boundCommit) ++
+        shardCount.map("numShards" -> _))(org.json4s.DefaultFormats)
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Approximate on-disk size in bytes (reference `size_approx`,
+    * dataset.py:1677-1681): sum of the live manifest's file sizes.
+    */
+  def sizeApprox: Long = {
+    val f = CommitLog.fs(spark, root)
+    (stFiles ++ stUpdates ++ stTombstones).map { rel =>
+      val p = new Path(root, rel)
+      if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+    }.sum
+  }
+
   /** Build + persist the IVF vector index for an embedding `column`
     * (reference `create_vector_index`; artifacts live beside the data
     * keyed by commit, vector/artifact_store.py).

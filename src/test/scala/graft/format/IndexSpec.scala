@@ -78,6 +78,27 @@ class IndexSpec extends SparkSpec {
     assert(top.count() == 2) // new row is findable through the index
   }
 
+  test("optimizeIndex and reshardIndex preserve answers and bindings") {
+    val ds = table()
+    ds.createIndexVectorized("text", numShards = 4)
+    // fragment the postings with incremental updates
+    ds.append(Seq((4L, "vector probes extra", Seq(0f, 0f, 1f)))
+      .toDF("id", "text", "emb"))
+    ds.commit("a1")
+    ds.updateIndexVectorized("text", numShards = 4)
+    val expected = ds.textSearch("text", "vector").select("id")
+      .as[Long].collect().toSet
+    ds.optimizeIndex("text")
+    assert(ds.indexFresh("inverted", "text")) // binding preserved
+    assert(ds.textSearch("text", "vector").select("id")
+      .as[Long].collect().toSet == expected)
+    ds.reshardIndex("text", 8)
+    assert(ds.textSearch("text", "vector").select("id")
+      .as[Long].collect().toSet == expected) // shard routing at new count
+    // sizeApprox reflects live manifest bytes
+    assert(ds.sizeApprox > 0L)
+  }
+
   test("index-aware rule: same answers, plan flips to a semi-join") {
     val ds = table()
     ds.createIndexVectorized("text")
