@@ -23,9 +23,12 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      // ts arrives as long nanos (nanosAsLong) → truncate to micros
+      // ts arrives as long nanos (nanosAsLong) → truncate to micros with
+      // INTEGRAL division: `/` is double division, and ns epochs (~1.7e18)
+      // exceed double's exact integer range, so a cast-back can land ±1µs
+      // off DuckDB's exact truncation
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 

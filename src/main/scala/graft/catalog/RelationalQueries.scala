@@ -223,6 +223,53 @@ object RelationalQueries {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // cube + grouping id (grouping-sets family; absent in reference)
+    QueryDef("q19_cube_grouping",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+          l_linestatus ASC NULLS FIRST""")),
+
+    // window-formulated sessionization over the event stream table: a
+    // session breaks when the per-user gap exceeds 30 minutes. The same
+    // semantics as streaming.Sessionize (cross-validated in specs) but
+    // expressed as lag + running-sum windows → oracle-checkable.
+    QueryDef("q33_sessionize_window",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("flag",
+            when(col("us") - lag("us", 1).over(w) > lit(1800000000L), 1)
+              .otherwise(0))
+          .withColumn("session_id", sum("flag").over(w))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max("us") - min("us")).as("duration_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        f AS (SELECT user_id, event_id, us,
+          CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            > 1800000000 THEN 1 ELSE 0 END AS flag FROM e),
+        g AS (SELECT user_id, us,
+          CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
+            AS session_id FROM f)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          MAX(us) - MIN(us) AS duration_us
+        FROM g GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
     // ---- joins (§2.3: absent in reference; full families here) ---------
     QueryDef("q20_join_broadcast_dim",
       (s, dir) => t(s, dir, "lineitem")

@@ -71,6 +71,37 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("stateful sessionization matches the window formulation") {
+    val rnd = new scala.util.Random(11)
+    val events = (1L to 5L).flatMap { u =>
+      var t = u * 1000L
+      (0 until 40).map { _ =>
+        t += 1000L + rnd.nextInt(1200000) // gaps up to 20 min
+        Sessionize.Event(u, t)
+      }
+    }
+    val gap = 600000L // 10 min
+    val stateful = Sessionize.sessions(events.toDS(), gap).collect()
+      .groupBy(_.userId).view
+      .mapValues(_.sortBy(_.startMs).map(s => (s.nEvents, s.startMs, s.endMs)).toSeq)
+      .toMap
+    // window formulation (the q33 shape): lag gap flag + running sum
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("userId").orderBy("tsMs")
+    val windowed = events.toDF("userId", "tsMs")
+      .withColumn("flag",
+        when(col("tsMs") - lag("tsMs", 1).over(w) > gap, 1).otherwise(0))
+      .withColumn("sid", sum("flag").over(w))
+      .groupBy("userId", "sid")
+      .agg(count(lit(1)).as("n"), min("tsMs").as("start"), max("tsMs").as("end"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getAs[Long]("start"))
+        .map(r => (r.getAs[Long]("n"), r.getAs[Long]("start"),
+          r.getAs[Long]("end"))).toSeq)
+      .toMap
+    assert(stateful == windowed)
+  }
+
   test("sessionization groups events by inactivity gap") {
     val events = Seq(
       Sessionize.Event(1L, 0L), Sessionize.Event(1L, 1000L),
