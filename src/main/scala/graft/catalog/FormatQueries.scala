@@ -64,6 +64,39 @@ object FormatQueries {
         FROM m WHERE o_orderstatus <> 'F'
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ragged alignment: partial appends (skip_ok) → maxView pads with
+    // nulls, minView keeps fully-populated rows only
+    QueryDef("q73_format_ragged_views",
+      (s, dir) => {
+        val n = Tables.load(s, dir, "nation")
+        val ds = IO.fromDataFrame(n, freshRoot("q73"))
+        // partial rows: region keys appended into n_nationkey only
+        ds.append(Tables.load(s, dir, "region")
+          .select((col("r_regionkey") + 100).as("n_nationkey")))
+        ds.commit("partial rows")
+        val mx = ds.maxView
+          .groupBy(when(col("n_name").isNull, lit("padded"))
+            .otherwise(lit("full")).as("kind"))
+          .agg(count(lit(1)).as("n"))
+        val mn = ds.minView.agg(count(lit(1)).as("n"))
+          .select(lit("min_view").as("kind"), col("n"))
+        mx.unionByName(mn).orderBy("kind")
+      },
+      Some("""WITH all_rows AS (
+          SELECT n_nationkey, n_name, n_regionkey FROM nation
+          UNION ALL
+          SELECT r_regionkey + 100, NULL, NULL FROM region),
+        mx AS (SELECT CASE WHEN n_name IS NULL THEN 'padded' ELSE 'full' END
+            AS kind, COUNT(*) AS n
+          FROM all_rows GROUP BY 1),
+        mn AS (SELECT 'min_view' AS kind, COUNT(*) AS n
+          FROM all_rows
+          WHERE n_nationkey IS NOT NULL AND n_name IS NOT NULL
+            AND n_regionkey IS NOT NULL)
+        SELECT kind, n FROM mx
+        UNION ALL SELECT kind, n FROM mn
+        ORDER BY kind""")),
+
     // branch → divergent update/pop → three-way merge → snapshot
     QueryDef("q72_format_branch_merge",
       (s, dir) => {

@@ -59,6 +59,18 @@ object Statistics {
         StructField("mean", DoubleType), StructField("stddev", DoubleType))))
   }
 
+  /** Approximate quantiles of a numeric column (t-digest style sketch via
+    * `percentile_approx` — single pass, mergeable across partitions, the
+    * scale-safe quantile path).
+    */
+  def quantiles(df: DataFrame, column: String,
+                probs: Seq[Double]): Seq[Double] = {
+    val arr = df.agg(percentile_approx(col(column).cast("double"),
+        array(probs.map(lit): _*), lit(10000)).as("q"))
+      .head().getSeq[Double](0)
+    arr.toSeq
+  }
+
   /** Equi-width histogram of a numeric column over [lo, hi] with `bins`
     * buckets (closed right edge on the last bucket, like width_bucket).
     */

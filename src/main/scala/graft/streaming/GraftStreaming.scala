@@ -46,6 +46,17 @@ object GraftStreaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(keyCol), col("n"))
 
+  /** Streaming exact dedup: drops rows whose `keyCols` were already seen
+    * within the watermark horizon — state is expired by the watermark, so
+    * memory stays bounded while duplicates separated by more than the
+    * horizon pass through (the standard streaming-dedup contract). The
+    * batch twin is `Dedup.exact`/`dedupCorpus`.
+    */
+  def dedupStream(stream: DataFrame, tsCol: String, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stateful per-key sessionization via flatMapGroupsWithState lives in
     * [[Sessionize]] (kept separate: it needs typed encoders).
     */

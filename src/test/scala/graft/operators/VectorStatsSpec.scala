@@ -89,6 +89,13 @@ class VectorStatsSpec extends SparkSpec {
     assert(st("s").isNullAt(5)) // no numeric stats for strings
   }
 
+  test("approximate quantiles bracket the exact ones") {
+    val df = (1 to 1001).toDF("v")
+    val q = Statistics.quantiles(df, "v", Seq(0.25, 0.5, 0.75))
+    assert(math.abs(q(0) - 251) <= 2 && math.abs(q(1) - 501) <= 2 &&
+      math.abs(q(2) - 751) <= 2)
+  }
+
   test("histogram buckets cover the range") {
     val df = (1 to 100).toDF("v")
     val h = Statistics.histogram(df, "v", 0, 100, 10)

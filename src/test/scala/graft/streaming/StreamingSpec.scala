@@ -71,6 +71,23 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = GraftStreaming.dedupStream(
+      mem.toDF.toDF("ts", "id", "v"), "ts", "10 minutes", Seq("id"))
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    mem.addData((t(1), 1L, "a"), (t(1), 1L, "dup"), (t(2), 2L, "b"),
+      (t(3), 1L, "dup-within-watermark"))
+    q.processAllAvailable()
+    q.stop()
+    // id 1 seen three times within the horizon → kept once
+    assert(spark.table("dd").count() == 2)
+    assert(spark.table("dd").filter($"id" === 1L).count() == 1)
+  }
+
   test("stateful sessionization matches the window formulation") {
     val rnd = new scala.util.Random(11)
     val events = (1L to 5L).flatMap { u =>
