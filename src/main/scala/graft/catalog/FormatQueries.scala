@@ -97,6 +97,31 @@ object FormatQueries {
         UNION ALL SELECT kind, n FROM mn
         ORDER BY kind""")),
 
+    // time travel: snapshot at a pre-mutation commit is unchanged
+    QueryDef("q74_format_time_travel",
+      (s, dir) => {
+        val n = Tables.load(s, dir, "nation")
+        val ds = IO.fromDataFrame(n, freshRoot("q74"))
+        val before = ds.head.get
+        ds.pop(col("n_regionkey") === 0)
+        ds.update(col("n_regionkey") === 1, Map("n_name" -> lit("GONE")))
+        ds.commit("mutations")
+        ds.snapshotAt(before).orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // saved views: persisted row-id set reloads as the same predicate
+    QueryDef("q75_format_saved_view",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val ds = IO.fromDataFrame(o, freshRoot("q75"))
+        ds.saveView("big", col("o_totalprice") > 400000.0)
+        ds.loadView("big").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_totalprice > 400000.0 ORDER BY o_orderkey""")),
+
     // branch → divergent update/pop → three-way merge → snapshot
     QueryDef("q72_format_branch_merge",
       (s, dir) => {
