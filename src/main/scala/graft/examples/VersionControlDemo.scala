@@ -33,6 +33,7 @@ object VersionControlDemo {
     ds.checkout("cleanup", create = true)
     ds.update(col("doc_id") === 1L, Map("quality" -> lit(0.1)))
     ds.pop(col("quality") < 0.2)
+    ds.renameTensor("quality", "quality_score") // adopted by main at merge
     ds.commit("drop low quality")
     println(s"cleanup branch rows: ${ds.toDF.count()}")
 
@@ -51,7 +52,7 @@ object VersionControlDemo {
     println(s"merge commit: $mergeCommit")
     ds.toDF.orderBy("doc_id").show(truncate = false)
 
-    ds.saveView("good", col("quality") >= 0.7)
+    ds.saveView("good", col("quality_score") >= 0.7)
     println(s"views: ${ds.views}; good rows: ${ds.loadView("good").count()}")
 
     ds.compact()

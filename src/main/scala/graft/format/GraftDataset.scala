@@ -449,10 +449,47 @@ class GraftDataset private[format] (
     require(!dirty, "uncommitted changes; commit or reset first")
     val (ourId, theirId, lcaId) = threeWayInputs(targetRef)
     if (lcaId == theirId) return ourId // target already merged
-    val newSchema = Versioning.mergedSchema(stSchema, schemaAt(theirId))
+    // Rename reconciliation (reference merge.py:624-708): renames made on
+    // either side since the LCA are propagated to the OTHER side (and to
+    // the LCA snapshot) before the uuid join, so renamed data lines up
+    // under one column instead of forking into old+new columns. A column
+    // renamed DIFFERENTLY on both sides keeps ours' name (the reference's
+    // force rule); a rename whose target name already exists on the other
+    // side is not propagated.
+    def renamesOf(id: String): Seq[(String, String)] =
+      CommitLog.readCommit(spark, root, id).renames.map(p => (p(0), p(1)))
+    val lcaRen = renamesOf(lcaId)
+    def since(chain: Seq[(String, String)]): Seq[(String, String)] =
+      if (chain.startsWith(lcaRen)) chain.drop(lcaRen.length)
+      else chain // compaction reset the chain; apply conservatively
+    val theirNew = since(renamesOf(theirId))
+    val ourNew = since(stRenames.toSeq)
+    val theirSchema0 = schemaAt(theirId)
+    def applicable(renames: Seq[(String, String)], toSchema: StructType,
+                   otherSide: Seq[(String, String)]) =
+      renames.filter { case (from, to) =>
+        toSchema.fieldNames.contains(from) &&
+          !toSchema.fieldNames.contains(to) &&
+          !otherSide.exists(_._1 == from)
+      }
+    val adoptOurs = applicable(theirNew, stSchema, ourNew) // theirs → ours
+    val adoptTheirs = applicable(ourNew, theirSchema0, theirNew) // ours → theirs
+    def renameSchema(s: StructType, r: Seq[(String, String)]) =
+      StructType(s.fields.map(f =>
+        r.find(_._1 == f.name).map(p => f.copy(name = p._2)).getOrElse(f)))
+    def renameDf(df: DataFrame, r: Seq[(String, String)]) =
+      r.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    val ourSchema = renameSchema(stSchema, adoptOurs)
+    val theirSchema = renameSchema(theirSchema0, adoptTheirs)
+    val ourSnap = renameDf(snapshotAtWithUuid(ourId), adoptOurs)
+    val theirSnap = renameDf(snapshotAtWithUuid(theirId), adoptTheirs)
+    // LCA must see the FINAL names too, or rename-only rows would look
+    // changed on both sides and spuriously conflict
+    val lcaSnap = renameDf(snapshotAtWithUuid(lcaId),
+      ourNew ++ adoptOurs)
+    val newSchema = Versioning.mergedSchema(ourSchema, theirSchema)
     val merged = Versioning.mergeSnapshots(
-      snapshotAtWithUuid(lcaId), snapshotAtWithUuid(ourId),
-      snapshotAtWithUuid(theirId), withUuidSchema(newSchema), resolutions)
+      lcaSnap, ourSnap, theirSnap, withUuidSchema(newSchema), resolutions)
     val rel = writeData(merged, "merge")
     stFiles = Vector(rel); stUpdates = Vector.empty
     stTombstones = Vector.empty; stRenames = Vector.empty

@@ -122,6 +122,35 @@ class MergeSpec extends SparkSpec {
     assert(ds.toDF.filter($"id" === 3L).head().isNullAt(2))
   }
 
+  test("rename reconciliation: target's rename adopted, data aligned") {
+    val ds = baseTable()
+    ds.checkout("dev")
+    ds.renameTensor("v", "value")
+    ds.update($"id" === 1L, Map("value" -> lit("dev-edit")))
+    ds.commit("dev rename+edit")
+    ds.checkout("main")
+    ds.append(Seq((3L, "three")).toDF("id", "v")); ds.commit("main add")
+    ds.merge("dev")
+    // single column under the new name, no v/value fork
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "value"))
+    assert(rows2(ds) == Set((0L, "zero"), (1L, "dev-edit"), (2L, "two"),
+      (3L, "three")))
+  }
+
+  test("rename on ours propagates to target's rows") {
+    val ds = baseTable()
+    ds.checkout("dev")
+    ds.update($"id" === 2L, Map("v" -> lit("dev-edit"))); ds.commit("dev edit")
+    ds.checkout("main")
+    ds.renameTensor("v", "value"); ds.commit("main rename")
+    ds.merge("dev")
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "value"))
+    assert(rows2(ds).contains((2L, "dev-edit"))) // edit lands under new name
+  }
+
+  private def rows2(ds: GraftDataset): Set[(Long, String)] =
+    ds.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
   test("merging an ancestor is a no-op; diff classifies per side") {
     val ds = baseTable()
     val head = ds.head.get
