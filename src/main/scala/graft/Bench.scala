@@ -24,20 +24,30 @@ object Bench {
       // latency estimator. GC + drain between them lets the async
       // ContextCleaner reap prior broadcast/shuffle state OUTSIDE the
       // timed window.
-      def once(): Double = {
+      // A failed run must NOT enter the timing (a fast throw would win the
+      // min and flatter the total): failures are reported as -1 and the
+      // error surfaced on stderr.
+      def once(): Option[Double] = {
         System.gc()
         Thread.sleep(500)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: $e")
+            None
+        }
       }
-      val a = once()
-      val b = once()
-      name -> math.min(a, b)
+      val runs = Seq(once(), once()).flatten
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.count(_._2 < 0)
+    if (failed > 0) System.err.println(s"BENCH: $failed queries FAILED")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

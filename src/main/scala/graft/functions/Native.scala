@@ -9,6 +9,8 @@ object NativeExpressions {
   import org.apache.spark.sql.graftnative.{NativeExpressions => N}
   def minHashSig(shingles: Column, numHashes: Int): Column =
     N.minHashSig(shingles, numHashes)
+  def minHashBands(sig: Column, rowsPerBand: Int): Column =
+    N.minHashBands(sig, rowsPerBand)
   def dotF(a: Column, b: Column): Column = N.dotF(a, b)
   def l2SqF(a: Column, b: Column): Column = N.l2SqF(a, b)
 }

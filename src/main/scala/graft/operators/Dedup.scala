@@ -75,20 +75,16 @@ object Dedup {
                     bands: Int, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val bandCols = transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        hash(slice(col("_mh"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
-          .as("bucket")))
-    // The repartition is a MATERIALIZATION BARRIER, not (just) a balance
-    // fix: without the exchange, CollapseProject inlines the full `_mh`
-    // signature expression into the explode generator below, and
-    // higher-order array functions have no CSE — the 32-minhash signature
-    // would be recomputed once PER BAND (8× the work, measured).
-    val mat = sig.select(col(idCol), col("_mh"))
-      .repartition(sig.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    val buckets = mat
-      .withColumn("_bb", explode(bandCols))
-      .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
+    // All band buckets come out of ONE native expression
+    // ([[MinHashBands]]), so even when CollapseProject inlines the
+    // signature into the generator below it is still evaluated once per
+    // row — no materialization barrier needed (the per-band
+    // `hash(slice(_mh, ...))` formulation this replaces recomputed the
+    // signature once PER BAND when inlined, higher-order array functions
+    // having no CSE).
+    val buckets = sig.select(col(idCol),
+        posexplode(graft.functions.NativeExpressions
+          .minHashBands(col("_mh"), rowsPerBand)).as(Seq("band", "bucket")))
     // Pairs are generated per bucket from a grouped id list instead of a
     // bucket self-join: a self-join re-executes the whole signature
     // subtree once per side, while one groupBy runs it once; memory per
@@ -122,15 +118,27 @@ object Dedup {
                  threshold: Double = 0.7): DataFrame = {
     val sig = minHashSignature(df, textCol, numHashes, shingleN)
     val cand = lshCandidates(sig, idCol, numHashes, bands)
+    // Shingle table for exact-Jaccard verification, hash-partitioned on id
+    // ABOVE the shingle projection: both join sides below reference the
+    // same exchange, so Spark's ReusedExchange computes the shingles once
+    // (a plain self-referenced subtree would re-execute per side — only
+    // exchanges are reused).
     val sh = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), T.tokenShingles(col(textCol), shingleN).as("_sh"))
+      .withColumn("_cnt", size(col("_sh")))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
     cand
-      .join(sh.withColumnRenamed(idCol, s"${idCol}_a").withColumnRenamed("_sh", "_sa"), s"${idCol}_a")
-      .join(sh.withColumnRenamed(idCol, s"${idCol}_b").withColumnRenamed("_sh", "_sb"), s"${idCol}_b")
+      .join(sh.select(col(idCol).as(s"${idCol}_a"), col("_sh").as("_sa"),
+        col("_cnt").as("_ca")), s"${idCol}_a")
+      .join(sh.select(col(idCol).as(s"${idCol}_b"), col("_sh").as("_sb"),
+        col("_cnt").as("_cb")), s"${idCol}_b")
+      // |A∪B| = |A| + |B| − |A∩B|: one array_intersect per pair, no
+      // array_union pass (shingle arrays are distinct by construction)
+      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
       .withColumn("jaccard",
-        size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
-          size(array_union(col("_sa"), col("_sb"))).cast("double"))
+        col("_inter").cast("double") /
+          (col("_ca") + col("_cb") - col("_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(s"${idCol}_a", s"${idCol}_b", "jaccard")
   }
@@ -222,9 +230,15 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
     val bands = maxHamming + 1
     val width = 32 / bands
+    // Hash-exchange ABOVE the fingerprint projection: the bucket branch and
+    // both verify join sides all consume (id, _sh32), so the exchange is
+    // reused and the expensive simHash32 aggregate runs ONCE per row total
+    // (without it, band extraction inlines the fingerprint per band —
+    // HOFs have no CSE — and each join side re-executes the subtree).
     val fp = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), simHash32(col(textCol)).as("_sh32"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
     // band b = bits [b*width, ...); the last band absorbs the remainder
     val bandCols = (0 until bands).map { b =>
       val lo = b * width
@@ -294,13 +308,17 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
                           threshold: Double, planesPerBand: Int = 10,
                           bands: Int = 4, maxBucket: Int = 2000): DataFrame = {
+    // Column pruning splits this into two single-purpose branches: the
+    // bucket branch computes ONLY `_bkts` (qint/norm pruned away) and the
+    // verify branch ONLY `_qv`/`_nrm` (buckets pruned); the hash-exchange
+    // on the verify branch is then reused across both join sides, so each
+    // expensive expression runs once per row total.
     val prep = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), V.qint(col(vecCol)).as("_qv"),
         array((0 until bands).map(b =>
           rpLshBucket(col(vecCol), planesPerBand, seed = b * 7919 + 17)): _*)
           .as("_bkts"))
-      .withColumn("_nrm", sqrt(V.dotQ(col("_qv"), col("_qv")).cast("double")))
     val buckets = prep.select(col(idCol),
       posexplode(col("_bkts")).as(Seq("band", "bucket")))
     val cand = buckets.groupBy("band", "bucket")
@@ -309,7 +327,9 @@ object Dedup {
       .select(explode(pairCombinations(col("_ids"))).as("_p"))
       .select(col("_p._1").as(s"${idCol}_a"), col("_p._2").as(s"${idCol}_b"))
       .distinct()
-    val side = prep.select(col(idCol), col("_qv"), col("_nrm"))
+    val side = prep.select(col(idCol), col("_qv"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .withColumn("_nrm", sqrt(V.dotQ(col("_qv"), col("_qv")).cast("double")))
     cand
       .join(side.select(col(idCol).as(s"${idCol}_a"), col("_qv").as("_qa"),
         col("_nrm").as("_na")), s"${idCol}_a")

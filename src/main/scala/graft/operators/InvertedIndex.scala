@@ -85,13 +85,52 @@ object InvertedIndex {
       .reduce(_ union _)
       .distinct()
 
+  /** All distinct tokens across the OR-alternatives of a complex query. */
+  def queryTokens(query: String): Seq[String] =
+    query.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.split("\\s+").toSeq.filter(_.nonEmpty)).distinct
+
+  /** Upper bound on the matching-id count: total posting rows for the
+    * query's tokens. A shard-pruned, predicate-pushed columnar count —
+    * cheap even on a huge index — and the conjunctive/distinct id set can
+    * only be smaller.
+    */
+  def postingBound(index: DataFrame, query: String,
+                   numShards: Option[Int] = None): Long = {
+    val toks = queryTokens(query)
+    val base = numShards match {
+      case Some(n) =>
+        val shards = toks.map(shardOf(_, n)).distinct
+        index.filter(col("shard").isin(shards: _*) &&
+          col("term").isin(toks: _*))
+      case None => index.filter(col("term").isin(toks: _*))
+    }
+    base.count()
+  }
+
+  /** Default cap on posting-id sets we force-broadcast: ~4M ids ≈ 32 MB
+    * of longs — comfortably under executor broadcast budgets. Common
+    * terms on a huge corpus blow far past this; forcing their id sets
+    * through the driver would OOM it, so they fall back to a shuffle
+    * semi-join (or whatever AQE picks at runtime).
+    */
+  val defaultBroadcastIdLimit: Long = 4L * 1000 * 1000
+
   /** Semi-join the corpus down to the docs matching a fuzzy query, routed
     * through the posting table (the indexed CONTAINS path of
-    * filter_vectorized — filter_vectorized.py:303-380).
+    * filter_vectorized — filter_vectorized.py:303-380). The broadcast is
+    * GUARDED by a posting-count bound: only id sets provably small enough
+    * get the hint; above the cap the join is left unhinted for AQE.
     */
   def search(df: DataFrame, idCol: String, index: DataFrame,
-             query: String, numShards: Option[Int] = None): DataFrame = {
+             query: String, numShards: Option[Int] = None,
+             broadcastIdLimit: Long = defaultBroadcastIdLimit): DataFrame = {
     val ids = complexFuzzyIds(index, query, numShards)
-    df.join(broadcast(ids.withColumnRenamed("id", idCol)), Seq(idCol), "left_semi")
+      .withColumnRenamed("id", idCol)
+    val rhs =
+      if (postingBound(index, query, numShards) <= broadcastIdLimit)
+        broadcast(ids)
+      else ids
+    df.join(rhs, Seq(idCol), "left_semi")
   }
 }

@@ -86,21 +86,28 @@ object VectorSearch {
                  exact: Boolean = false): DataFrame =
     bruteForceTopK(df.filter(pred), vecCol, idCol, query, metric, k, exact)
 
-  /** Deterministic IVF-lite index: `nlist` centroids chosen as the
-    * normalized vectors of every (n/nlist)-th row (k-means seeding without
-    * the iterations — deterministic, good enough for cell routing).
+  /** Deterministic IVF-lite index: `nlist` centroids = the rows with the
+    * smallest `xxhash64(id)` — a deterministic uniform pseudo-random
+    * sample (k-means seeding without the iterations — good enough for
+    * cell routing). The sample is a per-partition top-k merged on the
+    * driver (TakeOrderedAndProject): no global sort, no single-partition
+    * exchange, no extra count pass — the shape that survives 100 TB,
+    * unlike a row_number window over the whole corpus.
     * Returns (cellAssignments, centroids).
     */
   def ivfBuild(df: DataFrame, vecCol: String, idCol: String,
                nlist: Int): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(col(idCol))
-    val numbered = df.withColumn("_rn", row_number().over(w) - lit(1))
-    val n = numbered.count()
-    val stride = math.max(n / nlist, 1L)
-    val centroids = numbered
-      .filter(col("_rn") % stride === 0 && col("_rn") / stride < nlist)
-      .select((col("_rn") / stride).cast("int").as("cell"),
-        col(vecCol).as("_centroid"))
+    val spark = df.sparkSession
+    val sampled = df
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
+      .limit(nlist)
+      .collect() // nlist rows only — bounded by construction
+    val cells = sampled.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Float](1))
+    }
+    import spark.implicits._
+    val centroids = cells.toDF("cell", "_centroid")
     val assigned = assignCells(df, vecCol, centroids)
     (assigned, centroids)
   }

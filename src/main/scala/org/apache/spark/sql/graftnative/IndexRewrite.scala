@@ -98,9 +98,22 @@ case class IndexedContainsRewrite(spark: SparkSession)
           // rewritten and the planner would reject it
           val idsPlan = ids.queryExecution.optimizedPlan
           val idAttr = idsPlan.output.head
+          // Broadcast only id sets provably small (posting-count bound
+          // from a shard-pruned columnar count): a common term on a huge
+          // corpus has millions–billions of postings and force-broadcasting
+          // them would OOM the driver. Above the cap the join is left
+          // unhinted — AQE picks shuffle vs broadcast at runtime.
+          val limit = spark.conf.getOption("graft.index.broadcastIdLimit")
+            .map(_.toLong)
+            .getOrElse(graft.operators.InvertedIndex.defaultBroadcastIdLimit)
+          val bound = graft.operators.InvertedIndex.postingBound(
+            idx, gic.queryString, Some(gic.numShardsInt))
+          val hint =
+            if (bound <= limit) JoinHint(None, Some(HintInfo(Some(BROADCAST))))
+            else JoinHint.NONE
           Join(p, idsPlan, LeftSemi,
             Some(org.apache.spark.sql.catalyst.expressions.EqualTo(uuid, idAttr)),
-            JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+            hint)
         }
         rest.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
           .map(Filter(_, joined)).getOrElse(joined)

@@ -34,6 +34,10 @@ object NativeExpressions {
     ExpressionUtils.column(
       MinHashSig(ExpressionUtils.expression(shingles), numHashes))
 
+  def minHashBands(sig: Column, rowsPerBand: Int): Column =
+    ExpressionUtils.column(
+      MinHashBands(ExpressionUtils.expression(sig), rowsPerBand))
+
   def dotF(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -110,14 +114,82 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** LSH band buckets of a MinHash signature: `array<long>` of length
+  * `numElements / rowsPerBand`; slot b = murmur3 fold of the signature
+  * ints in band b (seed 42, element-chained like Spark's `hash` over an
+  * int array). One expression = one evaluation per row, so it composes
+  * with generators without the CollapseProject no-CSE recompute trap that
+  * a per-band `hash(slice(sig, ...))` formulation hits (8 slices = 8
+  * signature evaluations when inlined into an explode).
+  */
+case class MinHashBands(child: Expression, rowsPerBand: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(rowsPerBand > 0, "rowsPerBand must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val bands = sig.numElements() / rowsPerBand
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42
+      var i = b * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) {
+        h = Murmur3_x86_32.hashInt(sig.getInt(i), h)
+        i += 1
+      }
+      out(b) = h.toLong
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val bands = ctx.freshName("bands")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val end = ctx.freshName("end")
+      val h = ctx.freshName("h")
+      val m3 = classOf[Murmur3_x86_32].getName
+      s"""
+        int $bands = $c.numElements() / $rowsPerBand;
+        long[] $out = new long[$bands];
+        for (int $b = 0; $b < $bands; $b++) {
+          int $h = 42;
+          int $i = $b * $rowsPerBand;
+          int $end = $i + $rowsPerBand;
+          for (; $i < $end; $i++) {
+            $h = $m3.hashInt($c.getInt($i), $h);
+          }
+          $out[$b] = (long) $h;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Shared shape for float-array pairwise reductions compiled to primitive
-  * loops. Arrays shorter than the other operand stop at the common prefix
-  * (embedding columns are fixed-dimension in practice).
+  * loops. A dimension mismatch yields NULL (matching the `zip_with`
+  * null-propagation these replaced) — a silent common-prefix reduction
+  * would return a plausible-but-wrong similarity.
   */
 abstract class FloatPairReduction extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   protected def combineJava(acc: String, x: String, y: String): String
   protected def combineScala(x: Float, y: Float): Double
@@ -125,14 +197,17 @@ abstract class FloatPairReduction extends BinaryExpression with ExpectsInputType
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var j = 0
-    while (j < n) {
-      acc += combineScala(x.getFloat(j), y.getFloat(j))
-      j += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += combineScala(x.getFloat(j), y.getFloat(j))
+        j += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -141,12 +216,16 @@ abstract class FloatPairReduction extends BinaryExpression with ExpectsInputType
       val j = ctx.freshName("j")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $j = 0; $j < $n; $j++) {
-          ${combineJava(acc, s"$a.getFloat($j)", s"$b.getFloat($j)")}
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $j = 0; $j < $n; $j++) {
+            ${combineJava(acc, s"$a.getFloat($j)", s"$b.getFloat($j)")}
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 }
