@@ -48,7 +48,9 @@ object Bench {
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"BENCH: $failed queries FAILED")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "failed" is in the JSON line (stdout) so round-over-round comparisons
+    // cannot mistake a throwing query (excluded from total) for a speedup.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,22 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Persisted inverted index over documents.text, built ONCE per sf dir
+    * (indexed search semantics: the reference's create_index_vectorized is
+    * a separate op; queries run against the existing index — building it
+    * inside every search would measure the wrong thing). The saved index
+    * carries the stats sidecar, so search() gets its broadcast hint from a
+    * driver-side file read, no planning-time job.
+    */
+  private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def docsIndexPath(s: SparkSession, dir: String): String =
+    idxCache.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft-docs-idx")
+        .toAbsolutePath.toString
+      InvertedIndex.save(InvertedIndex.build(docs(s, d), "text", "doc_id"), p)
+      p
+    })
+
   // DuckDB-side whitespace tokens with empties removed.
   private val duckToks =
     "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -51,12 +67,15 @@ object TextQueries {
            OR (list_contains($duckToks, 'stream') AND list_contains($duckToks, 'batch'))
         ORDER BY doc_id""")),
 
-    // the same CONTAINS routed through the posting-table inverted index
+    // the same CONTAINS routed through the PERSISTED posting-table index:
+    // shard-pruned scan + stats-bounded broadcast semi-join
     QueryDef("q43_text_contains_indexed",
       (s, dir) => {
-        val d = docs(s, dir)
-        val idx = InvertedIndex.build(d, "text", "doc_id")
-        InvertedIndex.search(d, "doc_id", idx, "vector join||stream batch")
+        val path = docsIndexPath(s, dir)
+        val idx = InvertedIndex.load(s, path)
+        val stats = InvertedIndex.loadStats(s, path)
+        InvertedIndex.search(docs(s, dir), "doc_id", idx,
+            "vector join||stream batch", numShards = Some(16), stats = stats)
           .select("doc_id").orderBy("doc_id")
       },
       Some(s"""SELECT doc_id FROM documents

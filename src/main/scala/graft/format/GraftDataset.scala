@@ -667,11 +667,17 @@ class GraftDataset private[format] (
     indexCommit(dir).flatMap(appendOnlyDelta) match {
       case Some(newFiles) =>
         if (newFiles.nonEmpty) {
-          val added = snapshotWithUuid(files = newFiles, updates = Nil,
-            tombstones = Nil)
-          graft.operators.InvertedIndex.build(added, column, UuidCol, numShards)
+          val postingsPath = new Path(dir, "postings").toString
+          graft.operators.InvertedIndex.build(
+              snapshotWithUuid(files = newFiles, updates = Nil,
+                tombstones = Nil), column, UuidCol, numShards)
             .write.mode("append").partitionBy("shard")
-            .parquet(new Path(dir, "postings").toString)
+            .parquet(postingsPath)
+          // refresh the stats sidecar so query-time broadcast bounds stay
+          // truthful after the append (one agg at maintenance time)
+          graft.operators.InvertedIndex.saveStats(spark, postingsPath,
+            graft.operators.InvertedIndex.computeStats(
+              graft.operators.InvertedIndex.load(spark, postingsPath)))
         }
         writeIndexMeta(dir, Map("numShards" -> numShards.toString))
       case None => createIndexVectorized(column, numShards)
@@ -710,12 +716,15 @@ class GraftDataset private[format] (
   def textSearch(column: String, query: String): DataFrame = {
     val dir = indexDir("inverted", column)
     if (indexFresh("inverted", column)) {
-      val idx = graft.operators.InvertedIndex.load(
-        spark, new Path(dir, "postings").toString)
-      // shard routing from the persisted shard count -> partition pruning
+      val postingsPath = new Path(dir, "postings").toString
+      val idx = graft.operators.InvertedIndex.load(spark, postingsPath)
+      // shard routing from the persisted shard count -> partition pruning;
+      // broadcast decision from the stats sidecar -> no planning-time job
       val numShards = indexMetaField(dir, "numShards").map(_.toInt)
+      val stats = graft.operators.InvertedIndex.loadStats(spark, postingsPath)
       graft.operators.InvertedIndex.search(
-        snapshotWithUuid(), UuidCol, idx, query, numShards).drop(UuidCol)
+        snapshotWithUuid(), UuidCol, idx, query, numShards,
+        stats = stats).drop(UuidCol)
     } else
       toDF.filter(graft.operators.FilterVectorized.containsPredicate(
         col(column), query))
@@ -767,16 +776,21 @@ class GraftDataset private[format] (
       case None => cur
     }
     // capture meta BEFORE rewriting: layout maintenance must preserve the
-    // index's commit binding (rebinding to HEAD would fake freshness)
+    // index's commit binding (rebinding to HEAD would fake freshness);
+    // term counts are unchanged by optimize/reshard, so the stats sidecar
+    // is carried over rather than recomputed
     val boundCommit = indexCommit(dir).getOrElse("")
     val shardCount = newShards.map(_.toString)
       .orElse(indexMetaField(dir, "numShards"))
+    val stats = graft.operators.InvertedIndex.loadStats(spark, postings.toString)
     val tmp = new Path(dir, "postings_tmp")
     rewritten
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(tmp.toString)
     f.delete(postings, true)
     f.rename(tmp, postings)
+    stats.foreach(st =>
+      graft.operators.InvertedIndex.saveStats(spark, postings.toString, st))
     val out = f.create(new Path(dir, "meta.json"), true)
     try out.write(org.json4s.jackson.Serialization.write(
       Map("commit" -> boundCommit) ++

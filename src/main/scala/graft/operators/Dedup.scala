@@ -327,9 +327,12 @@ object Dedup {
       .select(explode(pairCombinations(col("_ids"))).as("_p"))
       .select(col("_p._1").as(s"${idCol}_a"), col("_p._2").as(s"${idCol}_b"))
       .distinct()
+    // _nrm is computed BELOW the exchange so the shuffle files carry it and
+    // both join sides read it back (a withColumn above the exchange would
+    // re-evaluate the dot per side).
     val side = prep.select(col(idCol), col("_qv"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .withColumn("_nrm", sqrt(V.dotQ(col("_qv"), col("_qv")).cast("double")))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
     cand
       .join(side.select(col(idCol).as(s"${idCol}_a"), col("_qv").as("_qa"),
         col("_nrm").as("_na")), s"${idCol}_a")

@@ -26,6 +26,15 @@ import graft.functions.{TextFunctions => T}
   * update_index :397-445 ≡ building the index of the appended slice and
   * unioning the parquet partitions).
   */
+/** Posting-count statistics persisted WITH the index at build time (the
+  * Spark-native form of the reference's hot-term cache,
+  * inverted_index_vectorized.py:526-574): exact counts for the `hotN` most
+  * frequent terms, plus the (hotN+1)-th count as a safe upper bound for
+  * every other term. Query-time broadcast decisions read this driver-side —
+  * no Spark job during planning or search.
+  */
+case class IndexStats(hotTerms: Map[String, Long], maxOtherCount: Long)
+
 object InvertedIndex {
 
   /** Posting table for a text column: (term, shard, id). */
@@ -35,11 +44,81 @@ object InvertedIndex {
         explode(array_distinct(T.tokens(col(textCol)))).as("term"))
       .withColumn("shard", pmod(xxhash64(col("term")), lit(numShards)).cast("int"))
 
-  def save(index: DataFrame, path: String): Unit =
+  /** Persist postings + the stats sidecar. The sidecar costs one
+    * top-(hotN+1) aggregation at BUILD time (TakeOrderedAndProject —
+    * per-partition top-k, driver merges hotN+1 rows) and saves a job on
+    * every subsequent query.
+    */
+  def save(index: DataFrame, path: String): Unit = {
     index.write.mode("overwrite").partitionBy("shard").parquet(path)
+    saveStats(index.sparkSession, path, computeStats(index))
+  }
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Name starts with `_` so parquet directory listings ignore it. */
+  val statsFileName = "_graft_stats.json"
+  val defaultHotTerms = 1024
+
+  /** Exact counts for the top `hotN` terms; the next count bounds the rest. */
+  def computeStats(index: DataFrame, hotN: Int = defaultHotTerms): IndexStats = {
+    val top = index.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(hotN + 1)
+      .collect() // hotN+1 rows only — bounded by construction
+    val (hot, rest) = top.splitAt(hotN)
+    IndexStats(hot.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rest.headOption.map(_.getLong(1)).getOrElse(0L))
+  }
+
+  def saveStats(spark: SparkSession, postingsPath: String,
+                stats: IndexStats): Unit = {
+    val p = new org.apache.hadoop.fs.Path(postingsPath, statsFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(org.json4s.jackson.Serialization.write(
+      Map("maxOtherCount" -> stats.maxOtherCount) ++
+        Map("hotTerms" -> stats.hotTerms))(org.json4s.DefaultFormats)
+      .getBytes("UTF-8"))
+    finally out.close()
+    statsCache.remove(postingsPath)
+  }
+
+  // modtime-keyed driver-side cache: one namenode stat per query, zero jobs
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, IndexStats)]()
+
+  def loadStats(spark: SparkSession, postingsPath: String): Option[IndexStats] = {
+    val p = new org.apache.hadoop.fs.Path(postingsPath, statsFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val mod = fs.getFileStatus(p).getModificationTime
+      val cached = statsCache.get(postingsPath)
+      if (cached != null && cached._1 == mod) Some(cached._2)
+      else {
+        val in = fs.open(p)
+        val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val j = org.json4s.jackson.JsonMethods.parse(s)
+        val st = IndexStats(
+          (j \ "hotTerms").extract[Map[String, Long]],
+          (j \ "maxOtherCount").extract[Long])
+        statsCache.put(postingsPath, (mod, st))
+        Some(st)
+      }
+    }
+  }
+
+  /** Upper bound on the matching-id count for a query, from stats alone:
+    * sum of each token's hot count (or `maxOtherCount` for non-hot terms —
+    * an overestimate, so the decision errs toward NOT force-broadcasting).
+    * The conjunctive/distinct id set can only be smaller.
+    */
+  def statsBound(stats: IndexStats, query: String): Long =
+    queryTokens(query)
+      .map(t => stats.hotTerms.getOrElse(t, stats.maxOtherCount)).sum
 
   /** Shard of a term — MUST match the build-side expression
     * `pmod(xxhash64(term), numShards)` so query-time shard routing prunes
@@ -64,6 +143,27 @@ object InvertedIndex {
                     numShards: Option[Int] = None): DataFrame = {
     val toks = query.trim.split("\\s+").toSeq.distinct.filter(_.nonEmpty)
     require(toks.nonEmpty, "empty query")
+    matchIds(index, Seq(toks), numShards)
+  }
+
+  /** Ids for `"a b||c"` = (a AND b) OR (c) (reference complex_fuzzy_match). */
+  def complexFuzzyIds(index: DataFrame, query: String,
+                      numShards: Option[Int] = None): DataFrame = {
+    val alts = query.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\s+").toSeq.filter(_.nonEmpty).distinct)
+    require(alts.nonEmpty, "empty query")
+    matchIds(index, alts, numShards)
+  }
+
+  /** ONE aggregation for any OR-of-ANDs: filter postings to the union of
+    * all query tokens (shard-pruned), collect each doc's matched-term set,
+    * evaluate every conjunction against it. One shuffle total — the
+    * per-alternative groupBy + union + distinct shape costs one shuffle
+    * PER alternative and re-reads the postings each time.
+    */
+  private def matchIds(index: DataFrame, alts: Seq[Seq[String]],
+                       numShards: Option[Int]): DataFrame = {
+    val toks = alts.flatten.distinct
     val base = numShards match {
       case Some(n) =>
         val shards = toks.map(shardOf(_, n)).distinct
@@ -71,42 +171,17 @@ object InvertedIndex {
           col("term").isin(toks: _*))
       case None => index.filter(col("term").isin(toks: _*))
     }
-    base.groupBy("id")
-      .agg(countDistinct("term").as("_nt"))
-      .filter(col("_nt") === toks.length)
+    base.groupBy("id").agg(collect_set("term").as("_ts"))
+      .filter(alts.map(a =>
+          a.map(t => array_contains(col("_ts"), t)).reduce(_ && _))
+        .reduce(_ || _))
       .select("id")
   }
-
-  /** Ids for `"a b||c"` = (a AND b) OR (c) (reference complex_fuzzy_match). */
-  def complexFuzzyIds(index: DataFrame, query: String,
-                      numShards: Option[Int] = None): DataFrame =
-    query.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
-      .map(fuzzyMatchIds(index, _, numShards))
-      .reduce(_ union _)
-      .distinct()
 
   /** All distinct tokens across the OR-alternatives of a complex query. */
   def queryTokens(query: String): Seq[String] =
     query.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
       .flatMap(_.split("\\s+").toSeq.filter(_.nonEmpty)).distinct
-
-  /** Upper bound on the matching-id count: total posting rows for the
-    * query's tokens. A shard-pruned, predicate-pushed columnar count —
-    * cheap even on a huge index — and the conjunctive/distinct id set can
-    * only be smaller.
-    */
-  def postingBound(index: DataFrame, query: String,
-                   numShards: Option[Int] = None): Long = {
-    val toks = queryTokens(query)
-    val base = numShards match {
-      case Some(n) =>
-        val shards = toks.map(shardOf(_, n)).distinct
-        index.filter(col("shard").isin(shards: _*) &&
-          col("term").isin(toks: _*))
-      case None => index.filter(col("term").isin(toks: _*))
-    }
-    base.count()
-  }
 
   /** Default cap on posting-id sets we force-broadcast: ~4M ids ≈ 32 MB
     * of longs — comfortably under executor broadcast budgets. Common
@@ -119,18 +194,23 @@ object InvertedIndex {
   /** Semi-join the corpus down to the docs matching a fuzzy query, routed
     * through the posting table (the indexed CONTAINS path of
     * filter_vectorized — filter_vectorized.py:303-380). The broadcast is
-    * GUARDED by a posting-count bound: only id sets provably small enough
-    * get the hint; above the cap the join is left unhinted for AQE.
+    * GUARDED by the build-time stats sidecar, read driver-side — NO Spark
+    * job runs to make the decision. Only id sets provably small get the
+    * hint; above the cap (or with no stats, e.g. an ephemeral in-memory
+    * index) the join is left unhinted and AQE picks shuffle-vs-broadcast
+    * from the actual runtime size.
     */
   def search(df: DataFrame, idCol: String, index: DataFrame,
              query: String, numShards: Option[Int] = None,
-             broadcastIdLimit: Long = defaultBroadcastIdLimit): DataFrame = {
+             broadcastIdLimit: Long = defaultBroadcastIdLimit,
+             stats: Option[IndexStats] = None): DataFrame = {
     val ids = complexFuzzyIds(index, query, numShards)
       .withColumnRenamed("id", idCol)
-    val rhs =
-      if (postingBound(index, query, numShards) <= broadcastIdLimit)
+    val rhs = stats match {
+      case Some(st) if statsBound(st, query) <= broadcastIdLimit =>
         broadcast(ids)
-      else ids
+      case _ => ids
+    }
     df.join(rhs, Seq(idCol), "left_semi")
   }
 }

@@ -39,9 +39,12 @@ object VectorSearch {
       case (m, _) => throw new IllegalArgumentException(s"bad metric $m")
     }
 
-  /** Higher score = better match (l2 negated). */
+  /** Higher score = better match (l2 ascending). Null scores (corrupt or
+    * dimension-mismatched vectors) always rank LAST — `asc` alone would
+    * put nulls first for l2 and displace real neighbors.
+    */
   private def rankOrder(metric: String, s: Column): Column =
-    if (metric == "l2") s.asc else s.desc
+    if (metric == "l2") s.asc_nulls_last else s.desc_nulls_last
 
   /** Exact top-k for one query vector (as a literal array). */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
@@ -95,13 +98,22 @@ object VectorSearch {
     * unlike a row_number window over the whole corpus.
     * Returns (cellAssignments, centroids).
     */
-  def ivfBuild(df: DataFrame, vecCol: String, idCol: String,
-               nlist: Int): (DataFrame, DataFrame) = {
-    val spark = df.sparkSession
-    val sampled = df
+  /** The centroid-sample frame (exposed so specs can assert its physical
+    * plan is a TakeOrderedAndProject with NO single-partition exchange).
+    * Null vectors are dropped — a null in the sample would become a null
+    * centroid and NPE cell assignment on the driver.
+    */
+  def ivfSample(df: DataFrame, vecCol: String, idCol: String,
+                nlist: Int): DataFrame =
+    df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
       .limit(nlist)
+
+  def ivfBuild(df: DataFrame, vecCol: String, idCol: String,
+               nlist: Int): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val sampled = ivfSample(df, vecCol, idCol, nlist)
       .collect() // nlist rows only — bounded by construction
     val cells = sampled.toIndexedSeq.zipWithIndex.map { case (r, i) =>
       (i, r.getSeq[Float](1))

@@ -98,19 +98,25 @@ case class IndexedContainsRewrite(spark: SparkSession)
           // rewritten and the planner would reject it
           val idsPlan = ids.queryExecution.optimizedPlan
           val idAttr = idsPlan.output.head
-          // Broadcast only id sets provably small (posting-count bound
-          // from a shard-pruned columnar count): a common term on a huge
-          // corpus has millions–billions of postings and force-broadcasting
-          // them would OOM the driver. Above the cap the join is left
-          // unhinted — AQE picks shuffle vs broadcast at runtime.
+          // Broadcast only id sets provably small, judged from the
+          // build-time stats sidecar read DRIVER-SIDE (modtime-cached):
+          // a Catalyst rule must never launch a Spark job mid-optimization.
+          // A common term on a huge corpus has millions–billions of
+          // postings and force-broadcasting them would OOM the driver;
+          // above the cap (or with no sidecar) the join is left unhinted —
+          // AQE picks shuffle vs broadcast at runtime. A malformed conf
+          // value falls back to the default instead of failing planning.
           val limit = spark.conf.getOption("graft.index.broadcastIdLimit")
-            .map(_.toLong)
+            .flatMap(v => scala.util.Try(v.toLong).toOption)
             .getOrElse(graft.operators.InvertedIndex.defaultBroadcastIdLimit)
-          val bound = graft.operators.InvertedIndex.postingBound(
-            idx, gic.queryString, Some(gic.numShardsInt))
-          val hint =
-            if (bound <= limit) JoinHint(None, Some(HintInfo(Some(BROADCAST))))
-            else JoinHint.NONE
+          val stats = graft.operators.InvertedIndex.loadStats(
+            spark, gic.indexPathString)
+          val hint = stats match {
+            case Some(st) if graft.operators.InvertedIndex
+              .statsBound(st, gic.queryString) <= limit =>
+              JoinHint(None, Some(HintInfo(Some(BROADCAST))))
+            case _ => JoinHint.NONE
+          }
           Join(p, idsPlan, LeftSemi,
             Some(org.apache.spark.sql.catalyst.expressions.EqualTo(uuid, idAttr)),
             hint)

@@ -117,6 +117,74 @@ class IndexSpec extends SparkSpec {
     assert(both.select("id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("stats sidecar drives the broadcast decision with no runtime job") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark vector search"), (2L, "inverted index shards"),
+      (3L, "vector index probes")).toDF("_id", "text")
+    val dir = tmpDir("stats-idx")
+    graft.operators.InvertedIndex.save(
+      graft.operators.InvertedIndex.build(corpus, "text", "_id"), dir)
+    val stats = graft.operators.InvertedIndex.loadStats(spark, dir)
+    assert(stats.nonEmpty, "save() must write the stats sidecar")
+    // "vector" appears in docs 1 and 3 → exact hot count 2
+    assert(graft.operators.InvertedIndex.statsBound(stats.get, "vector") == 2L)
+    val idx = graft.operators.InvertedIndex.load(spark, dir)
+    // Disable size-based auto-broadcast so the plan shape reflects ONLY
+    // the stats-driven hint (tiny test tables would otherwise broadcast
+    // regardless).
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // rare term, bound under the cap → hinted → broadcast join
+      val hinted = graft.operators.InvertedIndex.search(
+        corpus, "_id", idx, "vector", stats = stats)
+      assert(hinted.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"))
+      // common term with a zero cap → unhinted → shuffle fallback
+      val unhinted = graft.operators.InvertedIndex.search(
+        corpus, "_id", idx, "vector", broadcastIdLimit = 0L, stats = stats)
+      assert(!unhinted.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"))
+      // both plans, same answers
+      assert(hinted.select("_id").as[Long].collect().toSet == Set(1L, 3L))
+      assert(unhinted.select("_id").as[Long].collect().toSet == Set(1L, 3L))
+    }
+  }
+
+  test("index-aware rule honors the stats bound and survives bad conf") {
+    val ds = table()
+    ds.createIndexVectorized("text")
+    org.apache.spark.sql.graftnative.GraftExtensions.install(spark)
+    import spark.implicits._
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // stats present + default cap → the semi-join is broadcast-hinted
+      val hinted = ds.filterIndexed("text", "vector index")
+      assert(hinted.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"))
+      // zero cap → no hint → shuffle semi-join, same rows
+      withConf("graft.index.broadcastIdLimit" -> "0") {
+        val unhinted = ds.filterIndexed("text", "vector index")
+        assert(!unhinted.queryExecution.sparkPlan.toString
+          .contains("BroadcastHashJoin"))
+        assert(unhinted.select("id").as[Long].collect().toSet == Set(3L))
+      }
+      // malformed cap value must not fail planning — default applies
+      withConf("graft.index.broadcastIdLimit" -> "not-a-number") {
+        val tolerant = ds.filterIndexed("text", "vector index")
+        assert(tolerant.select("id").as[Long].collect().toSet == Set(3L))
+      }
+    }
+  }
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("vector index: build, probe search, stale guard") {
     val ds = table()
     ds.createVectorIndex("emb", nlist = 2)

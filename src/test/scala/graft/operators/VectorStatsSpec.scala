@@ -39,6 +39,34 @@ class VectorStatsSpec extends SparkSpec {
     }
   }
 
+  test("l2 top-k ranks null scores (dimension-mismatched vectors) last") {
+    val df = vecs(20, 8)
+    // corrupt one row to a different dimensionality → null score
+    val corrupt = df.withColumn("embedding",
+      when($"vec_id" === 7L, slice($"embedding", 1, 3)).otherwise($"embedding"))
+    val q = df.filter($"vec_id" === 0L).head().getSeq[Float](1)
+    val top = VectorSearch.bruteForceTopK(corrupt, "embedding", "vec_id",
+      q, "l2", 5).collect()
+    assert(!top.map(_.getLong(0)).contains(7L),
+      "null-scored row must not displace real neighbors")
+    assert(top.forall(!_.isNullAt(1)))
+  }
+
+  test("ivfBuild sample plan: per-partition top-k, no single-partition exchange") {
+    val df = vecs(100, 8).repartition(4)
+    val plan = VectorSearch.ivfSample(df, "embedding", "vec_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample should be a TakeOrderedAndProject, got:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"sample must not funnel the corpus through one partition:\n$plan")
+    // null vectors are excluded from the sample (they would NPE assignCells)
+    val withNull = df.withColumn("embedding",
+      when($"vec_id" === 1L, lit(null)).otherwise($"embedding"))
+    val (_, centroids) = VectorSearch.ivfBuild(withNull, "embedding", "vec_id", 8)
+    assert(centroids.count() == 8)
+  }
+
   test("IVF probe search finds the exact neighbor when probing enough cells") {
     val df = vecs(100, 8)
     val (assigned, centroids) = VectorSearch.ivfBuild(df, "embedding", "vec_id", 8)
