@@ -110,13 +110,19 @@ object FormatQueries {
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
-    // saved views: persisted row-id set reloads as the same predicate
+    // saved views are PINNED to the commit they were saved at: mutations
+    // after saveView (update + pop + append) must not change the view —
+    // the oracle is the pre-mutation predicate over the source table
     QueryDef("q75_format_saved_view",
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
         val ds = IO.fromDataFrame(o, freshRoot("q75"))
         ds.saveView("big", col("o_totalprice") > 400000.0)
+        ds.update(col("o_totalprice") > 500000.0,
+          Map("o_orderstatus" -> lit("MUTATED")))
+        ds.pop(col("o_totalprice") > 450000.0)
+        ds.commit("post-save mutations")
         ds.loadView("big").orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -113,22 +113,51 @@ object CommitLog {
     * watermark-per-commit alternative collides when two branches append
     * concurrently from the same base).
     */
+  /** Reservations live in the low 23 bits above the 40-bit row index:
+    * `reservation << 40` must stay below the Long sign bit, or uuids turn
+    * negative and collide across merge/diff identity.
+    */
+  val maxReservation: Long = 1L << 23
+
   def claimReservation(spark: SparkSession, root: String): Long = {
     val f = fs(spark, root)
     val dir = new Path(root, "_graft/reservations")
     f.mkdirs(dir)
-    val taken =
-      if (!f.exists(dir)) Seq.empty
-      else f.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.forall(_.isDigit)).map(_.toLong)
-    var n = taken.foldLeft(0L)(math.max) + 1
+    // O(1) path: a hint file holds the next candidate, so a claim is one
+    // read + one atomic create instead of listing every marker ever
+    // claimed (O(#appends) namenode pressure). The hint is best-effort —
+    // stale or lost hints only cost forward probing, never correctness,
+    // because the atomic marker create remains the single claim point.
+    val hintPath = new Path(dir, "_next")
+    var n = (if (f.exists(hintPath))
+        scala.util.Try(readString(f, hintPath).trim.toLong).toOption
+      else None)
+      .getOrElse { // legacy/cold table: one listing to find the watermark
+        f.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+          .foldLeft(0L)(math.max) + 1
+      }
+    if (n < 1) n = 1
     var claimed = false
     while (!claimed) {
+      require(n < maxReservation,
+        s"reservation space exhausted ($n >= 2^23): uuids would cross the " +
+          "Long sign bit — compact/rewrite the table to reset the uuid space")
       try {
-        f.create(new Path(dir, n.toString), false).close()
+        // On file:// Hadoop's create(overwrite=false) is a non-atomic
+        // exists-then-create; NIO createFile is O_CREAT|O_EXCL. On HDFS
+        // and object stores with conditional writes, create(false) IS the
+        // atomic claim point.
+        if (f.getScheme == "file")
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(new Path(dir, n.toString).toUri.getPath))
+        else
+          f.create(new Path(dir, n.toString), false).close()
         claimed = true
       } catch { case _: java.io.IOException => n += 1 }
     }
+    try writeString(f, hintPath, (n + 1).toString, overwrite = true)
+    catch { case _: java.io.IOException => () } // hint loss is harmless
     n
   }
 

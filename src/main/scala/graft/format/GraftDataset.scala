@@ -106,11 +106,22 @@ class GraftDataset private[format] (
       schema: StructType = stSchema): DataFrame = {
     val target = withUuidSchema(schema)
     var df = readManifest(files, target)
-    // merge-on-read: each update file replaces rows by uuid (last wins)
-    for (u <- updates) {
-      val upd = readManifest(Seq(u), target)
-      df = df.join(upd.select(UuidCol), Seq(UuidCol), "left_anti")
-        .unionByName(upd)
+    // merge-on-read, FLAT: union every update file with its manifest
+    // position, keep the last write per uuid (one window), then ONE
+    // anti-join + union against the base. A per-file anti-join chain
+    // would grow the plan linearly in the number of uncompacted updates.
+    if (updates.nonEmpty) {
+      val all = updates.zipWithIndex.map { case (u, i) =>
+        readManifest(Seq(u), target).withColumn("_file_seq", lit(i))
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(UuidCol).orderBy(col("_file_seq").desc)
+      val latest = all
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_file_seq")
+      df = df.join(latest.select(UuidCol), Seq(UuidCol), "left_anti")
+        .unionByName(latest)
     }
     if (tombstones.nonEmpty) {
       val dead = spark.read.parquet(
@@ -519,11 +530,20 @@ class GraftDataset private[format] (
     finally out.close()
   }
 
-  /** Materialize a saved view as a DataFrame (semi-join on uuid). */
+  /** Materialize a saved view as a DataFrame: semi-join the saved uuid
+    * set against the snapshot AT THE COMMIT the view was saved on — the
+    * reference pins views to the source dataset version
+    * (muller/core/view/view_operations.py:106-234), so later updates,
+    * deletes, or appends never change a saved view's contents. Views
+    * saved before the commit field existed fall back to the live snapshot.
+    */
   def loadView(name: String): DataFrame = {
-    val ids = spark.read.parquet(
-      new Path(new Path(viewsDir, name), "ids").toString)
-    snapshotWithUuid().join(ids, Seq(UuidCol), "left_semi").drop(UuidCol)
+    val dir = new Path(viewsDir, name)
+    val ids = spark.read.parquet(new Path(dir, "ids").toString)
+    val pinned = indexMetaField(dir, "commit").filter(_.nonEmpty)
+      .map(snapshotAtWithUuid)
+      .getOrElse(snapshotWithUuid())
+    pinned.join(ids, Seq(UuidCol), "left_semi").drop(UuidCol)
   }
 
   def views: Seq[String] = {

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, timestamp_millis}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful processing via `flatMapGroupsWithState` — the
@@ -9,9 +10,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * event belongs to the previous session if it arrives within `gapMs` of
   * the session's last event; otherwise it opens a new session.
   *
-  * Works in both streaming mode (state persists across micro-batches,
-  * sessions emitted on gap timeout) and batch mode (each key processed
-  * once — used by the specs).
+  * Streaming mode: state persists across micro-batches under
+  * `EventTimeTimeout` — an open session is kept in state with a timeout at
+  * `lastMs + gapMs`, so a session spanning several micro-batches emits
+  * exactly ONCE, when the watermark passes its gap (or earlier, when a
+  * same-key event beyond the gap closes it in-batch). Batch mode: each key
+  * is processed once and open sessions are emitted at group end.
   */
 object Sessionize {
 
@@ -19,37 +23,79 @@ object Sessionize {
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)
   final case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
 
-  def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  /** Event + its event-time column: the watermark attribute must survive
+    * into the grouping for EventTimeTimeout to be allowed. (Public only
+    * because encoder codegen must reach the constructor — not API.)
+    */
+  final case class EventWm(userId: Long, tsMs: Long,
+                           eventTime: java.sql.Timestamp)
+
+  /** Fold a key's sorted events into (closed sessions, open session). */
+  private def foldEvents(userId: Long, evs: Iterator[Event],
+                         init: Option[SessionState], gapMs: Long)
+      : (Seq[Session], Option[SessionState]) = {
+    val closed = Seq.newBuilder[Session]
+    var cur = init
+    for (e <- evs.toSeq.sortBy(_.tsMs)) {
+      cur match {
+        case Some(s) if e.tsMs - s.lastMs <= gapMs =>
+          cur = Some(s.copy(lastMs = e.tsMs, n = s.n + 1))
+        case Some(s) =>
+          closed += Session(userId, s.startMs, s.lastMs, s.n)
+          cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+        case None =>
+          cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+      }
+    }
+    (closed.result(), cur)
+  }
+
+  def sessions(events: Dataset[Event], gapMs: Long,
+               watermarkDelayMs: Long = 0L): Dataset[Session] = {
     implicit val se = Encoders.product[SessionState]
     implicit val out = Encoders.product[Session]
     implicit val lk = Encoders.scalaLong
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.tsMs)
-          val closed = Seq.newBuilder[Session]
-          var cur = state.getOption
-          for (e <- sorted) {
-            cur match {
-              case Some(s) if e.tsMs - s.lastMs <= gapMs =>
-                cur = Some(s.copy(lastMs = e.tsMs, n = s.n + 1))
-              case Some(s) =>
-                closed += Session(userId, s.startMs, s.lastMs, s.n)
-                cur = Some(SessionState(e.tsMs, e.tsMs, 1))
-              case None =>
-                cur = Some(SessionState(e.tsMs, e.tsMs, 1))
-            }
-          }
-          cur match {
-            case Some(s) if state.hasTimedOut || !evs.hasNext =>
-              // batch mode / group end: emit the open session too
-              closed += Session(userId, s.startMs, s.lastMs, s.n)
+    if (events.isStreaming) {
+      implicit val ewm = Encoders.product[EventWm]
+      val wm = events.toDF()
+        .withColumn("eventTime", timestamp_millis(col("tsMs")))
+        .withWatermark("eventTime", s"$watermarkDelayMs milliseconds")
+        .as[EventWm]
+      wm.groupByKey(_.userId)
+        .flatMapGroupsWithState[SessionState, Session](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (userId: Long, evs: Iterator[EventWm], state: GroupState[SessionState]) =>
+            if (state.hasTimedOut) {
+              // watermark passed lastMs + gapMs with no new events → the
+              // open session is final
+              val s = state.get
               state.remove()
-            case Some(s) => state.update(s)
-            case None =>
-          }
-          closed.result().iterator
-      }
+              Iterator.single(Session(userId, s.startMs, s.lastMs, s.n))
+            } else {
+              val (closed, open) = foldEvents(userId,
+                evs.map(e => Event(e.userId, e.tsMs)), state.getOption, gapMs)
+              open match {
+                case Some(s) =>
+                  state.update(s)
+                  // late data may put lastMs+gapMs behind the watermark;
+                  // the timeout must stay strictly ahead of it
+                  state.setTimeoutTimestamp(
+                    math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
+                case None => state.remove()
+              }
+              closed.iterator
+            }
+        }
+    } else
+      events.groupByKey(_.userId)
+        .flatMapGroupsWithState[SessionState, Session](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+            // batch: every key runs exactly once, so the trailing open
+            // session is final by definition
+            val (closed, open) = foldEvents(userId, evs, None, gapMs)
+            (closed ++
+              open.map(s => Session(userId, s.startMs, s.lastMs, s.n))).iterator
+        }
   }
 }

@@ -140,6 +140,65 @@ class GraftDatasetSpec extends SparkSpec {
     assert(ds.views.isEmpty)
   }
 
+  test("saved views are pinned to their commit across update/pop/append") {
+    val ds = freshTable()
+    ds.saveView("high", $"score" >= 2.0)
+    // mutate EVERYTHING the view touches: update one member, delete the
+    // other, append a row that would match the predicate today
+    ds.update($"id" === 1L, Map("score" -> lit(99.0), "label" -> lit("Z")))
+    ds.pop($"id" === 2L)
+    ds.append(Seq((7L, "new", 5.0)).toDF("id", "label", "score"))
+    ds.commit("post-save mutations")
+    // the view still reads exactly the saved-commit rows
+    assert(ds.loadView("high").orderBy("id").as[(Long, String, Double)]
+      .collect().toSeq == Seq((1L, "b", 2.0), (2L, "c", 3.0)))
+    // the live table HAS changed — so the pin is doing the work
+    assert(ds.toDF.filter($"score" >= 2.0).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((0L, "a", 1.0), (1L, "Z", 99.0), (7L, "new", 5.0))
+        .filter(_._3 >= 2.0))
+  }
+
+  test("claimReservation: unique, increasing, O(1) via hint, bounded at 2^23") {
+    val ds = freshTable()
+    val root = ds.root
+    // 32 concurrent claims from 8 threads → all distinct and positive
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val claims = (1 to 32).map(_ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = CommitLog.claimReservation(spark, root)
+      }))
+    val got = claims.map(_.get())
+    pool.shutdown()
+    assert(got.distinct.size == got.size, "concurrent claims must be unique")
+    assert(got.forall(_ > 0))
+    // later sequential claim is strictly above everything claimed so far
+    assert(CommitLog.claimReservation(spark, root) > got.max)
+    // poison the hint past the 23-bit space → the claim fails loudly
+    // instead of minting sign-bit-crossing uuids
+    val f = CommitLog.fs(spark, root)
+    val hint = new org.apache.hadoop.fs.Path(root, "_graft/reservations/_next")
+    val out = f.create(hint, true)
+    out.write(CommitLog.maxReservation.toString.getBytes("UTF-8")); out.close()
+    intercept[IllegalArgumentException](CommitLog.claimReservation(spark, root))
+  }
+
+  test("merge-on-read stays one join regardless of update-file count") {
+    val ds = freshTable()
+    for (i <- 1 to 12) { // 12 uncompacted update files
+      ds.update($"id" === (i % 3).toLong, Map("score" -> lit(i.toDouble)))
+    }
+    ds.commit("many updates")
+    // last write per uuid wins
+    assert(ds.toDF.orderBy("id").as[(Long, String, Double)]
+      .collect().map(_._3).toSeq == Seq(12.0, 10.0, 11.0))
+    // the plan holds ONE anti-join against the base, not a 12-deep chain
+    val joins = ds.toDF.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected 1 join, got ${joins.size}")
+  }
+
   test("UDF filter + row-at-a-time aggregate with UDF where") {
     val ds = freshTable()
     assert(ds.filterRows(r => r.getAs[Double]("score") > 1.5).count() == 2)

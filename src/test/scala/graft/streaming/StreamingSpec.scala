@@ -119,6 +119,41 @@ class StreamingSpec extends SparkSpec {
     assert(stateful == windowed)
   }
 
+  test("streaming sessionization: one session across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val gap = 30000L
+    val ses = Sessionize.sessions(mem.toDS(), gap)
+    val q = ses.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // user 1's events arrive over TWO micro-batches, all within the gap —
+    // the broken NoTimeout version emitted a session per batch. (Times sit
+    // above 0: the initial watermark is 0 and rows at-or-below the
+    // watermark are dropped as late.)
+    val t0 = 1000000L
+    mem.addData(Sessionize.Event(1L, t0), Sessionize.Event(1L, t0 + 1000L))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(1L, t0 + 2000L))
+    q.processAllAvailable()
+    assert(spark.table("sess").count() == 0, "open session must stay open")
+    // advance the watermark far past t0 + 2000 + gap, then trigger once
+    // more so the event-time timeout fires
+    mem.addData(Sessionize.Event(2L, t0 + 10000000L))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(2L, t0 + 20000000L))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sess").as[Sessionize.Session]
+      .collect().filter(_.userId == 1L)
+    assert(u1.toSeq == Seq(Sessionize.Session(1L, t0, t0 + 2000L, 3L)),
+      s"exactly ONE session spanning both batches, got ${u1.toSeq}")
+    // user 2's first session closed in-batch by its out-of-gap successor
+    val u2 = spark.table("sess").as[Sessionize.Session]
+      .collect().filter(_.userId == 2L)
+    assert(u2.toSeq ==
+      Seq(Sessionize.Session(2L, t0 + 10000000L, t0 + 10000000L, 1L)))
+  }
+
   test("sessionization groups events by inactivity gap") {
     val events = Seq(
       Sessionize.Event(1L, 0L), Sessionize.Event(1L, 1000L),
