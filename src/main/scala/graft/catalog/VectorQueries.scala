@@ -107,10 +107,15 @@ object VectorQueries {
         SELECT query_id, vec_id, rank, l2sq_scaled FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // embedding-cosine near-dup pairs, blocked on label (no full cross join)
+    // embedding-cosine near-dup pairs: candidates from RP-LSH band
+    // buckets (high-cardinality, bounded — never O(n²/|labels|)), the
+    // label-equality constraint and the exact scaled-int cosine verified
+    // on the candidate pairs. 8 planes × 8 bands ⇒ recall ≈ 1-(1-p^8)^8
+    // with p = 1-θ/π; at cos ≥ 0.99 that is ≈ 0.999.
     QueryDef("q63_embedding_near_dup",
-      (s, dir) => Dedup.embeddingNearDup(emb(s, dir), "embedding", "vec_id",
-          blockCol = "label", threshold = 0.99)
+      (s, dir) => Dedup.embeddingNearDupLsh(emb(s, dir), "embedding", "vec_id",
+          threshold = 0.99, planesPerBand = 8, bands = 8,
+          equalCols = Seq("label"))
         .withColumn("cos_x1e6", round(col("cos_sim") * lit(1e6)).cast("long"))
         .select("vec_id_a", "vec_id_b", "cos_x1e6")
         .orderBy("vec_id_a", "vec_id_b"),

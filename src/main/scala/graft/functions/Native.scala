@@ -11,6 +11,8 @@ object NativeExpressions {
     N.minHashSig(shingles, numHashes)
   def minHashBands(sig: Column, rowsPerBand: Int): Column =
     N.minHashBands(sig, rowsPerBand)
+  def rpLshBands(vec: Column, planesPerBand: Int, bands: Int): Column =
+    N.rpLshBands(vec, planesPerBand, bands)
   def dotF(a: Column, b: Column): Column = N.dotF(a, b)
   def l2SqF(a: Column, b: Column): Column = N.l2SqF(a, b)
 }

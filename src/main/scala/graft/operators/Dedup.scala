@@ -307,18 +307,23 @@ object Dedup {
     */
   def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
                           threshold: Double, planesPerBand: Int = 10,
-                          bands: Int = 4, maxBucket: Int = 2000): DataFrame = {
+                          bands: Int = 4, maxBucket: Int = 2000,
+                          equalCols: Seq[String] = Nil): DataFrame = {
     // Column pruning splits this into two single-purpose branches: the
     // bucket branch computes ONLY `_bkts` (qint/norm pruned away) and the
     // verify branch ONLY `_qv`/`_nrm` (buckets pruned); the hash-exchange
     // on the verify branch is then reused across both join sides, so each
     // expensive expression runs once per row total.
+    // `equalCols` are extra exact-equality constraints (e.g. a label)
+    // verified on the candidate pairs — they ride the verify join instead
+    // of becoming a low-cardinality blocking key, so the self-join stays
+    // bucketed on the high-cardinality LSH keys.
     val prep = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), V.qint(col(vecCol)).as("_qv"),
-        array((0 until bands).map(b =>
-          rpLshBucket(col(vecCol), planesPerBand, seed = b * 7919 + 17)): _*)
-          .as("_bkts"))
+      .select((Seq(col(idCol), V.qint(col(vecCol)).as("_qv"),
+        org.apache.spark.sql.graftnative.NativeExpressions
+          .rpLshBands(col(vecCol), planesPerBand, bands)
+          .as("_bkts")) ++ equalCols.map(col)): _*)
     val buckets = prep.select(col(idCol),
       posexplode(col("_bkts")).as(Seq("band", "bucket")))
     val cand = buckets.groupBy("band", "bucket")
@@ -330,17 +335,22 @@ object Dedup {
     // _nrm is computed BELOW the exchange so the shuffle files carry it and
     // both join sides read it back (a withColumn above the exchange would
     // re-evaluate the dot per side).
-    val side = prep.select(col(idCol), col("_qv"))
+    val side = prep.select((Seq(col(idCol), col("_qv")) ++
+        equalCols.map(col)): _*)
       .withColumn("_nrm", sqrt(V.dotQ(col("_qv"), col("_qv")).cast("double")))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    def renamed(suffix: String) = side.select((Seq(
+      col(idCol).as(s"${idCol}$suffix"), col("_qv").as(s"_q$suffix"),
+      col("_nrm").as(s"_n$suffix")) ++
+      equalCols.map(c => col(c).as(s"_$c$suffix"))): _*)
     cand
-      .join(side.select(col(idCol).as(s"${idCol}_a"), col("_qv").as("_qa"),
-        col("_nrm").as("_na")), s"${idCol}_a")
-      .join(side.select(col(idCol).as(s"${idCol}_b"), col("_qv").as("_qb"),
-        col("_nrm").as("_nb")), s"${idCol}_b")
+      .join(renamed("_a"), s"${idCol}_a")
+      .join(renamed("_b"), s"${idCol}_b")
+      .filter(equalCols.map(c => col(s"_${c}_a") === col(s"_${c}_b"))
+        .foldLeft(lit(true))(_ && _))
       .withColumn("cos_sim",
-        V.dotQ(col("_qa"), col("_qb")).cast("double") /
-          (col("_na") * col("_nb")))
+        V.dotQ(col("_q_a"), col("_q_b")).cast("double") /
+          (col("_n_a") * col("_n_b")))
       .filter(col("cos_sim") >= threshold)
       .select(s"${idCol}_a", s"${idCol}_b", "cos_sim")
   }

@@ -38,6 +38,10 @@ object NativeExpressions {
     ExpressionUtils.column(
       MinHashBands(ExpressionUtils.expression(sig), rowsPerBand))
 
+  def rpLshBands(vec: Column, planesPerBand: Int, bands: Int): Column =
+    ExpressionUtils.column(
+      RpLshBands(ExpressionUtils.expression(vec), planesPerBand, bands))
+
   def dotF(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -171,6 +175,104 @@ case class MinHashBands(child: Expression, rowsPerBand: Int)
             $h = $m3.hashInt($c.getInt($i), $h);
           }
           $out[$b] = (long) $h;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH band buckets of a float vector: `array<long>` of
+  * length `bands`; band b's bucket has bit p set iff the projection onto
+  * pseudo-random plane (p, seed=b*7919+17) is ≥ 0. BIT-EXACT twin of the
+  * HOF formulation in [[graft.operators.Dedup.rpLshBucket]] (weights
+  * murmur3-chained exactly like `functions.hash(lit(p), i, lit(seed))`,
+  * same double summation order), but one codegen'd loop per row instead
+  * of bands × planes interpreted `aggregate` trees. A null vector element
+  * nullifies every projection (bucket 0), matching HOF null propagation.
+  */
+case class RpLshBands(child: Expression, planesPerBand: Int, bands: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(planesPerBand > 0 && planesPerBand <= 63, "planesPerBand in (0, 63]")
+  require(bands > 0, "bands must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rplsh_bands"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](bands)
+    var hasNull = false
+    var j = 0
+    while (j < n && !hasNull) { hasNull = arr.isNullAt(j); j += 1 }
+    if (!hasNull) {
+      var b = 0
+      while (b < bands) {
+        val seed = b * 7919 + 17
+        var bucket = 0L
+        var p = 0
+        while (p < planesPerBand) {
+          val h1 = Murmur3_x86_32.hashInt(p, 42)
+          var proj = 0.0
+          var i = 0
+          while (i < n) {
+            val h3 = Murmur3_x86_32.hashInt(seed, Murmur3_x86_32.hashInt(i, h1))
+            proj += arr.getFloat(i).toDouble * (h3.toDouble / 2.147483648e9)
+            i += 1
+          }
+          if (proj >= 0) bucket += (1L << p)
+          p += 1
+        }
+        out(b) = bucket
+        b += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val hasNull = ctx.freshName("hasNull")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val seed = ctx.freshName("seed")
+      val bucket = ctx.freshName("bucket")
+      val h1 = ctx.freshName("h1")
+      val proj = ctx.freshName("proj")
+      val m3 = classOf[Murmur3_x86_32].getName
+      s"""
+        int $n = $c.numElements();
+        long[] $out = new long[$bands];
+        boolean $hasNull = false;
+        for (int $j = 0; $j < $n && !$hasNull; $j++) {
+          $hasNull = $c.isNullAt($j);
+        }
+        if (!$hasNull) {
+          for (int $b = 0; $b < $bands; $b++) {
+            int $seed = $b * 7919 + 17;
+            long $bucket = 0L;
+            for (int $p = 0; $p < $planesPerBand; $p++) {
+              int $h1 = $m3.hashInt($p, 42);
+              double $proj = 0.0;
+              for (int $i = 0; $i < $n; $i++) {
+                $proj += ((double) $c.getFloat($i)) *
+                  (((double) $m3.hashInt($seed, $m3.hashInt($i, $h1)))
+                    / 2.147483648E9);
+              }
+              if ($proj >= 0) $bucket += (1L << $p);
+            }
+            $out[$b] = $bucket;
+          }
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """

@@ -53,6 +53,23 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("rpLshBands ≡ per-band HOF rpLshBucket formulation") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 50).map(_ => Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+      .toDF("v")
+    val planes = 8
+    val bands = 5
+    val hof = array((0 until bands).map(b =>
+      graft.operators.Dedup.rpLshBucket(col("v"), planes,
+        seed = b * 7919 + 17)): _*)
+    val rows = df.select(
+      NativeExpressions.rpLshBands(col("v"), planes, bands).as("native"),
+      hof.as("ref")).collect()
+    rows.foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"native ${r.getSeq[Long](0)} != ref ${r.getSeq[Long](1)}"))
+  }
+
   test("null safety: null input array yields null, not a crash") {
     val df = Seq((Some(Seq("x")), None: Option[Seq[String]])).toDF("a", "b")
     val r = df.select(

@@ -128,6 +128,46 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == brute) // full recall on near-identical pairs
   }
 
+  test("LSH near-dup with equalCols: label verified, no label-blocked join") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val base = vec()
+    // 0/1 same label + identical → pair; 0/2 identical but DIFFERENT label
+    // → excluded by the equality constraint
+    val rows = Seq((0L, 0, base), (1L, 0, base), (2L, 1, base)) ++
+      (3L until 40L).map(i => (i, (i % 3).toInt, vec()))
+    val df = rows.toDF("id", "label", "emb")
+    val pairs = Dedup.embeddingNearDupLsh(df, "emb", "id", threshold = 0.99,
+      equalCols = Seq("label"))
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      Set((0L, 1L)))
+    // scale shape: every join keys on high-cardinality attrs (ids /
+    // band+bucket) — label equality must never be the ONLY join condition
+    val joins = pairs.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val refs = j.condition.toSeq.flatMap(_.references.toSeq.map(_.name))
+      assert(refs.exists(r => !r.contains("label")),
+        s"label-only join condition in plan: $refs")
+    }
+  }
+
+  test("LSH bucket cap drops oversized buckets instead of going quadratic") {
+    val base = Seq.fill(16)(0.5f)
+    val df = (0L until 30L).map(i => (i, base)).toDF("id", "emb")
+    // 30 identical vectors all land in one bucket per band; cap at 10 →
+    // every bucket oversized → zero candidate pairs, zero output
+    val capped = Dedup.embeddingNearDupLsh(df, "emb", "id",
+      threshold = 0.99, maxBucket = 10)
+    assert(capped.count() == 0)
+    // with a big enough cap the same corpus yields all 30*29/2 pairs
+    val full = Dedup.embeddingNearDupLsh(df, "emb", "id",
+      threshold = 0.99, maxBucket = 2000)
+    assert(full.count() == 30L * 29 / 2)
+  }
+
   test("scaled-int vector math is exact and order-independent") {
     val a = Seq(0.1f, 0.2f, 0.3f)
     val b = Seq(0.3f, 0.2f, 0.1f)
