@@ -209,6 +209,19 @@ object VectorQueries {
       (s, dir) => Tables.load(s, dir, "documents")
         .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
         .orderBy("doc_id"),
-      None)
+      None),
+
+    // safe-eval attribute access (reference safe_evaluator.py:46-84):
+    // `.size`/`.shape[k]`/`.min`/`.max`/`.mean` over the embedding tensor
+    // translate to size()/array_min()/array_max()/aggregate() — whole
+    // string query stays a codegen'd Catalyst predicate
+    QueryDef("q76_expr_attr_access",
+      (s, dir) => graft.operators.SafeExpr.filter(emb(s, dir),
+          "embedding.size == 64 and embedding.max >= 0.29 and label < 3")
+        .select("vec_id", "label").orderBy("vec_id"),
+      Some("""SELECT vec_id, label FROM embeddings
+        WHERE len(embedding) = 64
+          AND list_aggregate(embedding, 'max') >= 0.29
+          AND label < 3 ORDER BY vec_id"""))
   )
 }

@@ -17,18 +17,26 @@ import org.apache.spark.sql.functions.expr
   * to a Catalyst expression via `expr()` — so string queries run inside
   * whole-stage codegen with predicate pushdown, not a Python interpreter.
   *
+  * Attribute access matches the reference whitelist
+  * (safe_evaluator.py:46-84): `col.size`, `col.shape[k]`, `col.min`,
+  * `col.max`, `col.mean` on array columns translate to
+  * `size()/array_min()/array_max()/aggregate()` — still pure Catalyst.
+  *
   * Blocked (like safe_evaluator.py:106-218): function calls, lambdas,
-  * imports, attribute access, subscripts, comprehensions, semicolons.
+  * imports, other attributes, non-shape subscripts, comprehensions,
+  * semicolons.
   */
 object SafeExpr {
 
   private val keywords = Set("and", "or", "not", "in", "true", "false", "null")
+  private val attrs = Set("size", "shape", "min", "max", "mean")
 
   private sealed trait Tok
   private case class Ident(s: String) extends Tok
   private case class Num(s: String) extends Tok
   private case class Str(s: String) extends Tok
   private case class Sym(s: String) extends Tok
+  private case class Attr(col: String, attr: String, idx: Option[Int]) extends Tok
 
   private def tokenize(q: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer[Tok]()
@@ -62,7 +70,7 @@ object SafeExpr {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
         if (Set("==", "!=", "<=", ">=", "**", "//").contains(two)) {
           out += Sym(two); i += 2
-        } else if ("<>+-*/%()[],".indexOf(ch) >= 0) {
+        } else if ("<>+-*/%()[],.".indexOf(ch) >= 0) {
           out += Sym(ch.toString); i += 1
         } else throw new IllegalArgumentException(
           s"illegal character '$ch' in query: $q")
@@ -79,10 +87,81 @@ object SafeExpr {
     * `label in ['cat','dog']` — is coerced to its dictionary id exactly
     * like the reference's evaluator (muller/core/query/query.py:104-324).
     */
+  /** Fold `col . attr` (and a trailing `[k]` for shape) into [[Attr]]
+    * tokens; any other use of `.` or a subscript is blocked, mirroring the
+    * reference's AST whitelist (Attribute allowed only for the five tensor
+    * attributes, Subscript only on `shape`).
+    */
+  private def foldAttrs(toks: List[Tok], colSet: Set[String]): List[Tok] = {
+    val arr = toks.toVector
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var i = 0
+    while (i < arr.length) {
+      arr(i) match {
+        case Sym(".") =>
+          val colName = out.lastOption match {
+            case Some(Ident(c)) if colSet.contains(c) &&
+              !keywords.contains(c.toLowerCase) => c
+            case _ => throw new IllegalArgumentException(
+              "attribute access is only allowed on dataset columns")
+          }
+          val attr = arr.lift(i + 1) match {
+            case Some(Ident(a)) if attrs.contains(a) => a
+            case Some(Ident(a)) => throw new IllegalArgumentException(
+              s"attribute '.$a' is blocked; allowed: ${attrs.mkString(", ")}")
+            case _ => throw new IllegalArgumentException(
+              "dangling '.' in query")
+          }
+          val idx = (arr.lift(i + 2), arr.lift(i + 3), arr.lift(i + 4)) match {
+            case (Some(Sym("[")), Some(Num(k)), Some(Sym("]")))
+                if attr == "shape" =>
+              i += 3
+              Some(k.toDouble.toInt)
+            case (Some(Sym("[")), _, _) => throw new IllegalArgumentException(
+              s"subscripts are only allowed on .shape, not .$attr")
+            case _ => None
+          }
+          if (attr == "shape" && idx.isEmpty)
+            throw new IllegalArgumentException(
+              ".shape must be indexed, e.g. col.shape[0]")
+          out.remove(out.length - 1)
+          out += Attr(colName, attr, idx)
+          i += 2
+        case Sym("[") =>
+          // a '[' directly after a column is an arbitrary subscript — block
+          out.lastOption match {
+            case Some(Ident(c)) if colSet.contains(c) =>
+              throw new IllegalArgumentException(
+                s"subscript on '$c' is blocked; only .shape[k] is allowed")
+            case _ => out += arr(i); i += 1
+          }
+        case t => out += t; i += 1
+      }
+    }
+    out.toList
+  }
+
+  /** SQL for an attribute token — pure built-in Catalyst functions. */
+  private def attrSql(a: Attr): String = {
+    val c = s"`${a.col}`"
+    a.attr match {
+      case "size" => s"size($c)"
+      case "shape" =>
+        val k = a.idx.get
+        require(k >= 0 && k <= 8, s"shape index $k out of range")
+        // dim k of a nested array = size after k first-element descents
+        s"size($c${"[0]" * k})"
+      case "min" => s"array_min($c)"
+      case "max" => s"array_max($c)"
+      case "mean" =>
+        s"(aggregate($c, cast(0 as double), (acc, x) -> acc + cast(x as double)) / size($c))"
+    }
+  }
+
   def toSql(query: String, columns: Seq[String],
             classLabels: Map[String, Seq[String]] = Map.empty): String = {
     val colSet = columns.toSet
-    val toks = tokenize(query)
+    val toks = foldAttrs(tokenize(query), colSet)
     if (toks.isEmpty) throw new IllegalArgumentException("empty query")
     val sb = new StringBuilder
     var prevIdent = false
@@ -93,6 +172,9 @@ object SafeExpr {
     val compareOps = Set("==", "!=", "<", "<=", ">", ">=")
     toks.foreach { t =>
       val piece = t match {
+        case a: Attr =>
+          prevIdent = false; labelCtx = None
+          attrSql(a)
         case Ident(s) if keywords.contains(s.toLowerCase) =>
           prevIdent = false
           if (s.toLowerCase != "in") { labelCtx = None; inList = false }

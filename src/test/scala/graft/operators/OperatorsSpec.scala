@@ -56,6 +56,36 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](SafeExpr.filter(df, "v; drop table"))
   }
 
+  test("safe-eval attribute access on array columns (reference whitelist)") {
+    val e = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(-5.0f, 0.5f)),
+      (3L, Seq(4.0f, 4.0f, 4.0f, 4.0f))).toDF("id", "emb")
+    def ids(q: String): Set[Long] =
+      SafeExpr.filter(e, q).select("id").as[Long].collect().toSet
+    assert(ids("emb.size == 3") == Set(1L))
+    assert(ids("emb.shape[0] >= 3") == Set(1L, 3L))
+    assert(ids("emb.min < 0") == Set(2L))
+    assert(ids("emb.max == 4.0") == Set(3L))
+    assert(ids("emb.mean == 2.0") == Set(1L)) // (1+2+3)/3
+    assert(ids("emb.size == 3 and emb.max > 2") == Set(1L))
+  }
+
+  test("safe-eval attribute access stays whitelisted") {
+    val e = Seq((1L, Seq(1.0f))).toDF("id", "emb")
+    // non-whitelisted attribute
+    intercept[IllegalArgumentException](SafeExpr.filter(e, "emb.sum > 0"))
+    // attribute on a non-column
+    intercept[IllegalArgumentException](SafeExpr.filter(e, "foo.min > 0"))
+    // arbitrary subscripts are blocked (only .shape[k])
+    intercept[IllegalArgumentException](SafeExpr.filter(e, "emb[0] > 0"))
+    intercept[IllegalArgumentException](SafeExpr.filter(e, "emb.min[0] > 0"))
+    // shape requires an index
+    intercept[IllegalArgumentException](SafeExpr.filter(e, "emb.shape > 0"))
+    // dangling dot
+    intercept[IllegalArgumentException](SafeExpr.filter(e, "emb. > 0"))
+  }
+
   test("aggregateVectorized: one method per call, order direction") {
     val out = AggregateVectorized(df, Seq("tag"), Seq("v"), "sum",
       orderBy = Seq("sum_v"), direction = "DESC")
