@@ -83,6 +83,30 @@ object TextQueries {
            OR (list_contains($duckToks, 'stream') AND list_contains($duckToks, 'batch'))
         ORDER BY doc_id""")),
 
+    // dictionary CJK tokenizer with stop words + case folding: the text is
+    // CONSTRUCTED per row (doc_id-dependent Han words around the latin
+    // corpus words), so the DuckDB oracle can state the expected
+    // segmentation as literals — no segmenter needed oracle-side.
+    // Dictionary words segment as units (FMM), OOV Han chars come out as
+    // single characters, '的'/'the' are stop-filtered, 'The'/'Fox' fold.
+    QueryDef("q77_cjk_dict_tokens",
+      (s, dir) => {
+        val zh = when(col("doc_id") % 3 === 0, lit("数据的引擎"))
+          .when(col("doc_id") % 3 === 1, lit("向量检索X快"))
+          .otherwise(lit("天天向上"))
+        val text = concat(lit("The Quick "), zh, lit(" brown Fox"))
+        docs(s, dir).select(col("doc_id"),
+          concat_ws("|", T.tokensDict(text,
+            dict = Seq("数据", "引擎", "向量", "检索", "向上"),
+            stopWords = Seq("的", "the"))).as("toks"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN 'quick|数据|引擎|brown|fox'
+          WHEN 1 THEN 'quick|向量|检索|x|快|brown|fox'
+          ELSE 'quick|天|天|向上|brown|fox' END AS toks
+        FROM documents ORDER BY doc_id""")),
+
     // range_match (BETWEEN via numeric index in the reference)
     QueryDef("q44_text_range_match",
       (s, dir) => FilterVectorized(docs(s, dir),

@@ -38,6 +38,18 @@ object TextFunctions {
     concat(latin, bigrams)
   }
 
+  /** Dictionary CJK tokenizer with the reference's build options
+    * (inverted_index_vectorized.py:121-158): `dict` ≙ compulsory/user
+    * words segmented as units (forward maximum matching, OOV Han chars →
+    * single chars), `stopWords` filtered after segmentation, lowercase
+    * unless `caseSensitive`. Non-Han text splits on whitespace. Tokens in
+    * text order.
+    */
+  def tokensDict(c: Column, dict: Seq[String],
+                 stopWords: Seq[String] = Nil,
+                 caseSensitive: Boolean = false): Column =
+    org.apache.spark.sql.graftnative.DictTokens(c, dict, stopWords, caseSensitive)
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish subword estimate: word count + extra tokens for long words

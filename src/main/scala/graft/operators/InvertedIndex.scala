@@ -37,11 +37,18 @@ case class IndexStats(hotTerms: Map[String, Long], maxOtherCount: Long)
 
 object InvertedIndex {
 
-  /** Posting table for a text column: (term, shard, id). */
+  /** Posting table for a text column: (term, shard, id). `tokenizer`
+    * carries the reference's build options (jieba user dict, stop words,
+    * case sensitivity — inverted_index_vectorized.py:121-158): pass
+    * `T.tokensDict(_, dict, stopWords, caseSensitive)` for a CJK corpus;
+    * the default is the whitespace contract the oracle queries share.
+    */
   def build(df: DataFrame, textCol: String, idCol: String,
-            numShards: Int = 16): DataFrame =
+            numShards: Int = 16,
+            tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+              = T.tokens): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(array_distinct(T.tokens(col(textCol)))).as("term"))
+        explode(array_distinct(tokenizer(col(textCol)))).as("term"))
       .withColumn("shard", pmod(xxhash64(col("term")), lit(numShards)).cast("int"))
 
   /** Persist postings + the stats sidecar. The sidecar costs one

@@ -33,6 +33,46 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2) == Seq("plain", "text"))
   }
 
+  test("dictionary CJK tokenizer: FMM, stop words, case options") {
+    val dict = Seq("数据", "数据库", "引擎", "向上")
+    def toks(t: String, stop: Seq[String] = Nil, cs: Boolean = false) =
+      Seq(t).toDF("t").select(T.tokensDict($"t", dict, stop, cs)).head()
+        .getSeq[String](0)
+    // longest match wins: 数据库 beats 数据
+    assert(toks("数据库引擎") == Seq("数据库", "引擎"))
+    // OOV Han chars segment as single characters (jieba precise, no HMM)
+    assert(toks("天天向上") == Seq("天", "天", "向上"))
+    // mixed text keeps text order; latin splits on whitespace
+    assert(toks("fast 数据 engine") == Seq("fast", "数据", "engine"))
+    // stop words filtered AFTER segmentation, Han and latin alike
+    assert(toks("the 数据的引擎 end", stop = Seq("the", "的")) ==
+      Seq("数据", "引擎", "end"))
+    // case folding by default; preserved when caseSensitive
+    assert(toks("The QUICK") == Seq("the", "quick"))
+    assert(toks("The QUICK", cs = true) == Seq("The", "QUICK"))
+    // case-insensitive stop words match folded text
+    assert(toks("The quick", stop = Seq("THE")) == Seq("quick"))
+    // null text → null, empty text → empty array
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .select(T.tokensDict($"t", dict)).head()
+    assert(nullRow.isNullAt(0))
+    assert(toks("") == Seq.empty)
+  }
+
+  test("inverted index built with the dictionary tokenizer routes CJK queries") {
+    val df = Seq(
+      (1L, "预训练 数据引擎"), (2L, "向量检索 引擎"), (3L, "plain latin text"))
+      .toDF("id", "t")
+    val dict = Seq("数据", "引擎", "向量", "检索", "预训练")
+    val idx = InvertedIndex.build(df, "t", "id",
+      tokenizer = T.tokensDict(_, dict))
+    val hits = idx.filter($"term" === "引擎").select("id")
+      .as[Long].collect().toSet
+    assert(hits == Set(1L, 2L))
+    assert(idx.filter($"term" === "预训练").select("id")
+      .as[Long].collect().toSet == Set(1L))
+  }
+
   test("quality + language heuristics are deterministic") {
     val df = Seq(
       "the cat sat on the mat and the dog is here",
