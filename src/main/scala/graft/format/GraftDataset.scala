@@ -178,19 +178,51 @@ class GraftDataset private[format] (
     * `class_label` + `class_names` info, htype.py:163-169): values are
     * dictionary ids; the names ride in the column metadata and string
     * queries coerce names → ids (see [[filterQuery]]).
+    *
+    * Tensor GROUPS (reference `group/tensor` addressing, query.py:86-101,
+    * subdataset.py:8-30): a `/`-separated name nests the leaf inside
+    * StructType levels — `createTensor("a/b", t)` makes column `a` a
+    * struct holding field `b`, addressable as `a.b` in DataFrame code and
+    * in safe string queries.
     */
   def createTensor(name: String, dataType: DataType,
                    classNames: Seq[String]): Unit = {
-    require(!stSchema.fieldNames.contains(name), s"column $name exists")
-    require(name != UuidCol, s"$UuidCol is reserved")
     val md =
       if (classNames.isEmpty) org.apache.spark.sql.types.Metadata.empty
       else new org.apache.spark.sql.types.MetadataBuilder()
         .putStringArray(GraftDataset.ClassNamesKey, classNames.toArray).build()
-    stSchema = StructType(stSchema.fields :+
-      StructField(name, dataType, nullable = true, metadata = md))
+    val parts = name.split('/').toSeq
+    require(parts.forall(_.nonEmpty), s"bad tensor name $name")
+    require(parts.head != UuidCol, s"$UuidCol is reserved")
+    stSchema = addNested(stSchema, parts, dataType, md)
     dirty = true
   }
+
+  /** Insert a leaf field at a `/`-path, creating/extending struct levels. */
+  private def addNested(schema: StructType, path: Seq[String],
+                        leaf: DataType,
+                        md: org.apache.spark.sql.types.Metadata): StructType =
+    path match {
+      case Seq(last) =>
+        require(!schema.fieldNames.contains(last), s"column $last exists")
+        StructType(schema.fields :+
+          StructField(last, leaf, nullable = true, metadata = md))
+      case head +: rest =>
+        schema.fields.find(_.name == head) match {
+          case Some(f) =>
+            val inner = f.dataType match {
+              case st: StructType => st
+              case other => throw new IllegalArgumentException(
+                s"$head is a ${other.simpleString}, not a tensor group")
+            }
+            StructType(schema.fields.map(x =>
+              if (x.name == head) x.copy(dataType = addNested(inner, rest, leaf, md))
+              else x))
+          case None =>
+            StructType(schema.fields :+ StructField(head,
+              addNested(new StructType(), rest, leaf, md), nullable = true))
+        }
+    }
 
   /** Label dictionaries of all class-label columns. */
   def classLabels: Map[String, Seq[String]] =

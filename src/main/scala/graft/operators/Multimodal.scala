@@ -35,9 +35,49 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("mean_intensity", DoubleType))
 
-  /** STUB decoder: a real build decodes `bytes` with an image codec.
-    * This deterministic fake derives (h, w, c, mean) from the payload
-    * bytes so tests can assert exact values end-to-end.
+  /** REAL in-JVM decoder via javax.imageio — covers png/jpeg/bmp/gif/wbmp
+    * with zero extra dependencies (the reference's codec matrix,
+    * muller/compression.py:73-101, leans on PIL for the same formats).
+    * Returns (height, width, channels, meanIntensity) where mean is the
+    * exact average over every raster sample (all bands). None when the
+    * payload is empty or no registered reader recognizes it.
+    */
+  private[graft] def decodeJvm(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val h = img.getHeight
+        val w = img.getWidth
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val buf = new Array[Int](w * bands)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          raster.getPixels(0, y, w, 1, buf)
+          var i = 0
+          while (i < buf.length) { sum += buf(i); i += 1 }
+          y += 1
+        }
+        Some((h, w, bands, sum / (h.toLong * w * bands)))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode dispatch: the JVM codec first; payloads no reader recognizes
+    * (audio/video/dicom — not shipped in-JVM) fall back to the
+    * deterministic stub so the pipeline shape stays exercised end-to-end.
+    */
+  private[graft] def decode(bytes: Array[Byte],
+                            declaredShape: Seq[Int]): (Int, Int, Int, Double) =
+    decodeJvm(bytes).getOrElse(decodeStub(bytes, declaredShape))
+
+  /** STUB decoder for codecs the JVM does not ship: derives (h, w, c,
+    * mean) deterministically from the payload bytes so tests can assert
+    * exact values end-to-end.
     */
   private[graft] def decodeStub(bytes: Array[Byte],
                                 declaredShape: Seq[Int]): (Int, Int, Int, Double) = {
@@ -67,7 +107,7 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](bytesIdx)
           val shape = Option(r.getAs[scala.collection.Seq[Int]](shapeIdx))
             .map(_.toSeq).getOrElse(Seq.empty)
-          val (h, w, c, m) = decodeStub(bytes, shape)
+          val (h, w, c, m) = decode(bytes, shape)
           Row.fromSeq(r.toSeq ++ Seq[Any](h, w, c, m))
         }
       }

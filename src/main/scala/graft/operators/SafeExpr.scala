@@ -105,28 +105,39 @@ object SafeExpr {
             case _ => throw new IllegalArgumentException(
               "attribute access is only allowed on dataset columns")
           }
-          val attr = arr.lift(i + 1) match {
-            case Some(Ident(a)) if attrs.contains(a) => a
-            case Some(Ident(a)) => throw new IllegalArgumentException(
-              s"attribute '.$a' is blocked; allowed: ${attrs.mkString(", ")}")
-            case _ => throw new IllegalArgumentException(
-              "dangling '.' in query")
+          // a struct FIELD of the column wins over the attribute
+          // whitelist: `group.tensor` addressing (reference query.py:86-101)
+          arr.lift(i + 1) match {
+            case Some(Ident(a)) if colSet.contains(s"$colName.$a") =>
+              out.remove(out.length - 1)
+              out += Ident(s"$colName.$a")
+              i += 2
+            case other =>
+              val attr = other match {
+                case Some(Ident(a)) if attrs.contains(a) => a
+                case Some(Ident(a)) => throw new IllegalArgumentException(
+                  s"attribute '.$a' is blocked; allowed: " +
+                    s"${attrs.mkString(", ")} or a struct field")
+                case _ => throw new IllegalArgumentException(
+                  "dangling '.' in query")
+              }
+              val idx = (arr.lift(i + 2), arr.lift(i + 3), arr.lift(i + 4)) match {
+                case (Some(Sym("[")), Some(Num(k)), Some(Sym("]")))
+                    if attr == "shape" =>
+                  i += 3
+                  Some(k.toDouble.toInt)
+                case (Some(Sym("[")), _, _) =>
+                  throw new IllegalArgumentException(
+                    s"subscripts are only allowed on .shape, not .$attr")
+                case _ => None
+              }
+              if (attr == "shape" && idx.isEmpty)
+                throw new IllegalArgumentException(
+                  ".shape must be indexed, e.g. col.shape[0]")
+              out.remove(out.length - 1)
+              out += Attr(colName, attr, idx)
+              i += 2
           }
-          val idx = (arr.lift(i + 2), arr.lift(i + 3), arr.lift(i + 4)) match {
-            case (Some(Sym("[")), Some(Num(k)), Some(Sym("]")))
-                if attr == "shape" =>
-              i += 3
-              Some(k.toDouble.toInt)
-            case (Some(Sym("[")), _, _) => throw new IllegalArgumentException(
-              s"subscripts are only allowed on .shape, not .$attr")
-            case _ => None
-          }
-          if (attr == "shape" && idx.isEmpty)
-            throw new IllegalArgumentException(
-              ".shape must be indexed, e.g. col.shape[0]")
-          out.remove(out.length - 1)
-          out += Attr(colName, attr, idx)
-          i += 2
         case Sym("[") =>
           // a '[' directly after a column is an arbitrary subscript — block
           out.lastOption match {
@@ -141,9 +152,13 @@ object SafeExpr {
     out.toList
   }
 
+  /** Backtick-quote a (possibly dotted struct-path) column reference. */
+  private def quote(name: String): String =
+    name.split('.').map(p => s"`$p`").mkString(".")
+
   /** SQL for an attribute token — pure built-in Catalyst functions. */
   private def attrSql(a: Attr): String = {
-    val c = s"`${a.col}`"
+    val c = quote(a.col)
     a.attr match {
       case "size" => s"size($c)"
       case "shape" =>
@@ -185,7 +200,7 @@ object SafeExpr {
               "names outside the dataset schema are blocked")
           prevIdent = true
           labelCtx = classLabels.get(s)
-          s"`$s`"
+          quote(s)
         case Num(s) => prevIdent = false; s
         case Str(s) =>
           prevIdent = false
@@ -217,10 +232,23 @@ object SafeExpr {
     sb.toString.trim
   }
 
+  /** Every addressable column path: top-level names plus dotted paths
+    * into struct columns (tensor groups).
+    */
+  private def dottedPaths(schema: org.apache.spark.sql.types.StructType,
+                          prefix: String = ""): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      name +: (f.dataType match {
+        case st: org.apache.spark.sql.types.StructType => dottedPaths(st, name)
+        case _ => Nil
+      })
+    }
+
   /** Compile a safe string query into a Catalyst predicate for `df`. */
   def compile(df: DataFrame, query: String,
               classLabels: Map[String, Seq[String]] = Map.empty): Column =
-    expr(toSql(query, df.columns.toSeq, classLabels))
+    expr(toSql(query, dottedPaths(df.schema), classLabels))
 
   def filter(df: DataFrame, query: String,
              classLabels: Map[String, Seq[String]] = Map.empty): DataFrame =

@@ -159,6 +159,31 @@ class GraftDatasetSpec extends SparkSpec {
         .filter(_._3 >= 2.0))
   }
 
+  test("tensor groups: createTensor(\"a/b\") nests, a.b addresses it") {
+    val ds = freshTable()
+    ds.createTensor("meta/source", StringType)
+    ds.createTensor("meta/quality", DoubleType)
+    assert(ds.schema("meta").dataType.isInstanceOf[StructType])
+    ds.append(Seq((5L, "e", 9.0)).toDF("id", "label", "score")
+      .withColumn("meta",
+        struct(lit("web").as("source"), lit(0.75).as("quality"))))
+    ds.commit("grouped")
+    // dotted DataFrame addressing
+    assert(ds.toDF.filter(col("meta.source") === "web").count() == 1)
+    // pre-group rows null-backfill the whole group
+    assert(ds.toDF.filter(col("meta").isNull).count() == 3)
+    // group.tensor addressing inside safe string queries
+    assert(ds.filterQuery("meta.quality >= 0.5").count() == 1)
+    assert(ds.filterQuery("meta.source == 'web' and score > 5").count() == 1)
+    // non-existent field is still a blocked attribute, not silent null
+    intercept[IllegalArgumentException](ds.filterQuery("meta.nope == 1"))
+    // round-trips through a reopen
+    val ds2 = GraftDataset.load(spark, ds.root)
+    assert(ds2.filterQuery("meta.source == 'web'").count() == 1)
+    // a scalar column cannot be extended as a group
+    intercept[IllegalArgumentException](ds.createTensor("score/sub", LongType))
+  }
+
   test("claimReservation: unique, increasing, O(1) via hint, bounded at 2^23") {
     val ds = freshTable()
     val root = ds.root

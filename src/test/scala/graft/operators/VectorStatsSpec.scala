@@ -149,6 +149,37 @@ class VectorStatsSpec extends SparkSpec {
     assert(ds.toDF.count() == 2)
   }
 
+  test("multimodal: real PNG/BMP decode via the in-JVM codec") {
+    // 4x2 grayscale gradient: pixel (x,y) = 32*(y*4+x) → known exact mean
+    def png(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 2; x <- 0 until 4)
+        img.getRaster.setSample(x, y, 0, 32 * (y * 4 + x))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val expectedMean = (0 until 8).map(_ * 32).sum / 8.0 // 112.0
+    val schema = StructType(
+      StructField("id", LongType) +: Multimodal.mediaSchema("img"))
+    val rows = java.util.List.of(
+      Row(1L, png("png"), null, "png"),
+      Row(2L, png("bmp"), null, "bmp"),
+      // not an image → stub fallback keeps the pipeline total
+      Row(3L, Array[Byte](1, 2, 3, 4), Seq(9, 9, 1), "raw"))
+    val df = spark.createDataFrame(rows, schema)
+    val dec = Multimodal.decodeImages(df, "img").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(dec(id).getAs[Int]("height") == 2)
+      assert(dec(id).getAs[Int]("width") == 4)
+      assert(dec(id).getAs[Int]("channels") == 1)
+      assert(dec(id).getAs[Double]("mean_intensity") == expectedMean)
+    }
+    assert(dec(3L).getAs[Int]("height") == 9) // stub honored declared shape
+  }
+
   test("multimodal: decode stub plumbing, resize plan, frame sampling") {
     val schema = StructType(
       StructField("id", LongType) +: Multimodal.mediaSchema("img"))
