@@ -145,49 +145,76 @@ object Dedup {
 
   // ---- exact n-gram Jaccard (the oracle-checkable near-dup path) --------
 
-  /** Exact pairwise n-gram Jaccard: explode shingles, shuffle-join on
-    * shingle (within an optional `blockCol` to bound the join), count
-    * shared shingles per pair in ONE groupBy — per-doc set sizes are
-    * carried THROUGH the join so no re-join against a counts table is
-    * needed — then exact similarity from |A∩B| / (|A|+|B|−|A∩B|).
+  /** Exact pairwise n-gram Jaccard via AllPairs/PPJoin PREFIX FILTERING
+    * (Bayardo et al., WWW'07; Xiao et al., WWW'08):
     *
-    * Pruning: the length filter (`jaccard >= t` forces
-    * `t*|a| <= |b| <= |a|/t`) is applied inside the join condition, so
-    * wildly different-sized docs never reach the aggregation. For high
-    * thresholds (>= ~0.5) AllPairs/PPJoin prefix filtering would prune the
-    * candidate space further; at the low thresholds typical of analysis
-    * queries most pairs survive prefix filtering anyway and the extra
-    * shuffles cost more than they save (measured on this corpus).
+    *   1. order every doc's shingles by global rarity (freq, shingle) —
+    *      any CONSISTENT total order preserves exactness, rarity
+    *      minimizes candidates;
+    *   2. keep only each doc's PREFIX, the first
+    *      `|A| − ceil(t·|A|) + 1` shingles: if J(A,B) ≥ t, the first
+    *      common shingle in the global order provably sits inside BOTH
+    *      prefixes, so joining prefix-to-prefix loses no qualifying pair;
+    *   3. candidate pairs (distinct, plus the `t·|a| ≤ |b| ≤ |a|/t`
+    *      length filter and optional `blockCol` equality in the join
+    *      condition) are verified EXACTLY against the full shingle sets
+    *      with one hash-based `array_intersect` per pair.
+    *
+    * vs the naive shared-shingle self-join (whose join output is
+    * Σ_pairs |A∩B| rows and whose hot shingles go quadratic): prefixes
+    * hold only RARE shingles, so hot-shingle buckets never form, and the
+    * per-pair work moves into one O(|A|+|B|) set intersection. Same
+    * answer, oracle unchanged.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, threshold: Double,
                         blockCol: Option[String] = None): DataFrame = {
     val blk = blockCol.toSeq
-    // shingle compute is CPU-per-row → partition by cores, not file count
+    // shingle compute is CPU-per-row → first exchange spreads rows over
+    // cores (input may be one file = one partition); the SECOND exchange
+    // sits ABOVE the computed shingles so all five downstream consumers
+    // (freq, both prefix sides, both verify sides) reuse one evaluation
+    // per row instead of re-running the shingle transform per subtree
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val base = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .repartition(par)
       .select(
         (Seq(col(idCol).as("_id")) ++ blk.map(col)) :+
           T.tokenShingles(col(textCol), shingleN).as("_sh"): _*)
       .withColumn("_cnt", size(col("_sh")))
       .filter(col("_cnt") > 0)
+      .repartition(par, col("_id"))
     val ex = base.select(
       (Seq(col("_id"), col("_cnt")) ++ blk.map(col)) :+
         explode(col("_sh")).as("_s"): _*)
+    val freq = ex.groupBy("_s").agg(count(lit(1)).as("_f"))
+    // per-doc rank under the global rarity order → keep the prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_f").asc, col("_s").asc)
+    val prefix = ex.join(freq, "_s")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <=
+        col("_cnt") - ceil(col("_cnt") * lit(threshold)) + lit(1))
     val joinCond = blk.map(bc => col(s"a.$bc") === col(s"b.$bc"))
       .foldLeft(
         col("a._s") === col("b._s") && col("a._id") < col("b._id") &&
           col("b._cnt") * lit(threshold) <= col("a._cnt") &&
           col("a._cnt") * lit(threshold) <= col("b._cnt"))(_ && _)
-    ex.as("a").join(ex.as("b"), joinCond)
-      .groupBy(col("a._id").as(s"${idCol}_a"), col("b._id").as(s"${idCol}_b"),
-        col("a._cnt").as("_ca"), col("b._cnt").as("_cb"))
-      .agg(count(lit(1)).as("_inter"))
+    val cand = prefix.as("a").join(prefix.as("b"), joinCond)
+      .select(col("a._id").as("_ida"), col("b._id").as("_idb"))
+      .distinct()
+    cand
+      .join(base.select(col("_id").as("_ida"), col("_sh").as("_sha"),
+        col("_cnt").as("_ca")), "_ida")
+      .join(base.select(col("_id").as("_idb"), col("_sh").as("_shb"),
+        col("_cnt").as("_cb")), "_idb")
+      .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))))
       .withColumn("jaccard",
         col("_inter").cast("double") /
           (col("_ca") + col("_cb") - col("_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(s"${idCol}_a", s"${idCol}_b", "jaccard")
+      .select(col("_ida").as(s"${idCol}_a"), col("_idb").as(s"${idCol}_b"),
+        col("jaccard"))
   }
 
   // ---- SimHash ----------------------------------------------------------

@@ -114,6 +114,35 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 0.6)))
   }
 
+  test("prefix-filtered jaccard pairs == brute force on a random corpus") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0L until 60L).map { i =>
+      val n = 3 + rnd.nextInt(8)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("id", "t")
+    val t = 0.3
+    val got = Dedup.ngramJaccardPairs(df, "t", "id", 2, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side brute force over the same distinct-bigram sets
+    def shingles(s: String): Set[String] =
+      s.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.map { case (i, s) => i -> shingles(s) }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa intersect sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= t
+    } yield (ia, ib) -> j).toMap
+    assert(got.keySet == want.keySet,
+      s"missing ${want.keySet -- got.keySet}, extra ${got.keySet -- want.keySet}")
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
+  }
+
   test("minhash LSH finds near-identical docs and verifies jaccard") {
     val docs = (0L until 20L).map(i => (i, s"unique document number $i with content " +
       s"word${i}a word${i}b word${i}c word${i}d word${i}e word${i}f")) ++
