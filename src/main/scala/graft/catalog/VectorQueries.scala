@@ -211,6 +211,23 @@ object VectorQueries {
         .orderBy("doc_id"),
       None),
 
+    // product-quantization ANN (reference IVFPQ index type,
+    // faiss_index.py:133-272): train codebooks from a deterministic
+    // sample, encode to m ints per row, ADC table-lookup scan + exact
+    // re-rank of the best candidates. Approximate → rows-only check;
+    // VectorStatsSpec holds the lossless + recall proofs.
+    QueryDef("q78_vector_pq_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val model = VectorSearch.pqTrain(e, "embedding", "vec_id",
+          m = 8, k = 64)
+        val q = e.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        VectorSearch.pqTopK(VectorSearch.pqEncode(e, "embedding", model),
+          "embedding", "vec_id", model, q, topK = 10, rerank = 100)
+      },
+      None),
+
     // safe-eval attribute access (reference safe_evaluator.py:46-84):
     // `.size`/`.shape[k]`/`.min`/`.max`/`.mean` over the embedding tensor
     // translate to size()/array_min()/array_max()/aggregate() — whole

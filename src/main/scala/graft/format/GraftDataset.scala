@@ -743,6 +743,7 @@ class GraftDataset private[format] (
     */
   def updateVectorIndex(column: String, nlist: Int = 64): Unit = {
     require(!dirty, "commit before indexing")
+    unloadVectorIndex(column) // a pinned copy would go stale on append
     val dir = indexDir("vector", column)
     indexCommit(dir).flatMap(appendOnlyDelta) match {
       case Some(newFiles) =>
@@ -868,6 +869,7 @@ class GraftDataset private[format] (
     */
   def createVectorIndex(column: String, nlist: Int = 64): Unit = {
     require(!dirty, "commit before indexing")
+    unloadVectorIndex(column) // a pinned copy would go stale on overwrite
     val dir = indexDir("vector", column)
     val (assigned, centroids) = graft.operators.VectorSearch.ivfBuild(
       snapshotWithUuid(), column, UuidCol, nlist)
@@ -878,16 +880,69 @@ class GraftDataset private[format] (
     writeIndexMeta(dir)
   }
 
+  // ---- vector index lifecycle (reference vector_search_ops.py:104-141:
+  // load = pin in memory, unload = release, drop = delete permanently) ----
+
+  /** Loaded-index registry: column → (assigned, centroids), both persisted
+    * in executor memory+disk so repeated searches skip the parquet scan —
+    * the Spark-native meaning of the reference's "load index into memory".
+    */
+  private val loadedVector =
+    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]()
+
+  def loadVectorIndex(column: String): Unit = {
+    require(indexFresh("vector", column),
+      s"vector index for $column is stale or missing; createVectorIndex first")
+    if (!loadedVector.contains(column)) {
+      val dir = indexDir("vector", column)
+      val assigned = spark.read.parquet(new Path(dir, "assigned").toString)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val centroids = spark.read.parquet(new Path(dir, "centroids").toString)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      loadedVector(column) = (assigned, centroids)
+    }
+  }
+
+  def unloadVectorIndex(column: String): Unit =
+    loadedVector.remove(column).foreach { case (a, c) =>
+      a.unpersist(); c.unpersist(); ()
+    }
+
+  /** Drop the persisted index permanently (and release any loaded copy). */
+  def dropVectorIndex(column: String): Unit = {
+    unloadVectorIndex(column)
+    CommitLog.fs(spark, root).delete(indexDir("vector", column), true)
+    ()
+  }
+
+  def isVectorIndexLoaded(column: String): Boolean =
+    loadedVector.contains(column)
+
+  /** Enumerate persisted indexes as (kind, column, fresh). */
+  def listIndexes: Seq[(String, String, Boolean)] = {
+    val f = CommitLog.fs(spark, root)
+    val base = new Path(root, "_graft/indexes")
+    if (!f.exists(base)) Seq.empty
+    else for {
+      kindDir <- f.listStatus(base).toSeq.sortBy(_.getPath.getName)
+      colDir <- f.listStatus(kindDir.getPath).toSeq.sortBy(_.getPath.getName)
+      kind = kindDir.getPath.getName
+      column = colDir.getPath.getName
+    } yield (kind, column, indexFresh(kind, column))
+  }
+
   /** ANN search through the persisted IVF index (probes `nprobe` cells —
-    * partition-pruned read); requires a fresh index.
+    * partition-pruned read, or the pinned in-memory copy after
+    * [[loadVectorIndex]]); requires a fresh index.
     */
   def vectorSearch(column: String, queryVec: Seq[Float], k: Int,
                    metric: String = "cosine", nprobe: Int = 8): DataFrame = {
     val dir = indexDir("vector", column)
     require(indexFresh("vector", column),
       s"vector index for $column is stale or missing; createVectorIndex first")
-    val assigned = spark.read.parquet(new Path(dir, "assigned").toString)
-    val centroids = spark.read.parquet(new Path(dir, "centroids").toString)
+    val (assigned, centroids) = loadedVector.getOrElse(column, (
+      spark.read.parquet(new Path(dir, "assigned").toString),
+      spark.read.parquet(new Path(dir, "centroids").toString)))
     graft.operators.VectorSearch.ivfTopK(
       assigned, centroids, column, UuidCol, queryVec, metric, k, nprobe)
       .withColumnRenamed(UuidCol, "row_uuid")

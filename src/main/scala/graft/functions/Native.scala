@@ -13,6 +13,11 @@ object NativeExpressions {
     N.minHashBands(sig, rowsPerBand)
   def rpLshBands(vec: Column, planesPerBand: Int, bands: Int): Column =
     N.rpLshBands(vec, planesPerBand, bands)
+  def pqEncode(vec: Column, m: Int, k: Int, subDim: Int,
+               codebooks: Array[Float]): Column =
+    N.pqEncode(vec, m, k, subDim, codebooks)
+  def pqAdc(codes: Column, m: Int, k: Int, table: Array[Double]): Column =
+    N.pqAdc(codes, m, k, table)
   def dotF(a: Column, b: Column): Column = N.dotF(a, b)
   def l2SqF(a: Column, b: Column): Column = N.l2SqF(a, b)
 }

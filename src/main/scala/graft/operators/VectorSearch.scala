@@ -141,6 +141,92 @@ object VectorSearch {
     df.withColumn("cell", best.getField("cell"))
   }
 
+  // ---- product quantization (IVFPQ path — reference
+  // faiss_index.py:133-272's IVFPQ index type, re-expressed as
+  // codebook-broadcast expressions instead of a native faiss handle) ----
+
+  /** PQ codebooks: `m` subspaces × `k` centroids × `dim/m` floats,
+    * flattened `[subspace][centroid][subDim]`. Small by construction
+    * (m·k·subDim = k·dim floats) — rides the plan as a reference object.
+    */
+  final case class PqModel(m: Int, k: Int, dim: Int, codebooks: Array[Float]) {
+    def subDim: Int = dim / m
+  }
+
+  /** Train codebooks from a deterministic sample: the `k` rows with the
+    * smallest `xxhash64(id)` contribute their subvectors as centroids —
+    * the same seeding-without-iterations strategy as [[ivfBuild]], and the
+    * same TakeOrderedAndProject shape (per-partition top-k, driver merges
+    * k rows — no global sort at 100 TB).
+    */
+  def pqTrain(df: DataFrame, vecCol: String, idCol: String,
+              m: Int, k: Int): PqModel = {
+    val sampled = ivfSample(df, vecCol, idCol, k).collect()
+    require(sampled.nonEmpty, "empty corpus")
+    val dim = sampled.head.getSeq[Float](1).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val kk = sampled.length // may be < requested k on a small corpus
+    val cb = new Array[Float](m * kk * sub)
+    for ((r, ki) <- sampled.zipWithIndex) {
+      val v = r.getSeq[Float](1)
+      for (mi <- 0 until m; j <- 0 until sub)
+        cb((mi * kk + ki) * sub + j) = v(mi * sub + j)
+    }
+    PqModel(m, kk, dim, cb)
+  }
+
+  /** Encode every vector to `m` centroid ids (the PQ code — m ints
+    * instead of dim floats; the compressed representation scanned at
+    * search time). One codegen'd argmin pass per row.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
+               codeCol: String = "_pq"): DataFrame =
+    df.withColumn(codeCol, graft.functions.NativeExpressions.pqEncode(
+      col(vecCol), model.m, model.k, model.subDim, model.codebooks))
+
+  /** ADC distance table for one query: `table[m][k]` = squared L2 between
+    * the query's subvector and each centroid. Computed driver-side (m·k
+    * entries), broadcast with the expression.
+    */
+  def adcTable(model: PqModel, query: Seq[Float]): Array[Double] = {
+    require(query.length == model.dim, "query dimension mismatch")
+    val sub = model.subDim
+    val t = new Array[Double](model.m * model.k)
+    for (mi <- 0 until model.m; ki <- 0 until model.k) {
+      var d = 0.0
+      val off = (mi * model.k + ki) * sub
+      for (j <- 0 until sub) {
+        val diff = query(mi * sub + j).toDouble - model.codebooks(off + j)
+        d += diff * diff
+      }
+      t(mi * model.k + ki) = d
+    }
+    t
+  }
+
+  /** Approximate top-k over PQ codes: one table-lookup sum per row
+    * (TakeOrderedAndProject — per-partition top-k), optional exact
+    * re-rank of the `rerank` best candidates against the true vectors.
+    * Compose with IVF cell pruning by passing the probed subset.
+    */
+  def pqTopK(encoded: DataFrame, vecCol: String, idCol: String,
+             model: PqModel, query: Seq[Float], topK: Int,
+             rerank: Int = 0, codeCol: String = "_pq"): DataFrame = {
+    val scored = encoded.withColumn("_adc",
+      graft.functions.NativeExpressions.pqAdc(
+        col(codeCol), model.m, model.k, adcTable(model, query)))
+    if (rerank <= 0)
+      scored.orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
+        .limit(topK)
+        .select(col(idCol), col("_adc").as("score"))
+    else {
+      val cand = scored.orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
+        .limit(math.max(rerank, topK))
+      bruteForceTopK(cand, vecCol, idCol, query, "l2", topK)
+    }
+  }
+
   /** IVF search: probe the `nprobe` nearest cells only. At scale the
     * assignments table is written partitioned by `cell`, so this prunes
     * to nprobe/nlist of the data before any distance math.

@@ -42,6 +42,15 @@ object NativeExpressions {
     ExpressionUtils.column(
       RpLshBands(ExpressionUtils.expression(vec), planesPerBand, bands))
 
+  def pqEncode(vec: Column, m: Int, k: Int, subDim: Int,
+               codebooks: Array[Float]): Column =
+    ExpressionUtils.column(
+      PqEncode(ExpressionUtils.expression(vec), m, k, subDim, codebooks))
+
+  def pqAdc(codes: Column, m: Int, k: Int, table: Array[Double]): Column =
+    ExpressionUtils.column(
+      PqAdc(ExpressionUtils.expression(codes), m, k, table))
+
   def dotF(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -330,6 +339,158 @@ abstract class FloatPairReduction extends BinaryExpression with ExpectsInputType
         }
       """
     })
+}
+
+/** Product-quantization encoder: split a `dim = m * subDim` float vector
+  * into `m` subvectors, emit for each the id (0..k-1) of its nearest
+  * codebook centroid (L2, ties → lowest id). `codebooks` is laid out
+  * `[subspace][centroid][subDim]` flattened. The codebook rides the plan
+  * as a reference object (broadcast with the serialized expression —
+  * m·k·subDim floats, driver-bounded by construction). Null vector or
+  * dimension mismatch → null codes.
+  */
+case class PqEncode(child: Expression, m: Int, k: Int, subDim: Int,
+                    codebooks: Array[Float])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(m > 0 && k > 0 && subDim > 0)
+  require(codebooks.length == m * k * subDim, "codebook layout mismatch")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * subDim) null
+    else {
+      val codes = new Array[Int](m)
+      var mi = 0
+      while (mi < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var ki = 0
+        while (ki < k) {
+          var d = 0.0
+          var j = 0
+          val cbOff = (mi * k + ki) * subDim
+          while (j < subDim) {
+            val diff = v.getFloat(mi * subDim + j).toDouble - codebooks(cbOff + j)
+            d += diff * diff
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = ki }
+          ki += 1
+        }
+        codes(mi) = best
+        mi += 1
+      }
+      new GenericArrayData(codes)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val codes = ctx.freshName("codes")
+      val mi = ctx.freshName("mi")
+      val ki = ctx.freshName("ki")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val off = ctx.freshName("off")
+      s"""
+        if ($c.numElements() != ${m * subDim}) {
+          ${ev.isNull} = true;
+        } else {
+          int[] $codes = new int[$m];
+          for (int $mi = 0; $mi < $m; $mi++) {
+            int $best = 0;
+            double $bestD = Double.MAX_VALUE;
+            for (int $ki = 0; $ki < $k; $ki++) {
+              double $d = 0.0;
+              int $off = ($mi * $k + $ki) * $subDim;
+              for (int $j = 0; $j < $subDim; $j++) {
+                double $diff = (double) $c.getFloat($mi * $subDim + $j)
+                  - (double) $cb[$off + $j];
+                $d += $diff * $diff;
+              }
+              if ($d < $bestD) { $bestD = $d; $best = $ki; }
+            }
+            $codes[$mi] = $best;
+          }
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric distance computation: approximate squared-L2 of a PQ-coded
+  * vector to the query = Σ over subspaces of the precomputed
+  * (query-subvector → centroid) distance `table[m][k]`, flattened. One
+  * table lookup + add per subspace per row — the classic ADC inner loop,
+  * codegen'd. Null / malformed codes → null score (ranks last).
+  */
+case class PqAdc(child: Expression, m: Int, k: Int, table: Array[Double])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(table.length == m * k, "ADC table layout mismatch")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    if (codes.numElements() != m) null
+    else {
+      var s = 0.0
+      var mi = 0
+      var ok = true
+      while (mi < m && ok) {
+        val c = codes.getInt(mi)
+        if (c < 0 || c >= k) ok = false
+        else { s += table(mi * k + c); mi += 1 }
+      }
+      if (ok) s else null
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("adcTable", table, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val mi = ctx.freshName("mi")
+      val code = ctx.freshName("code")
+      val ok = ctx.freshName("ok")
+      s"""
+        if ($c.numElements() != $m) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          boolean $ok = true;
+          for (int $mi = 0; $mi < $m && $ok; $mi++) {
+            int $code = $c.getInt($mi);
+            if ($code < 0 || $code >= $k) { $ok = false; }
+            else { $s += $tbl[$mi * $k + $code]; }
+          }
+          if ($ok) { ${ev.value} = $s; } else { ${ev.isNull} = true; }
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Dot product of two float arrays as a codegen'd primitive loop. */

@@ -185,6 +185,30 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("vector index lifecycle: load pins, unload releases, drop deletes") {
+    val ds = table()
+    ds.createVectorIndex("emb", nlist = 2)
+    ds.createIndexVectorized("text")
+    // list shows both indexes, fresh
+    assert(ds.listIndexes == Seq(
+      ("inverted", "text", true), ("vector", "emb", true)))
+    // load pins: search answers, registry reports loaded
+    ds.loadVectorIndex("emb")
+    assert(ds.isVectorIndexLoaded("emb"))
+    assert(ds.vectorSearch("emb", Seq(1f, 0f, 0f), k = 1, nprobe = 2)
+      .count() == 1)
+    // unload releases but the persisted index still serves
+    ds.unloadVectorIndex("emb")
+    assert(!ds.isVectorIndexLoaded("emb"))
+    assert(ds.vectorSearch("emb", Seq(1f, 0f, 0f), k = 1, nprobe = 2)
+      .count() == 1)
+    // drop removes permanently: search refuses, list omits it
+    ds.dropVectorIndex("emb")
+    intercept[IllegalArgumentException](
+      ds.vectorSearch("emb", Seq(1f, 0f, 0f), k = 1))
+    assert(ds.listIndexes == Seq(("inverted", "text", true)))
+  }
+
   test("vector index: build, probe search, stale guard") {
     val ds = table()
     ds.createVectorIndex("emb", nlist = 2)

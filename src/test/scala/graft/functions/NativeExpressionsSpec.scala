@@ -89,6 +89,17 @@ class NativeExpressionsSpec extends SparkSpec {
         .collect()
       assert(n.head.getSeq[Int](0).length == 4)
       assert(n.head.getDouble(1) == 11.0)
+      // PQ expressions also run codegen-only: 2 subspaces × 2 centroids,
+      // codebook [[0,0],[1,1]] per subspace → vector (1,1,0,0) encodes to
+      // codes (1,0); ADC table [0,1] per subspace sums to 1.0
+      val cb = Array(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f)
+      val pq = Seq(Seq(1f, 1f, 0f, 0f)).toDF("v")
+        .select(NativeExpressions.pqEncode(col("v"), 2, 2, 2, cb).as("c"))
+        .select(col("c"), NativeExpressions.pqAdc(col("c"), 2, 2,
+          Array(0.0, 1.0, 0.0, 1.0)).as("d"))
+        .head()
+      assert(pq.getSeq[Int](0) == Seq(1, 0))
+      assert(pq.getDouble(1) == 1.0)
     } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
   }
 }

@@ -67,6 +67,41 @@ class VectorStatsSpec extends SparkSpec {
     assert(centroids.count() == 8)
   }
 
+  test("PQ with k >= corpus size is lossless: ADC top-k == brute force") {
+    val df = vecs(40, 16)
+    // every vector contributes its own subvectors to each codebook →
+    // encoding is exact → ADC == true squared L2
+    val model = VectorSearch.pqTrain(df, "embedding", "vec_id", m = 4, k = 40)
+    val encoded = VectorSearch.pqEncode(df, "embedding", model)
+    val q = df.filter($"vec_id" === 5L).head().getSeq[Float](1)
+    val pq = VectorSearch.pqTopK(encoded, "embedding", "vec_id", model, q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = VectorSearch.bruteForceTopK(df, "embedding", "vec_id",
+      q, "l2", 10).select("vec_id").as[Long].collect().toSeq
+    assert(pq == exact)
+  }
+
+  test("lossy PQ: ADC recall reasonable, exact re-rank recovers the rest") {
+    val df = vecs(400, 16)
+    val model = VectorSearch.pqTrain(df, "embedding", "vec_id", m = 4, k = 32)
+    val encoded = VectorSearch.pqEncode(df, "embedding", model)
+    val recalls = (0L until 5L).map { qid =>
+      val q = df.filter($"vec_id" === qid).head().getSeq[Float](1)
+      val exact = VectorSearch.bruteForceTopK(df, "embedding", "vec_id",
+        q, "l2", 10).select("vec_id").as[Long].collect().toSet
+      val adc = VectorSearch.pqTopK(encoded, "embedding", "vec_id",
+        model, q, 10).select("vec_id").as[Long].collect().toSet
+      val rr = VectorSearch.pqTopK(encoded, "embedding", "vec_id",
+        model, q, 10, rerank = 100).select("vec_id").as[Long].collect().toSet
+      ((exact intersect adc).size / 10.0, (exact intersect rr).size / 10.0)
+    }
+    val (adcMean, rrMean) =
+      (recalls.map(_._1).sum / recalls.size, recalls.map(_._2).sum / recalls.size)
+    assert(adcMean >= 0.2, s"ADC recall@10 $adcMean")
+    assert(rrMean >= 0.6, s"reranked recall@10 $rrMean")
+    assert(rrMean >= adcMean) // re-rank can only help
+  }
+
   test("IVF probe search finds the exact neighbor when probing enough cells") {
     val df = vecs(100, 8)
     val (assigned, centroids) = VectorSearch.ivfBuild(df, "embedding", "vec_id", 8)
