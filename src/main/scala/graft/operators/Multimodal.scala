@@ -113,6 +113,114 @@ object Multimodal {
       }
   }
 
+  // ---- image processing helpers (reference core/image/processing.py:
+  // mode conversion with the 299/587/114 luma weights; util/exif.py:
+  // EXIF tag extraction with named orientation values) -------------------
+
+  private def readImage(bytes: Array[Byte])
+      : Option[(java.awt.image.BufferedImage, String)] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        r.setInput(iis)
+        val fmt = r.getFormatName.toLowerCase
+        val img = r.read(0)
+        r.dispose()
+        Some((img, fmt))
+      }
+    } catch { case _: Exception => None }
+
+  private def encodeImage(img: java.awt.image.BufferedImage,
+                          fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  /** Grayscale with the reference's exact integer luma:
+    * `floor((299·R + 587·G + 114·B) / 1000)` (processing.py:40-43).
+    */
+  private[graft] def toGrayscale(img: java.awt.image.BufferedImage)
+      : java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val l = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        out.getRaster.setSample(x, y, 0, l)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Convert decodable payloads to a target mode (`"L"` grayscale or
+    * `"RGB"`), re-encoding in the original format; payloads no codec
+    * recognizes pass through unchanged (reference convert_sample returns
+    * the sample as-is when already in the mode).
+    */
+  def convertImages(df: DataFrame, prefix: String, mode: String): DataFrame = {
+    require(mode == "L" || mode == "RGB", s"unsupported mode $mode")
+    implicit val enc = RowEncoder.encoderFor(df.schema)
+    val bytesIdx = df.schema.fieldIndex(s"${prefix}_bytes")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](bytesIdx)
+          readImage(bytes) match {
+            case Some((img, fmt)) =>
+              val converted =
+                if (mode == "L") toGrayscale(img)
+                else {
+                  val out = new java.awt.image.BufferedImage(img.getWidth,
+                    img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = out.createGraphics()
+                  g.drawImage(img, 0, 0, null); g.dispose()
+                  out
+                }
+              Row.fromSeq(r.toSeq.updated(bytesIdx,
+                encodeImage(converted, fmt)))
+            case None => r
+          }
+        }
+      }
+  }
+
+  /** REAL pixel resize (Graphics2D scale-draw), re-encoded in the
+    * original format; undecodable payloads pass through.
+    */
+  def resizeImages(df: DataFrame, prefix: String, h: Int, w: Int): DataFrame = {
+    implicit val enc = RowEncoder.encoderFor(df.schema)
+    val bytesIdx = df.schema.fieldIndex(s"${prefix}_bytes")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          readImage(r.getAs[Array[Byte]](bytesIdx)) match {
+            case Some((img, fmt)) =>
+              val gray = img.getType ==
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+              val out = new java.awt.image.BufferedImage(w, h,
+                if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+                else java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.drawImage(img, 0, 0, w, h, null); g.dispose()
+              Row.fromSeq(r.toSeq.updated(bytesIdx, encodeImage(out, fmt)))
+            case None => r
+          }
+        }
+      }
+  }
+
   /** Resize plan: emits the target shape column (the pixel work happens
     * inside the decode stub in this environment). Kept as an expression —
     * no UDF — so it stays in codegen.

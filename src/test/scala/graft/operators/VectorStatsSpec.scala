@@ -215,6 +215,57 @@ class VectorStatsSpec extends SparkSpec {
     assert(dec(3L).getAs[Int]("height") == 9) // stub honored declared shape
   }
 
+  test("image helpers: grayscale luma, real resize, EXIF extraction") {
+    // 2x2 pure-red PNG → grayscale luma floor(299*255/1000) = 76
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) img.setRGB(x, y, 0xff0000)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val schema = StructType(
+      StructField("id", LongType) +: Multimodal.mediaSchema("img"))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, out.toByteArray, null, "png")), schema)
+    val gray = Multimodal.convertImages(df, "img", "L")
+    val g = Multimodal.decodeImages(gray, "img").head()
+    assert(g.getAs[Int]("channels") == 1)
+    assert(g.getAs[Double]("mean_intensity") == 76.0)
+    val resized = Multimodal.decodeImages(
+      Multimodal.resizeImages(df, "img", 4, 6), "img").head()
+    assert(resized.getAs[Int]("height") == 4 &&
+      resized.getAs[Int]("width") == 6)
+    // EXIF: synthetic JPEG APP1 segment, little-endian TIFF, 3 IFD entries
+    val bb = java.nio.ByteBuffer.allocate(20 + 2 + 3 * 12 + 4 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(Array[Byte](0x49, 0x49)); bb.putShort(42); bb.putInt(8) // TIFF hdr
+    bb.putShort(3) // entry count
+    bb.putShort(0x0112.toShort); bb.putShort(3); bb.putInt(1); bb.putInt(6)
+    bb.putShort(0x0128.toShort); bb.putShort(3); bb.putInt(1); bb.putInt(2)
+    // XResolution RATIONAL at offset 50 (from TIFF start): 72/1
+    bb.putShort(0x011a.toShort); bb.putShort(5); bb.putInt(1); bb.putInt(50)
+    bb.putInt(0) // next-IFD pointer
+    bb.putInt(72); bb.putInt(1)
+    val tiff = bb.array()
+    val app1 = Array[Byte]("Exif".getBytes("US-ASCII"): _*) ++
+      Array[Byte](0, 0) ++ tiff
+    val seg = java.nio.ByteBuffer.allocate(4)
+      .putShort(0xffe1.toShort).putShort((app1.length + 2).toShort).array()
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++ seg ++ app1 ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val tags = Exif.exifTags(jpeg)
+    assert(tags("Orientation") == "Rotate 90 CW")
+    assert(tags("ResolutionUnit") == "Inches")
+    assert(tags("XResolution") == "72")
+    // distributed form appends the map column; garbage bytes → empty map
+    val withExif = Exif.exifImages(spark.createDataFrame(
+      java.util.List.of(Row(1L, jpeg, null, "jpg"),
+        Row(2L, Array[Byte](1, 2, 3), null, "jpg")), schema), "img")
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Map[String, String]]("exif")).toMap
+    assert(withExif(1L)("Orientation") == "Rotate 90 CW")
+    assert(withExif(2L).isEmpty)
+  }
+
   test("multimodal: decode stub plumbing, resize plan, frame sampling") {
     val schema = StructType(
       StructField("id", LongType) +: Multimodal.mediaSchema("img"))
