@@ -111,15 +111,19 @@ class GraftDataset private[format] (
     // anti-join + union against the base. A per-file anti-join chain
     // would grow the plan linearly in the number of uncompacted updates.
     if (updates.nonEmpty) {
-      val all = updates.zipWithIndex.map { case (u, i) =>
-        readManifest(Seq(u), target).withColumn("_file_seq", lit(i))
-      }.reduce(_ unionByName _)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(UuidCol).orderBy(col("_file_seq").desc)
-      val latest = all
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .drop("_rn", "_file_seq")
+      // one update file needs no last-wins window — skip the extra shuffle
+      val latest =
+        if (updates.size == 1) readManifest(updates, target)
+        else {
+          val all = updates.zipWithIndex.map { case (u, i) =>
+            readManifest(Seq(u), target).withColumn("_file_seq", lit(i))
+          }.reduce(_ unionByName _)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(UuidCol).orderBy(col("_file_seq").desc)
+          all.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .drop("_rn", "_file_seq")
+        }
       df = df.join(latest.select(UuidCol), Seq(UuidCol), "left_anti")
         .unionByName(latest)
     }
