@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, VectorSearch}
+import graft.operators.{Dedup, Hnsw, VectorSearch}
 import graft.functions.{VectorFunctions => V}
 
 /** Vector-search operator inventory (SURVEY.md §2.7) over the `embeddings`
@@ -225,6 +225,18 @@ object VectorQueries {
           .select("embedding").head().getSeq[Float](0)
         VectorSearch.pqTopK(VectorSearch.pqEncode(e, "embedding", model),
           "embedding", "vec_id", model, q, topK = 10, rerank = 100)
+      },
+      None),
+
+    // graph ANN (reference HNSWFLAT index type): per-partition navigable
+    // small-world graphs, greedy beam probes, global top-k merge.
+    // Approximate → rows-only; VectorStatsSpec holds the recall proof.
+    QueryDef("q79_vector_hnsw_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        Hnsw.topK(Hnsw.build(e, "embedding", "vec_id"), q, 10, ef = 64)
       },
       None),
 

@@ -58,13 +58,32 @@ object CommitLog {
   }
 
   /** Atomic publish: create-without-overwrite is the commit point; a
-    * concurrent writer of the same id loses with an exception.
+    * concurrent writer of the same id loses with an exception. On
+    * file:// Hadoop's create(false) is a non-atomic exists-then-create,
+    * so the publish is a hard-link of a fully-written temp file instead —
+    * link creation is atomic, fails when the winner's commit exists, and
+    * readers can never observe a partially-written commit.
     */
   def writeCommit(spark: SparkSession, root: String, meta: CommitMeta): Unit = {
     val f = fs(spark, root)
     f.mkdirs(commitsDir(root))
-    writeString(f, new Path(commitsDir(root), s"${meta.id}.json"),
-      Serialization.write(meta), overwrite = false)
+    val dest = new Path(commitsDir(root), s"${meta.id}.json")
+    if (f.getScheme == "file") {
+      val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(
+        destNio.getParent, s".${meta.id}", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp,
+          Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
+        try java.nio.file.Files.createLink(destNio, tmp)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new java.io.IOException(
+              s"commit ${meta.id} already exists (concurrent writer won)", e)
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else
+      writeString(f, dest, Serialization.write(meta), overwrite = false)
   }
 
   def readCommit(spark: SparkSession, root: String, id: String): CommitMeta =

@@ -184,6 +184,36 @@ class GraftDatasetSpec extends SparkSpec {
     intercept[IllegalArgumentException](ds.createTensor("score/sub", LongType))
   }
 
+  test("writeCommit raced on one id: exactly one winner, content complete") {
+    val ds = freshTable()
+    val root = ds.root
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val fs = (1 to 8).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          latch.await()
+          try {
+            CommitLog.writeCommit(spark, root, CommitMeta(
+              id = "zz-race", parent = None, mergeParent = None,
+              message = s"writer-$i", timestampMs = 0L,
+              schemaJson = ds.schema.json, files = Nil, updates = Nil,
+              tombstones = Nil, renames = Nil))
+            wins.incrementAndGet(); ()
+          } catch { case _: java.io.IOException => }
+        }
+      })
+    }
+    latch.countDown()
+    fs.foreach(_.get())
+    pool.shutdown()
+    assert(wins.get() == 1, s"expected exactly one winner, got ${wins.get()}")
+    // the surviving file is complete, parseable JSON from one writer
+    val m = CommitLog.readCommit(spark, root, "zz-race")
+    assert(m.message.startsWith("writer-"))
+  }
+
   test("claimReservation: unique, increasing, O(1) via hint, bounded at 2^23") {
     val ds = freshTable()
     val root = ds.root

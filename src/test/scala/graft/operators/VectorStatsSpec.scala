@@ -67,6 +67,37 @@ class VectorStatsSpec extends SparkSpec {
     assert(centroids.count() == 8)
   }
 
+  test("HNSW: high recall at wide beam, parquet round-trip, deterministic") {
+    val df = vecs(500, 16)
+    val idx = Hnsw.build(df, "embedding", "vec_id", numPartitions = 4)
+    val qids = 0L until 5L
+    def recall(index: org.apache.spark.sql.DataFrame, ef: Int): Double = {
+      val rs = qids.map { qid =>
+        val q = df.filter($"vec_id" === qid).head().getSeq[Float](1)
+        val exact = VectorSearch.bruteForceTopK(df, "embedding", "vec_id",
+          q, "l2", 10).select("vec_id").as[Long].collect().toSet
+        val got = Hnsw.topK(index, q, 10, ef = ef)
+          .select("ext_id").as[Long].collect().toSet
+        (exact intersect got).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    assert(recall(idx, ef = 200) >= 0.9, "wide beam ≈ exhaustive per shard")
+    // narrower beam trades recall for probe cost but stays useful
+    assert(recall(idx, ef = 32) >= 0.5)
+    // persisted graph serves identically
+    val dir = tmpDir("hnsw") + "/idx"
+    idx.write.partitionBy("part").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val q0 = df.filter($"vec_id" === 0L).head().getSeq[Float](1)
+    assert(Hnsw.topK(reloaded, q0, 10, ef = 200)
+      .select("ext_id").as[Long].collect().toSeq ==
+      Hnsw.topK(idx, q0, 10, ef = 200)
+        .select("ext_id").as[Long].collect().toSeq)
+    // the nearest neighbor of a corpus point is itself
+    assert(Hnsw.topK(idx, q0, 1, ef = 64).head().getLong(0) == 0L)
+  }
+
   test("PQ with k >= corpus size is lossless: ADC top-k == brute force") {
     val df = vecs(40, 16)
     // every vector contributes its own subvectors to each codebook →
