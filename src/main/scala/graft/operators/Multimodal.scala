@@ -231,6 +231,50 @@ object Multimodal {
         array(lit(h), lit(w), element_at(col(s"${prefix}_shape"), 3)))
         .otherwise(array(lit(h), lit(w))))
 
+  // ---- tiled ingest for huge samples (reference muller/api/tiled.py +
+  // core/tiling: oversized samples span chunks; here they span ROWS, so
+  // no row ever exceeds a bounded payload and shuffles/page sizes stay
+  // healthy at 100 TB) -------------------------------------------------
+
+  /** Split oversized payloads into bounded tile rows
+    * `(…, tile_index, tile_bytes)` — pure expressions (sequence explode +
+    * binary substring), no UDF. Rows at or under `tileBytes` emit one
+    * tile. NULL payloads emit a single null tile (round-trips).
+    */
+  def tile(df: DataFrame, prefix: String, tileBytes: Int): DataFrame = {
+    require(tileBytes > 0)
+    val b = col(s"${prefix}_bytes")
+    val nTiles = when(b.isNull || length(b) === 0, lit(1))
+      .otherwise(ceil(length(b).cast("double") / lit(tileBytes)).cast("int"))
+    df.withColumn("tile_index",
+        explode(sequence(lit(0), nTiles - 1)))
+      .withColumn("tile_bytes",
+        when(b.isNull, lit(null).cast(BinaryType))
+          .otherwise(substring(b, col("tile_index") * tileBytes + 1,
+            lit(tileBytes))))
+      .drop(s"${prefix}_bytes")
+  }
+
+  /** Reassemble tiled rows back into whole payloads: group by the given
+    * keys, order tiles by index, binary-concat — one aggregation, no
+    * driver materialization. Inverse of [[tile]].
+    */
+  def assemble(df: DataFrame, prefix: String, keyCols: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(c =>
+      keyCols.contains(c) || c == "tile_index" || c == "tile_bytes")
+    val aggs =
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("tile_index"), col("tile_bytes")))),
+          t => t.getField("tile_bytes")),
+        lit(Array.emptyByteArray),
+        (acc, t) => concat(acc, t)).as(s"${prefix}_bytes") +:
+        others.map(c => first(col(c)).as(c))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((keyCols ++ others).map(col) :+ col(s"${prefix}_bytes"): _*)
+  }
+
   /** Frame sampling for video payloads: one output row per sampled frame
     * index — pure plan-side explode; the actual frame extraction belongs
     * to the decode stage.

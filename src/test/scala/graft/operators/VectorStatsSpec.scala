@@ -297,6 +297,31 @@ class VectorStatsSpec extends SparkSpec {
     assert(withExif(2L).isEmpty)
   }
 
+  test("tiled ingest: bounded tile rows round-trip to identical payloads") {
+    val payload = Array.tabulate[Byte](10)(_.toByte)
+    val schema = StructType(
+      StructField("id", LongType) +: Multimodal.mediaSchema("img"))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, payload, null, "raw"),
+      Row(2L, Array[Byte](7), null, "raw"),
+      Row(3L, null, null, "raw")), schema)
+    val tiled = Multimodal.tile(df, "img", tileBytes = 3)
+    // 10 bytes / 3 → 4 tiles, each ≤ 3 bytes; single-tile and null rows
+    assert(tiled.filter($"id" === 1L).count() == 4)
+    assert(tiled.filter($"id" === 2L).count() == 1)
+    assert(tiled.filter($"id" === 3L).count() == 1)
+    assert(tiled.filter(length($"tile_bytes") > 3).count() == 0)
+    val back = Multimodal.assemble(tiled, "img", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("img_bytes"))
+      .toMap
+    assert(back(1L).toSeq == payload.toSeq)
+    assert(back(2L).toSeq == Seq(7.toByte))
+    assert(back(3L) == null)
+    // metadata columns survive the round trip
+    assert(Multimodal.assemble(tiled, "img", Seq("id")).columns.toSet ==
+      Set("id", "img_shape", "img_format", "img_bytes"))
+  }
+
   test("multimodal: decode stub plumbing, resize plan, frame sampling") {
     val schema = StructType(
       StructField("id", LongType) +: Multimodal.mediaSchema("img"))
