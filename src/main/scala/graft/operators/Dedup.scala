@@ -221,12 +221,19 @@ object Dedup {
 
   /** 32-bit SimHash over tokens: per bit, sum +1/-1 weighted by token
     * presence; sign → bit. Hamming-close fingerprints = near-dups.
-    * Pure expressions: tokens → murmur3 → per-bit vote via aggregate().
+    * Native codegen'd expression (one murmur3 + 32 integer ops per token);
+    * [[simHash32Hof]] keeps the pure-HOF twin the equivalence spec pins
+    * the semantics to.
     */
-  def simHash32(textCol: Column): Column = {
+  def simHash32(textCol: Column): Column =
+    graft.functions.NativeExpressions.simHash32(T.tokens(textCol))
+
+  /** The original higher-order-function formulation — equivalence oracle
+    * for the native expression (bit positions unrolled at plan-build
+    * time; one aggregate pass; finish-lambda folds votes → bits).
+    */
+  def simHash32Hof(textCol: Column): Column = {
     val toks = T.tokens(textCol)
-    // bit positions are unrolled at plan-build time (shift amounts must be
-    // Scala ints); one aggregate pass, finish-lambda folds votes → bits
     aggregate(
       toks,
       array_repeat(lit(0), 32),

@@ -42,6 +42,9 @@ object NativeExpressions {
     ExpressionUtils.column(
       RpLshBands(ExpressionUtils.expression(vec), planesPerBand, bands))
 
+  def simHash32(tokens: Column): Column =
+    ExpressionUtils.column(SimHash32F(ExpressionUtils.expression(tokens)))
+
   def pqEncode(vec: Column, m: Int, k: Int, subDim: Int,
                codebooks: Array[Float]): Column =
     ExpressionUtils.column(
@@ -339,6 +342,76 @@ abstract class FloatPairReduction extends BinaryExpression with ExpectsInputType
         }
       """
     })
+}
+
+/** 32-bit SimHash of a token array: per token murmur3 (seed 42, same
+  * family as `functions.hash`), one +1/−1 vote per bit, sign → bit.
+  * BIT-EXACT twin of the HOF formulation (aggregate + 32-element vote
+  * arrays per token) at a fraction of the cost: one hash + 32 integer
+  * ops per token in a codegen'd loop, no per-token array allocation.
+  */
+case class SimHash32F(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+        var i = 0
+        while (i < 32) {
+          if (((h >> i) & 1) == 1) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 32) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      val m3 = classOf[Murmur3_x86_32].getName
+      s"""
+        int[] $votes = new int[32];
+        for (int $j = 0; $j < $c.numElements(); $j++) {
+          if (!$c.isNullAt($j)) {
+            UTF8String $s = $c.getUTF8String($j);
+            int $h = $m3.hashUnsafeBytes(
+              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42);
+            for (int $i = 0; $i < 32; $i++) {
+              if ((($h >> $i) & 1) == 1) $votes[$i]++; else $votes[$i]--;
+            }
+          }
+        }
+        long $out = 0L;
+        for (int $i = 0; $i < 32; $i++) {
+          if ($votes[$i] > 0) $out |= (1L << $i);
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Product-quantization encoder: split a `dim = m * subDim` float vector

@@ -53,6 +53,16 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("simHash32 ≡ HOF vote-array formulation") {
+    val df = Seq("the quick brown fox", "one", "", "a b a b c",
+      "vector join stream batch window").toDF("t")
+    val rows = df.select(
+      graft.operators.Dedup.simHash32(col("t")).as("native"),
+      graft.operators.Dedup.simHash32Hof(col("t")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != ref ${r.getLong(1)}"))
+  }
+
   test("rpLshBands ≡ per-band HOF rpLshBucket formulation") {
     val rnd = new scala.util.Random(3)
     val df = (0 until 50).map(_ => Seq.fill(16)(rnd.nextFloat() * 2 - 1))
