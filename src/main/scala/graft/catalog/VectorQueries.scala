@@ -110,11 +110,13 @@ object VectorQueries {
     // embedding-cosine near-dup pairs: candidates from RP-LSH band
     // buckets (high-cardinality, bounded — never O(n²/|labels|)), the
     // label-equality constraint and the exact scaled-int cosine verified
-    // on the candidate pairs. 8 planes × 8 bands ⇒ recall ≈ 1-(1-p^8)^8
-    // with p = 1-θ/π; at cos ≥ 0.99 that is ≈ 0.999.
+    // on the candidate pairs. 8 planes × 16 bands ⇒ per-pair miss prob
+    // (1-p^8)^16 with p = 1-θ/π; at the 0.99 threshold that is ≈ 7e-9 —
+    // effectively exact, so the exact SQL oracle stays valid (bands are
+    // one native expression pass, so extra bands are near-free).
     QueryDef("q63_embedding_near_dup",
       (s, dir) => Dedup.embeddingNearDupLsh(emb(s, dir), "embedding", "vec_id",
-          threshold = 0.99, planesPerBand = 8, bands = 8,
+          threshold = 0.99, planesPerBand = 8, bands = 16,
           equalCols = Seq("label"))
         .withColumn("cos_x1e6", round(col("cos_sim") * lit(1e6)).cast("long"))
         .select("vec_id_a", "vec_id_b", "cos_x1e6")

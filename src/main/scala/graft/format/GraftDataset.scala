@@ -228,13 +228,26 @@ class GraftDataset private[format] (
         }
     }
 
-  /** Label dictionaries of all class-label columns. */
-  def classLabels: Map[String, Seq[String]] =
-    stSchema.fields.flatMap { f =>
-      if (f.metadata.contains(GraftDataset.ClassNamesKey))
-        Some(f.name -> f.metadata.getStringArray(GraftDataset.ClassNamesKey).toSeq)
-      else None
-    }.toMap
+  /** Label dictionaries of all class-label columns, keyed by their
+    * dotted path — a class-label leaf inside a tensor group coerces in
+    * string queries exactly like a top-level one.
+    */
+  def classLabels: Map[String, Seq[String]] = {
+    def walk(schema: StructType, prefix: String): Seq[(String, Seq[String])] =
+      schema.fields.toSeq.flatMap { f =>
+        val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val here =
+          if (f.metadata.contains(GraftDataset.ClassNamesKey))
+            Seq(name ->
+              f.metadata.getStringArray(GraftDataset.ClassNamesKey).toSeq)
+          else Nil
+        here ++ (f.dataType match {
+          case st: StructType => walk(st, name)
+          case _ => Nil
+        })
+      }
+    walk(stSchema, "").toMap
+  }
 
   /** Dictionary-decoded name column for a class-label column. */
   def labelName(column: String): Column = {
@@ -555,6 +568,9 @@ class GraftDataset private[format] (
     * matching uuids + the predicate text, bound to the current commit.
     */
   def saveView(name: String, cond: Column): Unit = {
+    // views pin to a commit; a dirty snapshot would record uuids the
+    // pinned commit doesn't contain (silently empty view after commit)
+    require(!dirty, "commit before saving a view")
     val dir = new Path(viewsDir, name)
     snapshotWithUuid().filter(cond).select(UuidCol)
       .write.mode("overwrite").parquet(new Path(dir, "ids").toString)
@@ -722,11 +738,16 @@ class GraftDataset private[format] (
     val dir = indexDir("inverted", column)
     indexCommit(dir).flatMap(appendOnlyDelta) match {
       case Some(newFiles) =>
+        // the delta MUST shard with the PERSISTED count: mixing shard
+        // functions in one posting table silently mis-routes query-time
+        // partition pruning (`numShards` only applies on a full rebuild)
+        val persistedShards = indexMetaField(dir, "numShards")
+          .map(_.toInt).getOrElse(numShards)
         if (newFiles.nonEmpty) {
           val postingsPath = new Path(dir, "postings").toString
           graft.operators.InvertedIndex.build(
               snapshotWithUuid(files = newFiles, updates = Nil,
-                tombstones = Nil), column, UuidCol, numShards)
+                tombstones = Nil), column, UuidCol, persistedShards)
             .write.mode("append").partitionBy("shard")
             .parquet(postingsPath)
           // refresh the stats sidecar so query-time broadcast bounds stay
@@ -735,7 +756,7 @@ class GraftDataset private[format] (
             graft.operators.InvertedIndex.computeStats(
               graft.operators.InvertedIndex.load(spark, postingsPath)))
         }
-        writeIndexMeta(dir, Map("numShards" -> numShards.toString))
+        writeIndexMeta(dir, Map("numShards" -> persistedShards.toString))
       case None => createIndexVectorized(column, numShards)
     }
   }

@@ -135,12 +135,18 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** None when no writer handles `fmt` for this image (ImageIO.write
+    * returns false, or the writer throws — e.g. wbmp on non-bilevel):
+    * callers pass the original payload through rather than crash the
+    * task or store zero bytes.
+    */
   private def encodeImage(img: java.awt.image.BufferedImage,
-                          fmt: String): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, fmt, out)
-    out.toByteArray
-  }
+                          fmt: String): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      if (javax.imageio.ImageIO.write(img, fmt, out)) Some(out.toByteArray)
+      else None
+    } catch { case _: Exception => None }
 
   /** Grayscale with the reference's exact integer luma:
     * `floor((299·R + 587·G + 114·B) / 1000)` (processing.py:40-43).
@@ -177,7 +183,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](bytesIdx)
-          readImage(bytes) match {
+          (readImage(bytes) match {
             case Some((img, fmt)) =>
               val converted =
                 if (mode == "L") toGrayscale(img)
@@ -188,10 +194,10 @@ object Multimodal {
                   g.drawImage(img, 0, 0, null); g.dispose()
                   out
                 }
-              Row.fromSeq(r.toSeq.updated(bytesIdx,
-                encodeImage(converted, fmt)))
-            case None => r
-          }
+              encodeImage(converted, fmt)
+                .map(b => Row.fromSeq(r.toSeq.updated(bytesIdx, b)))
+            case None => None
+          }).getOrElse(r)
         }
       }
   }
@@ -205,7 +211,7 @@ object Multimodal {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.map { r =>
-          readImage(r.getAs[Array[Byte]](bytesIdx)) match {
+          (readImage(r.getAs[Array[Byte]](bytesIdx)) match {
             case Some((img, fmt)) =>
               val gray = img.getType ==
                 java.awt.image.BufferedImage.TYPE_BYTE_GRAY
@@ -214,9 +220,10 @@ object Multimodal {
                 else java.awt.image.BufferedImage.TYPE_INT_RGB)
               val g = out.createGraphics()
               g.drawImage(img, 0, 0, w, h, null); g.dispose()
-              Row.fromSeq(r.toSeq.updated(bytesIdx, encodeImage(out, fmt)))
-            case None => r
-          }
+              encodeImage(out, fmt)
+                .map(b => Row.fromSeq(r.toSeq.updated(bytesIdx, b)))
+            case None => None
+          }).getOrElse(r)
         }
       }
   }

@@ -39,7 +39,10 @@ object Sessionize {
     for (e <- evs.toSeq.sortBy(_.tsMs)) {
       cur match {
         case Some(s) if e.tsMs - s.lastMs <= gapMs =>
-          cur = Some(s.copy(lastMs = e.tsMs, n = s.n + 1))
+          // a late within-gap event (possible across micro-batches under a
+          // watermark delay) must never REWIND the session's bounds
+          cur = Some(SessionState(math.min(s.startMs, e.tsMs),
+            math.max(s.lastMs, e.tsMs), s.n + 1))
         case Some(s) =>
           closed += Session(userId, s.startMs, s.lastMs, s.n)
           cur = Some(SessionState(e.tsMs, e.tsMs, 1))
