@@ -480,6 +480,21 @@ class GraftDataset private[format] (
       Versioning.mergedSchema(stSchema, schemaAt(theirId)))
   }
 
+  /** Per-tensor changes between two commits (reference `tensor_diff`,
+    * mixins/version_control.py:172-174 / dataset.py:1722-1726): rows of
+    * (tensor, change, uuid) with change ∈ added/removed/updated in the
+    * `ref1` → `ref2` direction. `tensors` empty = all tensors. The
+    * reference's `parse_changes` consumer (per-tensor change sets feeding
+    * incremental index updates) is a `filter(tensor === t)` over this.
+    */
+  def tensorDiff(ref1: String, ref2: String,
+                 tensors: Seq[String] = Nil): DataFrame = {
+    val aId = resolveRef(ref1); val bId = resolveRef(ref2)
+    Versioning.tensorDiff(
+      snapshotAtWithUuid(aId), snapshotAtWithUuid(bId),
+      Versioning.mergedSchema(schemaAt(aId), schemaAt(bId)), tensors)
+  }
+
   /** Conflict report for merging `targetRef` into HEAD
     * (reference `detect_merge_conflict`).
     */

@@ -135,6 +135,36 @@ object Versioning {
       .unionByName(side("theirs", col("t"), col("t_ch")))
   }
 
+  /** Per-tensor change sets between two snapshots (reference
+    * `tensor_diff`, dataset.py:1722-1726, and `parse_changes`,
+    * commits.py:895-913, which folds a diff into per-tensor
+    * added/updated/deleted sets for incremental index maintenance):
+    * one row per (tensor, change, uuid), change ∈ added/removed/updated,
+    * classified in the a→b direction. ONE full-outer uuid join for ALL
+    * requested tensors — the per-tensor classification is an explode over
+    * the tensor list, not a scan per tensor.
+    */
+  def tensorDiff(a: DataFrame, b: DataFrame, schema: StructType,
+                 tensors: Seq[String]): DataFrame = {
+    val known = schema.fieldNames.filterNot(_ == U).toSeq
+    val ts = if (tensors.isEmpty) known else tensors
+    ts.foreach(t => require(known.contains(t), s"unknown tensor $t"))
+    val j = packed(a, schema, "a")
+      .join(packed(b, schema, "b"), Seq(U), "full_outer")
+    val changes = ts.map { t =>
+      struct(lit(t).as("tensor"),
+        when(col("a").isNull, lit("added"))
+          .when(col("b").isNull, lit("removed"))
+          .when(xxhash64(col("a").getField(t)) =!=
+            xxhash64(col("b").getField(t)), lit("updated"))
+          .otherwise(lit(null)).as("change"))
+    }
+    j.select(col(U), explode(array(changes.toIndexedSeq: _*)).as("_c"))
+      .filter(col("_c.change").isNotNull)
+      .select(col("_c.tensor").as("tensor"), col("_c.change").as("change"),
+        col(U))
+  }
+
   /** Row-level value diff of two snapshots (reference `direct_diff`,
     * commits.py:506-592): full outer join on uuid, status per row.
     */

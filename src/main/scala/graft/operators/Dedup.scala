@@ -148,23 +148,31 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard via AllPairs/PPJoin PREFIX FILTERING
     * (Bayardo et al., WWW'07; Xiao et al., WWW'08):
     *
-    *   1. order every doc's shingles by global rarity (freq, shingle) —
-    *      any CONSISTENT total order preserves exactness, rarity
-    *      minimizes candidates;
+    *   1. order every doc's shingles by a CONSISTENT total order — here
+    *      `(xxhash64(shingle), shingle)`, computed PER ROW. Any total
+    *      order preserves exactness; the classic global-rarity order
+    *      only shrinks the candidate set, and at the thresholds this
+    *      engine runs (prefix ≈ (1−t)·|A| of the shingles) that pruning
+    *      is marginal while its machinery — a corpus-wide frequency
+    *      aggregation, a join against it, and a row_number window sort
+    *      over every exploded shingle — is three extra shuffles and the
+    *      most spill-prone plan in the suite under memory pressure;
     *   2. keep only each doc's PREFIX, the first
     *      `|A| − ceil(t·|A|) + 1` shingles: if J(A,B) ≥ t, the first
-    *      common shingle in the global order provably sits inside BOTH
-    *      prefixes, so joining prefix-to-prefix loses no qualifying pair;
+    *      common shingle in the order provably sits inside BOTH
+    *      prefixes, so joining prefix-to-prefix loses no qualifying
+    *      pair. The hash-order prefix is one `array_sort` + `slice`
+    *      projection per row — no window, no global pass;
     *   3. candidate pairs (distinct, plus the `t·|a| ≤ |b| ≤ |a|/t`
     *      length filter and optional `blockCol` equality in the join
     *      condition) are verified EXACTLY against the full shingle sets
     *      with one hash-based `array_intersect` per pair.
     *
     * vs the naive shared-shingle self-join (whose join output is
-    * Σ_pairs |A∩B| rows and whose hot shingles go quadratic): prefixes
-    * hold only RARE shingles, so hot-shingle buckets never form, and the
-    * per-pair work moves into one O(|A|+|B|) set intersection. Same
-    * answer, oracle unchanged.
+    * Σ_pairs |A∩B| rows): the prefix join emits each candidate pair at
+    * most once per shared PREFIX shingle and the per-pair work moves
+    * into one O(|A|+|B|) set intersection. Same answer, oracle
+    * unchanged.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, threshold: Double,
@@ -172,8 +180,8 @@ object Dedup {
     val blk = blockCol.toSeq
     // shingle compute is CPU-per-row → first exchange spreads rows over
     // cores (input may be one file = one partition); the SECOND exchange
-    // sits ABOVE the computed shingles so all five downstream consumers
-    // (freq, both prefix sides, both verify sides) reuse one evaluation
+    // sits ABOVE the computed shingles so all four downstream consumers
+    // (both prefix-join sides, both verify sides) reuse one evaluation
     // per row instead of re-running the shingle transform per subtree
     val par = df.sparkSession.sparkContext.defaultParallelism
     val base = df
@@ -184,22 +192,38 @@ object Dedup {
       .withColumn("_cnt", size(col("_sh")))
       .filter(col("_cnt") > 0)
       .repartition(par, col("_id"))
-    val ex = base.select(
+    // per-row prefix under the (hash, shingle) total order; `_pos` is the
+    // token's 1-based position in the FULL ordered array (the prefix is
+    // its head, so prefix positions ARE full-array positions), feeding
+    // the positional filter below
+    val ordered = array_sort(transform(col("_sh"),
+      s => struct(xxhash64(s).as("h"), s.as("s"))))
+    val prefLen = (col("_cnt") - ceil(col("_cnt") * lit(threshold)) +
+      lit(1)).cast("int")
+    val prefix = base.select(
       (Seq(col("_id"), col("_cnt")) ++ blk.map(col)) :+
-        explode(col("_sh")).as("_s"): _*)
-    val freq = ex.groupBy("_s").agg(count(lit(1)).as("_f"))
-    // per-doc rank under the global rarity order → keep the prefix
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_id")).orderBy(col("_f").asc, col("_s").asc)
-    val prefix = ex.join(freq, "_s")
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <=
-        col("_cnt") - ceil(col("_cnt") * lit(threshold)) + lit(1))
+        posexplode(transform(slice(ordered, lit(1), prefLen),
+          p => p.getField("s"))).as(Seq("_pos0", "_s")): _*)
+      .withColumn("_pos", col("_pos0") + 1).drop("_pos0")
+    // Positional filter (the "PP" in PPJoin, Xiao et al. §3.2): overlap
+    // needed for J ≥ t is O = t/(1+t)·(|A|+|B|); a pair's FIRST common
+    // token at positions (i, j) bounds the overlap by
+    // 1 + min(|A|−i, |B|−j), so rows failing that bound are pruned in
+    // the join itself. Later common-token rows may be pruned spuriously,
+    // but the first-common-token row always classifies correctly and any
+    // qualifying pair survives through it (candidates are distinct
+    // pairs). The 1e-9 slack keeps borderline J = t pairs on the
+    // complete side of float rounding — verification is exact anyway.
+    val overlapNeeded =
+      (col("a._cnt") + col("b._cnt")) * lit(threshold / (1.0 + threshold)) -
+        lit(1e-9)
     val joinCond = blk.map(bc => col(s"a.$bc") === col(s"b.$bc"))
       .foldLeft(
         col("a._s") === col("b._s") && col("a._id") < col("b._id") &&
           col("b._cnt") * lit(threshold) <= col("a._cnt") &&
-          col("a._cnt") * lit(threshold) <= col("b._cnt"))(_ && _)
+          col("a._cnt") * lit(threshold) <= col("b._cnt") &&
+          lit(1) + least(col("a._cnt") - col("a._pos"),
+            col("b._cnt") - col("b._pos")) >= overlapNeeded)(_ && _)
     val cand = prefix.as("a").join(prefix.as("b"), joinCond)
       .select(col("a._id").as("_ida"), col("b._id").as("_idb"))
       .distinct()

@@ -159,6 +159,35 @@ class GraftDatasetSpec extends SparkSpec {
         .filter(_._3 >= 2.0))
   }
 
+  test("tensorDiff classifies per-tensor added/removed/updated between commits") {
+    val ds = freshTable()
+    val c1 = ds.head.get
+    ds.update($"id" === 1L, Map("score" -> lit(20.0))) // score changes, label doesn't
+    ds.pop($"id" === 2L)
+    ds.append(Seq((3L, "d", 4.0)).toDF("id", "label", "score"))
+    val c2 = ds.commit("mutations")
+    val d = ds.tensorDiff(c1, c2)
+      .join(ds.snapshotAtWithUuid(c2).select(col(GraftDataset.UuidCol), $"id"),
+        Seq(GraftDataset.UuidCol), "left")
+      .select($"tensor", $"change", $"id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSet
+    // appended row: every tensor reports "added"; popped row: "removed"
+    // (id unknown at c2 → None); updated row: ONLY score reports "updated"
+    assert(d == Set(
+      ("id", "added", Some(3L)), ("label", "added", Some(3L)),
+      ("score", "added", Some(3L)),
+      ("id", "removed", None), ("label", "removed", None),
+      ("score", "removed", None),
+      ("score", "updated", Some(1L))))
+    // tensor filter restricts the report (the parse_changes consumer shape)
+    assert(ds.tensorDiff(c1, c2, Seq("score")).select("change")
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("added", "removed", "updated"))
+    intercept[IllegalArgumentException](ds.tensorDiff(c1, c2, Seq("nope")))
+  }
+
   test("tensor groups: createTensor(\"a/b\") nests, a.b addresses it") {
     val ds = freshTable()
     ds.createTensor("meta/source", StringType)
