@@ -113,6 +113,101 @@ object Multimodal {
       }
   }
 
+  // ---- audio decode (reference compression.py audio codecs + sample.py;
+  // WAV/PCM decodes for real via javax.sound.sampled — in-JVM, zero
+  // dependencies; compressed codecs (mp3/flac) the JVM does not ship fall
+  // back to the deterministic stub, same dispatch shape as images) -------
+
+  /** Decoded-audio feature row appended by [[decodeAudio]]. */
+  val audioMeta: Seq[StructField] = Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("num_frames", LongType),
+    StructField("duration_sec", DoubleType),
+    StructField("mean_amplitude", DoubleType))
+
+  /** REAL WAV (PCM signed/unsigned, 8/16-bit, either endianness) decode:
+    * (sampleRate, channels, frames, durationSec, meanAbsAmplitude∈[0,1]).
+    * None when the payload is not a recognized audio stream or not PCM.
+    */
+  private[graft] def decodeWav(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Double, Double)] = {
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      import javax.sound.sampled.{AudioSystem, AudioFormat}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        if (!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) None
+        else if (fmt.getSampleSizeInBits != 8 && fmt.getSampleSizeInBits != 16)
+          None
+        else {
+          val data = in.readAllBytes()
+          val bps = fmt.getSampleSizeInBits / 8
+          val n = data.length / bps
+          var sum = 0.0
+          var i = 0
+          if (bps == 1) {
+            val center = if (signed) 0 else 128
+            while (i < n) {
+              sum += math.abs((if (signed) data(i).toInt
+                else data(i) & 0xff) - center) / 128.0
+              i += 1
+            }
+          } else {
+            val big = fmt.isBigEndian
+            while (i < n) {
+              val lo = if (big) data(2 * i + 1) else data(2 * i)
+              val hi = if (big) data(2 * i) else data(2 * i + 1)
+              val v = if (signed) (hi.toInt << 8) | (lo & 0xff)
+                else (((hi & 0xff) << 8) | (lo & 0xff)) - 32768
+              sum += math.abs(v) / 32768.0
+              i += 1
+            }
+          }
+          val frames = in.getFrameLength
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, frames,
+            frames / fmt.getFrameRate.toDouble,
+            if (n == 0) 0.0 else sum / n))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** STUB audio decode for codecs the JVM lacks: deterministic features
+    * from the payload so the pipeline stays testable end-to-end.
+    */
+  private[graft] def decodeAudioStub(bytes: Array[Byte])
+      : (Int, Int, Long, Double, Double) = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    val frames = b.length.toLong
+    val mean = if (b.isEmpty) 0.0
+               else b.map(x => (x & 0xff).toDouble).sum / b.length / 255.0
+    (16000, 1, frames, frames / 16000.0, mean)
+  }
+
+  /** Decode + feature-extract over audio rows: same repartition-by-cores
+    * + one `mapPartitions` pass as [[decodeImages]]; WAV decodes for
+    * real, anything else through the stub.
+    */
+  def decodeAudio(df: DataFrame, prefix: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ audioMeta)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bytesIdx = df.schema.fieldIndex(s"${prefix}_bytes")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](bytesIdx)
+          val (rate, ch, frames, dur, amp) =
+            decodeWav(bytes).getOrElse(decodeAudioStub(bytes))
+          Row.fromSeq(r.toSeq ++ Seq[Any](rate, ch, frames, dur, amp))
+        }
+      }
+  }
+
   // ---- image processing helpers (reference core/image/processing.py:
   // mode conversion with the 299/587/114 luma weights; util/exif.py:
   // EXIF tag extraction with named orientation values) -------------------

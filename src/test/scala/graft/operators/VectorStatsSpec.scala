@@ -246,6 +246,41 @@ class VectorStatsSpec extends SparkSpec {
     assert(dec(3L).getAs[Int]("height") == 9) // stub honored declared shape
   }
 
+  test("multimodal: real WAV/PCM decode via javax.sound, stub for others") {
+    // 16-bit mono 8kHz, 4 known samples → exact mean |amplitude|
+    val samples = Array[Short](16384, -16384, 32767, 0)
+    def wav(): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      for ((s, i) <- samples.zipWithIndex) {
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val expMean = samples.map(s => math.abs(s.toInt) / 32768.0).sum / 4
+    val schema = StructType(
+      StructField("id", LongType) +: Multimodal.mediaSchema("aud"))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, wav(), null, "wav"),
+      Row(2L, Array[Byte](1, 2, 3, 4), null, "mp3")), schema) // → stub
+    val dec = Multimodal.decodeAudio(df, "aud").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(dec(1L).getAs[Int]("sample_rate") == 8000)
+    assert(dec(1L).getAs[Int]("channels") == 1)
+    assert(dec(1L).getAs[Long]("num_frames") == 4L)
+    assert(math.abs(dec(1L).getAs[Double]("duration_sec") - 4.0 / 8000) < 1e-9)
+    assert(math.abs(dec(1L).getAs[Double]("mean_amplitude") - expMean) < 1e-9)
+    // non-audio payload: deterministic stub keeps the pipeline total
+    assert(dec(2L).getAs[Int]("sample_rate") == 16000)
+    assert(dec(2L).getAs[Long]("num_frames") == 4L)
+  }
+
   test("image helpers: grayscale luma, real resize, EXIF extraction") {
     // 2x2 pure-red PNG → grayscale luma floor(299*255/1000) = 76
     val img = new java.awt.image.BufferedImage(
