@@ -128,6 +128,34 @@ object FormatQueries {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         WHERE o_totalprice > 400000.0 ORDER BY o_orderkey""")),
 
+    // per-tensor diff between two commits: update touches ONE tensor of
+    // surviving rows, pop removes whole rows → every tensor reports them;
+    // the oracle recomputes both counts with plain SQL
+    QueryDef("q80_format_tensor_diff",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        val ds = IO.fromDataFrame(c, freshRoot("q80"))
+        val c1 = ds.head.get
+        ds.update(col("c_acctbal") < 0, Map("c_mktsegment" -> lit("NEGBAL")))
+        ds.pop(col("c_custkey") % 10 === 0)
+        val c2 = ds.commit("mutations")
+        ds.tensorDiff(c1, c2)
+          .groupBy("tensor", "change").agg(count(lit(1)).as("n"))
+          .orderBy("tensor", "change")
+      },
+      Some("""WITH rem AS (SELECT COUNT(*) AS n FROM customer
+          WHERE c_custkey % 10 = 0),
+        upd AS (SELECT COUNT(*) AS n FROM customer
+          WHERE c_acctbal < 0 AND c_custkey % 10 <> 0)
+        SELECT tensor, "change", n FROM (
+          SELECT t.tensor, 'removed' AS "change", rem.n
+          FROM (VALUES ('c_custkey'), ('c_name'), ('c_acctbal'),
+            ('c_mktsegment')) t(tensor), rem
+          UNION ALL
+          SELECT 'c_mktsegment', 'updated', upd.n FROM upd)
+        WHERE n > 0 ORDER BY tensor, "change"""")),
+
     // branch → divergent update/pop → three-way merge → snapshot
     QueryDef("q72_format_branch_merge",
       (s, dir) => {
