@@ -50,7 +50,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // "failed" is in the JSON line (stdout) so round-over-round comparisons
     // cannot mistake a throwing query (excluded from total) for a speedup.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // Field order puts the per-query map FIRST and the headline scalars
+    // LAST: the driver keeps only the tail of the output, so a long
+    // queries map must not push "value"/"failed" off the end.
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
