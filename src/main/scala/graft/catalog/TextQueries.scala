@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.{Cond, Dedup, FilterVectorized, InvertedIndex}
+import graft.operators.{Cond, Dedup, FilterVectorized, InvertedIndex, Sampling}
 import graft.functions.{TextFunctions => T}
 
 /** Text-search operator inventory (SURVEY.md §2.2 CONTAINS/LIKE, §2.6
@@ -196,6 +196,28 @@ object TextQueries {
           maxHamming = 2)
         .orderBy("doc_id_a", "doc_id_b"),
       None),
+
+    // per-source quota cap (training-data curation: ≤N docs per domain)
+    QueryDef("q81_quota_per_source",
+      (s, dir) => Sampling.quotaPerGroup(docs(s, dir), "source", "doc_id",
+          "doc_id", 50)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 50 ORDER BY doc_id""")),
+
+    // engine-independent deterministic sampling (md5-coin, salted)
+    QueryDef("q82_deterministic_sample",
+      (s, dir) => Sampling.deterministicSample(docs(s, dir), "doc_id",
+          fraction = 0.2, salt = "s1")
+        .select("doc_id").orderBy("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+        WHERE CAST(concat('0x', substr(md5(concat(
+            CAST(doc_id AS VARCHAR), 's1')), 1, 15)) AS BIGINT)
+          < ${(0.2 * (1L << 60).toDouble).toLong}
+        ORDER BY doc_id""")),
 
     // exact n-gram Jaccard near-dup pairs (the oracle-checkable near-dup)
     QueryDef("q50_ngram_jaccard_pairs",

@@ -172,6 +172,32 @@ class GraftDataset private[format] (
     rel
   }
 
+  /** Row count of a just-written data dir from its parquet FOOTERS — a
+    * driver-side metadata read, no Spark job. Lets update/pop report
+    * their affected-row counts from the single write pass instead of
+    * re-executing the plan for a count() (which at 100 TB would scan
+    * the corpus twice per mutation).
+    */
+  private def writtenRowCount(rel: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(root, rel)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(s, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
+  private def deleteData(rel: String): Unit = {
+    val dir = new Path(root, rel)
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(dir, true)
+  }
+
   /** Define a new column (reference `create_tensor`,
     * dataset.py:828-870) — metadata-only; existing rows read as null.
     */
@@ -308,8 +334,11 @@ class GraftDataset private[format] (
     val changed = assignments.foldLeft(snapshotWithUuid().filter(cond)) {
       case (d, (c, v)) => d.withColumn(c, v.cast(stSchema(c).dataType))
     }
-    val n = changed.count()
-    if (n > 0) { stUpdates :+= writeData(changed, "update"); dirty = true }
+    // ONE pass: write, then count from the written footers (no second
+    // execution of the filter plan); an empty result unregisters itself
+    val rel = writeData(changed, "update")
+    val n = writtenRowCount(rel)
+    if (n > 0) { stUpdates :+= rel; dirty = true } else deleteData(rel)
     n
   }
 
@@ -318,8 +347,10 @@ class GraftDataset private[format] (
     */
   def pop(cond: Column): Long = {
     val dead = snapshotWithUuid().filter(cond).select(UuidCol)
-    val n = dead.count()
-    if (n > 0) { stTombstones :+= writeData(dead, "tombstone"); dirty = true }
+    // same single-pass shape as update: write + footer count
+    val rel = writeData(dead, "tombstone")
+    val n = writtenRowCount(rel)
+    if (n > 0) { stTombstones :+= rel; dirty = true } else deleteData(rel)
     n
   }
 

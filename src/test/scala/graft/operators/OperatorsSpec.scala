@@ -111,4 +111,20 @@ class OperatorsSpec extends SparkSpec {
       col("text"), "alpha delta")).select("id").as[Long].collect().toSet
     assert(viaIndex == viaScan && viaIndex == Set(3L))
   }
+
+  test("sampling: md5-coin reproducible + salted + nested; quota caps groups") {
+    val big = (1 to 1000).toDF("id")
+    def sample(f: Double, salt: String = "") =
+      Sampling.deterministicSample(big, "id", f, salt)
+        .as[Int].collect().toSet
+    val a = sample(0.3)
+    assert(a == sample(0.3))               // pure function of the key
+    assert(math.abs(a.size - 300) < 75)    // ~fraction of the corpus
+    assert(sample(0.3, "x") != a)          // salts are independent coins
+    assert(sample(0.1).subsetOf(a))        // fractions nest (same coin)
+    val g = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("grp", "id")
+    val q = Sampling.quotaPerGroup(g, "grp", "id", "id", 2)
+      .as[(String, Int)].collect().toSet
+    assert(q == Set(("a", 1), ("a", 2), ("b", 9))) // lowest-order rows win
+  }
 }
