@@ -326,18 +326,6 @@ object Dedup {
 
   // ---- embedding cosine near-dup ----------------------------------------
 
-  /** Near-duplicate pairs by embedding cosine similarity, blocked on
-    * `blockCol` (e.g. an LSH bucket or label) so the self-join never goes
-    * quadratic in the full corpus. Uses the exact scaled-int path so the
-    * result is engine-deterministic.
-    *
-    * Each row is quantized and self-dotted ONCE before the join (O(n) prep),
-    * so the per-pair work inside the O(pairs) join is a single int64 dot —
-    * ~6× less expression work than re-deriving both operands per pair.
-    * Few distinct block values → a skewed shuffle; AQE skew-join handles
-    * moderate cases, and a pathological block should be pre-salted by the
-    * caller (or use [[minHashLsh]] buckets as blocks).
-    */
   /** Random-hyperplane sign bucket of an embedding: bit p = sign of the
     * projection onto a deterministic pseudo-random plane (weights derived
     * from murmur3 of (plane, dim, seed)). Vectors at angle θ disagree on
@@ -413,6 +401,17 @@ object Dedup {
       .select(s"${idCol}_a", s"${idCol}_b", "cos_sim")
   }
 
+  /** Near-duplicate pairs by embedding cosine similarity, blocked on
+    * `blockCol` so the self-join never goes quadratic in the full corpus.
+    * Uses the exact scaled-int path so the result is engine-deterministic.
+    *
+    * Each row is quantized and self-dotted ONCE before the join (O(n)
+    * prep), so the per-pair work inside the O(pairs) join is a single
+    * int64 dot. ONLY correct at scale with a HIGH-CARDINALITY block key
+    * (an LSH bucket, a shard id): a low-cardinality block (a label) makes
+    * this O(n²/L) — use [[embeddingNearDupLsh]] with `equalCols` for that
+    * case, which is why the oracle query routes through it.
+    */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        blockCol: String, threshold: Double): DataFrame = {
     val prep = df.select(col(idCol), col(blockCol),

@@ -111,7 +111,7 @@ object VectorSearch {
       .limit(nlist)
 
   def ivfBuild(df: DataFrame, vecCol: String, idCol: String,
-               nlist: Int): (DataFrame, DataFrame) = {
+               nlist: Int, refineIters: Int = 1): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val sampled = ivfSample(df, vecCol, idCol, nlist)
       .collect() // nlist rows only — bounded by construction
@@ -119,9 +119,71 @@ object VectorSearch {
       (i, r.getSeq[Float](1))
     }
     import spark.implicits._
-    val centroids = cells.toDF("cell", "_centroid")
+    val seeded = cells.toDF("cell", "_centroid")
+    val centroids = ivfRefine(df, vecCol, seeded, refineIters)
     val assigned = assignCells(df, vecCol, centroids)
     (assigned, centroids)
+  }
+
+  /** Lloyd refinement of the seeded centroids: `iters` passes of
+    * assign → recompute cell means. The mean computation is a
+    * per-partition PARTIAL aggregate (cell → sum-vector, count) inside
+    * one `mapPartitions`, merged on the driver — the reduced state is
+    * `nlist × dim` floats regardless of corpus size (the tree-aggregate
+    * shape), so a refinement pass costs one scan and no shuffle. Empty
+    * cells keep their previous centroid. The k-means++-style seed from
+    * [[ivfSample]] plus 1–3 refinement passes is the standard IVF build
+    * (reference trains faiss IVF the same way, faiss_index.py:133-272).
+    */
+  def ivfRefine(df: DataFrame, vecCol: String, centroids: DataFrame,
+                iters: Int): DataFrame = {
+    require(iters >= 0, s"bad iters $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cents = centroids
+    for (_ <- 0 until iters) {
+      val cl = cents.collect().map(r => (r.getAs[Int]("cell"),
+        r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val cvecs = cl.map(_._2)
+      val dim = cvecs.head.length
+      val partials = df
+        .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+        .select(col(vecCol))
+        .mapPartitions { rows =>
+          val sums = Array.fill(cvecs.length)(new Array[Double](dim))
+          val counts = new Array[Long](cvecs.length)
+          rows.foreach { r =>
+            val v = r.getSeq[Float](0)
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < cvecs.length) {
+              var d = 0.0; var i = 0
+              val cv = cvecs(c)
+              while (i < dim) { val x = v(i) - cv(i); d += x * x; i += 1 }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            val s = sums(best); var i = 0
+            while (i < dim) { s(i) += v(i); i += 1 }
+            counts(best) += 1
+          }
+          Iterator.tabulate(cvecs.length)(c =>
+            (c, sums(c).toSeq, counts(c))).filter(_._3 > 0)
+        }
+        .collect() // ≤ partitions × nlist rows; merged below
+      val merged = Array.fill(cvecs.length)(new Array[Double](dim))
+      val total = new Array[Long](cvecs.length)
+      partials.foreach { case (c, s, n) =>
+        var i = 0; while (i < dim) { merged(c)(i) += s(i); i += 1 }
+        total(c) += n
+      }
+      val next = cl.indices.map { c =>
+        val vec = if (total(c) == 0) cvecs(c).toSeq
+          else merged(c).map(x => (x / total(c)).toFloat).toSeq
+        (cl(c)._1, vec) // keep the caller's cell ids
+      }
+      cents = next.toDF("cell", "_centroid")
+    }
+    cents
   }
 
   /** Assign every row to its nearest centroid cell (broadcast centroids,

@@ -133,6 +133,25 @@ class VectorStatsSpec extends SparkSpec {
     assert(rrMean >= adcMean) // re-rank can only help
   }
 
+  test("ivfRefine: Lloyd passes never increase quantization error, keep cell ids") {
+    val df = vecs(300, 8)
+    val (_, seed) =
+      VectorSearch.ivfBuild(df, "embedding", "vec_id", 8, refineIters = 0)
+    val refined = VectorSearch.ivfRefine(df, "embedding", seed, iters = 2)
+    assert(refined.select("cell").as[Int].collect().sorted.toSeq ==
+      (0 until 8))
+    def sse(cents: org.apache.spark.sql.DataFrame): Double =
+      VectorSearch.assignCells(df, "embedding", cents)
+        .join(cents, "cell")
+        .select(sum(graft.functions.VectorFunctions
+          .l2Sq($"embedding", $"_centroid")).as("s"))
+        .head().getDouble(0)
+    assert(sse(refined) <= sse(seed) + 1e-6) // the k-means objective
+    // zero iterations is the identity
+    assert(VectorSearch.ivfRefine(df, "embedding", seed, 0)
+      .collect().toSet == seed.collect().toSet)
+  }
+
   test("IVF probe search finds the exact neighbor when probing enough cells") {
     val df = vecs(100, 8)
     val (assigned, centroids) = VectorSearch.ivfBuild(df, "embedding", "vec_id", 8)
