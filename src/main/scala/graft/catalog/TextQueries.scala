@@ -197,6 +197,48 @@ object TextQueries {
         .orderBy("doc_id_a", "doc_id_b"),
       None),
 
+    // BM25 ranked retrieval through the persisted index (+stats sidecar);
+    // the oracle recomputes the identical formula in SQL — constants are
+    // interpolated from the same Scala doubles so both engines parse the
+    // same values; scores quantized to 1e-3 for the hash compare
+    QueryDef("q83_text_bm25", {
+      val (k1, b) = (1.2, 0.75)
+      (s: SparkSession, dir: String) => {
+        val path = docsIndexPath(s, dir)
+        val idx = InvertedIndex.load(s, path)
+        val stats = InvertedIndex.loadStats(s, path).get
+        InvertedIndex.bm25Search(docs(s, dir), "text", "doc_id", idx,
+            "vector merge stream", stats, k1 = k1, b = b,
+            numShards = Some(16))
+          .withColumn("bm25_x1e3", round(col("bm25") * 1000).cast("long"))
+          .select("doc_id", "bm25_x1e3")
+          .orderBy("doc_id")
+      }
+    }, {
+      val (k1, b) = (1.2, 0.75)
+      def tf(w: String) =
+        s"CAST(len(list_filter(t, x -> x = '$w')) AS DOUBLE)"
+      def dfq(w: String) =
+        s"(SELECT COUNT(*) FROM toks WHERE list_contains(t, '$w'))"
+      def term(w: String, dfAlias: String) =
+        s"""ln(1 + (n - $dfAlias + 0.5) / ($dfAlias + 0.5)) * ${tf(w)} *
+           ${k1 + 1.0} / (${tf(w)} + $k1 *
+           (${1.0 - b} + ($b * CAST(dl AS DOUBLE)) / avgdl))"""
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+        st AS (SELECT COUNT(*) AS n,
+          CAST(SUM(len(list_distinct(t))) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM toks),
+        dfs AS (SELECT ${dfq("vector")} AS df1, ${dfq("merge")} AS df2,
+          ${dfq("stream")} AS df3),
+        cand AS (SELECT doc_id, t, len(list_distinct(t)) AS dl FROM toks
+          WHERE list_contains(t, 'vector') OR list_contains(t, 'merge')
+            OR list_contains(t, 'stream'))
+        SELECT doc_id, CAST(ROUND(1000.0 * (${term("vector", "df1")} +
+          ${term("merge", "df2")} + ${term("stream", "df3")})) AS BIGINT)
+          AS bm25_x1e3
+        FROM cand, st, dfs ORDER BY doc_id""")
+    }),
+
     // per-source quota cap (training-data curation: ≤N docs per domain)
     QueryDef("q81_quota_per_source",
       (s, dir) => Sampling.quotaPerGroup(docs(s, dir), "source", "doc_id",

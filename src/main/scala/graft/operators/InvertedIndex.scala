@@ -33,7 +33,8 @@ import graft.functions.{TextFunctions => T}
   * every other term. Query-time broadcast decisions read this driver-side —
   * no Spark job during planning or search.
   */
-case class IndexStats(hotTerms: Map[String, Long], maxOtherCount: Long)
+case class IndexStats(hotTerms: Map[String, Long], maxOtherCount: Long,
+                      docCount: Long = 0L, avgDocLen: Double = 0.0)
 
 object InvertedIndex {
 
@@ -68,15 +69,24 @@ object InvertedIndex {
   val statsFileName = "_graft_stats.json"
   val defaultHotTerms = 1024
 
-  /** Exact counts for the top `hotN` terms; the next count bounds the rest. */
+  /** Exact counts for the top `hotN` terms; the next count bounds the
+    * rest. Also corpus-level ranking stats (doc count, average
+    * distinct-token doc length) — one extra single-row aggregation at
+    * build time so [[bm25Search]] never runs a corpus pass per query.
+    */
   def computeStats(index: DataFrame, hotN: Int = defaultHotTerms): IndexStats = {
     val top = index.groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(hotN + 1)
       .collect() // hotN+1 rows only — bounded by construction
     val (hot, rest) = top.splitAt(hotN)
+    val g = index.agg(count(lit(1)).as("p"),
+      countDistinct(col("id")).as("d")).head() // single row
+    val (postings, docs) = (g.getLong(0), g.getLong(1))
     IndexStats(hot.map(r => r.getString(0) -> r.getLong(1)).toMap,
-      rest.headOption.map(_.getLong(1)).getOrElse(0L))
+      rest.headOption.map(_.getLong(1)).getOrElse(0L),
+      docCount = docs,
+      avgDocLen = if (docs == 0) 0.0 else postings.toDouble / docs)
   }
 
   def saveStats(spark: SparkSession, postingsPath: String,
@@ -85,7 +95,8 @@ object InvertedIndex {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(org.json4s.jackson.Serialization.write(
-      Map("maxOtherCount" -> stats.maxOtherCount) ++
+      Map("maxOtherCount" -> stats.maxOtherCount,
+        "docCount" -> stats.docCount, "avgDocLen" -> stats.avgDocLen) ++
         Map("hotTerms" -> stats.hotTerms))(org.json4s.DefaultFormats)
       .getBytes("UTF-8"))
     finally out.close()
@@ -111,7 +122,10 @@ object InvertedIndex {
         val j = org.json4s.jackson.JsonMethods.parse(s)
         val st = IndexStats(
           (j \ "hotTerms").extract[Map[String, Long]],
-          (j \ "maxOtherCount").extract[Long])
+          (j \ "maxOtherCount").extract[Long],
+          // older sidecars lack the ranking stats — default to 0
+          (j \ "docCount").extractOpt[Long].getOrElse(0L),
+          (j \ "avgDocLen").extractOpt[Double].getOrElse(0.0))
         statsCache.put(postingsPath, (mod, st))
         Some(st)
       }
@@ -207,6 +221,66 @@ object InvertedIndex {
     * index) the join is left unhinted and AQE picks shuffle-vs-broadcast
     * from the actual runtime size.
     */
+  /** BM25 ranked retrieval (Robertson/Sparck-Jones; the ranked upgrade of
+    * the reference's boolean fuzzy_match — above-parity, the way a
+    * training-data pipeline scores query relevance). Index-routed:
+    *
+    *   1. shard-pruned postings for the query terms give the CANDIDATE
+    *      docs (any term matches) and each term's document frequency —
+    *      df_t is a ≤|terms|-row aggregate collected driver-side, so the
+    *      idf weights become literals in the scoring expression;
+    *   2. the corpus is semi-joined down to candidates; exact term
+    *      frequencies come from re-tokenizing ONLY those rows (tf over
+    *      the full token array, dl = DISTINCT-token length — the length
+    *      the index also uses for `avgDocLen`);
+    *   3. score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    *      idf_t = ln(1 + (N−df+0.5)/(df+0.5)); ranked output is
+    *      TakeOrderedAndProject when `k` is set.
+    *
+    * Needs the build-time stats sidecar for N/avgdl (`stats.docCount`);
+    * rebuild or re-save an old index to refresh it.
+    */
+  def bm25Search(df: DataFrame, textCol: String, idCol: String,
+                 index: DataFrame, query: String, stats: IndexStats,
+                 k: Int = 0, k1: Double = 1.2, b: Double = 0.75,
+                 numShards: Option[Int] = None,
+                 tokenizer: org.apache.spark.sql.Column =>
+                   org.apache.spark.sql.Column = T.tokens): DataFrame = {
+    require(stats.docCount > 0,
+      "index stats lack docCount — rebuild/re-save the index")
+    val toks = queryTokens(query)
+    require(toks.nonEmpty, "empty query")
+    val post = numShards match {
+      case Some(n) =>
+        val shards = toks.map(shardOf(_, n)).distinct
+        index.filter(col("shard").isin(shards: _*) &&
+          col("term").isin(toks: _*))
+      case None => index.filter(col("term").isin(toks: _*))
+    }
+    // df_t per query term — bounded by |terms|, becomes idf literals
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = stats.docCount.toDouble
+    val idf = toks.map(t => t -> {
+      val d = dfreq.getOrElse(t, 0L).toDouble
+      math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+    }).filter(_._2 > 0)
+    val cand = post.select(col("id").as(idCol)).distinct()
+    val scored = df.join(cand, Seq(idCol), "left_semi")
+      .withColumn("_toks", tokenizer(col(textCol)))
+      .withColumn("_dl", size(array_distinct(col("_toks"))))
+    val score = idf.map { case (t, w) =>
+      val tf = size(filter(col("_toks"), x => x === lit(t))).cast("double")
+      lit(w) * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("_dl").cast("double") / lit(stats.avgDocLen)))
+    }.reduce(_ + _)
+    val ranked = scored.withColumn("bm25", score)
+      .drop("_toks", "_dl")
+      .orderBy(col("bm25").desc_nulls_last, col(idCol).asc)
+    if (k > 0) ranked.limit(k) else ranked
+  }
+
   def search(df: DataFrame, idCol: String, index: DataFrame,
              query: String, numShards: Option[Int] = None,
              broadcastIdLimit: Long = defaultBroadcastIdLimit,

@@ -112,6 +112,32 @@ class OperatorsSpec extends SparkSpec {
     assert(viaIndex == viaScan && viaIndex == Set(3L))
   }
 
+  test("bm25: index-routed ranking matches the formula over candidates only") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple"),
+      (3L, "banana cherry"),
+      (4L, "durian")).toDF("id", "text")
+    val idx = InvertedIndex.build(corpus, "text", "id")
+    val stats = InvertedIndex.computeStats(idx)
+    assert(stats.docCount == 4L)
+    assert(stats.avgDocLen == 1.5) // distinct tokens per doc: (2+1+2+1)/4
+    val got = InvertedIndex.bm25Search(corpus, "text", "id", idx,
+        "apple banana", stats)
+      .select("id", "bm25").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L)) // durian: no query term
+    val (n, k1, b) = (4.0, 1.2, 0.75)
+    def idf(d: Long) = math.log(1 + (n - d + 0.5) / (d + 0.5))
+    def part(tf: Int, w: Double, dl: Int) =
+      w * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 1.5))
+    val exp = Map( // df(apple)=2, df(banana)=2
+      1L -> (part(2, idf(2), 2) + part(1, idf(2), 2)),
+      2L -> part(1, idf(2), 1),
+      3L -> part(1, idf(2), 2))
+    got.foreach { case (id, s) => assert(math.abs(s - exp(id)) < 1e-12) }
+    assert(got.head._1 == 1L) // both terms + highest tf ranks first
+  }
+
   test("sampling: md5-coin reproducible + salted + nested; quota caps groups") {
     val big = (1 to 1000).toDF("id")
     def sample(f: Double, salt: String = "") =
