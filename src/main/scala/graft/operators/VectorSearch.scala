@@ -222,7 +222,7 @@ object VectorSearch {
     * k rows — no global sort at 100 TB).
     */
   def pqTrain(df: DataFrame, vecCol: String, idCol: String,
-              m: Int, k: Int): PqModel = {
+              m: Int, k: Int, refineIters: Int = 1): PqModel = {
     val sampled = ivfSample(df, vecCol, idCol, k).collect()
     require(sampled.nonEmpty, "empty corpus")
     val dim = sampled.head.getSeq[Float](1).length
@@ -235,7 +235,76 @@ object VectorSearch {
       for (mi <- 0 until m; j <- 0 until sub)
         cb((mi * kk + ki) * sub + j) = v(mi * sub + j)
     }
-    PqModel(m, kk, dim, cb)
+    pqRefine(df, vecCol, PqModel(m, kk, dim, cb), refineIters)
+  }
+
+  /** Per-subspace Lloyd refinement of PQ codebooks — the same bounded
+    * partial-aggregate shape as [[ivfRefine]]: each pass is ONE
+    * `mapPartitions` emitting per-partition (sum, count) state of size
+    * `m·k·subDim` (= k·dim floats, corpus-independent), merged on the
+    * driver into new per-subspace means. Empty codes keep their
+    * centroid; per-row work equals one [[pqEncode]] pass.
+    */
+  def pqRefine(df: DataFrame, vecCol: String, model: PqModel,
+               iters: Int): PqModel = {
+    require(iters >= 0, s"bad iters $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (m, k, sub, dim) = (model.m, model.k, model.subDim, model.dim)
+    var cb = model.codebooks
+    for (_ <- 0 until iters) {
+      val bcb = cb
+      val partials = df
+        .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+        .select(col(vecCol))
+        .mapPartitions { rows =>
+          val sums = new Array[Double](m * k * sub)
+          val counts = new Array[Long](m * k)
+          rows.foreach { r =>
+            val v = r.getSeq[Float](0)
+            var mi = 0
+            while (mi < m) {
+              var best = 0; var bestD = Double.MaxValue; var ki = 0
+              while (ki < k) {
+                var d = 0.0; var j = 0
+                val off = (mi * k + ki) * sub
+                while (j < sub) {
+                  val x = v(mi * sub + j) - bcb(off + j); d += x * x; j += 1
+                }
+                if (d < bestD) { bestD = d; best = ki }
+                ki += 1
+              }
+              val off = (mi * k + best) * sub
+              var j = 0
+              while (j < sub) { sums(off + j) += v(mi * sub + j); j += 1 }
+              counts(mi * k + best) += 1
+              mi += 1
+            }
+          }
+          Iterator.single((sums, counts))
+        }
+        .collect() // one (k·dim, m·k) state blob per partition
+      val sums = new Array[Double](m * k * sub)
+      val counts = new Array[Long](m * k)
+      partials.foreach { case (s, c) =>
+        var i = 0; while (i < sums.length) { sums(i) += s(i); i += 1 }
+        i = 0; while (i < counts.length) { counts(i) += c(i); i += 1 }
+      }
+      val next = new Array[Float](m * k * sub)
+      var cell = 0
+      while (cell < m * k) {
+        var j = 0
+        while (j < sub) {
+          next(cell * sub + j) =
+            if (counts(cell) == 0) cb(cell * sub + j)
+            else (sums(cell * sub + j) / counts(cell)).toFloat
+          j += 1
+        }
+        cell += 1
+      }
+      cb = next
+    }
+    model.copy(codebooks = cb)
   }
 
   /** Encode every vector to `m` centroid ids (the PQ code — m ints

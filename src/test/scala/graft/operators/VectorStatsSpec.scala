@@ -152,6 +152,28 @@ class VectorStatsSpec extends SparkSpec {
       .collect().toSet == seed.collect().toSet)
   }
 
+  test("pqRefine: reconstruction error is non-increasing over Lloyd passes") {
+    val df = vecs(300, 16)
+    val seed = VectorSearch.pqTrain(df, "embedding", "vec_id",
+      m = 4, k = 8, refineIters = 0)
+    val refined = VectorSearch.pqRefine(df, "embedding", seed, iters = 2)
+    def sse(model: VectorSearch.PqModel): Double =
+      VectorSearch.pqEncode(df, "embedding", model)
+        .select("embedding", "_pq").collect().map { r =>
+          val v = r.getSeq[Float](0)
+          val code = r.getSeq[Int](1)
+          (0 until model.m).map { mi =>
+            val off = (mi * model.k + code(mi)) * model.subDim
+            (0 until model.subDim).map { j =>
+              val d = v(mi * model.subDim + j) - model.codebooks(off + j)
+              d.toDouble * d
+            }.sum
+          }.sum
+        }.sum
+    assert(sse(refined) <= sse(seed) + 1e-6)
+    assert(VectorSearch.pqRefine(df, "embedding", seed, 0) == seed)
+  }
+
   test("IVF probe search finds the exact neighbor when probing enough cells") {
     val df = vecs(100, 8)
     val (assigned, centroids) = VectorSearch.ivfBuild(df, "embedding", "vec_id", 8)
