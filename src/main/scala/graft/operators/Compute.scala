@@ -47,11 +47,22 @@ object Compute {
     * (a superset of the reference's 1-in/1-out contract — the reference
     * has no UDTF surface, SURVEY.md §2.9). Runs via `mapPartitions`, so
     * user code is invoked batched per partition with no driver round-trip.
+    *
+    * `ignoreErrors` mirrors the reference eval option
+    * (transform.py:86-120): a row whose function throws is DROPPED
+    * instead of failing the job — the curation semantics for dirty
+    * corpora (a corrupt sample must not kill a 100 TB pass). Default
+    * remains fail-fast.
     */
-  def rowStage(outSchema: StructType)(f: Row => IterableOnce[Row]): Stage = {
+  def rowStage(outSchema: StructType, ignoreErrors: Boolean = false)(
+      f: Row => IterableOnce[Row]): Stage = {
     df => {
       implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-      df.mapPartitions(_.flatMap(f))
+      if (ignoreErrors)
+        df.mapPartitions(_.flatMap(r =>
+          try f(r)
+          catch { case scala.util.control.NonFatal(_) => Nil }))
+      else df.mapPartitions(_.flatMap(f))
     }
   }
 

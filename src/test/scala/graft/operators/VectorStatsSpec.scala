@@ -256,6 +256,21 @@ class VectorStatsSpec extends SparkSpec {
     assert(ds.toDF.count() == 2)
   }
 
+  test("rowStage ignoreErrors drops throwing rows; default stays fail-fast") {
+    val schema = StructType(Seq(StructField("n", IntegerType)))
+    def f(r: Row): Seq[Row] = {
+      if (r.getInt(0) % 3 == 0) throw new IllegalStateException("corrupt")
+      Seq(Row(r.getInt(0) * 10))
+    }
+    val in = (1 to 9).toDF("n")
+    val kept = Compute.rowStage(schema, ignoreErrors = true)(f)(in)
+      .as[Int].collect().sorted.toSeq
+    assert(kept == Seq(10, 20, 40, 50, 70, 80)) // 3,6,9 dropped
+    intercept[org.apache.spark.SparkException] {
+      Compute.rowStage(schema)(f)(in).collect()
+    }
+  }
+
   test("multimodal: real PNG/BMP decode via the in-JVM codec") {
     // 4x2 grayscale gradient: pixel (x,y) = 32*(y*4+x) → known exact mean
     def png(fmt: String): Array[Byte] = {
