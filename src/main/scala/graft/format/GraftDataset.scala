@@ -356,12 +356,26 @@ class GraftDataset private[format] (
 
   /** Rewrite the snapshot into fresh base files, collapsing update and
     * tombstone files (reference `rechunk`, dataset.py:1018-1035). Run
-    * periodically to bound merge-on-read amplification; also the natural
-    * place to re-bucket/sort at scale.
+    * periodically to bound merge-on-read amplification.
+    *
+    * `clusterBy` makes this the RE-CLUSTER point at scale: rows hash-
+    * partition on the keys and sort within partitions, so parquet
+    * row-group min/max stats become tight on those columns — scans with
+    * predicates on them skip whole row groups, and downstream joins on
+    * the keys start from co-located files. (The OPTIMIZE ... ZORDER
+    * pattern, one column set at a time.)
     */
-  def compact(): Unit = {
+  def compact(clusterBy: Seq[String] = Nil): Unit = {
+    val bad = clusterBy.filterNot(stSchema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown cluster columns: ${bad.mkString(",")}")
     val snap = snapshotWithUuid()
-    val rel = writeData(snap, "compact")
+    val clustered =
+      if (clusterBy.isEmpty) snap
+      else snap
+        .repartition(spark.sparkContext.defaultParallelism,
+          clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val rel = writeData(clustered, "compact")
     stFiles = Vector(rel); stUpdates = Vector.empty
     stTombstones = Vector.empty; stRenames = Vector.empty
     dirty = true

@@ -159,6 +159,31 @@ class GraftDatasetSpec extends SparkSpec {
         .filter(_._3 >= 2.0))
   }
 
+  test("compact(clusterBy) preserves the snapshot and sorts files by the key") {
+    val ds = freshTable()
+    ds.append(Seq((3L, "a", 4.0), (4L, "c", 5.0), (5L, "b", 6.0),
+      (6L, "a", 7.0)).toDF("id", "label", "score"))
+    ds.commit("more")
+    val before = ds.toDF.orderBy("id").as[(Long, String, Double)]
+      .collect().toSeq
+    ds.compact(clusterBy = Seq("label"))
+    ds.commit("clustered")
+    assert(ds.toDF.orderBy("id").as[(Long, String, Double)]
+      .collect().toSeq == before)
+    // every written part file is internally sorted on the cluster key,
+    // so parquet row-group min/max stats on it are tight
+    val dataDir = new java.io.File(ds.root, "data")
+    val compactDir = dataDir.listFiles()
+      .filter(_.getName.startsWith("compact-")).maxBy(_.lastModified())
+    compactDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { part =>
+        val labels = spark.read.parquet(part.getAbsolutePath)
+          .select("label").collect().map(_.getString(0)).toSeq
+        assert(labels == labels.sorted, s"unsorted part ${part.getName}")
+      }
+    intercept[IllegalArgumentException](ds.compact(clusterBy = Seq("nope")))
+  }
+
   test("tensorDiff classifies per-tensor added/removed/updated between commits") {
     val ds = freshTable()
     val c1 = ds.head.get
