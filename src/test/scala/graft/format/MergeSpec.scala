@@ -187,4 +187,80 @@ class MergeSpec extends SparkSpec {
     ds.merge("dev")
     assert(rows(ds) == Set((0L, "edited"), (1L, "one"), (7L, "seven")))
   }
+
+  test("randomized merges match a driver-side model (seeded property test)") {
+    // Random update/pop/append on both branches, random resolutions;
+    // expectation computed independently from the winner rules
+    // (Versioning scaladoc / reference merge.py:499-621). Ids are unique
+    // per row and append id-spaces are disjoint, so id ≡ uuid for the
+    // model.
+    val rnd = new scala.util.Random(20260812L)
+    val resoSpace = for {
+      a <- Seq("ours", "theirs", "both"); u <- Seq("ours", "theirs")
+      p <- Seq("ours", "theirs", "both")
+    } yield Versioning.MergeResolutions(a, u, p)
+    for (round <- 1 to 5) {
+      val baseIds = (0L until 12L)
+      val ds = GraftDataset.create(spark, tmpDir(s"fuzz$round"), schema)
+      ds.append(baseIds.map(i => (i, s"v$i")).toDF("id", "v"))
+      ds.commit("base")
+      ds.checkout("dev", create = true)
+      ds.checkout("main")
+      // model state: id -> value; None = deleted
+      def mutate(branch: String, appendFrom: Long)
+          : Map[Long, Option[String]] = {
+        ds.checkout(branch)
+        var m: Map[Long, Option[String]] =
+          baseIds.map(i => i -> Option(s"v$i")).toMap
+        val upd = baseIds.filter(_ => rnd.nextBoolean()).toSet
+        if (upd.nonEmpty) {
+          ds.update(col("id").isin(upd.toSeq: _*),
+            Map("v" -> concat(lit(s"$branch-"), col("id"))))
+          m = m ++ upd.map(i => i -> Option(s"$branch-$i"))
+        }
+        val dead = baseIds.filter(_ => rnd.nextInt(4) == 0).toSet
+        if (dead.nonEmpty) {
+          ds.pop(col("id").isin(dead.toSeq: _*))
+          m = m ++ dead.map(i => i -> None)
+        }
+        val added = (appendFrom until appendFrom + rnd.nextInt(3))
+        if (added.nonEmpty) {
+          ds.append(added.map(i => (i, s"$branch-new$i")).toDF("id", "v"))
+          m = m ++ added.map(i => i -> Option(s"$branch-new$i"))
+        }
+        ds.commit(s"$branch mutations")
+        m
+      }
+      val theirsM = mutate("dev", 200L)
+      val oursM = mutate("main", 100L) // ends checked out on main
+      val r = resoSpace(rnd.nextInt(resoSpace.size))
+      ds.merge("dev", r)
+      val expected = (oursM.keySet ++ theirsM.keySet).flatMap { id =>
+        val l = if (baseIds.contains(id)) Option(s"v$id") else None
+        val o = oursM.getOrElse(id, None)
+        val t = theirsM.getOrElse(id, None)
+        val oCh = l.isDefined && o.isDefined && o != l
+        val tCh = l.isDefined && t.isDefined && t != l
+        val win: Option[String] =
+          if (l.isEmpty) { // appended on exactly one side
+            if (o.isDefined)
+              if (r.append != "theirs") o else None
+            else if (t.isDefined)
+              if (r.append != "ours") t else None
+            else None
+          }
+          else if (o.isEmpty && t.isEmpty) None
+          else if (o.isEmpty) if (r.pop != "theirs") None else t
+          else if (t.isEmpty) if (r.pop != "ours") None else o
+          else if (oCh && tCh && o != t)
+            if (r.update == "theirs") t else o
+          else if (tCh && !oCh) t
+          else o
+        win.map(v => (id, v))
+      }
+      assert(rows(ds) == expected,
+        s"round $round with $r:\n got ${rows(ds).toSeq.sorted}\n " +
+          s"want ${expected.toSeq.sorted}")
+    }
+  }
 }
