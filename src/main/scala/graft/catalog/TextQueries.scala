@@ -197,6 +197,24 @@ object TextQueries {
         .orderBy("doc_id_a", "doc_id_b"),
       None),
 
+    // benchmark decontamination: corpus docs sharing >= K distinct
+    // bigrams with a held-out set (docs 0-19 stand in as the benchmark)
+    QueryDef("q84_decontaminate",
+      (s, dir) => Dedup.decontaminate(docs(s, dir), "text", "doc_id",
+          docs(s, dir).filter(col("doc_id") < 20), "text",
+          shingleN = 2, minOverlap = 10)
+        .orderBy("doc_id"),
+      Some(s"""WITH sh AS (
+          SELECT doc_id, list_distinct([list_aggregate(toks[i:i+1],
+            'string_agg', ' ') FOR i IN range(1, len(toks) - 0)]) AS s
+          FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        cs AS (SELECT doc_id, UNNEST(s) AS t FROM sh),
+        bs AS (SELECT DISTINCT UNNEST(s) AS t FROM sh WHERE doc_id < 20)
+        SELECT doc_id, COUNT(*) AS overlap_count
+        FROM cs JOIN bs USING (t)
+        GROUP BY doc_id HAVING COUNT(*) >= 10 ORDER BY doc_id""")),
+
     // BM25 ranked retrieval through the persisted index (+stats sidecar);
     // the oracle recomputes the identical formula in SQL — constants are
     // interpolated from the same Scala doubles so both engines parse the

@@ -241,6 +241,34 @@ object Dedup {
         col("jaccard"))
   }
 
+  // ---- benchmark decontamination ----------------------------------------
+
+  /** Flag corpus docs that share at least `minOverlap` distinct
+    * `shingleN`-gram shingles with a benchmark/eval set — the test-set
+    * DECONTAMINATION pass every training pipeline runs before export.
+    *
+    * Scale shape: the benchmark's distinct shingles are SMALL by
+    * definition → broadcast; the corpus streams through one scan-side
+    * hash join, and only MATCHED (id, shingle) pairs reach the
+    * overlap-count shuffle. The corpus itself is never shuffled.
+    * Shingle arrays are distinct per doc, so `count(*)` after the join
+    * is exactly the distinct-overlap count.
+    */
+  def decontaminate(df: DataFrame, textCol: String, idCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    shingleN: Int, minOverlap: Long): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val cs = df.repartition(par).select(col(idCol),
+      explode(T.tokenShingles(col(textCol), shingleN)).as("_s"))
+    val bs = broadcast(bench
+      .select(explode(T.tokenShingles(col(benchTextCol), shingleN)).as("_s"))
+      .distinct())
+    cs.join(bs, "_s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("overlap_count"))
+      .filter(col("overlap_count") >= minOverlap)
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 32-bit SimHash over tokens: per bit, sum +1/-1 weighted by token
@@ -412,6 +440,21 @@ object Dedup {
     * this O(n²/L) — use [[embeddingNearDupLsh]] with `equalCols` for that
     * case, which is why the oracle query routes through it.
     */
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023: cluster the
+    * embedding space, near-dup WITHIN clusters): IVF cells from
+    * [[VectorSearch.ivfBuild]] become the blocking key — `nlist` scales
+    * with the corpus, so cells ARE the high-cardinality blocks
+    * [[embeddingNearDup]] needs, and the per-cell pair expansion is
+    * O(n²/nlist) by construction. Returns (id_a, id_b, cos_sim) pairs at
+    * or above `threshold`; dedup = drop one side of each pair.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    nlist: Int, threshold: Double): DataFrame = {
+    val (assigned, _) =
+      VectorSearch.ivfBuild(df, vecCol, idCol, nlist)
+    embeddingNearDup(assigned, vecCol, idCol, "cell", threshold)
+  }
+
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        blockCol: String, threshold: Double): DataFrame = {
     val prep = df.select(col(idCol), col(blockCol),

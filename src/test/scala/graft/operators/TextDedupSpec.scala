@@ -247,4 +247,35 @@ class TextDedupSpec extends SparkSpec {
     val cos = df.select(V.cosineScaled($"a", $"a")).head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
   }
+
+  test("decontaminate flags docs by distinct shingle overlap with a benchmark") {
+    val corpus = Seq(
+      (1L, "a b c d e"),       // bigrams: ab bc cd de → overlap 4
+      (2L, "a b c x y"),       // ab bc → overlap 2
+      (3L, "p q r s t"),       // none
+      (4L, "c d e f g")        // cd de → overlap 2
+    ).toDF("doc_id", "text")
+    val bench = Seq("a b c d e").toDF("text")
+    val got = Dedup.decontaminate(corpus, "text", "doc_id", bench, "text",
+        shingleN = 2, minOverlap = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 4L, 2L -> 2L, 4L -> 2L)) // doc 3 clean
+  }
+
+  test("semanticDedup: IVF cells as blocks, exact duplicates always pair") {
+    // 40 base vectors + 5 exact duplicates of vec 0..4 (ids 100..104)
+    val base = (0 until 40).map(i => (i.toLong,
+      (0 until 8).map(j => math.sin(i * 31 + j).toFloat)))
+    val dups = (0 until 5).map(i => (100L + i, base(i)._2))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedup(df, "embedding", "vec_id",
+        nlist = 8, threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    // soundness: every reported pair really is >= threshold
+    assert(pairs.forall(_._3 >= 0.999))
+    // completeness for exact duplicates: same vector ⇒ same cell ⇒ found
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0 until 5).foreach(i =>
+      assert(found.contains((i.toLong, 100L + i)), s"missed dup $i"))
+  }
 }
