@@ -166,4 +166,83 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Token n-gram occurrences WITH multiplicity — repetition signals need
+    * the full occurrence list ([[tokenShingles]] dedups for Jaccard).
+    */
+  def tokenShinglesAll(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= lit(n),
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram — the Gopher-style "top n-gram fraction" repetition signal
+    * (Rae et al. 2021 §A1.2: high values flag boilerplate/spam). Null
+    * when the doc has no n-grams. Per-row expression (O(distinct·total)
+    * inside one row), no shuffle — scale-free.
+    */
+  def topNgramFraction(c: Column, n: Int): Column = {
+    val all = tokenShinglesAll(c, n)
+    val counts = transform(array_distinct(all),
+      g => size(filter(all, x => x === g)))
+    when(size(all) > 0,
+      array_max(counts).cast("double") / size(all).cast("double"))
+  }
+
+  /** Fraction of n-gram occurrences belonging to n-grams that occur more
+    * than once — the companion "duplicate n-gram fraction" repetition
+    * signal. Null when the doc has no n-grams.
+    */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val all = tokenShinglesAll(c, n)
+    val dupOcc = aggregate(
+      transform(array_distinct(all),
+        g => size(filter(all, x => x === g)).cast("long")),
+      lit(0L), (acc, v) => acc + when(v > 1L, v).otherwise(lit(0L)))
+    when(size(all) > 0,
+      dupOcc.cast("double") / size(all).cast("double"))
+  }
+
+  /** PII scrub patterns — the regex dialect subset that behaves
+    * identically across engines (character classes + bounded repetition,
+    * no lookaround). Email/phone/SSN are the classic crawl-scrub set;
+    * digitRun redacts bare numeric identifiers.
+    */
+  val piiPatterns: Map[String, String] = Map(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}",
+    "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "digitRun" -> "[0-9]+")
+
+  /** Replace every match of `pattern` with `token` — one codegen'd
+    * regexp_replace, applied at the scan (no shuffle).
+    */
+  def redact(c: Column, pattern: String, token: String): Column =
+    regexp_replace(c, pattern, token)
+
+  /** Number of matches `redact` would replace — the audit counter every
+    * scrub pass reports alongside the scrubbed text.
+    */
+  def redactionCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Apply several named patterns in sequence (deterministic order by
+    * name) and report per-pattern hit counts: returns
+    * (scrubbed, map(name -> count)). Counts are measured on the ORIGINAL
+    * text so overlapping patterns don't hide each other's hits.
+    */
+  def piiScrub(c: Column, patterns: Map[String, String],
+               token: String = "<PII>"): (Column, Column) = {
+    val ordered = patterns.toSeq.sortBy(_._1)
+    val scrubbed = ordered.foldLeft(c) { case (acc, (_, p)) =>
+      redact(acc, p, token)
+    }
+    val counts = map(ordered.flatMap { case (name, p) =>
+      Seq(lit(name), redactionCount(c, p))
+    }: _*)
+    (scrubbed, counts)
+  }
 }
