@@ -37,6 +37,10 @@ object TextQueries {
   private val duckToks =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  // q86 fixture tail appended to every doc (must be SQL-quote-safe).
+  private val piiSuffix =
+    "@mail.example.com or 555-867-5309 ssn 123-45-6789 badge 4481"
+
   val all: Seq[QueryDef] = Seq(
 
     // CONTAINS = token containment (fuzzy_match single-term)
@@ -278,6 +282,70 @@ object TextQueries {
             CAST(doc_id AS VARCHAR), 's1')), 1, 15)) AS BIGINT)
           < ${(0.2 * (1L << 60).toDouble).toLong}
         ORDER BY doc_id""")),
+
+    // Gopher-style repetition signals: top/duplicate n-gram occurrence
+    // fractions in ONE sorted run-length pass per row. explode(array(..))
+    // is a deliberate binding barrier: Generate evaluates the struct once
+    // per row, so the two getFields don't re-tokenize (no HOF CSE).
+    QueryDef("q85_repetition_signals",
+      (s, dir) => docs(s, dir)
+        // CPU-per-row (sort + run-length over every doc's shingles):
+        // spread rows before compute — the testdata parquet is one file
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(array(T.ngramRepetition(col("text"), 2))).as("rep"))
+        .select(col("doc_id"),
+          col("rep.top_fraction").as("top_frac"),
+          col("rep.dup_fraction").as("dup_frac"))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+        ex AS (SELECT doc_id, UNNEST([list_aggregate(ts[i:i+1], 'string_agg', ' ')
+            FOR i IN range(1, len(ts) - 0)]) AS g
+          FROM toks WHERE len(ts) >= 2),
+        cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+        agg AS (SELECT doc_id, MAX(c) AS best,
+            SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS total
+          FROM cnt GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(a.best AS DOUBLE) / CAST(a.total AS DOUBLE) AS top_frac,
+          CAST(a.dup AS DOUBLE) / CAST(a.total AS DOUBLE) AS dup_frac
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // PII scrub with audit counts: specific patterns (email, ssn, phone)
+    // redact before the generic digitRun, counts measured on the original
+    // text. PII strings are CONSTRUCTED per row (doc_id-dependent email +
+    // fixed phone/ssn/badge) so the oracle applies the identical
+    // engine-portable regex chain to the identical text.
+    QueryDef("q86_pii_scrub",
+      (s, dir) => {
+        val raw = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit(piiSuffix))
+        val (scrubbed, counts) = T.piiScrub(raw, T.piiPatterns)
+        docs(s, dir).select(col("doc_id"), scrubbed.as("scrubbed"),
+          counts.getItem("email").cast("long").as("n_email"),
+          counts.getItem("ssn").cast("long").as("n_ssn"),
+          counts.getItem("phone").cast("long").as("n_phone"),
+          counts.getItem("digitRun").cast("long").as("n_digit"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val pe = T.piiPatterns("email"); val ps = T.piiPatterns("ssn")
+        val pp = T.piiPatterns("phone"); val pd = T.piiPatterns("digitRun")
+        s"""WITH raw AS (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '$piiSuffix' AS t
+          FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '$pe', '<PII>', 'g'), '$ps', '<PII>', 'g'),
+            '$pp', '<PII>', 'g'), '$pd', '<PII>', 'g') AS scrubbed,
+          CAST(len(regexp_extract_all(t, '$pe')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(t, '$ps')) AS BIGINT) AS n_ssn,
+          CAST(len(regexp_extract_all(t, '$pp')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(t, '$pd')) AS BIGINT) AS n_digit
+        FROM raw ORDER BY doc_id"""
+      }),
 
     // exact n-gram Jaccard near-dup pairs (the oracle-checkable near-dup)
     QueryDef("q50_ngram_jaccard_pairs",

@@ -178,33 +178,58 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Fraction of n-gram occurrences taken by the single most frequent
-    * n-gram — the Gopher-style "top n-gram fraction" repetition signal
-    * (Rae et al. 2021 §A1.2: high values flag boilerplate/spam). Null
-    * when the doc has no n-grams. Per-row expression (O(distinct·total)
-    * inside one row), no shuffle — scale-free.
+  /** Both repetition signals in one pass, as a struct
+    * `(top_fraction, dup_fraction)` — inspired by the Gopher repetition
+    * filters (Rae et al. 2021 §A1.2), but measured over n-gram
+    * OCCURRENCES, not the paper's character mass: thresholds from the
+    * paper do not transfer directly.
+    *
+    *  - top_fraction: share of n-gram occurrences taken by the single
+    *    most frequent n-gram (boilerplate/spam flag).
+    *  - dup_fraction: share of occurrences belonging to n-grams seen
+    *    more than once.
+    *
+    * Null when the doc has no n-grams. Single `array_sort` +
+    * run-length `aggregate` pass — O(n log n) per row, no shuffle, and
+    * the shingle array is bound exactly once (Catalyst has no CSE
+    * across HOF references, so repeated references would re-tokenize).
     */
-  def topNgramFraction(c: Column, n: Int): Column = {
-    val all = tokenShinglesAll(c, n)
-    val counts = transform(array_distinct(all),
-      g => size(filter(all, x => x === g)))
-    when(size(all) > 0,
-      array_max(counts).cast("double") / size(all).cast("double"))
+  def ngramRepetition(c: Column, n: Int): Column = {
+    val sorted = array_sort(tokenShinglesAll(c, n))
+    aggregate(
+      sorted,
+      // grams are non-empty (tokens drop empties), so "" is a safe
+      // run-start sentinel
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit(0L).as("dup"), lit(0L).as("total")),
+      (acc, v) => {
+        val run = when(v === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        // occurrences in runs longer than 1: pay 2 when a run reaches
+        // length 2 (the first occurrence retroactively counts), then 1
+        val dupAdd = when(run === 2L, lit(2L))
+          .when(run > 2L, lit(1L)).otherwise(lit(0L))
+        struct(v.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("dup") + dupAdd).as("dup"),
+          (acc.getField("total") + lit(1L)).as("total"))
+      },
+      st => when(st.getField("total") > 0L, struct(
+        (st.getField("best").cast("double") /
+          st.getField("total").cast("double")).as("top_fraction"),
+        (st.getField("dup").cast("double") /
+          st.getField("total").cast("double")).as("dup_fraction"))))
   }
 
-  /** Fraction of n-gram occurrences belonging to n-grams that occur more
-    * than once — the companion "duplicate n-gram fraction" repetition
-    * signal. Null when the doc has no n-grams.
+  /** Top n-gram fraction — see [[ngramRepetition]]. Prefer binding
+    * `ngramRepetition` once when both signals are needed.
     */
-  def dupNgramFraction(c: Column, n: Int): Column = {
-    val all = tokenShinglesAll(c, n)
-    val dupOcc = aggregate(
-      transform(array_distinct(all),
-        g => size(filter(all, x => x === g)).cast("long")),
-      lit(0L), (acc, v) => acc + when(v > 1L, v).otherwise(lit(0L)))
-    when(size(all) > 0,
-      dupOcc.cast("double") / size(all).cast("double"))
-  }
+  def topNgramFraction(c: Column, n: Int): Column =
+    ngramRepetition(c, n).getField("top_fraction")
+
+  /** Duplicate n-gram fraction — see [[ngramRepetition]]. */
+  def dupNgramFraction(c: Column, n: Int): Column =
+    ngramRepetition(c, n).getField("dup_fraction")
 
   /** PII scrub patterns — the regex dialect subset that behaves
     * identically across engines (character classes + bounded repetition,
@@ -229,14 +254,26 @@ object TextFunctions {
   def redactionCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 
-  /** Apply several named patterns in sequence (deterministic order by
-    * name) and report per-pattern hit counts: returns
-    * (scrubbed, map(name -> count)). Counts are measured on the ORIGINAL
-    * text so overlapping patterns don't hide each other's hits.
+  /** Scrub priority: most-specific patterns first, so the generic
+    * `digitRun` cannot destroy the digits that `email`/`ssn`/`phone`
+    * need to match. Names not listed here apply after these, in name
+    * order (deterministic).
+    */
+  val piiPriority: Seq[String] = Seq("email", "ssn", "phone")
+
+  /** Apply several named patterns — [[piiPriority]] order first, then
+    * remaining names alphabetically — and report per-pattern hit counts:
+    * returns (scrubbed, map(name -> count)). Counts are measured on the
+    * ORIGINAL text so overlapping patterns don't hide each other's hits;
+    * because specific patterns scrub before generic ones, every counted
+    * specific hit is also actually redacted by its own pattern.
     */
   def piiScrub(c: Column, patterns: Map[String, String],
                token: String = "<PII>"): (Column, Column) = {
-    val ordered = patterns.toSeq.sortBy(_._1)
+    val ordered = patterns.toSeq.sortBy { case (name, _) =>
+      val i = piiPriority.indexOf(name)
+      (if (i >= 0) i else piiPriority.length, name)
+    }
     val scrubbed = ordered.foldLeft(c) { case (acc, (_, p)) =>
       redact(acc, p, token)
     }
