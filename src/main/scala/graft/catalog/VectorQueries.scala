@@ -135,6 +135,39 @@ object VectorQueries {
         FROM pairs WHERE cos >= 0.99
         ORDER BY vec_id_a, vec_id_b""")),
 
+    // SemDeDup-style semantic dedup (Abbas 2023): IVF cells as blocks,
+    // exact scaled-int cosine verify inside each cell. Oracle-able
+    // because the qualifying pairs are CONSTRUCTED exact clones
+    // (vec_id < 25 duplicated at +100000): identical vectors get
+    // identical cell assignments (deterministic argmin), so cell
+    // blocking misses nothing at the 0.9999 threshold and the exact
+    // all-pairs SQL is the true answer.
+    QueryDef("q87_semantic_dedup",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val clones = e.filter(col("vec_id") < 25L)
+          .withColumn("vec_id", col("vec_id") + lit(100000L))
+        Dedup.semanticDedup(e.unionByName(clones), "embedding", "vec_id",
+            nlist = 16, threshold = 0.9999)
+          .withColumn("cos_x1e6", round(col("cos_sim") * lit(1e6)).cast("long"))
+          .select("vec_id_a", "vec_id_b", "cos_x1e6")
+          .orderBy("vec_id_a", "vec_id_b")
+      },
+      Some(s"""WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 25),
+        prep AS (SELECT vec_id, ${dq("embedding")} AS qv FROM corpus),
+        normed AS (SELECT vec_id, qv,
+          sqrt(CAST(${qdot("qv", "qv")} AS DOUBLE)) AS nrm FROM prep),
+        pairs AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+          CAST(${qdot("a.qv", "b.qv")} AS DOUBLE) / (a.nrm * b.nrm) AS cos
+          FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+        SELECT vec_id_a, vec_id_b,
+          CAST(round(cos * 1000000.0) AS BIGINT) AS cos_x1e6
+        FROM pairs WHERE cos >= 0.9999
+        ORDER BY vec_id_a, vec_id_b""")),
+
     // centroid aggregation per label: the building block of IVF build /
     // k-means — mean vector via exact int64 sums, emitted on the 1e6 grid
     QueryDef("q64_label_centroids",
