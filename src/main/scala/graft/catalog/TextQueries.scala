@@ -41,6 +41,26 @@ object TextQueries {
   private val piiSuffix =
     "@mail.example.com or 555-867-5309 ssn 123-45-6789 badge 4481"
 
+  /** DuckDB CTE chain reproducing [[Dedup.simHash60Md5]] bit-for-bit:
+    * md5-derived 60-bit token hash, per-bit ±1 vote sums via a
+    * range(0,60) lateral, sign fold → fingerprint. Shared by q67
+    * (fingerprints) and q51 (hamming-banded near-dup pairs).
+    */
+  val duckSimHash60: String =
+    """WITH tk AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents),
+      ex AS (SELECT doc_id, UNNEST(ts) AS t FROM tk),
+      hs AS (SELECT doc_id,
+          CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM ex),
+      votes AS (SELECT doc_id, b,
+          SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hs, range(0, 60) r(b) GROUP BY 1, 2),
+      fp AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0
+            THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        FROM votes GROUP BY 1)"""
+
   val all: Seq[QueryDef] = Seq(
 
     // CONTAINS = token containment (fuzzy_match single-term)
@@ -194,12 +214,25 @@ object TextQueries {
         GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         ORDER BY 1""")),
 
-    // SimHash banded near-dup (approximate — rows-only driver check)
+    // SimHash banded near-dup. EXACT given the band construction: two
+    // fingerprints within hamming r agree on one of r+1 bands
+    // (pigeonhole), so with the md5-portable 60-bit fingerprint and an
+    // unconstrained bucket cap the pair set equals the brute-force
+    // all-pairs answer — full DuckDB hash-match, not rows-only. 20-bit
+    // bands keep random band collisions ~nil at any corpus size (10-bit
+    // bands from a 32-bit fp flooded candidates past 10⁶ docs); the
+    // default maxBucket=64 skew guard stays for the 100 TB API path.
     QueryDef("q51_simhash_near_dup",
       (s, dir) => Dedup.simHashNearDup(docs(s, dir), "text", "doc_id",
-          maxHamming = 2)
+          maxHamming = 2, maxBucket = Int.MaxValue,
+          fingerprint = Dedup.simHash60Md5, fpBits = 60)
         .orderBy("doc_id_a", "doc_id_b"),
-      None),
+      Some(duckSimHash60 +
+        """ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        ORDER BY 1, 2""")),
 
     // benchmark decontamination: corpus docs sharing >= K distinct
     // bigrams with a held-out set (docs 0-19 stand in as the benchmark)

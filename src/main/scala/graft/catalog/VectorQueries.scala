@@ -239,12 +239,19 @@ object VectorQueries {
         .orderBy("vec_id_a", "vec_id_b"),
       None),
 
-    // SimHash fingerprint + hamming near-dup buckets (not oracle-able)
+    // SimHash fingerprints, md5-portable token hash: the vote-fold is
+    // reproduced verbatim in SQL (per-bit ±1 sums via a range(0,60)
+    // lateral), so the 60-bit fingerprint itself hash-matches DuckDB.
+    // The native murmur3 simHash32 stays the fast default; its
+    // equivalence to the HOF fold is pinned in NativeExpressionsSpec.
     QueryDef("q67_dedup_simhash",
       (s, dir) => Tables.load(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), Dedup.simHash60Md5(col("text")).as("simhash"))
         .orderBy("doc_id"),
-      None),
+      Some(TextQueries.duckSimHash60 +
+        """ SELECT tk.doc_id, COALESCE(fp.simhash, 0) AS simhash
+        FROM tk LEFT JOIN fp USING (doc_id) ORDER BY doc_id""")),
 
     // product-quantization ANN (reference IVFPQ index type,
     // faiss_index.py:133-272): train codebooks from a deterministic

@@ -144,6 +144,16 @@ object TextFunctions {
       (acc, v) => pmod(acc * lit(31L) + v, mod))
   }
 
+  /** Engine-portable token hash: first `bits/4` hex chars of md5 as an
+    * unsigned int in a long (bits ≤ 60 keeps it positive). Slower than
+    * murmur3 but reproducible in any engine with md5 (DuckDB, Trino, ...)
+    * — the hash behind the oracle-checkable SimHash variant.
+    */
+  def tokenHashBits(t: Column, bits: Int): Column = {
+    require(bits % 4 == 0 && bits > 0 && bits <= 60, s"bad bits $bits")
+    conv(substring(md5(t), 1, bits / 4), 16, 10).cast("long")
+  }
+
   /** Character n-gram shingles of the normalized text (distinct), for
     * Jaccard. Guarded: Spark `sequence(a,b)` DESCENDS when a > b, so short
     * texts must short-circuit to an empty array.

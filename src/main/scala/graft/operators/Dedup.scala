@@ -91,23 +91,30 @@ object Dedup {
     // group is bounded by the maxBucket cap (oversized buckets are
     // degenerate near-identical floods, dropped here and flagged for an
     // exact pass — same guard as before, now costing one aggregation).
-    val grouped = buckets.groupBy("band", "bucket")
-      .agg(collect_list(col(idCol)).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucket))
-    val pairs = grouped.select(explode(pairCombinations(col("_ids"))).as("_p"))
-    pairs.select(col("_p._1").as(s"${idCol}_a"), col("_p._2").as(s"${idCol}_b"))
-      .distinct()
+    expandPairs(buckets, idCol, maxBucket)
   }
 
-  /** All (lo, hi) id pairs of a bucket's id list (lo < hi), as one
-    * expression: sort, then nested index expansion.
+  /** All (lo, hi) id pairs of each (band, bucket) group (lo < hi):
+    * group → SORTED id list (sorted inside the aggregate, so `_ids` is an
+    * Aggregate output attribute that no optimizer rule can inline into
+    * the generator) → one nested-transform explode whose lambdas touch
+    * only O(1) attribute lookups. Sorting inside a downstream projection
+    * instead would get inlined into the lambda bodies (Catalyst has no
+    * CSE in lambdas) and re-sort per inner element — O(m³ log m) per
+    * bucket, which detonated on large exact buckets.
     */
-  private def pairCombinations(ids: Column): Column = {
-    val sorted = array_sort(ids)
-    flatten(transform(sequence(lit(1), size(sorted) - 1), i =>
-      transform(sequence(i + 1, size(sorted)), j =>
-        struct(element_at(sorted, i).as("_1"),
-          element_at(sorted, j).as("_2")))))
+  private def expandPairs(buckets: DataFrame, idCol: String,
+                          maxBucket: Int): DataFrame = {
+    val grouped = buckets.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+    val ids = col("_ids")
+    val pairs = flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+      transform(sequence(i + 1, size(ids)), j =>
+        struct(element_at(ids, i).as("_1"), element_at(ids, j).as("_2")))))
+    grouped.select(explode(pairs).as("_p"))
+      .select(col("_p._1").as(s"${idCol}_a"), col("_p._2").as(s"${idCol}_b"))
+      .distinct()
   }
 
   /** Full MinHash-LSH near-dup: candidates verified by exact Jaccard over
@@ -282,24 +289,45 @@ object Dedup {
 
   /** The original higher-order-function formulation — equivalence oracle
     * for the native expression (bit positions unrolled at plan-build
-    * time; one aggregate pass; finish-lambda folds votes → bits).
+    * time; one aggregate pass; finish-lambda folds votes → bits). The
+    * token hash is pluggable: murmur3 by default (matches the native
+    * expression), [[graft.functions.TextFunctions.tokenHash32]] for the
+    * engine-portable variant.
     */
-  def simHash32Hof(textCol: Column): Column = {
+  def simHash32Hof(textCol: Column): Column =
+    simHashHof(textCol, 32, hash(_))
+
+  /** Width-parameterized SimHash vote fold (bit positions unrolled at
+    * plan-build time; one aggregate pass; finish-lambda folds votes →
+    * bits). `bits ≤ 60` keeps every intermediate in a positive long.
+    */
+  def simHashHof(textCol: Column, bits: Int,
+                 tokenHash: Column => Column): Column = {
+    require(bits > 0 && bits <= 60, s"bad bits $bits")
     val toks = T.tokens(textCol)
     aggregate(
       toks,
-      array_repeat(lit(0), 32),
+      array_repeat(lit(0), bits),
       (acc, t) => {
-        val h = hash(t)
-        val bits = array((0 until 32).map(i =>
+        val h = tokenHash(t)
+        val bitsArr = array((0 until bits).map(i =>
           when(shiftright(h, i).bitwiseAND(lit(1)) === 1, lit(1))
             .otherwise(lit(-1))): _*)
-        zip_with(acc, bits, (a, b) => a + b)
+        zip_with(acc, bitsArr, (a, b) => a + b)
       },
-      votes => (0 until 32).map(i =>
+      votes => (0 until bits).map(i =>
         when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce(_ + _))
   }
+
+  /** Oracle-checkable 60-bit SimHash: same vote fold, md5-derived token
+    * hash (reproducible in DuckDB/Trino — see q67's oracle). The wider
+    * fingerprint is also the scale path: banded near-dup over b bands
+    * needs bits/b-wide bands, and 10-bit bands (32-bit fp, hamming ≤ 2)
+    * flood with random collisions past ~10⁶ docs; 20-bit bands do not.
+    */
+  def simHash60Md5(textCol: Column): Column =
+    simHashHof(textCol, 60, T.tokenHashBits(_, 60))
 
   /** Hamming distance between two int64 fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -312,10 +340,13 @@ object Dedup {
     * MinHash LSH — never a corpus self-join.
     */
   def simHashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int, maxBucket: Int = 64): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
+                     maxHamming: Int, maxBucket: Int = 64,
+                     fingerprint: Column => Column = simHash32,
+                     fpBits: Int = 32): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < fpBits,
+      s"maxHamming in [0, $fpBits)")
     val bands = maxHamming + 1
-    val width = 32 / bands
+    val width = fpBits / bands
     // Hash-exchange ABOVE the fingerprint projection: the bucket branch and
     // both verify join sides all consume (id, _sh32), so the exchange is
     // reused and the expensive simHash32 aggregate runs ONCE per row total
@@ -323,24 +354,19 @@ object Dedup {
     // HOFs have no CSE — and each join side re-executes the subtree).
     val fp = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), simHash32(col(textCol)).as("_sh32"))
+      .select(col(idCol), fingerprint(col(textCol)).as("_sh32"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
     // band b = bits [b*width, ...); the last band absorbs the remainder
     val bandCols = (0 until bands).map { b =>
       val lo = b * width
-      val w = if (b == bands - 1) 32 - lo else width
+      val w = if (b == bands - 1) fpBits - lo else width
       struct(lit(b).as("band"),
         shiftright(col("_sh32"), lo).bitwiseAND(lit((1L << w) - 1)).as("bucket"))
     }
     val buckets = fp.withColumn("_bb", explode(array(bandCols: _*)))
       .select(col(idCol), col("_sh32"),
         col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
-    val cand = buckets.groupBy("band", "bucket")
-      .agg(collect_list(col(idCol)).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucket))
-      .select(explode(pairCombinations(col("_ids"))).as("_p"))
-      .select(col("_p._1").as(s"${idCol}_a"), col("_p._2").as(s"${idCol}_b"))
-      .distinct()
+    val cand = expandPairs(buckets, idCol, maxBucket)
     val fps = fp.select(col(idCol), col("_sh32"))
     cand
       .join(fps.withColumnRenamed(idCol, s"${idCol}_a")
@@ -400,12 +426,7 @@ object Dedup {
           .as("_bkts")) ++ equalCols.map(col)): _*)
     val buckets = prep.select(col(idCol),
       posexplode(col("_bkts")).as(Seq("band", "bucket")))
-    val cand = buckets.groupBy("band", "bucket")
-      .agg(collect_list(col(idCol)).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucket))
-      .select(explode(pairCombinations(col("_ids"))).as("_p"))
-      .select(col("_p._1").as(s"${idCol}_a"), col("_p._2").as(s"${idCol}_b"))
-      .distinct()
+    val cand = expandPairs(buckets, idCol, maxBucket)
     // _nrm is computed BELOW the exchange so the shuffle files carry it and
     // both join sides read it back (a withColumn above the exchange would
     // re-evaluate the dot per side).
