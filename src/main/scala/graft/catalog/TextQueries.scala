@@ -44,7 +44,11 @@ object TextQueries {
   /** DuckDB CTE chain reproducing [[Dedup.simHash60Md5]] bit-for-bit:
     * md5-derived 60-bit token hash, per-bit ±1 vote sums via a
     * range(0,60) lateral, sign fold → fingerprint. Shared by q67
-    * (fingerprints) and q51 (hamming-banded near-dup pairs).
+    * (fingerprints) and q51 (hamming-banded near-dup pairs). The final
+    * `fp` CTE is COMPLETE over all docs: NULL/tokenless texts produce no
+    * token rows, so their votes are absent and the left join coalesces
+    * them to fingerprint 0 — exactly what the Spark side's
+    * `coalesce(simhash, 0)` yields for the same docs.
     */
   val duckSimHash60: String =
     """WITH tk AS (SELECT doc_id,
@@ -56,10 +60,12 @@ object TextQueries {
       votes AS (SELECT doc_id, b,
           SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
         FROM hs, range(0, 60) r(b) GROUP BY 1, 2),
-      fp AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0
+      fp0 AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0
             THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-        FROM votes GROUP BY 1)"""
+        FROM votes GROUP BY 1),
+      fp AS (SELECT tk.doc_id, COALESCE(fp0.simhash, 0) AS simhash
+        FROM tk LEFT JOIN fp0 USING (doc_id))"""
 
   val all: Seq[QueryDef] = Seq(
 

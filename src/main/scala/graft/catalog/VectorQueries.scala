@@ -250,8 +250,7 @@ object VectorQueries {
         .select(col("doc_id"), Dedup.simHash60Md5(col("text")).as("simhash"))
         .orderBy("doc_id"),
       Some(TextQueries.duckSimHash60 +
-        """ SELECT tk.doc_id, COALESCE(fp.simhash, 0) AS simhash
-        FROM tk LEFT JOIN fp USING (doc_id) ORDER BY doc_id""")),
+        """ SELECT doc_id, simhash FROM fp ORDER BY doc_id""")),
 
     // product-quantization ANN (reference IVFPQ index type,
     // faiss_index.py:133-272): train codebooks from a deterministic

@@ -14,6 +14,7 @@ object NativeExpressions {
   def rpLshBands(vec: Column, planesPerBand: Int, bands: Int): Column =
     N.rpLshBands(vec, planesPerBand, bands)
   def simHash32(tokens: Column): Column = N.simHash32(tokens)
+  def simHash60Md5(tokens: Column): Column = N.simHash60Md5(tokens)
   def pqEncode(vec: Column, m: Int, k: Int, subDim: Int,
                codebooks: Array[Float]): Column =
     N.pqEncode(vec, m, k, subDim, codebooks)

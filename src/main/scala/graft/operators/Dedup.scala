@@ -291,7 +291,7 @@ object Dedup {
     * for the native expression (bit positions unrolled at plan-build
     * time; one aggregate pass; finish-lambda folds votes → bits). The
     * token hash is pluggable: murmur3 by default (matches the native
-    * expression), [[graft.functions.TextFunctions.tokenHash32]] for the
+    * expression), [[graft.functions.TextFunctions.tokenHashBits]] for the
     * engine-portable variant.
     */
   def simHash32Hof(textCol: Column): Column =
@@ -325,8 +325,25 @@ object Dedup {
     * fingerprint is also the scale path: banded near-dup over b bands
     * needs bits/b-wide bands, and 10-bit bands (32-bit fp, hamming ≤ 2)
     * flood with random collisions past ~10⁶ docs; 20-bit bands do not.
+    *
+    * Native codegen'd expression (one binary md5 + 60 integer ops per
+    * token); [[simHash60Md5Hof]] keeps the interpreted twin the
+    * equivalence spec pins the semantics to. NULL text coalesces to
+    * fingerprint 0 — the same value a tokenless doc gets, and what the
+    * DuckDB oracle's `COALESCE(fp.simhash, 0)` yields for both cases
+    * (a NULL/empty text produces no token rows oracle-side).
     */
   def simHash60Md5(textCol: Column): Column =
+    coalesce(
+      graft.functions.NativeExpressions.simHash60Md5(T.tokens(textCol)),
+      lit(0L))
+
+  /** The original md5-HOF formulation — equivalence oracle for the native
+    * [[org.apache.spark.sql.graftnative.SimHash60Md5F]] expression (NOT
+    * the query path: the interpreted per-token hex-string fold measured
+    * ~8× slower on q51).
+    */
+  def simHash60Md5Hof(textCol: Column): Column =
     simHashHof(textCol, 60, T.tokenHashBits(_, 60))
 
   /** Hamming distance between two int64 fingerprints. */

@@ -45,6 +45,9 @@ object NativeExpressions {
   def simHash32(tokens: Column): Column =
     ExpressionUtils.column(SimHash32F(ExpressionUtils.expression(tokens)))
 
+  def simHash60Md5(tokens: Column): Column =
+    ExpressionUtils.column(SimHash60Md5F(ExpressionUtils.expression(tokens)))
+
   def pqEncode(vec: Column, m: Int, k: Int, subDim: Int,
                codebooks: Array[Float]): Column =
     ExpressionUtils.column(
@@ -409,6 +412,115 @@ case class SimHash32F(child: Expression)
         ${ev.value} = $out;
       """
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60Md5F {
+  /** MessageDigest is stateful and not thread-safe; the interpreted eval
+    * path shares one Expression instance across partitions, so each thread
+    * gets its own digest.
+    */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Top 60 bits of the md5 digest of `bytes`, as a non-negative long —
+    * bit-identical to `CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)`
+    * (first 15 hex nibbles = first 7.5 digest bytes, big-endian).
+    */
+  def md5Top60(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def hashToken(bytes: Array[Byte]): Long = md5Top60(md5Local.get(), bytes)
+}
+
+/** 60-bit md5-based SimHash of a token array — the ENGINE-PORTABLE
+  * fingerprint (the token hash `substr(md5(t),1,15)` is reproducible in
+  * DuckDB/Trino — see q51/q67's oracle CTE in
+  * `graft.catalog.TextQueries.duckSimHash60`). Same vote fold as
+  * [[SimHash32F]]; the md5 runs on the token's UTF8 bytes exactly like
+  * Spark's `md5(string)` (implicit string→binary cast). Replaces the
+  * interpreted HOF + hex-string `conv` fold that cost ~8× on q51
+  * (per-token md5-HEX string, substring, string-radix conv, 60
+  * when/otherwise branches and a 60-long array per token — none of it
+  * codegen'd). [[graft.operators.Dedup.simHashHof]] remains the
+  * equivalence twin pinned in NativeExpressionsSpec.
+  */
+case class SimHash60Md5F(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60_md5"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = SimHash60Md5F.md5Local.get()
+    val votes = new Array[Int](60)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = SimHash60Md5F.md5Top60(md, arr.getUTF8String(j).getBytes)
+        var i = 0
+        while (i < 60) {
+          if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 60) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one digest instance per generated class (codegen'd operators are
+    // single-threaded per task), initialized in the class constructor
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+        catch (java.security.NoSuchAlgorithmException e) {
+          throw new RuntimeException(e);
+        }""")
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val h = ctx.freshName("h")
+      val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      s"""
+        int[] $votes = new int[60];
+        for (int $j = 0; $j < $c.numElements(); $j++) {
+          if (!$c.isNullAt($j)) {
+            byte[] $d = $md.digest($c.getUTF8String($j).getBytes());
+            long $h = 0L;
+            for (int $k = 0; $k < 8; $k++) {
+              $h = ($h << 8) | (((long) $d[$k]) & 0xffL);
+            }
+            $h = $h >>> 4;
+            for (int $i = 0; $i < 60; $i++) {
+              if ((($h >> $i) & 1L) == 1L) $votes[$i]++; else $votes[$i]--;
+            }
+          }
+        }
+        long $out = 0L;
+        for (int $i = 0; $i < 60; $i++) {
+          if ($votes[$i] > 0) $out |= (1L << $i);
+        }
+        ${ev.value} = $out;
+      """
+    })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -63,6 +63,28 @@ class NativeExpressionsSpec extends SparkSpec {
       s"native ${r.getLong(0)} != ref ${r.getLong(1)}"))
   }
 
+  test("simHash60Md5 ≡ interpreted md5-HOF formulation (incl. null/empty)") {
+    val rnd = new scala.util.Random(17)
+    val words = Vector("vector", "join", "stream", "batch", "window", "scan",
+      "merge", "sort", "хэш", "数据", "ému")
+    val texts: Seq[String] =
+      (0 until 40).map(_ => Seq.fill(1 + rnd.nextInt(12))(
+        words(rnd.nextInt(words.size))).mkString(" ")) ++
+        Seq("", "   ", null)
+    val df = texts.toDF("t")
+    val rows = df.select(
+      graft.operators.Dedup.simHash60Md5(col("t")).as("native"),
+      coalesce(graft.operators.Dedup.simHash60Md5Hof(col("t")), lit(0L))
+        .as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != ref ${r.getLong(1)}"))
+    // null and tokenless texts pin to fingerprint 0 — the value the
+    // DuckDB oracle's left-join coalesce yields for docs with no tokens
+    val zeros = df.filter(col("t").isNull || trim(col("t")) === "")
+      .select(graft.operators.Dedup.simHash60Md5(col("t"))).collect()
+    assert(zeros.length == 3 && zeros.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
+  }
+
   test("rpLshBands ≡ per-band HOF rpLshBucket formulation") {
     val rnd = new scala.util.Random(3)
     val df = (0 until 50).map(_ => Seq.fill(16)(rnd.nextFloat() * 2 - 1))
