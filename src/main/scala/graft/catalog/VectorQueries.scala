@@ -147,8 +147,11 @@ object VectorQueries {
         val e = emb(s, dir)
         val clones = e.filter(col("vec_id") < 25L)
           .withColumn("vec_id", col("vec_id") + lit(100000L))
+        // maxCell unbounded HERE ONLY: the oracle is exact all-pairs, so
+        // no cell may be dropped (same pattern as q51's maxBucket) — the
+        // API default keeps the skew cap for the 100 TB path
         Dedup.semanticDedup(e.unionByName(clones), "embedding", "vec_id",
-            nlist = 16, threshold = 0.9999)
+            nlist = 16, threshold = 0.9999, maxCell = Int.MaxValue)
           .withColumn("cos_x1e6", round(col("cos_sim") * lit(1e6)).cast("long"))
           .select("vec_id_a", "vec_id_b", "cos_x1e6")
           .orderBy("vec_id_a", "vec_id_b")

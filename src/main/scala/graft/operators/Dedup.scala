@@ -483,29 +483,60 @@ object Dedup {
     * [[VectorSearch.ivfBuild]] become the blocking key — `nlist` scales
     * with the corpus, so cells ARE the high-cardinality blocks
     * [[embeddingNearDup]] needs, and the per-cell pair expansion is
-    * O(n²/nlist) by construction. Returns (id_a, id_b, cos_sim) pairs at
-    * or above `threshold`; dedup = drop one side of each pair.
+    * O(n²/nlist) by construction — IF cells stay balanced. Real embedding
+    * corpora have hot clusters (boilerplate, near-empty docs) that Lloyd
+    * does not break up, so `maxCell` caps the expansion: cells above it
+    * are dropped from pairing, the same skew guard every other dedup path
+    * carries (a hot cell is a degenerate near-identical flood — run
+    * [[exact]]/[[dedupCorpus]] content dedup first, which collapses it).
+    * Returns (id_a, id_b, cos_sim) pairs at or above `threshold`; dedup =
+    * drop one side of each pair.
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
-                    nlist: Int, threshold: Double): DataFrame = {
+                    nlist: Int, threshold: Double,
+                    maxCell: Int = 4096): DataFrame = {
     val (assigned, _) =
       VectorSearch.ivfBuild(df, vecCol, idCol, nlist)
-    embeddingNearDup(assigned, vecCol, idCol, "cell", threshold)
+    embeddingNearDup(assigned, vecCol, idCol, "cell", threshold, maxCell)
   }
 
+  /** Near-dup pairs within equal-`blockCol` blocks, verified by exact
+    * scaled-int cosine. The pair expansion routes through the same
+    * bounded grouped shape as every LSH path ([[expandPairs]]): group by
+    * block → sorted id list → generator — never a block self-join, and
+    * blocks above `maxBlock` are dropped instead of going O(m²). ONLY
+    * correct at scale with a HIGH-CARDINALITY block key (an LSH bucket,
+    * an IVF cell); for a low-cardinality constraint (a label) use
+    * [[embeddingNearDupLsh]] with `equalCols`.
+    */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-                       blockCol: String, threshold: Double): DataFrame = {
-    val prep = df.select(col(idCol), col(blockCol),
-        V.qint(col(vecCol)).as("_qv"))
+                       blockCol: String, threshold: Double,
+                       maxBlock: Int = Int.MaxValue): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // quantize + self-dot ONCE per row below a hash exchange on id: the
+    // bucket branch and both verify join sides reuse the one exchange
+    // (ReusedExchange), so the per-row prep never re-executes per side.
+    // NULL blocks (e.g. a null vector that got no IVF cell) must not
+    // pair: groupBy would collect them into one bucket, unlike the old
+    // null-rejecting equi-join.
+    val prep = df
+      .filter(col(blockCol).isNotNull)
+      .repartition(par)
+      .select(col(idCol), col(blockCol), V.qint(col(vecCol)).as("_qv"))
       .withColumn("_nrm", sqrt(V.dotQ(col("_qv"), col("_qv")).cast("double")))
-    prep.as("a").join(prep.as("b"),
-        col(s"a.$blockCol") === col(s"b.$blockCol") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+      .repartition(par, col(idCol))
+    val buckets = prep.select(col(idCol), lit(0).as("band"),
+      col(blockCol).as("bucket"))
+    val cand = expandPairs(buckets, idCol, maxBlock)
+    def side(sfx: String) = prep.select(col(idCol).as(s"$idCol$sfx"),
+      col("_qv").as(s"_q$sfx"), col("_nrm").as(s"_n$sfx"))
+    cand
+      .join(side("_a"), s"${idCol}_a")
+      .join(side("_b"), s"${idCol}_b")
       .withColumn("cos_sim",
-        V.dotQ(col("a._qv"), col("b._qv")).cast("double") /
-          (col("a._nrm") * col("b._nrm")))
+        V.dotQ(col("_q_a"), col("_q_b")).cast("double") /
+          (col("_n_a") * col("_n_b")))
       .filter(col("cos_sim") >= threshold)
-      .select(col(s"a.$idCol").as(s"${idCol}_a"),
-        col(s"b.$idCol").as(s"${idCol}_b"), col("cos_sim"))
+      .select(s"${idCol}_a", s"${idCol}_b", "cos_sim")
   }
 }

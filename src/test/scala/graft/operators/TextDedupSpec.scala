@@ -237,6 +237,28 @@ class TextDedupSpec extends SparkSpec {
     assert(full.count() == 30L * 29 / 2)
   }
 
+  test("semanticDedup maxCell drops hot cells instead of going quadratic") {
+    // one HOT cluster: 40 identical vectors (a boilerplate flood) plus a
+    // far-away small cluster with one true near-dup pair
+    val hot = (0L until 40L).map(i => (i, Seq.fill(8)(1.0f)))
+    val cold = Seq(
+      (100L, Seq.fill(8)(-1.0f)),
+      (101L, Seq.fill(8)(-1.0f)),
+      (102L, Seq(-1.0f, -1.0f, -1.0f, -1.0f, 1.0f, 1.0f, 1.0f, 1.0f)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    val capped = Dedup.semanticDedup(df, "embedding", "vec_id",
+        nlist = 4, threshold = 0.999, maxCell = 10)
+      .as[(Long, Long, Double)].collect()
+    // the 40-row cell is over the cap → none of its 780 pairs emitted;
+    // the small cell still pairs exactly
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((100L, 101L)),
+      s"got ${capped.toSeq}")
+    // unbounded cap on the same corpus yields the full hot-cell clique
+    val full = Dedup.semanticDedup(df, "embedding", "vec_id",
+      nlist = 4, threshold = 0.999, maxCell = Int.MaxValue)
+    assert(full.count() == 40L * 39 / 2 + 1)
+  }
+
   test("scaled-int vector math is exact and order-independent") {
     val a = Seq(0.1f, 0.2f, 0.3f)
     val b = Seq(0.3f, 0.2f, 0.1f)
