@@ -299,8 +299,18 @@ class GraftDataset private[format] (
 
   /** Append rows. Columns may be a subset of the schema (reference
     * `skip_ok` append semantics, crud_operations.py:140-258): missing
-    * columns become null. Assigns dense uuids from the watermark via a
-    * distributed two-pass zipWithIndex (no driver materialization).
+    * columns become null. Assigns dense uuids from the watermark via the
+    * same two-pass shape `zipWithIndex` uses — per-partition counts, then
+    * cumulative offsets — but entirely in DataFrame land: pass 1 is a
+    * codegen'd count per `spark_partition_id`, pass 2 adds
+    * offset(pid) + row-in-partition as a projection, so the ingest batch
+    * never leaves Tungsten rows (the old `prepared.rdd.zipWithIndex`
+    * deserialized every row to a Scala `Row` and back). The
+    * row-in-partition index is the low 33 bits of
+    * `monotonically_increasing_id()` (its documented layout:
+    * partitionId << 33 | per-partition counter). Both passes assume
+    * stable partitioning across the two jobs — the same assumption
+    * `zipWithIndex` made.
     */
   def append(df: DataFrame): Unit = {
     val unknown = df.columns.filterNot(c => stSchema.fieldNames.contains(c))
@@ -310,16 +320,24 @@ class GraftDataset private[format] (
       else lit(null).cast(f.dataType).as(f.name)
     }
     // uuid space: a globally-unique reservation per append shifted over a
-    // 40-bit row index — collision-free across branches/writers; the index
-    // comes from a distributed two-pass zipWithIndex
+    // 40-bit row index — collision-free across branches/writers
     val reservation = CommitLog.claimReservation(spark, root)
     val base = reservation << 40
     val prepared = df.select(aligned.toIndexedSeq: _*)
-    val withUuid = spark.createDataFrame(
-      prepared.rdd.zipWithIndex().map { case (r, i) =>
-        require(i < (1L << 40), "append larger than 2^40 rows; split it")
-        Row.fromSeq(r.toSeq :+ (base + i)) },
-      withUuidSchema(stSchema))
+    // pass 1: per-partition counts (result is ≤ #partitions rows)
+    val counts = prepared
+      .groupBy(spark_partition_id().as("_pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = counts.map { case (pid, n) =>
+      val o = pid -> acc; acc += n; o
+    }.toMap
+    require(acc < (1L << 40), "append larger than 2^40 rows; split it")
+    // pass 2: uuid = base + offset(partition) + row-in-partition
+    val withUuid = prepared.withColumn(UuidCol,
+      lit(base) +
+        element_at(typedlit(offsets), spark_partition_id()) +
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
     stFiles :+= writeData(withUuid, "base")
     dirty = true
   }
