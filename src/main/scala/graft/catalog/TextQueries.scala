@@ -37,6 +37,24 @@ object TextQueries {
   private val duckToks =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** DuckDB list of space-joined token n-grams over a token-list column —
+    * the oracle twin of [[graft.functions.TextFunctions.tokenShingles]]'s
+    * pre-distinct n-gram stream. Parameterized by the SAME `n` the Spark
+    * side passes (q50/q84/q85), so changing n in a query cannot silently
+    * desynchronize its oracle. Slices are 1-based and inclusive:
+    * `ts[i:i+(n-1)]` is n tokens; valid starts are `1 .. len-(n-1)`,
+    * i.e. `range(1, len(ts) - (n-2))`; docs shorter than n have none.
+    */
+  private def duckNgrams(ts: String, n: Int): String = {
+    require(n >= 2, s"bad n $n")
+    s"[list_aggregate($ts[i:i+${n - 1}], 'string_agg', ' ') " +
+      s"FOR i IN range(1, len($ts) - ${n - 2})]"
+  }
+
+  /** Single-quote escape for interpolating arbitrary strings (regex
+    * patterns included) into DuckDB single-quoted literals. */
+  private def sq(s: String): String = s.replace("'", "''")
+
   // q86 fixture tail appended to every doc (must be SQL-quote-safe).
   private val piiSuffix =
     "@mail.example.com or 555-867-5309 ssn 123-45-6789 badge 4481"
@@ -242,21 +260,23 @@ object TextQueries {
 
     // benchmark decontamination: corpus docs sharing >= K distinct
     // bigrams with a held-out set (docs 0-19 stand in as the benchmark)
-    QueryDef("q84_decontaminate",
+    locally {
+      val decontN = 2 // shingle width, shared by the Spark side and the oracle
+      QueryDef("q84_decontaminate",
       (s, dir) => Dedup.decontaminate(docs(s, dir), "text", "doc_id",
           docs(s, dir).filter(col("doc_id") < 20), "text",
-          shingleN = 2, minOverlap = 10)
+          shingleN = decontN, minOverlap = 10)
         .orderBy("doc_id"),
       Some(s"""WITH sh AS (
-          SELECT doc_id, list_distinct([list_aggregate(toks[i:i+1],
-            'string_agg', ' ') FOR i IN range(1, len(toks) - 0)]) AS s
+          SELECT doc_id, list_distinct(${duckNgrams("toks", decontN)}) AS s
           FROM (SELECT doc_id, $duckToks AS toks FROM documents)
-          WHERE len(toks) >= 2),
+          WHERE len(toks) >= $decontN),
         cs AS (SELECT doc_id, UNNEST(s) AS t FROM sh),
         bs AS (SELECT DISTINCT UNNEST(s) AS t FROM sh WHERE doc_id < 20)
         SELECT doc_id, COUNT(*) AS overlap_count
         FROM cs JOIN bs USING (t)
-        GROUP BY doc_id HAVING COUNT(*) >= 10 ORDER BY doc_id""")),
+        GROUP BY doc_id HAVING COUNT(*) >= 10 ORDER BY doc_id"""))
+    },
 
     // BM25 ranked retrieval through the persisted index (+stats sidecar);
     // the oracle recomputes the identical formula in SQL — constants are
@@ -326,21 +346,22 @@ object TextQueries {
     // fractions in ONE sorted run-length pass per row. explode(array(..))
     // is a deliberate binding barrier: Generate evaluates the struct once
     // per row, so the two getFields don't re-tokenize (no HOF CSE).
-    QueryDef("q85_repetition_signals",
+    locally {
+      val repN = 2 // n-gram width, shared by the Spark side and the oracle
+      QueryDef("q85_repetition_signals",
       (s, dir) => docs(s, dir)
         // CPU-per-row (sort + run-length over every doc's shingles):
         // spread rows before compute — the testdata parquet is one file
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          explode(array(T.ngramRepetition(col("text"), 2))).as("rep"))
+          explode(array(T.ngramRepetition(col("text"), repN))).as("rep"))
         .select(col("doc_id"),
           col("rep.top_fraction").as("top_frac"),
           col("rep.dup_fraction").as("dup_frac"))
         .orderBy("doc_id"),
       Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
-        ex AS (SELECT doc_id, UNNEST([list_aggregate(ts[i:i+1], 'string_agg', ' ')
-            FOR i IN range(1, len(ts) - 0)]) AS g
-          FROM toks WHERE len(ts) >= 2),
+        ex AS (SELECT doc_id, UNNEST(${duckNgrams("ts", repN)}) AS g
+          FROM toks WHERE len(ts) >= $repN),
         cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY 1, 2),
         agg AS (SELECT doc_id, MAX(c) AS best,
             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS total
@@ -349,7 +370,8 @@ object TextQueries {
           CAST(a.best AS DOUBLE) / CAST(a.total AS DOUBLE) AS top_frac,
           CAST(a.dup AS DOUBLE) / CAST(a.total AS DOUBLE) AS dup_frac
         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-        ORDER BY d.doc_id""")),
+        ORDER BY d.doc_id"""))
+    },
 
     // PII scrub with audit counts: specific patterns (email, ssn, phone)
     // redact before the generic digitRun, counts measured on the original
@@ -369,11 +391,14 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some {
-        val pe = T.piiPatterns("email"); val ps = T.piiPatterns("ssn")
-        val pp = T.piiPatterns("phone"); val pd = T.piiPatterns("digitRun")
+        // sq-escape every interpolated pattern AND the suffix: a future
+        // pattern containing a single quote must break the SQL loudly at
+        // the escape, not silently skew the oracle
+        val pe = sq(T.piiPatterns("email")); val ps = sq(T.piiPatterns("ssn"))
+        val pp = sq(T.piiPatterns("phone")); val pd = sq(T.piiPatterns("digitRun"))
         s"""WITH raw AS (SELECT doc_id,
             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-            '$piiSuffix' AS t
+            '${sq(piiSuffix)}' AS t
           FROM documents)
         SELECT doc_id,
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
@@ -387,17 +412,19 @@ object TextQueries {
       }),
 
     // exact n-gram Jaccard near-dup pairs (the oracle-checkable near-dup)
-    QueryDef("q50_ngram_jaccard_pairs",
+    locally {
+      val jacN = 2 // shingle width, shared by the Spark side and the oracle
+      QueryDef("q50_ngram_jaccard_pairs",
       (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
-          shingleN = 2, threshold = 0.30, blockCol = Some("source"))
+          shingleN = jacN, threshold = 0.30, blockCol = Some("source"))
         .withColumn("jaccard_pct", round(col("jaccard") * 1000).cast("long"))
         .select("doc_id_a", "doc_id_b", "jaccard_pct")
         .orderBy("doc_id_a", "doc_id_b"),
       Some(s"""WITH sh AS (
-          SELECT doc_id, source, list_distinct([list_aggregate(toks[i:i+1], 'string_agg', ' ')
-            FOR i IN range(1, len(toks) - 0)]) AS shingles
+          SELECT doc_id, source,
+            list_distinct(${duckNgrams("toks", jacN)}) AS shingles
           FROM (SELECT doc_id, source, $duckToks AS toks FROM documents)
-          WHERE len(toks) >= 2),
+          WHERE len(toks) >= $jacN),
         ex AS (SELECT doc_id, source, UNNEST(shingles) AS s FROM sh),
         inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
           FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
@@ -409,5 +436,6 @@ object TextQueries {
         JOIN cnt cb ON cb.doc_id = doc_id_b
         WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.30
         ORDER BY doc_id_a, doc_id_b"""))
+    }
   )
 }
