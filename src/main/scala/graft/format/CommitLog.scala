@@ -86,10 +86,16 @@ object CommitLog {
       writeString(f, dest, Serialization.write(meta), overwrite = false)
   }
 
-  def readCommit(spark: SparkSession, root: String, id: String): CommitMeta =
+  /** Commit-file reads performed (test instrumentation: specs assert the
+    * ancestry checkpoint bounds these on deep histories). */
+  val commitReads = new java.util.concurrent.atomic.AtomicLong
+
+  def readCommit(spark: SparkSession, root: String, id: String): CommitMeta = {
+    commitReads.incrementAndGet()
     JsonMethods.parse(
       readString(fs(spark, root), new Path(commitsDir(root), s"$id.json")))
       .extract[CommitMeta]
+  }
 
   def listCommits(spark: SparkSession, root: String): Seq[String] = {
     val f = fs(spark, root)
@@ -180,19 +186,63 @@ object CommitLog {
     n
   }
 
-  /** Walk parents (both of them for merge commits) to the root. */
+  // ---- ancestry checkpoint ------------------------------------------------
+
+  /** Rolling checkpoint of the commit DAG's SHAPE (id → parent ids): one
+    * file read replaces one JSON read PER COMMIT in ancestry walks, which
+    * at 10k+ commits made every merge/LCA O(history) round-trips — the
+    * same reason Delta checkpoints its log. Commits are immutable, so any
+    * published checkpoint content stays correct forever; the file is pure
+    * cache (lost/corrupt/raced → walks fall back to per-commit reads and
+    * the next deep walk rewrites it).
+    */
+  def ancestryFile(root: String) = new Path(root, "_graft/ancestry.json")
+
+  /** Rewrite the checkpoint once a walk had to cold-read this many
+    * commits: amortizes checkpoint writes to one per `checkpointSlack`
+    * commits while bounding a walk's file reads by the same number.
+    */
+  val checkpointSlack = 32
+
+  def readAncestry(spark: SparkSession, root: String): Map[String, Seq[String]] = {
+    val f = fs(spark, root)
+    val p = ancestryFile(root)
+    if (!f.exists(p)) Map.empty
+    else scala.util.Try(
+      JsonMethods.parse(readString(f, p)).extract[Map[String, Seq[String]]]
+    ).getOrElse(Map.empty) // torn concurrent overwrite → just a cache miss
+  }
+
+  private def writeAncestry(spark: SparkSession, root: String,
+                            m: Map[String, Seq[String]]): Unit =
+    try writeString(fs(spark, root), ancestryFile(root),
+      Serialization.write(m), overwrite = true)
+    catch { case _: java.io.IOException => () } // cache write loss is harmless
+
+  /** Walk parents (both of them for merge commits) to the root. DAG edges
+    * come from the ancestry checkpoint when present; only commits newer
+    * than the last checkpoint cost a file read, and a walk that
+    * cold-reads more than [[checkpointSlack]] commits refreshes it.
+    */
   def ancestors(spark: SparkSession, root: String, id: String): Set[String] = {
+    val ck = readAncestry(spark, root)
+    val fresh = scala.collection.mutable.Map[String, Seq[String]]()
+    def parents(c: String): Seq[String] = ck.getOrElse(c,
+      fresh.getOrElseUpdate(c, {
+        val m = readCommit(spark, root, c)
+        m.parent.toSeq ++ m.mergeParent.toSeq
+      }))
     val seen = scala.collection.mutable.Set[String]()
     val stack = scala.collection.mutable.Stack(id)
     while (stack.nonEmpty) {
       val c = stack.pop()
       if (!seen.contains(c)) {
         seen += c
-        val m = readCommit(spark, root, c)
-        m.parent.foreach(stack.push)
-        m.mergeParent.foreach(stack.push)
+        parents(c).foreach(stack.push)
       }
     }
+    if (fresh.size > checkpointSlack)
+      writeAncestry(spark, root, ck ++ fresh)
     seen.toSet
   }
 

@@ -177,8 +177,97 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** STUB audio decode for codecs the JVM lacks: deterministic features
-    * from the payload so the pipeline stays testable end-to-end.
+  // MPEG audio frame-header tables (public ISO/IEC 11172-3 layout, same
+  // values every mp3 tool ships): bitrates in kbps by [version][layer],
+  // sample rates by [version]. Index 0 ("free") and 15 are invalid.
+  private val mp3BitrateV1 = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // Layer I
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),    // Layer II
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))     // Layer III
+  private val mp3BitrateV2 = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),    // Layer I
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),         // Layer II
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))         // Layer III
+  private val mp3Rates = Map( // version bits -> sample-rate table
+    3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000), // MPEG2
+    0 -> Array(11025, 12000, 8000))  // MPEG2.5
+
+  /** REAL mp3 METADATA decode — pure JVM, ~no dependencies: walks the
+    * MPEG audio frame headers (skipping any leading ID3v2 tag) and
+    * reports (sampleRate, channels, totalSamplesPerChannel, durationSec,
+    * 0.0). Amplitude requires full subband synthesis (a native decoder's
+    * job), so it is reported as 0.0 — the other four fields are exact.
+    * None unless at least two consecutive valid frames parse (guards
+    * against false sync words in arbitrary binaries). Reference decodes
+    * mp3 via libsndfile (muller/compression.py:73-101); here the header
+    * walk covers the metadata path and the stub boundary is documented.
+    */
+  private[graft] def decodeMp3(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Double, Double)] = {
+    if (bytes == null || bytes.length < 4) return None
+    var p = 0
+    // ID3v2: "ID3" + version(2) + flags + 4-byte syncsafe size
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      p = 10 + size
+    }
+    var frames = 0L
+    var samples = 0L
+    var rate = 0
+    var channels = 0
+    var dur = 0.0
+    while (p + 4 <= bytes.length) {
+      val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
+      val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) {
+        // resync only before the first valid frame; garbage AFTER valid
+        // frames ends the stream (ID3v1 tail, truncation)
+        if (frames == 0) { p += 1 } else p = bytes.length
+      } else {
+        // byte 2: sync tail + version + layer + crc; byte 3: bitrate +
+        // sample rate + padding; byte 4: channel mode + flags
+        val version = (b2 >> 3) & 3  // 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+        val layerBits = (b2 >> 1) & 3 // 3=LayerI 2=LayerII 1=LayerIII
+        val brIdx = (b3 >> 4) & 0xf
+        val srIdx = (b3 >> 2) & 3
+        val padding = (b3 >> 1) & 1
+        val chMode = (b4 >> 6) & 3
+        if (version == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3 || !mp3Rates.contains(version)) {
+          if (frames == 0) p += 1 else p = bytes.length
+        } else {
+          val layer = 3 - layerBits // 0=I 1=II 2=III
+          val sr = mp3Rates(version)(srIdx)
+          val br = (if (version == 3) mp3BitrateV1 else mp3BitrateV2)(
+            layer)(brIdx) * 1000
+          val spf = // samples per frame per channel
+            if (layer == 0) 384
+            else if (layer == 1) 1152
+            else if (version == 3) 1152 else 576 // Layer III halves in MPEG2
+          val frameLen =
+            if (layer == 0) (12 * br / sr + padding) * 4
+            else spf / 8 * br / sr + padding
+          if (frameLen <= 4) { if (frames == 0) p += 1 else p = bytes.length }
+          else {
+            frames += 1
+            samples += spf
+            dur += spf.toDouble / sr
+            rate = sr
+            channels = if (chMode == 3) 1 else 2
+            p += frameLen
+          }
+        }
+      }
+    }
+    if (frames >= 2) Some((rate, channels, samples, dur, 0.0)) else None
+  }
+
+  /** STUB audio decode for codecs the JVM lacks (flac/ogg/video tracks):
+    * deterministic features from the payload so the pipeline stays
+    * testable end-to-end.
     */
   private[graft] def decodeAudioStub(bytes: Array[Byte])
       : (Int, Int, Long, Double, Double) = {
@@ -190,8 +279,9 @@ object Multimodal {
   }
 
   /** Decode + feature-extract over audio rows: same repartition-by-cores
-    * + one `mapPartitions` pass as [[decodeImages]]; WAV decodes for
-    * real, anything else through the stub.
+    * + one `mapPartitions` pass as [[decodeImages]]; WAV decodes fully,
+    * mp3 decodes its metadata from frame headers, anything else goes
+    * through the stub.
     */
   def decodeAudio(df: DataFrame, prefix: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ audioMeta)
@@ -202,7 +292,8 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](bytesIdx)
           val (rate, ch, frames, dur, amp) =
-            decodeWav(bytes).getOrElse(decodeAudioStub(bytes))
+            decodeWav(bytes).orElse(decodeMp3(bytes))
+              .getOrElse(decodeAudioStub(bytes))
           Row.fromSeq(r.toSeq ++ Seq[Any](rate, ch, frames, dur, amp))
         }
       }

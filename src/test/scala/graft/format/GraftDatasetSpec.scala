@@ -268,6 +268,36 @@ class GraftDatasetSpec extends SparkSpec {
     assert(m.message.startsWith("writer-"))
   }
 
+  test("ancestry checkpoint bounds commit-file reads on deep histories") {
+    val ds = freshTable()
+    val root = ds.root
+    // deep linear history: 200 empty commits plus a branch + merge so the
+    // walk exercises both parent kinds
+    (1 to 200).foreach(i => ds.commit(s"c$i", allowEmpty = true))
+    val mainHead = ds.head.get
+    ds.checkout("side", create = true)
+    ds.commit("side work", allowEmpty = true)
+    ds.checkout("main")
+    ds.merge("side")
+    val head = ds.head.get
+    // first deep walk cold-reads everything once and writes the checkpoint
+    CommitLog.ancestors(spark, root, head)
+    assert(CommitLog.fs(spark, root)
+      .exists(CommitLog.ancestryFile(root)), "checkpoint not written")
+    // from the checkpoint, a full LCA (two ancestor walks over 200+
+    // commits) costs at most the slack in per-commit reads, not O(history)
+    CommitLog.commitReads.set(0)
+    val l = CommitLog.lca(spark, root, head, mainHead)
+    assert(l == mainHead) // merge parent: LCA of head and its first parent
+    assert(CommitLog.commitReads.get() <= CommitLog.checkpointSlack,
+      s"${CommitLog.commitReads.get()} commit reads despite checkpoint")
+    // a torn/corrupt checkpoint is just a cache miss, never an error
+    val f = CommitLog.fs(spark, root)
+    val out = f.create(CommitLog.ancestryFile(root), true)
+    out.write("{not json".getBytes("UTF-8")); out.close()
+    assert(CommitLog.ancestors(spark, root, head).size >= 202)
+  }
+
   test("claimReservation: unique, increasing, O(1) via hint, bounded at 2^23") {
     val ds = freshTable()
     val root = ds.root

@@ -337,6 +337,50 @@ class VectorStatsSpec extends SparkSpec {
     assert(dec(2L).getAs[Long]("num_frames") == 4L)
   }
 
+  test("multimodal: mp3 frame-header metadata decode, ID3 skip, stub for flac") {
+    // synthetic MPEG1 Layer III stream: 44.1 kHz, 128 kbps, stereo, no
+    // padding → frame length floor(144 * 128000 / 44100) = 417 bytes,
+    // 1152 samples/frame. Header ff fb 90 00; payload zeros.
+    def mp3(nFrames: Int, id3: Boolean): Array[Byte] = {
+      val frame = new Array[Byte](417)
+      frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte
+      frame(2) = 0x90.toByte; frame(3) = 0x00.toByte
+      val id3Tag = if (!id3) Array.emptyByteArray else {
+        // "ID3" v2.3, no flags, syncsafe size 130 = 0x01 0x02 → 130 bytes
+        val t = new Array[Byte](10 + 130)
+        t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 3
+        t(8) = 0x01; t(9) = 0x02
+        t
+      }
+      id3Tag ++ Array.fill(nFrames)(frame).flatten
+    }
+    val direct = Multimodal.decodeMp3(mp3(40, id3 = false))
+    val tagged = Multimodal.decodeMp3(mp3(40, id3 = true))
+    for (d <- Seq(direct, tagged)) {
+      assert(d.isDefined)
+      val (rate, ch, samples, dur, _) = d.get
+      assert(rate == 44100 && ch == 2)
+      assert(samples == 40L * 1152)
+      assert(math.abs(dur - 40.0 * 1152 / 44100) < 1e-9)
+    }
+    // a single frame (or random bytes) must NOT parse — two-frame guard
+    assert(Multimodal.decodeMp3(mp3(1, id3 = false)).isEmpty)
+    assert(Multimodal.decodeMp3(Array.fill(2000)(0x55.toByte)).isEmpty)
+    // through the pipeline: mp3 rows get real metadata, flac rows stub
+    val schema = StructType(
+      StructField("id", LongType) +: Multimodal.mediaSchema("aud"))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, mp3(40, id3 = true), null, "mp3"),
+      Row(2L, Array[Byte](102, 76, 97, 67, 9), null, "flac")), schema)
+    val dec = Multimodal.decodeAudio(df, "aud").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(dec(1L).getAs[Int]("sample_rate") == 44100)
+    assert(dec(1L).getAs[Int]("channels") == 2)
+    assert(dec(1L).getAs[Long]("num_frames") == 40L * 1152)
+    assert(dec(1L).getAs[Double]("mean_amplitude") == 0.0)
+    assert(dec(2L).getAs[Int]("sample_rate") == 16000) // stub
+  }
+
   test("image helpers: grayscale luma, real resize, EXIF extraction") {
     // 2x2 pure-red PNG → grayscale luma floor(299*255/1000) = 76
     val img = new java.awt.image.BufferedImage(
