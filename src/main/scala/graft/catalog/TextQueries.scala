@@ -135,24 +135,30 @@ object TextQueries {
     // CONSTRUCTED per row (doc_id-dependent Han words around the latin
     // corpus words), so the DuckDB oracle can state the expected
     // segmentation as literals — no segmenter needed oracle-side.
-    // Dictionary words segment as units (FMM), OOV Han chars come out as
-    // single characters, '的'/'the' are stop-filtered, 'The'/'Fox' fold.
+    // Dictionary words segment as units via the DAG max-probability
+    // route, OOV Han chars come out as single characters, '的'/'the' are
+    // stop-filtered, 'The'/'Fox' fold. The doc_id%4==3 branch is THE
+    // classic ambiguous boundary: the DAG picks 研究/生命/起源 (jieba's
+    // answer) where greedy FMM would commit to 研究生/命/起源.
     QueryDef("q77_cjk_dict_tokens",
       (s, dir) => {
-        val zh = when(col("doc_id") % 3 === 0, lit("数据的引擎"))
-          .when(col("doc_id") % 3 === 1, lit("向量检索X快"))
-          .otherwise(lit("天天向上"))
+        val zh = when(col("doc_id") % 4 === 0, lit("数据的引擎"))
+          .when(col("doc_id") % 4 === 1, lit("向量检索X快"))
+          .when(col("doc_id") % 4 === 2, lit("天天向上"))
+          .otherwise(lit("研究生命起源"))
         val text = concat(lit("The Quick "), zh, lit(" brown Fox"))
         docs(s, dir).select(col("doc_id"),
           concat_ws("|", T.tokensDict(text,
-            dict = Seq("数据", "引擎", "向量", "检索", "向上"),
+            dict = Seq("数据", "引擎", "向量", "检索", "向上",
+              "研究", "研究生", "生命", "起源"),
             stopWords = Seq("的", "the"))).as("toks"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+      Some("""SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
           WHEN 0 THEN 'quick|数据|引擎|brown|fox'
           WHEN 1 THEN 'quick|向量|检索|x|快|brown|fox'
-          ELSE 'quick|天|天|向上|brown|fox' END AS toks
+          WHEN 2 THEN 'quick|天|天|向上|brown|fox'
+          ELSE 'quick|研究|生命|起源|brown|fox' END AS toks
         FROM documents ORDER BY doc_id""")),
 
     // range_match (BETWEEN via numeric index in the reference)

@@ -40,15 +40,20 @@ object TextFunctions {
 
   /** Dictionary CJK tokenizer with the reference's build options
     * (inverted_index_vectorized.py:121-158): `dict` ≙ compulsory/user
-    * words segmented as units (forward maximum matching, OOV Han chars →
-    * single chars), `stopWords` filtered after segmentation, lowercase
-    * unless `caseSensitive`. Non-Han text splits on whitespace. Tokens in
-    * text order.
+    * words, `stopWords` filtered after segmentation, lowercase unless
+    * `caseSensitive`. Non-Han text splits on whitespace. Tokens in text
+    * order. Han runs segment via jieba's DAG max-probability route by
+    * default (`fmm = true` for greedy forward maximum matching); `freqs`
+    * optionally carries per-word counts parallel to `dict` — a real
+    * jieba-style frequency dictionary — and defaults to uniform weights.
     */
   def tokensDict(c: Column, dict: Seq[String],
                  stopWords: Seq[String] = Nil,
-                 caseSensitive: Boolean = false): Column =
-    org.apache.spark.sql.graftnative.DictTokens(c, dict, stopWords, caseSensitive)
+                 caseSensitive: Boolean = false,
+                 freqs: Seq[Long] = Nil,
+                 fmm: Boolean = false): Column =
+    org.apache.spark.sql.graftnative.DictTokens(c, dict, stopWords,
+      caseSensitive, freqs, useDag = !fmm)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -18,10 +18,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `caseSensitive = false` (reference default) lowercases first.
   *   - Non-Han runs split on whitespace (the corpus contract shared with
   *     [[graft.functions.TextFunctions.tokens]]).
-  *   - Han runs are segmented by forward maximum matching against `dict`
-  *     (longest dictionary word at each position wins); characters not
-  *     starting any dictionary word emit as single characters — jieba's
-  *     precise mode without the HMM OOV model.
+  *   - Han runs are segmented by jieba's DAG MAX-PROBABILITY path
+  *     (`useDag = true`, the default — the public algorithm jieba's
+  *     precise mode runs before its HMM pass): every dictionary word
+  *     starting at each position is a DAG edge, a right-to-left DP picks
+  *     the route maximizing Σ log(freq(w)/total), OOV characters ride
+  *     along as freq-1 single-char words, and score ties break toward the
+  *     LONGER word exactly like jieba's `max()` over (score, end) tuples.
+  *     Words without an explicit frequency weigh `defaultFreq` (100), so
+  *     a dictionary word always beats spelling the same span with an OOV
+  *     character — which is what separates 研究/生命/起源 from FMM's
+  *     研究生/命/起源 on the classic ambiguous string. The HMM OOV model
+  *     is out of scope (OOV Han chars emit as single characters, jieba
+  *     with HMM=False).
+  *   - `useDag = false` keeps forward maximum matching (longest
+  *     dictionary word at each position wins) — the cheaper greedy mode.
   *   - `stopWords` are dropped after segmentation (applies to Han and
   *     Latin tokens alike, like the reference's full_stop_words).
   *
@@ -32,28 +43,110 @@ import org.apache.spark.unsafe.types.UTF8String
   * formulation.
   */
 case class DictTokens(child: Expression, dict: Seq[String],
-                      stopWords: Seq[String], caseSensitive: Boolean)
+                      stopWords: Seq[String], caseSensitive: Boolean,
+                      freqs: Seq[Long], useDag: Boolean)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(freqs.isEmpty || freqs.length == dict.length,
+    s"freqs (${freqs.length}) must be empty or parallel to dict (${dict.length})")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_dict_tokens"
 
-  @transient private lazy val dictSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    dict.foreach(w => s.add(if (caseSensitive) w else w.toLowerCase))
-    s
+  private def fold(w: String): String = if (caseSensitive) w else w.toLowerCase
+
+  @transient private lazy val dictFreq: java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long]()
+    dict.zipWithIndex.foreach { case (w, i) =>
+      val f = if (freqs.isEmpty) DictTokens.defaultFreq
+              else math.max(freqs(i), 1L)
+      m.put(fold(w), f)
+    }
+    m
   }
   @transient private lazy val maxWordLen: Int =
     if (dict.isEmpty) 0 else dict.map(_.length).max
+  // jieba's logtotal: log of the dictionary's total frequency mass
+  @transient private lazy val logTotal: Double = {
+    var t = 0L
+    dictFreq.values.forEach(f => t += f)
+    math.log(math.max(t, 1L).toDouble)
+  }
   @transient private lazy val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    stopWords.foreach(w => s.add(if (caseSensitive) w else w.toLowerCase))
+    stopWords.foreach(w => s.add(fold(w)))
     s
   }
 
   private def isHan(ch: Char): Boolean =
     Character.UnicodeScript.of(ch) == Character.UnicodeScript.HAN
+
+  /** Emit the Han run `text[start, end)` word by word. */
+  private def segmentHan(text: String, start: Int, end: Int,
+                         emit: String => Unit): Unit =
+    if (useDag) segmentDag(text, start, end, emit)
+    else segmentFmm(text, start, end, emit)
+
+  private def segmentFmm(text: String, start: Int, end: Int,
+                         emit: String => Unit): Unit = {
+    var j = start
+    while (j < end) {
+      // forward maximum matching: longest dict word at j, else 1 char
+      var m = math.min(maxWordLen, end - j)
+      var len = 1
+      while (m >= 2 && len == 1) {
+        if (dictFreq.containsKey(text.substring(j, j + m))) len = m
+        m -= 1
+      }
+      emit(text.substring(j, j + len))
+      j += len
+    }
+  }
+
+  private def segmentDag(text: String, start: Int, end: Int,
+                         emit: String => Unit): Unit = {
+    val l = end - start
+    if (l <= 0) return
+    // route(i) = best log-prob of segmenting [i, l); choice(i) = its first
+    // word's end. Right-to-left DP over DAG edges (dict words + the
+    // always-present single char), ties toward the longer word.
+    val route = new Array[Double](l + 1)
+    val choice = new Array[Int](l + 1)
+    route(l) = 0.0
+    var i = l - 1
+    while (i >= 0) {
+      var best = Double.NegativeInfinity
+      var bestEnd = i + 1
+      val jMax = math.min(l, i + math.max(maxWordLen, 1))
+      var j = i + 1
+      while (j <= jMax) {
+        val f: Long =
+          if (j == i + 1) {
+            val v = dictFreq.get(text.substring(start + i, start + j))
+            if (v == 0L) 1L else v // OOV single char rides as freq 1
+          } else {
+            val v = dictFreq.get(text.substring(start + i, start + j))
+            if (v == 0L) -1L else v // multi-char edges must be dict words
+          }
+        if (f > 0) {
+          val score = math.log(f.toDouble) - logTotal + route(j)
+          if (score > best || (score == best && j > bestEnd)) {
+            best = score; bestEnd = j
+          }
+        }
+        j += 1
+      }
+      route(i) = best
+      choice(i) = bestEnd
+      i -= 1
+    }
+    var p = 0
+    while (p < l) {
+      emit(text.substring(start + p, start + choice(p)))
+      p = choice(p)
+    }
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].toString
@@ -75,18 +168,7 @@ case class DictTokens(child: Expression, dict: Seq[String],
         flushWord(i)
         var runEnd = i
         while (runEnd < n && isHan(text.charAt(runEnd))) runEnd += 1
-        var j = i
-        while (j < runEnd) {
-          // forward maximum matching: longest dict word at j, else 1 char
-          var m = math.min(maxWordLen, runEnd - j)
-          var len = 1
-          while (m >= 2 && len == 1) {
-            if (dictSet.contains(text.substring(j, j + m))) len = m
-            m -= 1
-          }
-          emit(text.substring(j, j + len))
-          j += len
-        }
+        segmentHan(text, i, runEnd, emit)
         i = runEnd
       } else if (Character.isWhitespace(ch)) {
         flushWord(i)
@@ -105,8 +187,19 @@ case class DictTokens(child: Expression, dict: Seq[String],
 }
 
 object DictTokens {
+  /** Frequency of a dictionary word with no explicit count: high enough
+    * that one dict word always outweighs an OOV char (freq 1), low enough
+    * that explicit per-word counts (a real jieba dict) dominate.
+    */
+  val defaultFreq: Long = 100L
+
   def apply(text: Column, dict: Seq[String], stopWords: Seq[String],
             caseSensitive: Boolean): Column =
+    apply(text, dict, stopWords, caseSensitive, Nil, useDag = true)
+
+  def apply(text: Column, dict: Seq[String], stopWords: Seq[String],
+            caseSensitive: Boolean, freqs: Seq[Long], useDag: Boolean): Column =
     ExpressionUtils.column(DictTokens(
-      ExpressionUtils.expression(text), dict, stopWords, caseSensitive))
+      ExpressionUtils.expression(text), dict, stopWords, caseSensitive,
+      freqs, useDag))
 }

@@ -33,12 +33,12 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2) == Seq("plain", "text"))
   }
 
-  test("dictionary CJK tokenizer: FMM, stop words, case options") {
+  test("dictionary CJK tokenizer: DAG/FMM, stop words, case options") {
     val dict = Seq("数据", "数据库", "引擎", "向上")
     def toks(t: String, stop: Seq[String] = Nil, cs: Boolean = false) =
       Seq(t).toDF("t").select(T.tokensDict($"t", dict, stop, cs)).head()
         .getSeq[String](0)
-    // longest match wins: 数据库 beats 数据
+    // longest match wins: 数据库 beats 数据 (one word beats word + OOV char)
     assert(toks("数据库引擎") == Seq("数据库", "引擎"))
     // OOV Han chars segment as single characters (jieba precise, no HMM)
     assert(toks("天天向上") == Seq("天", "天", "向上"))
@@ -57,6 +57,21 @@ class TextDedupSpec extends SparkSpec {
       .select(T.tokensDict($"t", dict)).head()
     assert(nullRow.isNullAt(0))
     assert(toks("") == Seq.empty)
+    // THE classic ambiguous boundary (SURVEY §7.4's fidelity risk): the
+    // DAG max-probability route segments 研究/生命/起源 — two dict words
+    // beat 研究生 + OOV 命 — while greedy FMM commits to 研究生 at
+    // position 0 and never recovers. Jieba agrees with the DAG result.
+    val ambDict = Seq("研究", "研究生", "生命", "起源")
+    def amb(fmm: Boolean) = Seq("研究生命起源").toDF("t")
+      .select(T.tokensDict($"t", ambDict, fmm = fmm)).head().getSeq[String](0)
+    assert(amb(fmm = false) == Seq("研究", "生命", "起源"))
+    assert(amb(fmm = true) == Seq("研究生", "命", "起源"))
+    // explicit frequencies steer the route like a real jieba dict: making
+    // 研究生 overwhelmingly frequent flips the DAG to the FMM reading
+    val skewed = Seq("研究生命起源").toDF("t")
+      .select(T.tokensDict($"t", ambDict,
+        freqs = Seq(2L, 1000000L, 2L, 2L))).head().getSeq[String](0)
+    assert(skewed == Seq("研究生", "命", "起源"))
   }
 
   test("inverted index built with the dictionary tokenizer routes CJK queries") {
