@@ -34,7 +34,7 @@ object TextQueries {
     })
 
   // DuckDB-side whitespace tokens with empties removed.
-  private val duckToks =
+  private[catalog] val duckToks =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
   /** DuckDB list of space-joined token n-grams over a token-list column —
@@ -45,7 +45,7 @@ object TextQueries {
     * `ts[i:i+(n-1)]` is n tokens; valid starts are `1 .. len-(n-1)`,
     * i.e. `range(1, len(ts) - (n-2))`; docs shorter than n have none.
     */
-  private def duckNgrams(ts: String, n: Int): String = {
+  private[catalog] def duckNgrams(ts: String, n: Int): String = {
     require(n >= 2, s"bad n $n")
     s"[list_aggregate($ts[i:i+${n - 1}], 'string_agg', ' ') " +
       s"FOR i IN range(1, len($ts) - ${n - 2})]"

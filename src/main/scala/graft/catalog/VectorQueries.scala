@@ -225,14 +225,66 @@ object VectorQueries {
       },
       None),
 
-    // MinHash-LSH near-dup on documents (Spark murmur3 — not oracle-able)
-    QueryDef("q66_dedup_minhash_lsh",
-      (s, dir) => Dedup.minHashLsh(
-          Tables.load(s, dir, "documents"), "text", "doc_id",
-          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
-        .select("doc_id_a", "doc_id_b")
-        .orderBy("doc_id_a", "doc_id_b"),
-      None),
+    // MinHash-LSH near-dup, PORTABLE md5 Carter-Wegman family: the oracle
+    // replays the ENTIRE pipeline — per-shingle 32-bit md5 hash, (a·H+b)
+    // mod p signature, mod-fold band buckets, candidate join, exact
+    // Jaccard verify — so even the hash-dependent candidate set matches
+    // bit-for-bit (the same trick that took q51/q67 off the no-oracle
+    // list; the murmur3 family stays the fast default API path).
+    // maxBucket unbounded HERE ONLY, mirroring q51/q87's oracle pattern.
+    locally {
+      val (nh, nb, n, t) = (32, 8, 3, 0.5)
+      val rpb = nh / nb
+      val (sa, sb) = Dedup.portableSeeds(nh)
+      val p = Dedup.portableP
+      val aList = sa.mkString("[", ", ", "]")
+      val bList = sb.mkString("[", ", ", "]")
+      // band bucket = left fold (acc·131 + mv) mod p over the band's
+      // rowsPerBand signature slots, pivoted out of the (i, mv) rows
+      val fold = (0 until rpb).map(j =>
+          s"MAX(CASE WHEN i % $rpb = $j THEN mv END)")
+        .foldLeft("0")((acc, v) =>
+          s"(($acc * ${Dedup.portableBandMult} + $v) % $p)")
+      QueryDef("q66_dedup_minhash_lsh",
+        (s, dir) => Dedup.minHashLsh(
+            Tables.load(s, dir, "documents"), "text", "doc_id",
+            numHashes = nh, bands = nb, shingleN = n, threshold = t,
+            portable = true, maxBucket = Int.MaxValue)
+          .select("doc_id_a", "doc_id_b")
+          .orderBy("doc_id_a", "doc_id_b"),
+        Some(s"""WITH tk AS (SELECT doc_id, ${TextQueries.duckToks} AS ts
+            FROM documents),
+          sh AS (SELECT doc_id,
+              list_distinct(${TextQueries.duckNgrams("ts", n)}) AS s
+            FROM tk WHERE len(ts) >= $n),
+          ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+          h AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % $p AS hv
+            FROM ex),
+          sig AS (SELECT doc_id, i,
+              MIN(($aList[CAST(i AS INTEGER) + 1] * hv +
+                   $bList[CAST(i AS INTEGER) + 1]) % $p) AS mv
+            FROM h, range(0, $nh) r(i) GROUP BY 1, 2),
+          bkt AS (SELECT doc_id, CAST(i // $rpb AS INTEGER) AS band,
+              $fold AS bucket
+            FROM sig GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bkt a JOIN bkt b
+              ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id),
+          cnt AS (SELECT doc_id, len(s) AS c FROM sh),
+          inter AS (SELECT c.da, c.db, COUNT(*) AS iv
+            FROM cand c
+            JOIN ex a ON a.doc_id = c.da
+            JOIN ex b ON b.doc_id = c.db AND b.g = a.g
+            GROUP BY 1, 2)
+          SELECT da AS doc_id_a, db AS doc_id_b
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = da
+          JOIN cnt cb ON cb.doc_id = db
+          WHERE CAST(iv AS DOUBLE) / (ca.c + cb.c - iv) >= $t
+          ORDER BY 1, 2"""))
+    },
 
     // label-free near-dup via random-hyperplane LSH blocks (rows-only)
     QueryDef("q69_embedding_near_dup_lsh",

@@ -43,23 +43,47 @@ object Dedup {
 
   // ---- MinHash + LSH ----------------------------------------------------
 
+  /** Seeds of the ENGINE-PORTABLE MinHash family (h_i = (a_i·H + b_i)
+    * mod p over the md5-32-bit shingle hash H): p is the Mersenne prime
+    * 2^31−1 and (a_i, b_i) come from a FIXED-SEED PRNG, so an external
+    * SQL oracle interpolates the identical constants (q66). */
+  val portableP: Long = 2147483647L
+  /** Multiplier of the portable band fold `acc = (acc·131 + v) mod p`. */
+  val portableBandMult: Long = 131L
+  def portableSeeds(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(4242)
+    val a = Array.fill(numHashes)(1L + rnd.nextInt(portableP.toInt - 1))
+    val b = Array.fill(numHashes)(rnd.nextInt(portableP.toInt).toLong)
+    (a, b)
+  }
+
   /** MinHash signature as one `_mh` array column of `numHashes` values
-    * over token `n`-gram shingles. The hash family is murmur3 of the
-    * (shingle, seed) pair — evaluated per element with no UDF; the whole
-    * signature is a single projection (one pass over the shingle array per
-    * seed, all inside codegen).
+    * over token `n`-gram shingles. The default hash family is murmur3 of
+    * the (shingle, seed) pair — evaluated per element with no UDF; the
+    * whole signature is a single projection (one pass over the shingle
+    * array per seed, all inside codegen). `portable = true` switches to
+    * the md5 Carter-Wegman family ([[portableSeeds]]) that a DuckDB/Trino
+    * oracle reproduces verbatim — same plan shape, ~the md5 cost of
+    * [[simHash60Md5]] per shingle.
     */
   def minHashSignature(df: DataFrame, textCol: String,
-                       numHashes: Int, shingleN: Int): DataFrame =
+                       numHashes: Int, shingleN: Int,
+                       portable: Boolean = false): DataFrame = {
+    val sig =
+      if (portable) {
+        val (a, b) = portableSeeds(numHashes)
+        org.apache.spark.sql.graftnative.NativeExpressions
+          .minHashSigMod(col("_sh"), a, b, portableP)
+      } else graft.functions.NativeExpressions.minHashSig(col("_sh"), numHashes)
     // repartition first: signature cost is CPU-per-row, so partitioning
     // must follow cores, not input file sizes (a single small parquet file
     // would otherwise run the whole corpus on one task)
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("_sh", T.tokenShingles(col(textCol), shingleN))
       .filter(size(col("_sh")) > 0)
-      .withColumn("_mh",
-        graft.functions.NativeExpressions.minHashSig(col("_sh"), numHashes))
+      .withColumn("_mh", sig)
       .drop("_sh")
+  }
 
   /** LSH banding: group the signature into `bands` bands of `rowsPerBand`
     * hashes; two docs sharing ANY band bucket become a candidate pair.
@@ -72,19 +96,23 @@ object Dedup {
     * exact pass).
     */
   def lshCandidates(sig: DataFrame, idCol: String, numHashes: Int,
-                    bands: Int, maxBucket: Int = 1000): DataFrame = {
+                    bands: Int, maxBucket: Int = 1000,
+                    portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // All band buckets come out of ONE native expression
-    // ([[MinHashBands]]), so even when CollapseProject inlines the
-    // signature into the generator below it is still evaluated once per
-    // row — no materialization barrier needed (the per-band
-    // `hash(slice(_mh, ...))` formulation this replaces recomputed the
-    // signature once PER BAND when inlined, higher-order array functions
-    // having no CSE).
+    // ([[MinHashBands]] / [[MinHashBandsMod]]), so even when
+    // CollapseProject inlines the signature into the generator below it
+    // is still evaluated once per row — no materialization barrier needed
+    // (the per-band `hash(slice(_mh, ...))` formulation this replaces
+    // recomputed the signature once PER BAND when inlined, higher-order
+    // array functions having no CSE).
+    val bandCol =
+      if (portable) org.apache.spark.sql.graftnative.NativeExpressions
+        .minHashBandsMod(col("_mh"), rowsPerBand, portableBandMult, portableP)
+      else graft.functions.NativeExpressions.minHashBands(col("_mh"), rowsPerBand)
     val buckets = sig.select(col(idCol),
-        posexplode(graft.functions.NativeExpressions
-          .minHashBands(col("_mh"), rowsPerBand)).as(Seq("band", "bucket")))
+        posexplode(bandCol).as(Seq("band", "bucket")))
     // Pairs are generated per bucket from a grouped id list instead of a
     // bucket self-join: a self-join re-executes the whole signature
     // subtree once per side, while one groupBy runs it once; memory per
@@ -119,12 +147,17 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup: candidates verified by exact Jaccard over
     * the same shingle sets, keeping pairs with similarity >= threshold.
+    * `portable = true` runs the md5 Carter-Wegman hash family end-to-end,
+    * making the WHOLE pipeline — candidates included — reproducible in an
+    * external SQL engine (q66's DuckDB oracle replays signature, banding,
+    * candidate join and verification bit-for-bit).
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                 threshold: Double = 0.7): DataFrame = {
-    val sig = minHashSignature(df, textCol, numHashes, shingleN)
-    val cand = lshCandidates(sig, idCol, numHashes, bands)
+                 threshold: Double = 0.7, portable: Boolean = false,
+                 maxBucket: Int = 1000): DataFrame = {
+    val sig = minHashSignature(df, textCol, numHashes, shingleN, portable)
+    val cand = lshCandidates(sig, idCol, numHashes, bands, maxBucket, portable)
     // Shingle table for exact-Jaccard verification, hash-partitioned on id
     // ABOVE the shingle projection: both join sides below reference the
     // same exchange, so Spark's ReusedExchange computes the shingles once

@@ -38,6 +38,16 @@ object NativeExpressions {
     ExpressionUtils.column(
       MinHashBands(ExpressionUtils.expression(sig), rowsPerBand))
 
+  def minHashSigMod(shingles: Column, a: Array[Long], b: Array[Long],
+                    p: Long): Column =
+    ExpressionUtils.column(
+      MinHashSigMod(ExpressionUtils.expression(shingles), a, b, p))
+
+  def minHashBandsMod(sig: Column, rowsPerBand: Int, mult: Long,
+                      mod: Long): Column =
+    ExpressionUtils.column(
+      MinHashBandsMod(ExpressionUtils.expression(sig), rowsPerBand, mult, mod))
+
   def rpLshBands(vec: Column, planesPerBand: Int, bands: Int): Column =
     ExpressionUtils.column(
       RpLshBands(ExpressionUtils.expression(vec), planesPerBand, bands))
@@ -190,6 +200,164 @@ case class MinHashBands(child: Expression, rowsPerBand: Int)
             $h = $m3.hashInt($c.getInt($i), $h);
           }
           $out[$b] = (long) $h;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ENGINE-PORTABLE MinHash signature — the md5-seeded Carter-Wegman
+  * family: per shingle ONE md5, H = (first 32 digest bits) mod p, then
+  * slot i = min over shingles of (a(i)·H + b(i)) mod p. Every operation
+  * is plain BIGINT arithmetic DuckDB/Trino reproduce verbatim (see q66's
+  * oracle: `CAST(concat('0x', substr(md5(g),1,8)) AS BIGINT)` is the same
+  * 32-bit prefix), unlike the murmur3 family of [[MinHashSig]], which
+  * stays the fast default. Same one-hash-per-shingle shape as
+  * [[MinHashSig]]: k seed-mixes are two multiplies + a mod each.
+  * p must be ≤ 2^31-1 so a·H fits a long without overflow.
+  */
+case class MinHashSigMod(child: Expression, a: Array[Long], b: Array[Long],
+                         p: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(a.nonEmpty && a.length == b.length, "a/b seed arrays must align")
+  require(p > 1 && p <= 2147483647L, "p in (1, 2^31-1]")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig_mod"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = a.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val md = SimHash60Md5F.md5Local.get()
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val d = md.digest(arr.getUTF8String(j).getBytes)
+        var h = 0L
+        var i = 0
+        while (i < 4) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h %= p
+        i = 0
+        while (i < k) {
+          val v = (a(i) * h + b(i)) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+        catch (java.security.NoSuchAlgorithmException e) {
+          throw new RuntimeException(e);
+        }""")
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val h = ctx.freshName("h")
+      val k = ctx.freshName("k")
+      val v = ctx.freshName("v")
+      s"""
+        long[] $sig = new long[${a.length}];
+        java.util.Arrays.fill($sig, Long.MAX_VALUE);
+        for (int $j = 0; $j < $c.numElements(); $j++) {
+          if (!$c.isNullAt($j)) {
+            byte[] $d = $md.digest($c.getUTF8String($j).getBytes());
+            long $h = 0L;
+            for (int $k = 0; $k < 4; $k++) {
+              $h = ($h << 8) | (((long) $d[$k]) & 0xffL);
+            }
+            $h = $h % ${p}L;
+            for (int $i = 0; $i < ${a.length}; $i++) {
+              long $v = ($aRef[$i] * $h + $bRef[$i]) % ${p}L;
+              if ($v < $sig[$i]) $sig[$i] = $v;
+            }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ENGINE-PORTABLE LSH band buckets: slot b = left fold
+  * `acc = (acc·mult + v) mod mod` over the signature values of band b —
+  * plain BIGINT arithmetic a SQL oracle reproduces with a pivot + nested
+  * mod expression (q66). `mult·mod` must fit a long. Same
+  * one-expression-per-row shape as [[MinHashBands]] (no per-band
+  * recompute when inlined into a generator).
+  */
+case class MinHashBandsMod(child: Expression, rowsPerBand: Int, mult: Long,
+                           mod: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(rowsPerBand > 0, "rowsPerBand must be positive")
+  require(mult > 0 && mod > 1 && mult < Long.MaxValue / mod,
+    "mult*mod must fit a long")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands_mod"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val bands = sig.numElements() / rowsPerBand
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var i = b * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) {
+        acc = (acc * mult + sig.getLong(i)) % mod
+        i += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val bands = ctx.freshName("bands")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val end = ctx.freshName("end")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $bands = $c.numElements() / $rowsPerBand;
+        long[] $out = new long[$bands];
+        for (int $b = 0; $b < $bands; $b++) {
+          long $acc = 0L;
+          int $i = $b * $rowsPerBand;
+          int $end = $i + $rowsPerBand;
+          for (; $i < $end; $i++) {
+            $acc = ($acc * ${mult}L + $c.getLong($i)) % ${mod}L;
+          }
+          $out[$b] = $acc;
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """
@@ -422,7 +590,7 @@ object SimHash60Md5F {
     * path shares one Expression instance across partitions, so each thread
     * gets its own digest.
     */
-  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+  private[graftnative] val md5Local: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** Top 60 bits of the md5 digest of `bytes`, as a non-negative long —

@@ -63,6 +63,50 @@ class NativeExpressionsSpec extends SparkSpec {
       s"native ${r.getLong(0)} != ref ${r.getLong(1)}"))
   }
 
+  test("minHashSigMod / minHashBandsMod ≡ portable HOF formulation") {
+    val df = Seq(
+      Seq("alpha beta", "beta gamma", "gamma delta", "один два", "数据 引擎"),
+      Seq("single"),
+      Seq.empty[String]).toDF("sh")
+    val k = 8
+    val (sa, sb) = graft.operators.Dedup.portableSeeds(k)
+    val p = graft.operators.Dedup.portableP
+    // HOF twin: H(s) = md5-32-bit prefix mod p (the exact SQL the q66
+    // oracle interpolates), slot i = min over shingles of (a_i·H+b_i)%p
+    def hofH(s: org.apache.spark.sql.Column) =
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long") % p
+    val hofSig = transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(col("sh"), s =>
+        (element_at(typedlit(sa.toSeq), (i + 1).cast("int")) * hofH(s) +
+          element_at(typedlit(sb.toSeq), (i + 1).cast("int"))) % p)))
+    val native = org.apache.spark.sql.graftnative.NativeExpressions
+      .minHashSigMod(col("sh"), sa, sb, p)
+    val rows = df.select(native.as("n"), hofSig.as("r")).collect()
+    rows.foreach { r =>
+      val n = r.getSeq[Long](0)
+      val ref = r.getSeq[Any](1)
+      if (ref.forall(_ != null))
+        assert(n == ref.map(_.asInstanceOf[Long]), s"native $n != ref $ref")
+      else assert(n.forall(_ == Long.MaxValue)) // HOF null-min on empty
+    }
+    // band fold: acc = (acc*131 + v) % p, rowsPerBand = 4 → 2 bands.
+    // Empty shingle arrays are excluded like the pipeline excludes them
+    // (minHashSignature filters size > 0): their Long.MaxValue sentinel
+    // slots would overflow the ANSI-checked HOF twin (the native fold
+    // wraps silently, but such rows never reach banding).
+    val mult = graft.operators.Dedup.portableBandMult
+    val hofBands = transform(sequence(lit(0), lit(1)), b =>
+      aggregate(slice(native, b * 4 + 1, lit(4)), lit(0L),
+        (acc, v) => (acc * mult + v) % p))
+    val bandRows = df.filter(size(col("sh")) > 0).select(
+      org.apache.spark.sql.graftnative.NativeExpressions
+        .minHashBandsMod(native, 4, mult, p).as("n"),
+      hofBands.as("r")).collect()
+    bandRows.foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"bands ${r.getSeq[Long](0)} != ${r.getSeq[Long](1)}"))
+  }
+
   test("simHash60Md5 ≡ interpreted md5-HOF formulation (incl. null/empty)") {
     val rnd = new scala.util.Random(17)
     val words = Vector("vector", "join", "stream", "batch", "window", "scan",

@@ -168,6 +168,12 @@ class TextDedupSpec extends SparkSpec {
       shingleN = 2, threshold = 0.9)
       .as[(Long, Long, Double)].collect().toSeq
     assert(out == Seq((100L, 101L, 1.0)))
+    // the engine-portable md5 Carter-Wegman family finds the same dup
+    // pair (identical docs collide in every band under ANY hash family)
+    val portable = Dedup.minHashLsh(df, "t", "id", numHashes = 16,
+      bands = 4, shingleN = 2, threshold = 0.9, portable = true)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(portable == Seq((100L, 101L, 1.0)))
   }
 
   test("simhash: identical text → identical fingerprint, hamming 0") {
