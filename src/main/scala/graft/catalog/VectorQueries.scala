@@ -286,13 +286,50 @@ object VectorQueries {
           ORDER BY 1, 2"""))
     },
 
-    // label-free near-dup via random-hyperplane LSH blocks (rows-only)
-    QueryDef("q69_embedding_near_dup_lsh",
-      (s, dir) => Dedup.embeddingNearDupLsh(emb(s, dir), "embedding",
-          "vec_id", threshold = 0.99)
-        .select("vec_id_a", "vec_id_b")
-        .orderBy("vec_id_a", "vec_id_b"),
-      None),
+    // label-free near-dup via random-hyperplane LSH blocks, PORTABLE
+    // integer path: md5-derived plane weights dotted with the 1e7-scaled
+    // qint vectors in exact int64, so the oracle replays bucket
+    // generation, the candidate join, and the exact cosine verify
+    // bit-for-bit — the same full-pipeline trick as q66. maxBucket
+    // unbounded HERE ONLY (q51/q66/q87 oracle pattern).
+    locally {
+      val (planes, bands, dim, t) = (10, 4, 64, 0.99)
+      QueryDef("q69_embedding_near_dup_lsh",
+        (s, dir) => Dedup.embeddingNearDupLsh(emb(s, dir), "embedding",
+            "vec_id", threshold = t, planesPerBand = planes, bands = bands,
+            maxBucket = Int.MaxValue, portableDim = dim)
+          .select("vec_id_a", "vec_id_b")
+          .orderBy("vec_id_a", "vec_id_b"),
+        Some(s"""WITH qv AS (SELECT vec_id, ${dq("embedding")} AS q
+            FROM embeddings WHERE len(embedding) = $dim),
+          w AS (SELECT b, p, i,
+              CAST(concat('0x', substr(md5(
+                CAST(b AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' ||
+                CAST(i AS VARCHAR)), 1, 5)) AS BIGINT) - 524288 AS wt
+            FROM range(0, $bands) rb(b), range(0, $planes) rp(p),
+              range(0, $dim) ri(i)),
+          ex AS (SELECT vec_id, i, q[CAST(i AS INTEGER) + 1] AS x
+            FROM qv, range(0, $dim) ri(i)),
+          proj AS (SELECT vec_id, b, p, SUM(x * wt) AS s
+            FROM ex JOIN w USING (i) GROUP BY 1, 2, 3),
+          bkt AS (SELECT vec_id, b,
+              CAST(SUM(CASE WHEN s >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+                ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM bkt a JOIN bkt b
+              ON a.b = b.b AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id),
+          normed AS (SELECT vec_id, q,
+            sqrt(CAST(${qdot("q", "q")} AS DOUBLE)) AS nrm FROM qv)
+          SELECT c.va AS vec_id_a, c.vb AS vec_id_b
+          FROM cand c
+          JOIN normed a ON a.vec_id = c.va
+          JOIN normed b ON b.vec_id = c.vb
+          WHERE CAST(${qdot("a.q", "b.q")} AS DOUBLE) / (a.nrm * b.nrm) >= $t
+          ORDER BY 1, 2"""))
+    },
 
     // SimHash fingerprints, md5-portable token hash: the vote-fold is
     // reproduced verbatim in SQL (per-bit ±1 sums via a range(0,60)

@@ -458,7 +458,8 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
                           threshold: Double, planesPerBand: Int = 10,
                           bands: Int = 4, maxBucket: Int = 2000,
-                          equalCols: Seq[String] = Nil): DataFrame = {
+                          equalCols: Seq[String] = Nil,
+                          portableDim: Int = 0): DataFrame = {
     // Column pruning splits this into two single-purpose branches: the
     // bucket branch computes ONLY `_bkts` (qint/norm pruned away) and the
     // verify branch ONLY `_qv`/`_nrm` (buckets pruned); the hash-exchange
@@ -468,12 +469,23 @@ object Dedup {
     // verified on the candidate pairs — they ride the verify join instead
     // of becoming a low-cardinality blocking key, so the self-join stays
     // bucketed on the high-cardinality LSH keys.
+    // `portableDim > 0` switches banding to the ENGINE-PORTABLE integer
+    // path ([[RpLshBandsQ]]): md5-derived plane weights dotted with the
+    // qint vector in exact int64, so an external SQL oracle reproduces
+    // the buckets bit-for-bit (q69). The vector dimension must be stated
+    // because the weight table is built at plan time.
+    val bkts =
+      if (portableDim > 0)
+        org.apache.spark.sql.graftnative.NativeExpressions.rpLshBandsQ(
+          V.qint(col(vecCol)), planesPerBand, bands, portableDim,
+          org.apache.spark.sql.graftnative.RpLshBandsQ
+            .planeWeights(bands, planesPerBand, portableDim))
+      else org.apache.spark.sql.graftnative.NativeExpressions
+        .rpLshBands(col(vecCol), planesPerBand, bands)
     val prep = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select((Seq(col(idCol), V.qint(col(vecCol)).as("_qv"),
-        org.apache.spark.sql.graftnative.NativeExpressions
-          .rpLshBands(col(vecCol), planesPerBand, bands)
-          .as("_bkts")) ++ equalCols.map(col)): _*)
+        bkts.as("_bkts")) ++ equalCols.map(col)): _*)
     val buckets = prep.select(col(idCol),
       posexplode(col("_bkts")).as(Seq("band", "bucket")))
     val cand = expandPairs(buckets, idCol, maxBucket)

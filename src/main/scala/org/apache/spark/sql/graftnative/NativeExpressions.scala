@@ -52,6 +52,12 @@ object NativeExpressions {
     ExpressionUtils.column(
       RpLshBands(ExpressionUtils.expression(vec), planesPerBand, bands))
 
+  def rpLshBandsQ(qvec: Column, planesPerBand: Int, bands: Int, dim: Int,
+                  weights: Array[Long]): Column =
+    ExpressionUtils.column(
+      RpLshBandsQ(ExpressionUtils.expression(qvec), planesPerBand, bands,
+        dim, weights))
+
   def simHash32(tokens: Column): Column =
     ExpressionUtils.column(SimHash32F(ExpressionUtils.expression(tokens)))
 
@@ -460,6 +466,138 @@ case class RpLshBands(child: Expression, planesPerBand: Int, bands: Int)
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RpLshBandsQ {
+  /** The md5-derived plane-weight table, flattened `[band][plane][dim]`:
+    * weight(b,p,i) = (first 20 bits of md5("b:p:i")) − 2^19, i.e. exactly
+    * `CAST(concat('0x', substr(md5(b||':'||p||':'||i), 1, 5)) AS BIGINT)
+    * − 524288` in SQL — a signed ~±5·10^5 integer. Computed ONCE on the
+    * driver (bands·planes·dim longs) and shipped as a plan reference;
+    * the SQL oracle re-derives the identical table from the formula.
+    */
+  def planeWeights(bands: Int, planesPerBand: Int, dim: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](bands * planesPerBand * dim)
+    var idx = 0
+    var b = 0
+    while (b < bands) {
+      var p = 0
+      while (p < planesPerBand) {
+        var i = 0
+        while (i < dim) {
+          val d = md.digest(s"$b:$p:$i".getBytes("UTF-8"))
+          val v = (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) |
+            (d(2) & 0xffL)) >>> 4
+          out(idx) = v - 524288L
+          idx += 1
+          i += 1
+        }
+        p += 1
+      }
+      b += 1
+    }
+    out
+  }
+}
+
+/** ENGINE-PORTABLE random-hyperplane LSH bands over a QUANTIZED
+  * (`array<long>`, the 1e7-scaled qint form) vector: band b's bucket has
+  * bit p set iff Σ_i qv_i · w(b,p,i) ≥ 0 with the md5-derived integer
+  * weights of [[RpLshBandsQ.planeWeights]] — pure int64 arithmetic with
+  * no rounding, so a SQL oracle reproduces the buckets bit-for-bit
+  * (q69). Overflow headroom: |qv| ≤ ~10^7·max|x|, |w| < 2^19, so dims
+  * into the tens of thousands stay far below 2^63. A null element or a
+  * length ≠ dim yields NULL (the row simply generates no candidates;
+  * the float twin [[RpLshBands]] instead zeroes buckets — null is
+  * stricter and keeps degenerate rows out of bucket 0).
+  */
+case class RpLshBandsQ(child: Expression, planesPerBand: Int, bands: Int,
+                       dim: Int, weights: Array[Long])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(planesPerBand > 0 && planesPerBand <= 63, "planesPerBand in (0, 63]")
+  require(bands > 0 && dim > 0, "bands and dim must be positive")
+  require(weights.length == bands * planesPerBand * dim, "weight table layout")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_rplsh_bands_q"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n != dim) return null
+    var j = 0
+    while (j < n) { if (arr.isNullAt(j)) return null; j += 1 }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerBand) {
+        val off = (b * planesPerBand + p) * dim
+        var proj = 0L
+        var i = 0
+        while (i < dim) {
+          proj += arr.getLong(i) * weights(off + i)
+          i += 1
+        }
+        if (proj >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("rpWeights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val ok = ctx.freshName("ok")
+      val b = ctx.freshName("b")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val bucket = ctx.freshName("bucket")
+      val proj = ctx.freshName("proj")
+      s"""
+        int $n = $c.numElements();
+        boolean $ok = ($n == $dim);
+        for (int $j = 0; $j < $n && $ok; $j++) {
+          $ok = !$c.isNullAt($j);
+        }
+        if (!$ok) {
+          ${ev.isNull} = true;
+        } else {
+          long[] $out = new long[$bands];
+          for (int $b = 0; $b < $bands; $b++) {
+            long $bucket = 0L;
+            for (int $p = 0; $p < $planesPerBand; $p++) {
+              int $off = ($b * $planesPerBand + $p) * $dim;
+              long $proj = 0L;
+              for (int $i = 0; $i < $dim; $i++) {
+                $proj += $c.getLong($i) * $w[$off + $i];
+              }
+              if ($proj >= 0) $bucket |= (1L << $p);
+            }
+            $out[$b] = $bucket;
+          }
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
+      """
+    })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -218,6 +218,47 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == brute) // full recall on near-identical pairs
   }
 
+  test("portable RP-LSH: integer buckets match a driver-side recomputation") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val (planes, bands) = (6, 3)
+    val vecs = (0L until 30L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "emb")
+    val w = org.apache.spark.sql.graftnative.RpLshBandsQ
+      .planeWeights(bands, planes, dim)
+    val got = df.select($"id",
+        org.apache.spark.sql.graftnative.NativeExpressions.rpLshBandsQ(
+          V.qint($"emb"), planes, bands, dim, w).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // independent recomputation: same quantization, same weights, plain Scala
+    vecs.foreach { case (id, v) =>
+      val q = v.map(x => math.round(x.toDouble * 1e7))
+      val exp = (0 until bands).map { b =>
+        (0 until planes).foldLeft(0L) { (acc, p) =>
+          val off = (b * planes + p) * dim
+          val proj = (0 until dim).map(i => q(i) * w(off + i)).sum
+          if (proj >= 0) acc | (1L << p) else acc
+        }
+      }
+      assert(got(id) == exp, s"row $id")
+    }
+    // dimension mismatch → null buckets (row generates no candidates)
+    val bad = Seq((0L, Seq(1.0f, 2.0f))).toDF("id", "emb")
+      .select(org.apache.spark.sql.graftnative.NativeExpressions.rpLshBandsQ(
+        V.qint($"emb"), planes, bands, dim, w))
+      .head()
+    assert(bad.isNullAt(0))
+    // full portable pipeline: identical vectors collide in every band
+    val base = Seq.fill(dim)(0.3f)
+    val corpus = (Seq((100L, base), (101L, base)) ++ vecs.map {
+      case (i, v) => (i, v) }).toDF("id", "emb")
+    val pairs = Dedup.embeddingNearDupLsh(corpus, "emb", "id",
+        threshold = 0.999, planesPerBand = planes, bands = bands,
+        portableDim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)))
+  }
+
   test("LSH near-dup with equalCols: label verified, no label-blocked join") {
     val rnd = new scala.util.Random(7)
     def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
