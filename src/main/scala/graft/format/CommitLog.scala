@@ -121,14 +121,40 @@ object CommitLog {
   }
 
   /** Commit ids are zero-padded sequence numbers → lexicographic order is
-    * creation order (handy for humans; correctness never relies on it).
+    * creation order (LCA relies on parents having smaller ids; gaps from
+    * crashed writers are harmless). O(1) via the same best-effort hint
+    * the reservation allocator uses: a full directory listing per commit
+    * was O(history) namenode calls — O(history²) over a table's life. A
+    * stale-LOW hint only costs forward existence probes (the atomic
+    * create in [[writeCommit]] stays the single claim point); a missing
+    * or unreadable hint falls back to one listing.
     */
+  private def commitHint(root: String) = new Path(root, "_graft/commit_next")
+
   def nextCommitId(spark: SparkSession, root: String): String = {
-    val n = listCommits(spark, root)
-      .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
-      .foldLeft(-1L)(math.max)
-    f"${n + 1}%08d"
+    val f = fs(spark, root)
+    val hint = commitHint(root)
+    var n = (if (f.exists(hint))
+        scala.util.Try(readString(f, hint).trim.toLong).toOption
+      else None)
+      .getOrElse { // legacy/cold table: one listing to find the watermark
+        listCommits(spark, root)
+          .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+          .foldLeft(-1L)(math.max) + 1
+      }
+    while (f.exists(new Path(commitsDir(root), f"$n%08d.json"))) n += 1
+    f"$n%08d"
   }
+
+  /** Best-effort hint advance, called after a successful commit publish —
+    * loss or a race is harmless (probing recovers). */
+  private[format] def advanceCommitHint(spark: SparkSession, root: String,
+                                        justPublished: String): Unit =
+    scala.util.Try(justPublished.takeWhile(_.isDigit).toLong).foreach { n =>
+      try writeString(fs(spark, root), commitHint(root), (n + 1).toString,
+        overwrite = true)
+      catch { case _: java.io.IOException => () }
+    }
 
   /** Claim a globally-unique, monotonically-increasing reservation number
     * via atomic file create — the allocator behind row-uuid spaces

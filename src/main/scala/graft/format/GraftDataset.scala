@@ -417,6 +417,7 @@ class GraftDataset private[format] (
       schemaJson = stSchema.json,
       files = stFiles, updates = stUpdates, tombstones = stTombstones,
       renames = stRenames.map(p => Seq(p._1, p._2))))
+    CommitLog.advanceCommitHint(spark, root, id)
     // Optimistic concurrency on the branch pointer: advance it only if it
     // still points at this commit's parent. A stale writer (someone else
     // committed since we loaded HEAD) fails here instead of silently

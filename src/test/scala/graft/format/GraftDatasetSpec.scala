@@ -298,6 +298,27 @@ class GraftDatasetSpec extends SparkSpec {
     assert(CommitLog.ancestors(spark, root, head).size >= 202)
   }
 
+  test("nextCommitId: O(1) via hint, stale hints probe forward") {
+    val ds = freshTable()
+    val root = ds.root
+    (1 to 3).foreach(i => ds.commit(s"c$i", allowEmpty = true))
+    val f = CommitLog.fs(spark, root)
+    val hint = new org.apache.hadoop.fs.Path(root, "_graft/commit_next")
+    assert(f.exists(hint), "hint not advanced on publish")
+    val existing = CommitLog.listCommits(spark, root)
+      .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+    // poison the hint LOW: existence probing must walk past every taken
+    // id instead of proposing a colliding one
+    val out = f.create(hint, true); out.write("0".getBytes("UTF-8")); out.close()
+    val next = CommitLog.nextCommitId(spark, root)
+    assert(next.toLong > existing.max, s"stale-hint id $next collides")
+    // hint deleted → one-listing fallback proposes the same id
+    f.delete(hint, false)
+    assert(CommitLog.nextCommitId(spark, root) == next)
+    ds.commit("after poison", allowEmpty = true) // end-to-end still green
+    assert(ds.log.head.message == "after poison")
+  }
+
   test("claimReservation: unique, increasing, O(1) via hint, bounded at 2^23") {
     val ds = freshTable()
     val root = ds.root
