@@ -265,7 +265,36 @@ object Multimodal {
     if (frames >= 2) Some((rate, channels, samples, dur, 0.0)) else None
   }
 
-  /** STUB audio decode for codecs the JVM lacks (flac/ogg/video tracks):
+  /** REAL FLAC METADATA decode — the STREAMINFO block every FLAC stream
+    * must lead with (public format spec): "fLaC" magic, block header
+    * (type 0, length 34), then 20 bits sample rate, 3 bits channels−1,
+    * 5 bits bits-per-sample−1, 36 bits total inter-channel samples.
+    * Amplitude needs full subframe decode (native codec territory) →
+    * 0.0, same boundary as [[decodeMp3]].
+    */
+  private[graft] def decodeFlac(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Double, Double)] = {
+    if (bytes == null || bytes.length < 4 + 4 + 34) return None
+    if (bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' ||
+        bytes(3) != 'C') return None
+    // first metadata block must be STREAMINFO (type bits 0-6 == 0), 34 long
+    val blockType = bytes(4) & 0x7f
+    val blockLen = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) |
+      (bytes(7) & 0xff)
+    if (blockType != 0 || blockLen != 34) return None
+    // STREAMINFO offset 8; the rate/channels/bps/samples pack starts at
+    // byte 10 of the block (after 2+2 block sizes and 3+3 frame sizes)
+    val o = 8 + 10
+    def b(i: Int): Long = bytes(o + i) & 0xffL
+    val rate = ((b(0) << 12) | (b(1) << 4) | (b(2) >> 4)).toInt // 20 bits
+    val channels = (((b(2) >> 1) & 0x7) + 1).toInt              // 3 bits
+    val samples = ((b(3) & 0x0fL) << 32) | (b(4) << 24) |       // 36 bits
+      (b(5) << 16) | (b(6) << 8) | b(7)
+    if (rate <= 0) None // rate 0 is invalid per spec
+    else Some((rate, channels, samples, samples.toDouble / rate, 0.0))
+  }
+
+  /** STUB audio decode for codecs the JVM lacks (ogg/video tracks):
     * deterministic features from the payload so the pipeline stays
     * testable end-to-end.
     */
@@ -280,7 +309,7 @@ object Multimodal {
 
   /** Decode + feature-extract over audio rows: same repartition-by-cores
     * + one `mapPartitions` pass as [[decodeImages]]; WAV decodes fully,
-    * mp3 decodes its metadata from frame headers, anything else goes
+    * mp3/flac decode their metadata from headers, anything else goes
     * through the stub.
     */
   def decodeAudio(df: DataFrame, prefix: String): DataFrame = {
@@ -293,6 +322,7 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](bytesIdx)
           val (rate, ch, frames, dur, amp) =
             decodeWav(bytes).orElse(decodeMp3(bytes))
+              .orElse(decodeFlac(bytes))
               .getOrElse(decodeAudioStub(bytes))
           Row.fromSeq(r.toSeq ++ Seq[Any](rate, ch, frames, dur, amp))
         }

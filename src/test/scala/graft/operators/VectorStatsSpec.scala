@@ -337,7 +337,7 @@ class VectorStatsSpec extends SparkSpec {
     assert(dec(2L).getAs[Long]("num_frames") == 4L)
   }
 
-  test("multimodal: mp3 frame-header metadata decode, ID3 skip, stub for flac") {
+  test("multimodal: mp3/flac header metadata decode, ID3 skip, truncated → stub") {
     // synthetic MPEG1 Layer III stream: 44.1 kHz, 128 kbps, stereo, no
     // padding → frame length floor(144 * 128000 / 44100) = 417 bytes,
     // 1152 samples/frame. Header ff fb 90 00; payload zeros.
@@ -366,6 +366,16 @@ class VectorStatsSpec extends SparkSpec {
     // a single frame (or random bytes) must NOT parse — two-frame guard
     assert(Multimodal.decodeMp3(mp3(1, id3 = false)).isEmpty)
     assert(Multimodal.decodeMp3(Array.fill(2000)(0x55.toByte)).isEmpty)
+    // FLAC STREAMINFO: 44.1 kHz stereo, 88200 total samples (2.0 s)
+    val flac: Array[Byte] = {
+      val si = new Array[Byte](34)
+      si(10) = 0x0a; si(11) = 0xc4.toByte; si(12) = 0x42 // rate 44100, 2ch
+      si(13) = 0xf0.toByte                               // bps 16, smp hi 0
+      si(15) = 0x01; si(16) = 0x58; si(17) = 0x88.toByte // samples 88200
+      Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 34) ++ si
+    }
+    val fd = Multimodal.decodeFlac(flac)
+    assert(fd.contains((44100, 2, 88200L, 2.0, 0.0)), s"got $fd")
     // through the pipeline: mp3 rows get real metadata, flac rows stub
     val schema = StructType(
       StructField("id", LongType) +: Multimodal.mediaSchema("aud"))
