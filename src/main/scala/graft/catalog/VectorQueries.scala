@@ -331,6 +331,29 @@ object VectorQueries {
           ORDER BY 1, 2"""))
     },
 
+    // IVF with nprobe = nlist is EXHAUSTIVE: probing every cell makes the
+    // candidate set the whole corpus, so the index path must return
+    // exactly the brute-force top-k — an oracle-checked pin on the IVF
+    // build/assign/probe machinery itself (cell assignment bugs, dropped
+    // cells, or probe-ranking bugs all break it). q65 keeps the
+    // approximate nprobe=4 configuration this pin underwrites.
+    QueryDef("q88_vector_ivf_probe_all",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 2L)
+          .select("embedding").head().getSeq[Float](0)
+        val (assigned, centroids) =
+          VectorSearch.ivfBuild(e, "embedding", "vec_id", nlist = 16)
+        VectorSearch.ivfTopK(assigned, centroids, "embedding", "vec_id", q,
+            metric = "l2", k = 10, nprobe = 16, exact = true)
+          .withColumnRenamed("score", "l2sq_scaled")
+          .orderBy(col("l2sq_scaled").asc, col("vec_id").asc)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
+        SELECT vec_id, ${dl2("embedding", "qv")} AS l2sq_scaled
+        FROM embeddings, q
+        ORDER BY l2sq_scaled ASC, vec_id ASC LIMIT 10""")),
+
     // SimHash fingerprints, md5-portable token hash: the vote-fold is
     // reproduced verbatim in SQL (per-bit ±1 sums via a range(0,60)
     // lateral), so the 60-bit fingerprint itself hash-matches DuckDB.

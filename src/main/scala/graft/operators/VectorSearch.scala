@@ -362,16 +362,20 @@ object VectorSearch {
     * assignments table is written partitioned by `cell`, so this prunes
     * to nprobe/nlist of the data before any distance math.
     */
+  /** `exact = true` scores candidates on the scaled-int path — with
+    * `nprobe = nlist` (exhaustive probing) the result then provably
+    * equals exact brute-force top-k, which is what q88's oracle pins.
+    */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, vecCol: String,
               idCol: String, query: Seq[Float], metric: String, k: Int,
-              nprobe: Int): DataFrame = {
+              nprobe: Int, exact: Boolean = false): DataFrame = {
     val q = array(query.map(lit): _*)
     val probeCells = centroids
       .withColumn("_d", V.l2Sq(col("_centroid"), q))
       .orderBy(col("_d").asc).limit(nprobe)
       .select("cell")
     assigned.join(broadcast(probeCells), "cell")
-      .withColumn("_score", score(metric, col(vecCol), q, exact = false))
+      .withColumn("_score", score(metric, col(vecCol), q, exact))
       .orderBy(rankOrder(metric, col("_score")), col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("_score").as("score"))
