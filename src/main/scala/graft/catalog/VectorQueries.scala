@@ -114,16 +114,31 @@ object VectorQueries {
     // (1-p^8)^16 with p = 1-θ/π; at the 0.99 threshold that is ≈ 7e-9 —
     // effectively exact, so the exact SQL oracle stays valid (bands are
     // one native expression pass, so extra bands are near-free).
+    // CONSTRUCTED clones (vec_id < 15 duplicated at +200000, label kept)
+    // make the green non-vacuous: the natural fixture has zero pairs at
+    // cos ≥ 0.99, so without them both sides were trivially empty.
+    // Identical vectors collide in EVERY band (any hash family), so LSH
+    // recall is certain for exactly the pairs the all-pairs oracle emits.
     QueryDef("q63_embedding_near_dup",
-      (s, dir) => Dedup.embeddingNearDupLsh(emb(s, dir), "embedding", "vec_id",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val clones = e.filter(col("vec_id") < 15L)
+          .withColumn("vec_id", col("vec_id") + lit(200000L))
+        Dedup.embeddingNearDupLsh(e.unionByName(clones), "embedding", "vec_id",
           threshold = 0.99, planesPerBand = 8, bands = 16,
           equalCols = Seq("label"))
         .withColumn("cos_x1e6", round(col("cos_sim") * lit(1e6)).cast("long"))
         .select("vec_id_a", "vec_id_b", "cos_x1e6")
-        .orderBy("vec_id_a", "vec_id_b"),
+        .orderBy("vec_id_a", "vec_id_b")
+      },
       // quantize + self-dot once per row, pair dot once per pair — the
       // same precompute shape as the Spark side
-      Some(s"""WITH prep AS (SELECT vec_id, label, ${dq("embedding")} AS qv FROM embeddings),
+      Some(s"""WITH corpus AS (
+          SELECT vec_id, label, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 200000, label, embedding FROM embeddings
+          WHERE vec_id < 15),
+        prep AS (SELECT vec_id, label, ${dq("embedding")} AS qv FROM corpus),
         normed AS (SELECT vec_id, label, qv,
           sqrt(CAST(${qdot("qv", "qv")} AS DOUBLE)) AS nrm FROM prep),
         pairs AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -294,14 +309,27 @@ object VectorQueries {
     // unbounded HERE ONLY (q51/q66/q87 oracle pattern).
     locally {
       val (planes, bands, dim, t) = (10, 4, 64, 0.99)
+      // clones (vec_id < 20 at +100000) make the green non-vacuous — the
+      // natural fixture has zero pairs at cos ≥ 0.99. The oracle replays
+      // the full LSH pipeline, so exactness needs no recall argument.
       QueryDef("q69_embedding_near_dup_lsh",
-        (s, dir) => Dedup.embeddingNearDupLsh(emb(s, dir), "embedding",
+        (s, dir) => {
+          val e = emb(s, dir)
+          val clones = e.filter(col("vec_id") < 20L)
+            .withColumn("vec_id", col("vec_id") + lit(100000L))
+          Dedup.embeddingNearDupLsh(e.unionByName(clones), "embedding",
             "vec_id", threshold = t, planesPerBand = planes, bands = bands,
             maxBucket = Int.MaxValue, portableDim = dim)
           .select("vec_id_a", "vec_id_b")
-          .orderBy("vec_id_a", "vec_id_b"),
-        Some(s"""WITH qv AS (SELECT vec_id, ${dq("embedding")} AS q
-            FROM embeddings WHERE len(embedding) = $dim),
+          .orderBy("vec_id_a", "vec_id_b")
+        },
+        Some(s"""WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings
+            WHERE vec_id < 20),
+          qv AS (SELECT vec_id, ${dq("embedding")} AS q
+            FROM corpus WHERE len(embedding) = $dim),
           w AS (SELECT b, p, i,
               CAST(concat('0x', substr(md5(
                 CAST(b AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' ||
