@@ -48,10 +48,11 @@ object Bench {
         }
       }
       val two = Seq(once(), once()).flatten
-      // heavy queries (≥ 2 s best-of-2) get a third run: they are the ones
-      // the residual suite state distorts most, and one more sample on the
-      // slow tail costs little relative to the queries themselves
-      val runs = if (two.nonEmpty && two.min >= 2.0) two ++ once() else two
+      // queries ≥ 1 s best-of-2 get a third run: residual suite state
+      // distorts them most (the 1-2 s band showed up to 1.9x in-suite
+      // inflation with untouched code), and one more sample on the slow
+      // tail costs little relative to the queries themselves
+      val runs = if (two.nonEmpty && two.min >= 1.0) two ++ once() else two
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

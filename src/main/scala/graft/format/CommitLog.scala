@@ -131,11 +131,18 @@ object CommitLog {
     */
   private def commitHint(root: String) = new Path(root, "_graft/commit_next")
 
+  /** Largest id representable in the zero-padded 8-digit format; beyond
+    * it f"%08d" grows to 9 digits and lexicographic ≠ numeric order. */
+  private val MaxCommitId = 99999999L
+
   def nextCommitId(spark: SparkSession, root: String): String = {
     val f = fs(spark, root)
     val hint = commitHint(root)
     var n = (if (f.exists(hint))
         scala.util.Try(readString(f, hint).trim.toLong).toOption
+          // corrupt/oversized hint (negative, or past the 8-digit format
+          // capacity) is distrusted → fall back to the listing
+          .filter(v => v >= 0L && v <= MaxCommitId)
       else None)
       .getOrElse { // legacy/cold table: one listing to find the watermark
         listCommits(spark, root)
@@ -143,6 +150,9 @@ object CommitLog {
           .foldLeft(-1L)(math.max) + 1
       }
     while (f.exists(new Path(commitsDir(root), f"$n%08d.json"))) n += 1
+    require(n <= MaxCommitId,
+      s"commit sequence exhausted ($n > $MaxCommitId): the 8-digit id " +
+        "format cannot represent more commits")
     f"$n%08d"
   }
 
@@ -280,6 +290,10 @@ object CommitLog {
   def lca(spark: SparkSession, root: String, a: String, b: String): String = {
     val common = ancestors(spark, root, a) intersect ancestors(spark, root, b)
     require(common.nonEmpty, s"no common ancestor of $a and $b")
-    common.max
+    // compare NUMERICALLY, not lexicographically: ids are zero-padded to
+    // 8 digits, but a hypothetical 9-digit id would break string order
+    common.maxBy(c => c.takeWhile(_.isDigit) match {
+      case "" => -1L; case d => d.toLong
+    })
   }
 }

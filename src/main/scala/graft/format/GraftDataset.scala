@@ -309,8 +309,11 @@ class GraftDataset private[format] (
     * row-in-partition index is the low 33 bits of
     * `monotonically_increasing_id()` (its documented layout:
     * partitionId << 33 | per-partition counter). Both passes assume
-    * stable partitioning across the two jobs — the same assumption
-    * `zipWithIndex` made.
+    * stable partitioning across the two jobs — a STRONGER assumption than
+    * `zipWithIndex` made (which pinned partition structure once at RDD
+    * creation), so pass 2 fails loudly if it ever sees a partition id
+    * pass 1 did not (AQE re-coalescing, nondeterministic sources) rather
+    * than silently writing null/colliding uuids.
     */
   def append(df: DataFrame): Unit = {
     val unknown = df.columns.filterNot(c => stSchema.fieldNames.contains(c))
@@ -333,10 +336,24 @@ class GraftDataset private[format] (
       val o = pid -> acc; acc += n; o
     }.toMap
     require(acc < (1L << 40), "append larger than 2^40 rows; split it")
-    // pass 2: uuid = base + offset(partition) + row-in-partition
+    // the low-33-bit row-in-partition counter wraps at 2^33 rows in ONE
+    // partition — pass 1 already has the per-partition counts, so refuse
+    // loudly instead of writing colliding uuids
+    require(counts.forall(_._2 < (1L << 33)),
+      s"a partition holds >= 2^33 rows (max ${counts.map(_._2).max}); " +
+        "repartition the input before append")
+    // pass 2: uuid = base + offset(partition) + row-in-partition. An
+    // unseen partition id means the input's partitioning changed between
+    // the two jobs → raise, never null
+    val offsetOf = coalesce(
+      element_at(typedlit(offsets), spark_partition_id()),
+      raise_error(concat(
+        lit("graft append: partition id "),
+        spark_partition_id().cast("string"),
+        lit(" absent from the count pass - input partitioning is " +
+          "unstable across jobs; persist() or repartition the input"))))
     val withUuid = prepared.withColumn(UuidCol,
-      lit(base) +
-        element_at(typedlit(offsets), spark_partition_id()) +
+      lit(base) + offsetOf +
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
     stFiles :+= writeData(withUuid, "base")
     dirty = true

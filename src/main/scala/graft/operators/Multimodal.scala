@@ -129,9 +129,12 @@ object Multimodal {
   /** REAL WAV (PCM signed/unsigned, 8/16-bit, either endianness) decode:
     * (sampleRate, channels, frames, durationSec, meanAbsAmplitude∈[0,1]).
     * None when the payload is not a recognized audio stream or not PCM.
+    * The amplitude slot is a boxed Double so metadata-only codecs
+    * ([[decodeMp3]]/[[decodeFlac]]) can report null ("not computed")
+    * instead of a silent 0.0 ("silence").
     */
   private[graft] def decodeWav(bytes: Array[Byte])
-      : Option[(Int, Int, Long, Double, Double)] = {
+      : Option[(Int, Int, Long, Double, java.lang.Double)] = {
     if (bytes == null || bytes.isEmpty) None
     else try {
       import javax.sound.sampled.{AudioSystem, AudioFormat}
@@ -171,7 +174,7 @@ object Multimodal {
           val frames = in.getFrameLength
           Some((fmt.getSampleRate.toInt, fmt.getChannels, frames,
             frames / fmt.getFrameRate.toDouble,
-            if (n == 0) 0.0 else sum / n))
+            Double.box(if (n == 0) 0.0 else sum / n)))
         }
       } finally in.close()
     } catch { case _: Exception => None }
@@ -196,15 +199,16 @@ object Multimodal {
   /** REAL mp3 METADATA decode — pure JVM, ~no dependencies: walks the
     * MPEG audio frame headers (skipping any leading ID3v2 tag) and
     * reports (sampleRate, channels, totalSamplesPerChannel, durationSec,
-    * 0.0). Amplitude requires full subband synthesis (a native decoder's
-    * job), so it is reported as 0.0 — the other four fields are exact.
+    * null). Amplitude requires full subband synthesis (a native decoder's
+    * job), so it is reported as null ("not computed", distinguishable
+    * from digital silence) — the other four fields are exact.
     * None unless at least two consecutive valid frames parse (guards
     * against false sync words in arbitrary binaries). Reference decodes
     * mp3 via libsndfile (muller/compression.py:73-101); here the header
     * walk covers the metadata path and the stub boundary is documented.
     */
   private[graft] def decodeMp3(bytes: Array[Byte])
-      : Option[(Int, Int, Long, Double, Double)] = {
+      : Option[(Int, Int, Long, Double, java.lang.Double)] = {
     if (bytes == null || bytes.length < 4) return None
     var p = 0
     // ID3v2: "ID3" + version(2) + flags + 4-byte syncsafe size
@@ -262,7 +266,7 @@ object Multimodal {
         }
       }
     }
-    if (frames >= 2) Some((rate, channels, samples, dur, 0.0)) else None
+    if (frames >= 2) Some((rate, channels, samples, dur, null)) else None
   }
 
   /** REAL FLAC METADATA decode — the STREAMINFO block every FLAC stream
@@ -270,10 +274,10 @@ object Multimodal {
     * (type 0, length 34), then 20 bits sample rate, 3 bits channels−1,
     * 5 bits bits-per-sample−1, 36 bits total inter-channel samples.
     * Amplitude needs full subframe decode (native codec territory) →
-    * 0.0, same boundary as [[decodeMp3]].
+    * null, same boundary as [[decodeMp3]].
     */
   private[graft] def decodeFlac(bytes: Array[Byte])
-      : Option[(Int, Int, Long, Double, Double)] = {
+      : Option[(Int, Int, Long, Double, java.lang.Double)] = {
     if (bytes == null || bytes.length < 4 + 4 + 34) return None
     if (bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' ||
         bytes(3) != 'C') return None
@@ -291,7 +295,7 @@ object Multimodal {
     val samples = ((b(3) & 0x0fL) << 32) | (b(4) << 24) |       // 36 bits
       (b(5) << 16) | (b(6) << 8) | b(7)
     if (rate <= 0) None // rate 0 is invalid per spec
-    else Some((rate, channels, samples, samples.toDouble / rate, 0.0))
+    else Some((rate, channels, samples, samples.toDouble / rate, null))
   }
 
   /** STUB audio decode for codecs the JVM lacks (ogg/video tracks):
@@ -299,18 +303,21 @@ object Multimodal {
     * testable end-to-end.
     */
   private[graft] def decodeAudioStub(bytes: Array[Byte])
-      : (Int, Int, Long, Double, Double) = {
+      : (Int, Int, Long, Double, java.lang.Double) = {
     val b = if (bytes == null) Array.emptyByteArray else bytes
     val frames = b.length.toLong
     val mean = if (b.isEmpty) 0.0
                else b.map(x => (x & 0xff).toDouble).sum / b.length / 255.0
-    (16000, 1, frames, frames / 16000.0, mean)
+    (16000, 1, frames, frames / 16000.0, Double.box(mean))
   }
 
   /** Decode + feature-extract over audio rows: same repartition-by-cores
     * + one `mapPartitions` pass as [[decodeImages]]; WAV decodes fully,
     * mp3/flac decode their metadata from headers, anything else goes
-    * through the stub.
+    * through the stub. Chain ordered by SPECIFICITY: WAV (container
+    * parse) then FLAC (exact 'fLaC' magic) before the heuristic mp3
+    * sync-word scan — a FLAC payload that happens to contain two byte
+    * runs parsing as consecutive MPEG frames must never win.
     */
   def decodeAudio(df: DataFrame, prefix: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ audioMeta)
@@ -321,8 +328,8 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](bytesIdx)
           val (rate, ch, frames, dur, amp) =
-            decodeWav(bytes).orElse(decodeMp3(bytes))
-              .orElse(decodeFlac(bytes))
+            decodeWav(bytes).orElse(decodeFlac(bytes))
+              .orElse(decodeMp3(bytes))
               .getOrElse(decodeAudioStub(bytes))
           Row.fromSeq(r.toSeq ++ Seq[Any](rate, ch, frames, dur, amp))
         }

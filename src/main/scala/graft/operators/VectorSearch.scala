@@ -361,8 +361,7 @@ object VectorSearch {
   /** IVF search: probe the `nprobe` nearest cells only. At scale the
     * assignments table is written partitioned by `cell`, so this prunes
     * to nprobe/nlist of the data before any distance math.
-    */
-  /** `exact = true` scores candidates on the scaled-int path — with
+    * `exact = true` scores candidates on the scaled-int path — with
     * `nprobe = nlist` (exhaustive probing) the result then provably
     * equals exact brute-force top-k, which is what q88's oracle pins.
     */

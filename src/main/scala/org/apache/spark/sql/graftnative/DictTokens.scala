@@ -123,10 +123,12 @@ case class DictTokens(child: Expression, dict: Seq[String],
       while (j <= jMax) {
         val f: Long =
           if (j == i + 1) {
-            val v = dictFreq.get(text.substring(start + i, start + j))
+            val v = dictFreq.getOrDefault(
+              text.substring(start + i, start + j), 0L)
             if (v == 0L) 1L else v // OOV single char rides as freq 1
           } else {
-            val v = dictFreq.get(text.substring(start + i, start + j))
+            val v = dictFreq.getOrDefault(
+              text.substring(start + i, start + j), 0L)
             if (v == 0L) -1L else v // multi-char edges must be dict words
           }
         if (f > 0) {

@@ -375,7 +375,7 @@ class VectorStatsSpec extends SparkSpec {
       Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 34) ++ si
     }
     val fd = Multimodal.decodeFlac(flac)
-    assert(fd.contains((44100, 2, 88200L, 2.0, 0.0)), s"got $fd")
+    assert(fd.contains((44100, 2, 88200L, 2.0, null)), s"got $fd")
     // through the pipeline: mp3 rows get real metadata, flac rows stub
     val schema = StructType(
       StructField("id", LongType) +: Multimodal.mediaSchema("aud"))
@@ -387,7 +387,8 @@ class VectorStatsSpec extends SparkSpec {
     assert(dec(1L).getAs[Int]("sample_rate") == 44100)
     assert(dec(1L).getAs[Int]("channels") == 2)
     assert(dec(1L).getAs[Long]("num_frames") == 40L * 1152)
-    assert(dec(1L).getAs[Double]("mean_amplitude") == 0.0)
+    // metadata-only decode: amplitude is null ("not computed"), NOT 0.0
+    assert(dec(1L).isNullAt(dec(1L).fieldIndex("mean_amplitude")))
     assert(dec(2L).getAs[Int]("sample_rate") == 16000) // stub
   }
 
