@@ -172,6 +172,38 @@ object FormatQueries {
       },
       Some("""SELECT n_nationkey,
         CASE WHEN n_regionkey = 0 THEN 'REGION-ZERO' ELSE n_name END AS n_name
-        FROM nation WHERE n_nationkey < 20 ORDER BY n_nationkey"""))
+        FROM nation WHERE n_nationkey < 20 ORDER BY n_nationkey""")),
+
+    // the registered Spark data source end-to-end: ingest via
+    // df.write.format("graft"), mutate via the Scala API, read the
+    // merged-on-read snapshot PURELY via spark.read.format("graft") —
+    // the surface SQL/Python users get (GraftSource.scala)
+    QueryDef("q89_format_spark_read",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        val root = freshRoot("q89")
+        li.write.format("graft").option("message", "ingest").save(root)
+        val ds = GraftDataset.load(s, root)
+        ds.update(col("l_returnflag") === "N",
+          Map("l_quantity" -> (col("l_quantity") + 100)))
+        ds.pop(col("l_returnflag") === "R")
+        ds.commit("mutations")
+        s.read.format("graft").load(root)
+          .filter(col("l_quantity") > 30)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+          CASE WHEN l_returnflag = 'N' THEN l_quantity + 100
+               ELSE l_quantity END AS l_quantity,
+          l_extendedprice
+        FROM lineitem WHERE l_returnflag <> 'R')
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM m WHERE l_quantity > 30
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -1098,6 +1098,16 @@ object GraftDataset {
     new GraftDataset(spark, root, Some(branch), Some(heads(branch)))
   }
 
+  /** Detached-HEAD load at an arbitrary commit (reference `path@commit`
+    * addressing) — read-only time travel with no branch attached.
+    */
+  def loadCommit(spark: SparkSession, root: String,
+                 commitId: String): GraftDataset = {
+    require(CommitLog.listCommits(spark, root).contains(commitId),
+      s"no commit $commitId at $root")
+    new GraftDataset(spark, root, None, Some(commitId))
+  }
+
   /** Schema-only copy (reference `muller.like`, api/dataset/copy.py). */
   def like(spark: SparkSession, destRoot: String, src: GraftDataset,
            tensors: Seq[String] = Nil): GraftDataset = {

@@ -1,0 +1,160 @@
+package graft.format
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * registered Spark data source over [[GraftDataset]] tables, so SQL
+  * users, Python users, and external Spark tooling can read and write
+  * versioned graft tables without touching the Scala API (the reference
+  * exposes the same surface as `muller.load("path@branch")` /
+  * `muller.dataset(path)`, muller/api/load.py + SURVEY.md §2.1's
+  * `spark.read.format("muller")` mapping).
+  *
+  * Read options:
+  *   - `branch`   — branch head to read (default `main`)
+  *   - `commit`   — time travel to an arbitrary commit id (overrides
+  *                  `branch`; reference `path@commit` addressing)
+  *   - `withUuid` — `true` keeps the hidden `_uuid` row-identity column
+  *
+  * Write options: `branch` (default `main`), `message` (commit message).
+  * SaveModes: Append = append rows + commit on `branch` (creating the
+  * table on first write); Overwrite = drop + recreate; ErrorIfExists /
+  * Ignore as standard.
+  *
+  * Why the V1 relation interface and not a DSV2 `PartitionReader`: a
+  * graft snapshot is not a file list — it is a merge-on-read PLAN
+  * (last-wins window over update files + tombstone anti-joins,
+  * [[GraftDataset.snapshotWithUuid]]). DSV2 partition readers produce
+  * rows file-by-file and cannot express those joins without
+  * reimplementing the shuffle machinery inside the source; the V1
+  * `PrunedFilteredScan` contract instead lets the source hand Spark the
+  * already-optimized snapshot plan. The same trade-off drives Delta
+  * Lake's choice of a V1 relation for its read path. Scale behavior is
+  * identical to the Scala API: pruned columns and pushed filters are
+  * applied INSIDE the snapshot plan (so Catalyst forwards them to the
+  * underlying Parquet scans — base files never read dropped columns),
+  * and `needConversion = false` hands back the plan's InternalRows
+  * directly with zero per-row conversion.
+  */
+class GraftSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft: 'path' is required — spark.read.format(\"graft\").load(<table root>)"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    GraftRelation(sqlContext.sparkSession, root(parameters),
+      parameters.get("branch"), parameters.get("commit"),
+      parameters.get("withUuid").exists(_.toBoolean))
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = root(parameters)
+    val branch = parameters.getOrElse("branch", "main")
+    val message = parameters.getOrElse("message", s"spark.write ($mode)")
+    val exists = CommitLog.listCommits(spark, path).nonEmpty
+    def writeNew(): Unit = {
+      val ds = GraftDataset.create(spark, path, data.schema, branch)
+      ds.append(data)
+      ds.commit(message)
+      ()
+    }
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft table exists: $path (use mode 'append' or 'overwrite')")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite if exists =>
+        GraftDataset.delete(spark, path); writeNew()
+      case SaveMode.Append if exists =>
+        val ds = GraftDataset.load(spark, path, branch)
+        ds.append(data)
+        ds.commit(message)
+        ()
+      case _ => writeNew()
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** The relation behind [[GraftSource]]: resolves the snapshot plan once
+  * (branch head or time-travel commit) and serves pruned/filtered scans
+  * off it.
+  */
+case class GraftRelation(spark: SparkSession, root: String,
+                         branchOpt: Option[String], commitOpt: Option[String],
+                         withUuid: Boolean)
+  extends BaseRelation with PrunedFilteredScan {
+
+  private val snapshot: DataFrame = {
+    val ds = commitOpt match {
+      case Some(c) => GraftDataset.loadCommit(spark, root, c)
+      case None => GraftDataset.load(spark, root, branchOpt.getOrElse("main"))
+    }
+    if (withUuid) ds.snapshotWithUuid() else ds.toDF
+  }
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = snapshot.schema
+
+  /** The scan returns the snapshot plan's InternalRows as-is — no
+    * Row materialization (the V1 contract for internal-format sources).
+    */
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    // filters re-expressed as Columns reach the Parquet scans through
+    // Catalyst; untranslatable ones are skipped here and re-applied by
+    // Spark above the scan (default unhandledFilters = all, so skipping
+    // is always safe)
+    val filtered = filters.flatMap(GraftRelation.toColumn)
+      .foldLeft(snapshot)(_.filter(_))
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select() // count(*)-style scan
+      else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+object GraftRelation {
+  /** V1 `Filter` → `Column`, best-effort: None means "cannot translate",
+    * which only costs pushdown (Spark re-evaluates every filter above
+    * the scan). A partially-translatable AND still pushes both sides it
+    * can; OR/NOT must translate wholly or not at all.
+    */
+  private[format] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => (toColumn(l), toColumn(r)) match {
+      case (Some(lc), Some(rc)) => Some(lc && rc)
+      case (one, other) => one.orElse(other) // half an AND is still sound
+    }
+    case Or(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
