@@ -46,14 +46,18 @@ object TextFunctions {
     * default (`fmm = true` for greedy forward maximum matching); `freqs`
     * optionally carries per-word counts parallel to `dict` — a real
     * jieba-style frequency dictionary — and defaults to uniform weights.
+    * `hmm = true` runs jieba's BMES-Viterbi OOV pass over buffered
+    * single-char spans (jieba's `cut` default), so multi-char OOV words
+    * segment as words; the default `hmm = false` is jieba `HMM=False`.
     */
   def tokensDict(c: Column, dict: Seq[String],
                  stopWords: Seq[String] = Nil,
                  caseSensitive: Boolean = false,
                  freqs: Seq[Long] = Nil,
-                 fmm: Boolean = false): Column =
+                 fmm: Boolean = false,
+                 hmm: Boolean = false): Column =
     org.apache.spark.sql.graftnative.DictTokens(c, dict, stopWords,
-      caseSensitive, freqs, useDag = !fmm)
+      caseSensitive, freqs, useDag = !fmm, hmm = hmm)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -28,9 +28,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     Words without an explicit frequency weigh `defaultFreq` (100), so
   *     a dictionary word always beats spelling the same span with an OOV
   *     character — which is what separates 研究/生命/起源 from FMM's
-  *     研究生/命/起源 on the classic ambiguous string. The HMM OOV model
-  *     is out of scope (OOV Han chars emit as single characters, jieba
-  *     with HMM=False).
+  *     研究生/命/起源 on the classic ambiguous string.
+  *   - `hmm = true` adds jieba's OOV pass (jieba `cut(..., HMM=True)`,
+  *     the reference's default — inverted_index_vectorized.py:132):
+  *     consecutive single-char route outputs are buffered exactly like
+  *     jieba's `__cut_DAG`, and a multi-char buffer that is not itself a
+  *     dictionary word runs a 4-state BMES Viterbi with jieba's public
+  *     `finalseg` start/transition model, so multi-char OOV words (names,
+  *     neologisms) come out as words instead of single characters. The
+  *     shipped emission model is uniform — the per-character emission
+  *     table is DATA, not algorithm (jieba's prob_emit holds ~30k
+  *     characters), and with uniform emissions the Viterbi is driven by
+  *     the transition model's word-shape prior (pairs, then triples).
+  *     `hmm = false` (the default) is the oracle-stable HMM=False path.
   *   - `useDag = false` keeps forward maximum matching (longest
   *     dictionary word at each position wins) — the cheaper greedy mode.
   *   - `stopWords` are dropped after segmentation (applies to Han and
@@ -44,7 +54,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class DictTokens(child: Expression, dict: Seq[String],
                       stopWords: Seq[String], caseSensitive: Boolean,
-                      freqs: Seq[Long], useDag: Boolean)
+                      freqs: Seq[Long], useDag: Boolean, hmm: Boolean)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   require(freqs.isEmpty || freqs.length == dict.length,
@@ -82,11 +92,34 @@ case class DictTokens(child: Expression, dict: Seq[String],
   private def isHan(ch: Char): Boolean =
     Character.UnicodeScript.of(ch) == Character.UnicodeScript.HAN
 
-  /** Emit the Han run `text[start, end)` word by word. */
+  /** Emit the Han run `text[start, end)` word by word. With `hmm`,
+    * consecutive single-char DAG outputs buffer and re-segment through
+    * the BMES Viterbi — the exact `__cut_DAG` buffering jieba runs: a
+    * one-char buffer emits as-is, a multi-char buffer that IS a dict
+    * word emits per character (jieba's behavior for frequency-0 dict
+    * prefixes), anything else goes to [[DictTokens.viterbiCut]].
+    */
   private def segmentHan(text: String, start: Int, end: Int,
                          emit: String => Unit): Unit =
-    if (useDag) segmentDag(text, start, end, emit)
-    else segmentFmm(text, start, end, emit)
+    if (!useDag) segmentFmm(text, start, end, emit)
+    else if (!hmm) segmentDag(text, start, end, emit)
+    else {
+      val buf = new StringBuilder
+      def flush(): Unit = {
+        if (buf.length == 1) emit(buf.toString)
+        else if (buf.length > 1) {
+          val s = buf.toString
+          if (!dictFreq.containsKey(s)) DictTokens.viterbiCut(s, emit)
+          else { var k = 0; while (k < s.length) {
+            emit(s.substring(k, k + 1)); k += 1 } }
+        }
+        buf.setLength(0)
+      }
+      segmentDag(text, start, end, w =>
+        if (w.length == 1) buf.append(w)
+        else { flush(); emit(w) })
+      flush()
+    }
 
   private def segmentFmm(text: String, start: Int, end: Int,
                          emit: String => Unit): Unit = {
@@ -201,7 +234,85 @@ object DictTokens {
 
   def apply(text: Column, dict: Seq[String], stopWords: Seq[String],
             caseSensitive: Boolean, freqs: Seq[Long], useDag: Boolean): Column =
+    apply(text, dict, stopWords, caseSensitive, freqs, useDag, hmm = false)
+
+  def apply(text: Column, dict: Seq[String], stopWords: Seq[String],
+            caseSensitive: Boolean, freqs: Seq[Long], useDag: Boolean,
+            hmm: Boolean): Column =
     ExpressionUtils.column(DictTokens(
       ExpressionUtils.expression(text), dict, stopWords, caseSensitive,
-      freqs, useDag))
+      freqs, useDag, hmm))
+
+  // ---- BMES Viterbi over OOV spans (jieba finalseg) -----------------------
+  // The 4-state start/transition log-probabilities below are jieba's
+  // published `finalseg` model (prob_start.py / prob_trans.py) — small
+  // public constants, same standing as the MPEG bitrate tables. Missing
+  // transitions (e.g. B→B) are impossible and carry jieba's MIN_FLOAT.
+
+  private final val B = 0; private final val M = 1
+  private final val E = 2; private final val S = 3
+  private final val MinLog = -3.14e100
+
+  private val startP: Array[Double] =
+    Array(-0.26268660809250016, MinLog, MinLog, -1.4652633398537678)
+
+  private val transP: Array[Array[Double]] = {
+    val t = Array.fill(4, 4)(MinLog)
+    t(B)(E) = -0.51082562376599072; t(B)(M) = -0.91629073187415511
+    t(E)(B) = -0.58971497368545132; t(E)(S) = -0.80852504746699476
+    t(M)(E) = -0.33344856811948514; t(M)(M) = -1.2603623820268226
+    t(S)(B) = -0.72119656546698418; t(S)(S) = -0.66586314487982712
+    t
+  }
+
+  /** Segment an OOV Han span by max-likelihood BMES state path. Uniform
+    * emissions (constant per state) cancel in the argmax, so the path is
+    * the transition model's word-shape prior; a user-supplied emission
+    * table would slot in additively at each (i, state). End state is
+    * forced to E or S (a word cannot end mid-character), ties resolved
+    * toward S exactly like jieba's `max()` over ('E','S').
+    */
+  private[graftnative] def viterbiCut(s: String,
+                                      emit: String => Unit): Unit = {
+    val n = s.length
+    if (n == 0) return
+    if (n == 1) { emit(s); return }
+    val dp = Array.ofDim[Double](n, 4)
+    val bp = Array.ofDim[Int](n, 4)
+    var st = 0
+    while (st < 4) { dp(0)(st) = startP(st); st += 1 }
+    var i = 1
+    while (i < n) {
+      st = 0
+      while (st < 4) {
+        var best = Double.NegativeInfinity
+        var arg = 0
+        var pr = 0
+        while (pr < 4) {
+          val c = dp(i - 1)(pr) + transP(pr)(st)
+          if (c > best) { best = c; arg = pr }
+          pr += 1
+        }
+        dp(i)(st) = best
+        bp(i)(st) = arg
+        st += 1
+      }
+      i += 1
+    }
+    val states = new Array[Int](n)
+    states(n - 1) = if (dp(n - 1)(S) >= dp(n - 1)(E)) S else E
+    i = n - 1
+    while (i > 0) { states(i - 1) = bp(i)(states(i)); i -= 1 }
+    var begin = 0
+    i = 0
+    while (i < n) {
+      states(i) match {
+        case B => begin = i
+        case E => emit(s.substring(begin, i + 1))
+        case S => emit(s.substring(i, i + 1))
+        case _ => () // M: inside a word
+      }
+      i += 1
+    }
+  }
 }

@@ -74,6 +74,31 @@ class TextDedupSpec extends SparkSpec {
     assert(skewed == Seq("研究生", "命", "起源"))
   }
 
+  test("HMM OOV pass: multi-char OOV names segment as words (jieba cut default)") {
+    val dict = Seq("数据", "引擎", "向上")
+    def toks(t: String, hmm: Boolean) = Seq(t).toDF("t")
+      .select(T.tokensDict($"t", dict, hmm = hmm)).head().getSeq[String](0)
+    // 2-char OOV name 王磊: HMM=False spells it out, HMM=True buffers the
+    // single-char route outputs and the BMES Viterbi makes it ONE word
+    assert(toks("王磊数据引擎", hmm = false) == Seq("王", "磊", "数据", "引擎"))
+    assert(toks("王磊数据引擎", hmm = true) == Seq("王磊", "数据", "引擎"))
+    // 3-char OOV name → BME → one word; 4-char OOV span → the transition
+    // model's pair prior (BEBE), exactly jieba's shape on unknown runs
+    assert(toks("欧阳锋", hmm = true) == Seq("欧阳锋"))
+    assert(toks("阿尔法狗", hmm = true) == Seq("阿尔", "法狗"))
+    assert(toks("天天向上", hmm = true) == Seq("天天", "向上"))
+    // buffered span flushes at a dict word and at the end of the Han run
+    assert(toks("数据王磊", hmm = true) == Seq("数据", "王磊"))
+    // jieba's dict-word-buffer quirk: when the route spelled a span as
+    // single-char DICT words and the whole span is also a dict word, the
+    // buffer re-emits per character (never re-merged by the HMM)
+    val charDict = Seq("天", "地", "天地")
+    val quirk = Seq("天地").toDF("t")
+      .select(T.tokensDict($"t", charDict,
+        freqs = Seq(1000L, 1000L, 1L), hmm = true)).head().getSeq[String](0)
+    assert(quirk == Seq("天", "地"))
+  }
+
   test("inverted index built with the dictionary tokenizer routes CJK queries") {
     val df = Seq(
       (1L, "预训练 数据引擎"), (2L, "向量检索 引擎"), (3L, "plain latin text"))
