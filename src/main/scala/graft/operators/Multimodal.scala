@@ -336,6 +336,194 @@ object Multimodal {
       }
   }
 
+  // ---- video metadata decode (reference decodes mp4/mkv/avi via the
+  // PIL/libsndfile ecosystem, muller/compression.py:73-101; here the
+  // ISO BMFF (MPEG-4 Part 12) box walk covers mp4 metadata pure-JVM —
+  // the same pattern as the mp3/flac decoders. Full frame decode stays
+  // native-codec territory; mkv/avi fall back to the stub.) -------------
+
+  /** Decoded-video feature row appended by [[decodeVideo]]. */
+  val videoMeta: Seq[StructField] = Seq(
+    StructField("timescale", IntegerType),
+    StructField("duration_sec", DoubleType),
+    StructField("track_count", IntegerType))
+
+  private def be32(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+
+  private def be64(b: Array[Byte], p: Int): Long =
+    ((be32(b, p).toLong & 0xffffffffL) << 32) |
+      (be32(b, p + 4).toLong & 0xffffffffL)
+
+  /** Walk ISO BMFF boxes in `b[from, to)`: (type, payloadStart,
+    * payloadEnd) per box. Handles 64-bit largesize (size == 1) and
+    * to-end-of-enclosure (size == 0); stops at the first malformed box.
+    */
+  private def walkBoxes(b: Array[Byte], from: Int,
+                        to: Int): List[(String, Int, Int)] = {
+    val out = List.newBuilder[(String, Int, Int)]
+    var p = from
+    var ok = true
+    while (ok && p + 8 <= to) {
+      var size = be32(b, p).toLong & 0xffffffffL
+      val typ = new String(b, p + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      var hdr = 8L
+      if (size == 1 && p + 16 <= to) { size = be64(b, p + 8); hdr = 16 }
+      else if (size == 0) size = (to - p).toLong
+      if (size < hdr || p + size > to) ok = false
+      else {
+        out += ((typ, p + hdr.toInt, p + size.toInt))
+        p += size.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** Top-level box types that gate the mp4 walk — an ISO BMFF stream
+    * must open with one of these, which keeps arbitrary binaries out.
+    */
+  private val mp4TopBoxes =
+    Set("ftyp", "styp", "moov", "mdat", "free", "skip", "wide", "pdin",
+      "sidx", "moof")
+
+  /** REAL mp4 METADATA decode — pure-JVM ISO BMFF box walk: finds the
+    * `moov` box, reads `mvhd` (version 0 and 1 layouts: timescale,
+    * duration) and counts `trak` children. Returns (timescale,
+    * durationSec, trackCount); None when the payload is not an ISO BMFF
+    * stream or carries no parseable movie header.
+    */
+  private[graft] def decodeMp4(bytes: Array[Byte])
+      : Option[(Int, Double, Int)] = {
+    if (bytes == null || bytes.length < 16) return None
+    if (!mp4TopBoxes.contains(new String(bytes, 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII))) return None
+    walkBoxes(bytes, 0, bytes.length).find(_._1 == "moov")
+      .flatMap { case (_, s, e) =>
+        val kids = walkBoxes(bytes, s, e)
+        val tracks = kids.count(_._1 == "trak")
+        kids.find(_._1 == "mvhd").flatMap { case (_, ms, me) =>
+          if (me - ms < 4) None
+          else (bytes(ms) & 0xff) match {
+            // after version(1)+flags(3): v0 = 32-bit creation,
+            // modification, timescale, duration; v1 = 64, 64, 32, 64
+            case 0 if me - ms >= 20 =>
+              val ts = be32(bytes, ms + 12)
+              val dur = be32(bytes, ms + 16).toLong & 0xffffffffL
+              if (ts <= 0) None else Some((ts, dur.toDouble / ts, tracks))
+            case 1 if me - ms >= 32 =>
+              val ts = be32(bytes, ms + 20)
+              val dur = be64(bytes, ms + 24)
+              if (ts <= 0) None else Some((ts, dur.toDouble / ts, tracks))
+            case _ => None
+          }
+        }
+      }
+  }
+
+  /** STUB video decode for containers the JVM lacks (mkv/avi):
+    * deterministic features from the payload, same boundary pattern as
+    * [[decodeAudioStub]].
+    */
+  private[graft] def decodeVideoStub(bytes: Array[Byte])
+      : (Int, Double, Int) = {
+    val n = if (bytes == null) 0 else bytes.length
+    (1000, n / 1000.0, 1)
+  }
+
+  /** Decode + feature-extract over video rows: mp4 metadata decodes for
+    * real via the box walk; other containers go through the stub.
+    */
+  def decodeVideo(df: DataFrame, prefix: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ videoMeta)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bytesIdx = df.schema.fieldIndex(s"${prefix}_bytes")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](bytesIdx)
+          val (ts, dur, tracks) =
+            decodeMp4(bytes).getOrElse(decodeVideoStub(bytes))
+          Row.fromSeq(r.toSeq ++ Seq[Any](ts, dur, tracks))
+        }
+      }
+  }
+
+  // ---- medical volume (nifti-1) header decode (reference declares the
+  // nifti htype, muller/core/types/htype.py:202; the nifti-1 header is a
+  // public fixed 348-byte struct — dims, datatype, voxel sizes — so the
+  // metadata path is real; dicom stays stubbed (legitimately large
+  // format)) --------------------------------------------------------------
+
+  /** Decoded-volume feature row appended by [[decodeVolumes]]. */
+  val volumeMeta: Seq[StructField] = Seq(
+    StructField("ndim", IntegerType),
+    StructField("dims", ArrayType(IntegerType, containsNull = false)),
+    StructField("datatype", IntegerType),
+    StructField("bitpix", IntegerType),
+    StructField("voxel_sizes", ArrayType(FloatType, containsNull = false)))
+
+  /** REAL nifti-1 HEADER decode: `sizeof_hdr == 348` (read in both byte
+    * orders — the field doubles as the endianness probe) and magic
+    * `n+1\0`/`ni1\0` at offset 344 gate the parse; then dim[8] shorts at
+    * 40, datatype/bitpix shorts at 70/72, pixdim[8] floats at 76.
+    * Returns (dims, datatype, bitpix, voxelSizes).
+    */
+  private[graft] def decodeNifti1(bytes: Array[Byte])
+      : Option[(Seq[Int], Int, Int, Seq[Float])] = {
+    if (bytes == null || bytes.length < 348) return None
+    def i32(p: Int, le: Boolean): Int =
+      if (le) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+        ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+      else be32(bytes, p)
+    val le =
+      if (i32(0, le = true) == 348) true
+      else if (i32(0, le = false) == 348) false
+      else return None
+    def i16(p: Int): Int =
+      if (le) (bytes(p) & 0xff) | (bytes(p + 1).toInt << 8)
+      else (bytes(p).toInt << 8) | (bytes(p + 1) & 0xff)
+    def f32(p: Int): Float = java.lang.Float.intBitsToFloat(i32(p, le))
+    val magic = new String(bytes, 344, 3,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if ((magic != "n+1" && magic != "ni1") || bytes(347) != 0) return None
+    val ndim = i16(40)
+    if (ndim < 1 || ndim > 7) return None
+    val dims = (1 to ndim).map(k => i16(40 + 2 * k))
+    val voxels = (1 to ndim).map(k => f32(76 + 4 * k))
+    Some((dims, i16(70), i16(72), voxels))
+  }
+
+  /** STUB volume decode for undecodable medical payloads (dicom):
+    * deterministic shape from the payload length.
+    */
+  private[graft] def decodeVolumeStub(bytes: Array[Byte])
+      : (Seq[Int], Int, Int, Seq[Float]) = {
+    val n = if (bytes == null) 0 else bytes.length
+    (Seq(1 + n % 32, 1 + (n * 31) % 32, 1), 2 /* uint8 */, 8,
+      Seq(1.0f, 1.0f, 1.0f))
+  }
+
+  /** Decode + feature-extract over medical-volume rows: nifti-1 headers
+    * decode for real; dicom and anything else goes through the stub.
+    */
+  def decodeVolumes(df: DataFrame, prefix: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ volumeMeta)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bytesIdx = df.schema.fieldIndex(s"${prefix}_bytes")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](bytesIdx)
+          val (dims, dt, bp, vox) =
+            decodeNifti1(bytes).getOrElse(decodeVolumeStub(bytes))
+          Row.fromSeq(r.toSeq ++
+            Seq[Any](dims.length, dims, dt, bp, vox))
+        }
+      }
+  }
+
   // ---- image processing helpers (reference core/image/processing.py:
   // mode conversion with the 299/587/114 luma weights; util/exif.py:
   // EXIF tag extraction with named orientation values) -------------------

@@ -488,4 +488,96 @@ class VectorStatsSpec extends SparkSpec {
       .select("frame_index").as[Int].collect().toSeq
     assert(frames == Seq(0, 3, 6, 9))
   }
+
+  test("multimodal: mp4 moov/mvhd metadata decode (v0 + v1), stub for mkv") {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val size = 8 + payload.length
+      Array[Byte](((size >> 24) & 0xff).toByte, ((size >> 16) & 0xff).toByte,
+        ((size >> 8) & 0xff).toByte, (size & 0xff).toByte) ++
+        typ.getBytes("US-ASCII") ++ payload
+    }
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32((v >> 32).toInt) ++ be32(v.toInt)
+    // v0 mvhd: version+flags, creation, modification, timescale 600,
+    // duration 1200 -> 2.0 s; two empty trak children
+    val mvhd0 = box("mvhd", Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(600) ++ be32(1200))
+    val mp4v0 = box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      box("moov", mvhd0 ++ box("trak", Array.emptyByteArray) ++
+        box("trak", Array.emptyByteArray))
+    assert(Multimodal.decodeMp4(mp4v0).contains((600, 2.0, 2)))
+    // v1 mvhd: 64-bit creation/modification/duration, 32-bit timescale
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(90000) ++ be64(450000L))
+    val mp4v1 = box("moov", mvhd1 ++ box("trak", Array.emptyByteArray))
+    assert(Multimodal.decodeMp4(mp4v1).contains((90000, 5.0, 1)))
+    // not ISO BMFF / no moov -> None
+    assert(Multimodal.decodeMp4(Array.fill(64)(0x42.toByte)).isEmpty)
+    assert(Multimodal.decodeMp4(
+      box("ftyp", "isom0000".getBytes("US-ASCII"))).isEmpty)
+    // pipeline: mp4 rows decode for real, mkv-ish payloads stub
+    val schema = StructType(
+      StructField("id", LongType) +: Multimodal.mediaSchema("vid"))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, mp4v0, null, "mp4"),
+      Row(2L, Array.fill(3000)(0x1a.toByte), null, "mkv")), schema)
+    val dec = Multimodal.decodeVideo(df, "vid").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(dec(1L).getAs[Int]("timescale") == 600)
+    assert(dec(1L).getAs[Double]("duration_sec") == 2.0)
+    assert(dec(1L).getAs[Int]("track_count") == 2)
+    assert(dec(2L).getAs[Int]("timescale") == 1000) // stub
+    assert(dec(2L).getAs[Double]("duration_sec") == 3.0)
+  }
+
+  test("multimodal: nifti-1 header decode, both endiannesses, stub for dicom") {
+    def nifti(le: Boolean): Array[Byte] = {
+      val b = new Array[Byte](348)
+      def put32(p: Int, v: Int): Unit =
+        if (le) { b(p) = v.toByte; b(p + 1) = (v >> 8).toByte
+          b(p + 2) = (v >> 16).toByte; b(p + 3) = (v >> 24).toByte }
+        else { b(p) = (v >> 24).toByte; b(p + 1) = (v >> 16).toByte
+          b(p + 2) = (v >> 8).toByte; b(p + 3) = v.toByte }
+      def put16(p: Int, v: Int): Unit =
+        if (le) { b(p) = v.toByte; b(p + 1) = (v >> 8).toByte }
+        else { b(p) = (v >> 8).toByte; b(p + 1) = v.toByte }
+      def putF(p: Int, v: Float): Unit =
+        put32(p, java.lang.Float.floatToIntBits(v))
+      put32(0, 348)                    // sizeof_hdr = the endianness probe
+      put16(40, 3)                     // ndim
+      put16(42, 64); put16(44, 64); put16(46, 32) // dims
+      put16(70, 4)                     // datatype int16
+      put16(72, 16)                    // bitpix
+      putF(80, 1.5f); putF(84, 1.5f); putF(88, 2.0f) // pixdim[1..3]
+      b(344) = 'n'; b(345) = '+'; b(346) = '1'; b(347) = 0
+      b
+    }
+    for (le <- Seq(true, false)) {
+      val d = Multimodal.decodeNifti1(nifti(le))
+      assert(d.isDefined, s"le=$le")
+      val (dims, dt, bp, vox) = d.get
+      assert(dims == Seq(64, 64, 32) && dt == 4 && bp == 16)
+      assert(vox == Seq(1.5f, 1.5f, 2.0f))
+    }
+    // wrong magic / short payload -> None
+    val bad = nifti(le = true); bad(344) = 'x'
+    assert(Multimodal.decodeNifti1(bad).isEmpty)
+    assert(Multimodal.decodeNifti1(Array.fill(100)(0x00.toByte)).isEmpty)
+    // pipeline: nifti decodes for real, dicom-ish payloads stub
+    val schema = StructType(
+      StructField("id", LongType) +: Multimodal.mediaSchema("vol"))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, nifti(le = true), null, "nifti"),
+      Row(2L, Array.fill(65)(0x7f.toByte), null, "dicom")), schema)
+    val dec = Multimodal.decodeVolumes(df, "vol").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(dec(1L).getAs[Int]("ndim") == 3)
+    assert(dec(1L).getAs[scala.collection.Seq[Int]]("dims").toSeq ==
+      Seq(64, 64, 32))
+    assert(dec(1L).getAs[Int]("datatype") == 4)
+    assert(dec(2L).getAs[Int]("ndim") == 3) // stub
+    assert(dec(2L).getAs[Int]("bitpix") == 8)
+  }
 }
