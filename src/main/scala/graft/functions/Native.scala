@@ -18,6 +18,9 @@ object NativeExpressions {
   def pqEncode(vec: Column, m: Int, k: Int, subDim: Int,
                codebooks: Array[Float]): Column =
     N.pqEncode(vec, m, k, subDim, codebooks)
+  def nearestCell(vec: Column, nlist: Int, dim: Int,
+                  centroids: Array[Float]): Column =
+    N.nearestCell(vec, nlist, dim, centroids)
   def pqAdc(codes: Column, m: Int, k: Int, table: Array[Double]): Column =
     N.pqAdc(codes, m, k, table)
   def dotF(a: Column, b: Column): Column = N.dotF(a, b)

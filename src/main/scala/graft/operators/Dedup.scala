@@ -130,6 +130,17 @@ object Dedup {
     * instead would get inlined into the lambda bodies (Catalyst has no
     * CSE in lambdas) and re-sort per inner element — O(m³ log m) per
     * bucket, which detonated on large exact buckets.
+    *
+    * The result carries a MERGE (sort-merge) join hint: the planner
+    * sizes a generator's output from its pre-explode child (a few
+    * thousand grouped rows), so downstream verify joins would happily
+    * BROADCAST a pair table that is really Σ bucket²/2 rows — measured
+    * as a driver OOM at 10^6 rows / ~20M pairs in the skew soak. Pair
+    * tables are O(pairs) by construction and must never be a hash-build
+    * side either (shuffle-hash builds don't spill; the same soak blew
+    * the per-task execution pool at ~128 MB/task) — sort-merge spills
+    * gracefully on both sides, and the verify sides already sit below
+    * an id-hash exchange.
     */
   private def expandPairs(buckets: DataFrame, idCol: String,
                           maxBucket: Int): DataFrame = {
@@ -143,6 +154,7 @@ object Dedup {
     grouped.select(explode(pairs).as("_p"))
       .select(col("_p._1").as(s"${idCol}_a"), col("_p._2").as(s"${idCol}_b"))
       .distinct()
+      .hint("merge")
   }
 
   /** Full MinHash-LSH near-dup: candidates verified by exact Jaccard over

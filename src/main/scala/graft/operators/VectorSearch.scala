@@ -191,16 +191,26 @@ object VectorSearch {
     */
   def assignCells(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
     val cents = centroids.collect().map(r =>
-      (r.getAs[Int]("cell"), r.getSeq[Float](1)))
-    val pairs = cents.map { case (cell, vec) =>
-      struct(V.l2Sq(col(vecCol), array(vec.map(lit): _*)).as("d"),
-        lit(cell).as("cell"))
+      (r.getAs[Int]("cell"), r.getSeq[Float](1))) // nlist rows — bounded
+    require(cents.nonEmpty, "no centroids")
+    val dim = cents.head._2.length
+    val flat = new Array[Float](cents.length * dim)
+    cents.iterator.zipWithIndex.foreach { case ((_, v), i) =>
+      var j = 0; while (j < dim) { flat(i * dim + j) = v(j); j += 1 }
     }
-    val best = aggregate(
-      array(pairs: _*),
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cell")),
-      (acc, s) => when(s.getField("d") < acc.getField("d"), s).otherwise(acc))
-    df.withColumn("cell", best.getField("cell"))
+    // ONE codegen'd argmin expression carrying the centroid matrix as a
+    // flat reference object. The previous Column-algebra form (aggregate
+    // over nlist struct literals) grew the PLAN by nlist·dim literal
+    // nodes — 13 MiB task binaries at nlist=1024, measured — capping
+    // nlist far below the √n sizing guidance. Wrong-dim/null vec → null
+    // cell (dropped by cell joins and the dedup NULL-cell filters).
+    val idx = graft.functions.NativeExpressions.nearestCell(
+      col(vecCol), cents.length, dim, flat)
+    val ids = cents.map(_._1)
+    val cell = // common case: ivfBuild emits dense 0..nlist-1 ids
+      if (ids.sameElements(ids.indices)) idx
+      else element_at(typedlit(ids.toSeq), idx + lit(1))
+    df.withColumn("cell", cell)
   }
 
   // ---- product quantization (IVFPQ path — reference

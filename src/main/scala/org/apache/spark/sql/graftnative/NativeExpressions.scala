@@ -69,6 +69,11 @@ object NativeExpressions {
     ExpressionUtils.column(
       PqEncode(ExpressionUtils.expression(vec), m, k, subDim, codebooks))
 
+  def nearestCell(vec: Column, nlist: Int, dim: Int,
+                  centroids: Array[Float]): Column =
+    ExpressionUtils.column(
+      NearestCell(ExpressionUtils.expression(vec), nlist, dim, centroids))
+
   def pqAdc(codes: Column, m: Int, k: Int, table: Array[Double]): Column =
     ExpressionUtils.column(
       PqAdc(ExpressionUtils.expression(codes), m, k, table))
@@ -915,6 +920,88 @@ case class PqEncode(child: Expression, m: Int, k: Int, subDim: Int,
           }
           ${ev.value} =
             new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid assignment (the IVF coarse quantizer): argmin over
+  * `nlist` centroids by squared L2, centroids carried as ONE flat
+  * `float[]` reference object (`[cell][dim]`). The Column-algebra
+  * formulation this replaces (`aggregate` over an array of nlist struct
+  * literals) embeds nlist·dim literal expression NODES in the plan —
+  * measured 13 MiB task binaries at nlist=1024 and growing linearly, a
+  * codegen/serialization blow-up that caps nlist long before the √n
+  * guidance does. Here the plan carries one expression and the task
+  * binary one array. Null / wrong-dimension vectors → null cell
+  * (dropped by the cell joins and the NULL-cell dedup filters).
+  */
+case class NearestCell(child: Expression, nlist: Int, dim: Int,
+                       centroids: Array[Float])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(nlist > 0 && dim > 0)
+  require(centroids.length == nlist * dim, "centroid layout mismatch")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_cell"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) null
+    else {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < nlist) {
+        var d = 0.0
+        var j = 0
+        val off = c * dim
+        while (j < dim) {
+          val diff = v.getFloat(j).toDouble - centroids(off + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("ivfCentroids", centroids, "float[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val off = ctx.freshName("off")
+      s"""
+        if ($v.numElements() != $dim) {
+          ${ev.isNull} = true;
+        } else {
+          int $best = 0;
+          double $bestD = Double.MAX_VALUE;
+          for (int $c = 0; $c < $nlist; $c++) {
+            double $d = 0.0;
+            int $off = $c * $dim;
+            for (int $j = 0; $j < $dim; $j++) {
+              double $diff = (double) $v.getFloat($j)
+                - (double) $cents[$off + $j];
+              $d += $diff * $diff;
+            }
+            if ($d < $bestD) { $bestD = $d; $best = $c; }
+          }
+          ${ev.value} = $best;
         }
       """
     })

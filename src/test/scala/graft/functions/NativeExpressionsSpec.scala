@@ -146,6 +146,35 @@ class NativeExpressionsSpec extends SparkSpec {
         s"native ${r.getSeq[Long](0)} != ref ${r.getSeq[Long](1)}"))
   }
 
+  test("nearestCell ≡ brute-force argmin; wrong-dim → null; codegen-only") {
+    val rnd = new scala.util.Random(7)
+    val nlist = 11
+    val dim = 4
+    val cents = Array.fill(nlist * dim)(rnd.nextFloat())
+    val vecs = (0 until 50).map(_ => Seq.fill(dim)(rnd.nextFloat()))
+    def brute(v: Seq[Float]): Int =
+      (0 until nlist).minBy { c =>
+        (0 until dim).map { j =>
+          val d = v(j).toDouble - cents(c * dim + j); d * d
+        }.sum
+      }
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = vecs.toDF("v")
+        .select(col("v"),
+          NativeExpressions.nearestCell(col("v"), nlist, dim, cents).as("c"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getInt(1) == brute(r.getSeq[Float](0)))
+      }
+      val bad = Seq(Seq(1f, 2f), Seq.empty[Float]).toDF("v")
+        .select(NativeExpressions.nearestCell(col("v"), nlist, dim, cents))
+        .collect()
+      assert(bad.forall(_.isNullAt(0)))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
   test("null safety: null input array yields null, not a crash") {
     val df = Seq((Some(Seq("x")), None: Option[Seq[String]])).toDF("a", "b")
     val r = df.select(
