@@ -422,7 +422,147 @@ object Multimodal {
       }
   }
 
-  /** STUB video decode for containers the JVM lacks (mkv/avi):
+  private def le32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+      ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+
+  /** REAL avi METADATA decode — RIFF chunk walk (public RIFF/AVI layout):
+    * "RIFF....AVI ", then the `hdrl` LIST whose first child is the
+    * 56-byte `avih` main header (dwMicroSecPerFrame, dwTotalFrames,
+    * dwStreams, ...). Returns (fps as timescale, durationSec,
+    * streamCount).
+    */
+  private[graft] def decodeAvi(bytes: Array[Byte])
+      : Option[(Int, Double, Int)] = {
+    if (bytes == null || bytes.length < 24) return None
+    def fourcc(p: Int) = new String(bytes, p, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    // walk top-level chunks for LIST/hdrl, then its children for avih
+    def findAvih(from: Int, to: Int): Option[Int] = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = fourcc(p)
+        val size = le32(bytes, p + 4).toLong & 0xffffffffL
+        if (size < 0 || p + 8 + size > to) return None
+        if (id == "avih") return Some(p + 8)
+        if (id == "LIST" && size >= 4) {
+          val listType = fourcc(p + 8)
+          if (listType == "hdrl") {
+            val inner = findAvih(p + 12, p + 8 + size.toInt)
+            if (inner.isDefined) return inner
+          }
+        }
+        p += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+      None
+    }
+    findAvih(12, bytes.length).flatMap { o =>
+      if (o + 28 > bytes.length) None
+      else {
+        val usPerFrame = le32(bytes, o).toLong & 0xffffffffL
+        val totalFrames = le32(bytes, o + 16).toLong & 0xffffffffL
+        val streams = le32(bytes, o + 24)
+        if (usPerFrame == 0) None
+        else Some(((1000000.0 / usPerFrame).round.toInt,
+          totalFrames * usPerFrame / 1e6, streams))
+      }
+    }
+  }
+
+  /** REAL mkv/webm METADATA decode — EBML element walk (public Matroska
+    * layout): Segment → Info (TimecodeScale 0x2AD7B1, Duration 0x4489)
+    * and Tracks → TrackEntry count. Returns (ticks-per-second as
+    * timescale, durationSec, trackCount).
+    */
+  private[graft] def decodeMkv(bytes: Array[Byte])
+      : Option[(Int, Double, Int)] = {
+    if (bytes == null || bytes.length < 8) return None
+    if ((be32(bytes, 0) & 0xffffffffL) != 0x1a45dfa3L) return None
+    // EBML varint: leading zero bits of the first byte give the width.
+    // Element IDs keep the marker bit; sizes clear it. All-ones size =
+    // "unknown" → extends to the end of the enclosure.
+    def vintWidth(p: Int): Int = {
+      val b = bytes(p) & 0xff
+      if (b == 0) -1 else Integer.numberOfLeadingZeros(b) - 23
+    }
+    def readId(p: Int): (Long, Int) = {
+      val w = vintWidth(p)
+      if (w < 1 || p + w > bytes.length) return (-1L, -1)
+      var v = 0L
+      var i = 0
+      while (i < w) { v = (v << 8) | (bytes(p + i) & 0xffL); i += 1 }
+      (v, w)
+    }
+    def readSize(p: Int): (Long, Int) = {
+      val w = vintWidth(p)
+      if (w < 1 || p + w > bytes.length) return (-1L, -1)
+      var v = (bytes(p) & 0xffL) & ((1L << (8 - w)) - 1)
+      var i = 1
+      var allOnes = v == (1L << (8 - w)) - 1
+      while (i < w) {
+        val byte = bytes(p + i) & 0xffL
+        if (byte != 0xffL) allOnes = false
+        v = (v << 8) | byte
+        i += 1
+      }
+      (if (allOnes) -2L else v, w) // -2 = unknown size
+    }
+    // children of [from, to) as (id, payloadStart, payloadEnd)
+    def children(from: Int, to: Int): List[(Long, Int, Int)] = {
+      val out = List.newBuilder[(Long, Int, Int)]
+      var p = from
+      var ok = true
+      while (ok && p + 2 <= to) {
+        val (id, iw) = readId(p)
+        if (iw < 0) ok = false
+        else {
+          val (sz, sw) = readSize(p + iw)
+          if (sw < 0) ok = false
+          else {
+            val start = p + iw + sw
+            val end =
+              if (sz == -2L) to
+              else if (start + sz > to) { ok = false; to }
+              else start + sz.toInt
+            if (ok) { out += ((id, start, end)); p = end }
+          }
+        }
+      }
+      out.result()
+    }
+    def uint(s: Int, e: Int): Long = {
+      var v = 0L; var i = s
+      while (i < e) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+      v
+    }
+    def float(s: Int, e: Int): Double = (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(be32(bytes, s)).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(be64(bytes, s))
+      case _ => 0.0
+    }
+    children(0, bytes.length).find(_._1 == 0x18538067L) // Segment
+      .flatMap { case (_, ss, se) =>
+        val segKids = children(ss, se)
+        val tracks = segKids.find(_._1 == 0x1654ae6bL) // Tracks
+          .map { case (_, ts, te) =>
+            children(ts, te).count(_._1 == 0xaeL) }    // TrackEntry
+          .getOrElse(0)
+        segKids.find(_._1 == 0x1549a966L)              // Info
+          .flatMap { case (_, is, ie) =>
+            val info = children(is, ie)
+            val scaleNs = info.find(_._1 == 0x2ad7b1L) // TimecodeScale
+              .map { case (_, s, e) => uint(s, e) }.getOrElse(1000000L)
+            val durTicks = info.find(_._1 == 0x4489L)  // Duration
+              .map { case (_, s, e) => float(s, e) }.getOrElse(0.0)
+            if (scaleNs <= 0) None
+            else Some(((1e9 / scaleNs).round.toInt,
+              durTicks * scaleNs / 1e9, tracks))
+          }
+      }
+  }
+
+  /** STUB video decode for payloads no container parser recognizes:
     * deterministic features from the payload, same boundary pattern as
     * [[decodeAudioStub]].
     */
@@ -432,8 +572,9 @@ object Multimodal {
     (1000, n / 1000.0, 1)
   }
 
-  /** Decode + feature-extract over video rows: mp4 metadata decodes for
-    * real via the box walk; other containers go through the stub.
+  /** Decode + feature-extract over video rows: mp4 (ISO BMFF), avi
+    * (RIFF) and mkv/webm (EBML) metadata decode for real — each gated
+    * on its container magic — anything else goes through the stub.
     */
   def decodeVideo(df: DataFrame, prefix: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ videoMeta)
@@ -444,7 +585,9 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](bytesIdx)
           val (ts, dur, tracks) =
-            decodeMp4(bytes).getOrElse(decodeVideoStub(bytes))
+            decodeMp4(bytes).orElse(decodeAvi(bytes))
+              .orElse(decodeMkv(bytes))
+              .getOrElse(decodeVideoStub(bytes))
           Row.fromSeq(r.toSeq ++ Seq[Any](ts, dur, tracks))
         }
       }

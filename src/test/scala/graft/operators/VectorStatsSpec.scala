@@ -532,6 +532,51 @@ class VectorStatsSpec extends SparkSpec {
     assert(dec(2L).getAs[Double]("duration_sec") == 3.0)
   }
 
+  test("multimodal: avi RIFF and mkv EBML metadata decode") {
+    // AVI: RIFF/AVI + LIST(hdrl) + 56-byte avih: 33333 us/frame (30 fps),
+    // 300 frames, 2 streams
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val avih = new Array[Byte](56)
+    le32(33333).copyToArray(avih, 0)   // dwMicroSecPerFrame
+    le32(300).copyToArray(avih, 16)    // dwTotalFrames
+    le32(2).copyToArray(avih, 24)      // dwStreams
+    val avihChunk = "avih".getBytes("US-ASCII") ++ le32(56) ++ avih
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4 + avihChunk.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avihChunk
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(4 + hdrl.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl
+    val ad = Multimodal.decodeAvi(avi)
+    assert(ad.isDefined, s"got $ad")
+    assert(ad.get._1 == 30 && ad.get._3 == 2)
+    assert(math.abs(ad.get._2 - 300 * 33333 / 1e6) < 1e-9)
+    assert(Multimodal.decodeAvi("RIFF1234WAVE".getBytes("US-ASCII")).isEmpty)
+    // MKV: EBML header + Segment{Info{TimecodeScale 1e6 ns, Duration
+    // 120000 ticks}, Tracks{TrackEntry, TrackEntry}}
+    def el(id: Array[Int], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      id.map(_.toByte) ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    val scale = el(Array(0x2a, 0xd7, 0xb1),
+      Array(0x0f, 0x42, 0x40).map(_.toByte)) // 1000000
+    val dur = el(Array(0x44, 0x89), {
+      val bits = java.lang.Float.floatToIntBits(120000.0f)
+      Array((bits >> 24).toByte, (bits >> 16).toByte,
+        (bits >> 8).toByte, bits.toByte)
+    })
+    val info = el(Array(0x15, 0x49, 0xa9, 0x66), scale ++ dur)
+    val tracks = el(Array(0x16, 0x54, 0xae, 0x6b),
+      el(Array(0xae), Array.emptyByteArray) ++
+        el(Array(0xae), Array.emptyByteArray))
+    val segment = el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    val mkv = el(Array(0x1a, 0x45, 0xdf, 0xa3), Array.emptyByteArray) ++
+      segment
+    val md = Multimodal.decodeMkv(mkv)
+    assert(md.contains((1000, 120.0, 2)), s"got $md")
+    assert(Multimodal.decodeMkv(Array.fill(32)(0x11.toByte)).isEmpty)
+  }
+
   test("multimodal: nifti-1 header decode, both endiannesses, stub for dicom") {
     def nifti(le: Boolean): Array[Byte] = {
       val b = new Array[Byte](348)
