@@ -298,9 +298,56 @@ object Multimodal {
     else Some((rate, channels, samples, samples.toDouble / rate, null))
   }
 
-  /** STUB audio decode for codecs the JVM lacks (ogg/video tracks):
-    * deterministic features from the payload so the pipeline stays
-    * testable end-to-end.
+  /** REAL ogg METADATA decode — OggS page walk (public Ogg framing +
+    * Vorbis I / Opus identification headers): the first page's payload
+    * gives the codec, channels and sample rate; the LAST page's granule
+    * position is the total PCM sample count (Opus granules always run
+    * at 48 kHz, minus the declared pre-skip). Amplitude needs full
+    * codec synthesis → null, same boundary as [[decodeMp3]].
+    */
+  private[graft] def decodeOgg(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Double, java.lang.Double)] = {
+    if (bytes == null || bytes.length < 58) return None
+    def isOggS(p: Int): Boolean =
+      bytes(p) == 'O' && bytes(p + 1) == 'g' && bytes(p + 2) == 'g' &&
+        bytes(p + 3) == 'S'
+    if (!isOggS(0)) return None
+    def le32At(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    def le64At(p: Int): Long = le32At(p) | (le32At(p + 4) << 32)
+    // first page: header is 27 bytes + segment table; payload follows
+    val nSegs0 = bytes(26) & 0xff
+    val pay0 = 27 + nSegs0
+    if (pay0 + 19 > bytes.length) return None
+    def ascii(p: Int, n: Int) = new String(bytes, p, n,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val (rate, channels, granulesPerSec, preskip) =
+      if (bytes(pay0) == 0x01 && ascii(pay0 + 1, 6) == "vorbis") {
+        // 0x01 "vorbis" version(4) channels(1) rate(4 LE)
+        val ch = bytes(pay0 + 11) & 0xff
+        val r = le32At(pay0 + 12).toInt
+        (r, ch, r.toLong, 0L)
+      } else if (ascii(pay0, 8) == "OpusHead") {
+        // "OpusHead" version(1) channels(1) preskip(2 LE) inputRate(4 LE)
+        val ch = bytes(pay0 + 9) & 0xff
+        val r = le32At(pay0 + 12).toInt
+        (r, ch, 48000L, (bytes(pay0 + 10) & 0xffL) |
+          ((bytes(pay0 + 11) & 0xffL) << 8))
+      } else return None
+    if (rate <= 0 || granulesPerSec <= 0) return None
+    // last page: scan backwards for the final OggS capture
+    var p = bytes.length - 27
+    while (p > 0 && !isOggS(p)) p -= 1
+    val granule = le64At(p + 6)
+    if (granule < 0) return None
+    val samples = math.max(granule - preskip, 0L)
+    Some((rate, channels, samples,
+      samples.toDouble / granulesPerSec, null))
+  }
+
+  /** STUB audio decode for codecs the JVM lacks: deterministic features
+    * from the payload so the pipeline stays testable end-to-end.
     */
   private[graft] def decodeAudioStub(bytes: Array[Byte])
       : (Int, Int, Long, Double, java.lang.Double) = {
@@ -315,9 +362,9 @@ object Multimodal {
     * + one `mapPartitions` pass as [[decodeImages]]; WAV decodes fully,
     * mp3/flac decode their metadata from headers, anything else goes
     * through the stub. Chain ordered by SPECIFICITY: WAV (container
-    * parse) then FLAC (exact 'fLaC' magic) before the heuristic mp3
-    * sync-word scan — a FLAC payload that happens to contain two byte
-    * runs parsing as consecutive MPEG frames must never win.
+    * parse), then FLAC / Ogg (exact magics), before the heuristic mp3
+    * sync-word scan — a payload that happens to contain two byte runs
+    * parsing as consecutive MPEG frames must never win.
     */
   def decodeAudio(df: DataFrame, prefix: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ audioMeta)
@@ -329,6 +376,7 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](bytesIdx)
           val (rate, ch, frames, dur, amp) =
             decodeWav(bytes).orElse(decodeFlac(bytes))
+              .orElse(decodeOgg(bytes))
               .orElse(decodeMp3(bytes))
               .getOrElse(decodeAudioStub(bytes))
           Row.fromSeq(r.toSeq ++ Seq[Any](rate, ch, frames, dur, amp))
@@ -605,7 +653,8 @@ object Multimodal {
     StructField("dims", ArrayType(IntegerType, containsNull = false)),
     StructField("datatype", IntegerType),
     StructField("bitpix", IntegerType),
-    StructField("voxel_sizes", ArrayType(FloatType, containsNull = false)))
+    StructField("voxel_sizes", ArrayType(FloatType, containsNull = false)),
+    StructField("modality", StringType))
 
   /** REAL nifti-1 HEADER decode: `sizeof_hdr == 348` (read in both byte
     * orders — the field doubles as the endianness probe) and magic
@@ -638,8 +687,80 @@ object Multimodal {
     Some((dims, i16(70), i16(72), voxels))
   }
 
-  /** STUB volume decode for undecodable medical payloads (dicom):
-    * deterministic shape from the payload length.
+  /** REAL dicom BASIC METADATA decode — DICM magic at offset 128, then
+    * the Part-10 file-meta group (always explicit-VR little-endian) for
+    * the TransferSyntaxUID, then a dataset element walk in the declared
+    * encoding (implicit or explicit VR LE) collecting Rows (0028,0010),
+    * Columns (0028,0011), BitsAllocated (0028,0100), PixelSpacing
+    * (0028,0030) and Modality (0008,0060). Stops at PixelData, an
+    * undefined-length element, or retired big-endian syntax (→ None /
+    * partial). Full pixel decode stays out of scope — this covers the
+    * same metadata surface the nifti path does. Returns
+    * ((rows, cols), bitsAllocated, pixelSpacing, modality).
+    */
+  private[graft] def decodeDicom(bytes: Array[Byte])
+      : Option[(Seq[Int], Int, Seq[Float], String)] = {
+    if (bytes == null || bytes.length < 140) return None
+    if (bytes(128) != 'D' || bytes(129) != 'I' || bytes(130) != 'C' ||
+      bytes(131) != 'M') return None
+    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = (u16(p).toLong & 0xffffL) |
+      ((u16(p + 2).toLong & 0xffffL) << 16)
+    def str(p: Int, n: Int): String = new String(bytes, p, n,
+      java.nio.charset.StandardCharsets.US_ASCII).trim
+    val longVRs = Set("OB", "OW", "OF", "SQ", "UT", "UN")
+    var transferSyntax = "1.2.840.10008.1.2.1" // explicit LE default
+    var rows = -1; var cols = -1; var bits = -1
+    var spacing: Seq[Float] = Seq.empty
+    var modality: String = null
+    var p = 132
+    var implicitVR = false
+    var inMeta = true
+    var done = false
+    while (!done && p + 8 <= bytes.length) {
+      val group = u16(p)
+      val elem = u16(p + 2)
+      if (inMeta && group != 0x0002) {
+        // meta group ends; dataset encoding per the declared syntax
+        inMeta = false
+        if (transferSyntax == "1.2.840.10008.1.2") implicitVR = true
+        else if (transferSyntax == "1.2.840.10008.1.2.2") done = true // BE
+      }
+      if (!done) {
+        // element header: VR-dependent length field placement
+        val explicit = inMeta || !implicitVR
+        val vr = if (explicit) str(p + 4, 2) else ""
+        val (len, hdr) =
+          if (!explicit) (u32(p + 4), 8)
+          else if (longVRs.contains(vr)) (u32(p + 8), 12)
+          else (u16(p + 6).toLong, 8)
+        val vp = p + hdr // value offset
+        if (len == 0xffffffffL || vp + len > bytes.length) done = true
+        else {
+          (group, elem) match {
+            case (0x0002, 0x0010) => transferSyntax = str(vp, len.toInt)
+              .replace(" ", "")
+            case (0x0008, 0x0060) => modality = str(vp, len.toInt)
+            case (0x0028, 0x0010) if len >= 2 => rows = u16(vp)
+            case (0x0028, 0x0011) if len >= 2 => cols = u16(vp)
+            case (0x0028, 0x0100) if len >= 2 => bits = u16(vp)
+            case (0x0028, 0x0030) => // DS pair "row\col" in mm
+              spacing = str(vp, len.toInt).split('\\').toSeq
+                .flatMap(s => scala.util.Try(s.trim.toFloat).toOption)
+            case (0x7fe0, 0x0010) => done = true // pixel data: all found
+            case _ => ()
+          }
+          p = vp + len.toInt
+        }
+      }
+    }
+    if (rows > 0 && cols > 0)
+      Some((Seq(rows, cols), math.max(bits, 0), spacing, modality))
+    else None
+  }
+
+  /** STUB volume decode for undecodable medical payloads: deterministic
+    * shape from the payload length.
     */
   private[graft] def decodeVolumeStub(bytes: Array[Byte])
       : (Seq[Int], Int, Int, Seq[Float]) = {
@@ -649,7 +770,10 @@ object Multimodal {
   }
 
   /** Decode + feature-extract over medical-volume rows: nifti-1 headers
-    * decode for real; dicom and anything else goes through the stub.
+    * and dicom Part-10 basic metadata decode for real; anything else
+    * goes through the stub. `datatype` is the nifti code (-1 for dicom,
+    * which has no nifti datatype; bit width rides in `bitpix`);
+    * `modality` is dicom-only (null elsewhere).
     */
   def decodeVolumes(df: DataFrame, prefix: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ volumeMeta)
@@ -659,10 +783,17 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](bytesIdx)
-          val (dims, dt, bp, vox) =
-            decodeNifti1(bytes).getOrElse(decodeVolumeStub(bytes))
+          val (dims, dt, bp, vox, modality) =
+            decodeNifti1(bytes)
+              .map { case (d, t, b, v) => (d, t, b, v, null: String) }
+              .orElse(decodeDicom(bytes).map { case (d, b, v, m) =>
+                (d, -1, b, v, m) })
+              .getOrElse {
+                val (d, t, b, v) = decodeVolumeStub(bytes)
+                (d, t, b, v, null: String)
+              }
           Row.fromSeq(r.toSeq ++
-            Seq[Any](dims.length, dims, dt, bp, vox))
+            Seq[Any](dims.length, dims, dt, bp, vox, modality))
         }
       }
   }

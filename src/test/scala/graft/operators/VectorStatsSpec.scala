@@ -532,6 +532,32 @@ class VectorStatsSpec extends SparkSpec {
     assert(dec(2L).getAs[Double]("duration_sec") == 3.0)
   }
 
+  test("multimodal: ogg vorbis/opus metadata decode") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def page(granule: Long, payload: Array[Byte]): Array[Byte] =
+      "OggS".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ le(granule, 8) ++
+        le(1, 4) ++ le(0, 4) ++ le(0, 4) ++
+        Array[Byte](1, payload.length.toByte) ++ payload
+    // Vorbis: id header page (granule 0) + a data page carrying the
+    // final granule position 88200 -> 2.0 s at 44.1 kHz stereo
+    val vorbisId = Array[Byte](0x01) ++ "vorbis".getBytes("US-ASCII") ++
+      le(0, 4) ++ Array[Byte](2) ++ le(44100, 4) ++ le(0, 12)
+    val ogg = page(0, vorbisId) ++ page(88200, Array.fill(8)(0x00.toByte))
+    val od = Multimodal.decodeOgg(ogg)
+    assert(od.contains((44100, 2, 88200L, 2.0, null)), s"got $od")
+    // Opus: granules run at 48 kHz; preskip 312 subtracts from the tail
+    val opusId = "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1, 1) ++
+      le(312, 2) ++ le(16000, 4) ++ le(0, 3)
+    val opus = page(0, opusId) ++ page(96312, Array.fill(8)(0x00.toByte))
+    val op = Multimodal.decodeOgg(opus)
+    assert(op.contains((16000, 1, 96000L, 2.0, null)), s"got $op")
+    // not ogg / unknown codec -> None
+    assert(Multimodal.decodeOgg(Array.fill(64)(0x4f.toByte)).isEmpty)
+    assert(Multimodal.decodeOgg(
+      page(0, Array.fill(19)(0x7e.toByte))).isEmpty)
+  }
+
   test("multimodal: avi RIFF and mkv EBML metadata decode") {
     // AVI: RIFF/AVI + LIST(hdrl) + 56-byte avih: 33333 us/frame (30 fps),
     // 300 frames, 2 streams
@@ -575,6 +601,57 @@ class VectorStatsSpec extends SparkSpec {
     val md = Multimodal.decodeMkv(mkv)
     assert(md.contains((1000, 120.0, 2)), s"got $md")
     assert(Multimodal.decodeMkv(Array.fill(32)(0x11.toByte)).isEmpty)
+  }
+
+  test("multimodal: dicom basic metadata decode, explicit + implicit VR") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def expl(g: Int, e: Int, vr: String, value: Array[Byte]): Array[Byte] = {
+      val longVR = Set("OB", "OW", "OF", "SQ", "UT", "UN").contains(vr)
+      le(g, 2) ++ le(e, 2) ++ vr.getBytes("US-ASCII") ++
+        (if (longVR) le(0, 2) ++ le(value.length, 4)
+         else le(value.length, 2)) ++ value
+    }
+    def impl(g: Int, e: Int, value: Array[Byte]): Array[Byte] =
+      le(g, 2) ++ le(e, 2) ++ le(value.length, 4) ++ value
+    def dicom(syntax: String, dataset: Array[Byte]): Array[Byte] =
+      // UI values pad to even length with a NUL, per the spec
+      new Array[Byte](128) ++ "DICM".getBytes("US-ASCII") ++
+        expl(0x0002, 0x0010, "UI",
+          (if (syntax.length % 2 == 1) syntax + "\u0000" else syntax)
+            .getBytes("US-ASCII")) ++ dataset
+    val explDs =
+      expl(0x0008, 0x0060, "CS", "CT".getBytes("US-ASCII")) ++
+      expl(0x0028, 0x0010, "US", le(512, 2)) ++
+      expl(0x0028, 0x0011, "US", le(256, 2)) ++
+      expl(0x0028, 0x0030, "DS", "0.5\\0.75".getBytes("US-ASCII")) ++
+      expl(0x0028, 0x0100, "US", le(16, 2)) ++
+      expl(0x7fe0, 0x0010, "OW", Array.fill(4)(0x00.toByte))
+    val ed = Multimodal.decodeDicom(dicom("1.2.840.10008.1.2.1", explDs))
+    assert(ed.contains((Seq(512, 256), 16, Seq(0.5f, 0.75f), "CT")),
+      s"got $ed")
+    val implDs =
+      impl(0x0008, 0x0060, "MR".getBytes("US-ASCII")) ++
+      impl(0x0028, 0x0010, le(64, 2)) ++
+      impl(0x0028, 0x0011, le(64, 2)) ++
+      impl(0x0028, 0x0100, le(12, 2))
+    val id = Multimodal.decodeDicom(dicom("1.2.840.10008.1.2", implDs))
+    assert(id.contains((Seq(64, 64), 12, Seq.empty[Float], "MR")),
+      s"got $id")
+    // no DICM magic / missing rows+cols -> None
+    assert(Multimodal.decodeDicom(Array.fill(200)(0x44.toByte)).isEmpty)
+    assert(Multimodal.decodeDicom(
+      dicom("1.2.840.10008.1.2.1", expl(0x0008, 0x0060, "CS",
+        "CT".getBytes("US-ASCII")))).isEmpty)
+    // through the pipeline: the modality column rides along
+    val schema = StructType(
+      StructField("id", LongType) +: Multimodal.mediaSchema("vol"))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, dicom("1.2.840.10008.1.2.1", explDs), null, "dicom")), schema)
+    val dec = Multimodal.decodeVolumes(df, "vol").head()
+    assert(dec.getAs[String]("modality") == "CT")
+    assert(dec.getAs[Int]("datatype") == -1) // dicom has no nifti code
+    assert(dec.getAs[scala.collection.Seq[Int]]("dims").toSeq == Seq(512, 256))
   }
 
   test("multimodal: nifti-1 header decode, both endiannesses, stub for dicom") {
