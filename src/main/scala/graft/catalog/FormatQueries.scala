@@ -204,6 +204,83 @@ object FormatQueries {
         SELECT l_returnflag, COUNT(*) AS n,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM m WHERE l_quantity > 30
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // @compute transform pipeline (SURVEY §2.9): expression stage →
+    // imperative rowStage (mapPartitions, 1-in/1-out here) → aggregate
+    // stage, composed with Pipeline.andThen. The oracle reproduces the
+    // row function's arithmetic in SQL, proving the executor-side stage
+    // computes exactly what it claims.
+    QueryDef("q90_compute_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val midSchema = StructType(o.schema.fields :+
+          StructField("bucket", IntegerType))
+        val outSchema = StructType(midSchema.fields :+
+          StructField("prio", IntegerType))
+        val pipe = graft.operators.Compute.compute("bucketize") { df =>
+          df.withColumn("bucket",
+            floor(col("o_totalprice") / 50000).cast("int"))
+        }.andThen(graft.operators.Compute.compute("prio")(
+          graft.operators.Compute.rowStage(outSchema) { r =>
+            Seq(Row.fromSeq(r.toSeq :+
+              r.getAs[String]("o_orderpriority").substring(0, 1).toInt))
+          }
+        )).andThen(graft.operators.Compute.compute("rollup") { df =>
+          df.groupBy("bucket", "prio")
+            .agg(count(lit(1)).as("n"),
+              sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+            .orderBy("bucket", "prio")
+        })
+        pipe.eval(o).select("bucket", "prio", "n", "total")
+      },
+      Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket,
+          CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS prio,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // UDF row filter (reference ds.filter(fn)): executor-side typed
+    // predicate over the versioned snapshot, oracle-checked against the
+    // equivalent SQL predicate
+    QueryDef("q91_format_udf_filter",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val ds = IO.fromDataFrame(c, freshRoot("q91"))
+        ds.filterRows { r =>
+          val seg = r.getAs[String]("c_mktsegment")
+          r.getAs[Double]("c_acctbal") > 1000.0 &&
+            (seg.startsWith("B") || seg.endsWith("RY"))
+        }
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("c_acctbal"))).cast("double").as("bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        FROM customer WHERE c_acctbal > 1000
+          AND (c_mktsegment LIKE 'B%' OR c_mktsegment LIKE '%RY')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // row-at-a-time aggregate with a UDF WHERE (reference aggregate(...)
+    // with filter_function)
+    QueryDef("q92_row_aggregate_udf_where",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        val ds = IO.fromDataFrame(o, freshRoot("q92"))
+        ds.aggregateRows(Seq("o_orderstatus"), Seq("o_totalprice"), "count",
+            where = Some(r =>
+              r.getAs[String]("o_orderpriority").endsWith("URGENT")))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(o_totalprice) AS count_o_totalprice
+        FROM orders WHERE o_orderpriority LIKE '%URGENT'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
