@@ -424,6 +424,22 @@ object VectorQueries {
       },
       None),
 
+    // DiskANN-style graph ANN (reference DISKANN index type,
+    // diskann_index.py:1-186): per-partition Vamana graphs (α-robust
+    // prune), beam walk on PQ/ADC distances, full vectors touched only
+    // for the exact re-rank — the on-disk access-cost model. Approximate
+    // → rows-only; VectorStatsSpec holds the recall + degree-cap proofs.
+    QueryDef("q93_vector_diskann_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        graft.operators.Vamana.topK(
+          graft.operators.Vamana.build(e, "embedding", "vec_id"),
+          q, 10, beam = 64, rerank = 100)
+      },
+      None),
+
     // safe-eval attribute access (reference safe_evaluator.py:46-84):
     // `.size`/`.shape[k]`/`.min`/`.max`/`.mean` over the embedding tensor
     // translate to size()/array_min()/array_max()/aggregate() — whole

@@ -98,6 +98,46 @@ class VectorStatsSpec extends SparkSpec {
     assert(Hnsw.topK(idx, q0, 1, ef = 64).head().getLong(0) == 0L)
   }
 
+  test("Vamana/DiskANN: recall on both walk modes, degree cap, round-trip") {
+    val df = vecs(500, 16)
+    val idx = Vamana.build(df, "embedding", "vec_id", numPartitions = 4,
+      r = 24, alpha = 1.2, buildBeam = 64)
+    val qids = 0L until 5L
+    def recall(index: org.apache.spark.sql.DataFrame, beam: Int,
+               rerank: Int): Double = {
+      val rs = qids.map { qid =>
+        val q = df.filter($"vec_id" === qid).head().getSeq[Float](1)
+        val exact = VectorSearch.bruteForceTopK(df, "embedding", "vec_id",
+          q, "l2", 10).select("vec_id").as[Long].collect().toSet
+        val got = Vamana.topK(index, q, 10, beam = beam, rerank = rerank)
+          .select("ext_id").as[Long].collect().toSet
+        (exact intersect got).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    // exact-distance walk (rerank=0): wide beam ≈ exhaustive per shard
+    assert(recall(idx, beam = 200, rerank = 0) >= 0.9)
+    // PQ/ADC walk + exact re-rank — the on-disk cost model — holds recall
+    assert(recall(idx, beam = 200, rerank = 200) >= 0.9)
+    assert(recall(idx, beam = 32, rerank = 64) >= 0.5)
+    // α-robust prune respects the degree budget R
+    val maxDeg = idx.filter($"node" >= 0)
+      .select(size($"adj")).as[Int].collect().max
+    assert(maxDeg <= 24, s"degree $maxDeg exceeds R=24")
+    // persisted graph serves identically (partitionBy round-trip)
+    val dir = tmpDir("vamana") + "/idx"
+    idx.write.partitionBy("part").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val q0 = df.filter($"vec_id" === 0L).head().getSeq[Float](1)
+    assert(Vamana.topK(reloaded, q0, 10, beam = 200)
+      .select("ext_id").as[Long].collect().toSeq ==
+      Vamana.topK(idx, q0, 10, beam = 200)
+        .select("ext_id").as[Long].collect().toSeq)
+    // the nearest neighbor of a corpus point is itself, via the PQ walk
+    assert(Vamana.topK(idx, q0, 1, beam = 64, rerank = 32)
+      .head().getLong(0) == 0L)
+  }
+
   test("PQ with k >= corpus size is lossless: ADC top-k == brute force") {
     val df = vecs(40, 16)
     // every vector contributes its own subvectors to each codebook →
