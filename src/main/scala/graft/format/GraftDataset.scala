@@ -857,28 +857,85 @@ class GraftDataset private[format] (
     }
   }
 
-  /** Incremental IVF maintenance (reference vector_search_ops.py:51-82:
-    * diff the tensor between the index's commit and HEAD, apply appends):
-    * new rows are assigned to the EXISTING centroids and appended to the
-    * cell-partitioned assignments; non-append changes rebuild.
+  /** Incremental vector-index maintenance (reference
+    * vector_search_ops.py:51-82: diff the tensor between the index's
+    * commit and HEAD, apply appends), dispatched by the index's
+    * recorded type with its recorded build params:
+    *   - IVF/IVFPQ: new rows are assigned to the EXISTING centroids
+    *     (and PQ-encoded with the frozen codebooks) and appended to the
+    *     cell-partitioned table;
+    *   - HNSW/DISKANN: new rows get fresh graph SHARDS (part ids after
+    *     the existing ones) — search already probes every shard, so
+    *     adding shards is the sharded-subgraph meaning of "apply
+    *     appends to the index";
+    *   - FLAT: rebind the commit (search reads the live snapshot).
+    * Non-append changes rebuild with the recorded params.
     */
   def updateVectorIndex(column: String, nlist: Int = 64): Unit = {
     require(!dirty, "commit before indexing")
     unloadVectorIndex(column) // a pinned copy would go stale on append
     val dir = indexDir("vector", column)
+    val tpe = indexMetaField(dir, "type").getOrElse("IVF")
+    def param(key: String, dflt: Int): Int =
+      indexMetaField(dir, key).map(_.toInt).getOrElse(dflt)
+    val V = graft.operators.VectorSearch
+    val carried = Map("type" -> tpe, "nlist" -> param("nlist", nlist).toString,
+      "pqM" -> param("pqM", 0).toString, "pqK" -> param("pqK", 16).toString,
+      "graphDegree" -> param("graphDegree", 16).toString,
+      "buildBeam" -> param("buildBeam", 100).toString)
+    def rebuild(): Unit = createVectorIndex(column, param("nlist", nlist),
+      indexType = tpe, pqM = param("pqM", 0), pqK = param("pqK", 16),
+      graphDegree = param("graphDegree", 16),
+      buildBeam = param("buildBeam", 100))
     indexCommit(dir).flatMap(appendOnlyDelta) match {
+      case _ if tpe == "FLAT" => writeIndexMeta(dir, carried)
       case Some(newFiles) =>
         if (newFiles.nonEmpty) {
-          val centroids = spark.read.parquet(
-            new Path(dir, "centroids").toString)
           val added = snapshotWithUuid(files = newFiles, updates = Nil,
             tombstones = Nil)
-          graft.operators.VectorSearch.assignCells(added, column, centroids)
-            .write.mode("append").partitionBy("cell")
-            .parquet(new Path(dir, "assigned").toString)
+          val assignedPath = new Path(dir, "assigned").toString
+          val graphPath = new Path(dir, "graph").toString
+          tpe match {
+            case "IVF" =>
+              val centroids = spark.read.parquet(
+                new Path(dir, "centroids").toString)
+              V.assignCells(added, column, centroids)
+                .write.mode("append").partitionBy("cell")
+                .parquet(assignedPath)
+            case "IVFPQ" =>
+              val centroids = spark.read.parquet(
+                new Path(dir, "centroids").toString)
+              val model = readPqModel(
+                spark.read.parquet(new Path(dir, "pqmodel").toString))
+              V.pqEncode(V.assignCells(added, column, centroids),
+                  column, model)
+                .write.mode("append").partitionBy("cell")
+                .parquet(assignedPath)
+            case "HNSW" | "DISKANN" =>
+              val offset = spark.read.parquet(graphPath)
+                .agg(max(col("part"))).head().getInt(0) + 1
+              val built =
+                if (tpe == "HNSW")
+                  graft.operators.Hnsw.build(added, column, UuidCol,
+                    m = param("graphDegree", 16),
+                    efConstruction = param("buildBeam", 100))
+                else {
+                  val pqM0 = param("pqM", 0)
+                  graft.operators.Vamana.build(added, column, UuidCol,
+                    r = math.max(param("graphDegree", 16), 4),
+                    buildBeam = param("buildBeam", 100),
+                    pqM = if (pqM0 > 0) pqM0
+                          else V.autoSubspaces(vectorDim(added, column)),
+                    pqK = param("pqK", 16))
+                }
+              built.withColumn("part",
+                  (col("part") + lit(offset)).cast("int"))
+                .write.mode("append").partitionBy("part").parquet(graphPath)
+            case t => throw new IllegalStateException(s"unknown type $t")
+          }
         }
-        writeIndexMeta(dir)
-      case None => createVectorIndex(column, nlist)
+        writeIndexMeta(dir, carried)
+      case None => rebuild()
     }
   }
 
@@ -984,50 +1041,127 @@ class GraftDataset private[format] (
     }.sum
   }
 
-  /** Build + persist the IVF vector index for an embedding `column`
-    * (reference `create_vector_index`; artifacts live beside the data
-    * keyed by commit, vector/artifact_store.py).
+  /** Build + persist a vector index for an embedding `column`
+    * (reference `create_vector_index(tensor, index_name, index_type,
+    * metric, **params)`, vector_search_ops.py:18-48; the four index
+    * types utils.py:31-42; artifacts live beside the data keyed by
+    * commit, vector/artifact_store.py). `indexType`:
+    *   - `IVF` (default) — centroid cells, exact scoring in probed cells
+    *   - `IVFPQ` — cells + product-quantization codes: search scans ADC
+    *     lookups in the probed cells and exact-re-ranks
+    *     `refineFactor·k` (the reference's faiss IVFPQ + refine_factor)
+    *   - `HNSW` — per-partition navigable-small-world graphs
+    *   - `DISKANN` — per-partition Vamana graphs, PQ walk + re-rank
+    *   - `FLAT` — no artifacts; search is exact brute force
+    * Build params are recorded in the index meta so incremental
+    * [[updateVectorIndex]] reuses them.
     */
-  def createVectorIndex(column: String, nlist: Int = 64): Unit = {
+  def createVectorIndex(column: String, nlist: Int = 64,
+                        indexType: String = "IVF", pqM: Int = 0,
+                        pqK: Int = 16, graphDegree: Int = 16,
+                        buildBeam: Int = 100): Unit = {
     require(!dirty, "commit before indexing")
     unloadVectorIndex(column) // a pinned copy would go stale on overwrite
     val dir = indexDir("vector", column)
-    val (assigned, centroids) = graft.operators.VectorSearch.ivfBuild(
-      snapshotWithUuid(), column, UuidCol, nlist)
-    assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(new Path(dir, "assigned").toString)
-    centroids.write.mode("overwrite")
-      .parquet(new Path(dir, "centroids").toString)
-    writeIndexMeta(dir)
+    // a re-create with a DIFFERENT type must not leave the old type's
+    // artifacts behind (search routes by meta type, but mixed leftovers
+    // would be pinned by loadVectorIndex and mislead listIndexes)
+    CommitLog.fs(spark, root).delete(dir, true)
+    val snap = snapshotWithUuid()
+    val V = graft.operators.VectorSearch
+    val tpe = indexType.toUpperCase
+    def subspaces: Int =
+      if (pqM > 0) pqM else V.autoSubspaces(vectorDim(snap, column))
+    tpe match {
+      case "IVF" =>
+        val (assigned, centroids) = V.ivfBuild(snap, column, UuidCol, nlist)
+        assigned.write.mode("overwrite").partitionBy("cell")
+          .parquet(new Path(dir, "assigned").toString)
+        centroids.write.mode("overwrite")
+          .parquet(new Path(dir, "centroids").toString)
+      case "IVFPQ" =>
+        val (assigned, centroids) = V.ivfBuild(snap, column, UuidCol, nlist)
+        val model = V.pqTrain(snap, column, UuidCol, subspaces, pqK)
+        V.pqEncode(assigned, column, model)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(new Path(dir, "assigned").toString)
+        centroids.write.mode("overwrite")
+          .parquet(new Path(dir, "centroids").toString)
+        writePqModel(dir, model)
+      case "HNSW" =>
+        graft.operators.Hnsw.build(snap, column, UuidCol,
+            m = graphDegree, efConstruction = buildBeam)
+          .write.mode("overwrite").partitionBy("part")
+          .parquet(new Path(dir, "graph").toString)
+      case "DISKANN" =>
+        graft.operators.Vamana.build(snap, column, UuidCol,
+            r = math.max(graphDegree, 4), buildBeam = buildBeam,
+            pqM = subspaces, pqK = pqK)
+          .write.mode("overwrite").partitionBy("part")
+          .parquet(new Path(dir, "graph").toString)
+      case "FLAT" => () // exact search reads the live snapshot directly
+      case t => throw new IllegalArgumentException(
+        s"bad index type $t (FLAT | IVF | IVFPQ | HNSW | DISKANN)")
+    }
+    writeIndexMeta(dir, Map("type" -> tpe, "nlist" -> nlist.toString,
+      "pqM" -> pqM.toString, "pqK" -> pqK.toString,
+      "graphDegree" -> graphDegree.toString,
+      "buildBeam" -> buildBeam.toString))
+  }
+
+  /** The embedding dimensionality, from the first non-null vector. */
+  private def vectorDim(df: DataFrame, column: String): Int =
+    df.filter(col(column).isNotNull)
+      .select(col(column)).head().getSeq[Float](0).length
+
+  private def writePqModel(
+      dir: Path, model: graft.operators.VectorSearch.PqModel): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.k, model.dim, model.codebooks.toSeq))
+      .toDF("m", "k", "dim", "codebooks")
+      .write.mode("overwrite").parquet(new Path(dir, "pqmodel").toString)
+  }
+
+  private def readPqModel(df: DataFrame)
+      : graft.operators.VectorSearch.PqModel = {
+    val r = df.select("m", "k", "dim", "codebooks").head()
+    graft.operators.VectorSearch.PqModel(r.getInt(0), r.getInt(1),
+      r.getInt(2), r.getSeq[Float](3).toArray)
   }
 
   // ---- vector index lifecycle (reference vector_search_ops.py:104-141:
   // load = pin in memory, unload = release, drop = delete permanently) ----
 
-  /** Loaded-index registry: column → (assigned, centroids), both persisted
-    * in executor memory+disk so repeated searches skip the parquet scan —
-    * the Spark-native meaning of the reference's "load index into memory".
+  /** Loaded-index registry: column → artifact name → DataFrame, each
+    * persisted in executor memory+disk so repeated searches skip the
+    * parquet scan — the Spark-native meaning of the reference's "load
+    * index into memory". Which artifacts exist depends on the index
+    * type (IVF: assigned+centroids; IVFPQ: +pqmodel; graphs: graph;
+    * FLAT: none).
     */
   private val loadedVector =
-    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]()
+    scala.collection.mutable.Map[String, Map[String, DataFrame]]()
+
+  private val VectorArtifacts = Seq("assigned", "centroids", "graph", "pqmodel")
 
   def loadVectorIndex(column: String): Unit = {
     require(indexFresh("vector", column),
       s"vector index for $column is stale or missing; createVectorIndex first")
     if (!loadedVector.contains(column)) {
       val dir = indexDir("vector", column)
-      val assigned = spark.read.parquet(new Path(dir, "assigned").toString)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val centroids = spark.read.parquet(new Path(dir, "centroids").toString)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      loadedVector(column) = (assigned, centroids)
+      val f = CommitLog.fs(spark, root)
+      loadedVector(column) = VectorArtifacts
+        .filter(n => f.exists(new Path(dir, n)))
+        .map(n => n -> spark.read.parquet(new Path(dir, n).toString)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .toMap
     }
   }
 
   def unloadVectorIndex(column: String): Unit =
-    loadedVector.remove(column).foreach { case (a, c) =>
-      a.unpersist(); c.unpersist(); ()
-    }
+    loadedVector.remove(column).foreach(_.values.foreach { df =>
+      df.unpersist(); ()
+    })
 
   /** Drop the persisted index permanently (and release any loaded copy). */
   def dropVectorIndex(column: String): Unit = {
@@ -1052,21 +1186,55 @@ class GraftDataset private[format] (
     } yield (kind, column, indexFresh(kind, column))
   }
 
-  /** ANN search through the persisted IVF index (probes `nprobe` cells —
-    * partition-pruned read, or the pinned in-memory copy after
-    * [[loadVectorIndex]]); requires a fresh index.
+  /** ANN search through the persisted index, routed by its recorded
+    * type (reference `vector_search(query_vector, tensor_name,
+    * index_name, topk, nprobe, refine_factor)`, dataset.py:1564-1568):
+    * IVF probes `nprobe` cells (partition-pruned read, or the pinned
+    * in-memory copy after [[loadVectorIndex]]); IVFPQ ADC-scans the
+    * probed cells and exact-re-ranks `refineFactor·k`; graph types walk
+    * every shard; FLAT is exact brute force over the live snapshot.
+    * Graph and PQ artifacts score squared L2 (the faiss default) — use
+    * IVF or FLAT for cosine/ip. Requires a fresh index.
     */
   def vectorSearch(column: String, queryVec: Seq[Float], k: Int,
-                   metric: String = "cosine", nprobe: Int = 8): DataFrame = {
+                   metric: String = "cosine", nprobe: Int = 8,
+                   refineFactor: Int = 4): DataFrame = {
     val dir = indexDir("vector", column)
     require(indexFresh("vector", column),
       s"vector index for $column is stale or missing; createVectorIndex first")
-    val (assigned, centroids) = loadedVector.getOrElse(column, (
-      spark.read.parquet(new Path(dir, "assigned").toString),
-      spark.read.parquet(new Path(dir, "centroids").toString)))
-    graft.operators.VectorSearch.ivfTopK(
-      assigned, centroids, column, UuidCol, queryVec, metric, k, nprobe)
-      .withColumnRenamed(UuidCol, "row_uuid")
+    val tpe = indexMetaField(dir, "type").getOrElse("IVF")
+    def art(name: String): DataFrame =
+      loadedVector.get(column).flatMap(_.get(name)).getOrElse(
+        spark.read.parquet(new Path(dir, name).toString))
+    def requireL2(): Unit = require(metric == "l2",
+      s"$tpe index scores squared L2; use indexType FLAT or IVF for $metric")
+    val V = graft.operators.VectorSearch
+    val hits = tpe match {
+      case "FLAT" =>
+        V.bruteForceTopK(snapshotWithUuid(), column, UuidCol,
+          queryVec, metric, k)
+      case "IVF" =>
+        V.ivfTopK(art("assigned"), art("centroids"), column, UuidCol,
+          queryVec, metric, k, nprobe)
+      case "IVFPQ" =>
+        requireL2()
+        V.ivfPqTopK(art("assigned"), art("centroids"), column, UuidCol,
+          readPqModel(art("pqmodel")), queryVec, k, nprobe,
+          rerank = refineFactor * k)
+      case "HNSW" =>
+        requireL2()
+        graft.operators.Hnsw.topK(art("graph"), queryVec, k,
+            ef = math.max(64, refineFactor * k))
+          .select(col("ext_id").as(UuidCol), col("l2sq").as("score"))
+      case "DISKANN" =>
+        requireL2()
+        graft.operators.Vamana.topK(art("graph"), queryVec, k,
+            beam = math.max(64, refineFactor * k),
+            rerank = refineFactor * k)
+          .select(col("ext_id").as(UuidCol), col("l2sq").as("score"))
+      case t => throw new IllegalStateException(s"unknown index type $t")
+    }
+    hits.withColumnRenamed(UuidCol, "row_uuid")
   }
 }
 

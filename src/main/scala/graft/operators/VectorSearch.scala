@@ -389,4 +389,28 @@ object VectorSearch {
       .limit(k)
       .select(col(idCol), col("_score").as("score"))
   }
+
+  /** Largest subspace count ≤ 8 that divides `dim` — the default PQ
+    * split when the caller doesn't pick one.
+    */
+  def autoSubspaces(dim: Int): Int =
+    (8 to 1 by -1).find(dim % _ == 0).get
+
+  /** IVFPQ search (the reference's faiss IVFPQ index type + its
+    * `refine_factor` search param): prune to the `nprobe` nearest cells,
+    * scan only PQ codes there (ADC table lookups), exact-re-rank the
+    * best `rerank` candidates against true vectors. Same partition-pruned
+    * I/O as [[ivfTopK]] with the scan cost of [[pqTopK]].
+    */
+  def ivfPqTopK(encoded: DataFrame, centroids: DataFrame, vecCol: String,
+                idCol: String, model: PqModel, query: Seq[Float], k: Int,
+                nprobe: Int, rerank: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val probeCells = centroids
+      .withColumn("_d", V.l2Sq(col("_centroid"), q))
+      .orderBy(col("_d").asc).limit(nprobe)
+      .select("cell")
+    pqTopK(encoded.join(broadcast(probeCells), "cell"), vecCol, idCol,
+      model, query, k, rerank)
+  }
 }

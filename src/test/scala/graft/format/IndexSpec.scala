@@ -78,6 +78,68 @@ class IndexSpec extends SparkSpec {
     assert(top.count() == 2) // new row is findable through the index
   }
 
+  test("typed vector indexes: FLAT/IVFPQ/HNSW/DISKANN route, match exact top-1") {
+    val ds = GraftDataset.create(spark, tmpDir("idxtyped"), StructType(Seq(
+      StructField("id", LongType),
+      StructField("emb", ArrayType(FloatType)))))
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (0 until 4).map(j => math.sin(i * 17 + j).toFloat))
+    }
+    ds.append(rows.toDF("id", "emb"))
+    ds.commit("rows")
+    val uuidOf = ds.snapshotWithUuid()
+      .select($"id", col(GraftDataset.UuidCol))
+      .as[(Long, Long)].collect().toMap
+    for (tpe <- Seq("FLAT", "IVFPQ", "HNSW", "DISKANN")) {
+      ds.createVectorIndex("emb", nlist = 4, indexType = tpe,
+        pqM = 2, pqK = 8, graphDegree = 8, buildBeam = 32)
+      assert(ds.indexFresh("vector", "emb"), tpe)
+      // querying with row 7's own vector must return row 7 first
+      val top = ds.vectorSearch("emb", rows(7)._2, k = 3, metric = "l2")
+        .select("row_uuid").as[Long].collect()
+      assert(top.head == uuidOf(7L), s"$tpe top-1")
+      assert(top.length == 3, tpe)
+      // pin/unpin round-trip serves the same answer
+      ds.loadVectorIndex("emb")
+      assert(ds.isVectorIndexLoaded("emb"))
+      assert(ds.vectorSearch("emb", rows(7)._2, k = 1, metric = "l2")
+        .select("row_uuid").as[Long].head() == uuidOf(7L), s"$tpe pinned")
+      ds.unloadVectorIndex("emb")
+    }
+    // graph/PQ artifacts are L2-scored: other metrics are rejected loudly
+    intercept[IllegalArgumentException] {
+      ds.vectorSearch("emb", rows(0)._2, k = 1, metric = "cosine")
+    }
+  }
+
+  test("typed vector index incremental append: graphs grow shards, IVFPQ encodes") {
+    for (tpe <- Seq("DISKANN", "IVFPQ")) {
+      val ds = GraftDataset.create(spark, tmpDir(s"idxinc$tpe"), StructType(Seq(
+        StructField("id", LongType),
+        StructField("emb", ArrayType(FloatType)))))
+      val rows = (0 until 30).map { i =>
+        (i.toLong, (0 until 4).map(j => math.sin(i * 17 + j).toFloat))
+      }
+      ds.append(rows.toDF("id", "emb"))
+      ds.commit("rows")
+      ds.createVectorIndex("emb", nlist = 4, indexType = tpe,
+        pqM = 2, pqK = 8, graphDegree = 8, buildBeam = 32)
+      // append a brand-new vector far from the originals, then update
+      val novel = Seq(9.0f, 9.0f, 9.0f, 9.0f)
+      ds.append(Seq((99L, novel)).toDF("id", "emb"))
+      ds.commit("append")
+      assert(!ds.indexFresh("vector", "emb"), tpe)
+      ds.updateVectorIndex("emb")
+      assert(ds.indexFresh("vector", "emb"), tpe)
+      // the appended row is findable as its own nearest neighbor —
+      // proves the delta shard/cells actually get probed
+      val uuid99 = ds.snapshotWithUuid().filter($"id" === 99L)
+        .select(col(GraftDataset.UuidCol)).as[Long].head()
+      assert(ds.vectorSearch("emb", novel, k = 1, metric = "l2",
+          nprobe = 4).select("row_uuid").as[Long].head() == uuid99, tpe)
+    }
+  }
+
   test("optimizeIndex and reshardIndex preserve answers and bindings") {
     val ds = table()
     ds.createIndexVectorized("text", numShards = 4)
