@@ -440,6 +440,37 @@ object VectorQueries {
       },
       None),
 
+    // dataset-route vector search (reference create_vector_index +
+    // vector_search, vector_search_ops.py:18-48,84-101): embeddings
+    // round-trip into a graft table, a FLAT index binding is created,
+    // and the search runs through ds.vectorSearch on the exact
+    // scaled-int path; row identity maps back to vec_id through the
+    // registered data source's withUuid read. Oracle-pins the index
+    // routing + uuid plumbing end to end, not just the distance math.
+    QueryDef("q94_format_vector_flat_search",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q94").toString + "/t"
+        val ds = graft.format.GraftDataset.create(s, root, e.schema)
+        ds.append(e)
+        ds.commit("ingest")
+        ds.createVectorIndex("embedding", indexType = "FLAT")
+        val q = e.filter(col("vec_id") === 2L)
+          .select("embedding").head().getSeq[Float](0)
+        val hits = ds.vectorSearch("embedding", q, k = 10,
+          metric = "l2", exact = true)
+        val withU = s.read.format("graft").option("withUuid", "true")
+          .load(root)
+        hits.join(withU, hits("row_uuid") === withU("_uuid"))
+          .select(col("vec_id"), col("score").cast("long").as("l2sq_scaled"))
+          .orderBy(col("l2sq_scaled").asc, col("vec_id").asc)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
+        SELECT vec_id, ${dl2("embedding", "qv")} AS l2sq_scaled
+        FROM embeddings, q
+        ORDER BY l2sq_scaled ASC, vec_id ASC LIMIT 10""")),
+
     // safe-eval attribute access (reference safe_evaluator.py:46-84):
     // `.size`/`.shape[k]`/`.min`/`.max`/`.mean` over the embedding tensor
     // translate to size()/array_min()/array_max()/aggregate() — whole

@@ -879,14 +879,16 @@ class GraftDataset private[format] (
     def param(key: String, dflt: Int): Int =
       indexMetaField(dir, key).map(_.toInt).getOrElse(dflt)
     val V = graft.operators.VectorSearch
+    val idxMetric = indexMetaField(dir, "metric").getOrElse("l2")
     val carried = Map("type" -> tpe, "nlist" -> param("nlist", nlist).toString,
       "pqM" -> param("pqM", 0).toString, "pqK" -> param("pqK", 16).toString,
       "graphDegree" -> param("graphDegree", 16).toString,
-      "buildBeam" -> param("buildBeam", 100).toString)
+      "buildBeam" -> param("buildBeam", 100).toString,
+      "metric" -> idxMetric)
     def rebuild(): Unit = createVectorIndex(column, param("nlist", nlist),
       indexType = tpe, pqM = param("pqM", 0), pqK = param("pqK", 16),
       graphDegree = param("graphDegree", 16),
-      buildBeam = param("buildBeam", 100))
+      buildBeam = param("buildBeam", 100), metric = idxMetric)
     indexCommit(dir).flatMap(appendOnlyDelta) match {
       case _ if tpe == "FLAT" => writeIndexMeta(dir, carried)
       case Some(newFiles) =>
@@ -914,14 +916,15 @@ class GraftDataset private[format] (
             case "HNSW" | "DISKANN" =>
               val offset = spark.read.parquet(graphPath)
                 .agg(max(col("part"))).head().getInt(0) + 1
+              val gIn = graphInput(added, column, idxMetric)
               val built =
                 if (tpe == "HNSW")
-                  graft.operators.Hnsw.build(added, column, UuidCol,
+                  graft.operators.Hnsw.build(gIn, column, UuidCol,
                     m = param("graphDegree", 16),
                     efConstruction = param("buildBeam", 100))
                 else {
                   val pqM0 = param("pqM", 0)
-                  graft.operators.Vamana.build(added, column, UuidCol,
+                  graft.operators.Vamana.build(gIn, column, UuidCol,
                     r = math.max(param("graphDegree", 16), 4),
                     buildBeam = param("buildBeam", 100),
                     pqM = if (pqM0 > 0) pqM0
@@ -1059,7 +1062,8 @@ class GraftDataset private[format] (
   def createVectorIndex(column: String, nlist: Int = 64,
                         indexType: String = "IVF", pqM: Int = 0,
                         pqK: Int = 16, graphDegree: Int = 16,
-                        buildBeam: Int = 100): Unit = {
+                        buildBeam: Int = 100,
+                        metric: String = "l2"): Unit = {
     require(!dirty, "commit before indexing")
     unloadVectorIndex(column) // a pinned copy would go stale on overwrite
     val dir = indexDir("vector", column)
@@ -1089,14 +1093,14 @@ class GraftDataset private[format] (
           .parquet(new Path(dir, "centroids").toString)
         writePqModel(dir, model)
       case "HNSW" =>
-        graft.operators.Hnsw.build(snap, column, UuidCol,
-            m = graphDegree, efConstruction = buildBeam)
+        graft.operators.Hnsw.build(graphInput(snap, column, metric),
+            column, UuidCol, m = graphDegree, efConstruction = buildBeam)
           .write.mode("overwrite").partitionBy("part")
           .parquet(new Path(dir, "graph").toString)
       case "DISKANN" =>
-        graft.operators.Vamana.build(snap, column, UuidCol,
-            r = math.max(graphDegree, 4), buildBeam = buildBeam,
-            pqM = subspaces, pqK = pqK)
+        graft.operators.Vamana.build(graphInput(snap, column, metric),
+            column, UuidCol, r = math.max(graphDegree, 4),
+            buildBeam = buildBeam, pqM = subspaces, pqK = pqK)
           .write.mode("overwrite").partitionBy("part")
           .parquet(new Path(dir, "graph").toString)
       case "FLAT" => () // exact search reads the live snapshot directly
@@ -1106,7 +1110,21 @@ class GraftDataset private[format] (
     writeIndexMeta(dir, Map("type" -> tpe, "nlist" -> nlist.toString,
       "pqM" -> pqM.toString, "pqK" -> pqK.toString,
       "graphDegree" -> graphDegree.toString,
-      "buildBeam" -> buildBeam.toString))
+      "buildBeam" -> buildBeam.toString, "metric" -> metric))
+  }
+
+  /** Graph indexes walk on L2; a `cosine` graph is built over
+    * UNIT-NORMALIZED vectors, where L2 order equals cosine order
+    * (`‖a−b‖² = 2−2·cos` on unit vectors — the same normalize-then-L2
+    * mapping the reference applies for faiss cosine, utils.py:46-95).
+    */
+  private def graphInput(snap: DataFrame, column: String,
+                         metric: String): DataFrame = metric match {
+    case "l2" => snap
+    case "cosine" => snap.withColumn(column,
+      graft.functions.VectorFunctions.normalize(col(column)))
+    case m => throw new IllegalArgumentException(
+      s"graph index metric must be l2 or cosine, got $m")
   }
 
   /** The embedding dimensionality, from the first non-null vector. */
@@ -1192,13 +1210,16 @@ class GraftDataset private[format] (
     * IVF probes `nprobe` cells (partition-pruned read, or the pinned
     * in-memory copy after [[loadVectorIndex]]); IVFPQ ADC-scans the
     * probed cells and exact-re-ranks `refineFactor·k`; graph types walk
-    * every shard; FLAT is exact brute force over the live snapshot.
-    * Graph and PQ artifacts score squared L2 (the faiss default) — use
-    * IVF or FLAT for cosine/ip. Requires a fresh index.
+    * every shard on the metric the graph was BUILT for (l2, or cosine
+    * via unit-normalized vectors — the score returned is then the
+    * cosine similarity); FLAT is exact brute force over the live
+    * snapshot (`exact = true` scores on the deterministic scaled-int
+    * grid, the oracle-checkable path). IVFPQ codes are L2-only.
+    * Requires a fresh index.
     */
   def vectorSearch(column: String, queryVec: Seq[Float], k: Int,
                    metric: String = "cosine", nprobe: Int = 8,
-                   refineFactor: Int = 4): DataFrame = {
+                   refineFactor: Int = 4, exact: Boolean = false): DataFrame = {
     val dir = indexDir("vector", column)
     require(indexFresh("vector", column),
       s"vector index for $column is stale or missing; createVectorIndex first")
@@ -1206,32 +1227,47 @@ class GraftDataset private[format] (
     def art(name: String): DataFrame =
       loadedVector.get(column).flatMap(_.get(name)).getOrElse(
         spark.read.parquet(new Path(dir, name).toString))
-    def requireL2(): Unit = require(metric == "l2",
-      s"$tpe index scores squared L2; use indexType FLAT or IVF for $metric")
+    // graph walks run on the metric the vectors were prepared for at
+    // build time; a cosine graph takes a normalized query and maps the
+    // unit-vector L2² back to cosine (cos = 1 − l2²/2)
+    val graphMetric = indexMetaField(dir, "metric").getOrElse("l2")
+    def requireGraphMetric(): Unit = require(metric == graphMetric,
+      s"$tpe index was built for metric $graphMetric, not $metric " +
+        "(re-create the index, or use indexType FLAT or IVF)")
+    def graphQuery: Seq[Float] =
+      if (graphMetric == "l2") queryVec
+      else {
+        val n = math.sqrt(queryVec.foldLeft(0.0)((s, x) => s + x * x))
+        if (n == 0.0) queryVec else queryVec.map(x => (x / n).toFloat)
+      }
+    def graphScore(hits: DataFrame): DataFrame = {
+      val s = if (graphMetric == "l2") col("l2sq")
+              else lit(1.0) - col("l2sq") / lit(2.0) // unit vecs → cosine
+      hits.select(col("ext_id").as(UuidCol), s.as("score"))
+    }
     val V = graft.operators.VectorSearch
     val hits = tpe match {
       case "FLAT" =>
         V.bruteForceTopK(snapshotWithUuid(), column, UuidCol,
-          queryVec, metric, k)
+          queryVec, metric, k, exact)
       case "IVF" =>
         V.ivfTopK(art("assigned"), art("centroids"), column, UuidCol,
-          queryVec, metric, k, nprobe)
+          queryVec, metric, k, nprobe, exact)
       case "IVFPQ" =>
-        requireL2()
+        require(metric == "l2",
+          s"IVFPQ codes score squared L2; use FLAT or IVF for $metric")
         V.ivfPqTopK(art("assigned"), art("centroids"), column, UuidCol,
           readPqModel(art("pqmodel")), queryVec, k, nprobe,
           rerank = refineFactor * k)
       case "HNSW" =>
-        requireL2()
-        graft.operators.Hnsw.topK(art("graph"), queryVec, k,
-            ef = math.max(64, refineFactor * k))
-          .select(col("ext_id").as(UuidCol), col("l2sq").as("score"))
+        requireGraphMetric()
+        graphScore(graft.operators.Hnsw.topK(art("graph"), graphQuery, k,
+          ef = math.max(64, refineFactor * k)))
       case "DISKANN" =>
-        requireL2()
-        graft.operators.Vamana.topK(art("graph"), queryVec, k,
-            beam = math.max(64, refineFactor * k),
-            rerank = refineFactor * k)
-          .select(col("ext_id").as(UuidCol), col("l2sq").as("score"))
+        requireGraphMetric()
+        graphScore(graft.operators.Vamana.topK(art("graph"), graphQuery, k,
+          beam = math.max(64, refineFactor * k),
+          rerank = refineFactor * k))
       case t => throw new IllegalStateException(s"unknown index type $t")
     }
     hits.withColumnRenamed(UuidCol, "row_uuid")

@@ -38,6 +38,17 @@ object VectorFunctions {
 
   def l2Sq(a: Column, b: Column): Column = NativeExpressions.l2SqF(a, b)
 
+  /** Unit-normalize a float vector (zero vectors pass through unchanged
+    * rather than becoming Infinity/NaN). On unit vectors L2 order equals
+    * cosine order (`‖a−b‖² = 2 − 2·cos`), which is how graph indexes
+    * serve the cosine metric.
+    */
+  def normalize(a: Column): Column = {
+    val n = sqrt(normSq(a))
+    when(n === 0.0 || a.isNull, a)
+      .otherwise(transform(a, x => (x / n).cast("float")))
+  }
+
   // ---- exact scaled-int path (deterministic across engines) -------------
 
   /** Exact dot product on the 1e-7 grid. 64 dims × (1e7)^2 ≈ 6.4e15 — fits

@@ -112,6 +112,33 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("cosine graph index: scale-invariant scores, metric guard") {
+    val ds = GraftDataset.create(spark, tmpDir("idxcos"), StructType(Seq(
+      StructField("id", LongType),
+      StructField("emb", ArrayType(FloatType)))))
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (0 until 4).map(j => math.sin(i * 17 + j).toFloat))
+    }
+    ds.append(rows.toDF("id", "emb"))
+    ds.commit("rows")
+    for (tpe <- Seq("HNSW", "DISKANN")) {
+      ds.createVectorIndex("emb", indexType = tpe, pqM = 2, pqK = 8,
+        graphDegree = 8, buildBeam = 32, metric = "cosine")
+      // query with 3× row 7's vector: same direction → cosine ≈ 1 for
+      // row 7 regardless of magnitude (an l2 graph would rank by norm)
+      val q = rows(7)._2.map(_ * 3.0f)
+      val uuid7 = ds.snapshotWithUuid().filter($"id" === 7L)
+        .select(col(GraftDataset.UuidCol)).as[Long].head()
+      val top = ds.vectorSearch("emb", q, k = 1, metric = "cosine").head()
+      assert(top.getLong(0) == uuid7, tpe)
+      assert(math.abs(top.getDouble(1) - 1.0) < 1e-5, tpe)
+      // the graph was built for cosine: an l2 probe is rejected loudly
+      intercept[IllegalArgumentException] {
+        ds.vectorSearch("emb", q, k = 1, metric = "l2")
+      }
+    }
+  }
+
   test("typed vector index incremental append: graphs grow shards, IVFPQ encodes") {
     for (tpe <- Seq("DISKANN", "IVFPQ")) {
       val ds = GraftDataset.create(spark, tmpDir(s"idxinc$tpe"), StructType(Seq(
