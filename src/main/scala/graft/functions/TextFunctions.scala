@@ -80,21 +80,29 @@ object TextFunctions {
   }
 
   /** Stopword ratio — classic quality-scoring feature. Exact: scaled-int
-    * numerator/denominator avoid any float division ambiguity.
+    * numerator/denominator avoid any float division ambiguity. Null for
+    * a token-less doc (`try_divide`, matching DuckDB's NULL-on-x/0):
+    * under ANSI mode (the Spark 4 default) a plain `/` would kill the
+    * whole job on the first empty document — at 100 TB there IS an
+    * empty document.
     */
   def stopwordRatio(c: Column): Column =
-    stopwordCount(c).cast("double") / tokenCount(c).cast("double")
+    try_divide(stopwordCount(c).cast("double"), tokenCount(c).cast("double"))
 
-  /** Mean word length (characters per token). */
+  /** Mean word length (characters per token); null for a token-less doc. */
   def meanWordLen(c: Column): Column =
-    aggregate(transform(tokens(c), t => length(t).cast("long")),
-      lit(0L), (acc, v) => acc + v).cast("double") /
-      tokenCount(c).cast("double")
+    try_divide(
+      aggregate(transform(tokens(c), t => length(t).cast("long")),
+        lit(0L), (acc, v) => acc + v).cast("double"),
+      tokenCount(c).cast("double"))
 
-  /** Non-alphanumeric character ratio (punctuation/symbol density). */
+  /** Non-alphanumeric character ratio (punctuation/symbol density);
+    * null for an empty string.
+    */
   def punctRatio(c: Column): Column =
-    (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9 ]", ""))).cast("double") /
-      length(c).cast("double")
+    try_divide(
+      (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9 ]", ""))).cast("double"),
+      length(c).cast("double"))
 
   /** Composite quality score in [0,1]: rewards mid-length docs, few
     * stopwords is suspicious for English, punctuation noise penalized.
@@ -104,7 +112,11 @@ object TextFunctions {
     val lenScore = least(tokenCount(c).cast("double") / lit(64.0), lit(1.0))
     val swScore = least(stopwordRatio(c) * lit(8.0), lit(1.0))
     val punctPenalty = lit(1.0) - least(punctRatio(c) * lit(4.0), lit(1.0))
-    (lenScore + swScore + punctPenalty) / lit(3.0)
+    // token-less docs: the ratios are null (undefined) — score them 0
+    // explicitly instead of letting least()'s null-skipping invent a
+    // nonzero score for empty text
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise((lenScore + swScore + punctPenalty) / lit(3.0))
   }
 
   /** N-gram-heuristic language ID: counts marker-token hits per language,
@@ -146,11 +158,21 @@ object TextFunctions {
     * a bag-of-tokens hash. Used for shift-robust document fingerprinting.
     */
   def rollingHash(c: Column): Column = {
-    val mod = lit(2305843009213693951L) // 2^61 - 1
+    val mod = lit(2305843009213693951L) // p = 2^61 - 1
     aggregate(
       transform(tokens(c), t => (hash(t).cast("long") + lit(2147483648L))),
       lit(0L),
-      (acc, v) => pmod(acc * lit(31L) + v, mod))
+      // acc·31 mod p without 64-bit overflow (acc < 2^61, so a plain
+      // acc*31 exceeds Long range — ANSI mode would abort the job):
+      // acc·31 = (acc<<5) − acc, and for the Mersenne p,
+      // (acc<<5) mod p = (low<<5) + high with low = acc mod 2^56,
+      // high = acc >> 56 (2^61 ≡ 1 mod p). Every intermediate stays
+      // well inside int64: low<<5 < 2^61, high < 32, v < 2^32.
+      (acc, v) => {
+        val low = acc.bitwiseAND(lit((1L << 56) - 1))
+        val high = shiftright(acc, 56)
+        pmod(shiftleft(low, 5) + high - acc + v, mod)
+      })
   }
 
   /** Engine-portable token hash: first `bits/4` hex chars of md5 as an

@@ -33,8 +33,12 @@ object VectorFunctions {
 
   def normSq(a: Column): Column = dot(a, a)
 
+  /** Cosine similarity; null when either vector is zero (undefined —
+    * `try_divide` keeps the job alive under ANSI mode instead of
+    * aborting on the first degenerate embedding).
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+    try_divide(dot(a, b), sqrt(normSq(a)) * sqrt(normSq(b)))
 
   def l2Sq(a: Column, b: Column): Column = NativeExpressions.l2SqF(a, b)
 
@@ -71,8 +75,8 @@ object VectorFunctions {
     * on integer inputs → deterministic.
     */
   def cosineScaled(a: Column, b: Column): Column =
-    dotScaled(a, b).cast("double") /
-      (sqrt(normSqScaled(a).cast("double")) * sqrt(normSqScaled(b).cast("double")))
+    try_divide(dotScaled(a, b).cast("double"),
+      sqrt(normSqScaled(a).cast("double")) * sqrt(normSqScaled(b).cast("double")))
 
   def l2SqScaled(a: Column, b: Column): Column =
     aggregate(

@@ -133,8 +133,10 @@ case class IndexedContainsRewrite(spark: SparkSession)
   */
 class GraftSparkExtensions
   extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => IndexedContainsRewrite(session))
+    SqlFunctions.descriptions.foreach(ext.injectFunction)
+  }
 }
 
 object GraftExtensions {
@@ -143,5 +145,6 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(rule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ rule
+    SqlFunctions.install(spark)
   }
 }

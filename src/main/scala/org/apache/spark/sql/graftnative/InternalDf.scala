@@ -1,0 +1,50 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** `private[sql]` bridge for the V1 streaming source/sink contract:
+  * both sides of it traffic in InternalRow plans that only
+  * `SparkSession.internalCreateDataFrame` can (re)wrap —
+  *  - a Sink gets a DataFrame bound to the in-flight incremental plan;
+  *    re-planning it (another action, a write) re-executes the batch, so
+  *    the sink must lift the planned RDD into a standalone batch frame;
+  *  - a Source must hand back a frame with `isStreaming = true`
+  *    (MicroBatchExecution asserts it) over a plain batch read.
+  */
+object InternalDf {
+
+  private def classic(spark: SparkSession) =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  /** Wrap already-planned InternalRows as a fresh (batch or streaming)
+    * DataFrame. Rows must already be defensively copied if the RDD
+    * reuses row objects.
+    */
+  def fromInternalRows(spark: SparkSession, rdd: RDD[InternalRow],
+                       schema: StructType, isStreaming: Boolean): DataFrame =
+    classic(spark).internalCreateDataFrame(rdd, schema, isStreaming)
+
+  /** An empty DataFrame with `isStreaming = true` (a micro-batch with no
+    * new data).
+    */
+  def emptyStreaming(spark: SparkSession, schema: StructType): DataFrame =
+    fromInternalRows(spark,
+      spark.sparkContext.emptyRDD[InternalRow], schema, isStreaming = true)
+
+  /** Re-mark a batch plan as a streaming micro-batch: plan it, copy the
+    * (reused) rows, and rewrap with `isStreaming = true`.
+    */
+  def asStreaming(df: DataFrame): DataFrame =
+    fromInternalRows(df.sparkSession,
+      df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = true)
+
+  /** Detach a sink's incremental batch: the planned rows become a
+    * standalone batch frame that can safely flow through any write path.
+    */
+  def detachBatch(df: DataFrame): DataFrame =
+    fromInternalRows(df.sparkSession,
+      df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
+}
