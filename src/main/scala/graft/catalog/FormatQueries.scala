@@ -281,6 +281,40 @@ object FormatQueries {
       },
       Some("""SELECT o_orderstatus, COUNT(o_totalprice) AS count_o_totalprice
         FROM orders WHERE o_orderpriority LIKE '%URGENT'
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // streaming tail of a graft table (readStream.format("graft")): the
+    // first micro-batch is the snapshot at stream start (first commit),
+    // the second is the append delta committed WHILE the stream runs.
+    // Exactly-once across both batches ⇒ the streamed union equals the
+    // plain batch table — which is what the oracle checks.
+    QueryDef("q96_stream_tail_exactly_once",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val root = freshRoot("q96")
+        val ds = GraftDataset.create(s, root, o.schema)
+        ds.append(o.filter(col("o_orderkey") % 2 === 0))
+        ds.commit("even half")
+        val sinkTable = "q96_out_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = s.readStream.format("graft").load(root)
+          .writeStream.format("memory").queryName(sinkTable)
+          .option("checkpointLocation", freshRoot("q96ckpt"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+          .start()
+        q.processAllAvailable() // batch 0: snapshot of the even half
+        ds.append(o.filter(col("o_orderkey") % 2 === 1))
+        ds.commit("odd half")
+        q.processAllAvailable() // batch 1: append-only file delta
+        q.stop()
+        s.table(sinkTable).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -442,6 +442,26 @@ object TextQueries {
         JOIN cnt cb ON cb.doc_id = doc_id_b
         WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.30
         ORDER BY doc_id_a, doc_id_b"""))
-    }
+    },
+
+    // the registered graft_* SQL surface: the SAME signals as q45/q48,
+    // but routed through spark.sql over the injected FunctionRegistry
+    // entries (SQL-only / Python users' path). Oracle identical math —
+    // this pins that the SQL bindings produce the Scala API's exact
+    // expression trees, through the driver's full gate.
+    QueryDef("q95_sql_function_route",
+      (s, dir) => {
+        org.apache.spark.sql.graftnative.GraftExtensions.install(s)
+        docs(s, dir).createOrReplaceTempView("documents_sqlfn")
+        s.sql("""SELECT doc_id,
+            graft_token_count(text) AS n_tokens,
+            graft_fingerprint_md5(text) AS fp,
+            CAST(graft_redaction_count(text, '[0-9]+') AS BIGINT) AS digit_runs
+          FROM documents_sqlfn ORDER BY doc_id""")
+      },
+      Some(s"""SELECT doc_id, len($duckToks) AS n_tokens,
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_runs
+        FROM documents ORDER BY doc_id"""))
   )
 }

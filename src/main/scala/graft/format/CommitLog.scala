@@ -105,19 +105,44 @@ object CommitLog {
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
   }
 
+  /** Branch pointers are read by EVERY load/getOffset and rewritten by
+    * every commit — unlike commit files (write-once) this file is
+    * replaced in place, so reads and writes genuinely race. The write is
+    * a temp file + rename-with-overwrite (atomic on local FS and HDFS:
+    * readers see the old or the new content, never a torn file); the
+    * bounded retry covers object stores whose rename is copy+delete.
+    */
   def readBranches(spark: SparkSession, root: String): Map[String, String] = {
     val f = fs(spark, root)
     val p = branchesFile(root)
-    if (!f.exists(p)) Map.empty
-    else JsonMethods.parse(readString(f, p)).extract[Map[String, String]]
+    var attempt = 0
+    while (true) {
+      if (!f.exists(p)) return Map.empty
+      try {
+        return JsonMethods.parse(readString(f, p)).extract[Map[String, String]]
+      } catch {
+        case e: Exception if attempt < 5 =>
+          attempt += 1; Thread.sleep(10L << attempt)
+        case e: Exception =>
+          throw new java.io.IOException(
+            s"branches file unreadable after $attempt retries: $p", e)
+      }
+    }
+    Map.empty // unreachable
   }
 
   def writeBranches(spark: SparkSession, root: String,
                     branches: Map[String, String]): Unit = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root, "_graft"))
-    writeString(f, branchesFile(root), Serialization.write(branches),
-      overwrite = true)
+    val target = branchesFile(root)
+    val tmp = new Path(root,
+      s"_graft/.branches-${java.util.UUID.randomUUID()}.tmp")
+    writeString(f, tmp, Serialization.write(branches), overwrite = false)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Commit ids are zero-padded sequence numbers → lexicographic order is

@@ -41,13 +41,52 @@ import org.apache.spark.sql.types.StructType
   * directly with zero per-row conversion.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
   private def root(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft: 'path' is required — spark.read.format(\"graft\").load(<table root>)"))
+
+  // ---- structured streaming (see GraftStream.scala) ---------------------
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode " +
+        "(each micro-batch becomes one append commit)")
+    require(partitionColumns.isEmpty,
+      "graft sink: partitionBy is not supported — layout is managed by " +
+        "the table format")
+    new GraftSink(sqlContext.sparkSession, root(parameters),
+      parameters.getOrElse("branch", "main"))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "graft stream source: the schema comes from the table; do not pass one")
+    (shortName(), GraftTailSource.tableSchema(sqlContext.sparkSession,
+      root(parameters), parameters.getOrElse("branch", "main"),
+      parameters.get("withUuid").exists(_.toBoolean)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftTailSource(sqlContext.sparkSession, root(parameters),
+      parameters.getOrElse("branch", "main"),
+      parameters.get("withUuid").exists(_.toBoolean),
+      parameters.get("ignoreChanges").exists(_.toBoolean))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation =

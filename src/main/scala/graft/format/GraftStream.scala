@@ -1,0 +1,165 @@
+package graft.format
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftnative.InternalDf
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** The streaming halves of the `graft` data source —
+  * `df.writeStream.format("graft")` (sink) and
+  * `spark.readStream.format("graft")` (source) — so the versioned table
+  * format participates in Structured Streaming from ANY language binding,
+  * not just the Scala `GraftStreaming.appendStream` helper. Above-parity:
+  * the reference's closest analogue is batch incremental append
+  * (`muller/core/dataset.py` append + `update_index`); here every
+  * micro-batch is a commit and every commit is a micro-batch.
+  */
+object GraftStream {
+
+  /** Commit-message marker carrying the epoch id — the idempotency token
+    * for exactly-once appends under checkpoint recovery (same pattern as
+    * [[graft.streaming.GraftStreaming.appendStream]]).
+    */
+  private[format] val MarkerRe = "stream batch (\\d+)".r
+
+  private[format] def marker(batchId: Long) = s"stream batch $batchId"
+
+  /** The most recent stream-marker epoch on the first-parent chain,
+    * walking lazily from the branch head. Stops at the FIRST marker:
+    * epochs are monotone along a branch, so one marker decides. For a
+    * stream-owned branch this reads exactly one commit; interleaved
+    * manual commits only add their own count.
+    */
+  private[format] def lastBatchId(spark: SparkSession, root: String,
+                                  head: Option[String]): Option[Long] = {
+    var cur = head
+    while (cur.isDefined) {
+      val m = CommitLog.readCommit(spark, root, cur.get)
+      m.message match {
+        case MarkerRe(id) => return Some(id.toLong)
+        case _ => cur = m.parent
+      }
+    }
+    None
+  }
+
+  private[format] def offsetValue(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    // after checkpoint recovery V1 hands back a SerializedOffset whose
+    // json is what LongOffset.json wrote — a bare long
+    case other => other.json.trim.toLong
+  }
+
+  private[format] def commitId(v: Long): String = f"$v%08d"
+}
+
+/** Streaming sink: one graft commit per micro-batch, exactly-once via the
+  * epoch marker. The input DataFrame is bound to the engine's in-flight
+  * incremental plan — it is detached (planned rows, rewrapped) before
+  * entering the append path, which re-plans frames for uuid assignment.
+  */
+class GraftSink(spark: SparkSession, root: String, branch: String)
+    extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val exists = CommitLog.listCommits(spark, root).nonEmpty
+    val ds =
+      if (exists) GraftDataset.load(spark, root, branch)
+      else GraftDataset.create(spark, root, data.schema, branch)
+    val dup = GraftStream.lastBatchId(spark, root, ds.head)
+      .exists(_ >= batchId)
+    if (!dup) {
+      ds.append(InternalDf.detachBatch(data))
+      ds.commit(GraftStream.marker(batchId))
+      ()
+    }
+  }
+
+  override def toString: String = s"GraftSink[$root@$branch]"
+}
+
+/** Streaming source: tails a graft table's branch, one micro-batch per
+  * commit-range. Offsets are commit ids (numeric); the first batch is the
+  * full merge-on-read snapshot at the head observed at start, and every
+  * later batch is the append-only file delta between two commits — zero
+  * reprocessing, read straight from the new base files.
+  *
+  * In-place changes (updates / pops) between offsets cannot be expressed
+  * as an append stream: the source fails loudly unless
+  * `ignoreChanges=true`, which emits only the appended files and skips
+  * the in-place mutations (the consumer sees inserts only — Delta's
+  * `ignoreChanges` contract). Column renames always fail: the emitted
+  * schema is pinned at stream start.
+  */
+class GraftTailSource(spark: SparkSession, root: String, branch: String,
+                      withUuid: Boolean, ignoreChanges: Boolean)
+    extends Source {
+
+  override val schema: StructType =
+    GraftTailSource.tableSchema(spark, root, branch, withUuid)
+
+  private def logicalCols = schema.fieldNames.toIndexedSeq.map(col)
+
+  override def getOffset: Option[Offset] =
+    CommitLog.readBranches(spark, root).get(branch)
+      .map(id => LongOffset(id.toLong))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endId = GraftStream.commitId(GraftStream.offsetValue(end))
+    start match {
+      case None =>
+        // initial batch: the full snapshot at `end` (merge-on-read plan —
+        // updates and tombstones up to here are already folded in)
+        val ds = GraftDataset.loadCommit(spark, root, endId)
+        val snap = if (withUuid) ds.snapshotWithUuid() else ds.toDF
+        InternalDf.asStreaming(snap.select(logicalCols: _*))
+      case Some(s) if GraftStream.offsetValue(s) >= GraftStream.offsetValue(end) =>
+        InternalDf.emptyStreaming(spark, schema)
+      case Some(s) =>
+        val startId = GraftStream.commitId(GraftStream.offsetValue(s))
+        val newMeta = CommitLog.readCommit(spark, root, endId)
+        val oldMeta = CommitLog.readCommit(spark, root, startId)
+        require(newMeta.renames == oldMeta.renames,
+          s"graft stream source: columns were renamed between $startId and " +
+            s"$endId; restart the stream to pick up the new schema")
+        val appendOnly = newMeta.updates == oldMeta.updates &&
+          newMeta.tombstones == oldMeta.tombstones &&
+          oldMeta.files.forall(newMeta.files.toSet)
+        require(appendOnly || ignoreChanges,
+          s"graft stream source: commits $startId..$endId contain in-place " +
+            "changes (update/pop) that an append stream cannot express; " +
+            "set option ignoreChanges=true to stream the appends only")
+        // manifest paths are table-root-relative
+        val newFiles = newMeta.files.filterNot(oldMeta.files.toSet)
+          .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
+        if (newFiles.isEmpty) InternalDf.emptyStreaming(spark, schema)
+        else InternalDf.asStreaming(
+          spark.read.parquet(newFiles: _*).select(logicalCols: _*))
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftTailSource[$root@$branch]"
+}
+
+object GraftTailSource {
+  /** The logical schema at the branch head (from the commit's schema
+    * json — no data read), plus the row-identity column when asked.
+    */
+  def tableSchema(spark: SparkSession, root: String, branch: String,
+                  withUuid: Boolean): StructType = {
+    val head = CommitLog.readBranches(spark, root).getOrElse(branch,
+      throw new IllegalArgumentException(
+        s"graft stream source: no branch '$branch' at $root — the table " +
+          "must exist with at least one commit before streaming from it"))
+    val logical = org.apache.spark.sql.types.DataType
+      .fromJson(CommitLog.readCommit(spark, root, head).schemaJson)
+      .asInstanceOf[StructType]
+    if (withUuid) StructType(logical.fields :+
+      StructField(GraftDataset.UuidCol, LongType, nullable = false))
+    else logical
+  }
+}

@@ -1,0 +1,148 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** `writeStream.format("graft")` and `readStream.format("graft")` —
+  * the registered streaming halves of the data source.
+  */
+class GraftStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def schema2 = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("graft sink: one commit per micro-batch, exactly-once on retry") {
+    implicit val sq = spark.sqlContext
+    val root = tmpDir("gsink") + "/t"
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = mem.toDF.toDF("id", "v").writeStream
+      .format("graft")
+      .option("path", root)
+      .option("checkpointLocation", tmpDir("gsinkckpt"))
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val ds = GraftDataset.load(spark, root)
+    assert(ds.toDF.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val markers = ds.log.map(_.message).filter(_.startsWith("stream batch"))
+    assert(markers.size >= 2)
+    // a redelivered epoch (checkpoint recovery replays the last batch)
+    // must be a no-op
+    val sink = new GraftSink(spark, root, "main")
+    val replay = GraftStream.lastBatchId(spark, root, ds.head).get
+    sink.addBatch(replay, Seq((9L, "dup")).toDF("id", "v"))
+    assert(GraftDataset.load(spark, root).toDF.count() == 3)
+    // and the NEXT epoch appends
+    sink.addBatch(replay + 1, Seq((4L, "d")).toDF("id", "v"))
+    assert(GraftDataset.load(spark, root).toDF.count() == 4)
+  }
+
+  test("graft source: initial snapshot then per-commit append deltas") {
+    val root = tmpDir("gsrc") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ds.commit("seed")
+    val stream = spark.readStream.format("graft").load(root)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq == Seq("id", "v"))
+    val q = stream.writeStream.format("memory").queryName("gsrc_out")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", tmpDir("gsrcckpt"))
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("gsrc_out").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // two more commits land while the stream runs → exactly-once tail
+    ds.append(Seq((3L, "c")).toDF("id", "v")); ds.commit("more")
+    ds.append(Seq((4L, "d")).toDF("id", "v")); ds.commit("more2")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("gsrc_out").orderBy("id").as[(Long, String)]
+      .collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("graft source: snapshot folds updates; later in-place changes fail loudly") {
+    val root = tmpDir("gsrcup") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    ds.update(col("id") === 1L, Map("v" -> lit("A")))
+    ds.pop(col("id") === 3L)
+    ds.commit("mutated before stream start")
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("gsrcup_out")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", tmpDir("gsrcupckpt"))
+      .start()
+    q.processAllAvailable()
+    // initial snapshot is merge-on-read: update + tombstone applied
+    assert(spark.table("gsrcup_out").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "A"), (2L, "b")))
+    // an in-place change AFTER stream start cannot be an append delta
+    ds.update(col("id") === 2L, Map("v" -> lit("B")))
+    ds.commit("in-place while streaming")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    assert(err.getMessage.contains("ignoreChanges") ||
+      Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    q.stop()
+  }
+
+  test("graft source ignoreChanges=true streams appends across mutations") {
+    val root = tmpDir("gsrcig") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a")).toDF("id", "v"))
+    ds.commit("seed")
+    val q = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").load(root)
+      .writeStream.format("memory").queryName("gsrcig_out")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", tmpDir("gsrcigckpt"))
+      .start()
+    q.processAllAvailable()
+    // one commit mixing an update (ignored) and an append (streamed)
+    ds.update(col("id") === 1L, Map("v" -> lit("A")))
+    ds.append(Seq((2L, "b")).toDF("id", "v"))
+    ds.commit("mixed")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("gsrcig_out").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("table-to-table replication: graft source into graft sink") {
+    val src = tmpDir("grepl-src") + "/t"
+    val dst = tmpDir("grepl-dst") + "/t"
+    val ds = GraftDataset.create(spark, src, schema2)
+    ds.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ds.commit("seed")
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("path", dst)
+      .option("checkpointLocation", tmpDir("greplckpt"))
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    q.processAllAvailable()
+    ds.append(Seq((3L, "c")).toDF("id", "v"))
+    ds.commit("more")
+    q.processAllAvailable()
+    q.stop()
+    val out = GraftDataset.load(spark, dst)
+    assert(out.toDF.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the replica is itself a versioned table: each upstream commit-range
+    // landed as one commit
+    assert(out.log.count(_.message.startsWith("stream batch")) >= 2)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftnative.{GraftExtensions, SqlFunctions}
+import org.apache.spark.sql.graftnative.SqlFunctions
 
 import graft.SparkSpec
 
@@ -13,7 +13,10 @@ class SqlFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs = {
-    GraftExtensions.install(spark)
+    // functions only — installing the full GraftExtensions would also add
+    // the optimizer rule to the SHARED session and break IndexSpec's
+    // "without the rule" baseline
+    SqlFunctions.install(spark)
     val df = Seq(
       ("d1", "The quick brown fox jumps over the lazy dog and the cat"),
       ("d2", "el la de que es el la de que es"),
