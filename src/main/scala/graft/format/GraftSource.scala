@@ -86,7 +86,8 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     new GraftTailSource(sqlContext.sparkSession, root(parameters),
       parameters.getOrElse("branch", "main"),
       parameters.get("withUuid").exists(_.toBoolean),
-      parameters.get("ignoreChanges").exists(_.toBoolean))
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      parameters.get("maxCommitsPerTrigger").map(_.toInt).getOrElse(0))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation =

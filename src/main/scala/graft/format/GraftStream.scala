@@ -92,9 +92,13 @@ class GraftSink(spark: SparkSession, root: String, branch: String)
   * the in-place mutations (the consumer sees inserts only — Delta's
   * `ignoreChanges` contract). Column renames always fail: the emitted
   * schema is pinned at stream start.
+  *
+  * `maxCommitsPerTrigger=N` paces catch-up: at most N commits advance
+  * per micro-batch instead of folding a whole backlog into one batch.
   */
 class GraftTailSource(spark: SparkSession, root: String, branch: String,
-                      withUuid: Boolean, ignoreChanges: Boolean)
+                      withUuid: Boolean, ignoreChanges: Boolean,
+                      maxCommitsPerTrigger: Int = 0)
     extends Source {
 
   override val schema: StructType =
@@ -102,12 +106,48 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
 
   private def logicalCols = schema.fieldNames.toIndexedSeq.map(col)
 
-  override def getOffset: Option[Offset] =
-    CommitLog.readBranches(spark, root).get(branch)
-      .map(id => LongOffset(id.toLong))
+  // ---- rate limiting (maxCommitsPerTrigger > 0) -------------------------
+  // A stream resuming after downtime would otherwise replay the WHOLE
+  // backlog as one giant micro-batch. The cap must land on a commit that
+  // is actually ON this branch's first-parent chain (ids are allocated
+  // globally across branches, so head-minus-k is not necessarily ours):
+  // the chain is walked once per new head and memoized, so a catch-up
+  // over n commits costs O(n) total commit reads, not O(n) per trigger.
+  private var emittedUpTo: Option[Long] = None
+  private var chain: Vector[Long] = Vector.empty // ascending, on-branch
+
+  private def extendChain(headId: Long): Unit = {
+    val known = chain.lastOption.getOrElse(-1L)
+    if (headId <= known) return
+    var cur = Option(GraftStream.commitId(headId))
+    val add = Vector.newBuilder[Long]
+    while (cur.isDefined && cur.get.toLong > known) {
+      add += cur.get.toLong
+      cur = CommitLog.readCommit(spark, root, cur.get).parent
+    }
+    chain = chain ++ add.result().reverse
+  }
+
+  override def getOffset: Option[Offset] = {
+    val head = CommitLog.readBranches(spark, root).get(branch).map(_.toLong)
+    head.map { h =>
+      if (maxCommitsPerTrigger <= 0) LongOffset(h)
+      else {
+        extendChain(h)
+        val pending = emittedUpTo match {
+          case Some(e) => chain.dropWhile(_ <= e)
+          case None => chain
+        }
+        // the initial batch is one snapshot however far in it starts, so
+        // the cap simply picks how many commits that snapshot folds in
+        LongOffset(pending.take(maxCommitsPerTrigger).lastOption.getOrElse(h))
+      }
+    }
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = GraftStream.commitId(GraftStream.offsetValue(end))
+    emittedUpTo = Some(GraftStream.offsetValue(end))
     start match {
       case None =>
         // initial batch: the full snapshot at `end` (merge-on-read plan —

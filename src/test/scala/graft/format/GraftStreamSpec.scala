@@ -121,6 +121,30 @@ class GraftStreamSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("maxCommitsPerTrigger paces catch-up into multiple micro-batches") {
+    val root = tmpDir("gsrcrate") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    for (i <- 1 to 6) {
+      ds.append(Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      ds.commit(s"c$i")
+    }
+    val q = spark.readStream.format("graft")
+      .option("maxCommitsPerTrigger", "2").load(root)
+      .writeStream.format("memory").queryName("gsrcrate_out")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", tmpDir("gsrcrateckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // everything arrives exactly once...
+    assert(spark.table("gsrcrate_out").orderBy("id").as[(Long, String)]
+      .collect().toSeq == (1 to 6).map(i => (i.toLong, s"v$i")))
+    // ...but paced: 6 commits at ≤2 per trigger is at least 3 non-empty
+    // micro-batches, not one catch-all snapshot
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >=3 paced batches, got $batches")
+  }
+
   test("table-to-table replication: graft source into graft sink") {
     val src = tmpDir("grepl-src") + "/t"
     val dst = tmpDir("grepl-dst") + "/t"
