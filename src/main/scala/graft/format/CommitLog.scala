@@ -34,7 +34,12 @@ final case class CommitMeta(
     files: Seq[String],
     updates: Seq[String],
     tombstones: Seq[String],
-    renames: Seq[Seq[String]]) // ordered chain of (oldName, newName) pairs
+    renames: Seq[Seq[String]], // ordered chain of (oldName, newName) pairs
+    // Some(true) = pure file rewrite (compaction): logical rows are
+    // identical to the parent commit, only their file layout changed.
+    // Streaming tails skip such commits (Delta's dataChange=false).
+    // Option so commits written before the field parse unchanged.
+    rewrite: Option[Boolean] = None)
 
 object CommitLog {
   implicit val fmts: Formats = DefaultFormats

@@ -43,6 +43,11 @@ class GraftDataset private[format] (
   private var stRenames: Vector[(String, String)] = Vector.empty
   private var stSchema: StructType = new StructType()
   private var dirty: Boolean = false
+  // true while the ONLY staged change is a file rewrite that leaves the
+  // logical rows untouched (compact from a clean state) — published as
+  // CommitMeta.rewrite so streaming tails skip the commit instead of
+  // re-emitting every rewritten row (Delta's dataChange=false contract)
+  private var pendingRewrite: Boolean = false
 
   loadHead()
 
@@ -61,6 +66,7 @@ class GraftDataset private[format] (
         stSchema = new StructType()
     }
     dirty = false
+    pendingRewrite = false
   }
 
   def branch: Option[String] = branchName
@@ -225,7 +231,7 @@ class GraftDataset private[format] (
     require(parts.forall(_.nonEmpty), s"bad tensor name $name")
     require(parts.head != UuidCol, s"$UuidCol is reserved")
     stSchema = addNested(stSchema, parts, dataType, md)
-    dirty = true
+    dirty = true; pendingRewrite = false
   }
 
   /** Insert a leaf field at a `/`-path, creating/extending struct levels. */
@@ -285,7 +291,7 @@ class GraftDataset private[format] (
   def deleteTensor(name: String): Unit = {
     require(stSchema.fieldNames.contains(name), s"no column $name")
     stSchema = StructType(stSchema.fields.filterNot(_.name == name))
-    dirty = true
+    dirty = true; pendingRewrite = false
   }
 
   def renameTensor(from: String, to: String): Unit = {
@@ -294,7 +300,7 @@ class GraftDataset private[format] (
     stSchema = StructType(stSchema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     stRenames :+= (from, to)
-    dirty = true
+    dirty = true; pendingRewrite = false
   }
 
   /** Append rows. Columns may be a subset of the schema (reference
@@ -356,7 +362,7 @@ class GraftDataset private[format] (
       lit(base) + offsetOf +
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
     stFiles :+= writeData(withUuid, "base")
-    dirty = true
+    dirty = true; pendingRewrite = false
   }
 
   /** In-place update (reference `ds.update` / `tensor[i] = v`,
@@ -373,7 +379,7 @@ class GraftDataset private[format] (
     // execution of the filter plan); an empty result unregisters itself
     val rel = writeData(changed, "update")
     val n = writtenRowCount(rel)
-    if (n > 0) { stUpdates :+= rel; dirty = true } else deleteData(rel)
+    if (n > 0) { stUpdates :+= rel; dirty = true; pendingRewrite = false } else deleteData(rel)
     n
   }
 
@@ -385,7 +391,7 @@ class GraftDataset private[format] (
     // same single-pass shape as update: write + footer count
     val rel = writeData(dead, "tombstone")
     val n = writtenRowCount(rel)
-    if (n > 0) { stTombstones :+= rel; dirty = true } else deleteData(rel)
+    if (n > 0) { stTombstones :+= rel; dirty = true; pendingRewrite = false } else deleteData(rel)
     n
   }
 
@@ -403,6 +409,10 @@ class GraftDataset private[format] (
   def compact(clusterBy: Seq[String] = Nil): Unit = {
     val bad = clusterBy.filterNot(stSchema.fieldNames.contains)
     require(bad.isEmpty, s"unknown cluster columns: ${bad.mkString(",")}")
+    // a compact from a CLEAN state changes files but not logical rows —
+    // its commit is marked rewrite so streaming tails skip it; compacting
+    // on top of staged changes publishes a normal (data-changing) commit
+    val rewriteOnly = !dirty
     val snap = snapshotWithUuid()
     val clustered =
       if (clusterBy.isEmpty) snap
@@ -413,7 +423,7 @@ class GraftDataset private[format] (
     val rel = writeData(clustered, "compact")
     stFiles = Vector(rel); stUpdates = Vector.empty
     stTombstones = Vector.empty; stRenames = Vector.empty
-    dirty = true
+    dirty = true; pendingRewrite = rewriteOnly
   }
 
   // ---- version control ----------------------------------------------------
@@ -433,7 +443,8 @@ class GraftDataset private[format] (
       timestampMs = System.currentTimeMillis(),
       schemaJson = stSchema.json,
       files = stFiles, updates = stUpdates, tombstones = stTombstones,
-      renames = stRenames.map(p => Seq(p._1, p._2))))
+      renames = stRenames.map(p => Seq(p._1, p._2)),
+      rewrite = if (pendingRewrite) Some(true) else None))
     CommitLog.advanceCommitHint(spark, root, id)
     // Optimistic concurrency on the branch pointer: advance it only if it
     // still points at this commit's parent. A stale writer (someone else
@@ -453,6 +464,7 @@ class GraftDataset private[format] (
     }
     headId = Some(id)
     dirty = false
+    pendingRewrite = false
   }
 
   def branches: Map[String, String] = CommitLog.readBranches(spark, root)
@@ -650,7 +662,7 @@ class GraftDataset private[format] (
     stFiles = Vector(rel); stUpdates = Vector.empty
     stTombstones = Vector.empty; stRenames = Vector.empty
     stSchema = newSchema
-    dirty = true
+    dirty = true; pendingRewrite = false
     val id = CommitLog.nextCommitId(spark, root)
     publishCommit(id, s"merge $targetRef", Some(ourId), Some(theirId))
     id

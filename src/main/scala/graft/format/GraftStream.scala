@@ -158,21 +158,41 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
       case Some(s) if GraftStream.offsetValue(s) >= GraftStream.offsetValue(end) =>
         InternalDf.emptyStreaming(spark, schema)
       case Some(s) =>
-        val startId = GraftStream.commitId(GraftStream.offsetValue(s))
-        val newMeta = CommitLog.readCommit(spark, root, endId)
-        val oldMeta = CommitLog.readCommit(spark, root, startId)
-        require(newMeta.renames == oldMeta.renames,
-          s"graft stream source: columns were renamed between $startId and " +
-            s"$endId; restart the stream to pick up the new schema")
-        val appendOnly = newMeta.updates == oldMeta.updates &&
-          newMeta.tombstones == oldMeta.tombstones &&
-          oldMeta.files.forall(newMeta.files.toSet)
-        require(appendOnly || ignoreChanges,
-          s"graft stream source: commits $startId..$endId contain in-place " +
-            "changes (update/pop) that an append stream cannot express; " +
-            "set option ignoreChanges=true to stream the appends only")
+        // per-commit walk (not an endpoint diff): a rewrite-only commit
+        // (compaction, CommitMeta.rewrite) replaces the whole manifest
+        // while leaving logical rows untouched — an endpoint diff would
+        // re-emit every row in the table; the walk skips those commits'
+        // file changes entirely and checks append-only-ness per commit
+        val startV = GraftStream.offsetValue(s)
+        var metas = List.empty[CommitMeta]
+        var cur = Option(endId)
+        while (cur.isDefined && cur.get.toLong > startV) {
+          val m = CommitLog.readCommit(spark, root, cur.get)
+          metas ::= m // ascending after the loop
+          cur = m.parent
+        }
+        var prev = CommitLog.readCommit(spark, root,
+          GraftStream.commitId(startV))
+        val added = Vector.newBuilder[String]
+        for (m <- metas) {
+          if (!m.rewrite.contains(true)) {
+            require(m.renames == prev.renames,
+              s"graft stream source: columns were renamed at commit " +
+                s"${m.id}; restart the stream to pick up the new schema")
+            val appendOnly = m.updates == prev.updates &&
+              m.tombstones == prev.tombstones &&
+              prev.files.forall(m.files.toSet)
+            require(appendOnly || ignoreChanges,
+              s"graft stream source: commit ${m.id} contains in-place " +
+                "changes (update/pop) that an append stream cannot " +
+                "express; set option ignoreChanges=true to stream the " +
+                "appends only")
+            added ++= m.files.filterNot(prev.files.toSet)
+          }
+          prev = m
+        }
         // manifest paths are table-root-relative
-        val newFiles = newMeta.files.filterNot(oldMeta.files.toSet)
+        val newFiles = added.result()
           .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
         if (newFiles.isEmpty) InternalDf.emptyStreaming(spark, schema)
         else InternalDf.asStreaming(

@@ -121,6 +121,30 @@ class GraftStreamSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("rewrite commits (compact) are skipped by the tail, not re-emitted") {
+    val root = tmpDir("gsrccomp") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ds.commit("seed")
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("gsrccomp_out")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", tmpDir("gsrccompckpt"))
+      .start()
+    q.processAllAvailable()
+    // maintenance compaction mid-stream: whole manifest rewritten, zero
+    // logical row changes — the commit carries rewrite=true and the tail
+    // must NOT re-emit rows 1..2 (and needs no ignoreChanges to proceed)
+    ds.compact()
+    ds.commit("compact")
+    ds.append(Seq((3L, "c")).toDF("id", "v"))
+    ds.commit("more")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("gsrccomp_out").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("maxCommitsPerTrigger paces catch-up into multiple micro-batches") {
     val root = tmpDir("gsrcrate") + "/t"
     val ds = GraftDataset.create(spark, root, schema2)
