@@ -921,7 +921,9 @@ class GraftDataset private[format] (
                 new Path(dir, "centroids").toString)
               val model = readPqModel(
                 spark.read.parquet(new Path(dir, "pqmodel").toString))
-              V.pqEncode(V.assignCells(added, column, centroids),
+              V.pqEncode(
+                  V.assignCells(graphInput(added, column, idxMetric),
+                    column, centroids),
                   column, model)
                 .write.mode("append").partitionBy("cell")
                 .parquet(assignedPath)
@@ -1096,8 +1098,12 @@ class GraftDataset private[format] (
         centroids.write.mode("overwrite")
           .parquet(new Path(dir, "centroids").toString)
       case "IVFPQ" =>
-        val (assigned, centroids) = V.ivfBuild(snap, column, UuidCol, nlist)
-        val model = V.pqTrain(snap, column, UuidCol, subspaces, pqK)
+        // PQ codes score squared L2, so cosine rides the same unit-norm
+        // build as the graph indexes ([[graphInput]]); IVF stores raw
+        // vectors because ivfTopK evaluates the metric at query time
+        val pqIn = graphInput(snap, column, metric)
+        val (assigned, centroids) = V.ivfBuild(pqIn, column, UuidCol, nlist)
+        val model = V.pqTrain(pqIn, column, UuidCol, subspaces, pqK)
         V.pqEncode(assigned, column, model)
           .write.mode("overwrite").partitionBy("cell")
           .parquet(new Path(dir, "assigned").toString)
@@ -1226,8 +1232,9 @@ class GraftDataset private[format] (
     * via unit-normalized vectors — the score returned is then the
     * cosine similarity); FLAT is exact brute force over the live
     * snapshot (`exact = true` scores on the deterministic scaled-int
-    * grid, the oracle-checkable path). IVFPQ codes are L2-only.
-    * Requires a fresh index.
+    * grid, the oracle-checkable path). IVFPQ serves the metric it was
+    * built for the same way the graphs do (l2, or cosine via the
+    * unit-norm build). Requires a fresh index.
     */
   def vectorSearch(column: String, queryVec: Seq[Float], k: Int,
                    metric: String = "cosine", nprobe: Int = 8,
@@ -1266,11 +1273,13 @@ class GraftDataset private[format] (
         V.ivfTopK(art("assigned"), art("centroids"), column, UuidCol,
           queryVec, metric, k, nprobe, exact)
       case "IVFPQ" =>
-        require(metric == "l2",
-          s"IVFPQ codes score squared L2; use FLAT or IVF for $metric")
-        V.ivfPqTopK(art("assigned"), art("centroids"), column, UuidCol,
-          readPqModel(art("pqmodel")), queryVec, k, nprobe,
+        requireGraphMetric() // codes score L2; cosine = unit-norm build
+        val raw = V.ivfPqTopK(art("assigned"), art("centroids"), column,
+          UuidCol, readPqModel(art("pqmodel")), graphQuery, k, nprobe,
           rerank = refineFactor * k)
+        if (graphMetric == "l2") raw
+        else raw.select(col(UuidCol),
+          (lit(1.0) - col("score") / lit(2.0)).as("score"))
       case "HNSW" =>
         requireGraphMetric()
         graphScore(graft.operators.Hnsw.topK(art("graph"), graphQuery, k,

@@ -121,18 +121,18 @@ class IndexSpec extends SparkSpec {
     }
     ds.append(rows.toDF("id", "emb"))
     ds.commit("rows")
-    for (tpe <- Seq("HNSW", "DISKANN")) {
-      ds.createVectorIndex("emb", indexType = tpe, pqM = 2, pqK = 8,
-        graphDegree = 8, buildBeam = 32, metric = "cosine")
+    for (tpe <- Seq("HNSW", "DISKANN", "IVFPQ")) {
+      ds.createVectorIndex("emb", nlist = 4, indexType = tpe, pqM = 2,
+        pqK = 8, graphDegree = 8, buildBeam = 32, metric = "cosine")
       // query with 3× row 7's vector: same direction → cosine ≈ 1 for
-      // row 7 regardless of magnitude (an l2 graph would rank by norm)
+      // row 7 regardless of magnitude (an l2 index would rank by norm)
       val q = rows(7)._2.map(_ * 3.0f)
       val uuid7 = ds.snapshotWithUuid().filter($"id" === 7L)
         .select(col(GraftDataset.UuidCol)).as[Long].head()
       val top = ds.vectorSearch("emb", q, k = 1, metric = "cosine").head()
       assert(top.getLong(0) == uuid7, tpe)
       assert(math.abs(top.getDouble(1) - 1.0) < 1e-5, tpe)
-      // the graph was built for cosine: an l2 probe is rejected loudly
+      // built for cosine: an l2 probe is rejected loudly
       intercept[IllegalArgumentException] {
         ds.vectorSearch("emb", q, k = 1, metric = "l2")
       }
