@@ -271,9 +271,13 @@ object InvertedIndex {
       .withColumn("_dl", size(array_distinct(col("_toks"))))
     val score = idf.map { case (t, w) =>
       val tf = size(filter(col("_toks"), x => x === lit(t))).cast("double")
+      // a corpus whose every doc tokenizes empty has avgDocLen 0 — the
+      // dl/avgdl term would then 0/0-abort the job under ANSI mode; any
+      // positive floor is equivalent there (dl is 0 for every candidate)
+      val avgdl = if (stats.avgDocLen > 0) stats.avgDocLen else 1.0
       lit(w) * tf * lit(k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) +
-          lit(b) * col("_dl").cast("double") / lit(stats.avgDocLen)))
+          lit(b) * col("_dl").cast("double") / lit(avgdl)))
     }.reduce(_ + _)
     val ranked = scored.withColumn("bm25", score)
       .drop("_toks", "_dl")

@@ -169,7 +169,11 @@ object SafeExpr {
       case "min" => s"array_min($c)"
       case "max" => s"array_max($c)"
       case "mean" =>
-        s"(aggregate($c, cast(0 as double), (acc, x) -> acc + cast(x as double)) / size($c))"
+        // CASE guards the empty tensor: 0/0 would abort the whole job
+        // under ANSI mode; NULL matches DuckDB's list_avg([]) and the
+        // branch never evaluates the division (CaseWhen is lazy)
+        s"(CASE WHEN size($c) = 0 THEN NULL ELSE " +
+          s"aggregate($c, cast(0 as double), (acc, x) -> acc + cast(x as double)) / size($c) END)"
     }
   }
 
