@@ -169,6 +169,36 @@ class GraftStreamSpec extends SparkSpec {
     assert(batches >= 3, s"expected >=3 paced batches, got $batches")
   }
 
+  test("restart from checkpoint resumes the tail without duplicates") {
+    val src = tmpDir("grestart-src") + "/t"
+    val dst = tmpDir("grestart-dst") + "/t"
+    val ckpt = tmpDir("grestartckpt")
+    val ds = GraftDataset.create(spark, src, schema2)
+    ds.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ds.commit("seed")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0L))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    assert(GraftDataset.load(spark, dst).toDF.count() == 2)
+    // new data lands while no stream is running; the restarted query
+    // recovers its last offset from the checkpoint (the SerializedOffset
+    // code path) and must emit ONLY the new commit
+    ds.append(Seq((3L, "c")).toDF("id", "v"))
+    ds.commit("while down")
+    run()
+    assert(GraftDataset.load(spark, dst).toDF.orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("table-to-table replication: graft source into graft sink") {
     val src = tmpDir("grepl-src") + "/t"
     val dst = tmpDir("grepl-dst") + "/t"
