@@ -64,6 +64,24 @@ object SqlFunctions {
     String.valueOf(e.eval())
   }
 
+  private def litStrArray(fn: String, arg: String,
+                          e: Expression): Seq[String] = {
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+      case _ => false
+    })
+    require(ok, s"$fn: $arg must be a literal array<string>")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(StringType).toIndexedSeq.map(String.valueOf)
+  }
+
+  private def litBool(fn: String, arg: String, e: Expression): Boolean = {
+    require(e.foldable &&
+      e.dataType == org.apache.spark.sql.types.BooleanType,
+      s"$fn: $arg must be a literal boolean")
+    e.eval().asInstanceOf[Boolean]
+  }
+
   private def arity(fn: String, n: Int): Nothing =
     throw new IllegalArgumentException(s"$fn expects $n argument(s)")
 
@@ -111,6 +129,16 @@ object SqlFunctions {
       case Seq(a, p) => x(T.redactionCount(c(a),
         litStr("graft_redaction_count", "pattern", p)))
       case _ => arity("graft_redaction_count", 2)
+    }},
+    // dictionary CJK tokenizer (jieba DAG route; optional HMM OOV pass)
+    "graft_tokens_dict" -> { es: Seq[Expression] => es match {
+      case Seq(a, d) => x(T.tokensDict(c(a),
+        litStrArray("graft_tokens_dict", "dict", d)))
+      case Seq(a, d, h) => x(T.tokensDict(c(a),
+        litStrArray("graft_tokens_dict", "dict", d),
+        hmm = litBool("graft_tokens_dict", "hmm", h)))
+      case _ => throw new IllegalArgumentException(
+        "graft_tokens_dict expects (text, dict) or (text, dict, hmm)")
     }},
     // dedup hash families (native codegen'd expressions)
     f1("graft_simhash32")(NativeExpressions.simHash32),

@@ -131,6 +131,26 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("coss")))
   }
 
+  test("dictionary CJK tokenizer via SQL matches the Scala API") {
+    docs
+    val cjk = Seq(("c1", "我们研究生命的起源"), ("c2", "Spark 研究 data"))
+      .toDF("id", "body")
+    cjk.createOrReplaceTempView("sqlfn_cjk")
+    val sql = spark.sql("""
+      SELECT id,
+        graft_tokens_dict(body, array('研究', '生命', '起源', '我们')) AS t2,
+        graft_tokens_dict(body, array('研究'), true) AS t3
+      FROM sqlfn_cjk""")
+    val viaScala = cjk.select(col("id"),
+      TextFunctions.tokensDict(col("body"),
+        Seq("研究", "生命", "起源", "我们")).as("t2"),
+      TextFunctions.tokensDict(col("body"), Seq("研究"), hmm = true).as("t3"))
+    assert(sql.orderBy("id").collect().toSeq ==
+      viaScala.orderBy("id").collect().toSeq)
+    assert(sql.filter($"id" === "c1").head().getSeq[String](1)
+      .containsSlice(Seq("研究", "生命")))
+  }
+
   test("non-literal scalar parameters fail analysis with a clear message") {
     docs
     val e = intercept[Exception] {
