@@ -95,6 +95,11 @@ class GraftSink(spark: SparkSession, root: String, branch: String)
   *
   * `maxCommitsPerTrigger=N` paces catch-up: at most N commits advance
   * per micro-batch instead of folding a whole backlog into one batch.
+  *
+  * Out of contract: rewinding the branch (reset/force-checkout to an
+  * earlier commit) under a running stream — offsets only move forward;
+  * restart the stream with a fresh checkpoint after a rewind (the same
+  * contract Delta's source has).
   */
 class GraftTailSource(spark: SparkSession, root: String, branch: String,
                       withUuid: Boolean, ignoreChanges: Boolean,

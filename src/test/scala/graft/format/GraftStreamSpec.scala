@@ -169,6 +169,21 @@ class GraftStreamSpec extends SparkSpec {
     assert(batches >= 3, s"expected >=3 paced batches, got $batches")
   }
 
+  test("Trigger.AvailableNow drains the table and stops (batch-incremental)") {
+    val root = tmpDir("gsrcavail") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a")).toDF("id", "v")); ds.commit("c1")
+    ds.append(Seq((2L, "b")).toDF("id", "v")); ds.commit("c2")
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("gsrcavail_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("gsrcavailckpt"))
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-stop")
+    assert(spark.table("gsrcavail_out").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("restart from checkpoint resumes the tail without duplicates") {
     val src = tmpDir("grestart-src") + "/t"
     val dst = tmpDir("grestart-dst") + "/t"
