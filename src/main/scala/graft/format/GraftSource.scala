@@ -87,7 +87,8 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       parameters.getOrElse("branch", "main"),
       parameters.get("withUuid").exists(_.toBoolean),
       parameters.get("ignoreChanges").exists(_.toBoolean),
-      parameters.get("maxCommitsPerTrigger").map(_.toInt).getOrElse(0))
+      parameters.get("maxCommitsPerTrigger").map(_.toInt).getOrElse(0),
+      metadataPath)
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation =

@@ -103,7 +103,8 @@ class GraftSink(spark: SparkSession, root: String, branch: String)
   */
 class GraftTailSource(spark: SparkSession, root: String, branch: String,
                       withUuid: Boolean, ignoreChanges: Boolean,
-                      maxCommitsPerTrigger: Int = 0)
+                      maxCommitsPerTrigger: Int = 0,
+                      metadataPath: String = "")
     extends Source {
 
   override val schema: StructType =
@@ -118,8 +119,52 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
   // globally across branches, so head-minus-k is not necessarily ours):
   // the chain is walked once per new head and memoized, so a catch-up
   // over n commits costs O(n) total commit reads, not O(n) per trigger.
-  private var emittedUpTo: Option[Long] = None
+  //
+  // `floorV` = highest offset ever handed to the engine. It must SURVIVE
+  // restarts when rate limiting is on: the engine restores its committed
+  // offset from the checkpoint but never tells a V1 source, so a fresh
+  // source would cap from the chain's beginning and return an offset
+  // BELOW the checkpoint — regressing the offset log and re-emitting
+  // already-delivered commits. Persisted in the engine-provided source
+  // metadataPath (the FileStreamSource pattern). After a crash between
+  // the floor write and the offset-log write the floor may run ahead:
+  // that only widens one batch past the cap, never skips or duplicates
+  // rows (getBatch walks whatever (start, end] the engine asks for).
   private var chain: Vector[Long] = Vector.empty // ascending, on-branch
+
+  private def floorFile = new org.apache.hadoop.fs.Path(
+    metadataPath, "graft-offset-floor")
+
+  private var floorV: Long = {
+    if (maxCommitsPerTrigger <= 0 || metadataPath.isEmpty) -1L
+    else {
+      val f = CommitLog.fs(spark, metadataPath)
+      if (!f.exists(floorFile)) -1L
+      else {
+        val in = f.open(floorFile)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    }
+  }
+
+  private def advanceFloor(v: Long): Unit = if (v > floorV) {
+    floorV = v
+    if (maxCommitsPerTrigger > 0 && metadataPath.nonEmpty) {
+      val f = CommitLog.fs(spark, metadataPath)
+      f.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+      val tmp = new org.apache.hadoop.fs.Path(
+        metadataPath, s".graft-offset-floor-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        floorFile.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(floorFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
 
   private def extendChain(headId: Long): Unit = {
     val known = chain.lastOption.getOrElse(-1L)
@@ -139,20 +184,19 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
       if (maxCommitsPerTrigger <= 0) LongOffset(h)
       else {
         extendChain(h)
-        val pending = emittedUpTo match {
-          case Some(e) => chain.dropWhile(_ <= e)
-          case None => chain
-        }
+        val pending = chain.dropWhile(_ <= floorV)
         // the initial batch is one snapshot however far in it starts, so
         // the cap simply picks how many commits that snapshot folds in
-        LongOffset(pending.take(maxCommitsPerTrigger).lastOption.getOrElse(h))
+        val cap = pending.take(maxCommitsPerTrigger).lastOption.getOrElse(h)
+        advanceFloor(cap)
+        LongOffset(cap)
       }
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = GraftStream.commitId(GraftStream.offsetValue(end))
-    emittedUpTo = Some(GraftStream.offsetValue(end))
+    advanceFloor(GraftStream.offsetValue(end))
     start match {
       case None =>
         // initial batch: the full snapshot at `end` (merge-on-read plan —

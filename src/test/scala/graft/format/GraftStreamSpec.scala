@@ -169,6 +169,39 @@ class GraftStreamSpec extends SparkSpec {
     assert(batches >= 3, s"expected >=3 paced batches, got $batches")
   }
 
+  test("capped stream restart keeps exactly-once (floor survives in metadataPath)") {
+    // without the persisted floor, a restarted rate-limited source caps
+    // from the chain's beginning, hands the engine an offset BELOW the
+    // checkpoint, and re-emits already-delivered commits
+    val src = tmpDir("gratefl-src") + "/t"
+    val dst = tmpDir("gratefl-dst") + "/t"
+    val ckpt = tmpDir("grateflckpt")
+    val ds = GraftDataset.create(spark, src, schema2)
+    for (i <- 1 to 6) {
+      ds.append(Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      ds.commit(s"c$i")
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxCommitsPerTrigger", "2").load(src)
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0L))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    assert(GraftDataset.load(spark, dst).toDF.count() == 6)
+    ds.append(Seq((7L, "v7")).toDF("id", "v"))
+    ds.commit("c7")
+    run()
+    assert(GraftDataset.load(spark, dst).toDF.orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      (1 to 7).map(i => (i.toLong, s"v$i")))
+  }
+
   test("Trigger.AvailableNow drains the table and stops (batch-incremental)") {
     val root = tmpDir("gsrcavail") + "/t"
     val ds = GraftDataset.create(spark, root, schema2)
