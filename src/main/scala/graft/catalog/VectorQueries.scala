@@ -447,6 +447,10 @@ object VectorQueries {
     // scaled-int path; row identity maps back to vec_id through the
     // registered data source's withUuid read. Oracle-pins the index
     // routing + uuid plumbing end to end, not just the distance math.
+    // Tie-break note: vectorSearch breaks score ties by _uuid, the
+    // oracle by vec_id — equivalent HERE because append assigns uuids
+    // monotonically in ingest row order and the embeddings parquet is
+    // one file ordered by vec_id (uuid order ≡ vec_id order).
     QueryDef("q94_format_vector_flat_search",
       (s, dir) => {
         val e = emb(s, dir)

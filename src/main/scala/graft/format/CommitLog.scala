@@ -110,24 +110,61 @@ object CommitLog {
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
   }
 
+  /** Atomic in-place file replacement: write a temp sibling, then
+    * `FileContext.rename(OVERWRITE)` — atomic on local FS and HDFS, so
+    * readers see the old or the new content, never a torn file. Object
+    * stores whose rename is copy+delete get the readers' bounded retry
+    * instead (see [[readBranches]]).
+    */
+  private[format] def atomicReplace(spark: SparkSession, target: Path,
+                                    content: String): Unit = {
+    val f = fs(spark, target.toString)
+    f.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}-${java.util.UUID.randomUUID()}.tmp")
+    writeString(f, tmp, content, overwrite = false)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // roots whose branches file has been OBSERVED by this JVM: once seen,
+  // a later exists()=false is treated as a transient copy+delete rename
+  // window (object stores) and retried, while a genuinely fresh table —
+  // never seen — still returns empty immediately (no create-path slowdown)
+  private val seenBranches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Branch pointers are read by EVERY load/getOffset and rewritten by
     * every commit — unlike commit files (write-once) this file is
     * replaced in place, so reads and writes genuinely race. The write is
-    * a temp file + rename-with-overwrite (atomic on local FS and HDFS:
-    * readers see the old or the new content, never a torn file); the
-    * bounded retry covers object stores whose rename is copy+delete.
+    * atomic ([[atomicReplace]]); the bounded retry — on parse failures
+    * AND on absence-after-having-been-seen — covers object stores whose
+    * rename is copy+delete.
     */
   def readBranches(spark: SparkSession, root: String): Map[String, String] = {
     val f = fs(spark, root)
     val p = branchesFile(root)
     var attempt = 0
     while (true) {
-      if (!f.exists(p)) return Map.empty
       try {
-        return JsonMethods.parse(readString(f, p)).extract[Map[String, String]]
+        if (!f.exists(p)) {
+          if (!seenBranches.contains(root)) return Map.empty
+          throw new java.io.FileNotFoundException(p.toString) // transient
+        }
+        val parsed =
+          JsonMethods.parse(readString(f, p)).extract[Map[String, String]]
+        seenBranches.add(root)
+        return parsed
       } catch {
         case e: Exception if attempt < 5 =>
           attempt += 1; Thread.sleep(10L << attempt)
+        case _: java.io.FileNotFoundException =>
+          // still absent after the retries: the table was deleted, not
+          // mid-rename — forget it so the next read is fast again
+          seenBranches.remove(root)
+          return Map.empty
         case e: Exception =>
           throw new java.io.IOException(
             s"branches file unreadable after $attempt retries: $p", e)
@@ -138,16 +175,8 @@ object CommitLog {
 
   def writeBranches(spark: SparkSession, root: String,
                     branches: Map[String, String]): Unit = {
-    val f = fs(spark, root)
-    f.mkdirs(new Path(root, "_graft"))
-    val target = branchesFile(root)
-    val tmp = new Path(root,
-      s"_graft/.branches-${java.util.UUID.randomUUID()}.tmp")
-    writeString(f, tmp, Serialization.write(branches), overwrite = false)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicReplace(spark, branchesFile(root), Serialization.write(branches))
+    seenBranches.add(root)
   }
 
   /** Commit ids are zero-padded sequence numbers → lexicographic order is

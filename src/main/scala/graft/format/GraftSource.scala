@@ -64,8 +64,13 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     require(partitionColumns.isEmpty,
       "graft sink: partitionBy is not supported — layout is managed by " +
         "the table format")
+    // the query's identity for exactly-once markers: the checkpoint
+    // location is the one name that survives restarts of THIS query and
+    // differs between queries (epoch numbers alone restart at 0)
+    val token = GraftStream.queryToken(
+      parameters.getOrElse("checkpointLocation", root(parameters)))
     new GraftSink(sqlContext.sparkSession, root(parameters),
-      parameters.getOrElse("branch", "main"))
+      parameters.getOrElse("branch", "main"), token)
   }
 
   override def sourceSchema(sqlContext: SQLContext,

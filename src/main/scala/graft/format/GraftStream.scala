@@ -18,27 +18,40 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GraftStream {
 
-  /** Commit-message marker carrying the epoch id — the idempotency token
-    * for exactly-once appends under checkpoint recovery (same pattern as
-    * [[graft.streaming.GraftStreaming.appendStream]]).
+  /** Commit-message marker carrying (query token, epoch id) — the
+    * idempotency key for exactly-once appends under checkpoint recovery.
+    * The token identifies the STREAM (derived from its checkpoint
+    * location): epoch numbers restart at 0 for every new query, so an
+    * epoch-only check would silently drop the first batches of a second
+    * query writing to the same table (Delta's (txnAppId, txnVersion)
+    * idea, carried in the commit message).
     */
-  private[format] val MarkerRe = "stream batch (\\d+)".r
+  private[format] val MarkerRe = "stream\\[([0-9a-f]+)\\] batch (\\d+)".r
 
-  private[format] def marker(batchId: Long) = s"stream batch $batchId"
+  private[format] def marker(token: String, batchId: Long) =
+    s"stream[$token] batch $batchId"
 
-  /** The most recent stream-marker epoch on the first-parent chain,
-    * walking lazily from the branch head. Stops at the FIRST marker:
-    * epochs are monotone along a branch, so one marker decides. For a
-    * stream-owned branch this reads exactly one commit; interleaved
-    * manual commits only add their own count.
+  /** A stable per-query token from the checkpoint location (the one
+    * identity that survives restarts and differs between queries).
+    */
+  private[format] def queryToken(checkpointLocation: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(checkpointLocation) & 0xffffffffL}%08x"
+
+  /** The most recent epoch THIS query committed, walking the first-parent
+    * chain from the branch head. Stops at the first marker with a
+    * matching token: epochs are monotone per query, so one marker
+    * decides. For a stream-owned branch this reads exactly one commit;
+    * a new query over an existing table walks past the other tokens'
+    * markers once (its own first commit ends later walks).
     */
   private[format] def lastBatchId(spark: SparkSession, root: String,
-                                  head: Option[String]): Option[Long] = {
+                                  head: Option[String],
+                                  token: String): Option[Long] = {
     var cur = head
     while (cur.isDefined) {
       val m = CommitLog.readCommit(spark, root, cur.get)
       m.message match {
-        case MarkerRe(id) => return Some(id.toLong)
+        case MarkerRe(t, id) if t == token => return Some(id.toLong)
         case _ => cur = m.parent
       }
     }
@@ -60,7 +73,8 @@ object GraftStream {
   * incremental plan — it is detached (planned rows, rewrapped) before
   * entering the append path, which re-plans frames for uuid assignment.
   */
-class GraftSink(spark: SparkSession, root: String, branch: String)
+class GraftSink(spark: SparkSession, root: String, branch: String,
+                queryToken: String)
     extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -68,12 +82,18 @@ class GraftSink(spark: SparkSession, root: String, branch: String)
     val ds =
       if (exists) GraftDataset.load(spark, root, branch)
       else GraftDataset.create(spark, root, data.schema, branch)
-    val dup = GraftStream.lastBatchId(spark, root, ds.head)
+    val dup = GraftStream.lastBatchId(spark, root, ds.head, queryToken)
       .exists(_ >= batchId)
     if (!dup) {
-      ds.append(InternalDf.detachBatch(data))
-      ds.commit(GraftStream.marker(batchId))
-      ()
+      // append runs TWO actions over the batch (per-partition counts for
+      // uuid assignment, then the write) — persist the planned rows so
+      // the upstream micro-batch plan executes once, not twice
+      val (batch, rdd) = InternalDf.detachBatchCached(data)
+      try {
+        ds.append(batch)
+        ds.commit(GraftStream.marker(queryToken, batchId))
+        ()
+      } finally rdd.unpersist(false)
     }
   }
 
@@ -135,8 +155,12 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
   private def floorFile = new org.apache.hadoop.fs.Path(
     metadataPath, "graft-offset-floor")
 
+  // the floor is read AND written regardless of the current cap setting:
+  // a stream that ran uncapped and is restarted WITH a cap must still
+  // know how far it got, or the cap would start from the chain's
+  // beginning and regress below the checkpoint
   private var floorV: Long = {
-    if (maxCommitsPerTrigger <= 0 || metadataPath.isEmpty) -1L
+    if (metadataPath.isEmpty) -1L
     else {
       val f = CommitLog.fs(spark, metadataPath)
       if (!f.exists(floorFile)) -1L
@@ -151,19 +175,8 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
 
   private def advanceFloor(v: Long): Unit = if (v > floorV) {
     floorV = v
-    if (maxCommitsPerTrigger > 0 && metadataPath.nonEmpty) {
-      val f = CommitLog.fs(spark, metadataPath)
-      f.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
-      val tmp = new org.apache.hadoop.fs.Path(
-        metadataPath, s".graft-offset-floor-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, false)
-      try out.write(v.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        floorFile.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(fc.makeQualified(tmp), fc.makeQualified(floorFile),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
+    if (metadataPath.nonEmpty)
+      CommitLog.atomicReplace(spark, floorFile, v.toString)
   }
 
   private def extendChain(headId: Long): Unit = {
@@ -225,27 +238,41 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
         val added = Vector.newBuilder[String]
         for (m <- metas) {
           if (!m.rewrite.contains(true)) {
-            require(m.renames == prev.renames,
-              s"graft stream source: columns were renamed at commit " +
-                s"${m.id}; restart the stream to pick up the new schema")
+            // schema equality, not rename-chain equality: a compact-on-
+            // dirty commit FOLDS the cumulative rename chain into the
+            // data (chain resets to empty with no logical rename), while
+            // any real rename / added / dropped column changes the field
+            // list — which is exactly what invalidates the pinned schema
+            require(m.schemaJson == prev.schemaJson,
+              s"graft stream source: the table schema changed at commit " +
+                s"${m.id}; restart the stream (with a fresh checkpoint) " +
+                "to pick up the new schema")
+            val prevFiles = prev.files.toSet
+            val mFiles = m.files.toSet
             val appendOnly = m.updates == prev.updates &&
               m.tombstones == prev.tombstones &&
-              prev.files.forall(m.files.toSet)
+              prev.files.forall(mFiles.contains)
             require(appendOnly || ignoreChanges,
               s"graft stream source: commit ${m.id} contains in-place " +
                 "changes (update/pop) that an append stream cannot " +
                 "express; set option ignoreChanges=true to stream the " +
                 "appends only")
-            added ++= m.files.filterNot(prev.files.toSet)
+            added ++= m.files.filterNot(prevFiles)
           }
           prev = m
         }
-        // manifest paths are table-root-relative
+        // manifest paths are table-root-relative; reading with the
+        // PINNED schema null-backfills columns a file predates and
+        // ignores columns it has extra (the snapshot readers'
+        // mergeSchema+align equivalent), so a file range written under
+        // an older schema — replayed after a schema-change restart —
+        // still reads instead of failing on single-file inference
         val newFiles = added.result()
           .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
         if (newFiles.isEmpty) InternalDf.emptyStreaming(spark, schema)
         else InternalDf.asStreaming(
-          spark.read.parquet(newFiles: _*).select(logicalCols: _*))
+          spark.read.schema(schema).parquet(newFiles: _*)
+            .select(logicalCols: _*))
     }
   }
 

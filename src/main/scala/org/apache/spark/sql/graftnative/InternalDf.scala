@@ -47,4 +47,17 @@ object InternalDf {
   def detachBatch(df: DataFrame): DataFrame =
     fromInternalRows(df.sparkSession,
       df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
+
+  /** [[detachBatch]] with the row RDD persisted (memory-and-disk): a
+    * consumer that runs multiple actions over the batch executes the
+    * upstream streaming plan once. Caller must `unpersist` the returned
+    * RDD when done.
+    */
+  def detachBatchCached(df: DataFrame)
+      : (DataFrame, RDD[InternalRow]) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (fromInternalRows(df.sparkSession, rdd, df.schema, isStreaming = false),
+      rdd)
+  }
 }

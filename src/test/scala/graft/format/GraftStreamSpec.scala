@@ -18,12 +18,13 @@ class GraftStreamSpec extends SparkSpec {
   test("graft sink: one commit per micro-batch, exactly-once on retry") {
     implicit val sq = spark.sqlContext
     val root = tmpDir("gsink") + "/t"
+    val ckpt = tmpDir("gsinkckpt")
     val mem = MemoryStream[(Long, String)]
     mem.addData((1L, "a"), (2L, "b"))
     val q = mem.toDF.toDF("id", "v").writeStream
       .format("graft")
       .option("path", root)
-      .option("checkpointLocation", tmpDir("gsinkckpt"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime(0L))
       .start()
     q.processAllAvailable()
@@ -33,17 +34,28 @@ class GraftStreamSpec extends SparkSpec {
     val ds = GraftDataset.load(spark, root)
     assert(ds.toDF.orderBy("id").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
-    val markers = ds.log.map(_.message).filter(_.startsWith("stream batch"))
+    val markers = ds.log.map(_.message).filter(_.startsWith("stream["))
     assert(markers.size >= 2)
     // a redelivered epoch (checkpoint recovery replays the last batch)
-    // must be a no-op
-    val sink = new GraftSink(spark, root, "main")
-    val replay = GraftStream.lastBatchId(spark, root, ds.head).get
+    // must be a no-op — same query identity, same token
+    val token = GraftStream.queryToken(ckpt)
+    val sink = new GraftSink(spark, root, "main", token)
+    val replay = GraftStream.lastBatchId(spark, root, ds.head, token).get
     sink.addBatch(replay, Seq((9L, "dup")).toDF("id", "v"))
     assert(GraftDataset.load(spark, root).toDF.count() == 3)
     // and the NEXT epoch appends
     sink.addBatch(replay + 1, Seq((4L, "d")).toDF("id", "v"))
     assert(GraftDataset.load(spark, root).toDF.count() == 4)
+    // a DIFFERENT query (fresh checkpoint → epochs restart at 0) writing
+    // to the same table must NOT be deduped against the first query's
+    // markers — epoch-only matching would silently drop its batches
+    val sink2 = new GraftSink(spark, root, "main",
+      GraftStream.queryToken(tmpDir("gsinkckpt2")))
+    sink2.addBatch(0L, Seq((5L, "e")).toDF("id", "v"))
+    assert(GraftDataset.load(spark, root).toDF.count() == 5)
+    // but ITS OWN retry of epoch 0 is still a no-op
+    sink2.addBatch(0L, Seq((5L, "e")).toDF("id", "v"))
+    assert(GraftDataset.load(spark, root).toDF.count() == 5)
   }
 
   test("graft source: initial snapshot then per-commit append deltas") {
@@ -269,6 +281,6 @@ class GraftStreamSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
     // the replica is itself a versioned table: each upstream commit-range
     // landed as one commit
-    assert(out.log.count(_.message.startsWith("stream batch")) >= 2)
+    assert(out.log.count(_.message.startsWith("stream[")) >= 2)
   }
 }
