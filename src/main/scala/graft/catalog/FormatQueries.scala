@@ -19,7 +19,7 @@ import graft.sources.IO
 object FormatQueries {
 
   private def freshRoot(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+    graft.QueryCleanup.tempRoot(tag)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -298,6 +298,9 @@ object FormatQueries {
         ds.commit("even half")
         val sinkTable = "q96_out_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
+        // the memory sink pins every streamed row in driver memory until
+        // the temp view is dropped — reaped once the result is consumed
+        graft.QueryCleanup.registerTempView(sinkTable)
         val q = s.readStream.format("graft").load(root)
           .writeStream.format("memory").queryName(sinkTable)
           .option("checkpointLocation", freshRoot("q96ckpt"))

@@ -454,8 +454,7 @@ object VectorQueries {
     QueryDef("q94_format_vector_flat_search",
       (s, dir) => {
         val e = emb(s, dir)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q94").toString + "/t"
+        val root = graft.QueryCleanup.tempRoot("q94")
         val ds = graft.format.GraftDataset.create(s, root, e.schema)
         ds.append(e)
         ds.commit("ingest")

@@ -928,8 +928,17 @@ class GraftDataset private[format] (
                 .write.mode("append").partitionBy("cell")
                 .parquet(assignedPath)
             case "HNSW" | "DISKANN" =>
-              val offset = spark.read.parquet(graphPath)
-                .agg(max(col("part"))).head().getInt(0) + 1
+              // empty persisted graph (index created while the vector
+              // column had no rows): max(part) is null — or the parquet
+              // dir has no readable footer at all — and the delta IS the
+              // whole index, so new parts start at 0
+              val lastPart = try {
+                spark.read.parquet(graphPath)
+                  .agg(coalesce(max(col("part")), lit(-1))).head().getInt(0)
+              } catch {
+                case _: org.apache.spark.sql.AnalysisException => -1
+              }
+              val offset = lastPart + 1
               val gIn = graphInput(added, column, idxMetric)
               val built =
                 if (tpe == "HNSW")
@@ -1147,8 +1156,12 @@ class GraftDataset private[format] (
 
   /** The embedding dimensionality, from the first non-null vector. */
   private def vectorDim(df: DataFrame, column: String): Int =
-    df.filter(col(column).isNotNull)
-      .select(col(column)).head().getSeq[Float](0).length
+    df.filter(col(column).isNotNull).select(col(column)).head(1) match {
+      case Array(r) => r.getSeq[Float](0).length
+      case _ => throw new IllegalArgumentException(
+        s"cannot build a vector index: column '$column' has no non-null " +
+          "vectors to infer the dimensionality from")
+    }
 
   private def writePqModel(
       dir: Path, model: graft.operators.VectorSearch.PqModel): Unit = {

@@ -66,9 +66,19 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         "the table format")
     // the query's identity for exactly-once markers: the checkpoint
     // location is the one name that survives restarts of THIS query and
-    // differs between queries (epoch numbers alone restart at 0)
-    val token = GraftStream.queryToken(
-      parameters.getOrElse("checkpointLocation", root(parameters)))
+    // differs between queries (epoch numbers alone restart at 0). It must
+    // be an EXPLICIT writeStream option: the session-conf default
+    // (spark.sql.streaming.checkpointLocation) is resolved by the engine
+    // and never reaches the sink's parameters, so falling back to, say,
+    // the table root would hand two such queries ONE identity — the
+    // second query's epochs 0..N would be skipped as duplicates.
+    val token = GraftStream.queryToken(parameters.getOrElse(
+      "checkpointLocation",
+      throw new IllegalArgumentException(
+        "graft sink: an explicit .option(\"checkpointLocation\", ...) is " +
+          "required — it is the sink's stable query identity for " +
+          "exactly-once commits (the session-conf default is resolved by " +
+          "the engine and does not reach the sink)")))
     new GraftSink(sqlContext.sparkSession, root(parameters),
       parameters.getOrElse("branch", "main"), token)
   }

@@ -33,9 +33,15 @@ object GraftStream {
 
   /** A stable per-query token from the checkpoint location (the one
     * identity that survives restarts and differs between queries).
+    * 128-bit md5: at 32 bits the birthday bound puts two colliding
+    * checkpoint paths within reach of a few tens of thousands of queries
+    * over one table's lifetime — and a collision means silently dropped
+    * batches. md5's full width makes that unreachable.
     */
   private[format] def queryToken(checkpointLocation: String): String =
-    f"${scala.util.hashing.MurmurHash3.stringHash(checkpointLocation) & 0xffffffffL}%08x"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointLocation.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
 
   /** The most recent epoch THIS query committed, walking the first-parent
     * chain from the branch head. Stops at the first marker with a
@@ -125,7 +131,8 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
                       withUuid: Boolean, ignoreChanges: Boolean,
                       maxCommitsPerTrigger: Int = 0,
                       metadataPath: String = "")
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType =
     GraftTailSource.tableSchema(spark, root, branch, withUuid)
@@ -191,13 +198,54 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
     chain = chain ++ add.result().reverse
   }
 
-  override def getOffset: Option[Offset] = {
+  // ---- Trigger.AvailableNow (SupportsTriggerAvailableNow) ---------------
+  // Implementing the interface keeps the engine from wrapping this source
+  // in AvailableNowSourceWrapper, whose single getOffset snapshot at query
+  // start would stop an AvailableNow run at the FIRST capped offset with
+  // backlog remaining. Instead the engine calls prepareForTriggerAvailableNow
+  // once, then latestOffset per micro-batch: we pin the branch head seen at
+  // prepare time as the drain target and keep advancing by at most
+  // maxCommitsPerTrigger per batch until the target is reached — paced AND
+  // fully drained (the FileStreamSource pattern). Commits landing DURING
+  // the run stay beyond the target, per the AvailableNow contract.
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      CommitLog.readBranches(spark, root).get(branch).map(_.toLong)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Engine-facing offset fetch (SupportsAdmissionControl routes here for
+    * EVERY trigger once the interface is implemented; the cap is applied
+    * internally, so the ReadLimit argument is not consulted).
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    nextOffset().orNull
+
+  /** The true branch head, uncapped — progress reporting only. */
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    CommitLog.readBranches(spark, root).get(branch)
+      .map(h => LongOffset(h.toLong)).orNull
+
+  override def getOffset: Option[Offset] = nextOffset()
+
+  private def nextOffset(): Option[LongOffset] = {
     val head = CommitLog.readBranches(spark, root).get(branch).map(_.toLong)
+      // an AvailableNow run drains to the head pinned at prepare time and
+      // no further
+      .map(h => availableNowTarget.fold(h)(math.min(h, _)))
     head.map { h =>
       if (maxCommitsPerTrigger <= 0) LongOffset(h)
       else {
         extendChain(h)
-        val pending = chain.dropWhile(_ <= floorV)
+        val pending = chain.dropWhile(_ <= floorV).takeWhile(_ <= h)
         // the initial batch is one snapshot however far in it starts, so
         // the cap simply picks how many commits that snapshot folds in
         val cap = pending.take(maxCommitsPerTrigger).lastOption.getOrElse(h)

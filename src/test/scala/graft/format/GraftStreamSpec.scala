@@ -229,6 +229,49 @@ class GraftStreamSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("AvailableNow + maxCommitsPerTrigger drains the WHOLE backlog, paced") {
+    // the V1 AvailableNowSourceWrapper would snapshot one capped getOffset
+    // at query start and self-stop with backlog remaining; implementing
+    // SupportsTriggerAvailableNow pins the drain target at prepare time
+    // and keeps advancing ≤cap per batch until it is reached
+    val root = tmpDir("gsrcavailcap") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    for (i <- 1 to 6) {
+      ds.append(Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      ds.commit(s"c$i")
+    }
+    val q = spark.readStream.format("graft")
+      .option("maxCommitsPerTrigger", "2").load(root)
+      .writeStream.format("memory").queryName("gsrcavailcap_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("gsrcavailcapckpt"))
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-stop")
+    assert(spark.table("gsrcavailcap_out").orderBy("id").as[(Long, String)]
+      .collect().toSeq == (1 to 6).map(i => (i.toLong, s"v$i")))
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >=3 paced batches, got $batches")
+  }
+
+  test("query tokens: 128-bit, distinct checkpoints never share one") {
+    val a = GraftStream.queryToken("/ck/one")
+    val b = GraftStream.queryToken("/ck/two")
+    assert(a != b)
+    assert(a.length == 32 && a.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    assert(GraftStream.queryToken("/ck/one") == a) // stable across calls
+  }
+
+  test("sink without an explicit checkpointLocation option fails loudly") {
+    // the session-conf checkpoint default never reaches the sink's
+    // parameters — a silent fallback would hand two queries one identity
+    val err = intercept[IllegalArgumentException] {
+      new GraftSource().createSink(spark.sqlContext,
+        Map("path" -> (tmpDir("gsinknockpt") + "/t")), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(err.getMessage.contains("checkpointLocation"))
+  }
+
   test("restart from checkpoint resumes the tail without duplicates") {
     val src = tmpDir("grestart-src") + "/t"
     val dst = tmpDir("grestart-dst") + "/t"
