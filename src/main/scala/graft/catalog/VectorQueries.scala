@@ -440,6 +440,32 @@ object VectorQueries {
       },
       None),
 
+    // batched graph-ANN search (the reference's batched `vector_search`
+    // over its graph index types, vector_search_ops.py:84-101): the query
+    // batch is broadcast, each subgraph is reassembled ONCE per task and
+    // walked once per query — ONE index pass for N queries, on both graph
+    // index families. Approximate → rows-only; batch-vs-single parity and
+    // recall proofs live in VectorStatsSpec.
+    QueryDef("q97_vector_graph_batch_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 3L)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+        val hnsw = Hnsw.batchTopK(
+            Hnsw.build(e, "embedding", "vec_id"),
+            queries, k = 5, ef = 64, colocated = true)
+          .select(lit("hnsw").as("idx"), col("query_id"), col("ext_id"),
+            col("rank"))
+        val vamana = graft.operators.Vamana.batchTopK(
+            graft.operators.Vamana.build(e, "embedding", "vec_id"),
+            queries, k = 5, beam = 64, rerank = 64, colocated = true)
+          .select(lit("vamana").as("idx"), col("query_id"), col("ext_id"),
+            col("rank"))
+        hnsw.unionByName(vamana).orderBy("idx", "query_id", "rank")
+      },
+      None),
+
     // dataset-route vector search (reference create_vector_index +
     // vector_search, vector_search_ops.py:18-48,84-101): embeddings
     // round-trip into a graft table, a FLAT index binding is created,

@@ -1295,13 +1295,30 @@ class GraftDataset private[format] (
           (lit(1.0) - col("score") / lit(2.0)).as("score"))
       case "HNSW" =>
         requireGraphMetric()
-        graphScore(graft.operators.Hnsw.topK(art("graph"), graphQuery, k,
-          ef = math.max(64, refineFactor * k)))
+        // unpinned: serve straight off the partitionBy("part") layout —
+        // one narrow scan per part directory, no Exchange. The pinned
+        // in-memory copy keeps the shuffled path (its cached partitioning
+        // does not preserve the directory co-location).
+        val hits =
+          if (isVectorIndexLoaded(column))
+            graft.operators.Hnsw.topK(art("graph"), graphQuery, k,
+              ef = math.max(64, refineFactor * k))
+          else graft.operators.Hnsw.topKPersisted(spark,
+            new Path(dir, "graph").toString, graphQuery, k,
+            ef = math.max(64, refineFactor * k))
+        graphScore(hits)
       case "DISKANN" =>
         requireGraphMetric()
-        graphScore(graft.operators.Vamana.topK(art("graph"), graphQuery, k,
-          beam = math.max(64, refineFactor * k),
-          rerank = refineFactor * k))
+        val hits =
+          if (isVectorIndexLoaded(column))
+            graft.operators.Vamana.topK(art("graph"), graphQuery, k,
+              beam = math.max(64, refineFactor * k),
+              rerank = refineFactor * k)
+          else graft.operators.Vamana.topKPersisted(spark,
+            new Path(dir, "graph").toString, graphQuery, k,
+            beam = math.max(64, refineFactor * k),
+            rerank = refineFactor * k)
+        graphScore(hits)
       case t => throw new IllegalStateException(s"unknown index type $t")
     }
     hits.withColumnRenamed(UuidCol, "row_uuid")

@@ -174,42 +174,90 @@ object Hnsw {
       }
   }
 
+  /** Per-part candidate hits for a broadcast query batch: each subgraph
+    * is reassembled ONCE per task and walked once per query — one index
+    * pass for N queries (the reference's batched `vector_search`,
+    * vector_search_ops.py:84-101). `colocated = true` skips the
+    * `repartition(col("part"))` shuffle — correct when each part's rows
+    * already sit wholly within one task: a freshly-built index (build
+    * emits one part per task) or [[PartitionedIndex.partScans]].
+    */
+  private def localHits(index: DataFrame, queries: Seq[(Long, Seq[Float])],
+                        k: Int, ef: Int, colocated: Boolean): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("ext_id", LongType), StructField("l2sq", DoubleType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bc = index.sparkSession.sparkContext.broadcast(
+      queries.map { case (qid, v) => (qid, v.toArray) }.toArray)
+    // normalize column order/types: partitionBy moves `part` to the end
+    // on read-back, and positional access below must stay stable
+    val prepared = index.select(col("part").cast("int"), col("node"),
+      col("ext_id"), col("vec"), col("level"), col("adj"), col("entry"))
+    val spread = if (colocated) prepared
+      else prepared.repartition(col("part"))
+    spread.mapPartitions { rows =>
+      // a task may hold several parts after the repartition: regroup
+      val byPart = mutable.HashMap[Int, mutable.ArrayBuffer[Row]]()
+      rows.foreach(r => byPart.getOrElseUpdate(r.getInt(0),
+        mutable.ArrayBuffer[Row]()) += r)
+      byPart.valuesIterator.flatMap { rs =>
+        val sorted = rs.sortBy(_.getInt(1))
+        val g = new Graph(16, 100)
+        sorted.foreach { r =>
+          g.vecs += r.getSeq[Float](3).toArray
+          g.extIds += r.getLong(2)
+          g.levels += r.getInt(4)
+          g.nbrs += r.getSeq[scala.collection.Seq[Int]](5)
+            .map(a => mutable.ArrayBuffer[Int](a.toSeq: _*)).toArray
+        }
+        g.entry = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
+        bc.value.iterator.flatMap { case (qid, q) =>
+          g.search(q, k, ef).map { case (id, d) => Row(qid, id, d) }
+        }
+      }
+    }
+  }
+
   /** Search a persisted (or freshly-built) index: each partition's rows
     * reassemble their graph(s) in memory, probe locally with beam `ef`,
     * and the driver merges `parts × k` candidate rows via
-    * TakeOrderedAndProject — never the corpus.
+    * TakeOrderedAndProject — never the corpus. Pass `colocated = true`
+    * on a freshly-built index to skip the part shuffle entirely.
     */
   def topK(index: DataFrame, query: Seq[Float], k: Int,
-           ef: Int = 64): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("ext_id", LongType), StructField("l2sq", DoubleType)))
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    val q = query.toArray
-    // normalize column order/types: partitionBy moves `part` to the end
-    // on read-back, and positional access below must stay stable
-    index.select(col("part").cast("int"), col("node"), col("ext_id"),
-        col("vec"), col("level"), col("adj"), col("entry"))
-      .repartition(col("part"))
-      .mapPartitions { rows =>
-        // a task may hold several parts after the repartition: regroup
-        val byPart = mutable.HashMap[Int, mutable.ArrayBuffer[Row]]()
-        rows.foreach(r => byPart.getOrElseUpdate(r.getInt(0),
-          mutable.ArrayBuffer[Row]()) += r)
-        byPart.valuesIterator.flatMap { rs =>
-          val sorted = rs.sortBy(_.getInt(1))
-          val g = new Graph(16, 100)
-          sorted.foreach { r =>
-            g.vecs += r.getSeq[Float](3).toArray
-            g.extIds += r.getLong(2)
-            g.levels += r.getInt(4)
-            g.nbrs += r.getSeq[scala.collection.Seq[Int]](5)
-              .map(a => mutable.ArrayBuffer[Int](a.toSeq: _*)).toArray
-          }
-          g.entry = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
-          g.search(q, k, ef).map { case (id, d) => Row(id, d) }
-        }
-      }
+           ef: Int = 64, colocated: Boolean = false): DataFrame =
+    localHits(index, Seq((0L, query)), k, ef, colocated)
+      .select(col("ext_id"), col("l2sq"))
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
       .limit(k)
+
+  /** Batched search: the query batch is broadcast, every subgraph is
+    * walked once per query in ONE pass over the index, and the global
+    * per-query top-k is a window over `parts × k × |queries|` candidate
+    * rows — never the corpus. Output: (query_id, ext_id, l2sq, rank).
+    */
+  def batchTopK(index: DataFrame, queries: Seq[(Long, Seq[Float])],
+                k: Int, ef: Int = 64, colocated: Boolean = false)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
+    localHits(index, queries, k, ef, colocated)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Exchange-free search over an index persisted with
+    * `partitionBy("part")`: one narrow single-task scan per part
+    * directory ([[PartitionedIndex.partScans]]) — the plan has NO
+    * Exchange above the index scan. Falls back to the shuffled path if
+    * `path` is not a part-partitioned layout.
+    */
+  def topKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+                    query: Seq[Float], k: Int, ef: Int = 64): DataFrame =
+    PartitionedIndex.partScans(spark, path)
+      .map(scan => topK(scan, query, k, ef, colocated = true))
+      .getOrElse(topK(spark.read.parquet(path), query, k, ef))
 }

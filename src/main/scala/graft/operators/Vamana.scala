@@ -343,54 +343,109 @@ object Vamana {
       }
   }
 
+  /** Per-part candidate hits for a broadcast query batch: each subgraph
+    * + codebook is reassembled ONCE per task and walked once per query
+    * (one ADC table per query) — one index pass for N queries.
+    * `colocated = true` skips the `repartition(col("part"))` shuffle —
+    * correct when each part's rows already sit wholly within one task: a
+    * freshly-built index or [[PartitionedIndex.partScans]].
+    */
+  private def localHits(index: DataFrame, queries: Seq[(Long, Seq[Float])],
+                        k: Int, beam: Int, rerank: Int,
+                        colocated: Boolean): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("ext_id", LongType), StructField("l2sq", DoubleType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bc = index.sparkSession.sparkContext.broadcast(
+      queries.map { case (qid, v) => (qid, v.toArray) }.toArray)
+    val prepared = index.select(col("part").cast("int"), col("node"),
+      col("ext_id"), col("vec"), col("code"), col("adj"), col("medoid"))
+    val spread = if (colocated) prepared
+      else prepared.repartition(col("part"))
+    spread.mapPartitions { rows =>
+      val byPart = mutable.HashMap[Int, mutable.ArrayBuffer[Row]]()
+      rows.foreach(r0 => byPart.getOrElseUpdate(r0.getInt(0),
+        mutable.ArrayBuffer[Row]()) += r0)
+      byPart.valuesIterator.flatMap { rs =>
+        val (sentinels, nodes) = rs.partition(_.getInt(1) < 0)
+        val sorted = nodes.sortBy(_.getInt(1))
+        val g = new Graph(32, 1.2, 64)
+        val codes = new Array[Array[Int]](sorted.length)
+        sorted.foreach { r0 =>
+          codes(g.vecs.length) = r0.getSeq[Int](4).toArray
+          g.vecs += r0.getSeq[Float](3).toArray
+          g.extIds += r0.getLong(2)
+          g.adj += mutable.ArrayBuffer[Int](r0.getSeq[Int](5).toSeq: _*)
+        }
+        g.medoid = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
+        val pqOpt =
+          if (rerank <= 0 || sentinels.isEmpty) None
+          else {
+            val s = sentinels.head
+            val dims = s.getSeq[Int](4)
+            val (m, kk, dim) = (dims(0), dims(1), dims(2))
+            val flat = s.getSeq[Float](3)
+            val sub = dim / m
+            val cb = Array.tabulate(m)(mi => Array.tabulate(kk)(ki =>
+              Array.tabulate(sub)(j => flat((mi * kk + ki) * sub + j))))
+            Some(PqLocal(m, kk, dim, cb))
+          }
+        bc.value.iterator.flatMap { case (qid, q) =>
+          val hits = pqOpt match {
+            case Some(pq) => g.searchPq(q, k, beam, rerank, pq, codes)
+            case None => g.search(q, k, beam)
+          }
+          hits.map { case (id, d) => Row(qid, id, d) }
+        }
+      }
+    }
+  }
+
   /** Search a persisted (or freshly-built) index: each partition
     * reassembles its graph + codebook, walks it on ADC distances with
     * beam `beam`, exact-re-ranks its best `rerank` pool members, and the
     * global merge is a TakeOrderedAndProject over `parts × k` rows.
     * `rerank = 0` walks on exact distances instead (no PQ — the
-    * in-memory flavor).
+    * in-memory flavor). Pass `colocated = true` on a freshly-built index
+    * to skip the part shuffle entirely.
     */
   def topK(index: DataFrame, query: Seq[Float], k: Int,
-           beam: Int = 64, rerank: Int = 100): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("ext_id", LongType), StructField("l2sq", DoubleType)))
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    val q = query.toArray
-    index.select(col("part").cast("int"), col("node"), col("ext_id"),
-        col("vec"), col("code"), col("adj"), col("medoid"))
-      .repartition(col("part"))
-      .mapPartitions { rows =>
-        val byPart = mutable.HashMap[Int, mutable.ArrayBuffer[Row]]()
-        rows.foreach(r0 => byPart.getOrElseUpdate(r0.getInt(0),
-          mutable.ArrayBuffer[Row]()) += r0)
-        byPart.valuesIterator.flatMap { rs =>
-          val (sentinels, nodes) = rs.partition(_.getInt(1) < 0)
-          val sorted = nodes.sortBy(_.getInt(1))
-          val g = new Graph(32, 1.2, 64)
-          val codes = new Array[Array[Int]](sorted.length)
-          sorted.foreach { r0 =>
-            codes(g.vecs.length) = r0.getSeq[Int](4).toArray
-            g.vecs += r0.getSeq[Float](3).toArray
-            g.extIds += r0.getLong(2)
-            g.adj += mutable.ArrayBuffer[Int](r0.getSeq[Int](5).toSeq: _*)
-          }
-          g.medoid = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
-          val hits =
-            if (rerank <= 0 || sentinels.isEmpty) g.search(q, k, beam)
-            else {
-              val s = sentinels.head
-              val dims = s.getSeq[Int](4)
-              val (m, kk, dim) = (dims(0), dims(1), dims(2))
-              val flat = s.getSeq[Float](3)
-              val sub = dim / m
-              val cb = Array.tabulate(m)(mi => Array.tabulate(kk)(ki =>
-                Array.tabulate(sub)(j => flat((mi * kk + ki) * sub + j))))
-              g.searchPq(q, k, beam, rerank, PqLocal(m, kk, dim, cb), codes)
-            }
-          hits.map { case (id, d) => Row(id, d) }
-        }
-      }
+           beam: Int = 64, rerank: Int = 100,
+           colocated: Boolean = false): DataFrame =
+    localHits(index, Seq((0L, query)), k, beam, rerank, colocated)
+      .select(col("ext_id"), col("l2sq"))
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
       .limit(k)
+
+  /** Batched search: the query batch is broadcast, every subgraph is
+    * walked once per query in ONE pass over the index (one ADC table per
+    * query), and the global per-query top-k is a window over
+    * `parts × k × |queries|` candidate rows — never the corpus.
+    * Output: (query_id, ext_id, l2sq, rank).
+    */
+  def batchTopK(index: DataFrame, queries: Seq[(Long, Seq[Float])],
+                k: Int, beam: Int = 64, rerank: Int = 100,
+                colocated: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
+    localHits(index, queries, k, beam, rerank, colocated)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Exchange-free search over an index persisted with
+    * `partitionBy("part")`: one narrow single-task scan per part
+    * directory ([[PartitionedIndex.partScans]]) — the plan has NO
+    * Exchange above the index scan. Falls back to the shuffled path if
+    * `path` is not a part-partitioned layout.
+    */
+  def topKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+                    query: Seq[Float], k: Int, beam: Int = 64,
+                    rerank: Int = 100): DataFrame =
+    PartitionedIndex.partScans(spark, path)
+      .map(scan => topK(scan, query, k, beam, rerank, colocated = true))
+      .getOrElse(topK(spark.read.parquet(path), query, k, beam, rerank))
 }

@@ -138,6 +138,64 @@ class VectorStatsSpec extends SparkSpec {
       .head().getLong(0) == 0L)
   }
 
+  test("graph batch search: one index pass per batch matches per-query topK") {
+    val df = vecs(400, 16)
+    val queries = (0L until 4L).map(qid =>
+      qid -> df.filter($"vec_id" === qid).head().getSeq[Float](1))
+    val hidx = Hnsw.build(df, "embedding", "vec_id", numPartitions = 4)
+    // colocated=true: build output already has one part per task — the
+    // batch walk must run with NO part shuffle and still match
+    val hbatch = Hnsw.batchTopK(hidx, queries, k = 10, ef = 200,
+      colocated = true)
+    queries.foreach { case (qid, q) =>
+      val single = Hnsw.topK(hidx, q, 10, ef = 200)
+        .select("ext_id").as[Long].collect().toSeq
+      val batch = hbatch.filter($"query_id" === qid).orderBy("rank")
+        .select("ext_id").as[Long].collect().toSeq
+      assert(batch == single, s"HNSW qid=$qid")
+    }
+    val vidx = Vamana.build(df, "embedding", "vec_id", numPartitions = 4,
+      r = 24, alpha = 1.2, buildBeam = 64)
+    // PQ/ADC walk: one ADC table per query, one graph reassembly per task
+    val vbatch = Vamana.batchTopK(vidx, queries, k = 10, beam = 200,
+      rerank = 200, colocated = true)
+    queries.foreach { case (qid, q) =>
+      val single = Vamana.topK(vidx, q, 10, beam = 200, rerank = 200)
+        .select("ext_id").as[Long].collect().toSeq
+      val batch = vbatch.filter($"query_id" === qid).orderBy("rank")
+        .select("ext_id").as[Long].collect().toSeq
+      assert(batch == single, s"Vamana qid=$qid")
+    }
+  }
+
+  test("persisted graph search is exchange-free and matches the shuffled path") {
+    val df = vecs(400, 16)
+    val q0 = df.filter($"vec_id" === 0L).head().getSeq[Float](1)
+    val hdir = tmpDir("hnswnx") + "/idx"
+    Hnsw.build(df, "embedding", "vec_id", numPartitions = 4)
+      .write.partitionBy("part").parquet(hdir)
+    val fast = Hnsw.topKPersisted(spark, hdir, q0, 10, ef = 200)
+    val slow = Hnsw.topK(spark.read.parquet(hdir), q0, 10, ef = 200)
+    assert(fast.select("ext_id").as[Long].collect().toSeq ==
+      slow.select("ext_id").as[Long].collect().toSeq)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"persisted-layout search must not shuffle the index:\n$plan")
+    val vdir = tmpDir("vamananx") + "/idx"
+    Vamana.build(df, "embedding", "vec_id", numPartitions = 4,
+      r = 24, alpha = 1.2, buildBeam = 64)
+      .write.partitionBy("part").parquet(vdir)
+    val vfast = Vamana.topKPersisted(spark, vdir, q0, 10,
+      beam = 200, rerank = 200)
+    val vslow = Vamana.topK(spark.read.parquet(vdir), q0, 10,
+      beam = 200, rerank = 200)
+    assert(vfast.select("ext_id").as[Long].collect().toSeq ==
+      vslow.select("ext_id").as[Long].collect().toSeq)
+    val vplan = vfast.queryExecution.executedPlan.toString
+    assert(!vplan.contains("Exchange"),
+      s"persisted-layout search must not shuffle the index:\n$vplan")
+  }
+
   test("PQ with k >= corpus size is lossless: ADC top-k == brute force") {
     val df = vecs(40, 16)
     // every vector contributes its own subvectors to each codebook →
