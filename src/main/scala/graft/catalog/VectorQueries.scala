@@ -473,31 +473,43 @@ object VectorQueries {
     // scaled-int path; row identity maps back to vec_id through the
     // registered data source's withUuid read. Oracle-pins the index
     // routing + uuid plumbing end to end, not just the distance math.
-    // Tie-break note: vectorSearch breaks score ties by _uuid, the
-    // oracle by vec_id — equivalent HERE because append assigns uuids
-    // monotonically in ingest row order and the embeddings parquet is
-    // one file ordered by vec_id (uuid order ≡ vec_id order).
+    // De-fixtured (r10): the corpus is ingested SHUFFLED across multiple
+    // append files (uuid order ≠ vec_id order) and carries 15 exact
+    // clones of the query vector — 16 zero-distance rows straddling the
+    // k=10 boundary — so the green requires the tieBreakCols path to
+    // resolve score ties by vec_id exactly as the oracle does, not an
+    // ingest-order accident.
     QueryDef("q94_format_vector_flat_search",
       (s, dir) => {
         val e = emb(s, dir)
+        val clones = e.filter(col("vec_id") === 2L)
+          .crossJoin(s.range(0, 15).withColumnRenamed("id", "_i"))
+          .withColumn("vec_id", col("_i") + lit(300000L))
+          .select(e.columns.map(col).toIndexedSeq: _*)
+        val corpus = e.unionByName(clones)
         val root = graft.QueryCleanup.tempRoot("q94")
         val ds = graft.format.GraftDataset.create(s, root, e.schema)
-        ds.append(e)
-        ds.commit("ingest")
+        ds.append(corpus.repartition(8, pmod(col("vec_id"), lit(8))))
+        ds.commit("ingest shuffled")
         ds.createVectorIndex("embedding", indexType = "FLAT")
         val q = e.filter(col("vec_id") === 2L)
           .select("embedding").head().getSeq[Float](0)
         val hits = ds.vectorSearch("embedding", q, k = 10,
-          metric = "l2", exact = true)
+          metric = "l2", exact = true, tieBreakCols = Seq("vec_id"))
         val withU = s.read.format("graft").option("withUuid", "true")
           .load(root)
         hits.join(withU, hits("row_uuid") === withU("_uuid"))
           .select(col("vec_id"), col("score").cast("long").as("l2sq_scaled"))
           .orderBy(col("l2sq_scaled").asc, col("vec_id").asc)
       },
-      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
+      Some(s"""WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT 300000 + i, embedding FROM embeddings, range(0, 15) t(i)
+          WHERE embeddings.vec_id = 2),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
         SELECT vec_id, ${dl2("embedding", "qv")} AS l2sq_scaled
-        FROM embeddings, q
+        FROM corpus, q
         ORDER BY l2sq_scaled ASC, vec_id ASC LIMIT 10""")),
 
     // safe-eval attribute access (reference safe_evaluator.py:46-84):

@@ -1251,7 +1251,8 @@ class GraftDataset private[format] (
     */
   def vectorSearch(column: String, queryVec: Seq[Float], k: Int,
                    metric: String = "cosine", nprobe: Int = 8,
-                   refineFactor: Int = 4, exact: Boolean = false): DataFrame = {
+                   refineFactor: Int = 4, exact: Boolean = false,
+                   tieBreakCols: Seq[String] = Nil): DataFrame = {
     val dir = indexDir("vector", column)
     require(indexFresh("vector", column),
       s"vector index for $column is stale or missing; createVectorIndex first")
@@ -1277,11 +1278,16 @@ class GraftDataset private[format] (
               else lit(1.0) - col("l2sq") / lit(2.0) // unit vecs → cosine
       hits.select(col("ext_id").as(UuidCol), s.as("score"))
     }
+    // score ties at the k boundary: FLAT (the exact, oracle-able path)
+    // resolves them by user-visible columns on request; the index paths
+    // break ties by row identity, like the reference's faiss ids
+    require(tieBreakCols.isEmpty || tpe == "FLAT",
+      s"tieBreakCols is supported on FLAT indexes only (this is $tpe)")
     val V = graft.operators.VectorSearch
     val hits = tpe match {
       case "FLAT" =>
         V.bruteForceTopK(snapshotWithUuid(), column, UuidCol,
-          queryVec, metric, k, exact)
+          queryVec, metric, k, exact, tieBreakCols)
       case "IVF" =>
         V.ivfTopK(art("assigned"), art("centroids"), column, UuidCol,
           queryVec, metric, k, nprobe, exact)

@@ -49,15 +49,21 @@ object TextFunctions {
     * `hmm = true` runs jieba's BMES-Viterbi OOV pass over buffered
     * single-char spans (jieba's `cut` default), so multi-char OOV words
     * segment as words; the default `hmm = false` is jieba `HMM=False`.
+    * `emissions` optionally carries a per-character BMES emission table
+    * (jieba's `prob_emit` format: char → 4 log-probs for B, M, E, S) —
+    * the emission model is DATA, like the dictionary; the default is
+    * uniform emissions, where the Viterbi follows the transition model's
+    * word-shape prior alone.
     */
   def tokensDict(c: Column, dict: Seq[String],
                  stopWords: Seq[String] = Nil,
                  caseSensitive: Boolean = false,
                  freqs: Seq[Long] = Nil,
                  fmm: Boolean = false,
-                 hmm: Boolean = false): Column =
+                 hmm: Boolean = false,
+                 emissions: Map[String, Seq[Double]] = Map.empty): Column =
     org.apache.spark.sql.graftnative.DictTokens(c, dict, stopWords,
-      caseSensitive, freqs, useDag = !fmm, hmm = hmm)
+      caseSensitive, freqs, useDag = !fmm, hmm = hmm, emitP = emissions)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -49,10 +49,16 @@ object VectorSearch {
   /** Exact top-k for one query vector (as a literal array). */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
                      query: Seq[Float], metric: String, k: Int,
-                     exact: Boolean = false): DataFrame = {
+                     exact: Boolean = false,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
     val q = array(query.map(x => lit(x)): _*)
+    // score ties at the k boundary resolve by the caller's tieBreak
+    // columns first (a user-visible identity like vec_id), then idCol —
+    // so the result set is deterministic regardless of ingest order
+    val order = (rankOrder(metric, col("_score")) +:
+      tieBreak.map(col(_).asc)) :+ col(idCol).asc
     df.withColumn("_score", score(metric, col(vecCol), q, exact))
-      .orderBy(rankOrder(metric, col("_score")), col(idCol).asc)
+      .orderBy(order: _*)
       .limit(k)
       .select(col(idCol), col("_score").as("score"))
   }

@@ -54,11 +54,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class DictTokens(child: Expression, dict: Seq[String],
                       stopWords: Seq[String], caseSensitive: Boolean,
-                      freqs: Seq[Long], useDag: Boolean, hmm: Boolean)
+                      freqs: Seq[Long], useDag: Boolean, hmm: Boolean,
+                      emitP: Map[String, Seq[Double]] = Map.empty)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   require(freqs.isEmpty || freqs.length == dict.length,
     s"freqs (${freqs.length}) must be empty or parallel to dict (${dict.length})")
+  require(emitP.values.forall(_.length == 4),
+    "emitP entries must carry exactly 4 log-probs (B, M, E, S)")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -109,7 +112,7 @@ case class DictTokens(child: Expression, dict: Seq[String],
         if (buf.length == 1) emit(buf.toString)
         else if (buf.length > 1) {
           val s = buf.toString
-          if (!dictFreq.containsKey(s)) DictTokens.viterbiCut(s, emit)
+          if (!dictFreq.containsKey(s)) DictTokens.viterbiCut(s, emit, emitP)
           else { var k = 0; while (k < s.length) {
             emit(s.substring(k, k + 1)); k += 1 } }
         }
@@ -239,9 +242,14 @@ object DictTokens {
   def apply(text: Column, dict: Seq[String], stopWords: Seq[String],
             caseSensitive: Boolean, freqs: Seq[Long], useDag: Boolean,
             hmm: Boolean): Column =
+    apply(text, dict, stopWords, caseSensitive, freqs, useDag, hmm, Map.empty)
+
+  def apply(text: Column, dict: Seq[String], stopWords: Seq[String],
+            caseSensitive: Boolean, freqs: Seq[Long], useDag: Boolean,
+            hmm: Boolean, emitP: Map[String, Seq[Double]]): Column =
     ExpressionUtils.column(DictTokens(
       ExpressionUtils.expression(text), dict, stopWords, caseSensitive,
-      freqs, useDag, hmm))
+      freqs, useDag, hmm, emitP))
 
   // ---- BMES Viterbi over OOV spans (jieba finalseg) -----------------------
   // The 4-state start/transition log-probabilities below are jieba's
@@ -265,22 +273,39 @@ object DictTokens {
     t
   }
 
-  /** Segment an OOV Han span by max-likelihood BMES state path. Uniform
-    * emissions (constant per state) cancel in the argmax, so the path is
-    * the transition model's word-shape prior; a user-supplied emission
-    * table would slot in additively at each (i, state). End state is
-    * forced to E or S (a word cannot end mid-character), ties resolved
-    * toward S exactly like jieba's `max()` over ('E','S').
+  /** Segment an OOV Han span by max-likelihood BMES state path. With no
+    * emission table, uniform emissions (constant per state) cancel in
+    * the argmax, so the path is the transition model's word-shape prior.
+    * A supplied `emitP` — jieba's `prob_emit` format, char → 4 log-probs
+    * for (B, M, E, S) — slots in additively at each (i, state); a char
+    * absent from the table carries no evidence and scores 0.0 in every
+    * state, so unknown spans follow the transition prior. (jieba puts
+    * MIN_FLOAT = -3.14e100 there, but only because its per-STATE maps
+    * can hold a char in some states and not others; at that magnitude
+    * the finite transition terms fall below one double ulp and the path
+    * degenerates to the tie-break — a precision artifact, not a model
+    * choice, and our per-CHAR format cannot express the partial case.)
+    * End state is forced to E or S (a word cannot end mid-character),
+    * ties resolved toward S exactly like jieba's `max()` over ('E','S').
     */
-  private[graftnative] def viterbiCut(s: String,
-                                      emit: String => Unit): Unit = {
+  private[graftnative] def viterbiCut(s: String, emit: String => Unit)
+      : Unit = viterbiCut(s, emit, Map.empty)
+
+  private[graftnative] def viterbiCut(s: String, emit: String => Unit,
+                                      emitP: Map[String, Seq[Double]])
+      : Unit = {
     val n = s.length
     if (n == 0) return
     if (n == 1) { emit(s); return }
+    def emitLp(i: Int, st: Int): Double =
+      emitP.get(s.substring(i, i + 1)) match {
+        case Some(lps) => lps(st)
+        case None => 0.0 // no evidence: the transition prior decides
+      }
     val dp = Array.ofDim[Double](n, 4)
     val bp = Array.ofDim[Int](n, 4)
     var st = 0
-    while (st < 4) { dp(0)(st) = startP(st); st += 1 }
+    while (st < 4) { dp(0)(st) = startP(st) + emitLp(0, st); st += 1 }
     var i = 1
     while (i < n) {
       st = 0
@@ -293,7 +318,7 @@ object DictTokens {
           if (c > best) { best = c; arg = pr }
           pr += 1
         }
-        dp(i)(st) = best
+        dp(i)(st) = best + emitLp(i, st)
         bp(i)(st) = arg
         st += 1
       }

@@ -99,6 +99,28 @@ class TextDedupSpec extends SparkSpec {
     assert(quirk == Seq("天", "地"))
   }
 
+  test("HMM emission table is data: a real prob_emit changes an OOV boundary") {
+    val dict = Seq("数据", "引擎", "向上")
+    // a prob_emit-style table (char → B/M/E/S log-probs): in this model
+    // 欧 is word-initial, 阳 word-final, 锋 a strongly SINGLE character
+    val emis = Map(
+      "欧" -> Seq(-0.1, -9.0, -9.0, -5.0),
+      "阳" -> Seq(-5.0, -9.0, -0.3, -5.0),
+      "锋" -> Seq(-9.0, -9.0, -9.0, -0.1))
+    def toks(t: String, e: Map[String, Seq[Double]]) = Seq(t).toDF("t")
+      .select(T.tokensDict($"t", dict, hmm = true, emissions = e))
+      .head().getSeq[String](0)
+    // uniform emissions: the transition model's shape prior makes the
+    // 3-char OOV run one BME word — which this emission table says is
+    // wrong for these characters
+    assert(toks("欧阳锋", Map.empty) == Seq("欧阳锋"))
+    // the per-character evidence flips the boundary: 欧阳 + 锋
+    assert(toks("欧阳锋", emis) == Seq("欧阳", "锋"))
+    // chars absent from a non-empty table carry no evidence (0.0 in
+    // every state), so unknown spans still follow the transition prior
+    assert(toks("王磊数据", emis) == Seq("王磊", "数据"))
+  }
+
   test("inverted index built with the dictionary tokenizer routes CJK queries") {
     val df = Seq(
       (1L, "预训练 数据引擎"), (2L, "向量检索 引擎"), (3L, "plain latin text"))
