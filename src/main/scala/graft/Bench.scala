@@ -28,6 +28,12 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // deterministically delete every finished query's shuffle files and
+      // driver-side map-output state — the async ContextCleaner pipeline
+      // (GC → ref-queue → non-blocking remove) lags a multi-run suite by
+      // design, and r10 measured its biggest-shuffle query at 2.9× its
+      // isolated cost from exactly that accumulated local-dir state
+      if (sys.env.get("SPARK_GRAFT_NO_PURGE").isEmpty) org.apache.spark.sql.graftnative.SuiteReaper.purgeShuffles(spark)
     }
 
     // One timed execution. Two GC passes + 800 ms first: one gc() alone

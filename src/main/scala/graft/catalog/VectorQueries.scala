@@ -466,6 +466,72 @@ object VectorQueries {
       },
       None),
 
+    // batched IVF + PQ search (closes the r10 gap: the reference batches
+    // `vector_search` over EVERY index type, vector_search_ops.py:84-101
+    // — r10 batched FLAT + both graph families, this adds the IVF/PQ
+    // families): per-query probe sets broadcast as one pairs table, the
+    // union of probed cells scanned ONCE for all queries; PQ codes
+    // scored by a per-query ADC blob in ONE codegen'd lookup pass.
+    // Approximate → rows-only; batch-vs-single parity proofs live in
+    // VectorStatsSpec.
+    QueryDef("q98_vector_ivf_pq_batch_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 3L)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+        val (assigned, centroids) =
+          VectorSearch.ivfBuild(e, "embedding", "vec_id", nlist = 16)
+        val ivf = VectorSearch.ivfBatchTopK(assigned, centroids,
+            "embedding", "vec_id", queries, metric = "l2", k = 5,
+            nprobe = 4)
+          .select(lit("ivf").as("idx"), col("query_id"), col("vec_id"),
+            col("rank"))
+        val model = VectorSearch.pqTrain(e, "embedding", "vec_id",
+          m = 8, k = 64)
+        val pq = VectorSearch.pqBatchTopK(
+            VectorSearch.pqEncode(e, "embedding", model),
+            "embedding", "vec_id", model, queries, k = 5, rerank = 64)
+          .select(lit("pq").as("idx"), col("query_id"), col("vec_id"),
+            col("rank"))
+        ivf.unionByName(pq).orderBy("idx", "query_id", "rank")
+      },
+      None),
+
+    // batched IVF at nprobe=nlist on the exact scaled-int path: with
+    // every cell probed the batch result provably equals per-query exact
+    // brute-force top-k — which DuckDB reproduces with a window over the
+    // same int64 grid. Oracle-pins the BATCH machinery (probe-pair join,
+    // per-query window, tie-breaks) the same way q88 pins single-query
+    // IVF.
+    QueryDef("q99_vector_ivf_batch_probe_all",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 3L)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+        val (assigned, centroids) =
+          VectorSearch.ivfBuild(e, "embedding", "vec_id", nlist = 16)
+        VectorSearch.ivfBatchTopK(assigned, centroids, "embedding",
+            "vec_id", queries, metric = "l2", k = 5, nprobe = 16,
+            exact = true)
+          .select(col("query_id"), col("vec_id"), col("rank"),
+            col("score").cast("long").as("l2sq_scaled"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 ${dl2("e.embedding", "q.qv")} AS l2sq_scaled,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dl2("e.embedding", "q.qv")} ASC,
+                            e.vec_id ASC) AS rank
+          FROM embeddings e, q)
+        SELECT query_id, vec_id, rank, l2sq_scaled
+        FROM scored WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
     // dataset-route vector search (reference create_vector_index +
     // vector_search, vector_search_ops.py:18-48,84-101): embeddings
     // round-trip into a graft table, a FLAT index binding is created,

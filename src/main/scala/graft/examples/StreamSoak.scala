@@ -104,7 +104,8 @@ object StreamSoak {
     val ok = srcChk == dstChk && srcChk.getLong(0) == total
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"rows":$total,"commits":${ds.log.size},""" +
-      s""""batches":${batchRows.size},"maxBatchRows":${batchRows.max},""" +
+      s""""batches":${batchRows.size},""" +
+      s""""maxBatchRows":${batchRows.maxOption.getOrElse(0L)},""" +
       s""""srcCount":${srcChk.getLong(0)},"dstCount":${dstChk.getLong(0)},""" +
       f""""sec":$sec%.1f,"ok":$ok}""")
     if (!ok) sys.exit(1)

@@ -72,15 +72,20 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     // and never reaches the sink's parameters, so falling back to, say,
     // the table root would hand two such queries ONE identity — the
     // second query's epochs 0..N would be skipped as duplicates.
-    val token = GraftStream.queryToken(parameters.getOrElse(
+    val checkpoint = parameters.getOrElse(
       "checkpointLocation",
       throw new IllegalArgumentException(
         "graft sink: an explicit .option(\"checkpointLocation\", ...) is " +
           "required — it is the sink's stable query identity for " +
           "exactly-once commits (the session-conf default is resolved by " +
-          "the engine and does not reach the sink)")))
+          "the engine and does not reach the sink)"))
+    val token = GraftStream.queryToken(checkpoint)
+    // dual-read: markers persisted before the md5 token switch carry the
+    // legacy murmur form; accept both so an upgraded stream resumes
+    // without re-appending its last checkpoint-replayed batch
     new GraftSink(sqlContext.sparkSession, root(parameters),
-      parameters.getOrElse("branch", "main"), token)
+      parameters.getOrElse("branch", "main"), token,
+      Set(token, GraftStream.legacyQueryToken(checkpoint)))
   }
 
   override def sourceSchema(sqlContext: SQLContext,

@@ -43,6 +43,16 @@ object GraftStream {
       .digest(checkpointLocation.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
 
+  /** The pre-md5 8-hex murmur token. Markers already persisted in commit
+    * messages carry THIS form for streams that ran before the md5 switch;
+    * the marker walk accepts it alongside the md5 token (dual-read) so a
+    * restarted pre-existing stream still finds its last epoch instead of
+    * re-appending the checkpoint-replayed batch as silent duplicates.
+    * New markers are always written with the md5 token.
+    */
+  private[format] def legacyQueryToken(checkpointLocation: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(checkpointLocation) & 0xffffffffL}%08x"
+
   /** The most recent epoch THIS query committed, walking the first-parent
     * chain from the branch head. Stops at the first marker with a
     * matching token: epochs are monotone per query, so one marker
@@ -52,12 +62,12 @@ object GraftStream {
     */
   private[format] def lastBatchId(spark: SparkSession, root: String,
                                   head: Option[String],
-                                  token: String): Option[Long] = {
+                                  tokens: Set[String]): Option[Long] = {
     var cur = head
     while (cur.isDefined) {
       val m = CommitLog.readCommit(spark, root, cur.get)
       m.message match {
-        case MarkerRe(t, id) if t == token => return Some(id.toLong)
+        case MarkerRe(t, id) if tokens(t) => return Some(id.toLong)
         case _ => cur = m.parent
       }
     }
@@ -80,7 +90,7 @@ object GraftStream {
   * entering the append path, which re-plans frames for uuid assignment.
   */
 class GraftSink(spark: SparkSession, root: String, branch: String,
-                queryToken: String)
+                queryToken: String, acceptTokens: Set[String])
     extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -88,7 +98,7 @@ class GraftSink(spark: SparkSession, root: String, branch: String,
     val ds =
       if (exists) GraftDataset.load(spark, root, branch)
       else GraftDataset.create(spark, root, data.schema, branch)
-    val dup = GraftStream.lastBatchId(spark, root, ds.head, queryToken)
+    val dup = GraftStream.lastBatchId(spark, root, ds.head, acceptTokens)
       .exists(_ >= batchId)
     if (!dup) {
       // append runs TWO actions over the batch (per-partition counts for

@@ -23,6 +23,9 @@ object NativeExpressions {
     N.nearestCell(vec, nlist, dim, centroids)
   def pqAdc(codes: Column, m: Int, k: Int, table: Array[Double]): Column =
     N.pqAdc(codes, m, k, table)
+  def pqAdcBatch(codes: Column, qidx: Column, m: Int, k: Int,
+                 tables: Array[Double]): Column =
+    N.pqAdcBatch(codes, qidx, m, k, tables)
   def dotF(a: Column, b: Column): Column = N.dotF(a, b)
   def l2SqF(a: Column, b: Column): Column = N.l2SqF(a, b)
 }

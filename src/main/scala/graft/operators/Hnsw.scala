@@ -188,8 +188,12 @@ object Hnsw {
       StructField("query_id", LongType),
       StructField("ext_id", LongType), StructField("l2sq", DoubleType)))
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    val bc = index.sparkSession.sparkContext.broadcast(
-      queries.map { case (qid, v) => (qid, v.toArray) }.toArray)
+    // the bounded query batch rides in the task closure: the task binary
+    // is itself broadcast once per stage AND reclaimed with the stage, so
+    // (unlike an explicit sc.broadcast, which lingers until the async
+    // ContextCleaner reaps it) repeated batch searches against a
+    // long-lived session leave no accumulating driver/executor state
+    val qarr = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
     // normalize column order/types: partitionBy moves `part` to the end
     // on read-back, and positional access below must stay stable
     val prepared = index.select(col("part").cast("int"), col("node"),
@@ -212,7 +216,7 @@ object Hnsw {
             .map(a => mutable.ArrayBuffer[Int](a.toSeq: _*)).toArray
         }
         g.entry = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
-        bc.value.iterator.flatMap { case (qid, q) =>
+        qarr.iterator.flatMap { case (qid, q) =>
           g.search(q, k, ef).map { case (id, d) => Row(qid, id, d) }
         }
       }

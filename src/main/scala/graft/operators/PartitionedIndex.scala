@@ -16,25 +16,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * build parallelism (hundreds to low thousands on a big cluster) — a
   * planning-time cost, not a data movement. Each task still materializes
   * one whole subgraph, same as the shuffled path; partition sizing at
-  * build time governs task memory either way.
+  * build time governs task memory either way. Two guards keep the
+  * planning cost bounded:
+  *   - the parquet schema is inferred ONCE (first child + `basePath`,
+  *     which keeps the `part` column) and passed explicitly to every
+  *     child scan — N listing passes, 1 footer-inference pass;
+  *   - past `maxParts` directories the per-query union plan would cost
+  *     more in driver analysis than the Exchange it avoids, so the
+  *     caller is told to fall back to the shuffled path (a single plain
+  *     scan could not substitute: Spark splits large files across tasks
+  *     by `maxPartitionBytes`, breaking the whole-part-per-task
+  *     invariant the searchers rely on — one Exchange restores it).
   */
 private[graft] object PartitionedIndex {
 
-  /** One `coalesce(1)` scan per `part=N` directory, unioned; None when
-    * `path` has no part directories (caller falls back to the shuffled
-    * path). The `basePath` option keeps the `part` partition column in
-    * each child's schema.
+  /** Default union-width ceiling — comfortably above real build
+    * parallelism for a suite-scale index, comfortably below the plan
+    * widths where Catalyst analysis dominates small-k search latency.
     */
-  def partScans(spark: SparkSession, path: String): Option[DataFrame] = {
+  val DefaultMaxParts = 1024
+
+  /** One `coalesce(1)` scan per `part=N` directory, unioned; None when
+    * `path` has no part directories or has MORE than `maxParts` of them
+    * (caller falls back to the shuffled path). The `basePath` option
+    * keeps the `part` partition column in each child's schema.
+    */
+  def partScans(spark: SparkSession, path: String,
+                maxParts: Int = DefaultMaxParts): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val dirs = fs.listStatus(p)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
-    if (dirs.isEmpty) None
-    else Some(dirs.sortBy(_.getPath.getName)
-      .map(d => spark.read.option("basePath", path)
-        .parquet(d.getPath.toString).coalesce(1))
-      .reduce(_ unionByName _))
+    if (dirs.isEmpty || dirs.length > maxParts) None
+    else {
+      val sorted = dirs.sortBy(_.getPath.getName)
+      // infer once, reuse for every child: per-child footer inference at
+      // the documented "low thousands of parts" would dominate planning
+      val schema = spark.read.option("basePath", path)
+        .parquet(sorted.head.getPath.toString).schema
+      Some(sorted
+        .map(d => spark.read.option("basePath", path).schema(schema)
+          .parquet(d.getPath.toString).coalesce(1))
+        .reduce(_ unionByName _))
+    }
   }
 }

@@ -357,8 +357,10 @@ object Vamana {
       StructField("query_id", LongType),
       StructField("ext_id", LongType), StructField("l2sq", DoubleType)))
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    val bc = index.sparkSession.sparkContext.broadcast(
-      queries.map { case (qid, v) => (qid, v.toArray) }.toArray)
+    // bounded query batch in the task closure (the task binary is
+    // broadcast once per stage and reclaimed with it) — an explicit
+    // sc.broadcast would accumulate until the async ContextCleaner runs
+    val qarr = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
     val prepared = index.select(col("part").cast("int"), col("node"),
       col("ext_id"), col("vec"), col("code"), col("adj"), col("medoid"))
     val spread = if (colocated) prepared
@@ -391,7 +393,7 @@ object Vamana {
               Array.tabulate(sub)(j => flat((mi * kk + ki) * sub + j))))
             Some(PqLocal(m, kk, dim, cb))
           }
-        bc.value.iterator.flatMap { case (qid, q) =>
+        qarr.iterator.flatMap { case (qid, q) =>
           val hits = pqOpt match {
             case Some(pq) => g.searchPq(q, k, beam, rerank, pq, codes)
             case None => g.search(q, k, beam)

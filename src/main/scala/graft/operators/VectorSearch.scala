@@ -402,6 +402,146 @@ object VectorSearch {
   def autoSubspaces(dim: Int): Int =
     (8 to 1 by -1).find(dim % _ == 0).get
 
+  // ---- batched search for the IVF/PQ index families (the reference's
+  // `vector_search` batches over EVERY index type,
+  // vector_search_ops.py:84-101; r10 batched FLAT + both graph families,
+  // these close the gap: one pass over the probed/encoded rows for N
+  // queries instead of N passes) --------------------------------------
+
+  /** Batched IVF search: the per-query probe sets are computed DRIVER-side
+    * from the bounded centroid table and broadcast as one
+    * (query_id, cell, query-vector) pairs table (|queries|·nprobe rows);
+    * joining it to the cell-partitioned assignments scans the union of
+    * all probed cells ONCE, scores each surviving (row, query) pair with
+    * the codegen'd metric, and takes per-query top-k via window — the
+    * exact per-query result [[ivfTopK]] would produce, at one pass.
+    * Output: (query_id, idCol, rank, score).
+    */
+  def ivfBatchTopK(assigned: DataFrame, centroids: DataFrame, vecCol: String,
+                   idCol: String, queries: Seq[(Long, Seq[Float])],
+                   metric: String, k: Int, nprobe: Int,
+                   exact: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = centroids.collect() // nlist rows — bounded by construction
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Float](1)))
+    val pairs = queries.flatMap { case (qid, qv) =>
+      cents.map { case (cell, cv) =>
+        var d = 0.0; var i = 0
+        val n = math.min(qv.length, cv.length)
+        while (i < n) { val x = qv(i) - cv(i); d += x * x; i += 1 }
+        (d, cell)
+      }.sortBy(p => (p._1, p._2)).take(nprobe)
+        .map { case (_, cell) => (qid, cell, qv) }
+    }
+    val pairsDf = pairs.toDF("_qid", "cell", "_qvec")
+    val w = Window.partitionBy("_qid")
+      .orderBy(rankOrder(metric, col("_score")), col(idCol).asc)
+    assigned.join(broadcast(pairsDf), "cell")
+      .withColumn("_score", score(metric, col(vecCol), col("_qvec"), exact))
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .select(col("_qid").as("query_id"), col(idCol),
+        col("_rank").as("rank"), col("_score").as("score"))
+  }
+
+  /** Batched PQ search: one ADC table per query is computed driver-side
+    * and flattened into a single `[query][m][k]` blob riding the plan as
+    * a reference object; the encoded corpus is crossed with the broadcast
+    * (dense-index, query_id, query-vector) batch and every (row, query)
+    * pair scored by ONE codegen'd table-lookup loop
+    * ([[graft.functions.NativeExpressions.pqAdcBatch]]). Per-query
+    * candidate top-`max(rerank, k)` via window, then one exact re-rank
+    * pass against the true vectors (when `rerank > 0`) — the same
+    * rerank-candidate set [[pqTopK]] would pick per query.
+    * Output: (query_id, idCol, rank, score).
+    */
+  def pqBatchTopK(encoded: DataFrame, vecCol: String, idCol: String,
+                  model: PqModel, queries: Seq[(Long, Seq[Float])], k: Int,
+                  rerank: Int = 0, codeCol: String = "_pq"): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val mm = model.m; val kk = model.k
+    val tables = new Array[Double](queries.size * mm * kk)
+    queries.iterator.zipWithIndex.foreach { case ((_, qv), qi) =>
+      System.arraycopy(adcTable(model, qv), 0, tables, qi * mm * kk, mm * kk)
+    }
+    val qdf = queries.zipWithIndex
+      .map { case ((qid, qv), qi) => (qi, qid, qv) }
+      .toDF("_qidx", "_qid", "_qvec")
+    val scored = encoded.crossJoin(broadcast(qdf))
+      .withColumn("_adc", graft.functions.NativeExpressions.pqAdcBatch(
+        col(codeCol), col("_qidx"), mm, kk, tables))
+    val wAdc = Window.partitionBy("_qid")
+      .orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
+    if (rerank <= 0)
+      scored.withColumn("_rank", row_number().over(wAdc))
+        .filter(col("_rank") <= k)
+        .select(col("_qid").as("query_id"), col(idCol),
+          col("_rank").as("rank"), col("_adc").as("score"))
+    else {
+      val cand = scored.withColumn("_rank", row_number().over(wAdc))
+        .filter(col("_rank") <= math.max(rerank, k))
+      val wExact = Window.partitionBy("_qid")
+        .orderBy(col("_exact").asc_nulls_last, col(idCol).asc)
+      cand.withColumn("_exact",
+          score("l2", col(vecCol), col("_qvec"), exact = false))
+        .withColumn("_erank", row_number().over(wExact))
+        .filter(col("_erank") <= k)
+        .select(col("_qid").as("query_id"), col(idCol),
+          col("_erank").as("rank"), col("_exact").as("score"))
+    }
+  }
+
+  /** Batched IVFPQ search: per-query cell pruning (driver-computed probe
+    * pairs, as [[ivfBatchTopK]]) composed with the batched ADC scan —
+    * each encoded row in a probed cell is scored only against the
+    * queries probing that cell, then exact-re-ranked per query.
+    * Output: (query_id, idCol, rank, score).
+    */
+  def ivfPqBatchTopK(encoded: DataFrame, centroids: DataFrame,
+                     vecCol: String, idCol: String, model: PqModel,
+                     queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int,
+                     rerank: Int): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val mm = model.m; val kk = model.k
+    val tables = new Array[Double](queries.size * mm * kk)
+    queries.iterator.zipWithIndex.foreach { case ((_, qv), qi) =>
+      System.arraycopy(adcTable(model, qv), 0, tables, qi * mm * kk, mm * kk)
+    }
+    val cents = centroids.collect()
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Float](1)))
+    val pairs = queries.zipWithIndex.flatMap { case ((qid, qv), qi) =>
+      cents.map { case (cell, cv) =>
+        var d = 0.0; var i = 0
+        val n = math.min(qv.length, cv.length)
+        while (i < n) { val x = qv(i) - cv(i); d += x * x; i += 1 }
+        (d, cell)
+      }.sortBy(p => (p._1, p._2)).take(nprobe)
+        .map { case (_, cell) => (qi, qid, cell, qv) }
+    }
+    val pairsDf = pairs.toDF("_qidx", "_qid", "cell", "_qvec")
+    val scored = encoded.join(broadcast(pairsDf), "cell")
+      .withColumn("_adc", graft.functions.NativeExpressions.pqAdcBatch(
+        col("_pq"), col("_qidx"), mm, kk, tables))
+    val wAdc = Window.partitionBy("_qid")
+      .orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
+    val cand = scored.withColumn("_rank", row_number().over(wAdc))
+      .filter(col("_rank") <= math.max(rerank, k))
+    val wExact = Window.partitionBy("_qid")
+      .orderBy(col("_exact").asc_nulls_last, col(idCol).asc)
+    cand.withColumn("_exact",
+        score("l2", col(vecCol), col("_qvec"), exact = false))
+      .withColumn("_erank", row_number().over(wExact))
+      .filter(col("_erank") <= k)
+      .select(col("_qid").as("query_id"), col(idCol),
+        col("_erank").as("rank"), col("_exact").as("score"))
+  }
+
   /** IVFPQ search (the reference's faiss IVFPQ index type + its
     * `refine_factor` search param): prune to the `nprobe` nearest cells,
     * scan only PQ codes there (ADC table lookups), exact-re-rank the

@@ -78,6 +78,12 @@ object NativeExpressions {
     ExpressionUtils.column(
       PqAdc(ExpressionUtils.expression(codes), m, k, table))
 
+  def pqAdcBatch(codes: Column, qidx: Column, m: Int, k: Int,
+                 tables: Array[Double]): Column =
+    ExpressionUtils.column(
+      PqAdcBatch(ExpressionUtils.expression(codes),
+        ExpressionUtils.expression(qidx), m, k, tables))
+
   def dotF(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -1069,6 +1075,77 @@ case class PqAdc(child: Expression, m: Int, k: Int, table: Array[Double])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Batched ADC: like [[PqAdc]] but with one table per query, flattened
+  * `[query][m][k]`, and the row's dense query index supplied as the second
+  * child — so a broadcast-joined (row × query-batch) scan scores every
+  * pair with ONE codegen'd lookup loop instead of one expression per
+  * query. The tables blob (|queries|·m·k doubles, driver-computed) rides
+  * the plan as a reference object. Null / malformed codes or an
+  * out-of-range query index → null score (ranks last).
+  */
+case class PqAdcBatch(left: Expression, right: Expression, m: Int, k: Int,
+                      tables: Array[Double])
+  extends BinaryExpression with ExpectsInputTypes {
+
+  require(tables.length % (m * k) == 0, "ADC tables layout mismatch")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc_batch"
+
+  private def nQueries: Int = tables.length / (m * k)
+
+  override protected def nullSafeEval(codesAny: Any, qidxAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val q = qidxAny.asInstanceOf[Int]
+    if (codes.numElements() != m || q < 0 || q >= nQueries) null
+    else {
+      val base = q * m * k
+      var s = 0.0
+      var mi = 0
+      var ok = true
+      while (mi < m && ok) {
+        val c = codes.getInt(mi)
+        if (c < 0 || c >= k) ok = false
+        else { s += tables(base + mi * k + c); mi += 1 }
+      }
+      if (ok) s else null
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("adcTables", tables, "double[]")
+    val nq = nQueries
+    nullSafeCodeGen(ctx, ev, (c, q) => {
+      val s = ctx.freshName("s")
+      val mi = ctx.freshName("mi")
+      val code = ctx.freshName("code")
+      val ok = ctx.freshName("ok")
+      val base = ctx.freshName("base")
+      s"""
+        if ($c.numElements() != $m || $q < 0 || $q >= $nq) {
+          ${ev.isNull} = true;
+        } else {
+          int $base = $q * $m * $k;
+          double $s = 0.0;
+          boolean $ok = true;
+          for (int $mi = 0; $mi < $m && $ok; $mi++) {
+            int $code = $c.getInt($mi);
+            if ($code < 0 || $code >= $k) { $ok = false; }
+            else { $s += $tbl[$base + $mi * $k + $code]; }
+          }
+          if ($ok) { ${ev.value} = $s; } else { ${ev.isNull} = true; }
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** Dot product of two float arrays as a codegen'd primitive loop. */

@@ -39,8 +39,8 @@ class GraftStreamSpec extends SparkSpec {
     // a redelivered epoch (checkpoint recovery replays the last batch)
     // must be a no-op — same query identity, same token
     val token = GraftStream.queryToken(ckpt)
-    val sink = new GraftSink(spark, root, "main", token)
-    val replay = GraftStream.lastBatchId(spark, root, ds.head, token).get
+    val sink = new GraftSink(spark, root, "main", token, Set(token))
+    val replay = GraftStream.lastBatchId(spark, root, ds.head, Set(token)).get
     sink.addBatch(replay, Seq((9L, "dup")).toDF("id", "v"))
     assert(GraftDataset.load(spark, root).toDF.count() == 3)
     // and the NEXT epoch appends
@@ -49,8 +49,8 @@ class GraftStreamSpec extends SparkSpec {
     // a DIFFERENT query (fresh checkpoint → epochs restart at 0) writing
     // to the same table must NOT be deduped against the first query's
     // markers — epoch-only matching would silently drop its batches
-    val sink2 = new GraftSink(spark, root, "main",
-      GraftStream.queryToken(tmpDir("gsinkckpt2")))
+    val t2 = GraftStream.queryToken(tmpDir("gsinkckpt2"))
+    val sink2 = new GraftSink(spark, root, "main", t2, Set(t2))
     sink2.addBatch(0L, Seq((5L, "e")).toDF("id", "v"))
     assert(GraftDataset.load(spark, root).toDF.count() == 5)
     // but ITS OWN retry of epoch 0 is still a no-op
@@ -259,6 +259,29 @@ class GraftStreamSpec extends SparkSpec {
     assert(a != b)
     assert(a.length == 32 && a.forall(c => c.isDigit || ('a' to 'f').contains(c)))
     assert(GraftStream.queryToken("/ck/one") == a) // stable across calls
+  }
+
+  test("pre-md5 markers are honored on upgrade (legacy murmur token dual-read)") {
+    import spark.implicits._
+    // a table whose last marker was written by the OLD 8-hex murmur token:
+    // the upgraded sink must still recognize epoch 1 as already-committed
+    // (checkpoint recovery replays it) instead of appending duplicates
+    val root = tmpDir("glegacy") + "/t"
+    val ckpt = "/some/checkpoint/path"
+    val legacy = GraftStream.legacyQueryToken(ckpt)
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a")).toDF("id", "v"))
+    ds.commit(GraftStream.marker(legacy, 1L))
+    val sink = new GraftSource().createSink(spark.sqlContext,
+      Map("path" -> root, "checkpointLocation" -> ckpt), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(1L, Seq((1L, "a")).toDF("id", "v")) // replayed → no-op
+    assert(GraftDataset.load(spark, root).toDF.count() == 1)
+    sink.addBatch(2L, Seq((2L, "b")).toDF("id", "v")) // new epoch appends
+    val after = GraftDataset.load(spark, root)
+    assert(after.toDF.count() == 2)
+    // the new marker is written in md5 form
+    assert(after.log.exists(_.message.contains(GraftStream.queryToken(ckpt))))
   }
 
   test("sink without an explicit checkpointLocation option fails loudly") {

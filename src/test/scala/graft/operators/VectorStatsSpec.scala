@@ -800,4 +800,69 @@ class VectorStatsSpec extends SparkSpec {
     assert(dec(2L).getAs[Int]("ndim") == 3) // stub
     assert(dec(2L).getAs[Int]("bitpix") == 8)
   }
+
+  test("IVF/PQ batch search: one pass per batch matches per-query search") {
+    val df = vecs(400, 16)
+    val queries = (0L until 4L).map(qid =>
+      qid -> df.filter($"vec_id" === qid).head().getSeq[Float](1))
+    val (assigned, centroids) =
+      VectorSearch.ivfBuild(df, "embedding", "vec_id", nlist = 8)
+    val ivfBatch = VectorSearch.ivfBatchTopK(assigned, centroids,
+      "embedding", "vec_id", queries, "l2", k = 10, nprobe = 3)
+    queries.foreach { case (qid, q) =>
+      val single = VectorSearch.ivfTopK(assigned, centroids, "embedding",
+          "vec_id", q, "l2", k = 10, nprobe = 3)
+        .select("vec_id").as[Long].collect().toSeq
+      val batch = ivfBatch.filter($"query_id" === qid).orderBy("rank")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch == single, s"IVF qid=$qid")
+    }
+    val model = VectorSearch.pqTrain(df, "embedding", "vec_id", m = 4, k = 32)
+    val encoded = VectorSearch.pqEncode(df, "embedding", model)
+    // both rerank modes: pure ADC ranking and ADC-candidates + exact re-rank
+    for (rerank <- Seq(0, 100)) {
+      val pqBatch = VectorSearch.pqBatchTopK(encoded, "embedding", "vec_id",
+        model, queries, k = 10, rerank = rerank)
+      queries.foreach { case (qid, q) =>
+        val single = VectorSearch.pqTopK(encoded, "embedding", "vec_id",
+            model, q, topK = 10, rerank = rerank)
+          .select("vec_id").as[Long].collect().toSeq
+        val batch = pqBatch.filter($"query_id" === qid).orderBy("rank")
+          .select("vec_id").as[Long].collect().toSeq
+        assert(batch == single, s"PQ rerank=$rerank qid=$qid")
+      }
+    }
+    // IVFPQ scans cell-assigned PQ codes (cell pruning + ADC)
+    val cellEncoded = VectorSearch.pqEncode(assigned, "embedding", model)
+    val ivfPqBatch = VectorSearch.ivfPqBatchTopK(cellEncoded, centroids,
+      "embedding", "vec_id", model, queries, k = 10, nprobe = 3,
+      rerank = 100)
+    queries.foreach { case (qid, q) =>
+      val single = VectorSearch.ivfPqTopK(cellEncoded, centroids, "embedding",
+          "vec_id", model, q, k = 10, nprobe = 3, rerank = 100)
+        .select("vec_id").as[Long].collect().toSeq
+      val batch = ivfPqBatch.filter($"query_id" === qid).orderBy("rank")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch == single, s"IVFPQ qid=$qid")
+    }
+  }
+
+  test("partScans width guard: past maxParts the caller falls back (shuffled path)") {
+    val df = vecs(200, 8)
+    val dir = tmpDir("partguard") + "/idx"
+    Hnsw.build(df, "embedding", "vec_id", numPartitions = 8)
+      .write.partitionBy("part").parquet(dir)
+    // within the guard: exchange-free scans exist and search matches
+    val q0 = df.filter($"vec_id" === 0L).head().getSeq[Float](1)
+    assert(PartitionedIndex.partScans(spark, dir).isDefined)
+    // past the guard: partScans declines (None) — the callers'
+    // `.getOrElse(shuffled path)` then takes over; both paths agree, so
+    // crossing the guard threshold can never change results
+    assert(PartitionedIndex.partScans(spark, dir, maxParts = 4).isEmpty)
+    val exchangeFree = Hnsw.topKPersisted(spark, dir, q0, 10, ef = 200)
+      .select("ext_id").as[Long].collect().toSeq
+    val shuffled = Hnsw.topK(spark.read.parquet(dir), q0, 10, ef = 200)
+      .select("ext_id").as[Long].collect().toSeq
+    assert(exchangeFree == shuffled)
+  }
 }
