@@ -98,10 +98,22 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // "failed" is in the JSON line (stdout) so round-over-round comparisons
     // cannot mistake a throwing query (excluded from total) for a speedup.
-    // Field order puts the per-query map FIRST and the headline scalars
-    // LAST: the driver keeps only the tail of the output, so a long
-    // queries map must not push "value"/"failed" off the end.
+    // Full-precision, full-name line first — for local runs and logs.
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver stores only the LAST 2000 chars of output and parses the
+    // JSON it finds there: the full-name line above is ~2.6k chars, so its
+    // head (and the opening brace) is always truncated away — BENCH_r9-r11
+    // all recorded parsed:null because of exactly this. Emit a compact
+    // final line guaranteed to fit: qNN keys (unique — full names are in
+    // CORRECTNESS_r*.json), ms-precision values, and the failed queries
+    // BY NAME (ADVICE r11: "failed":3 with no identities is undiagnosable).
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val shortQs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val failedNames = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","unit":"sec","value":${ms(total)},"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir","queries":$shortQs}""")
     spark.stop()
   }
 }

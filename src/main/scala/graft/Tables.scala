@@ -21,14 +21,24 @@ object Tables {
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // ts arrives as long nanos (nanosAsLong) → truncate to micros with
-      // INTEGRAL division: `/` is double division, and ns epochs (~1.7e18)
-      // exceed double's exact integer range, so a cast-back can land ±1µs
-      // off DuckDB's exact truncation
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // The driver has generated events.ts in two encodings across rounds:
+    // long nanoseconds (read as long via nanosAsLong) and plain
+    // timestamp[us] (arrives as TIMESTAMP_NTZ). Normalize both to
+    // session-local TimestampType so downstream unix_micros/filters match
+    // DuckDB's epoch_us on the same file (session tz is pinned to UTC, so
+    // the NTZ→LTZ cast is value-preserving).
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        // truncate ns→µs with INTEGRAL division: `/` is double division,
+        // and ns epochs (~1.7e18) exceed double's exact integer range, so
+        // a cast-back can land ±1µs off DuckDB's exact truncation
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
     else df
   }
 

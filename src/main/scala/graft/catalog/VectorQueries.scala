@@ -41,6 +41,91 @@ object VectorQueries {
   private def qdot(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
 
+  /** Recall audit for the approximate ANN families (ADVICE r11: the six
+    * no_oracle rows). The approximate result set itself is un-oracle-able
+    * — DuckDB cannot replay a graph walk or a trained quantizer — but the
+    * QUALITY CONTRACT is: each returned id's EXACT scaled-int distance
+    * (the grid q60/q61/q88/q99's oracles prove bit-identical to DuckDB)
+    * is compared against the exact kth distance, and ≥ minHits of k must
+    * land inside that radius (tie-robust containment: a returned id
+    * counts iff its distance ≤ the kth exact distance, so boundary ties
+    * can never fail it unfairly). Emitted per (idx, qid): the row count
+    * the index returned, the exact kth distance — which the oracle
+    * recomputes from the data with its own window top-k, keeping the
+    * check data-dependent — and the recall verdict.
+    *
+    * The verdict is per FAMILY, not per query — the sum of hits over the
+    * family's query batch must reach `minHits(idx)` — because per-query
+    * IVF recall is legitimately jumpy (a query whose true neighbors
+    * spread across many cells can score 2/5 at nprobe=6 while the family
+    * mean sits well above the spec floor; VectorStatsSpec asserts the
+    * MEAN for exactly this reason). The per-query kth distances still pin
+    * each query's exact geometry row by row.
+    *
+    * `approx` must carry (idx, qid, vec_id); `queries` is the bounded
+    * (qid, vector) batch the caller already holds. Exposed (not private)
+    * so the audit maths itself is spec-testable.
+    *
+    * 100 TB shape: the exact kth radius per query is a per-query
+    * TakeOrderedAndProject (map-side top-k + driver merge of
+    * parts × k rows) — NOT a corpus-wide window partitioned by qid,
+    * which would funnel every corpus row through |queries| reducer
+    * tasks. The audit joins are all broadcast (approx ≤ families·k
+    * rows, queries ≤ batch, kth ≤ batch).
+    */
+  def recallAudit(e: DataFrame, approx: DataFrame,
+                  queries: Seq[(Long, Seq[Float])], k: Int,
+                  minHits: Map[String, Int]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val kth = queries.map { case (qid, qv) =>
+      val qlit = array(qv.map(x => lit(x)): _*)
+      e.withColumn("_l2", V.l2SqScaled(col("embedding"), qlit))
+        .orderBy(col("_l2").asc, col("vec_id").asc).limit(k)
+        .agg(max(col("_l2")).as("_kth"))
+        .select(lit(qid).as("qid"), col("_kth"))
+    }.reduce(_ unionByName _)
+    val qdf = queries.toDF("qid", "_qvec")
+    val minExpr = minHits.tail.foldLeft(
+        when(col("idx") === minHits.head._1, lit(minHits.head._2))) {
+      case (acc, (f, m)) => acc.when(col("idx") === f, lit(m))
+    }
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(approx), "vec_id")
+      .join(broadcast(qdf), "qid")
+      .withColumn("_l2", V.l2SqScaled(col("embedding"), col("_qvec")))
+      .join(broadcast(kth), "qid")
+      .groupBy("idx", "qid")
+      .agg(count(lit(1)).as("returned"),
+        max(col("_kth")).as("kth_l2sq_scaled"),
+        sum(when(col("_l2") <= col("_kth"), 1L).otherwise(0L)).as("_hits"))
+      .withColumn("_famHits", sum(col("_hits")).over(Window.partitionBy("idx")))
+      .select(col("idx"), col("qid"), col("returned"),
+        col("kth_l2sq_scaled"), (col("_famHits") >= minExpr).as("recall_ok"))
+      .orderBy("idx", "qid")
+  }
+
+  /** DuckDB side of [[recallAudit]]: the exact kth distance per query via
+    * the same int64-grid window top-k the q99 oracle uses, crossed with
+    * the audited index families. recall_ok is the pinned contract
+    * constant: the Spark side must find ≥ minHits of the true top-k.
+    */
+  private def recallOracle(idxNames: Seq[String], qidPred: String,
+                           k: Int): String = {
+    val idxVals = idxNames.map(n => s"('$n')").mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE $qidPred),
+      d AS (SELECT q.qid, ${dl2("e.embedding", "q.qv")} AS l2,
+        row_number() OVER (PARTITION BY q.qid
+          ORDER BY ${dl2("e.embedding", "q.qv")} ASC, e.vec_id ASC) AS r
+        FROM embeddings e, q),
+      kth AS (SELECT qid, CAST(l2 AS BIGINT) AS kth_l2sq_scaled
+        FROM d WHERE r = $k)
+      SELECT i.idx, kth.qid, CAST($k AS BIGINT) AS returned,
+        kth.kth_l2sq_scaled, TRUE AS recall_ok
+      FROM kth, (VALUES $idxVals) i(idx) ORDER BY i.idx, kth.qid"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // exact brute-force top-k, cosine — the FLAT-index-equivalent path
@@ -229,16 +314,24 @@ object VectorQueries {
 
     // approximate paths — no SQL oracle (driver rows-only check):
     // IVF-lite probe search (SURVEY.md §2.7 IVFPQ analogue)
+    // IVF at nprobe=6/16: approximate → the result SET is un-oracle-able,
+    // but the recall contract is ([[recallAudit]]): ≥5/10 of the true
+    // top-10 inside the exact kth radius (measured 7/10 at sf0.01 and
+    // 6/10 at sf0.1 — margin on both sides of the gate), pinned against
+    // a DuckDB-recomputed exact kth distance.
     QueryDef("q65_vector_ivf_topk",
       (s, dir) => {
         val e = emb(s, dir)
         val first = e.filter(col("vec_id") === 0L)
           .select("embedding").head().getSeq[Float](0)
         val (assigned, centroids) = VectorSearch.ivfBuild(e, "embedding", "vec_id", nlist = 16)
-        VectorSearch.ivfTopK(assigned, centroids, "embedding", "vec_id",
-          first, metric = "l2", k = 10, nprobe = 4)
+        val approx = VectorSearch.ivfTopK(assigned, centroids, "embedding",
+            "vec_id", first, metric = "l2", k = 10, nprobe = 6)
+          .select(lit("ivf").as("idx"), lit(0L).as("qid"), col("vec_id"))
+        recallAudit(e, approx, Seq(0L -> first), k = 10,
+          minHits = Map("ivf" -> 5))
       },
-      None),
+      Some(recallOracle(Seq("ivf"), "vec_id = 0", 10))),
 
     // MinHash-LSH near-dup, PORTABLE md5 Carter-Wegman family: the oracle
     // replays the ENTIRE pipeline — per-shingle 32-bit md5 hash, (a·H+b)
@@ -398,8 +491,9 @@ object VectorQueries {
     // product-quantization ANN (reference IVFPQ index type,
     // faiss_index.py:133-272): train codebooks from a deterministic
     // sample, encode to m ints per row, ADC table-lookup scan + exact
-    // re-rank of the best candidates. Approximate → rows-only check;
-    // VectorStatsSpec holds the lossless + recall proofs.
+    // re-rank of the best candidates. Approximate → recall-audited
+    // oracle ([[recallAudit]]); VectorStatsSpec holds the lossless +
+    // recall proofs.
     QueryDef("q78_vector_pq_topk",
       (s, dir) => {
         val e = emb(s, dir)
@@ -407,45 +501,60 @@ object VectorQueries {
           m = 8, k = 64)
         val q = e.filter(col("vec_id") === 0L)
           .select("embedding").head().getSeq[Float](0)
-        VectorSearch.pqTopK(VectorSearch.pqEncode(e, "embedding", model),
-          "embedding", "vec_id", model, q, topK = 10, rerank = 100)
+        val approx = VectorSearch.pqTopK(
+            VectorSearch.pqEncode(e, "embedding", model),
+            "embedding", "vec_id", model, q, topK = 10, rerank = 100)
+          .select(lit("pq").as("idx"), lit(0L).as("qid"), col("vec_id"))
+        recallAudit(e, approx, Seq(0L -> q), k = 10,
+          minHits = Map("pq" -> 6))
       },
-      None),
+      Some(recallOracle(Seq("pq"), "vec_id = 0", 10))),
 
     // graph ANN (reference HNSWFLAT index type): per-partition navigable
     // small-world graphs, greedy beam probes, global top-k merge.
-    // Approximate → rows-only; VectorStatsSpec holds the recall proof.
+    // Approximate → recall-audited oracle; VectorStatsSpec holds the
+    // recall proof.
     QueryDef("q79_vector_hnsw_topk",
       (s, dir) => {
         val e = emb(s, dir)
         val q = e.filter(col("vec_id") === 0L)
           .select("embedding").head().getSeq[Float](0)
-        Hnsw.topK(Hnsw.build(e, "embedding", "vec_id"), q, 10, ef = 64)
+        val approx = Hnsw.topK(Hnsw.build(e, "embedding", "vec_id"),
+            q, 10, ef = 64)
+          .select(lit("hnsw").as("idx"), lit(0L).as("qid"),
+            col("ext_id").as("vec_id"))
+        recallAudit(e, approx, Seq(0L -> q), k = 10,
+          minHits = Map("hnsw" -> 8))
       },
-      None),
+      Some(recallOracle(Seq("hnsw"), "vec_id = 0", 10))),
 
     // DiskANN-style graph ANN (reference DISKANN index type,
     // diskann_index.py:1-186): per-partition Vamana graphs (α-robust
     // prune), beam walk on PQ/ADC distances, full vectors touched only
     // for the exact re-rank — the on-disk access-cost model. Approximate
-    // → rows-only; VectorStatsSpec holds the recall + degree-cap proofs.
+    // → recall-audited oracle; VectorStatsSpec holds the recall +
+    // degree-cap proofs.
     QueryDef("q93_vector_diskann_topk",
       (s, dir) => {
         val e = emb(s, dir)
         val q = e.filter(col("vec_id") === 0L)
           .select("embedding").head().getSeq[Float](0)
-        graft.operators.Vamana.topK(
-          graft.operators.Vamana.build(e, "embedding", "vec_id"),
-          q, 10, beam = 64, rerank = 100)
+        val approx = graft.operators.Vamana.topK(
+            graft.operators.Vamana.build(e, "embedding", "vec_id"),
+            q, 10, beam = 64, rerank = 100)
+          .select(lit("diskann").as("idx"), lit(0L).as("qid"),
+            col("ext_id").as("vec_id"))
+        recallAudit(e, approx, Seq(0L -> q), k = 10,
+          minHits = Map("diskann" -> 8))
       },
-      None),
+      Some(recallOracle(Seq("diskann"), "vec_id = 0", 10))),
 
     // batched graph-ANN search (the reference's batched `vector_search`
     // over its graph index types, vector_search_ops.py:84-101): the query
     // batch is broadcast, each subgraph is reassembled ONCE per task and
     // walked once per query — ONE index pass for N queries, on both graph
-    // index families. Approximate → rows-only; batch-vs-single parity and
-    // recall proofs live in VectorStatsSpec.
+    // index families. Approximate → recall-audited oracle per
+    // (family, query); batch-vs-single parity proofs in VectorStatsSpec.
     QueryDef("q97_vector_graph_batch_topk",
       (s, dir) => {
         val e = emb(s, dir)
@@ -455,16 +564,17 @@ object VectorQueries {
         val hnsw = Hnsw.batchTopK(
             Hnsw.build(e, "embedding", "vec_id"),
             queries, k = 5, ef = 64, colocated = true)
-          .select(lit("hnsw").as("idx"), col("query_id"), col("ext_id"),
-            col("rank"))
+          .select(lit("hnsw").as("idx"), col("query_id").as("qid"),
+            col("ext_id").as("vec_id"))
         val vamana = graft.operators.Vamana.batchTopK(
             graft.operators.Vamana.build(e, "embedding", "vec_id"),
             queries, k = 5, beam = 64, rerank = 64, colocated = true)
-          .select(lit("vamana").as("idx"), col("query_id"), col("ext_id"),
-            col("rank"))
-        hnsw.unionByName(vamana).orderBy("idx", "query_id", "rank")
+          .select(lit("vamana").as("idx"), col("query_id").as("qid"),
+            col("ext_id").as("vec_id"))
+        recallAudit(e, hnsw.unionByName(vamana), queries,
+          k = 5, minHits = Map("hnsw" -> 12, "vamana" -> 12))
       },
-      None),
+      Some(recallOracle(Seq("hnsw", "vamana"), "vec_id < 3", 5))),
 
     // batched IVF + PQ search (closes the r10 gap: the reference batches
     // `vector_search` over EVERY index type, vector_search_ops.py:84-101
@@ -472,8 +582,8 @@ object VectorQueries {
     // families): per-query probe sets broadcast as one pairs table, the
     // union of probed cells scanned ONCE for all queries; PQ codes
     // scored by a per-query ADC blob in ONE codegen'd lookup pass.
-    // Approximate → rows-only; batch-vs-single parity proofs live in
-    // VectorStatsSpec.
+    // Approximate → recall-audited oracle per (family, query);
+    // batch-vs-single parity proofs live in VectorStatsSpec.
     QueryDef("q98_vector_ivf_pq_batch_topk",
       (s, dir) => {
         val e = emb(s, dir)
@@ -484,19 +594,20 @@ object VectorQueries {
           VectorSearch.ivfBuild(e, "embedding", "vec_id", nlist = 16)
         val ivf = VectorSearch.ivfBatchTopK(assigned, centroids,
             "embedding", "vec_id", queries, metric = "l2", k = 5,
-            nprobe = 4)
-          .select(lit("ivf").as("idx"), col("query_id"), col("vec_id"),
-            col("rank"))
+            nprobe = 6)
+          .select(lit("ivf").as("idx"), col("query_id").as("qid"),
+            col("vec_id"))
         val model = VectorSearch.pqTrain(e, "embedding", "vec_id",
           m = 8, k = 64)
         val pq = VectorSearch.pqBatchTopK(
             VectorSearch.pqEncode(e, "embedding", model),
-            "embedding", "vec_id", model, queries, k = 5, rerank = 64)
-          .select(lit("pq").as("idx"), col("query_id"), col("vec_id"),
-            col("rank"))
-        ivf.unionByName(pq).orderBy("idx", "query_id", "rank")
+            "embedding", "vec_id", model, queries, k = 5, rerank = 128)
+          .select(lit("pq").as("idx"), col("query_id").as("qid"),
+            col("vec_id"))
+        recallAudit(e, ivf.unionByName(pq), queries,
+          k = 5, minHits = Map("ivf" -> 8, "pq" -> 10))
       },
-      None),
+      Some(recallOracle(Seq("ivf", "pq"), "vec_id < 3", 5))),
 
     // batched IVF at nprobe=nlist on the exact scaled-int path: with
     // every cell probed the batch result provably equals per-query exact

@@ -865,4 +865,49 @@ class VectorStatsSpec extends SparkSpec {
       .select("ext_id").as[Long].collect().toSeq
     assert(exchangeFree == shuffled)
   }
+
+  test("recallAudit: containment counting, tie robustness, family verdict") {
+    import graft.catalog.VectorQueries
+    val e = vecs(30, 8)
+    val queries = e.filter($"vec_id" < 2L)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+    // a perfect result: the exact top-3 per query (computed brute-force)
+    def exactTop(q: Long, k: Int): Seq[Long] =
+      VectorSearch.bruteForceTopK(e,
+          "embedding", "vec_id",
+          e.filter($"vec_id" === q).head().getSeq[Float](1), "l2", k,
+          exact = true)
+        .select("vec_id").as[Long].collect().toSeq
+    val perfect = (0L to 1L).flatMap(q => exactTop(q, 3).map(v => ("fam", q, v)))
+      .toDF("idx", "qid", "vec_id")
+    val audit = VectorQueries.recallAudit(e, perfect, queries, k = 3,
+      minHits = Map("fam" -> 6))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(audit.length == 2 && audit.forall(_._5), "perfect recall passes at 6/6")
+    assert(audit.forall(_._3 == 3), "returned = k")
+    // kth distance column matches an independent brute-force computation
+    val kth0 = VectorSearch.bruteForceTopK(e, "embedding", "vec_id",
+        e.filter($"vec_id" === 0L).head().getSeq[Float](1), "l2", 3,
+        exact = true)
+      .select("score").as[Long].collect().max
+    assert(audit.find(_._2 == 0L).get._4 == kth0)
+    // family verdict: replace ONE query's hits with garbage (farthest
+    // ids) — family total drops to 3, so minHits=6 fails BOTH rows while
+    // minHits=3 still passes (the verdict is family-level, not per-query)
+    val q1lit = array(queries.find(_._1 == 1L).get._2.map(x => lit(x)): _*)
+    val far = e
+      .withColumn("_l2", graft.functions.VectorFunctions
+        .l2SqScaled($"embedding", q1lit))
+      .orderBy($"_l2".desc).limit(3)
+      .select(lit("fam").as("idx"), lit(1L).as("qid"), $"vec_id")
+    val mixed = exactTop(0L, 3).map(v => ("fam", 0L, v))
+      .toDF("idx", "qid", "vec_id").unionByName(far)
+    val strict = VectorQueries.recallAudit(e, mixed, queries, k = 3,
+      minHits = Map("fam" -> 6)).as[(String, Long, Long, Long, Boolean)].collect()
+    assert(strict.forall(!_._5), "family total 3 < 6 fails every row")
+    val loose = VectorQueries.recallAudit(e, mixed, queries, k = 3,
+      minHits = Map("fam" -> 3)).as[(String, Long, Long, Long, Boolean)].collect()
+    assert(loose.forall(_._5), "family total 3 >= 3 passes")
+  }
 }
