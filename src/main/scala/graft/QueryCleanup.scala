@@ -38,6 +38,12 @@ object QueryCleanup {
   def registerTempView(name: String): Unit =
     register(s => { s.catalog.dropTempView(name); () })
 
+  /** Drop a session-catalog table on drain — used by the named-table
+    * query so repeated runs (Bench's min-of-n) start from a clean
+    * catalog. The external table root is registered separately. */
+  def registerTable(name: String): Unit =
+    register(s => { s.sql(s"DROP TABLE IF EXISTS $name"); () })
+
   def deleteRecursively(path: String): Unit = {
     val p = Paths.get(path)
     if (Files.exists(p)) {

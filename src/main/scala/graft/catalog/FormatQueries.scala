@@ -23,6 +23,33 @@ object FormatQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // catalog-named graft table, pure-SQL surface (the r9/r10 punch-list
+    // "catalog integration" item): saveAsTable names an external graft
+    // table in the session catalog, INSERT INTO runs through
+    // GraftRelation.insert as one append COMMIT, and the read is
+    // spark.sql over the table NAME — no path in any user-facing query.
+    // The oracle replays the same content arithmetic over the source
+    // parquet.
+    QueryDef("q52_format_named_table",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        val tbl = "q52_named_docs"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.QueryCleanup.registerTable(tbl)
+        docs.filter(col("doc_id") < 400L).write.format("graft")
+          .option("path", freshRoot("q52")).saveAsTable(tbl)
+        docs.filter(col("doc_id") >= 400L && col("doc_id") < 450L)
+          .createOrReplaceTempView("q52_delta")
+        graft.QueryCleanup.registerTempView("q52_delta")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM q52_delta")
+        s.sql(s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+          FROM $tbl GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE doc_id < 450
+        GROUP BY lang ORDER BY lang""")),
+
     // ingest → snapshot read → filter_vectorized + aggregate
     QueryDef("q70_format_roundtrip_agg",
       (s, dir) => {

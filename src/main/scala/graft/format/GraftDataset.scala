@@ -883,7 +883,37 @@ class GraftDataset private[format] (
     *   - FLAT: rebind the commit (search reads the live snapshot).
     * Non-append changes rebuild with the recorded params.
     */
-  def updateVectorIndex(column: String, nlist: Int = 64): Unit = {
+  /** The recorded build params of the persisted index at `dir`, carried
+    * through maintenance so incremental updates and rebuilds reuse them.
+    */
+  private def carriedVectorMeta(dir: Path, nlist: Int = 64)
+      : Map[String, String] = {
+    def param(key: String, dflt: Int): Int =
+      indexMetaField(dir, key).map(_.toInt).getOrElse(dflt)
+    Map("type" -> indexMetaField(dir, "type").getOrElse("IVF"),
+      "nlist" -> param("nlist", nlist).toString,
+      "pqM" -> param("pqM", 0).toString, "pqK" -> param("pqK", 16).toString,
+      "graphDegree" -> param("graphDegree", 16).toString,
+      "buildBeam" -> param("buildBeam", 100).toString,
+      "metric" -> indexMetaField(dir, "metric").getOrElse("l2"),
+      "rebuilds" -> param("rebuilds", 0).toString)
+  }
+
+  /** Full rebuild over the live snapshot with the index's own recorded
+    * params, bumping the `rebuilds` maintenance counter in the meta.
+    */
+  private def rebuildVectorIndex(column: String, dir: Path): Unit = {
+    val carried = carriedVectorMeta(dir)
+    createVectorIndex(column, carried("nlist").toInt,
+      indexType = carried("type"), pqM = carried("pqM").toInt,
+      pqK = carried("pqK").toInt, graphDegree = carried("graphDegree").toInt,
+      buildBeam = carried("buildBeam").toInt, metric = carried("metric"))
+    writeIndexMeta(dir,
+      carried + ("rebuilds" -> (carried("rebuilds").toInt + 1).toString))
+  }
+
+  def updateVectorIndex(column: String, nlist: Int = 64,
+                        rebuildThreshold: Double = 0.5): Unit = {
     require(!dirty, "commit before indexing")
     unloadVectorIndex(column) // a pinned copy would go stale on append
     val dir = indexDir("vector", column)
@@ -892,77 +922,119 @@ class GraftDataset private[format] (
       indexMetaField(dir, key).map(_.toInt).getOrElse(dflt)
     val V = graft.operators.VectorSearch
     val idxMetric = indexMetaField(dir, "metric").getOrElse("l2")
-    val carried = Map("type" -> tpe, "nlist" -> param("nlist", nlist).toString,
-      "pqM" -> param("pqM", 0).toString, "pqK" -> param("pqK", 16).toString,
-      "graphDegree" -> param("graphDegree", 16).toString,
-      "buildBeam" -> param("buildBeam", 100).toString,
-      "metric" -> idxMetric)
-    def rebuild(): Unit = createVectorIndex(column, param("nlist", nlist),
-      indexType = tpe, pqM = param("pqM", 0), pqK = param("pqK", 16),
-      graphDegree = param("graphDegree", 16),
-      buildBeam = param("buildBeam", 100), metric = idxMetric)
+    val carried = carriedVectorMeta(dir, nlist)
+    def rebuild(): Unit = rebuildVectorIndex(column, dir)
     indexCommit(dir).flatMap(appendOnlyDelta) match {
       case _ if tpe == "FLAT" => writeIndexMeta(dir, carried)
       case Some(newFiles) =>
-        if (newFiles.nonEmpty) {
-          val added = snapshotWithUuid(files = newFiles, updates = Nil,
-            tombstones = Nil)
-          val assignedPath = new Path(dir, "assigned").toString
-          val graphPath = new Path(dir, "graph").toString
-          tpe match {
-            case "IVF" =>
-              val centroids = spark.read.parquet(
-                new Path(dir, "centroids").toString)
-              V.assignCells(added, column, centroids)
-                .write.mode("append").partitionBy("cell")
-                .parquet(assignedPath)
-            case "IVFPQ" =>
-              val centroids = spark.read.parquet(
-                new Path(dir, "centroids").toString)
-              val model = readPqModel(
-                spark.read.parquet(new Path(dir, "pqmodel").toString))
-              V.pqEncode(
-                  V.assignCells(graphInput(added, column, idxMetric),
-                    column, centroids),
-                  column, model)
-                .write.mode("append").partitionBy("cell")
-                .parquet(assignedPath)
-            case "HNSW" | "DISKANN" =>
-              // empty persisted graph (index created while the vector
-              // column had no rows): max(part) is null — or the parquet
-              // dir has no readable footer at all — and the delta IS the
-              // whole index, so new parts start at 0
-              val lastPart = try {
-                spark.read.parquet(graphPath)
-                  .agg(coalesce(max(col("part")), lit(-1))).head().getInt(0)
-              } catch {
-                case _: org.apache.spark.sql.AnalysisException => -1
-              }
-              val offset = lastPart + 1
-              val gIn = graphInput(added, column, idxMetric)
-              val built =
-                if (tpe == "HNSW")
-                  graft.operators.Hnsw.build(gIn, column, UuidCol,
-                    m = param("graphDegree", 16),
-                    efConstruction = param("buildBeam", 100))
-                else {
-                  val pqM0 = param("pqM", 0)
-                  graft.operators.Vamana.build(gIn, column, UuidCol,
-                    r = math.max(param("graphDegree", 16), 4),
-                    buildBeam = param("buildBeam", 100),
-                    pqM = if (pqM0 > 0) pqM0
-                          else V.autoSubspaces(vectorDim(added, column)),
-                    pqK = param("pqK", 16))
+        // Delta-fraction guard: every append FRAGMENTS the index (new
+        // graph shards that each probe pays for; cells assigned to
+        // centroids that drift from the data). Past the threshold the
+        // compounding probe cost exceeds one rebuild's, so rebuild —
+        // the same economics as the inverted index's optimize path.
+        val totalRows = snapshotWithUuid().count()
+        val deltaRows =
+          if (newFiles.isEmpty) 0L
+          else snapshotWithUuid(files = newFiles, updates = Nil,
+            tombstones = Nil).count()
+        val indexedRows = totalRows - deltaRows
+        if (indexedRows > 0 && deltaRows > rebuildThreshold * indexedRows)
+          rebuild() // writes its own meta (bumped rebuilds counter)
+        else {
+          if (newFiles.nonEmpty) {
+            val added = snapshotWithUuid(files = newFiles, updates = Nil,
+              tombstones = Nil)
+            val assignedPath = new Path(dir, "assigned").toString
+            val graphPath = new Path(dir, "graph").toString
+            tpe match {
+              case "IVF" =>
+                val centroids = spark.read.parquet(
+                  new Path(dir, "centroids").toString)
+                V.assignCells(added, column, centroids)
+                  .write.mode("append").partitionBy("cell")
+                  .parquet(assignedPath)
+              case "IVFPQ" =>
+                val centroids = spark.read.parquet(
+                  new Path(dir, "centroids").toString)
+                val model = readPqModel(
+                  spark.read.parquet(new Path(dir, "pqmodel").toString))
+                V.pqEncode(
+                    V.assignCells(graphInput(added, column, idxMetric),
+                      column, centroids),
+                    column, model)
+                  .write.mode("append").partitionBy("cell")
+                  .parquet(assignedPath)
+              case "HNSW" | "DISKANN" =>
+                // empty persisted graph (index created while the vector
+                // column had no rows): max(part) is null — or the parquet
+                // dir has no readable footer at all — and the delta IS the
+                // whole index, so new parts start at 0
+                val lastPart = try {
+                  spark.read.parquet(graphPath)
+                    .agg(coalesce(max(col("part")), lit(-1))).head().getInt(0)
+                } catch {
+                  case _: org.apache.spark.sql.AnalysisException => -1
                 }
-              built.withColumn("part",
-                  (col("part") + lit(offset)).cast("int"))
-                .write.mode("append").partitionBy("part").parquet(graphPath)
-            case t => throw new IllegalStateException(s"unknown type $t")
+                val offset = lastPart + 1
+                val gIn = graphInput(added, column, idxMetric)
+                val built =
+                  if (tpe == "HNSW")
+                    graft.operators.Hnsw.build(gIn, column, UuidCol,
+                      m = param("graphDegree", 16),
+                      efConstruction = param("buildBeam", 100))
+                  else {
+                    val pqM0 = param("pqM", 0)
+                    graft.operators.Vamana.build(gIn, column, UuidCol,
+                      r = math.max(param("graphDegree", 16), 4),
+                      buildBeam = param("buildBeam", 100),
+                      pqM = if (pqM0 > 0) pqM0
+                            else V.autoSubspaces(vectorDim(added, column)),
+                      pqK = param("pqK", 16))
+                  }
+                built.withColumn("part",
+                    (col("part") + lit(offset)).cast("int"))
+                  .write.mode("append").partitionBy("part").parquet(graphPath)
+              case t => throw new IllegalStateException(s"unknown type $t")
+            }
           }
+          writeIndexMeta(dir, carried)
         }
-        writeIndexMeta(dir, carried)
       case None => rebuild()
     }
+  }
+
+  /** Compact an append-fragmented vector index: rebuild over the live
+    * snapshot with the index's recorded params (the vector-family
+    * analogue of [[optimizeIndex]] for the inverted index; reference
+    * regenerates indexes wholesale, vector_search_ops.py:51-82).
+    *
+    * Why it exists: [[updateVectorIndex]]'s append path gives graph
+    * indexes NEW subgraph shards per append — search probes every
+    * shard, so N small appends degrade latency and recall forever —
+    * and assigns IVF/IVFPQ rows to centroids the data has drifted away
+    * from. One rebuild restores build-parallelism part counts and
+    * data-fitted centroids; the `rebuilds` meta counter records each
+    * maintenance rebuild (whether from here or the update path's
+    * delta-fraction threshold). FLAT has no artifacts to compact — the
+    * call just rebinds the commit.
+    */
+  def optimizeVectorIndex(column: String): Unit = {
+    require(!dirty, "commit before indexing")
+    unloadVectorIndex(column)
+    val dir = indexDir("vector", column)
+    require(CommitLog.fs(spark, root).exists(new Path(dir, "meta.json")),
+      s"no vector index for '$column' to optimize; createVectorIndex first")
+    if (carriedVectorMeta(dir)("type") == "FLAT")
+      writeIndexMeta(dir, carriedVectorMeta(dir))
+    else rebuildVectorIndex(column, dir)
+  }
+
+  /** Maintenance metadata for the persisted vector index on `column`:
+    * build params, bound commit, and the rebuild counter. */
+  def vectorIndexInfo(column: String): Map[String, String] = {
+    val dir = indexDir("vector", column)
+    carriedVectorMeta(dir) ++
+      indexCommit(dir).map("commit" -> _).toMap
   }
 
   /** Indexed CONTAINS search routed through the posting table

@@ -155,9 +155,18 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
 case class GraftRelation(spark: SparkSession, root: String,
                          branchOpt: Option[String], commitOpt: Option[String],
                          withUuid: Boolean)
-  extends BaseRelation with PrunedFilteredScan {
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
-  private val snapshot: DataFrame = {
+  /** Resolved per SCAN, not once per relation: the session catalog
+    * caches relation instances for named tables, so an eager snapshot
+    * would pin the commit the table had when first resolved and serve
+    * stale rows after `INSERT INTO` (observed: insert-then-select read
+    * the pre-insert snapshot). Re-reading the commit log per scan costs
+    * one small-file read and keeps every read path — `load()`, named
+    * tables, post-insert selects — on the live head. A commit-pinned
+    * relation still always resolves the same snapshot.
+    */
+  private def snapshot: DataFrame = {
     val ds = commitOpt match {
       case Some(c) => GraftDataset.loadCommit(spark, root, c)
       case None => GraftDataset.load(spark, root, branchOpt.getOrElse("main"))
@@ -172,6 +181,30 @@ case class GraftRelation(spark: SparkSession, root: String,
     * Row materialization (the V1 contract for internal-format sources).
     */
   override def needConversion: Boolean = false
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` on a catalog-named graft table
+    * (`CREATE TABLE t USING graft OPTIONS (path ...)` — the SQL-only
+    * user's named-table surface). Both are version-control events, not
+    * file operations: INTO is one append commit; OVERWRITE tombstones
+    * the current rows and appends the new ones in ONE commit, so the
+    * previous contents stay reachable by time travel (a commit-pinned
+    * named table or `option("commit", ...)`).
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(commitOpt.isEmpty,
+      "graft: cannot INSERT into a commit-pinned (time-travel) table — " +
+        "pinned tables are read-only snapshots; insert via the live table")
+    val ds = GraftDataset.load(spark, root, branchOpt.getOrElse("main"))
+    if (overwrite) {
+      ds.pop(lit(true))
+      ds.append(data)
+      ds.commit("INSERT OVERWRITE")
+    } else {
+      ds.append(data)
+      ds.commit("INSERT INTO")
+    }
+    ()
+  }
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {

@@ -125,6 +125,41 @@ class GraftSourceSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((7L, "z")))
   }
 
+  test("catalog-named tables: CREATE TABLE / saveAsTable / INSERT / pinned time travel") {
+    import spark.implicits._
+    val root = tmpDir("named") + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .write.format("graft").option("path", root).mode("append").save()
+    val c1 = GraftDataset.load(spark, root).head.get
+    try {
+      // a named external graft table over the existing path
+      spark.sql(s"CREATE TABLE nt USING graft OPTIONS (path '$root')")
+      assert(spark.sql("SELECT count(*) FROM nt").as[Long].head() == 3L)
+      // INSERT INTO → one append commit; the select sees the new head
+      // even though the session catalog caches the relation instance
+      spark.sql("INSERT INTO nt VALUES (4, 'd')")
+      assert(spark.table("nt").count() == 4L)
+      // SQL time travel: a second named table pinned to the old commit
+      spark.sql(s"CREATE TABLE nt_v1 USING graft OPTIONS (path '$root', commit '$c1')")
+      assert(spark.table("nt_v1").count() == 3L)
+      // INSERT OVERWRITE replaces rows in ONE commit; history stays
+      spark.sql("INSERT OVERWRITE nt VALUES (9, 'z')")
+      assert(spark.table("nt").select("id").as[Long].collect().toSeq == Seq(9L))
+      assert(spark.table("nt_v1").count() == 3L, "pinned snapshot untouched")
+      // a pinned table is a read-only snapshot
+      val e = intercept[Exception](spark.sql("INSERT INTO nt_v1 VALUES (8, 'n')"))
+      assert(e.getMessage.contains("commit-pinned"))
+      // saveAsTable registers the written table under a name directly
+      val root2 = tmpDir("named2") + "/t"
+      Seq((7L, "q")).toDF("id", "s").write.format("graft")
+        .option("path", root2).saveAsTable("nt_saved")
+      assert(spark.table("nt_saved").count() == 1L)
+    } finally {
+      Seq("nt", "nt_v1", "nt_saved")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("filter translation covers the V1 predicate algebra") {
     import org.apache.spark.sql.sources._
     def t(f: Filter): Option[String] =

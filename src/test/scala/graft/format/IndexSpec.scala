@@ -167,6 +167,53 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("optimizeVectorIndex: N appends fragment, one compaction restores build shape") {
+    val ds = GraftDataset.create(spark, tmpDir("idxopt"), StructType(Seq(
+      StructField("id", LongType),
+      StructField("emb", ArrayType(FloatType)))))
+    val rows = (0 until 60).map { i =>
+      (i.toLong, (0 until 4).map(j => math.sin(i * 17 + j).toFloat))
+    }
+    ds.append(rows.toDF("id", "emb"))
+    ds.commit("rows")
+    ds.createVectorIndex("emb", indexType = "HNSW", graphDegree = 8,
+      buildBeam = 32)
+    val graphDir = ds.root + "/_graft/indexes/vector/emb/graph"
+    def partCount: Int = spark.read.parquet(graphDir)
+      .select("part").distinct().count().toInt
+    val builtParts = partCount
+    // three small appends (each under the rebuild threshold) → three new
+    // subgraph shards: the fragmentation optimize exists to undo
+    for (a <- 0 until 3) {
+      ds.append(Seq((100L + a, Seq(1.0f + a, 0f, 0f, 0f)))
+        .toDF("id", "emb"))
+      ds.commit(s"a$a")
+      ds.updateVectorIndex("emb")
+    }
+    assert(partCount == builtParts + 3, "each small append adds a shard")
+    val q = Seq(1.0f, 0f, 0f, 0f)
+    val before = ds.vectorSearch("emb", q, k = 5, metric = "l2")
+      .select("row_uuid").as[Long].collect().toSet
+    ds.optimizeVectorIndex("emb")
+    // compacted back to the build parallelism, same answers, counted
+    assert(partCount == builtParts, "compaction merges delta shards")
+    assert(ds.indexFresh("vector", "emb"))
+    val after = ds.vectorSearch("emb", q, k = 5, metric = "l2")
+      .select("row_uuid").as[Long].collect().toSet
+    assert(after == before, "recall preserved across compaction")
+    assert(ds.vectorIndexInfo("emb")("rebuilds") == "1")
+    // a delta LARGER than the threshold fraction auto-rebuilds instead
+    // of fragmenting: part count stays at build shape and the counter
+    // bumps again
+    ds.append((0 until 40).map(i =>
+        (200L + i, (0 until 4).map(j => math.cos(i * 13 + j).toFloat)))
+      .toDF("id", "emb"))
+    ds.commit("big")
+    ds.updateVectorIndex("emb")
+    assert(partCount == builtParts, "oversize delta rebuilds, not appends")
+    assert(ds.vectorIndexInfo("emb")("rebuilds") == "2")
+  }
+
   test("optimizeIndex and reshardIndex preserve answers and bindings") {
     val ds = table()
     ds.createIndexVectorized("text", numShards = 4)
