@@ -269,12 +269,17 @@ object Multimodal {
     if (frames >= 2) Some((rate, channels, samples, dur, null)) else None
   }
 
-  /** REAL FLAC METADATA decode — the STREAMINFO block every FLAC stream
-    * must lead with (public format spec): "fLaC" magic, block header
-    * (type 0, length 34), then 20 bits sample rate, 3 bits channels−1,
-    * 5 bits bits-per-sample−1, 36 bits total inter-channel samples.
-    * Amplitude needs full subframe decode (native codec territory) →
-    * null, same boundary as [[decodeMp3]].
+  /** REAL FLAC decode — metadata from the STREAMINFO block every FLAC
+    * stream must lead with (public format spec / RFC 9639): "fLaC"
+    * magic, block header (type 0, length 34), then 20 bits sample rate,
+    * 3 bits channels−1, 5 bits bits-per-sample−1, 36 bits total
+    * inter-channel samples — and FULL-SAMPLE amplitude via
+    * [[FlacFrames.meanAbs]], a pure-JVM subframe decoder (constant /
+    * verbatim / fixed / LPC predictors, Rice residuals, stereo
+    * decorrelation). If any frame fails to parse (exotic stream or
+    * truncation) the amplitude degrades to null ("not computed") and
+    * the four header-derived fields still report — the pre-r12 stub
+    * boundary, now only a fallback.
     */
   private[graft] def decodeFlac(bytes: Array[Byte])
       : Option[(Int, Int, Long, Double, java.lang.Double)] = {
@@ -292,10 +297,13 @@ object Multimodal {
     def b(i: Int): Long = bytes(o + i) & 0xffL
     val rate = ((b(0) << 12) | (b(1) << 4) | (b(2) >> 4)).toInt // 20 bits
     val channels = (((b(2) >> 1) & 0x7) + 1).toInt              // 3 bits
+    val bps = (((b(2) & 1) << 4) | (b(3) >> 4)).toInt + 1       // 5 bits
     val samples = ((b(3) & 0x0fL) << 32) | (b(4) << 24) |       // 36 bits
       (b(5) << 16) | (b(6) << 8) | b(7)
     if (rate <= 0) None // rate 0 is invalid per spec
-    else Some((rate, channels, samples, samples.toDouble / rate, null))
+    else Some((rate, channels, samples, samples.toDouble / rate,
+      FlacFrames.meanAbs(bytes, channels, bps)
+        .map(Double.box).orNull))
   }
 
   /** REAL ogg METADATA decode — OggS page walk (public Ogg framing +
@@ -359,8 +367,9 @@ object Multimodal {
   }
 
   /** Decode + feature-extract over audio rows: same repartition-by-cores
-    * + one `mapPartitions` pass as [[decodeImages]]; WAV decodes fully,
-    * mp3/flac decode their metadata from headers, anything else goes
+    * + one `mapPartitions` pass as [[decodeImages]]; WAV and FLAC decode
+    * fully (FLAC via the pure-JVM [[FlacFrames]] subframe decoder),
+    * mp3/ogg decode their metadata from headers, anything else goes
     * through the stub. Chain ordered by SPECIFICITY: WAV (container
     * parse), then FLAC / Ogg (exact magics), before the heuristic mp3
     * sync-word scan — a payload that happens to contain two byte runs

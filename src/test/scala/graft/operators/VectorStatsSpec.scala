@@ -490,6 +490,133 @@ class VectorStatsSpec extends SparkSpec {
     assert(dec(2L).getAs[Int]("sample_rate") == 16000) // stub
   }
 
+  test("FLAC full-sample decode: amplitude matches WAV on identical PCM") {
+    // In-test FLAC ENCODER (public format spec / RFC 9639): the
+    // container has no JVM encoder, so the spec writes its own frames —
+    // verbatim, constant, fixed-order-2 + Rice residuals, left/side
+    // stereo, wasted bits — and the decoder under test must fold them
+    // to the same mean amplitude the WAV path computes on the same PCM.
+    final class BW {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      private var cur = 0; private var nb = 0
+      def bit(b: Int): Unit = {
+        cur = (cur << 1) | (b & 1); nb += 1
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+      }
+      def bits(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) { bit(((v >> i) & 1L).toInt); i -= 1 }
+      }
+      def align(): Unit = while (nb != 0) bit(0)
+      def out: Array[Byte] = { align(); buf.toArray }
+    }
+    def streamInfo(rate: Int, ch: Int, bps: Int, total: Long): BW = {
+      val w = new BW
+      w.bits('f', 8); w.bits('L', 8); w.bits('a', 8); w.bits('C', 8)
+      w.bits(1, 1); w.bits(0, 7); w.bits(34, 24) // last block, STREAMINFO
+      w.bits(16, 16); w.bits(65535, 16)          // min/max block size
+      w.bits(0, 24); w.bits(0, 24)               // min/max frame size
+      w.bits(rate, 20); w.bits(ch - 1, 3); w.bits(bps - 1, 5)
+      w.bits(total, 36)
+      (0 until 16).foreach(_ => w.bits(0, 8))    // md5 (unchecked)
+      w
+    }
+    def frameHeader(w: BW, n: Int, chanAssign: Int): Unit = {
+      w.bits(0x3ffe, 14); w.bits(0, 2)     // sync, reserved, fixed-size
+      w.bits(7, 4); w.bits(0, 4)           // bs: 16-bit follows; rate: SI
+      w.bits(chanAssign, 4); w.bits(0, 3); w.bits(0, 1) // size: SI
+      w.bits(0, 8)                          // frame number 0 (1-byte UTF8)
+      w.bits(n - 1, 16)                     // block size − 1
+      w.bits(0, 8)                          // header CRC (decoder skips)
+    }
+    def s16(w: BW, v: Int, bits: Int = 16): Unit =
+      w.bits(v.toLong & ((1L << bits) - 1), bits)
+    def subVerbatim(w: BW, xs: Seq[Int], bps: Int = 16,
+                    wasted: Int = 0): Unit = {
+      w.bit(0); w.bits(1, 6)
+      if (wasted == 0) w.bit(0)
+      else { w.bit(1); (0 until wasted - 1).foreach(_ => w.bit(0)); w.bit(1) }
+      xs.foreach(v => s16(w, v >> wasted, bps - wasted))
+    }
+    def subConstant(w: BW, v: Int, bps: Int = 16): Unit = {
+      w.bit(0); w.bits(0, 6); w.bit(0); s16(w, v, bps)
+    }
+    def subFixed2(w: BW, xs: Seq[Int], rice: Int): Unit = {
+      w.bit(0); w.bits(10, 6); w.bit(0) // FIXED order 2
+      s16(w, xs(0)); s16(w, xs(1))      // warmup
+      w.bits(0, 2); w.bits(0, 4)        // Rice 4-bit params, one partition
+      w.bits(rice, 4)
+      xs.indices.drop(2).foreach { i =>
+        val res = xs(i).toLong - 2 * xs(i - 1) + xs(i - 2)
+        val u = (res << 1) ^ (res >> 63) // zigzag
+        val q = (u >>> rice).toInt
+        (0 until q).foreach(_ => w.bit(0)); w.bit(1)
+        w.bits(u & ((1L << rice) - 1), rice)
+      }
+    }
+    def endFrame(w: BW): Unit = { w.align(); w.bits(0, 16) }
+
+    val n = 600
+    val left = (0 until n).map(i => (math.sin(i * 0.07) * 12000).toInt)
+    val right = (0 until n).map(i => (math.sin(i * 0.05) * 8000).toInt)
+
+    // (a) mono: verbatim + fixed+rice + constant + wasted-bit frames
+    val monoAll = left ++ left ++ Seq.fill(200)(-4242) ++ left.map(_ & ~1)
+    val mono = {
+      val w = streamInfo(16000, 1, 16, monoAll.length)
+      frameHeader(w, n, 0); subVerbatim(w, left); endFrame(w)
+      frameHeader(w, n, 0); subFixed2(w, left, rice = 10); endFrame(w)
+      frameHeader(w, 200, 0); subConstant(w, -4242); endFrame(w)
+      frameHeader(w, n, 0)
+      subVerbatim(w, left.map(_ & ~1), wasted = 1); endFrame(w)
+      w.out
+    }
+    // the WAV truth for the same PCM, via the already-proven decodeWav
+    def wav(xs: Seq[Int], channels: Int): Array[Byte] = {
+      val data = new Array[Byte](xs.length * 2)
+      xs.indices.foreach { i =>
+        data(2 * i) = (xs(i) & 0xff).toByte
+        data(2 * i + 1) = ((xs(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, channels,
+        true, false)
+      val out = new java.io.ByteArrayOutputStream
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt,
+          xs.length / channels),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val fm = Multimodal.decodeFlac(mono).get
+    val wm = Multimodal.decodeWav(wav(monoAll, 1)).get
+    assert(fm._1 == 16000 && fm._2 == 1 && fm._3 == monoAll.length)
+    assert(fm._5 != null, "full decode must yield a computed amplitude")
+    assert(math.abs(fm._5 - wm._5) < 1e-12,
+      s"flac amplitude ${fm._5} != wav ${wm._5}")
+
+    // (b) stereo left/side decorrelation: side = left − right, 17 bits
+    val stereo = {
+      val w = streamInfo(16000, 2, 16, n)
+      frameHeader(w, n, 8) // chanAssign 8 = left/side
+      subVerbatim(w, left)
+      subVerbatim(w, left.zip(right).map { case (l, r) => l - r }, bps = 17)
+      endFrame(w)
+      w.out
+    }
+    val interleaved = (0 until n).flatMap(i => Seq(left(i), right(i)))
+    val fs = Multimodal.decodeFlac(stereo).get
+    val ws = Multimodal.decodeWav(wav(interleaved, 2)).get
+    assert(fs._2 == 2 && fs._3 == n)
+    assert(math.abs(fs._5 - ws._5) < 1e-12,
+      s"stereo flac ${fs._5} != wav ${ws._5}")
+
+    // (c) a truncated frame degrades to metadata-only (null amplitude),
+    // never a wrong number
+    val cut = Multimodal.decodeFlac(mono.dropRight(mono.length / 3)).get
+    assert(cut._5 == null)
+  }
+
   test("image helpers: grayscale luma, real resize, EXIF extraction") {
     // 2x2 pure-red PNG → grayscale luma floor(299*255/1000) = 76
     val img = new java.awt.image.BufferedImage(
