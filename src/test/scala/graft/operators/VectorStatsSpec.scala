@@ -541,18 +541,36 @@ class VectorStatsSpec extends SparkSpec {
     def subConstant(w: BW, v: Int, bps: Int = 16): Unit = {
       w.bit(0); w.bits(0, 6); w.bit(0); s16(w, v, bps)
     }
-    def subFixed2(w: BW, xs: Seq[Int], rice: Int): Unit = {
-      w.bit(0); w.bits(10, 6); w.bit(0) // FIXED order 2
-      s16(w, xs(0)); s16(w, xs(1))      // warmup
-      w.bits(0, 2); w.bits(0, 4)        // Rice 4-bit params, one partition
+    def rice4(w: BW, res: Seq[Long], rice: Int): Unit = {
+      w.bits(0, 2); w.bits(0, 4) // Rice 4-bit params, one partition
       w.bits(rice, 4)
-      xs.indices.drop(2).foreach { i =>
-        val res = xs(i).toLong - 2 * xs(i - 1) + xs(i - 2)
-        val u = (res << 1) ^ (res >> 63) // zigzag
+      res.foreach { r =>
+        val u = (r << 1) ^ (r >> 63) // zigzag
         val q = (u >>> rice).toInt
         (0 until q).foreach(_ => w.bit(0)); w.bit(1)
         w.bits(u & ((1L << rice) - 1), rice)
       }
+    }
+    def subFixed2(w: BW, xs: Seq[Int], rice: Int): Unit = {
+      w.bit(0); w.bits(10, 6); w.bit(0) // FIXED order 2
+      s16(w, xs(0)); s16(w, xs(1))      // warmup
+      rice4(w, xs.indices.drop(2)
+        .map(i => xs(i).toLong - 2 * xs(i - 1) + xs(i - 2)), rice)
+    }
+    // order-2 LPC, coefs (c1,c2) at precision/shift: the residual is
+    // x[i] − ((c1·x[i−1] + c2·x[i−2]) >> shift), exactly the decoder's
+    // prediction arithmetic — real-world FLAC is mostly LPC frames
+    def subLpc2(w: BW, xs: Seq[Int], c1: Long, c2: Long, precision: Int,
+                shift: Int, rice: Int): Unit = {
+      w.bit(0); w.bits(32 + 1, 6); w.bit(0) // LPC order 2 (0b100001)
+      s16(w, xs(0)); s16(w, xs(1))          // warmup
+      w.bits(precision - 1, 4); w.bits(shift, 5)
+      w.bits(c1 & ((1L << precision) - 1), precision)
+      w.bits(c2 & ((1L << precision) - 1), precision)
+      rice4(w, xs.indices.drop(2).map { i =>
+        val pred = (c1 * xs(i - 1) + c2 * xs(i - 2)) >> shift
+        xs(i).toLong - pred
+      }, rice)
     }
     def endFrame(w: BW): Unit = { w.align(); w.bits(0, 16) }
 
@@ -560,8 +578,9 @@ class VectorStatsSpec extends SparkSpec {
     val left = (0 until n).map(i => (math.sin(i * 0.07) * 12000).toInt)
     val right = (0 until n).map(i => (math.sin(i * 0.05) * 8000).toInt)
 
-    // (a) mono: verbatim + fixed+rice + constant + wasted-bit frames
-    val monoAll = left ++ left ++ Seq.fill(200)(-4242) ++ left.map(_ & ~1)
+    // (a) mono: verbatim + fixed+rice + constant + wasted-bit + LPC frames
+    val monoAll = left ++ left ++ Seq.fill(200)(-4242) ++
+      left.map(_ & ~1) ++ left
     val mono = {
       val w = streamInfo(16000, 1, 16, monoAll.length)
       frameHeader(w, n, 0); subVerbatim(w, left); endFrame(w)
@@ -569,6 +588,12 @@ class VectorStatsSpec extends SparkSpec {
       frameHeader(w, 200, 0); subConstant(w, -4242); endFrame(w)
       frameHeader(w, n, 0)
       subVerbatim(w, left.map(_ & ~1), wasted = 1); endFrame(w)
+      // ≈ 2cos(0.07)·x[i−1] − x[i−2]: the sine's own recurrence, so the
+      // residuals are small and the Rice path is exercised realistically
+      frameHeader(w, n, 0)
+      subLpc2(w, left, c1 = (2 * math.cos(0.07) * 1024).round, c2 = -1024,
+        precision = 14, shift = 10, rice = 6)
+      endFrame(w)
       w.out
     }
     // the WAV truth for the same PCM, via the already-proven decodeWav
