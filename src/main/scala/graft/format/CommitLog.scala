@@ -24,6 +24,16 @@ import java.nio.charset.StandardCharsets
   * relocatable across storage providers (the Hadoop FileSystem API gives
   * local/HDFS/S3/OBS, mirroring muller/core/storage).
   */
+/** Per-manifest-entry column statistics (min/max rendered as strings,
+  * `typ` ∈ long|double|string selects the comparison domain). Captured
+  * from the parquet FOOTERS at write time — a driver-side metadata read,
+  * no Spark job — and used for manifest-level file skipping (Delta-style
+  * data skipping): a filter that provably excludes every row of a base
+  * file drops the file from the snapshot plan before any scan task, or
+  * even footer open, is scheduled.
+  */
+final case class ColStats(min: String, max: String, typ: String)
+
 final case class CommitMeta(
     id: String,
     parent: Option[String],
@@ -39,7 +49,10 @@ final case class CommitMeta(
     // identical to the parent commit, only their file layout changed.
     // Streaming tails skip such commits (Delta's dataChange=false).
     // Option so commits written before the field parse unchanged.
-    rewrite: Option[Boolean] = None)
+    rewrite: Option[Boolean] = None,
+    // base-file column stats for file skipping; additive (older commits
+    // parse as None → their files are never pruned)
+    stats: Option[Map[String, Map[String, ColStats]]] = None)
 
 object CommitLog {
   implicit val fmts: Formats = DefaultFormats

@@ -41,6 +41,7 @@ class GraftDataset private[format] (
   private var stUpdates: Vector[String] = Vector.empty
   private var stTombstones: Vector[String] = Vector.empty
   private var stRenames: Vector[(String, String)] = Vector.empty
+  private var stStats: Map[String, Map[String, ColStats]] = Map.empty
   private var stSchema: StructType = new StructType()
   private var dirty: Boolean = false
   // true while the ONLY staged change is a file rewrite that leaves the
@@ -59,10 +60,12 @@ class GraftDataset private[format] (
         stUpdates = m.updates.toVector
         stTombstones = m.tombstones.toVector
         stRenames = m.renames.map(p => (p(0), p(1))).toVector
+        stStats = m.stats.getOrElse(Map.empty)
         stSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       case None =>
         stFiles = Vector.empty; stUpdates = Vector.empty
         stTombstones = Vector.empty; stRenames = Vector.empty
+        stStats = Map.empty
         stSchema = new StructType()
     }
     dirty = false
@@ -175,8 +178,44 @@ class GraftDataset private[format] (
   private def writeData(df: DataFrame, kind: String): String = {
     val rel = newDataPath(kind)
     df.write.parquet(new Path(root, rel).toString)
+    // base-data entries get file-skipping stats from the just-written
+    // footers (driver-side metadata read, no job; update/tombstone files
+    // are never pruned so they carry none)
+    if (kind != "update" && kind != "tombstone") {
+      val st = FileSkipping.footerStats(spark, root, rel, stSchema)
+      if (st.nonEmpty) stStats += (rel -> st)
+    }
     rel
   }
+
+  /** Base manifest entries surviving the pushed filters' min/max check
+    * ([[FileSkipping]]). Renames disable pruning wholesale: stats are
+    * keyed by the column names at write time, and a rename chain would
+    * silently mismatch them against post-rename filter attributes.
+    * `compact()` clears the chain (files are rewritten under the
+    * current names, stats recaptured), so compaction after a rename
+    * restores skipping.
+    */
+  private[format] def pruneBaseFiles(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] =
+    if (filters.isEmpty || stRenames.nonEmpty) stFiles
+    else stFiles.filter { f =>
+      val keep = stStats.get(f) match {
+        case None => true
+        case Some(st) => !filters.exists(FileSkipping.excludes(st, _))
+      }
+      if (!keep) FileSkipping.prunedFiles.incrementAndGet()
+      keep
+    }
+
+  /** Snapshot with base files pruned by pushed filters — the registered
+    * source's scan path. The filters are RE-APPLIED above this plan by
+    * the caller; pruning only removes files that provably contain no
+    * matching row, so answers are identical with pruning on or off.
+    */
+  private[format] def prunedSnapshotWithUuid(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
+    snapshotWithUuid(files = pruneBaseFiles(filters))
 
   /** Row count of a just-written data dir from its parquet FOOTERS — a
     * driver-side metadata read, no Spark job. Lets update/pop report
@@ -444,7 +483,11 @@ class GraftDataset private[format] (
       schemaJson = stSchema.json,
       files = stFiles, updates = stUpdates, tombstones = stTombstones,
       renames = stRenames.map(p => Seq(p._1, p._2)),
-      rewrite = if (pendingRewrite) Some(true) else None))
+      rewrite = if (pendingRewrite) Some(true) else None,
+      stats = {
+        val live = stStats.view.filterKeys(stFiles.contains).toMap
+        if (live.isEmpty) None else Some(live)
+      }))
     CommitLog.advanceCommitHint(spark, root, id)
     // Optimistic concurrency on the branch pointer: advance it only if it
     // still points at this commit's parent. A stale writer (someone else

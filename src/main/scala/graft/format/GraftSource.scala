@@ -166,11 +166,13 @@ case class GraftRelation(spark: SparkSession, root: String,
     * tables, post-insert selects — on the live head. A commit-pinned
     * relation still always resolves the same snapshot.
     */
+  private def dataset: GraftDataset = commitOpt match {
+    case Some(c) => GraftDataset.loadCommit(spark, root, c)
+    case None => GraftDataset.load(spark, root, branchOpt.getOrElse("main"))
+  }
+
   private def snapshot: DataFrame = {
-    val ds = commitOpt match {
-      case Some(c) => GraftDataset.loadCommit(spark, root, c)
-      case None => GraftDataset.load(spark, root, branchOpt.getOrElse("main"))
-    }
+    val ds = dataset
     if (withUuid) ds.snapshotWithUuid() else ds.toDF
   }
 
@@ -208,12 +210,20 @@ case class GraftRelation(spark: SparkSession, root: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    // filters re-expressed as Columns reach the Parquet scans through
-    // Catalyst; untranslatable ones are skipped here and re-applied by
-    // Spark above the scan (default unhandledFilters = all, so skipping
-    // is always safe)
+    // Two pruning layers from the same pushed filters: (1) MANIFEST
+    // file skipping — base entries whose footer-captured min/max
+    // provably exclude every row are dropped on the driver before the
+    // snapshot plan exists ([[FileSkipping]]; correct under
+    // merge-on-read because update files carry full rows and win
+    // last-wins); (2) the filters re-expressed as Columns reach the
+    // Parquet scans through Catalyst for row-group pruning.
+    // Untranslatable ones are skipped and re-applied by Spark above the
+    // scan (default unhandledFilters = all, so skipping is always safe).
+    val ds = dataset
+    val base = ds.prunedSnapshotWithUuid(filters.toIndexedSeq)
+    val snap = if (withUuid) base else base.drop(GraftDataset.UuidCol)
     val filtered = filters.flatMap(GraftRelation.toColumn)
-      .foldLeft(snapshot)(_.filter(_))
+      .foldLeft(snap)(_.filter(_))
     val projected =
       if (requiredColumns.isEmpty) filtered.select() // count(*)-style scan
       else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)

@@ -160,6 +160,52 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("manifest file skipping: prunes disjoint base files, exact under merge-on-read") {
+    import spark.implicits._
+    val root = tmpDir("skip") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType),
+      StructField("s", StringType))))
+    // two base manifest entries with disjoint id ranges
+    ds.append((1L to 100L).map(i => (i, 1L, s"a$i")).toDF("id", "v", "s"))
+    ds.append((101L to 200L).map(i => (i, 1L, s"b$i")).toDF("id", "v", "s"))
+    ds.commit("two files")
+    def read() = spark.read.format("graft").load(root)
+    def prunedDelta[T](body: => T): (T, Long) = {
+      val before = FileSkipping.prunedFiles.get()
+      val r = body
+      (r, FileSkipping.prunedFiles.get() - before)
+    }
+    // a selective filter plans only the surviving file
+    val (hi, d1) = prunedDelta(
+      read().filter($"id" >= 150L).select("id").as[Long].collect().toSet)
+    assert(hi == (150L to 200L).toSet)
+    assert(d1 >= 1, s"expected the low-range base file pruned, got $d1")
+    // string stats prune too (disjoint a*/b* prefixes)
+    val (bs, d2) = prunedDelta(
+      read().filter($"s".startsWith("b")).count())
+    assert(bs == 100L && d2 >= 1)
+    // merge-on-read: an update moves a row INTO the filter range; both
+    // base files' stats exclude v=999, yet the row must appear (the
+    // update file carries the full row and wins last-wins)
+    ds.update($"id" === 5L, Map("v" -> lit(999L)))
+    ds.commit("update")
+    val (upd, d3) = prunedDelta(
+      read().filter($"v" === 999L).select("id").as[Long].collect().toSeq)
+    assert(upd == Seq(5L), "pruned read must still see the updated row")
+    assert(d3 >= 2, "both base files excluded by v-stats")
+    // parity: pruned read == full-scan read on the same predicate
+    assert(read().filter($"id" < 120L).count() ==
+      ds.toDF.filter($"id" < 120L).count())
+    // renames disable pruning (stats keyed by write-time names)
+    ds.renameTensor("v", "w")
+    ds.commit("rename")
+    val (renamed, d4) = prunedDelta(
+      read().filter($"w" === 999L).select("id").as[Long].collect().toSeq)
+    assert(renamed == Seq(5L) && d4 == 0,
+      s"rename must disable pruning, pruned $d4")
+  }
+
   test("filter translation covers the V1 predicate algebra") {
     import org.apache.spark.sql.sources._
     def t(f: Filter): Option[String] =
