@@ -762,10 +762,23 @@ class GraftDataset private[format] (
 
   // ---- query surface (reference mixins/query.py) --------------------------
 
-  /** Flagship condition-tuple filter (reference `filter_vectorized`). */
+  /** Flagship condition-tuple filter (reference `filter_vectorized`).
+    * The condition fold also drives manifest file skipping: an implied
+    * V1 filter ([[graft.operators.FilterVectorized.pruneFilter]])
+    * prunes base files whose stats exclude every matching row, so the
+    * reference's own query surface gets the same skipping the
+    * registered source's scans get.
+    */
   def filterVectorized(conds: Seq[graft.operators.Cond],
-                       connectors: Seq[String] = Nil): DataFrame =
-    graft.operators.FilterVectorized(toDF, conds, connectors)
+                       connectors: Seq[String] = Nil): DataFrame = {
+    val base = graft.operators.FilterVectorized
+      .pruneFilter(conds, connectors) match {
+      case Some(f) =>
+        prunedSnapshotWithUuid(Seq(f)).drop(GraftDataset.UuidCol)
+      case None => toDF
+    }
+    graft.operators.FilterVectorized(base, conds, connectors)
+  }
 
   /** Safe string-query filter (reference `ds.filter("labels > 1 and ...")`,
     * the AST-whitelist evaluator); class-label names in string literals

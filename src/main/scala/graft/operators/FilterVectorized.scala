@@ -98,6 +98,52 @@ object FilterVectorized {
             connectors: Seq[String] = Nil): DataFrame =
     df.filter(predicate(conds, connectors))
 
+  /** A V1 `sources.Filter` IMPLIED by the condition fold, for manifest
+    * file skipping — every row the real predicate matches also matches
+    * the returned filter, so pruning by it is sound. Untranslatable
+    * conditions (CONTAINS/LIKE/negation/non-literal values) become
+    * "unknown": under the left-fold, `unknown AND f` weakens to `f`
+    * (still implied) while `unknown OR f` poisons to None (a row could
+    * match via the unknown side alone). None = prune nothing.
+    */
+  def pruneFilter(conds: Seq[Cond],
+                  connectors: Seq[String])
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.{sources => sf}
+    def one(c: Cond): Option[sf.Filter] =
+      if (c.negation) None
+      else c.op.toUpperCase match {
+        case ">"  => Some(sf.GreaterThan(c.tensor, c.value))
+        case "<"  => Some(sf.LessThan(c.tensor, c.value))
+        case ">=" => Some(sf.GreaterThanOrEqual(c.tensor, c.value))
+        case "<=" => Some(sf.LessThanOrEqual(c.tensor, c.value))
+        case "==" => Some(sf.EqualTo(c.tensor, c.value))
+        case "BETWEEN" => c.value match {
+          case Seq(lo, hi) => Some(sf.And(
+            sf.GreaterThanOrEqual(c.tensor, lo),
+            sf.LessThanOrEqual(c.tensor, hi)))
+          case (lo, hi) => Some(sf.And(
+            sf.GreaterThanOrEqual(c.tensor, lo),
+            sf.LessThanOrEqual(c.tensor, hi)))
+          case _ => None
+        }
+        case _ => None
+      }
+    if (conds.isEmpty || connectors.length != conds.length - 1) None
+    else conds.tail.zip(connectors).foldLeft(one(conds.head)) {
+      case (acc, (c, conn)) =>
+        val f = one(c)
+        conn.toUpperCase match {
+          case "AND" => (acc, f) match {
+            case (Some(a), Some(b)) => Some(sf.And(a, b))
+            case (a, b) => a.orElse(b)
+          }
+          case "OR" => for { a <- acc; b <- f } yield sf.Or(a, b)
+          case _ => None
+        }
+    }
+  }
+
   /** Paginated variant. The reference pages over rows in dataset order;
     * on Spark, stable pagination needs an explicit total order, so callers
     * pass the sort key (usually the table's natural key).

@@ -197,6 +197,20 @@ class GraftSourceSpec extends SparkSpec {
     // parity: pruned read == full-scan read on the same predicate
     assert(read().filter($"id" < 120L).count() ==
       ds.toDF.filter($"id" < 120L).count())
+    // the reference's own filterVectorized surface prunes through the
+    // implied filter: (id >= 150 AND CONTAINS ...) weakens to id >= 150
+    // for skipping, while (CONTAINS ... OR id >= 150) must not prune
+    import graft.operators.Cond
+    val (fv, d3a) = prunedDelta(
+      ds.filterVectorized(Seq(Cond("id", ">=", 150L),
+          Cond("s", "CONTAINS", "b199")), Seq("AND"))
+        .select("id").as[Long].collect().toSet)
+    assert(fv == Set(199L) && d3a >= 1, s"AND weakens to id-filter, got $d3a")
+    val (fvOr, d3b) = prunedDelta(
+      ds.filterVectorized(Seq(Cond("s", "CONTAINS", "a5"),
+          Cond("id", ">=", 150L)), Seq("OR")).count())
+    assert(fvOr == 52L && d3b == 0,
+      s"OR with untranslatable side must not prune, got $d3b")
     // renames disable pruning (stats keyed by write-time names)
     ds.renameTensor("v", "w")
     ds.commit("rename")
