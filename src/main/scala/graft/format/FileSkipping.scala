@@ -50,72 +50,84 @@ object FileSkipping {
     case _ => None
   }
 
-  /** Merge footer stats over every parquet file of one manifest entry
-    * (a directory one `df.write` produced). Returns only columns whose
-    * every row group carries usable stats; empty map (never a throw)
-    * when anything is off — absence of stats just means "never prune".
+  /** PER-FILE footer stats for every parquet file of one manifest entry
+    * (a directory one `df.write` produced), keyed `rel/fileName`. Every
+    * parquet file gets a key — an empty inner map marks "file present,
+    * no usable stats" so file-granular pruning can tell "not statted"
+    * from "not a member". A column with any stat-less row group is
+    * dropped from that file's map. Empty result (never a throw) when
+    * anything is off — absence of stats just means "never prune".
+    *
+    * Per-file granularity is what makes [[GraftDataset.compact]] with
+    * `clusterBy` a Z-order-lite: range-repartitioned output files cover
+    * disjoint key ranges, so a selective filter prunes all but the
+    * covering files of ONE manifest entry.
     */
   def footerStats(spark: SparkSession, root: String, rel: String,
-                  schema: StructType): Map[String, ColStats] = try {
+                  schema: StructType): Map[String, Map[String, ColStats]] =
+  try {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(root, rel)
     val fs = dir.getFileSystem(conf)
     val wanted: Map[String, String] = schema.fields
       .flatMap(f => statDomain(f.dataType).map(d => f.name -> d)).toMap
-    if (wanted.isEmpty) return Map.empty
-    // per column: (min, max) accumulated over row groups; a column hit
-    // by one stat-less row group is dropped from the result
-    val acc = scala.collection.mutable.Map[String, (String, String)]()
-    val dropped = scala.collection.mutable.Set[String]()
-    val seen = scala.collection.mutable.Set[String]()
     fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .foreach { st =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-        try {
-          val blocks = r.getFooter.getBlocks
-          blocks.forEach { block =>
-            block.getColumns.forEach { cc =>
-              val path = cc.getPath.toDotString
-              wanted.get(path).foreach { domain =>
-                seen += path
-                val s = cc.getStatistics
-                val ok = s != null && !s.isEmpty && s.hasNonNullValue &&
-                  (cc.getPrimitiveType.getPrimitiveTypeName match {
-                    case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
-                      domain == "long"
-                    case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
-                      domain == "double"
-                    case PrimitiveTypeName.BINARY => domain == "string"
-                    case _ => false
-                  })
-                if (!ok) dropped += path
-                else {
-                  val (mn, mx) = cc.getPrimitiveType.getPrimitiveTypeName match {
-                    case PrimitiveTypeName.BINARY =>
-                      (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
-                         .toStringUsingUTF8,
-                       s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
-                         .toStringUsingUTF8)
-                    case _ => (s.genericGetMin.toString, s.genericGetMax.toString)
-                  }
-                  acc.get(path) match {
-                    case None => acc(path) = (mn, mx)
-                    case Some((m0, m1)) =>
-                      val lo = if (cmpInDomain(mn, m0, domain) < 0) mn else m0
-                      val hi = if (cmpInDomain(mx, m1, domain) > 0) mx else m1
-                      acc(path) = (lo, hi)
+      .map { st =>
+        val fileRel = rel + "/" + st.getPath.getName
+        if (wanted.isEmpty) fileRel -> Map.empty[String, ColStats]
+        else {
+          // per column: (min, max) accumulated over row groups; a column
+          // hit by one stat-less row group is dropped
+          val acc = scala.collection.mutable.Map[String, (String, String)]()
+          val dropped = scala.collection.mutable.Set[String]()
+          val seen = scala.collection.mutable.Set[String]()
+          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+          try {
+            r.getFooter.getBlocks.forEach { block =>
+              block.getColumns.forEach { cc =>
+                val path = cc.getPath.toDotString
+                wanted.get(path).foreach { domain =>
+                  seen += path
+                  val s = cc.getStatistics
+                  val ok = s != null && !s.isEmpty && s.hasNonNullValue &&
+                    (cc.getPrimitiveType.getPrimitiveTypeName match {
+                      case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+                        domain == "long"
+                      case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+                        domain == "double"
+                      case PrimitiveTypeName.BINARY => domain == "string"
+                      case _ => false
+                    })
+                  if (!ok) dropped += path
+                  else {
+                    val (mn, mx) = cc.getPrimitiveType.getPrimitiveTypeName match {
+                      case PrimitiveTypeName.BINARY =>
+                        (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                           .toStringUsingUTF8,
+                         s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                           .toStringUsingUTF8)
+                      case _ =>
+                        (s.genericGetMin.toString, s.genericGetMax.toString)
+                    }
+                    acc.get(path) match {
+                      case None => acc(path) = (mn, mx)
+                      case Some((m0, m1)) =>
+                        val lo = if (cmpInDomain(mn, m0, domain) < 0) mn else m0
+                        val hi = if (cmpInDomain(mx, m1, domain) > 0) mx else m1
+                        acc(path) = (lo, hi)
+                    }
                   }
                 }
               }
             }
-          }
-        } finally r.close()
-      }
-    (seen -- dropped).iterator.map { c =>
-      val (mn, mx) = acc(c)
-      c -> ColStats(mn, mx, wanted(c))
-    }.toMap
+          } finally r.close()
+          fileRel -> (seen -- dropped).iterator.map { c =>
+            val (mn, mx) = acc(c)
+            c -> ColStats(mn, mx, wanted(c))
+          }.toMap
+        }
+      }.toMap
   } catch { case _: Exception => Map.empty }
 
   private def cmpInDomain(a: String, b: String, domain: String): Int =

@@ -178,13 +178,11 @@ class GraftDataset private[format] (
   private def writeData(df: DataFrame, kind: String): String = {
     val rel = newDataPath(kind)
     df.write.parquet(new Path(root, rel).toString)
-    // base-data entries get file-skipping stats from the just-written
-    // footers (driver-side metadata read, no job; update/tombstone files
-    // are never pruned so they carry none)
-    if (kind != "update" && kind != "tombstone") {
-      val st = FileSkipping.footerStats(spark, root, rel, stSchema)
-      if (st.nonEmpty) stStats += (rel -> st)
-    }
+    // base-data entries get PER-FILE skipping stats from the
+    // just-written footers (driver-side metadata read, no job;
+    // update/tombstone files are never pruned so they carry none)
+    if (kind != "update" && kind != "tombstone")
+      stStats ++= FileSkipping.footerStats(spark, root, rel, stSchema)
     rel
   }
 
@@ -199,13 +197,26 @@ class GraftDataset private[format] (
   private[format] def pruneBaseFiles(
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] =
     if (filters.isEmpty || stRenames.nonEmpty) stFiles
-    else stFiles.filter { f =>
-      val keep = stStats.get(f) match {
-        case None => true
-        case Some(st) => !filters.exists(FileSkipping.excludes(st, _))
+    else stFiles.flatMap { entry =>
+      val prefix = entry + "/"
+      // per-file stats (keyed entry/part-file) give file-granular
+      // pruning; an entry with none falls back to entry-level stats
+      // (or, absent those, is always kept)
+      val perFile = stStats.view.filterKeys(_.startsWith(prefix)).toMap
+      if (perFile.isEmpty) {
+        val keep = stStats.get(entry)
+          .forall(st => !filters.exists(FileSkipping.excludes(st, _)))
+        if (!keep) { FileSkipping.prunedFiles.incrementAndGet(); Nil }
+        else Seq(entry)
+      } else {
+        val survivors = perFile.keys.toSeq.sorted.filter { f =>
+          val keep = !filters.exists(FileSkipping.excludes(perFile(f), _))
+          if (!keep) FileSkipping.prunedFiles.incrementAndGet()
+          keep
+        }
+        // all files survive → keep the single dir path (shorter plans)
+        if (survivors.size == perFile.size) Seq(entry) else survivors
       }
-      if (!keep) FileSkipping.prunedFiles.incrementAndGet()
-      keep
     }
 
   /** Snapshot with base files pruned by pushed filters — the registered
@@ -453,10 +464,16 @@ class GraftDataset private[format] (
     // on top of staged changes publishes a normal (data-changing) commit
     val rewriteOnly = !dirty
     val snap = snapshotWithUuid()
+    // RANGE partitioning, not hash: each output file then covers a
+    // DISJOINT slice of the cluster key, so per-file min/max stats are
+    // tight and manifest file skipping prunes to the covering files —
+    // hash would scatter every key range across all files and leave
+    // both file skipping and row-group skipping with nothing to cut
+    // (the OPTIMIZE ... ZORDER-lite this compaction mode is for)
     val clustered =
       if (clusterBy.isEmpty) snap
       else snap
-        .repartition(spark.sparkContext.defaultParallelism,
+        .repartitionByRange(spark.sparkContext.defaultParallelism,
           clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     val rel = writeData(clustered, "compact")
@@ -485,7 +502,8 @@ class GraftDataset private[format] (
       renames = stRenames.map(p => Seq(p._1, p._2)),
       rewrite = if (pendingRewrite) Some(true) else None,
       stats = {
-        val live = stStats.view.filterKeys(stFiles.contains).toMap
+        val live = stStats.view.filterKeys(k =>
+          stFiles.exists(e => k == e || k.startsWith(e + "/"))).toMap
         if (live.isEmpty) None else Some(live)
       }))
     CommitLog.advanceCommitHint(spark, root, id)

@@ -220,6 +220,32 @@ class GraftSourceSpec extends SparkSpec {
       s"rename must disable pruning, pruned $d4")
   }
 
+  test("range-clustered compaction + per-file stats: Z-order-lite skipping") {
+    import spark.implicits._
+    val root = tmpDir("zlite") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    // ingest SHUFFLED so pre-compaction files interleave the key range
+    val rnd = new scala.util.Random(7)
+    ds.append(rnd.shuffle((1L to 400L).toVector)
+      .map(i => (i, i * 0.5)).toDF("id", "v"))
+    ds.commit("shuffled")
+    ds.compact(clusterBy = Seq("id"))
+    ds.commit("clustered")
+    val compactFiles = new java.io.File(root, "data").listFiles()
+      .filter(_.getName.startsWith("compact-")).head
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(compactFiles >= 2, "need multiple files for skipping to matter")
+    val before = FileSkipping.prunedFiles.get()
+    val got = spark.read.format("graft").load(root)
+      .filter($"id".between(10L, 20L)).select("id").as[Long].collect().toSet
+    val pruned = FileSkipping.prunedFiles.get() - before
+    assert(got == (10L to 20L).toSet)
+    // range partitioning → one file covers [10,20]; the rest prune
+    assert(pruned == compactFiles - 1,
+      s"expected ${compactFiles - 1} of $compactFiles files pruned, got $pruned")
+  }
+
   test("filter translation covers the V1 predicate algebra") {
     import org.apache.spark.sql.sources._
     def t(f: Filter): Option[String] =
