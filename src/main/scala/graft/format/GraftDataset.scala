@@ -1202,6 +1202,33 @@ class GraftDataset private[format] (
     finally out.close()
   }
 
+  /** Operational view of the live base manifest with its file-skipping
+    * stats: one row per (file, statted column) — entries or files
+    * without stats appear with null columns. Lets a user see WHY a
+    * selective query did or didn't skip ("are my files range-clustered
+    * on this key, or does every file span the whole domain?") without
+    * reading any data file.
+    */
+  def describeFiles: DataFrame = {
+    import spark.implicits._
+    stFiles.flatMap { entry =>
+      val prefix = entry + "/"
+      val perFile = stStats.view
+        .filterKeys(k => k == entry || k.startsWith(prefix)).toMap
+      if (perFile.isEmpty)
+        Seq((entry, entry, Option.empty[String], Option.empty[String],
+          Option.empty[String]))
+      else perFile.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+        if (cols.isEmpty)
+          Seq((entry, f, Option.empty[String], Option.empty[String],
+            Option.empty[String]))
+        else cols.toSeq.sortBy(_._1).map { case (c, st) =>
+          (entry, f, Some(c), Some(st.min), Some(st.max))
+        }
+      }
+    }.toDF("entry", "file", "column", "min", "max")
+  }
+
   /** Approximate on-disk size in bytes (reference `size_approx`,
     * dataset.py:1677-1681): sum of the live manifest's file sizes.
     */

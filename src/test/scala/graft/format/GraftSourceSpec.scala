@@ -244,6 +244,17 @@ class GraftSourceSpec extends SparkSpec {
     // range partitioning → one file covers [10,20]; the rest prune
     assert(pruned == compactFiles - 1,
       s"expected ${compactFiles - 1} of $compactFiles files pruned, got $pruned")
+    // observability: describeFiles shows per-file id bounds, and range
+    // clustering means the per-file [min,max] windows do not overlap
+    val bounds = GraftDataset.load(spark, root).describeFiles
+      .filter($"column" === "id")
+      .select($"min".cast("long"), $"max".cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(bounds.length == compactFiles)
+    assert(bounds.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"overlapping clustered files: ${bounds.toSeq}")
   }
 
   test("filter translation covers the V1 predicate algebra") {
