@@ -71,9 +71,21 @@ object FileSkipping {
     val fs = dir.getFileSystem(conf)
     val wanted: Map[String, String] = schema.fields
       .flatMap(f => statDomain(f.dataType).map(d => f.name -> d)).toMap
-    fs.listStatus(dir)
+    // One footer open per file, parallelized: a 10k-file compact must
+    // not pay 10k SERIAL driver-side opens (each is a round-trip on an
+    // object store). Bounded I/O pool, not the global ForkJoin pool —
+    // footer reads are latency-bound, not CPU-bound.
+    val files = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { st =>
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.max(1, math.min(files.length, 16)))
+    val par = {
+      import scala.collection.parallel.CollectionConverters._
+      val p = files.par
+      p.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      p
+    }
+    try par.map { st =>
         val fileRel = rel + "/" + st.getPath.getName
         if (wanted.isEmpty) fileRel -> Map.empty[String, ColStats]
         else {
@@ -110,7 +122,14 @@ object FileSkipping {
                       case _ =>
                         (s.genericGetMin.toString, s.genericGetMax.toString)
                     }
-                    acc.get(path) match {
+                    // float/double bounds can legitimately be
+                    // Infinity/-Infinity (and NaN-poisoned writers can
+                    // emit NaN); those are not decimal-comparable —
+                    // drop the column for this file rather than throw
+                    // at prune time (ADVICE r12).
+                    if (domain == "double" && !(finite(mn) && finite(mx)))
+                      dropped += path
+                    else acc.get(path) match {
                       case None => acc(path) = (mn, mx)
                       case Some((m0, m1)) =>
                         val lo = if (cmpInDomain(mn, m0, domain) < 0) mn else m0
@@ -127,35 +146,70 @@ object FileSkipping {
             c -> ColStats(mn, mx, wanted(c))
           }.toMap
         }
-      }.toMap
+      }.seq.toMap
+    finally pool.shutdown()
   } catch { case _: Exception => Map.empty }
+
+  private def finite(s: String): Boolean =
+    s != null && s.nonEmpty &&
+      !s.contains("Infinity") && !s.contains("NaN")
+
+  /** Unsigned UTF-8 byte order — the comparator parquet used to compute
+    * BINARY min/max. UTF-16 `String.compareTo` DISAGREES with it for
+    * strings mixing supplementary code points (surrogates D800+ encode
+    * code points ≥ U+10000, which sort ABOVE U+E000..U+FFFF in byte
+    * order but below in code-unit order), so comparing stats with
+    * compareTo can wrongly prune a file (ADVICE r12).
+    */
+  private def utf8Cmp(a: String, b: String): Int =
+    bytesCmp(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+             b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def bytesCmp(x: Array[Byte], y: Array[Byte]): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 
   private def cmpInDomain(a: String, b: String, domain: String): Int =
     domain match {
-      case "string" => a.compareTo(b)
+      case "string" => utf8Cmp(a, b)
       case _ => BigDecimal(a).compare(BigDecimal(b))
     }
 
-  /** The filter value's comparison domain, or None → never prune. */
+  /** The filter value's comparison domain, or None → never prune.
+    * Floats stay in FLOAT shortest-repr space (`Float.toString`, the
+    * same serialization [[footerStats]] used for the stat bounds):
+    * widening to double first (`1.1f.toDouble` = 1.100000023841858)
+    * makes an equality on a value actually present in the file compare
+    * ABOVE the file's max and wrongly prune it (ADVICE r12 high).
+    */
   private def valueDomain(v: Any): Option[(BigDecimal, String)] = v match {
     case n: Byte => Some((BigDecimal(n.toInt), "num"))
     case n: Short => Some((BigDecimal(n.toInt), "num"))
     case n: Int => Some((BigDecimal(n), "num"))
     case n: Long => Some((BigDecimal(n), "num"))
-    case n: Float if !n.isNaN => Some((BigDecimal(n.toDouble), "num"))
-    case n: Double if !n.isNaN => Some((BigDecimal(n), "num"))
+    case n: Float if !n.isNaN && !n.isInfinite =>
+      Some((BigDecimal(n.toString), "num"))
+    case n: Double if !n.isNaN && !n.isInfinite => Some((BigDecimal(n), "num"))
     case _ => None
   }
 
   // compare a filter value against one stat bound; None = incomparable
+  // (including a bound that fails to parse — keep the file, never throw)
   private def cmp(v: Any, bound: String, typ: String): Option[Int] =
-    v match {
-      case s: String if typ == "string" => Some(s.compareTo(bound))
+    try v match {
+      case s: String if typ == "string" => Some(utf8Cmp(s, bound))
       case _ => valueDomain(v).collect {
         case (bd, _) if typ == "long" || typ == "double" =>
           bd.compare(BigDecimal(bound))
       }
-    }
+    } catch { case _: NumberFormatException => None }
 
   /** True iff `filter` provably matches NO row of a file with `stats`.
     * Unknown columns/ops/domains → false (keep the file).
@@ -176,11 +230,20 @@ object FileSkipping {
         cmp(v, s.min, s.typ).exists(_ <= 0))
       case LessThanOrEqual(a, v) => st(a).exists(s =>
         cmp(v, s.min, s.typ).exists(_ < 0))
-      case StringStartsWith(a, p) => st(a).exists(s =>
-        s.typ == "string" &&
-          // every value < p (max too small) or every value has a prefix
-          // > p (min's first |p| chars already beyond p)
-          (s.max.compareTo(p) < 0 || s.min.take(p.length).compareTo(p) > 0))
+      case StringStartsWith(a, p) => st(a).exists { s =>
+        s.typ == "string" && {
+          // byte space throughout (see utf8Cmp): every value < p (max
+          // too small), or every value already beyond any p-prefixed
+          // string (min's first |bytes(p)| BYTES compare above p —
+          // char-based take could split a surrogate pair)
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val pb = p.getBytes(utf8)
+          val minB = s.min.getBytes(utf8)
+          utf8Cmp(s.max, p) < 0 ||
+            bytesCmp(java.util.Arrays.copyOf(
+              minB, math.min(minB.length, pb.length)), pb) > 0
+        }
+      }
       case And(l, r) => excludes(stats, l) || excludes(stats, r)
       case Or(l, r) => excludes(stats, l) && excludes(stats, r)
       case _ => false

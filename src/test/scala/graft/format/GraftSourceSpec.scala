@@ -220,6 +220,62 @@ class GraftSourceSpec extends SparkSpec {
       s"rename must disable pruning, pruned $d4")
   }
 
+  test("skipping stat domains: float repr, non-finite bounds, UTF-8 order") {
+    import org.apache.spark.sql.sources._
+    // (1) float filter values must compare in FLOAT shortest-repr space:
+    // widening 1.1f to double (1.100000023841858) sorts ABOVE a file
+    // whose max really is 1.1f and wrongly prunes it
+    val fstats = Map("c" -> ColStats("0.5", "1.1", "double"))
+    assert(!FileSkipping.excludes(fstats, EqualTo("c", 1.1f)),
+      "file containing the float value must not prune")
+    assert(!FileSkipping.excludes(fstats, GreaterThanOrEqual("c", 1.1f)))
+    assert(FileSkipping.excludes(fstats, EqualTo("c", 3.0f)),
+      "genuinely excluded float still prunes")
+    // (2) non-finite bounds: never throw, never prune
+    for (st <- Seq(ColStats("-Infinity", "Infinity", "double"),
+                   ColStats("NaN", "NaN", "double"))) {
+      val m = Map("c" -> st)
+      assert(!FileSkipping.excludes(m, GreaterThan("c", 5.0)))
+      assert(!FileSkipping.excludes(m, EqualTo("c", 5.0)))
+    }
+    // (3) strings compare as unsigned UTF-8 bytes (parquet's stat
+    // order): U+E000 < U+1F600 in byte order but the REVERSE in UTF-16
+    // code units, so compareTo wrongly pruned a file holding U+E000
+    val emoji = new String(Character.toChars(0x1F600))
+    val sstats = Map("s" -> ColStats("\uE000", emoji, "string"))
+    assert(!FileSkipping.excludes(sstats, EqualTo("s", "\uE000")))
+    assert(!FileSkipping.excludes(sstats, StringStartsWith("s", "\uE000")))
+    assert(FileSkipping.excludes(sstats, EqualTo("s", "zzz")),
+      "byte order still prunes below the min")
+
+    // end-to-end: real footers, real pushdown
+    import spark.implicits._
+    val root = tmpDir("skipdom") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("id", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType))))
+    ds.append(Seq((1L, 0.5f, 1.0, "\uE000"), (2L, 1.1f, 2.0, emoji))
+      .toDF("id", "f", "d", "s"))
+    ds.append(Seq((3L, 7.7f, Double.PositiveInfinity, "plain"))
+      .toDF("id", "f", "d", "s"))
+    ds.commit("domains")
+    def read() = spark.read.format("graft").load(root)
+    // float equality on a value that IS a file's max: row must survive,
+    // and the disjoint high-range file still prunes
+    val before = FileSkipping.prunedFiles.get()
+    assert(read().filter($"f" === 1.1f).select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+    assert(FileSkipping.prunedFiles.get() - before >= 1,
+      "disjoint float file should still prune")
+    // Infinity in the stats: filtered scan must plan (not throw) and
+    // still see the row
+    assert(read().filter($"d" >= 100.0).select("id").as[Long]
+      .collect().toSeq == Seq(3L))
+    // supplementary-plane string file: equality on its min survives
+    assert(read().filter($"s" === "\uE000").count() == 1L)
+    assert(read().filter($"s".startsWith("\uE000")).count() == 1L)
+  }
+
   test("range-clustered compaction + per-file stats: Z-order-lite skipping") {
     import spark.implicits._
     val root = tmpDir("zlite") + "/t"
