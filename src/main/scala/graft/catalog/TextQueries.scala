@@ -161,6 +161,31 @@ object TextQueries {
           ELSE 'quick|研究|生命|起源|brown|fox' END AS toks
         FROM documents ORDER BY doc_id""")),
 
+    // jieba's cut(HMM=True) with a derived emission table: the dict
+    // doubles as the tagged corpus (deriveEmitP), so OOV spans get
+    // per-character B/M/E/S evidence. The text is constructed per row
+    // (q77's trick) so the oracle states the segmentation as literals:
+    // 欧阳锋 is NOT a dict word, but 欧 is word-initial (欧洲), 阳
+    // word-final (太阳) and 锋 a single-char word, so the Viterbi flips
+    // the uniform-emission answer 欧阳锋 to 欧阳|锋; 王磊 has no
+    // evidence and follows the word-shape prior as ONE word.
+    QueryDef("q100_cjk_hmm_emissions",
+      (s, dir) => {
+        val dict = Seq("数据", "引擎", "向上", "欧洲", "太阳", "锋")
+        val zh = when(col("doc_id") % 3 === 0, lit("欧阳锋数据引擎"))
+          .when(col("doc_id") % 3 === 1, lit("王磊数据"))
+          .otherwise(lit("数据向上"))
+        docs(s, dir).select(col("doc_id"),
+          concat_ws("|", T.tokensDict(zh, dict, hmm = true,
+            emissions = T.deriveEmissions(dict))).as("toks"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN '欧阳|锋|数据|引擎'
+          WHEN 1 THEN '王磊|数据'
+          ELSE '数据|向上' END AS toks
+        FROM documents ORDER BY doc_id""")),
+
     // range_match (BETWEEN via numeric index in the reference)
     QueryDef("q44_text_range_match",
       (s, dir) => FilterVectorized(docs(s, dir),

@@ -54,13 +54,15 @@ object VectorQueries {
     * recomputes from the data with its own window top-k, keeping the
     * check data-dependent — and the recall verdict.
     *
-    * The verdict is per FAMILY, not per query — the sum of hits over the
-    * family's query batch must reach `minHits(idx)` — because per-query
-    * IVF recall is legitimately jumpy (a query whose true neighbors
-    * spread across many cells can score 2/5 at nprobe=6 while the family
-    * mean sits well above the spec floor; VectorStatsSpec asserts the
-    * MEAN for exactly this reason). The per-query kth distances still pin
-    * each query's exact geometry row by row.
+    * The verdict is two-tier: the sum of hits over the family's query
+    * batch must reach `minHits(idx)` — per-query IVF recall is
+    * legitimately jumpy (a query whose true neighbors spread across many
+    * cells can score 2/5 at nprobe=6 while the family mean sits well
+    * above the spec floor; VectorStatsSpec asserts the MEAN for exactly
+    * this reason) — AND every individual query must land at least ONE
+    * true neighbor, so a zero-recall query can never hide inside a
+    * passing batch. The per-query kth distances still pin each query's
+    * exact geometry row by row.
     *
     * `approx` must carry (idx, qid, vec_id); `queries` is the bounded
     * (qid, vector) batch the caller already holds. Exposed (not private)
@@ -101,7 +103,9 @@ object VectorQueries {
         sum(when(col("_l2") <= col("_kth"), 1L).otherwise(0L)).as("_hits"))
       .withColumn("_famHits", sum(col("_hits")).over(Window.partitionBy("idx")))
       .select(col("idx"), col("qid"), col("returned"),
-        col("kth_l2sq_scaled"), (col("_famHits") >= minExpr).as("recall_ok"))
+        col("kth_l2sq_scaled"),
+        (col("_famHits") >= minExpr && col("_hits") >= lit(1L))
+          .as("recall_ok"))
       .orderBy("idx", "qid")
   }
 

@@ -248,6 +248,25 @@ class GraftDataset private[format] (
       }.sum
   }
 
+  /** Footer row count over several manifest entries, parallelized —
+    * the maintenance-path analogue of [[FileSkipping.footerStats]]'s
+    * bounded-pool reads (serial opens would dominate on a 10k-entry
+    * table).
+    */
+  private def footerRows(rels: Seq[String]): Long =
+    if (rels.isEmpty) 0L
+    else if (rels.length == 1) writtenRowCount(rels.head)
+    else {
+      import scala.collection.parallel.CollectionConverters._
+      val pool = new java.util.concurrent.ForkJoinPool(
+        math.min(rels.length, 16))
+      try {
+        val p = rels.par
+        p.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+        p.map(writtenRowCount).sum
+      } finally pool.shutdown()
+    }
+
   private def deleteData(rel: String): Unit = {
     val dir = new Path(root, rel)
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1000,18 +1019,22 @@ class GraftDataset private[format] (
     def rebuild(): Unit = rebuildVectorIndex(column, dir)
     indexCommit(dir).flatMap(appendOnlyDelta) match {
       case _ if tpe == "FLAT" => writeIndexMeta(dir, carried)
+      case Some(newFiles) if newFiles.isEmpty =>
+        writeIndexMeta(dir, carried) // no-op maintenance: nothing to scan
       case Some(newFiles) =>
         // Delta-fraction guard: every append FRAGMENTS the index (new
         // graph shards that each probe pays for; cells assigned to
         // centroids that drift from the data). Past the threshold the
         // compounding probe cost exceeds one rebuild's, so rebuild —
         // the same economics as the inverted index's optimize path.
-        val totalRows = snapshotWithUuid().count()
-        val deltaRows =
-          if (newFiles.isEmpty) 0L
-          else snapshotWithUuid(files = newFiles, updates = Nil,
-            tombstones = Nil).count()
-        val indexedRows = totalRows - deltaRows
+        // Row counts come from parquet FOOTERS (driver-side metadata,
+        // parallel, no Spark job) — a threshold check must not cost a
+        // merge-on-read table scan at 100 TB. Footer counts include
+        // base rows tombstoned BEFORE indexing (appendOnlyDelta rules
+        // out new tombstones since), which only UNDER-estimates the
+        // delta fraction — fine for a 0.5 heuristic.
+        val deltaRows = footerRows(newFiles)
+        val indexedRows = footerRows(stFiles.filterNot(newFiles.toSet).toSeq)
         if (indexedRows > 0 && deltaRows > rebuildThreshold * indexedRows)
           rebuild() // writes its own meta (bumped rebuilds counter)
         else {

@@ -65,6 +65,16 @@ object TextFunctions {
     org.apache.spark.sql.graftnative.DictTokens(c, dict, stopWords,
       caseSensitive, freqs, useDag = !fmm, hmm = hmm, emitP = emissions)
 
+  /** Emission table derived from the frequency dictionary itself (the
+    * `prob_emit` construction with the dict as the tagged corpus) — use
+    * as `tokensDict(..., hmm = true, emissions = deriveEmissions(d, f))`
+    * when no real `prob_emit` data is at hand, so OOV boundaries get
+    * per-character evidence instead of the bare word-shape prior.
+    */
+  def deriveEmissions(dict: Seq[String], freqs: Seq[Long] = Nil)
+      : Map[String, Seq[Double]] =
+    org.apache.spark.sql.graftnative.DictTokens.deriveEmitP(dict, freqs)
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish subword estimate: word count + extra tokens for long words

@@ -58,8 +58,9 @@ private[operators] object FlacFrames {
 
   /** Mean absolute amplitude in [0,1] over every decoded sample of every
     * channel, or None if any frame fails structural parse. `channels`
-    * and `bps` come from STREAMINFO (frame headers may only override
-    * sample size with the same STREAMINFO escape code 0).
+    * and `bps` come from STREAMINFO; a frame header may OVERRIDE the
+    * sample size (sizeCode 1-7), so normalization uses the bps each
+    * frame's samples were actually decoded at, not the stream default.
     */
   def meanAbs(bytes: Array[Byte], channels: Int, bps: Int)
       : Option[Double] = {
@@ -78,11 +79,12 @@ private[operators] object FlacFrames {
       val br = new BitReader(bytes, p)
       var sumAbs = 0.0
       var count = 0L
-      val full = (1L << (bps - 1)).toDouble
       while (!br.atEnd) {
         decodeFrame(br, channels, bps) match {
           case null => return None
-          case chans =>
+          case frame =>
+            val full = (1L << (frame.bps - 1)).toDouble
+            val chans = frame.chans
             var c = 0
             while (c < chans.length) {
               val s = chans(c)
@@ -104,9 +106,14 @@ private[operators] object FlacFrames {
     } catch { case _: Exception => None }
   }
 
-  /** One frame → per-channel sample arrays, or null on parse failure. */
+  /** One decoded frame: per-channel sample arrays plus the bps the
+    * samples were coded at (the frame header can override STREAMINFO).
+    */
+  private final class Frame(val chans: Array[Array[Long]], val bps: Int)
+
+  /** One frame → decoded [[Frame]], or null on parse failure. */
   private def decodeFrame(br: BitReader, siChannels: Int,
-                          siBps: Int): Array[Array[Long]] = {
+                          siBps: Int): Frame = {
     // sync (14) + reserved (1) + blocking strategy (1)
     if (br.bits(14) != 0x3ffe) return null
     br.bits(2) // reserved + blocking strategy
@@ -190,7 +197,7 @@ private[operators] object FlacFrames {
     }
     br.alignByte()
     br.bits(16) // frame CRC-16 (validation skipped)
-    out
+    new Frame(out, bps)
   }
 
   private def decodeSubframe(br: BitReader, n: Int,

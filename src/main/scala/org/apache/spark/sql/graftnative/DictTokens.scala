@@ -251,6 +251,58 @@ object DictTokens {
       ExpressionUtils.expression(text), dict, stopWords, caseSensitive,
       freqs, useDag, hmm, emitP))
 
+  /** Derive a BMES emission table from a frequency dictionary — the
+    * maximum-likelihood construction jieba's `prob_emit` encodes (char
+    * occurrence counts per BMES tag over a segmented corpus), with the
+    * dictionary standing in for the corpus: a word of ≥ 2 code points
+    * tags its first char B, interior chars M, last char E; a
+    * single-char word tags S — each weighted by the word's frequency
+    * (a real jieba-style dict carries corpus counts, so the weighting
+    * IS the corpus statistic). Add-α smoothing over the dictionary's
+    * character vocabulary keeps every (char, state) log-prob finite,
+    * so the transition prior stays relevant for unseen pairings (see
+    * [[viterbiCut]] on why jieba's MIN_FLOAT floor is a precision
+    * artifact this model does not copy). A dictionary with no
+    * single-char words leaves S flat at 1/V — real frequency dicts
+    * (jieba's dict.txt format) carry thousands of single-char entries,
+    * so S is only degenerate on toy word lists.
+    *
+    * The emission model stays DATA, like the dictionary: this is the
+    * mechanism for users who hold only a word list; a user holding
+    * jieba's actual `prob_emit` table passes it directly as
+    * `emissions` and gets jieba-exact OOV boundaries.
+    */
+  def deriveEmitP(dict: Seq[String], freqs: Seq[Long] = Nil,
+                  alpha: Double = 0.5): Map[String, Seq[Double]] = {
+    require(freqs.isEmpty || freqs.length == dict.length,
+      s"freqs (${freqs.length}) must be empty or parallel to dict (${dict.length})")
+    val counts = scala.collection.mutable.Map[String, Array[Double]]()
+    def add(cp: Int, st: Int, f: Double): Unit =
+      counts.getOrElseUpdate(new String(Character.toChars(cp)),
+        Array.fill(4)(0.0))(st) += f
+    dict.zipWithIndex.foreach { case (w, i) =>
+      val f = (if (freqs.isEmpty) defaultFreq
+               else math.max(freqs(i), 1L)).toDouble
+      val cps = w.codePoints.toArray // surrogate-safe: one tag per char
+      if (cps.length == 1) add(cps(0), S, f)
+      else if (cps.length >= 2) {
+        add(cps(0), B, f); add(cps(cps.length - 1), E, f)
+        var k = 1
+        while (k < cps.length - 1) { add(cps(k), M, f); k += 1 }
+      }
+    }
+    val v = counts.size.toDouble
+    if (v == 0) return Map.empty
+    val totals = new Array[Double](4)
+    counts.values.foreach { a =>
+      var s = 0; while (s < 4) { totals(s) += a(s); s += 1 }
+    }
+    counts.iterator.map { case (c, a) =>
+      c -> (0 until 4).map(s =>
+        math.log((a(s) + alpha) / (totals(s) + alpha * v)))
+    }.toMap
+  }
+
   // ---- BMES Viterbi over OOV spans (jieba finalseg) -----------------------
   // The 4-state start/transition log-probabilities below are jieba's
   // published `finalseg` model (prob_start.py / prob_trans.py) — small

@@ -121,6 +121,37 @@ class TextDedupSpec extends SparkSpec {
     assert(toks("王磊数据", emis) == Seq("王磊", "数据"))
   }
 
+  test("derived emission table: dict-as-corpus statistics steer OOV boundaries") {
+    import org.apache.spark.sql.graftnative.DictTokens
+    val dict = Seq("数据", "引擎", "向上", "欧洲", "太阳", "锋")
+    val e = DictTokens.deriveEmitP(dict)
+    // structure: every vocab char carries 4 finite log-probs
+    assert(e.keySet == dict.flatMap(_.map(_.toString)).toSet)
+    assert(e.values.forall(l => l.length == 4 && l.forall(d =>
+      !d.isNaN && !d.isInfinite && d < 0.0)))
+    // the statistics point the right way (state order B=0 M=1 E=2 S=3):
+    // 欧 is word-INITIAL in the dict (欧洲), 阳 word-FINAL (太阳), 锋 a
+    // SINGLE-char word
+    assert(e("欧")(0) > e("欧")(3) && e("欧")(0) > e("欧")(2))
+    assert(e("阳")(2) > e("阳")(0))
+    assert(e("锋")(3) > e("锋")(0) && e("锋")(3) > e("锋")(2))
+    // behavior: uniform emissions make the 3-char OOV run one BME word;
+    // the derived evidence (欧=B, 阳=E, 锋=S) flips it to 欧阳|锋
+    def toks(t: String, em: Map[String, Seq[Double]]) = Seq(t).toDF("t")
+      .select(T.tokensDict($"t", dict, hmm = true, emissions = em))
+      .head().getSeq[String](0)
+    assert(toks("欧阳锋", Map.empty) == Seq("欧阳锋"))
+    assert(toks("欧阳锋", T.deriveEmissions(dict)) == Seq("欧阳", "锋"))
+    // chars with no dictionary evidence still follow the word-shape
+    // prior: the unseen 2-char name stays one word
+    assert(toks("王磊数据", T.deriveEmissions(dict)) == Seq("王磊", "数据"))
+    // frequency weighting is live: crank 单-char 锋 and the flat default
+    // still derives (no NaN) — and an explicit freq table parallel to
+    // dict is accepted
+    val ef = DictTokens.deriveEmitP(dict, Seq(500L, 500L, 500L, 500L, 500L, 5L))
+    assert(ef("锋")(3) > ef("锋")(0))
+  }
+
   test("inverted index built with the dictionary tokenizer routes CJK queries") {
     val df = Seq(
       (1L, "预训练 数据引擎"), (2L, "向量检索 引擎"), (3L, "plain latin text"))

@@ -521,10 +521,11 @@ class VectorStatsSpec extends SparkSpec {
       (0 until 16).foreach(_ => w.bits(0, 8))    // md5 (unchecked)
       w
     }
-    def frameHeader(w: BW, n: Int, chanAssign: Int): Unit = {
+    def frameHeader(w: BW, n: Int, chanAssign: Int,
+                    sizeCode: Int = 0): Unit = {
       w.bits(0x3ffe, 14); w.bits(0, 2)     // sync, reserved, fixed-size
       w.bits(7, 4); w.bits(0, 4)           // bs: 16-bit follows; rate: SI
-      w.bits(chanAssign, 4); w.bits(0, 3); w.bits(0, 1) // size: SI
+      w.bits(chanAssign, 4); w.bits(sizeCode, 3); w.bits(0, 1)
       w.bits(0, 8)                          // frame number 0 (1-byte UTF8)
       w.bits(n - 1, 16)                     // block size − 1
       w.bits(0, 8)                          // header CRC (decoder skips)
@@ -640,6 +641,22 @@ class VectorStatsSpec extends SparkSpec {
     // never a wrong number
     val cut = Multimodal.decodeFlac(mono.dropRight(mono.length / 3)).get
     assert(cut._5 == null)
+
+    // (d) per-frame sample-size override (sizeCode 1 = 8 bps inside a
+    // 16-bit stream): amplitudes must normalize by the bps the frame's
+    // samples were DECODED at, not STREAMINFO's — the stream default
+    // would halve them (÷32768 instead of ÷128)
+    val xs8 = (0 until n).map(i => (math.sin(i * 0.11) * 100).toInt)
+    val over = {
+      val w = streamInfo(16000, 1, 16, n)
+      frameHeader(w, n, 0, sizeCode = 1)
+      subVerbatim(w, xs8, bps = 8); endFrame(w)
+      w.out
+    }
+    val fo = Multimodal.decodeFlac(over).get
+    val expect8 = xs8.map(x => math.min(math.abs(x) / 128.0, 1.0)).sum / n
+    assert(math.abs(fo._5 - expect8) < 1e-12,
+      s"frame-bps override: ${fo._5} != $expect8")
   }
 
   test("image helpers: grayscale luma, real resize, EXIF extraction") {
@@ -1058,8 +1075,14 @@ class VectorStatsSpec extends SparkSpec {
     val strict = VectorQueries.recallAudit(e, mixed, queries, k = 3,
       minHits = Map("fam" -> 6)).as[(String, Long, Long, Long, Boolean)].collect()
     assert(strict.forall(!_._5), "family total 3 < 6 fails every row")
+    // two-tier verdict: even when the family sum passes, the zero-recall
+    // query fails its own row (≥1 true neighbor per query) — garbage for
+    // one query can no longer hide inside a passing batch
     val loose = VectorQueries.recallAudit(e, mixed, queries, k = 3,
       minHits = Map("fam" -> 3)).as[(String, Long, Long, Long, Boolean)].collect()
-    assert(loose.forall(_._5), "family total 3 >= 3 passes")
+    assert(loose.find(_._2 == 0L).get._5,
+      "family total 3 >= 3 and >=1 hit: query 0 passes")
+    assert(!loose.find(_._2 == 1L).get._5,
+      "zero-recall query fails despite a passing family sum")
   }
 }
