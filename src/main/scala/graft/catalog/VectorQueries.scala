@@ -398,6 +398,73 @@ object VectorQueries {
           ORDER BY 1, 2"""))
     },
 
+    // INCREMENTAL dedup: even doc_ids are the existing corpus (a
+    // persisted minHashState), odd doc_ids the new batch; the result is
+    // the batch's SURVIVORS — dropped iff near-dup of the corpus or of
+    // an earlier (smaller-id) batch row. corpus×corpus pairs are never
+    // generated. Portable family again, so the oracle replays the split
+    // pipeline bit-for-bit; maxBucket unbounded (q66 oracle pattern).
+    locally {
+      val (nh, nb, n, t) = (32, 8, 3, 0.5)
+      val rpb = nh / nb
+      val (sa, sb) = Dedup.portableSeeds(nh)
+      val p = Dedup.portableP
+      val aList = sa.mkString("[", ", ", "]")
+      val bList = sb.mkString("[", ", ", "]")
+      val fold = (0 until rpb).map(j =>
+          s"MAX(CASE WHEN i % $rpb = $j THEN mv END)")
+        .foldLeft("0")((acc, v) =>
+          s"(($acc * ${Dedup.portableBandMult} + $v) % $p)")
+      QueryDef("q101_dedup_incremental",
+        (s, dir) => {
+          val docsDf = Tables.load(s, dir, "documents")
+          val corpus = docsDf.filter(col("doc_id") % 2 === 0)
+          val delta = docsDf.filter(col("doc_id") % 2 === 1)
+          val state = Dedup.minHashState(corpus, "text", "doc_id",
+            numHashes = nh, shingleN = n, portable = true)
+          Dedup.minHashLshIncremental(state, delta, "text", "doc_id",
+              numHashes = nh, bands = nb, shingleN = n, threshold = t,
+              portable = true, maxBucket = Int.MaxValue)
+            .select("doc_id").orderBy("doc_id")
+        },
+        Some(s"""WITH tk AS (SELECT doc_id, ${TextQueries.duckToks} AS ts
+            FROM documents),
+          sh AS (SELECT doc_id,
+              list_distinct(${TextQueries.duckNgrams("ts", n)}) AS s
+            FROM tk WHERE len(ts) >= $n),
+          ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+          h AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % $p AS hv
+            FROM ex),
+          sig AS (SELECT doc_id, i,
+              MIN(($aList[CAST(i AS INTEGER) + 1] * hv +
+                   $bList[CAST(i AS INTEGER) + 1]) % $p) AS mv
+            FROM h, range(0, $nh) r(i) GROUP BY 1, 2),
+          bkt AS (SELECT doc_id, CAST(i // $rpb AS INTEGER) AS band,
+              $fold AS bucket
+            FROM sig GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bkt a JOIN bkt b
+              ON a.band = b.band AND a.bucket = b.bucket
+                AND b.doc_id % 2 = 1
+                AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)
+                AND a.doc_id <> b.doc_id),
+          cnt AS (SELECT doc_id, len(s) AS c FROM sh),
+          inter AS (SELECT c.da, c.db, COUNT(*) AS iv
+            FROM cand c
+            JOIN ex a ON a.doc_id = c.da
+            JOIN ex b ON b.doc_id = c.db AND b.g = a.g
+            GROUP BY 1, 2),
+          dup AS (SELECT DISTINCT db AS doc_id FROM inter
+            JOIN cnt ca ON ca.doc_id = da
+            JOIN cnt cb ON cb.doc_id = db
+            WHERE CAST(iv AS DOUBLE) / (ca.c + cb.c - iv) >= $t)
+          SELECT doc_id FROM documents
+          WHERE doc_id % 2 = 1
+            AND doc_id NOT IN (SELECT doc_id FROM dup)
+          ORDER BY doc_id"""))
+    },
+
     // label-free near-dup via random-hyperplane LSH blocks, PORTABLE
     // integer path: md5-derived plane weights dotted with the 1e7-scaled
     // qint vectors in exact int64, so the oracle replays bucket

@@ -195,6 +195,102 @@ object Dedup {
       .select(s"${idCol}_a", s"${idCol}_b", "jaccard")
   }
 
+  /** Per-row dedup STATE — `(id, _sh shingles, _mh signature)` — the
+    * persistable artifact [[minHashLshIncremental]] joins new data
+    * against. At 100 TB the state is computed once per corpus and
+    * carried forward per increment
+    * (`state.unionByName(minHashState(survivors, ...))`), so an
+    * increment never re-tokenizes or re-hashes the corpus.
+    */
+  def minHashState(df: DataFrame, textCol: String, idCol: String,
+                   numHashes: Int = 32, shingleN: Int = 3,
+                   portable: Boolean = false): DataFrame = {
+    val sig =
+      if (portable) {
+        val (a, b) = portableSeeds(numHashes)
+        org.apache.spark.sql.graftnative.NativeExpressions
+          .minHashSigMod(col("_sh"), a, b, portableP)
+      } else graft.functions.NativeExpressions.minHashSig(col("_sh"), numHashes)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("_sh", T.tokenShingles(col(textCol), shingleN))
+      .filter(size(col("_sh")) > 0)
+      .select(col(idCol), col("_sh"), sig.as("_mh"))
+  }
+
+  /** Incremental MinHash-LSH near-dup: the surviving rows of a NEW
+    * batch (`delta`) against an existing corpus (`state`, a
+    * [[minHashState]] frame) — without ever pairing corpus × corpus.
+    * This is the continuous-ingest shape: a daily 1 TB increment
+    * against a 100 TB corpus pays O(delta) tokenization, one band
+    * equi-join of delta buckets against corpus buckets, and O(delta)
+    * internal pairs — never a corpus re-dedup.
+    *
+    * A delta row is dropped iff (a) some STATE row shares an LSH band
+    * bucket with it at Jaccard ≥ threshold, or (b) some EARLIER delta
+    * row (smaller id) does — the greedy keep-lowest-id rule, applied
+    * pairwise (non-transitive: a delta row dropped against the corpus
+    * still shadows later delta rows that duplicate it, which matches
+    * "both copies of an already-seen doc are dropped"). Rows too short
+    * to shingle never pair and always survive (same contract as
+    * [[minHashLsh]]). Corpus-side buckets larger than `maxBucket` drop
+    * out of candidate generation ([[lshCandidates]]'s degenerate-flood
+    * guard); delta-internal pairs go through [[expandPairs]] with the
+    * same cap.
+    *
+    * Returns surviving delta rows with ALL their columns; persist the
+    * next state as `state.unionByName(minHashState(survivors, ...))`.
+    */
+  def minHashLshIncremental(state: DataFrame, delta: DataFrame,
+                            textCol: String, idCol: String,
+                            numHashes: Int = 32, bands: Int = 8,
+                            shingleN: Int = 3, threshold: Double = 0.7,
+                            portable: Boolean = false,
+                            maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def bandsOf(st: DataFrame): DataFrame = {
+      val bandCol =
+        if (portable) org.apache.spark.sql.graftnative.NativeExpressions
+          .minHashBandsMod(col("_mh"), rowsPerBand, portableBandMult, portableP)
+        else graft.functions.NativeExpressions
+          .minHashBands(col("_mh"), rowsPerBand)
+      st.select(col(idCol), posexplode(bandCol).as(Seq("band", "bucket")))
+    }
+    val dstate = minHashState(delta, textCol, idCol, numHashes, shingleN,
+      portable)
+    val db = bandsOf(dstate)
+    val cbAll = bandsOf(state)
+    val cb =
+      if (maxBucket == Int.MaxValue) cbAll
+      else cbAll.join(
+        cbAll.groupBy("band", "bucket").count()
+          .filter(col("count") > maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"), "left_anti")
+    // cross candidates: one equi-join on (band, bucket), delta side tiny
+    val crossCand = db.select(col(idCol).as("_db"), col("band"), col("bucket"))
+      .join(cb.select(col(idCol).as("_da"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("_da", "_db").distinct().hint("merge")
+    val deltaCand = expandPairs(db, idCol, maxBucket)
+      .select(col(s"${idCol}_a").as("_da"), col(s"${idCol}_b").as("_db"))
+    def shingleSide(st: DataFrame, as: String, sh: String, cnt: String) =
+      st.select(col(idCol).as(as), col("_sh").as(sh),
+        size(col("_sh")).as(cnt))
+    // exact-Jaccard verify; b-side (the delta row) is the drop target
+    def droppedIds(cand: DataFrame, aSide: DataFrame): DataFrame = cand
+      .join(shingleSide(aSide, "_da", "_sa", "_na"), "_da")
+      .join(shingleSide(dstate, "_db", "_sb", "_nb"), "_db")
+      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .filter(col("_inter").cast("double") /
+        (col("_na") + col("_nb") - col("_inter")).cast("double")
+        >= threshold)
+      .select(col("_db").as(idCol))
+    val dropped = droppedIds(crossCand, state)
+      .unionByName(droppedIds(deltaCand, dstate))
+      .distinct()
+    delta.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ---- exact n-gram Jaccard (the oracle-checkable near-dup path) --------
 
   /** Exact pairwise n-gram Jaccard via AllPairs/PPJoin PREFIX FILTERING

@@ -254,6 +254,55 @@ class TextDedupSpec extends SparkSpec {
     assert(portable == Seq((100L, 101L, 1.0)))
   }
 
+  test("incremental minhash dedup: delta vs corpus state, never corpus×corpus") {
+    // corpus: two unique docs + one doc (id 2) the delta will duplicate
+    val corpusDocs = Seq(
+      (0L, "alpha corpus document with many unique alpha tokens here"),
+      (1L, "beta corpus document carrying its own beta token stream"),
+      (2L, "gamma corpus document that the delta batch will repeat"))
+    // delta: 10 = dup of corpus 2; 11 = unique; 12 = dup of 11 (within
+    // delta, higher id); 13 = unique; 14 = too short to shingle
+    val deltaDocs = Seq(
+      (10L, "gamma corpus document that the delta batch will repeat"),
+      (11L, "delta only document with fresh delta content entirely new"),
+      (12L, "delta only document with fresh delta content entirely new"),
+      (13L, "another standalone delta document nothing matches this one"),
+      (14L, "tiny"))
+    val corpus = corpusDocs.toDF("id", "t")
+    val delta = deltaDocs.toDF("id", "t")
+    val state = Dedup.minHashState(corpus, "t", "id", numHashes = 16,
+      shingleN = 2)
+    assert(state.columns.toSeq == Seq("id", "_sh", "_mh"))
+    val out = Dedup.minHashLshIncremental(state, delta, "t", "id",
+        numHashes = 16, bands = 4, shingleN = 2, threshold = 0.9)
+      .select("id").as[Long].collect().sorted.toSeq
+    // 10 drops (corpus dup), 12 drops (within-delta dup of 11),
+    // 11/13 survive, 14 survives (unshingleable)
+    assert(out == Seq(11L, 13L, 14L))
+    // portable family: same survivors, and the state round-trips the
+    // carry-forward pattern (state ∪ survivors' state)
+    val pState = Dedup.minHashState(corpus, "t", "id", numHashes = 16,
+      shingleN = 2, portable = true)
+    val pOut = Dedup.minHashLshIncremental(pState, delta, "t", "id",
+      numHashes = 16, bands = 4, shingleN = 2, threshold = 0.9,
+      portable = true)
+    assert(pOut.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(11L, 13L, 14L))
+    val carried = pState.unionByName(Dedup.minHashState(
+      pOut.select(col("id"), col("t")), "t", "id", numHashes = 16,
+      shingleN = 2, portable = true))
+    // a SECOND increment duplicating a first-increment survivor drops it
+    val delta2 = Seq(
+      (20L, "delta only document with fresh delta content entirely new"),
+      (21L, "second wave document that duplicates nothing at all ever"))
+      .toDF("id", "t")
+    val out2 = Dedup.minHashLshIncremental(carried, delta2, "t", "id",
+        numHashes = 16, bands = 4, shingleN = 2, threshold = 0.9,
+        portable = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(21L))
+  }
+
   test("simhash: identical text → identical fingerprint, hamming 0") {
     val df = Seq("spark native analytics engine", "spark native analytics engine",
       "completely different words here").toDF("t")
