@@ -301,6 +301,13 @@ class TextDedupSpec extends SparkSpec {
         portable = true)
       .select("id").as[Long].collect().sorted.toSeq
     assert(out2 == Seq(21L))
+    // plan shape: bucket equi-joins only — no cartesian, no
+    // broadcast-nested-loop anywhere in the physical plan
+    val plan = Dedup.minHashLshIncremental(state, delta, "t", "id",
+        numHashes = 16, bands = 4, shingleN = 2, threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
   test("simhash: identical text → identical fingerprint, hamming 0") {
