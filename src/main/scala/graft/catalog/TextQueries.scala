@@ -269,6 +269,43 @@ object TextQueries {
         GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         ORDER BY 1""")),
 
+    // incremental exact dedup: even doc_ids are the persisted corpus
+    // fingerprint state; the new batch is the odd docs PLUS clones of
+    // corpus docs (+100000, exact dups of the state) and clones of odd
+    // docs (+200000, within-batch dups) — survivors are exactly the
+    // odd originals, so both drop rules are non-vacuous while the whole
+    // pipeline stays replayable in SQL.
+    QueryDef("q102_dedup_exact_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val corpus = d.filter(col("doc_id") % 2 === 0)
+        val delta = d.filter(col("doc_id") % 2 === 1)
+          .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + lit(100000L)))
+          .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + lit(200000L)))
+        Dedup.exactIncremental(Dedup.exactState(corpus, "text"), delta,
+            "text", "doc_id")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH delta AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id < 20
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+            WHERE doc_id % 2 = 1 AND doc_id < 20),
+        fp AS (SELECT doc_id,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+          FROM delta),
+        corp AS (SELECT DISTINCT
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+          FROM documents WHERE doc_id % 2 = 0)
+        SELECT MIN(doc_id) AS doc_id FROM fp
+        WHERE f NOT IN (SELECT f FROM corp)
+        GROUP BY f ORDER BY 1""")),
+
     // SimHash banded near-dup. EXACT given the band construction: two
     // fingerprints within hamming r agree on one of r+1 bands
     // (pigeonhole), so with the md5-portable 60-bit fingerprint and an

@@ -41,6 +41,32 @@ object Dedup {
       .select(cols.map(c => col(s"_r.$c").as(c)).toIndexedSeq: _*)
   }
 
+  /** Distinct normalized-content fingerprints — the persistable state
+    * [[exactIncremental]] checks new batches against (one `_fp` column;
+    * at 100 TB this is a few GB of md5s for a billion docs).
+    */
+  def exactState(df: DataFrame, textCol: String): DataFrame =
+    df.select(T.fingerprintMd5(col(textCol)).as("_fp")).distinct()
+
+  /** Incremental EXACT dedup: the surviving FULL ROWS of a new batch
+    * against a persisted fingerprint state ([[exactState]]) — the
+    * exact-family analogue of [[minHashLshIncremental]]. A delta row
+    * survives iff its fingerprint is not in the state and no earlier
+    * (smaller-id) delta row carries it. One anti-join plus one
+    * min-by-struct aggregation, both on the fingerprint hash; carry the
+    * state forward with `state.union(exactState(survivors, textCol))
+    * .distinct()`.
+    */
+  def exactIncremental(state: DataFrame, delta: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val cols = delta.columns
+    delta.withColumn("_fp", T.fingerprintMd5(col(textCol)))
+      .join(state, Seq("_fp"), "left_anti")
+      .groupBy(col("_fp"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("_r"))
+      .select(cols.map(c => col(s"_r.$c").as(c)).toIndexedSeq: _*)
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** Seeds of the ENGINE-PORTABLE MinHash family (h_i = (a_i·H + b_i)

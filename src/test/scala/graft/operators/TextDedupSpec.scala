@@ -196,6 +196,26 @@ class TextDedupSpec extends SparkSpec {
     assert(out.head._3 == "keepA") // the whole surviving row, not just id
   }
 
+  test("incremental exact dedup: fingerprint state drops corpus + batch dups") {
+    val corpus = Seq((0L, "seen before"), (2L, "also seen")).toDF("id", "t")
+    val delta = Seq(
+      (11L, "Seen   BEFORE "), // normalizes to a corpus fingerprint
+      (13L, "brand new doc"),
+      (15L, "brand new doc"),  // within-batch dup, higher id
+      (17L, "another fresh one")).toDF("id", "t")
+    val state = Dedup.exactState(corpus, "t")
+    assert(state.columns.toSeq == Seq("_fp") && state.count() == 2)
+    val out = Dedup.exactIncremental(state, delta, "t", "id")
+    assert(out.columns.toSeq == Seq("id", "t"), "full rows come back")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(13L, 17L))
+    // carry-forward: the next increment sees first-increment survivors
+    val carried = state.union(Dedup.exactState(out, "t")).distinct()
+    val delta2 = Seq((20L, "brand new doc"), (21L, "genuinely unseen"))
+      .toDF("id", "t")
+    assert(Dedup.exactIncremental(carried, delta2, "t", "id")
+      .select("id").as[Long].collect().toSeq == Seq(21L))
+  }
+
   test("ngram jaccard: exact values, length filter keeps true pairs") {
     val df = Seq(
       (1L, "a b c d e"),   // shingles(2): ab bc cd de
