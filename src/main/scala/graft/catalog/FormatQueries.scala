@@ -345,6 +345,44 @@ object FormatQueries {
       },
       Some("""SELECT o_orderstatus, COUNT(*) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // storage reclamation (vacuum): update + pop + compact strand the
+    // pre-image base/update/tombstone entries in ancestor manifests; an
+    // aggressive vacuum must delete EXACTLY those three and keep the one
+    // live compacted entry — counts the oracle states as constants — and
+    // the post-vacuum snapshot must still answer the mutated aggregate
+    QueryDef("q103_format_vacuum",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val ds = IO.fromDataFrame(o, freshRoot("q103"))
+        ds.update(col("o_orderstatus") === "F",
+          Map("o_orderstatus" -> lit("X")))
+        ds.pop(col("o_orderkey") % 7 === 0)
+        ds.commit("mutated")
+        ds.compact()
+        ds.commit("compacted")
+        val rpt = ds.vacuum(olderThanMs = -60000L)
+        val counts = rpt.groupBy(concat(lit("_"), col("status"))
+            .as("o_orderstatus"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            lit(null).cast("double").as("total"))
+        ds.toDF.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .unionByName(counts)
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH m AS (SELECT
+          CASE WHEN o_orderstatus = 'F' THEN 'X' ELSE o_orderstatus END
+            AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM m GROUP BY o_orderstatus
+        UNION ALL SELECT '_deleted', 3, NULL
+        UNION ALL SELECT '_kept_live', 1, NULL
+        ORDER BY o_orderstatus"""))
   )
 }

@@ -115,6 +115,46 @@ object CommitLog {
       .extract[CommitMeta]
   }
 
+  /** Read every commit's metadata, parallelized over a bounded pool —
+    * the maintenance-path bulk read behind [[GraftDataset.vacuum]] and
+    * branch purging (serial per-file reads would make reclamation
+    * O(history) round-trips on a long-lived table, the same problem the
+    * ancestry checkpoint solves for walks).
+    */
+  def readAllCommits(spark: SparkSession, root: String): Map[String, CommitMeta] = {
+    val ids = listCommits(spark, root)
+    if (ids.isEmpty) Map.empty
+    else if (ids.length == 1) Map(ids.head -> readCommit(spark, root, ids.head))
+    else {
+      import scala.collection.parallel.CollectionConverters._
+      val pool = new java.util.concurrent.ForkJoinPool(math.min(ids.length, 16))
+      try {
+        val p = ids.par
+        p.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+        p.map(id => id -> readCommit(spark, root, id)).seq.toMap
+      } finally pool.shutdown()
+    }
+  }
+
+  /** Physically remove a commit file (branch purge). Write-once commits
+    * make this safe for every SURVIVING walk — deletion is only legal
+    * when nothing reachable points at the id (checked by the caller).
+    */
+  private[format] def deleteCommitFile(spark: SparkSession, root: String,
+                                       id: String): Unit = {
+    fs(spark, root).delete(new Path(commitsDir(root), s"$id.json"), false)
+    ()
+  }
+
+  /** Strip purged commit ids from the ancestry checkpoint so a (rare)
+    * future id reuse after hint loss can never resurrect stale DAG edges.
+    */
+  private[format] def dropFromAncestry(spark: SparkSession, root: String,
+                                       ids: Set[String]): Unit = {
+    val ck = readAncestry(spark, root)
+    if (ck.keys.exists(ids.contains)) writeAncestry(spark, root, ck -- ids)
+  }
+
   def listCommits(spark: SparkSession, root: String): Seq[String] = {
     val f = fs(spark, root)
     val dir = commitsDir(root)

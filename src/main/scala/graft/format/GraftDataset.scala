@@ -164,6 +164,7 @@ class GraftDataset private[format] (
 
   private[format] def snapshotAtWithUuid(commitId: String): DataFrame = {
     val m = CommitLog.readCommit(spark, root, commitId)
+    assertNotExpired(m) // vacuumed-away history fails here, not mid-scan
     val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     // renames of THAT commit apply; borrow a temp dataset view
     val tmp = new GraftDataset(spark, root, None, Some(commitId))
@@ -614,10 +615,194 @@ class GraftDataset private[format] (
   /** Discard uncommitted changes (reference `reset(force)`). */
   def reset(): Unit = loadHead()
 
+  /** Delete a branch AND physically reclaim its exclusive commits and
+    * data (reference `delete_branch`, version_control/functions.py:966-1041:
+    * "deletes the branch and cleans up any unneeded data"). Guards mirror
+    * the reference's: not the current branch, not `main`, must exist, and
+    * nothing outside the purged set may point at it. Where the reference
+    * refuses merged branches outright, merged history here is simply NOT
+    * exclusive (it is reachable from the surviving heads), so the delete
+    * degrades to a safe pointer drop — same data guarantees, fewer hard
+    * errors. The refusal only remains for dangling commits (lost-race
+    * writers) whose parent sits inside the purged set. One guard the
+    * reference lacks: a saved view or persisted index pinned to a branch
+    * commit blocks deletion instead of silently breaking later.
+    */
   def deleteBranch(name: String): Unit = {
     require(!branchName.contains(name), "cannot delete the current branch")
-    require(branches.contains(name), s"no branch $name")
-    CommitLog.writeBranches(spark, root, branches - name)
+    require(name != "main", "cannot delete the main branch")
+    val heads = branches
+    require(heads.contains(name), s"no branch $name")
+    val otherRoots = (heads - name).values.toSet ++ headId
+    val reachable =
+      otherRoots.flatMap(CommitLog.ancestors(spark, root, _))
+    val exclusive =
+      CommitLog.ancestors(spark, root, heads(name)) -- reachable
+    if (exclusive.isEmpty) { // fully shared history: pointer drop only
+      CommitLog.writeBranches(spark, root, heads - name); return
+    }
+    val all = CommitLog.readAllCommits(spark, root)
+    // reference guard (functions.py:1003-1016): a commit OUTSIDE the
+    // branch whose parent/mergeParent is inside means the branch was
+    // merged or has sub-branches — refuse rather than orphan it
+    all.values.find(m => !exclusive.contains(m.id) &&
+        (m.parent.exists(exclusive.contains) ||
+         m.mergeParent.exists(exclusive.contains)))
+      .foreach(m => throw new IllegalArgumentException(
+        s"cannot delete branch $name: commit ${m.id} (branch history was " +
+          "merged or branched from)"))
+    val pinned = pinnedCommits(excludeBranch = Some(name)).intersect(exclusive)
+    require(pinned.isEmpty,
+      s"cannot delete branch $name: saved views/indexes pin commits " +
+        pinned.toSeq.sorted.mkString(", "))
+    CommitLog.writeBranches(spark, root, heads - name)
+    // entries referenced ONLY by the purged commits are reclaimed; any
+    // entry a surviving commit (or this instance's staged state) shares
+    // stays on disk
+    val survivorEntries = all.values
+      .filterNot(m => exclusive.contains(m.id)).flatMap(entriesOf).toSet ++
+      stFiles ++ stUpdates ++ stTombstones
+    val doomed = exclusive.toSeq.sorted.flatMap(id =>
+      all.get(id).toSeq.flatMap(entriesOf)).distinct
+      .filterNot(survivorEntries.contains)
+    exclusive.foreach(CommitLog.deleteCommitFile(spark, root, _))
+    CommitLog.dropFromAncestry(spark, root, exclusive)
+    doomed.foreach(deleteData)
+  }
+
+  // ---- storage reclamation ------------------------------------------------
+
+  private def entriesOf(m: CommitMeta): Seq[String] =
+    m.files ++ m.updates ++ m.tombstones
+
+  /** Commits that must never lose data files: every branch head, this
+    * instance's HEAD (possibly detached), every saved view's pinned
+    * commit, and every persisted index's bound commit.
+    */
+  private def pinnedCommits(excludeBranch: Option[String] = None): Set[String] = {
+    val f = CommitLog.fs(spark, root)
+    val viewPins = views.flatMap(v =>
+      indexMetaField(new Path(viewsDir, v), "commit")).filter(_.nonEmpty)
+    val idxBase = new Path(root, "_graft/indexes")
+    val idxPins =
+      if (!f.exists(idxBase)) Nil
+      else f.listStatus(idxBase).toSeq.flatMap(k => f.listStatus(k.getPath))
+        .flatMap(c => indexCommit(c.getPath))
+    ((branches -- excludeBranch).values ++ headId ++ viewPins ++ idxPins).toSet
+  }
+
+  private def vacuumFile = new Path(root, "_graft/vacuum.json")
+
+  /** Watermark of the newest cutoff any completed vacuum used: commits
+    * older than this MAY have lost data files, so time travel to them
+    * first verifies their manifest still resolves (clean error instead
+    * of a mid-scan path failure).
+    */
+  private[format] def vacuumCutoff(): Option[Long] = {
+    val f = CommitLog.fs(spark, root)
+    if (!f.exists(vacuumFile)) None
+    else scala.util.Try {
+      val in = f.open(vacuumFile)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      (org.json4s.jackson.JsonMethods.parse(s) \ "cutoffMs")
+        .extract[Long](org.json4s.DefaultFormats, implicitly[Manifest[Long]])
+    }.toOption
+  }
+
+  private[format] def assertNotExpired(m: CommitMeta): Unit =
+    vacuumCutoff().filter(m.timestampMs < _).foreach { _ =>
+      val f = CommitLog.fs(spark, root)
+      val missing = entriesOf(m).filterNot(e => f.exists(new Path(root, e)))
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"commit ${m.id} has been expired by vacuum (missing data: " +
+          s"${missing.take(3).mkString(", ")}); time travel to it is no " +
+          "longer possible")
+    }
+
+  /** Reclaim data entries no retained commit references — the Delta
+    * `VACUUM` / Iceberg `expire_snapshots` + `remove_orphan_files` of
+    * this format, and the unbounded-growth answer at 100 TB: every
+    * update/compact strands its pre-image files in ancestor manifests
+    * forever, so a table's physical footprint otherwise only grows. The
+    * reference reclaims only on `delete_branch`; a general age-based
+    * reclaim is above-parity.
+    *
+    * An entry survives if ANY of:
+    *   - a protected commit references it (branch heads, view pins,
+    *     index pins, this instance's HEAD, or any commit newer than
+    *     `now - olderThanMs` — so readers within the retention window
+    *     never lose files mid-query);
+    *   - this instance's staged (uncommitted) manifest references it;
+    *   - its newest file modification time is inside the retention
+    *     window (protects in-flight writers in other JVMs whose commit
+    *     is not yet published — same contract as Delta's VACUUM).
+    * Everything else — including orphan dirs from crashed writers — is
+    * deleted (or reported, with `dryRun=true`).
+    *
+    * Commit METADATA is never deleted: it is O(KB) per commit, and the
+    * DAG shape must survive for merge/diff/LCA walks. Time travel to a
+    * commit whose files were reclaimed fails with a clean error
+    * ([[assertNotExpired]]). Streaming tails further behind than the
+    * retention window fail the same way Delta's do — size the window
+    * to the slowest reader.
+    *
+    * `olderThanMs <= 0` reclaims everything unreferenced immediately
+    * (unsafe with concurrent writers; test/benchmark use).
+    *
+    * Returns a report: one row per live `data/` entry with its size and
+    * status ∈ deleted | would_delete | kept_live | kept_recent.
+    */
+  def vacuum(olderThanMs: Long = GraftDataset.DefaultRetentionMs,
+             dryRun: Boolean = false): DataFrame = {
+    val now = System.currentTimeMillis()
+    val cutoff = now - olderThanMs
+    val all = CommitLog.readAllCommits(spark, root)
+    val protectedIds = pinnedCommits() ++
+      all.values.collect { case m if m.timestampMs >= cutoff => m.id }
+    val live: Set[String] =
+      protectedIds.flatMap(id => all.get(id).toSeq.flatMap(entriesOf)) ++
+        stFiles ++ stUpdates ++ stTombstones
+    val f = CommitLog.fs(spark, root)
+    val dataDir = new Path(root, "data")
+    val children =
+      if (!f.exists(dataDir)) Seq.empty
+      else f.listStatus(dataDir).toSeq.sortBy(_.getPath.getName)
+    // size + newest-mtime per entry are per-candidate listings —
+    // parallelized like every other driver-side metadata sweep
+    val report: Seq[(String, Long, String)] = {
+      def classify(st: org.apache.hadoop.fs.FileStatus) = {
+        val rel = s"data/${st.getPath.getName}"
+        val inner = if (st.isDirectory) f.listStatus(st.getPath).toSeq else Seq(st)
+        val bytes = inner.map(_.getLen).sum
+        if (live.contains(rel)) (rel, bytes, "kept_live")
+        else {
+          val mtime = (st.getModificationTime +: inner.map(_.getModificationTime)).max
+          if (mtime > cutoff) (rel, bytes, "kept_recent")
+          else if (dryRun) (rel, bytes, "would_delete")
+          else { f.delete(st.getPath, true); (rel, bytes, "deleted") }
+        }
+      }
+      if (children.length <= 1) children.map(classify)
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        val pool = new java.util.concurrent.ForkJoinPool(
+          math.min(children.length, 16))
+        try {
+          val p = children.par
+          p.tasksupport =
+            new scala.collection.parallel.ForkJoinTaskSupport(pool)
+          p.map(classify).seq
+        } finally pool.shutdown()
+      }
+    }
+    if (!dryRun) {
+      val newCutoff = math.max(vacuumCutoff().getOrElse(Long.MinValue),
+        math.min(cutoff, now)) // future cutoffs cap at `now`: later commits are intact
+      CommitLog.atomicReplace(spark, vacuumFile,
+        org.json4s.jackson.Serialization.write(Map("cutoffMs" -> newCutoff))(
+          org.json4s.DefaultFormats))
+    }
+    spark.createDataFrame(report).toDF("entry", "bytes", "status")
   }
 
   // ---- diff / merge -------------------------------------------------------
@@ -1531,6 +1716,12 @@ object GraftDataset {
   /** Hidden row-identity column (reference `_uuid` tensor). */
   val UuidCol = "_uuid"
 
+  /** Default [[GraftDataset.vacuum]] retention — 7 days, Delta's default:
+    * long enough for the slowest plausible reader/streaming tail, short
+    * enough that rewritten data does not strand for months.
+    */
+  val DefaultRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   /** StructField metadata key carrying a class-label dictionary. */
   val ClassNamesKey = "graft.class_names"
 
@@ -1562,7 +1753,9 @@ object GraftDataset {
                  commitId: String): GraftDataset = {
     require(CommitLog.listCommits(spark, root).contains(commitId),
       s"no commit $commitId at $root")
-    new GraftDataset(spark, root, None, Some(commitId))
+    val ds = new GraftDataset(spark, root, None, Some(commitId))
+    ds.assertNotExpired(CommitLog.readCommit(spark, root, commitId))
+    ds
   }
 
   /** Schema-only copy (reference `muller.like`, api/dataset/copy.py). */
