@@ -306,6 +306,69 @@ object TextQueries {
         WHERE f NOT IN (SELECT f FROM corp)
         GROUP BY f ORDER BY 1""")),
 
+    // incremental SIMHASH dedup (the hamming analogue of q101/q102):
+    // even docs are the persisted fingerprint state; the batch is the
+    // odd docs plus exact clones of state docs (+100000) and of batch
+    // docs (+200000). maxBucket uncapped → the pigeonhole banding is
+    // EXACT, so the oracle replays the full drop rule: a batch doc
+    // survives iff no state fingerprint and no earlier-batch
+    // fingerprint sits within hamming 2 of its md5-60-bit simhash
+    QueryDef("q104_dedup_simhash_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val corpus = d.filter(col("doc_id") % 2 === 0)
+        val delta = d.filter(col("doc_id") % 2 === 1)
+          .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + lit(100000L)))
+          .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + lit(200000L)))
+        Dedup.simHashIncremental(
+            Dedup.simHashState(corpus, "text", "doc_id",
+              fingerprint = Dedup.simHash60Md5),
+            delta, "text", "doc_id", maxHamming = 2,
+            maxBucket = Int.MaxValue,
+            fingerprint = Dedup.simHash60Md5, fpBits = 60)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH delta AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id < 20
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+            WHERE doc_id % 2 = 1 AND doc_id < 20),
+        src AS (
+          SELECT doc_id, text, 0 AS is_delta FROM documents
+            WHERE doc_id % 2 = 0
+          UNION ALL SELECT doc_id, text, 1 FROM delta),
+        tk AS (SELECT doc_id, is_delta,
+            list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM src),
+        ex AS (SELECT doc_id, is_delta, UNNEST(ts) AS t FROM tk),
+        hs AS (SELECT doc_id, is_delta,
+            CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+          FROM ex),
+        votes AS (SELECT doc_id, is_delta, b,
+            SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+              THEN 1 ELSE -1 END) AS v
+          FROM hs, range(0, 60) r(b) GROUP BY 1, 2, 3),
+        fp0 AS (SELECT doc_id, is_delta, CAST(SUM(CASE WHEN v > 0
+              THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+          FROM votes GROUP BY 1, 2),
+        fp AS (SELECT tk.doc_id, tk.is_delta, COALESCE(fp0.fp, 0) AS fp
+          FROM tk LEFT JOIN fp0
+            ON tk.doc_id = fp0.doc_id AND tk.is_delta = fp0.is_delta),
+        cfp AS (SELECT fp FROM fp WHERE is_delta = 0),
+        dfp AS (SELECT doc_id, fp FROM fp WHERE is_delta = 1)
+        SELECT d.doc_id FROM dfp d
+        WHERE NOT EXISTS (SELECT 1 FROM cfp c
+            WHERE bit_count(xor(c.fp, d.fp)) <= 2)
+          AND NOT EXISTS (SELECT 1 FROM dfp e
+            WHERE e.doc_id < d.doc_id AND bit_count(xor(e.fp, d.fp)) <= 2)
+        ORDER BY 1""")),
+
     // SimHash banded near-dup. EXACT given the band construction: two
     // fingerprints within hamming r agree on one of r+1 bands
     // (pigeonhole), so with the md5-portable 60-bit fingerprint and an

@@ -562,6 +562,93 @@ object Dedup {
       .select(s"${idCol}_a", s"${idCol}_b", "hamming")
   }
 
+  /** Persistable SimHash corpus state: one int64 fingerprint per doc —
+    * the SMALLEST of the incremental-dedup states (8 bytes + id; a
+    * billion-doc corpus is ~16 GB of state vs the shingle arrays
+    * [[minHashState]] must carry for exact-Jaccard verification).
+    */
+  def simHashState(df: DataFrame, textCol: String, idCol: String,
+                   fingerprint: Column => Column = simHash32): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), fingerprint(col(textCol)).as("_fp"))
+
+  /** Incremental SimHash near-dup: the surviving rows of a NEW batch
+    * against a persisted fingerprint state ([[simHashState]]) — the
+    * hamming-distance analogue of [[minHashLshIncremental]], and the
+    * cheapest of the incremental family (candidate verification is one
+    * `bit_count(xor)` per pair; no shingle arrays move).
+    *
+    * A delta row is dropped iff a state row sits within `maxHamming`
+    * of its fingerprint, or an EARLIER delta row (smaller id) does —
+    * the same greedy keep-lowest-id rule as the other incrementals,
+    * applied over ALL earlier delta rows (a delta row dropped against
+    * the corpus still shadows later delta rows that duplicate it).
+    * Candidates come from the pigeonhole bit-bands of
+    * [[simHashNearDup]]: `maxHamming + 1` bands, agreement on any one
+    * is necessary for hamming ≤ maxHamming, so with an uncapped
+    * `maxBucket` the drop rule is EXACT. Corpus-side buckets larger
+    * than `maxBucket` drop out of candidate generation (degenerate-
+    * flood guard); delta-internal pairs go through [[expandPairs]]
+    * with the same cap.
+    *
+    * Returns surviving delta rows with all their columns; carry the
+    * state forward as
+    * `state.unionByName(simHashState(survivors, textCol, idCol))`.
+    */
+  def simHashIncremental(state: DataFrame, delta: DataFrame,
+                         textCol: String, idCol: String,
+                         maxHamming: Int, maxBucket: Int = 64,
+                         fingerprint: Column => Column = simHash32,
+                         fpBits: Int = 32): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < fpBits,
+      s"maxHamming in [0, $fpBits)")
+    val bands = maxHamming + 1
+    val width = fpBits / bands
+    // hash-exchange above the fingerprint projection, as in
+    // simHashNearDup: band extraction + both verify sides reuse it, so
+    // the fingerprint aggregate runs once per delta row
+    val dfp = simHashState(delta, textCol, idCol, fingerprint)
+      .repartition(delta.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+    def buckets(fp: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        val lo = b * width
+        val w = if (b == bands - 1) fpBits - lo else width
+        struct(lit(b).as("band"),
+          shiftright(col("_fp"), lo).bitwiseAND(lit((1L << w) - 1))
+            .as("bucket"))
+      }
+      fp.withColumn("_bb", explode(array(bandCols: _*)))
+        .select(col(idCol), col("_bb.band").as("band"),
+          col("_bb.bucket").as("bucket"))
+    }
+    val db = buckets(dfp)
+    val cbAll = buckets(state)
+    val cb =
+      if (maxBucket == Int.MaxValue) cbAll
+      else cbAll.join(
+        cbAll.groupBy("band", "bucket").count()
+          .filter(col("count") > maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"), "left_anti")
+    val crossCand = db.select(col(idCol).as("_db"), col("band"), col("bucket"))
+      .join(cb.select(col(idCol).as("_da"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("_da", "_db").distinct()
+    val deltaCand = expandPairs(db, idCol, maxBucket)
+      .select(col(s"${idCol}_a").as("_da"), col(s"${idCol}_b").as("_db"))
+    def fpSide(fp: DataFrame, as: String, f: String) =
+      fp.select(col(idCol).as(as), col("_fp").as(f))
+    def droppedIds(cand: DataFrame, aSide: DataFrame): DataFrame = cand
+      .join(fpSide(aSide, "_da", "_fa"), "_da")
+      .join(fpSide(dfp, "_db", "_fb"), "_db")
+      .filter(hamming(col("_fa"), col("_fb")) <= maxHamming)
+      .select(col("_db").as(idCol))
+    val dropped = droppedIds(crossCand, state)
+      .unionByName(droppedIds(deltaCand, dfp))
+      .distinct()
+    delta.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ---- embedding cosine near-dup ----------------------------------------
 
   /** Random-hyperplane sign bucket of an embedding: bit p = sign of the

@@ -330,6 +330,61 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("incremental simhash dedup: matches a brute-force fingerprint twin") {
+    val corpusDocs = Seq(
+      (0L, "alpha corpus document with many unique alpha tokens here"),
+      (1L, "beta corpus document carrying its own beta token stream"),
+      (2L, "gamma corpus document that the delta batch will repeat"))
+    // 10 = exact dup of corpus 2; 11 unique; 12 = dup of 11 (higher id);
+    // 13 unique; 14 single-token (fingerprint of one token, no pair)
+    val deltaDocs = Seq(
+      (10L, "gamma corpus document that the delta batch will repeat"),
+      (11L, "delta only document with fresh delta content entirely new"),
+      (12L, "delta only document with fresh delta content entirely new"),
+      (13L, "another standalone delta document nothing matches this one"),
+      (14L, "tiny"))
+    val corpus = corpusDocs.toDF("id", "t")
+    val delta = deltaDocs.toDF("id", "t")
+    val r = 3
+    val state = Dedup.simHashState(corpus, "t", "id")
+    assert(state.columns.toSeq == Seq("id", "_fp"))
+    val out = Dedup.simHashIncremental(state, delta, "t", "id",
+        maxHamming = r, maxBucket = Int.MaxValue)
+      .select("id").as[Long].collect().sorted.toSeq
+
+    // brute-force twin: recompute every fingerprint, apply the drop rule
+    // (state within r, or ANY earlier delta row within r) literally
+    val cfp = state.as[(Long, Long)].collect().toMap
+    val dfp = Dedup.simHashState(delta, "t", "id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val expect = dfp.collect { case (id, fp)
+      if !cfp.values.exists(ham(_, fp) <= r) &&
+         !dfp.exists { case (i2, f2) => i2 < id && ham(f2, fp) <= r } => id
+    }.toSeq
+    assert(out == expect)
+    assert(out.contains(11L) && !out.contains(10L) && !out.contains(12L),
+      s"corpus dup and within-delta dup must drop: $out")
+
+    // carry-forward: a second increment duplicating a survivor drops it
+    val carried = state.unionByName(Dedup.simHashState(
+      Dedup.simHashIncremental(state, delta, "t", "id", r, Int.MaxValue),
+      "t", "id"))
+    val delta2 = Seq(
+      (20L, "delta only document with fresh delta content entirely new"),
+      (21L, "second wave document that duplicates nothing at all ever"))
+      .toDF("id", "t")
+    assert(Dedup.simHashIncremental(carried, delta2, "t", "id", r,
+        Int.MaxValue)
+      .select("id").as[Long].collect().toSeq == Seq(21L))
+
+    // plan shape: band-bucket equi-joins only
+    val plan = Dedup.simHashIncremental(state, delta, "t", "id", r)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("simhash: identical text → identical fingerprint, hamming 0") {
     val df = Seq("spark native analytics engine", "spark native analytics engine",
       "completely different words here").toDF("t")
