@@ -347,6 +347,54 @@ object FormatQueries {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // streaming incremental dedup: a graft table streams through
+    // StreamingDedup (cross-batch UNBOUNDED-horizon exact dedup, state
+    // persisted in a second graft table, exactly-once marker protocol).
+    // Batch 0 = even docs; batch 1 = odd docs + clones of both halves.
+    // The oracle replays the greedy batch-order rule: per fingerprint,
+    // the min doc_id of the EARLIEST batch containing it survives.
+    QueryDef("q105_stream_dedup",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val root = freshRoot("q105src")
+        val src = GraftDataset.create(s, root, d.schema)
+        src.append(d.filter(col("doc_id") % 2 === 0))
+        src.commit("even half")
+        val sinkRoot = freshRoot("q105sink")
+        val stateRoot = freshRoot("q105state")
+        val q = graft.streaming.StreamingDedup.start(
+          s.readStream.format("graft").load(root), "text", "doc_id",
+          sinkRoot, stateRoot, freshRoot("q105ckpt"),
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        q.processAllAvailable() // batch 0: the even half
+        src.append(d.filter(col("doc_id") % 2 === 1)
+          .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + lit(100000L)))
+          .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + lit(200000L))))
+        src.commit("odd half + clones")
+        q.processAllAvailable() // batch 1
+        q.stop()
+        GraftDataset.load(s, sinkRoot).toDF
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH fpf AS (SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        FROM documents),
+        b0 AS (SELECT f, MIN(doc_id) AS doc_id FROM fpf
+          WHERE doc_id % 2 = 0 GROUP BY f),
+        b1src AS (
+          SELECT doc_id, f FROM fpf WHERE doc_id % 2 = 1
+          UNION ALL SELECT doc_id + 100000, f FROM fpf
+            WHERE doc_id % 2 = 0 AND doc_id < 20
+          UNION ALL SELECT doc_id + 200000, f FROM fpf
+            WHERE doc_id % 2 = 1 AND doc_id < 20),
+        b1 AS (SELECT f, MIN(doc_id) AS doc_id FROM b1src
+          WHERE f NOT IN (SELECT f FROM b0) GROUP BY f)
+        SELECT doc_id FROM b0
+        UNION ALL SELECT doc_id FROM b1
+        ORDER BY 1""")),
+
     // storage reclamation (vacuum): update + pop + compact strand the
     // pre-image base/update/tombstone entries in ancestor manifests; an
     // aggressive vacuum must delete EXACTLY those three and keep the one
