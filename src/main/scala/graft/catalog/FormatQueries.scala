@@ -347,6 +347,30 @@ object FormatQueries {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // true Z-order compaction: Morton-interleaved rank buckets, then a
+    // filtered aggregate over a NON-LEADING cluster column — the scan
+    // path runs through manifest skipping over the z-clustered per-file
+    // stats, and the answer must match the plain relational oracle
+    QueryDef("q106_format_zorder_compact",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        val root = freshRoot("q106")
+        val ds = IO.fromDataFrame(li, root)
+        ds.compact(clusterBy = Seq("l_orderkey", "l_partkey"), zorder = true)
+        ds.commit("zordered")
+        s.read.format("graft").load(root)
+          .filter(col("l_partkey") <= 200L)
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+          .orderBy("l_partkey")
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem WHERE l_partkey <= 200
+        GROUP BY l_partkey ORDER BY l_partkey""")),
+
     // streaming incremental dedup: a graft table streams through
     // StreamingDedup (cross-batch UNBOUNDED-horizon exact dedup, state
     // persisted in a second graft table, exactly-once marker protocol).

@@ -476,7 +476,7 @@ class GraftDataset private[format] (
     * the keys start from co-located files. (The OPTIMIZE ... ZORDER
     * pattern, one column set at a time.)
     */
-  def compact(clusterBy: Seq[String] = Nil): Unit = {
+  def compact(clusterBy: Seq[String] = Nil, zorder: Boolean = false): Unit = {
     val bad = clusterBy.filterNot(stSchema.fieldNames.contains)
     require(bad.isEmpty, s"unknown cluster columns: ${bad.mkString(",")}")
     // a compact from a CLEAN state changes files but not logical rows —
@@ -489,17 +489,112 @@ class GraftDataset private[format] (
     // tight and manifest file skipping prunes to the covering files —
     // hash would scatter every key range across all files and leave
     // both file skipping and row-group skipping with nothing to cut
-    // (the OPTIMIZE ... ZORDER-lite this compaction mode is for)
+    // (the OPTIMIZE ... ZORDER-lite this compaction mode is for).
+    // `zorder = true` upgrades the lexicographic order to a TRUE Morton
+    // interleave over sampled rank buckets ([[zorderKey]]): each file
+    // then covers a hyper-rectangle of the cluster space, so skipping
+    // prunes predicates on ANY cluster column, not just the leading one.
     val clustered =
       if (clusterBy.isEmpty) snap
-      else snap
+      else if (zorder && clusterBy.size >= 2) {
+        val zcol = "_zkey"
+        snap.withColumn(zcol, zorderKey(snap, clusterBy))
+          .repartitionByRange(spark.sparkContext.defaultParallelism,
+            col(zcol))
+          .sortWithinPartitions(col(zcol))
+          .drop(zcol)
+      } else snap
         .repartitionByRange(spark.sparkContext.defaultParallelism,
           clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val rel = writeData(clustered, "compact")
+    // Morton clustering is only as good as the range boundaries: the
+    // default 100-samples-per-partition exchange places file cuts OFF
+    // the curve's power-of-two corners, smearing every column's
+    // per-file range across quadrant lines. A denser sample (driver-
+    // side cost only, during this one maintenance job) keeps the cuts
+    // on-curve so the hyper-rectangle property actually materializes.
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = if (zorder) Some(spark.conf.get(sampleKey)) else None
+    if (zorder) spark.conf.set(sampleKey, "5000")
+    val rel =
+      try writeData(clustered, "compact")
+      finally prevSample.foreach(spark.conf.set(sampleKey, _))
     stFiles = Vector(rel); stUpdates = Vector.empty
     stTombstones = Vector.empty; stRenames = Vector.empty
     dirty = true; pendingRewrite = rewriteOnly
+  }
+
+  /** The Morton clustering key for `compact(zorder = true)`: every
+    * cluster column is rank-normalized into 2^bits buckets by binary
+    * search over boundaries SAMPLED from the snapshot (numeric columns
+    * via approx quantiles in one pass, strings via a bounded sample
+    * sorted under the same unsigned-UTF-8 order parquet stats use),
+    * then the bucket bits are interleaved. Rank buckets — not raw
+    * values — keep the interleave balanced under skew, which is what
+    * makes Morton ranges behave like hyper-rectangles.
+    */
+  private[format] def zorderKey(snap: DataFrame,
+                        clusterBy: Seq[String]): Column = {
+    import org.apache.spark.sql.graftnative.ZOrder
+    val bits = math.min(12, 63 / clusterBy.size)
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val numeric = clusterBy.filter(c => stSchema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType |
+           _: org.apache.spark.sql.types.DateType |
+           _: org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    })
+    // one quantile job covers every numeric column
+    val numBounds: Map[String, Array[Double]] =
+      if (numeric.isEmpty) Map.empty
+      else {
+        val casted = snap.select(numeric.map(c =>
+          col(c).cast("double").as(c)): _*)
+        // drop the SMALLEST boundary: the first quantile is ~the column
+        // min, and a boundary at the min shifts every bucket up by one —
+        // for low-cardinality columns that pushes the max value into an
+        // extra bit and knocks the Morton quadrant populations off the
+        // power-of-two corners the range cuts need to land on
+        numeric.zip(casted.stat.approxQuantile(numeric.toArray, probs, 0.005))
+          .map { case (c, b) => c -> b.distinct.sorted.drop(1) }.toMap
+      }
+    val ids = clusterBy.map { c =>
+      stSchema(c).dataType match {
+        case _ if numBounds.contains(c) =>
+          ZOrder.rangeBucketDouble(col(c).cast("double"), numBounds(c))
+        case _: org.apache.spark.sql.types.StringType =>
+          // bounded sample (RangePartitioner-style); the fraction is
+          // sized from the base files' FOOTER row counts so the sample
+          // job reads ~targetRows regardless of table size; sorted under
+          // UTF8String.binaryCompare = the parquet stats collation
+          val targetRows = nBuckets * 16
+          val estimate = math.max(1L, footerRows(stFiles))
+          val fraction = math.min(1.0, targetRows * 2.0 / estimate)
+          val sample = snap.select(col(c)).filter(col(c).isNotNull)
+            .sample(withReplacement = false, fraction, seed = 42)
+            .limit(targetRows)
+            .collect().map(_.getString(0))
+            .sortWith((a, b) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                .binaryCompare(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+          val step = math.max(1, sample.length / nBuckets)
+          // exclude the sampled min for the same 0-based-bucket reason
+          // as the numeric path
+          val bounds = sample.indices.collect {
+            case i if i > 0 && i % step == 0 &&
+              sample(i) != sample.head => sample(i)
+          }.distinct.toArray
+          ZOrder.rangeBucketString(col(c), bounds)
+        case other =>
+          // no natural rank order to sample (binary/arrays/maps):
+          // constant bucket — the column contributes nothing to the
+          // interleave instead of poisoning it
+          lit(0)
+      }
+    }
+    ZOrder.interleaveBits(ids, bits)
   }
 
   // ---- version control ----------------------------------------------------

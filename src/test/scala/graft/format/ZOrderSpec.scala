@@ -1,0 +1,106 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftnative.ZOrder
+import org.apache.spark.unsafe.types.UTF8String
+
+/** True multi-column Z-order compaction: Morton-interleaved rank
+  * buckets make per-file min/max tight on EVERY cluster column, so
+  * manifest skipping prunes single-column predicates on any of them —
+  * the property lexicographic range-clustering only has for the
+  * leading column.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave matches the naive bit-position definition") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(3)
+      val bits = 1 + rnd.nextInt(math.min(30, 63 / n))
+      val ids = Array.fill(n)(rnd.nextInt(1 << bits))
+      var expect = 0L
+      for (k <- 0 until bits; j <- 0 until n)
+        expect |= ((ids(j).toLong >> k) & 1L) << (k * n + j)
+      assert(ZOrder.interleave(ids, bits) == expect)
+    }
+  }
+
+  test("bucket functions are monotone and boundary-consistent") {
+    val b = Array(10.0, 20.0, 30.0)
+    assert(ZOrder.bucketDouble(5.0, b) == 0)
+    assert(ZOrder.bucketDouble(10.0, b) == 1) // boundary belongs right
+    assert(ZOrder.bucketDouble(15.0, b) == 1)
+    assert(ZOrder.bucketDouble(30.0, b) == 3)
+    assert(ZOrder.bucketDouble(99.0, b) == 3)
+    val sb = Array("bb", "dd").map(UTF8String.fromString)
+    assert(ZOrder.bucketString(UTF8String.fromString("aa"), sb) == 0)
+    assert(ZOrder.bucketString(UTF8String.fromString("bb"), sb) == 1)
+    assert(ZOrder.bucketString(UTF8String.fromString("cc"), sb) == 1)
+    assert(ZOrder.bucketString(UTF8String.fromString("zz"), sb) == 2)
+  }
+
+  private def gridTable(root: String): GraftDataset = {
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType),
+      StructField("v", DoubleType))))
+    val rnd = new scala.util.Random(3)
+    ds.append(rnd.shuffle(
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, x + y * 0.5))
+        .toVector).toDF("x", "y", "v"))
+    ds.commit("grid")
+    ds
+  }
+
+  test("zorder compaction prunes on BOTH columns; range only on the first") {
+    val zroot = tmpDir("zord") + "/t"
+    val zds = gridTable(zroot)
+    zds.compact(clusterBy = Seq("x", "y"), zorder = true)
+    zds.commit("zordered")
+    val rroot = tmpDir("zrange") + "/t"
+    val rds = gridTable(rroot)
+    rds.compact(clusterBy = Seq("x", "y"))
+    rds.commit("ranged")
+
+    def prunedOn(root: String, c: String): Long = {
+      val before = FileSkipping.prunedFiles.get()
+      val got = spark.read.format("graft").load(root)
+        .filter(col(c) === 5L).count()
+      assert(got == 64L, s"correctness on $c filter")
+      FileSkipping.prunedFiles.get() - before
+    }
+    // leading column: both layouts prune
+    assert(prunedOn(zroot, "x") >= 1, "zorder must prune on x")
+    assert(prunedOn(rroot, "x") >= 1, "range must prune on x")
+    // trailing column: only the Morton layout localizes y
+    assert(prunedOn(zroot, "y") >= 1, "zorder must prune on y")
+    assert(prunedOn(rroot, "y") == 0,
+      "lexicographic files each span the full y range")
+    // logical rows unchanged by the rewrite
+    assert(GraftDataset.load(spark, zroot).toDF.count() == 64L * 64L)
+    assert(spark.read.format("graft").load(zroot)
+      .agg(sum(col("x") + col("y"))).head().getLong(0) ==
+      (0L until 64L).map(x => (0L until 64L).map(x + _).sum).sum)
+  }
+
+  test("string cluster column: sampled byte-order buckets prune equality") {
+    val root = tmpDir("zstr") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("cat", StringType), StructField("y", LongType))))
+    val rnd = new scala.util.Random(5)
+    ds.append(rnd.shuffle(
+      (for (c <- 0 until 64; y <- 0L until 64L)
+        yield (f"cat$c%02d", y)).toVector).toDF("cat", "y"))
+    ds.commit("grid")
+    ds.compact(clusterBy = Seq("cat", "y"), zorder = true)
+    ds.commit("zordered")
+    val before = FileSkipping.prunedFiles.get()
+    val got = spark.read.format("graft").load(root)
+      .filter($"cat" === "cat42").count()
+    assert(got == 64L)
+    assert(FileSkipping.prunedFiles.get() - before >= 1,
+      "equality on the string cluster column must prune files")
+  }
+}
