@@ -25,14 +25,22 @@ import java.nio.charset.StandardCharsets
   * local/HDFS/S3/OBS, mirroring muller/core/storage).
   */
 /** Per-manifest-entry column statistics (min/max rendered as strings,
-  * `typ` ∈ long|double|string selects the comparison domain). Captured
-  * from the parquet FOOTERS at write time — a driver-side metadata read,
-  * no Spark job — and used for manifest-level file skipping (Delta-style
+  * `typ` ∈ long|double|string selects the comparison domain; typ `null`
+  * marks an all-null column carrying counts only). Captured from the
+  * parquet FOOTERS at write time — a driver-side metadata read, no
+  * Spark job — and used for manifest-level file skipping (Delta-style
   * data skipping): a filter that provably excludes every row of a base
   * file drops the file from the snapshot plan before any scan task, or
   * even footer open, is scheduled.
+  *
+  * `nulls`/`rows` (additive; absent on commits written before them)
+  * carry the file's null count and row count for the column, enabling
+  * IsNull (nulls == 0 → prune), IsNotNull (all null → prune), and the
+  * all-null strengthening of every value predicate.
   */
-final case class ColStats(min: String, max: String, typ: String)
+final case class ColStats(min: String, max: String, typ: String,
+                          nulls: Option[Long] = None,
+                          rows: Option[Long] = None)
 
 final case class CommitMeta(
     id: String,

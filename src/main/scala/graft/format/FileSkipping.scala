@@ -94,11 +94,30 @@ object FileSkipping {
           val acc = scala.collection.mutable.Map[String, (String, String)]()
           val dropped = scala.collection.mutable.Set[String]()
           val seen = scala.collection.mutable.Set[String]()
+          // null counts accumulate independently of the min/max domain
+          // rules: a column outside the comparable domains still prunes
+          // IsNull/IsNotNull if its counts are complete. One stat-less
+          // row group poisons the column's count (None).
+          val nullAcc = scala.collection.mutable.Map[String, Option[Long]]()
+          var rowCount = 0L
           val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
           try {
             r.getFooter.getBlocks.forEach { block =>
+              rowCount += block.getRowCount
               block.getColumns.forEach { cc =>
                 val path = cc.getPath.toDotString
+                if (wanted.contains(path) ||
+                    schema.fieldNames.contains(path)) {
+                  val s0 = cc.getStatistics
+                  val cnt =
+                    if (s0 != null && !s0.isEmpty && s0.isNumNullsSet)
+                      Some(s0.getNumNulls)
+                    else None
+                  nullAcc(path) = (nullAcc.getOrElse(path, Some(0L)), cnt) match {
+                    case (Some(a), Some(b)) => Some(a + b)
+                    case _ => None
+                  }
+                }
                 wanted.get(path).foreach { domain =>
                   seen += path
                   val s = cc.getStatistics
@@ -141,10 +160,21 @@ object FileSkipping {
               }
             }
           } finally r.close()
-          fileRel -> (seen -- dropped).iterator.map { c =>
+          val withRange = (seen -- dropped).iterator.map { c =>
             val (mn, mx) = acc(c)
-            c -> ColStats(mn, mx, wanted(c))
+            c -> ColStats(mn, mx, wanted(c),
+              nulls = nullAcc.getOrElse(c, None), rows = Some(rowCount))
           }.toMap
+          // columns with NO usable min/max (all-null, or a domain we
+          // don't compare) still ship their counts when complete —
+          // that alone prunes IsNull/IsNotNull and, for all-null
+          // files, every value predicate
+          val countOnly = nullAcc.iterator.collect {
+            case (c, Some(n)) if !withRange.contains(c) =>
+              c -> ColStats("", "", "null",
+                nulls = Some(n), rows = Some(rowCount))
+          }.toMap
+          fileRel -> (withRange ++ countOnly)
         }
       }.seq.toMap
     finally pool.shutdown()
@@ -211,12 +241,35 @@ object FileSkipping {
       }
     } catch { case _: NumberFormatException => None }
 
+  /** The attribute of a value-comparison filter (ones a null never
+    * satisfies), or None for everything else. */
+  private def valueAttr(f: Filter): Option[String] = f match {
+    case EqualTo(a, _) => Some(a)
+    case In(a, _) => Some(a)
+    case GreaterThan(a, _) => Some(a)
+    case GreaterThanOrEqual(a, _) => Some(a)
+    case LessThan(a, _) => Some(a)
+    case LessThanOrEqual(a, _) => Some(a)
+    case StringStartsWith(a, _) => Some(a)
+    case _ => None
+  }
+
+  /** Every row of the file is null in this column (counts complete). */
+  private def allNull(s: ColStats): Boolean =
+    s.nulls.isDefined && s.rows.isDefined && s.nulls == s.rows &&
+      s.rows.exists(_ > 0)
+
   /** True iff `filter` provably matches NO row of a file with `stats`.
     * Unknown columns/ops/domains → false (keep the file).
     */
   def excludes(stats: Map[String, ColStats], filter: Filter): Boolean = {
     def st(a: String) = stats.get(a)
     filter match {
+      // null-count pruning: a value predicate matches NOTHING in an
+      // all-null file (SQL three-valued logic: null cmp v is never true)
+      case f if valueAttr(f).exists(a => st(a).exists(allNull)) => true
+      case IsNull(a) => st(a).exists(_.nulls.contains(0L))
+      case IsNotNull(a) => st(a).exists(allNull)
       case EqualTo(a, v) => st(a).exists(s =>
         cmp(v, s.min, s.typ).exists(_ < 0) ||
           cmp(v, s.max, s.typ).exists(_ > 0))

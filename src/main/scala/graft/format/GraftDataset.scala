@@ -1841,6 +1841,30 @@ object GraftDataset {
     new GraftDataset(spark, root, Some(branch), Some(heads(branch)))
   }
 
+  /** Newest commit on the branch's first-parent chain whose timestamp
+    * is ≤ `tsMs` — Delta's TIMESTAMP AS OF resolution. First-parent
+    * timestamps are publish wall clocks and monotone in practice; the
+    * walk is O(commits newer than tsMs), not O(history).
+    */
+  def commitAsOf(spark: SparkSession, root: String, tsMs: Long,
+                 branch: String = "main"): String = {
+    var cur = CommitLog.readBranches(spark, root).get(branch)
+    require(cur.isDefined, s"no branch $branch at $root")
+    while (cur.isDefined) {
+      val m = CommitLog.readCommit(spark, root, cur.get)
+      if (m.timestampMs <= tsMs) return m.id
+      cur = m.parent
+    }
+    throw new IllegalArgumentException(
+      s"no commit at or before timestamp $tsMs on branch $branch " +
+        s"(the table's first commit is newer)")
+  }
+
+  /** Timestamp-addressed detached load (TIMESTAMP AS OF). */
+  def loadAsOf(spark: SparkSession, root: String, tsMs: Long,
+               branch: String = "main"): GraftDataset =
+    loadCommit(spark, root, commitAsOf(spark, root, tsMs, branch))
+
   /** Detached-HEAD load at an arbitrary commit (reference `path@commit`
     * addressing) — read-only time travel with no branch attached.
     */

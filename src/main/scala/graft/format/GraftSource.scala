@@ -18,6 +18,10 @@ import org.apache.spark.sql.types.StructType
   *   - `branch`   — branch head to read (default `main`)
   *   - `commit`   — time travel to an arbitrary commit id (overrides
   *                  `branch`; reference `path@commit` addressing)
+  *   - `asOfTimestamp` — TIMESTAMP AS OF time travel: epoch millis or
+  *                  an ISO-8601 instant / `java.sql.Timestamp` literal;
+  *                  resolves to the newest commit at-or-before it on
+  *                  `branch` (mutually exclusive with `commit`)
   *   - `withUuid` — `true` keeps the hidden `_uuid` row-identity column
   *
   * Write options: `branch` (default `main`), `message` (commit message).
@@ -111,10 +115,24 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       metadataPath)
 
   override def createRelation(sqlContext: SQLContext,
-                              parameters: Map[String, String]): BaseRelation =
+                              parameters: Map[String, String]): BaseRelation = {
+    val asOf = parameters.get("asOfTimestamp").map { raw =>
+      require(!parameters.contains("commit"),
+        "graft: 'commit' and 'asOfTimestamp' are mutually exclusive")
+      val tsMs = scala.util.Try(raw.trim.toLong)
+        .orElse(scala.util.Try(java.time.Instant.parse(raw.trim).toEpochMilli))
+        .orElse(scala.util.Try(
+          java.sql.Timestamp.valueOf(raw.trim).getTime))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft: cannot parse asOfTimestamp '$raw' (epoch millis, " +
+            "ISO-8601 instant, or 'yyyy-mm-dd hh:mm:ss[.f...]')"))
+      GraftDataset.commitAsOf(sqlContext.sparkSession, root(parameters),
+        tsMs, parameters.getOrElse("branch", "main"))
+    }
     GraftRelation(sqlContext.sparkSession, root(parameters),
-      parameters.get("branch"), parameters.get("commit"),
+      parameters.get("branch"), parameters.get("commit").orElse(asOf),
       parameters.get("withUuid").exists(_.toBoolean))
+  }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],

@@ -313,6 +313,74 @@ class GraftSourceSpec extends SparkSpec {
     }, s"overlapping clustered files: ${bounds.toSeq}")
   }
 
+  test("null-count skipping: IsNull / IsNotNull / all-null value predicates") {
+    import spark.implicits._
+    val root = tmpDir("nullskip") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    // three base entries: fully populated, all-null, mixed
+    ds.append(Seq((1L, Some(1.0)), (2L, Some(2.0))).toDF("id", "v"))
+    ds.append(Seq((3L, None: Option[Double]), (4L, None: Option[Double]))
+      .toDF("id", "v"))
+    ds.append(Seq((5L, Some(5.0)), (6L, None: Option[Double])).toDF("id", "v"))
+    ds.commit("null domains")
+    def read() = spark.read.format("graft").load(root)
+    def pruned(body: => Unit): Long = {
+      val before = FileSkipping.prunedFiles.get()
+      body
+      FileSkipping.prunedFiles.get() - before
+    }
+    // IS NULL: the no-null file prunes; answers stay exact
+    val p1 = pruned {
+      assert(read().filter($"v".isNull).select("id").as[Long]
+        .collect().sorted.toSeq == Seq(3L, 4L, 6L))
+    }
+    assert(p1 >= 1, "file with zero nulls must prune for IS NULL")
+    // IS NOT NULL: the all-null file prunes
+    val p2 = pruned {
+      assert(read().filter($"v".isNotNull).select("id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    }
+    assert(p2 >= 1, "all-null file must prune for IS NOT NULL")
+    // a value predicate can never match an all-null file (3VL), and the
+    // range stats prune the disjoint populated file too
+    val p3 = pruned {
+      assert(read().filter($"v" === 5.0).select("id").as[Long]
+        .collect().toSeq == Seq(5L))
+    }
+    assert(p3 >= 2, s"all-null AND range-disjoint files must prune, got $p3")
+  }
+
+  test("asOfTimestamp time travel resolves the newest commit at-or-before") {
+    import spark.implicits._
+    val root = tmpDir("asof") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("id", LongType))))
+    ds.append(Seq(1L, 2L).toDF("id")); val c1 = ds.commit("two rows")
+    Thread.sleep(5)
+    ds.append(Seq(3L).toDF("id")); ds.commit("third row")
+    val ts1 = CommitLog.readCommit(spark, root, c1).timestampMs
+    def readAsOf(v: String) = spark.read.format("graft")
+      .option("asOfTimestamp", v).load(root)
+    // epoch millis, exactly at c1 → snapshot of c1
+    assert(readAsOf(ts1.toString).count() == 2)
+    // ISO instant just after c1, before c2
+    assert(readAsOf(java.time.Instant.ofEpochMilli(ts1 + 1).toString)
+      .count() == 2)
+    // far future → head
+    assert(readAsOf((ts1 + 3600_000L).toString).count() == 3)
+    // before the first commit → clear error
+    val e = intercept[IllegalArgumentException](readAsOf("0").count())
+    assert(e.getMessage.contains("no commit at or before"))
+    // mutually exclusive with 'commit'
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("asOfTimestamp", ts1.toString)
+        .option("commit", c1).load(root)
+    }
+    // the Scala factory resolves identically
+    assert(GraftDataset.loadAsOf(spark, root, ts1).toDF.count() == 2)
+  }
+
   test("filter translation covers the V1 predicate algebra") {
     import org.apache.spark.sql.sources._
     def t(f: Filter): Option[String] =
