@@ -371,6 +371,41 @@ object FormatQueries {
         FROM lineitem WHERE l_partkey <= 200
         GROUP BY l_partkey ORDER BY l_partkey""")),
 
+    // incremental small-file compaction (bin-packing OPTIMIZE): the
+    // table is fragmented by per-slice appends, then mutated, then
+    // bin-packed — the merged base entries must answer the aggregate
+    // identically under the outstanding merge-on-read update/tombstone
+    // files (base entries are uuid-keyed, not position-keyed)
+    QueryDef("q107_format_optimize_binpack",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val root = freshRoot("q107")
+        val ds = graft.format.GraftDataset.create(s, root, o.schema)
+        (0L until 4L).foreach { slice =>
+          ds.append(o.filter(col("o_orderkey") % 4 === slice))
+        }
+        ds.commit("fragmented")
+        ds.update(col("o_orderstatus") === "F",
+          Map("o_orderstatus" -> lit("X")))
+        ds.pop(col("o_orderkey") % 7 === 0)
+        ds.commit("mutated")
+        ds.optimizeSmallFiles()
+        ds.commit("optimized")
+        s.read.format("graft").load(root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH m AS (SELECT
+          CASE WHEN o_orderstatus = 'F' THEN 'X' ELSE o_orderstatus END
+            AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // streaming incremental dedup: a graft table streams through
     // StreamingDedup (cross-batch UNBOUNDED-horizon exact dedup, state
     // persisted in a second graft table, exactly-once marker protocol).

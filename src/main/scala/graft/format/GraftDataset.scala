@@ -181,9 +181,13 @@ class GraftDataset private[format] (
     df.write.parquet(new Path(root, rel).toString)
     // base-data entries get PER-FILE skipping stats from the
     // just-written footers (driver-side metadata read, no job;
-    // update/tombstone files are never pruned so they carry none)
-    if (kind != "update" && kind != "tombstone")
-      stStats ++= FileSkipping.footerStats(spark, root, rel, stSchema)
+    // update/tombstone files are never pruned so they carry none).
+    // Synchronized: optimizeSmallFiles writes bins concurrently and a
+    // racing `stStats ++=` would silently lose one bin's stats.
+    if (kind != "update" && kind != "tombstone") {
+      val stats = FileSkipping.footerStats(spark, root, rel, stSchema)
+      this.synchronized { stStats ++= stats }
+    }
     rel
   }
 
@@ -522,6 +526,80 @@ class GraftDataset private[format] (
     stFiles = Vector(rel); stUpdates = Vector.empty
     stTombstones = Vector.empty; stRenames = Vector.empty
     dirty = true; pendingRewrite = rewriteOnly
+  }
+
+  /** Incremental small-file compaction — Delta's OPTIMIZE bin-packing,
+    * distinct from [[compact]] on exactly the axis that matters at
+    * 100 TB: `compact()` rewrites the WHOLE snapshot (prohibitive as a
+    * routine maintenance op on a large table), while this rewrites ONLY
+    * base entries smaller than `targetBytes`, greedily binned to the
+    * target size; everything else keeps its files untouched. Correct
+    * under merge-on-read by construction: base entries are
+    * position-independent (updates/tombstones key on `_uuid`, never on
+    * file membership), so merging them changes no query answer.
+    *
+    * Small files are the steady-state failure mode of streaming ingest
+    * (one entry per epoch) and frequent small appends: scan task counts
+    * and footer/listing overheads grow per file. Run this periodically;
+    * the stranded pre-images are reclaimed by [[vacuum]]. A clean-state
+    * run publishes with the rewrite flag, so streaming tails skip it
+    * (no re-emission), exactly like [[compact]].
+    *
+    * Returns (entriesRewritten, binsWritten).
+    */
+  def optimizeSmallFiles(targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val rewriteOnly = !dirty
+    val f = CommitLog.fs(spark, root)
+    val sized = stFiles.map { rel =>
+      val p = new Path(root, rel)
+      val bytes =
+        if (!f.exists(p)) 0L
+        else if (f.getFileStatus(p).isDirectory)
+          f.listStatus(p).filter(_.isFile).map(_.getLen).sum
+        else f.getFileStatus(p).getLen
+      rel -> bytes
+    }
+    val (small, big) = sized.partition(_._2 < targetBytes)
+    if (small.size < 2) return (0, 0) // nothing worth merging
+    // greedy first-fit decreasing into ~targetBytes bins
+    val bins = scala.collection.mutable.ArrayBuffer[
+      (scala.collection.mutable.ArrayBuffer[String], Long)]()
+    small.sortBy(-_._2).foreach { case (rel, bytes) =>
+      bins.indexWhere(_._2 + bytes <= targetBytes) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(rel), bytes))
+        case i =>
+          bins(i)._1 += rel
+          bins(i) = (bins(i)._1, bins(i)._2 + bytes)
+      }
+    }
+    val worthIt = bins.filter(_._1.size >= 2)
+    if (worthIt.isEmpty) return (0, 0)
+    val rewritten = worthIt.flatMap(_._1).toSet
+    // each bin → ONE output file (the bins are sized to the target);
+    // bins write as concurrent Spark jobs over a bounded pool
+    val newEntries: Seq[String] = {
+      val binSeqs = worthIt.map(_._1.toSeq).toSeq
+      if (binSeqs.size == 1)
+        Seq(writeData(readManifest(binSeqs.head,
+          withUuidSchema(stSchema)).coalesce(1), "bin"))
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        val pool = new java.util.concurrent.ForkJoinPool(
+          math.min(binSeqs.size, 8))
+        try {
+          val p = binSeqs.par
+          p.tasksupport =
+            new scala.collection.parallel.ForkJoinTaskSupport(pool)
+          p.map(bin => writeData(readManifest(bin,
+            withUuidSchema(stSchema)).coalesce(1), "bin")).seq
+        } finally pool.shutdown()
+      }
+    }
+    stFiles = stFiles.filterNot(rewritten.contains) ++ newEntries
+    dirty = true; pendingRewrite = rewriteOnly
+    (rewritten.size, newEntries.size)
   }
 
   /** The Morton clustering key for `compact(zorder = true)`: every

@@ -113,6 +113,40 @@ class VacuumSpec extends SparkSpec {
     assert(ds.log.map(_.message).contains("rows"))
   }
 
+  test("optimizeSmallFiles bin-packs small entries, leaves big ones alone") {
+    val ds = freshTable()
+    // five more tiny appends → six small base entries
+    (10L to 14L).foreach { i =>
+      ds.append(Seq((i, s"r$i", i * 1.0)).toDF("id", "label", "score"))
+    }
+    ds.commit("fragmented")
+    val before = dataEntries(ds)
+    assert(before.size == 6)
+    val (inN, outN) = ds.optimizeSmallFiles(targetBytes = 1L << 20)
+    val oid = ds.commit("optimized")
+    assert(inN == 6 && outN == 1, s"expected one bin, got ($inN, $outN)")
+    // rewrite-flag commit: streaming tails skip it
+    assert(CommitLog.readCommit(spark, ds.root, oid).rewrite.contains(true))
+    // snapshot identical, and the merged entry serves file skipping
+    assert(ds.toDF.count() == 8)
+    assert(ds.toDF.orderBy("id").as[(Long, String, Double)].collect().head ==
+      ((0L, "a", 1.0)))
+    val m = CommitLog.readCommit(spark, ds.root, oid)
+    assert(m.files.size == 1 && m.stats.exists(_.nonEmpty),
+      "merged entry must carry skipping stats")
+    // a big entry above the target is NOT rewritten
+    val ds2 = freshTable()
+    ds2.append(Seq((50L, "x", 0.5)).toDF("id", "label", "score"))
+    ds2.commit("one small extra")
+    val bigEntry = dataEntries(ds2).head
+    val (in2, out2) = ds2.optimizeSmallFiles(targetBytes = 1L)
+    assert(in2 == 0 && out2 == 0, "nothing below a 1-byte target")
+    assert(dataEntries(ds2).contains(bigEntry))
+    // stranded pre-images reclaim through vacuum
+    ds.vacuum(olderThanMs = -60000L)
+    assert(dataEntries(ds).size == 1)
+  }
+
   test("deleteBranch purges exclusive commits and data; guards hold") {
     val ds = freshTable()
     val mainHead = ds.head.get
