@@ -176,9 +176,10 @@ class GraftDataset private[format] (
   private def newDataPath(kind: String): String =
     s"data/$kind-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
 
-  private def writeData(df: DataFrame, kind: String): String = {
+  private def writeData(df: DataFrame, kind: String,
+                        options: Map[String, String] = Map.empty): String = {
     val rel = newDataPath(kind)
-    df.write.parquet(new Path(root, rel).toString)
+    df.write.options(options).parquet(new Path(root, rel).toString)
     // base-data entries get PER-FILE skipping stats from the
     // just-written footers (driver-side metadata read, no job;
     // update/tombstone files are never pruned so they carry none).
@@ -480,7 +481,23 @@ class GraftDataset private[format] (
     * the keys start from co-located files. (The OPTIMIZE ... ZORDER
     * pattern, one column set at a time.)
     */
-  def compact(clusterBy: Seq[String] = Nil, zorder: Boolean = false): Unit = {
+  /** Parquet writer options enabling native bloom filters for `cols`:
+    * row-group-granular point-lookup pruning the scan gets FOR FREE via
+    * parquet-mr's predicate pushdown — the complement of min/max
+    * skipping for high-cardinality columns where ranges are too wide to
+    * exclude anything (doc ids, uuids, hashes). `ndv` sizes the filter
+    * (bits ≈ -ndv·ln(fpp)/ln(2)²; parquet caps at 1 MiB/column).
+    */
+  private def bloomOptions(cols: Seq[String], ndv: Long): Map[String, String] =
+    cols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)).toMap
+
+  def compact(clusterBy: Seq[String] = Nil, zorder: Boolean = false,
+              bloomFilterFor: Seq[String] = Nil,
+              bloomExpectedNdv: Long = 1000000L): Unit = {
+    val badBloom = bloomFilterFor.filterNot(stSchema.fieldNames.contains)
+    require(badBloom.isEmpty, s"unknown bloom columns: ${badBloom.mkString(",")}")
     val bad = clusterBy.filterNot(stSchema.fieldNames.contains)
     require(bad.isEmpty, s"unknown cluster columns: ${bad.mkString(",")}")
     // a compact from a CLEAN state changes files but not logical rows —
@@ -521,7 +538,8 @@ class GraftDataset private[format] (
     val prevSample = if (zorder) Some(spark.conf.get(sampleKey)) else None
     if (zorder) spark.conf.set(sampleKey, "5000")
     val rel =
-      try writeData(clustered, "compact")
+      try writeData(clustered, "compact",
+        bloomOptions(bloomFilterFor, bloomExpectedNdv))
       finally prevSample.foreach(spark.conf.set(sampleKey, _))
     stFiles = Vector(rel); stUpdates = Vector.empty
     stTombstones = Vector.empty; stRenames = Vector.empty

@@ -85,6 +85,48 @@ class ZOrderSpec extends SparkSpec {
       (0L until 64L).map(x => (0L until 64L).map(x + _).sum).sum)
   }
 
+  test("bloom filters: compact writes native parquet blooms for named columns") {
+    val root = tmpDir("bloom") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    ds.append((1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    ds.commit("rows")
+    ds.compact(clusterBy = Seq("id"), bloomFilterFor = Seq("v"),
+      bloomExpectedNdv = 2000L)
+    ds.commit("bloomed")
+    // the written files carry a readable bloom for v and none for id
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val fs = dataDir.getFileSystem(conf)
+    val compactFiles = fs.listStatus(dataDir)
+      .filter(_.getPath.getName.startsWith("compact-"))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(compactFiles.nonEmpty)
+    var sawBloom = false
+    compactFiles.foreach { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try r.getFooter.getBlocks.forEach { block =>
+        val rdr = r.getBloomFilterDataReader(block)
+        block.getColumns.forEach { cc =>
+          val bloom = rdr.readBloomFilter(cc)
+          if (cc.getPath.toDotString == "v") {
+            assert(bloom != null, "v must carry a bloom filter")
+            sawBloom = true
+          } else if (cc.getPath.toDotString == "id")
+            assert(bloom == null, "id must not carry one")
+        }
+      } finally r.close()
+    }
+    assert(sawBloom)
+    // point lookup answers correctly through the bloom-enabled scan
+    assert(spark.read.format("graft").load(root)
+      .filter(col("v") === "v1234").count() == 1L)
+    assert(spark.read.format("graft").load(root)
+      .filter(col("v") === "nope").count() == 0L)
+  }
+
   test("string cluster column: sampled byte-order buckets prune equality") {
     val root = tmpDir("zstr") + "/t"
     val ds = GraftDataset.create(spark, root, StructType(Seq(
