@@ -74,6 +74,9 @@ class GraftDataset private[format] (
 
   def branch: Option[String] = branchName
   def head: Option[String] = headId
+  /** All manifest entries of the loaded state (planner statistics). */
+  private[format] def manifestEntries: Seq[String] =
+    stFiles ++ stUpdates ++ stTombstones
   def schema: StructType = stSchema
   def hasUncommitted: Boolean = dirty
 

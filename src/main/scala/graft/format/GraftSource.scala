@@ -197,6 +197,33 @@ case class GraftRelation(spark: SparkSession, root: String,
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = snapshot.schema
 
+  /** Manifest byte size of the snapshot's inputs — WITHOUT this
+    * override, `BaseRelation` reports `spark.sql.defaultSizeInBytes`
+    * (≈ Long.MaxValue), so a 1 MB graft dimension table joined against
+    * a 100 TB fact is NEVER auto-broadcast and every such join pays a
+    * full shuffle. Tombstones are included (they only shrink output —
+    * over-estimating is the safe direction: a wrong under-estimate
+    * broadcasts something huge). Memoized per (root, commit): commits
+    * are immutable, so a cached size can never go stale, and the
+    * planner's repeated `sizeInBytes` calls cost two small metadata
+    * reads instead of a manifest-wide listing each.
+    */
+  override def sizeInBytes: Long =
+    try {
+      val ds = dataset
+      GraftRelation.sizeCache.computeIfAbsent(
+        (root, ds.head.getOrElse("")), _ => {
+          val f = CommitLog.fs(spark, root)
+          ds.manifestEntries.map { rel =>
+            val p = new org.apache.hadoop.fs.Path(root, rel)
+            if (!f.exists(p)) 0L
+            else if (f.getFileStatus(p).isDirectory)
+              f.listStatus(p).filter(_.isFile).map(_.getLen).sum
+            else f.getFileStatus(p).getLen
+          }.sum
+        })
+    } catch { case _: Exception => super.sizeInBytes }
+
   /** The scan returns the snapshot plan's InternalRows as-is — no
     * Row materialization (the V1 contract for internal-format sources).
     */
@@ -250,6 +277,18 @@ case class GraftRelation(spark: SparkSession, root: String,
 }
 
 object GraftRelation {
+  /** (root, commitId) → manifest bytes. Commits are immutable → entries
+    * never stale; bounded by periodic clear (values are 8 bytes). */
+  private[format] val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]() {
+      override def computeIfAbsent(
+          k: (String, String),
+          f: java.util.function.Function[_ >: (String, String), _ <: Long]): Long = {
+        if (size() > 4096) clear()
+        super.computeIfAbsent(k, f)
+      }
+    }
+
   /** V1 `Filter` → `Column`, best-effort: None means "cannot translate",
     * which only costs pushdown (Spark re-evaluates every filter above
     * the scan). A partially-translatable AND still pushes both sides it

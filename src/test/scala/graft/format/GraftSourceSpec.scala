@@ -381,6 +381,29 @@ class GraftSourceSpec extends SparkSpec {
     assert(GraftDataset.loadAsOf(spark, root, ts1).toDF.count() == 2)
   }
 
+  test("sizeInBytes: manifest-sized stats make small graft tables broadcast") {
+    import spark.implicits._
+    val root = tmpDir("szstats") + "/t"
+    val dim = (1L to 50L).map(i => (i, s"name$i")).toDF("k", "name")
+    dim.write.format("graft").save(root)
+    // the relation reports the real manifest bytes, not defaultSizeInBytes
+    val rel = GraftRelation(spark, root, None, None, withUuid = false)
+    val reported = rel.sizeInBytes
+    assert(reported > 0L && reported < (1L << 20),
+      s"manifest-sized stats expected, got $reported")
+    // join a big fact against the small graft dim: planner must
+    // broadcast the graft side (it would shuffle under the default
+    // Long.MaxValue-ish stats)
+    val fact = spark.range(0, 100000L).select(($"id" % 50 + 1).as("k"), $"id")
+    val plan = fact.join(spark.read.format("graft").load(root), "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // growing the table invalidates via the commit id, not a stale cache
+    val ds = GraftDataset.load(spark, root)
+    ds.append(dim); ds.commit("more")
+    assert(rel.sizeInBytes > reported)
+  }
+
   test("filter translation covers the V1 predicate algebra") {
     import org.apache.spark.sql.sources._
     def t(f: Filter): Option[String] =
