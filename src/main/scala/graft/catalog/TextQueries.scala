@@ -369,6 +369,33 @@ object TextQueries {
             WHERE e.doc_id < d.doc_id AND bit_count(xor(e.fp, d.fp)) <= 2)
         ORDER BY 1""")),
 
+    // INCREMENTAL inverted-index maintenance, oracle-checked end to
+    // end: half the corpus is indexed, the other half arrives as an
+    // append and updateIndexVectorized tokenizes ONLY the delta,
+    // appending its postings to the persisted shards. The complex
+    // CONTAINS then runs THROUGH the updated index (textSearch requires
+    // a fresh index) — odd doc_ids can only match via the
+    // incrementally-appended postings, which the token-containment
+    // oracle verifies row for row.
+    QueryDef("q108_text_index_incremental",
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val root = graft.QueryCleanup.tempRoot("q108")
+        val ds = graft.format.GraftDataset.create(s, root, d.schema)
+        ds.append(d.filter(col("doc_id") % 2 === 0))
+        ds.commit("even half")
+        ds.createIndexVectorized("text", numShards = 16)
+        ds.append(d.filter(col("doc_id") % 2 === 1))
+        ds.commit("odd half")
+        ds.updateIndexVectorized("text") // append-only → posting delta
+        ds.textSearch("text", "vector join||stream batch")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id FROM documents
+        WHERE (list_contains($duckToks, 'vector') AND list_contains($duckToks, 'join'))
+           OR (list_contains($duckToks, 'stream') AND list_contains($duckToks, 'batch'))
+        ORDER BY doc_id""")),
+
     // SimHash banded near-dup. EXACT given the band construction: two
     // fingerprints within hamming r agree on one of r+1 bands
     // (pigeonhole), so with the md5-portable 60-bit fingerprint and an

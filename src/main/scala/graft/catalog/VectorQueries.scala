@@ -760,6 +760,40 @@ object VectorQueries {
         FROM corpus, q
         ORDER BY l2sq_scaled ASC, vec_id ASC LIMIT 10""")),
 
+    // INCREMENTAL vector-index maintenance, oracle-checked end to end:
+    // 90% of the corpus is indexed, the remaining 10% arrives as an
+    // append and updateVectorIndex assigns it to the EXISTING cells
+    // (delta fraction 0.11 < the 0.5 rebuild threshold — the assign
+    // path, not a rebuild). The query vector is itself a DELTA row, so
+    // its distance-0 self-hit exists ONLY in the incrementally-appended
+    // cell partitions; probe-all + exact scoring makes the whole result
+    // brute-force-equal, which DuckDB recomputes.
+    QueryDef("q109_vector_index_incremental",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val root = graft.QueryCleanup.tempRoot("q109")
+        val ds = graft.format.GraftDataset.create(s, root, e.schema)
+        ds.append(e.filter(col("vec_id") % 10 =!= 9))
+        ds.commit("ninety percent")
+        ds.createVectorIndex("embedding", nlist = 16, indexType = "IVF")
+        ds.append(e.filter(col("vec_id") % 10 === 9))
+        ds.commit("delta tenth")
+        ds.updateVectorIndex("embedding")
+        val q = e.filter(col("vec_id") === 9L)
+          .select("embedding").head().getSeq[Float](0)
+        val hits = ds.vectorSearch("embedding", q, k = 10,
+          metric = "l2", nprobe = 16, exact = true)
+        val withU = s.read.format("graft").option("withUuid", "true")
+          .load(root)
+        hits.join(withU, hits("row_uuid") === withU("_uuid"))
+          .select(col("vec_id"), col("score").cast("long").as("l2sq_scaled"))
+          .orderBy(col("l2sq_scaled").asc, col("vec_id").asc)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9)
+        SELECT vec_id, ${dl2("embedding", "qv")} AS l2sq_scaled
+        FROM embeddings, q
+        ORDER BY l2sq_scaled ASC, vec_id ASC LIMIT 10""")),
+
     // safe-eval attribute access (reference safe_evaluator.py:46-84):
     // `.size`/`.shape[k]`/`.min`/`.max`/`.mean` over the embedding tensor
     // translate to size()/array_min()/array_max()/aggregate() — whole
