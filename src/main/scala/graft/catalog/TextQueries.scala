@@ -131,6 +131,31 @@ object TextQueries {
            OR (list_contains($duckToks, 'stream') AND list_contains($duckToks, 'batch'))
         ORDER BY doc_id""")),
 
+    // tiled ingest round-trip, oracle-checked: each doc's UTF-8 bytes
+    // split into 64-byte tile ROWS (explode + binary substring), then
+    // reassemble in an ordered binary-concat aggregation. The oracle
+    // states both halves in SQL: the tile count is ceil(bytes/64) and
+    // the reassembled payload's md5 must equal the original's — any
+    // mis-ordered, dropped, or duplicated tile breaks the digest.
+    QueryDef("q110_multimodal_tiles",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("doc_bytes"))
+        val tiled = graft.operators.Multimodal.tile(d, "doc", tileBytes = 64)
+        val counts = tiled.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tiles"))
+        val back = graft.operators.Multimodal
+          .assemble(tiled, "doc", Seq("doc_id"))
+          .select(col("doc_id"), md5(col("doc_bytes")).as("digest"))
+        counts.join(back, "doc_id")
+          .select("doc_id", "n_tiles", "digest").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          GREATEST(1, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))
+            AS n_tiles,
+          md5(text) AS digest
+        FROM documents ORDER BY doc_id""")),
+
     // dictionary CJK tokenizer with stop words + case folding: the text is
     // CONSTRUCTED per row (doc_id-dependent Han words around the latin
     // corpus words), so the DuckDB oracle can state the expected
