@@ -131,6 +131,34 @@ object TextQueries {
            OR (list_contains($duckToks, 'stream') AND list_contains($duckToks, 'batch'))
         ORDER BY doc_id""")),
 
+    // index RESHARD + OPTIMIZE lifecycle, oracle-checked: build at 4
+    // shards, delta-update after an append (mixed persisted/delta
+    // postings), then reshard to 16 — a full posting rewrite under the
+    // new shard function — and optimize. The complex CONTAINS routes
+    // through the resharded index with 16-shard partition pruning; a
+    // shard mis-route after the rewrite silently loses matches, which
+    // the containment oracle catches row-for-row.
+    QueryDef("q111_text_index_reshard",
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val root = graft.QueryCleanup.tempRoot("q111")
+        val ds = graft.format.GraftDataset.create(s, root, d.schema)
+        ds.append(d.filter(col("doc_id") % 2 === 0))
+        ds.commit("even half")
+        ds.createIndexVectorized("text", numShards = 4)
+        ds.append(d.filter(col("doc_id") % 2 === 1))
+        ds.commit("odd half")
+        ds.updateIndexVectorized("text")
+        ds.reshardIndex("text", newNumShards = 16)
+        ds.optimizeIndex("text")
+        ds.textSearch("text", "vector join||stream batch")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id FROM documents
+        WHERE (list_contains($duckToks, 'vector') AND list_contains($duckToks, 'join'))
+           OR (list_contains($duckToks, 'stream') AND list_contains($duckToks, 'batch'))
+        ORDER BY doc_id""")),
+
     // tiled ingest round-trip, oracle-checked: each doc's UTF-8 bytes
     // split into 64-byte tile ROWS (explode + binary substring), then
     // reassemble in an ordered binary-concat aggregation. The oracle
