@@ -635,7 +635,10 @@ class GraftDataset private[format] (
   private[format] def zorderKey(snap: DataFrame,
                         clusterBy: Seq[String]): Column = {
     import org.apache.spark.sql.graftnative.ZOrder
-    val bits = math.min(12, 63 / clusterBy.size)
+    // 2^10 buckets per column: orders of magnitude above any realistic
+    // output file count (the granularity that matters for pruning),
+    // while keeping the quantile summaries' merge/query cost modest
+    val bits = math.min(10, 63 / clusterBy.size)
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val numeric = clusterBy.filter(c => stSchema(c).dataType match {
