@@ -1622,16 +1622,19 @@ class GraftDataset private[format] (
         .filterKeys(k => k == entry || k.startsWith(prefix)).toMap
       if (perFile.isEmpty)
         Seq((entry, entry, Option.empty[String], Option.empty[String],
-          Option.empty[String]))
+          Option.empty[String], Option.empty[Long], Option.empty[Long]))
       else perFile.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
         if (cols.isEmpty)
           Seq((entry, f, Option.empty[String], Option.empty[String],
-            Option.empty[String]))
+            Option.empty[String], Option.empty[Long], Option.empty[Long]))
         else cols.toSeq.sortBy(_._1).map { case (c, st) =>
-          (entry, f, Some(c), Some(st.min), Some(st.max))
+          // count-only entries (typ "null") surface with empty min/max
+          val (mn, mx) = if (st.typ == "null") (None, None)
+                         else (Some(st.min), Some(st.max))
+          (entry, f, Some(c), mn, mx, st.nulls, st.rows)
         }
       }
-    }.toDF("entry", "file", "column", "min", "max")
+    }.toDF("entry", "file", "column", "min", "max", "nulls", "rows")
   }
 
   /** Approximate on-disk size in bytes (reference `size_approx`,

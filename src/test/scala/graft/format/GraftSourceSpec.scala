@@ -349,6 +349,20 @@ class GraftSourceSpec extends SparkSpec {
         .collect().toSeq == Seq(5L))
     }
     assert(p3 >= 2, s"all-null AND range-disjoint files must prune, got $p3")
+    // observability: describeFiles surfaces the null counts, including
+    // the count-only (all-null) entry whose min/max are absent
+    val vStats = GraftDataset.load(spark, root).describeFiles
+      .filter($"column" === "v")
+      .select($"min", $"nulls", $"rows")
+      .collect().map(r => (r.isNullAt(0), r.getLong(1), r.getLong(2)))
+    assert(vStats.nonEmpty)
+    // every all-null file shows counts but NO min/max; every populated
+    // file shows both; counts always sum to the file's rows
+    assert(vStats.forall { case (noRange, nulls, rows) =>
+      rows > 0 && nulls <= rows && (noRange == (nulls == rows)) })
+    assert(vStats.exists { case (_, n, _) => n == 0 }, "a no-null file")
+    assert(vStats.exists { case (_, n, r) => n == r }, "an all-null file")
+    assert(vStats.map(_._3).sum == 6L, "rows across v files")
   }
 
   test("asOfTimestamp time travel resolves the newest commit at-or-before") {
