@@ -490,6 +490,72 @@ object FormatQueries {
         FROM m GROUP BY o_orderstatus
         UNION ALL SELECT '_deleted', 3, NULL
         UNION ALL SELECT '_kept_live', 1, NULL
-        ORDER BY o_orderstatus"""))
+        ORDER BY o_orderstatus""")),
+
+    // schema evolution under the rename-EPOCH machinery: rename a
+    // column, DELETE another, then recreate it and append a
+    // post-evolution batch — the scan mixes files from three epochs.
+    // Original rows must read NULL for the recreated column (the
+    // deleted column's stale physical bytes must NOT resurrect), the
+    // renamed column must serve the old files' data under its new name,
+    // and file-skipping stats migrate with the rename (pruning stays on;
+    // any slip changes group counts and fails the hash compare).
+    QueryDef("q112_format_schema_evolution",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        val root = freshRoot("q112")
+        val ds = graft.format.GraftDataset.create(s, root, o.schema)
+        ds.append(o.filter(col("o_orderkey") % 2 === 0))
+        ds.append(o.filter(col("o_orderkey") % 2 === 1))
+        ds.commit("base")
+        ds.renameTensor("o_totalprice", "price")
+        ds.deleteTensor("o_orderstatus")
+        ds.commit("evolve: rename totalprice, drop status")
+        ds.createTensor("o_orderstatus",
+          org.apache.spark.sql.types.StringType)
+        ds.append(o.filter(col("o_orderkey") <= 100)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice").as("price"), col("o_orderstatus")))
+        ds.commit("recreate status + post-evolution batch")
+        s.read.format("graft").load(root)
+          .filter(col("price") > 150000.0)
+          .groupBy(coalesce(col("o_orderstatus"), lit("~none")).as("st"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("price"))).cast("double").as("total"))
+          .orderBy("st")
+      },
+      Some("""WITH all_rows AS (
+          SELECT o_totalprice AS price, CAST(NULL AS VARCHAR) AS st0
+          FROM orders
+          UNION ALL
+          SELECT o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey <= 100)
+        SELECT COALESCE(st0, '~none') AS st, COUNT(*) AS n,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM all_rows WHERE price > 150000
+        GROUP BY 1 ORDER BY st""")),
+
+    // metadata-only exact count: after merge-on-read mutations the live
+    // row count comes from countRows — per-file footer/stats metadata on
+    // the driver, NO Spark job over the data (len(dataset) at 100 TB
+    // must not scan 100 TB). The oracle recomputes the population the
+    // slow way; any drift in the uuid bookkeeping (double-subtracted
+    // tombstone, update minting a row) fails the hash compare.
+    QueryDef("q113_format_metadata_count",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val root = freshRoot("q113")
+        val ds = IO.fromDataFrame(li, root)
+        ds.update(col("l_orderkey") % 3 === 0,
+          Map("l_quantity" -> (col("l_quantity") + 1)))
+        ds.pop(col("l_orderkey") % 5 === 0)
+        ds.commit("mutated")
+        val n = ds.countRows // driver-side metadata read only
+        s.range(1).select(lit(n).cast("long").as("n_live"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_live
+        FROM lineitem WHERE l_orderkey % 5 <> 0"""))
   )
 }

@@ -60,7 +60,20 @@ final case class CommitMeta(
     rewrite: Option[Boolean] = None,
     // base-file column stats for file skipping; additive (older commits
     // parse as None → their files are never pruned)
-    stats: Option[Map[String, Map[String, ColStats]]] = None)
+    stats: Option[Map[String, Map[String, ColStats]]] = None,
+    // rename EPOCH per manifest entry: the rename-chain length when the
+    // entry was written. A file only gets the chain SUFFIX after its
+    // epoch applied — files written post-rename already carry current
+    // names, and applying the whole chain to them could mis-rename a
+    // recreated column. Additive: absent (older commits / epoch-0
+    // entries) = 0 = apply the whole chain, the pre-epoch behavior.
+    epochs: Option[Map[String, Int]] = None,
+    // true = the commit's `stats` keys are in CURRENT column-name space
+    // (normalized eagerly at each rename/delete), so file skipping stays
+    // sound with a non-empty rename chain. Absent + non-empty chain =
+    // pre-normalization commit → pruning disabled until compact clears
+    // the chain. Absent + empty chain = trivially normalized.
+    statsNormalized: Option[Boolean] = None)
 
 object CommitLog {
   implicit val fmts: Formats = DefaultFormats

@@ -42,6 +42,10 @@ class GraftDataset private[format] (
   private var stTombstones: Vector[String] = Vector.empty
   private var stRenames: Vector[(String, String)] = Vector.empty
   private var stStats: Map[String, Map[String, ColStats]] = Map.empty
+  // rename-chain length at each entry's write time (entries absent = 0)
+  private var stEpochs: Map[String, Int] = Map.empty
+  // stStats keys are in current-name space (see CommitMeta.statsNormalized)
+  private var stStatsNormalized: Boolean = true
   private var stSchema: StructType = new StructType()
   private var dirty: Boolean = false
   // true while the ONLY staged change is a file rewrite that leaves the
@@ -61,11 +65,13 @@ class GraftDataset private[format] (
         stTombstones = m.tombstones.toVector
         stRenames = m.renames.map(p => (p(0), p(1))).toVector
         stStats = m.stats.getOrElse(Map.empty)
+        stEpochs = m.epochs.getOrElse(Map.empty)
+        stStatsNormalized = m.statsNormalized.getOrElse(m.renames.isEmpty)
         stSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       case None =>
         stFiles = Vector.empty; stUpdates = Vector.empty
         stTombstones = Vector.empty; stRenames = Vector.empty
-        stStats = Map.empty
+        stStats = Map.empty; stEpochs = Map.empty; stStatsNormalized = true
         stSchema = new StructType()
     }
     dirty = false
@@ -88,11 +94,17 @@ class GraftDataset private[format] (
   private def withUuidSchema(s: StructType): StructType =
     StructType(s.fields :+ StructField(UuidCol, LongType, nullable = false))
 
-  /** Align a stored file's frame to the target schema: apply the rename
-    * chain, null-backfill missing columns, drop extras, order columns.
+  /** Align a stored file's frame to the target schema: apply the given
+    * rename-chain suffix, null-backfill missing columns, drop extras,
+    * order columns. A [[GraftDataset.DropPrefix]] marker pair renames a
+    * DELETED column out of the live namespace, so a later recreate (or
+    * rename onto the freed name) never resurrects the stale physical
+    * column's values. The per-file presence conditional is belt-and-
+    * braces for pre-epoch commits (whose files all see the whole chain).
     */
-  private def align(df: DataFrame, target: StructType): DataFrame = {
-    val renamed = stRenames.foldLeft(df) { case (d, (from, to)) =>
+  private def align(df: DataFrame, target: StructType,
+                    chain: Seq[(String, String)]): DataFrame = {
+    val renamed = chain.foldLeft(df) { case (d, (from, to)) =>
       if (d.columns.contains(from) && !d.columns.contains(to))
         d.withColumnRenamed(from, to)
       else d
@@ -104,11 +116,30 @@ class GraftDataset private[format] (
     renamed.select(cols.toIndexedSeq: _*)
   }
 
+  /** Rename-chain length when `f` was written (0 = before any recorded
+    * rename → whole chain applies, the pre-epoch behavior). Accepts an
+    * entry path or a pruned per-file path (`entry/part-...`), which
+    * inherits its entry's epoch.
+    */
+  private def epochOf(f: String): Int =
+    stEpochs.getOrElse(f, {
+      val cut = f.lastIndexOf('/')
+      if (cut <= 0) 0 else stEpochs.getOrElse(f.substring(0, cut), 0)
+    })
+
   private def readManifest(files: Seq[String], target: StructType): DataFrame =
     if (files.isEmpty) emptyDf(target)
     else {
-      val paths = files.map(f => new Path(root, f).toString)
-      align(spark.read.option("mergeSchema", "true").parquet(paths: _*), target)
+      // files written in different rename EPOCHS need different chain
+      // suffixes (a post-rename file already carries current names; a
+      // recreated column must not be re-renamed). Group by the actual
+      // suffix so the no-rename common case stays ONE parquet relation.
+      files.groupBy(f => stRenames.drop(epochOf(f))).toSeq
+        .sortBy(_._2.head).map { case (chain, fs) =>
+          val paths = fs.map(f => new Path(root, f).toString)
+          align(spark.read.option("mergeSchema", "true").parquet(paths: _*),
+                target, chain)
+        }.reduce(_ unionByName _)
     }
 
   /** Snapshot with the hidden `_uuid` column (internal + merge/diff). */
@@ -192,20 +223,26 @@ class GraftDataset private[format] (
       val stats = FileSkipping.footerStats(spark, root, rel, stSchema)
       this.synchronized { stStats ++= stats }
     }
+    // written under CURRENT names → only the chain suffix after this
+    // point may apply to it on read (see readManifest epoch grouping)
+    if (stRenames.nonEmpty)
+      this.synchronized { stEpochs += rel -> stRenames.size }
     rel
   }
 
   /** Base manifest entries surviving the pushed filters' min/max check
-    * ([[FileSkipping]]). Renames disable pruning wholesale: stats are
-    * keyed by the column names at write time, and a rename chain would
-    * silently mismatch them against post-rename filter attributes.
-    * `compact()` clears the chain (files are rewritten under the
-    * current names, stats recaptured), so compaction after a rename
-    * restores skipping.
+    * ([[FileSkipping]]). Stat keys are normalized EAGERLY at each
+    * rename/delete ([[renameTensor]]/[[deleteTensor]]), so they stay in
+    * current-name space and skipping survives a rename chain — at 100 TB
+    * a column rename must not degrade every selective scan to a
+    * full-manifest plan until the next full compact. Commits written
+    * before normalization existed (`statsNormalized` unset with a
+    * non-empty chain) keep the old conservative behavior: no pruning
+    * until `compact()` clears the chain and recaptures stats.
     */
   private[format] def pruneBaseFiles(
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] =
-    if (filters.isEmpty || stRenames.nonEmpty) stFiles
+    if (filters.isEmpty || (stRenames.nonEmpty && !stStatsNormalized)) stFiles
     else stFiles.flatMap { entry =>
       val prefix = entry + "/"
       // per-file stats (keyed entry/part-file) give file-granular
@@ -276,6 +313,36 @@ class GraftDataset private[format] (
       } finally pool.shutdown()
     }
 
+  /** Per-file row counts of one base entry from the skipping stats, when
+    * every file of the entry carries one (None → caller falls back to a
+    * footer read). */
+  private def entryStatRows(entry: String): Option[Long] = {
+    val prefix = entry + "/"
+    val per = stStats.iterator.collect {
+      case (k, m) if k.startsWith(prefix) =>
+        m.values.flatMap(_.rows).headOption
+    }.toVector
+    if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+    else None
+  }
+
+  /** EXACT live row count from manifest metadata alone — per-file row
+    * counts captured in the skipping stats at write time, with parquet
+    * footer reads (bounded parallel pool) for entries predating them;
+    * no Spark job, no data scan. `len(dataset)` on a 100 TB table this
+    * way is a driver-side metadata operation instead of a full-corpus
+    * count. Sound under merge-on-read because updates never mint or
+    * retire uuids (full-row last-wins against base rows) and every
+    * tombstoned uuid was live exactly once at pop time (pop evaluates
+    * its predicate on the merged snapshot, so an already-dead row can
+    * never be tombstoned again).
+    */
+  def countRows: Long = {
+    val statRows = stFiles.flatMap(entryStatRows)
+    val unstatted = stFiles.filter(e => entryStatRows(e).isEmpty)
+    statRows.sum + footerRows(unstatted) - footerRows(stTombstones)
+  }
+
   private def deleteData(rel: String): Unit = {
     val dir = new Path(root, rel)
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -308,7 +375,20 @@ class GraftDataset private[format] (
     val parts = name.split('/').toSeq
     require(parts.forall(_.nonEmpty), s"bad tensor name $name")
     require(parts.head != UuidCol, s"$UuidCol is reserved")
+    require(parts.forall(p => !p.startsWith(DropPrefix)),
+      s"$DropPrefix names are reserved")
     stSchema = addNested(stSchema, parts, dataType, md)
+    // every EXISTING file physically lacks the new column (align
+    // null-backfills it), so synthesize all-null skipping stats where
+    // the row count is known: a value predicate on a late-added column
+    // then prunes every pre-addition file — on a 100 TB table that's
+    // almost the whole manifest right after the schema change
+    if (stStatsNormalized && parts.size == 1)
+      stStats = stStats.map { case (f, m) =>
+        f -> m.values.flatMap(_.rows).headOption.fold(m)(r =>
+          m + (parts.head -> ColStats("", "", "null",
+            nulls = Some(r), rows = Some(r))))
+      }
     dirty = true; pendingRewrite = false
   }
 
@@ -366,18 +446,36 @@ class GraftDataset private[format] (
     element_at(array(names.map(lit): _*), col(column).cast("int") + 1)
   }
 
+  /** Drop a column. Existing files keep the physical column (no
+    * rewrite), so a DROP MARKER rename (`name` → a reserved dead name no
+    * schema can contain) retires the stale bytes from the live
+    * namespace: a later `createTensor(name)` or `renameTensor(_, name)`
+    * sees nulls/new data for old rows instead of silently resurrecting
+    * the deleted column's values.
+    */
   def deleteTensor(name: String): Unit = {
     require(stSchema.fieldNames.contains(name), s"no column $name")
     stSchema = StructType(stSchema.fields.filterNot(_.name == name))
+    stRenames :+= (name, s"$DropPrefix${stRenames.size}_$name")
+    if (stStatsNormalized) // keys are current-space → `name` is this col
+      stStats = stStats.map { case (f, m) => f -> (m - name) }
     dirty = true; pendingRewrite = false
   }
 
   def renameTensor(from: String, to: String): Unit = {
     require(stSchema.fieldNames.contains(from), s"no column $from")
     require(!stSchema.fieldNames.contains(to), s"column $to exists")
+    require(!to.startsWith(DropPrefix), s"$DropPrefix names are reserved")
     stSchema = StructType(stSchema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     stRenames :+= (from, to)
+    // keep skipping stats usable: every live entry predates this rename
+    // and (by the normalization invariant) keys its stats by the names
+    // just before it — rename the key alongside the column
+    if (stStatsNormalized)
+      stStats = stStats.map { case (f, m) =>
+        f -> m.get(from).map(s => m - from + (to -> s)).getOrElse(m)
+      }
     dirty = true; pendingRewrite = false
   }
 
@@ -546,6 +644,7 @@ class GraftDataset private[format] (
       finally prevSample.foreach(spark.conf.set(sampleKey, _))
     stFiles = Vector(rel); stUpdates = Vector.empty
     stTombstones = Vector.empty; stRenames = Vector.empty
+    stEpochs = Map.empty; stStatsNormalized = true // fresh names + stats
     dirty = true; pendingRewrite = rewriteOnly
   }
 
@@ -722,7 +821,14 @@ class GraftDataset private[format] (
         val live = stStats.view.filterKeys(k =>
           stFiles.exists(e => k == e || k.startsWith(e + "/"))).toMap
         if (live.isEmpty) None else Some(live)
-      }))
+      },
+      epochs = {
+        val entries = (stFiles ++ stUpdates ++ stTombstones).toSet
+        val live = stEpochs.filter { case (e, n) => n > 0 && entries(e) }
+        if (live.isEmpty) None else Some(live)
+      },
+      statsNormalized =
+        if (stRenames.nonEmpty && stStatsNormalized) Some(true) else None))
     CommitLog.advanceCommitHint(spark, root, id)
     // Optimistic concurrency on the branch pointer: advance it only if it
     // still points at this commit's parent. A stale writer (someone else
@@ -1092,8 +1198,12 @@ class GraftDataset private[format] (
     def since(chain: Seq[(String, String)]): Seq[(String, String)] =
       if (chain.startsWith(lcaRen)) chain.drop(lcaRen.length)
       else chain // compaction reset the chain; apply conservatively
-    val theirNew = since(renamesOf(theirId))
-    val ourNew = since(stRenames.toSeq)
+    // drop markers (deleteTensor's dead-name pairs) are NOT renames to
+    // propagate: delete-vs-keep keeps the column via schema union, the
+    // pre-marker semantics; letting a marker through would rename the
+    // other side's live column (or the LCA's) onto a dead name.
+    val theirNew = since(renamesOf(theirId)).filterNot(p => isDropMarker(p._2))
+    val ourNew = since(stRenames.toSeq).filterNot(p => isDropMarker(p._2))
     val theirSchema0 = schemaAt(theirId)
     def applicable(renames: Seq[(String, String)], toSchema: StructType,
                    otherSide: Seq[(String, String)]) =
@@ -1120,10 +1230,15 @@ class GraftDataset private[format] (
     val newSchema = Versioning.mergedSchema(ourSchema, theirSchema)
     val merged = Versioning.mergeSnapshots(
       lcaSnap, ourSnap, theirSnap, withUuidSchema(newSchema), resolutions)
+    // adopt the merged schema BEFORE the write so the skipping stats are
+    // captured for the FINAL column names (writeData keys `wanted` off
+    // stSchema); the merged plan reads only per-commit temp snapshots,
+    // never this instance's staged state, so the reorder is safe
+    stSchema = newSchema
+    stRenames = Vector.empty; stEpochs = Map.empty; stStatsNormalized = true
     val rel = writeData(merged, "merge")
     stFiles = Vector(rel); stUpdates = Vector.empty
-    stTombstones = Vector.empty; stRenames = Vector.empty
-    stSchema = newSchema
+    stTombstones = Vector.empty
     dirty = true; pendingRewrite = false
     val id = CommitLog.nextCommitId(spark, root)
     publishCommit(id, s"merge $targetRef", Some(ourId), Some(theirId))
@@ -1924,6 +2039,15 @@ object GraftDataset {
 
   /** StructField metadata key carrying a class-label dictionary. */
   val ClassNamesKey = "graft.class_names"
+
+  /** Reserved prefix for DELETED-column drop markers in the rename
+    * chain (see [[GraftDataset.deleteTensor]]); no user column may start
+    * with it, so a marker target never collides with live data.
+    */
+  val DropPrefix = "__graft_dropped__"
+
+  private[format] def isDropMarker(to: String): Boolean =
+    to.startsWith(DropPrefix)
 
   /** Create a new table (reference `muller.empty` / `muller.dataset`). */
   def create(spark: SparkSession, root: String, schema: StructType,

@@ -13,6 +13,12 @@ import org.apache.spark.sql.types._
   * point is INTERACTION coverage: compaction over staged updates,
   * vacuum racing branch snapshots, bin-packing over merge-on-read
   * state — sequences no hand-written spec enumerates.
+  *
+  * Schema-evolution ops fuzz the rename-EPOCH machinery: an "extra"
+  * column is created, deleted, recreated, and renamed at random, so
+  * snapshots mix files written under different chain suffixes, and a
+  * recreate after delete must read nulls (never the dropped column's
+  * stale physical bytes) for pre-delete files.
   */
 class FormatFuzzSpec extends SparkSpec {
   import spark.implicits._
@@ -27,23 +33,45 @@ class FormatFuzzSpec extends SparkSpec {
     else f.listStatus(dir).map(s => s"data/${s.getPath.getName}").toSeq
   }
 
+  // one branch's model: committed rows (id -> (v, extra)) + the extra
+  // column's current name (None = column absent from the schema)
+  private case class BranchModel(rows: Map[Long, (String, Option[Long])],
+                                 extra: Option[String])
+
   for (seed <- Seq(4243, 977))
   test(s"random op sequences (seed $seed): snapshot == model after every commit") {
     val rnd = new scala.util.Random(seed)
     val root = tmpDir("fuzz") + "/t"
     val ds = GraftDataset.create(spark, root, schema)
 
-    // model: branch name -> committed rows; plus the staged working copy
-    var model = Map("main" -> Map.empty[Long, String])
+    var model = Map("main" -> BranchModel(Map.empty, None))
     var branch = "main"
     var staged = model(branch)
     var nextId = 0L
+    var extraSeq = 0 // unique extra-column names across recreates/renames
     var dirty = false
 
+    def snapshot(): Map[Long, (String, Option[Long])] = {
+      val df = ds.toDF
+      staged.extra match {
+        case Some(x) =>
+          assert(df.columns.toSeq == Seq("id", "v", x),
+            s"schema mismatch: ${df.columns.toSeq} vs extra=$x")
+          df.select(col("id"), col("v"), col(x))
+            .as[(Long, String, Option[Long])].collect()
+            .map(r => r._1 -> (r._2, r._3)).toMap
+        case None =>
+          assert(df.columns.toSeq == Seq("id", "v"),
+            s"schema mismatch: ${df.columns.toSeq} vs no extra")
+          df.as[(Long, String)].collect()
+            .map(r => r._1 -> (r._2, None: Option[Long])).toMap
+      }
+    }
+
     def checkSnapshot(): Unit = {
-      val got = ds.toDF.as[(Long, String)].collect().toMap
-      assert(got == staged, s"branch $branch: snapshot != model " +
-        s"(got ${got.size} rows, expected ${staged.size})")
+      val got = snapshot()
+      assert(got == staged.rows, s"branch $branch: snapshot != model " +
+        s"(got ${got.size} rows, expected ${staged.rows.size})")
     }
 
     def commit(msg: String): Unit = {
@@ -56,30 +84,36 @@ class FormatFuzzSpec extends SparkSpec {
     var ops = 0
     while (ops < 70) {
       ops += 1
-      rnd.nextInt(10) match {
+      rnd.nextInt(13) match {
         case 0 | 1 | 2 => // append a small batch
           val n = 1 + rnd.nextInt(8)
           val rows = (0 until n).map { _ =>
             val id = nextId; nextId += 1
-            id -> s"v$id"
+            id -> (s"v$id", staged.extra.map(_ => id * 10))
           }
-          ds.append(rows.toDF("id", "v"))
-          staged = staged ++ rows
+          staged.extra match {
+            case Some(x) => ds.append(
+              rows.map { case (id, (v, e)) => (id, v, e.get) }.toDF("id", "v", x))
+            case None => ds.append(
+              rows.map { case (id, (v, _)) => (id, v) }.toDF("id", "v"))
+          }
+          staged = staged.copy(rows = staged.rows ++ rows)
           dirty = true
-        case 3 => // update a random slice
+        case 3 => // update a random slice (v only; extra rides along)
           val m = 2 + rnd.nextInt(5)
           val r = rnd.nextInt(m)
           ds.update(pmod(col("id"), lit(m)) === r,
             Map("v" -> concat(lit("u"), col("id"))))
-          staged = staged.map { case (id, v) =>
-            id -> (if (id % m == r) s"u$id" else v)
-          }
+          staged = staged.copy(rows = staged.rows.map { case (id, (v, e)) =>
+            id -> (if (id % m == r) (s"u$id", e) else (v, e))
+          })
           dirty = true
         case 4 => // pop a random slice
           val m = 2 + rnd.nextInt(5)
           val r = rnd.nextInt(m)
           ds.pop(pmod(col("id"), lit(m)) === r)
-          staged = staged.filter { case (id, _) => id % m != r }
+          staged = staged.copy(rows =
+            staged.rows.filter { case (id, _) => id % m != r })
           dirty = true
         case 5 => // compact (sometimes clustered / zordered)
           rnd.nextInt(3) match {
@@ -120,6 +154,35 @@ class FormatFuzzSpec extends SparkSpec {
           }
           staged = model(branch)
           checkSnapshot()
+        case 10 => // create the extra column (fresh name each lifetime)
+          if (staged.extra.isEmpty) {
+            extraSeq += 1
+            val name = if (rnd.nextBoolean()) s"x$extraSeq" else "x0"
+            if (!ds.schema.fieldNames.contains(name)) {
+              ds.createTensor(name, LongType)
+              // existing rows read null for a late-added column
+              staged = staged.copy(extra = Some(name))
+              dirty = true
+            }
+          }
+        case 11 => // delete the extra column: values gone for good
+          staged.extra.foreach { x =>
+            ds.deleteTensor(x)
+            staged = BranchModel(
+              staged.rows.map { case (id, (v, _)) => id -> (v, None: Option[Long]) },
+              None)
+            dirty = true
+          }
+        case 12 => // rename the extra column (fresh or recycled name)
+          staged.extra.foreach { x =>
+            extraSeq += 1
+            val to = if (rnd.nextBoolean()) s"x$extraSeq" else "x0"
+            if (to != x && !ds.schema.fieldNames.contains(to)) {
+              ds.renameTensor(x, to)
+              staged = staged.copy(extra = Some(to))
+              dirty = true
+            }
+          }
       }
     }
     if (dirty) commit("final")
@@ -127,17 +190,17 @@ class FormatFuzzSpec extends SparkSpec {
     // every branch's committed state still matches its model
     model.keys.toSeq.sorted.foreach { b =>
       ds.checkout(b)
-      val got = ds.toDF.as[(Long, String)].collect().toMap
-      assert(got == model(b), s"final check: branch $b diverged")
+      staged = model(b); branch = b
+      checkSnapshot()
     }
 
     // delete all non-main branches; main must survive with its content,
     // and exclusive data must be reclaimed (vacuum finishes the job)
     ds.checkout("main")
+    branch = "main"; staged = model("main")
     model.keys.filterNot(_ == "main").toSeq.sorted.foreach(ds.deleteBranch)
     ds.vacuum(olderThanMs = -60000L)
-    val got = ds.toDF.as[(Long, String)].collect().toMap
-    assert(got == model("main"), "main diverged after branch purge + vacuum")
+    checkSnapshot()
     val headMeta = CommitLog.readCommit(spark, root, ds.head.get)
     assert(dataEntries(root).toSet ==
       (headMeta.files ++ headMeta.updates ++ headMeta.tombstones).toSet,

@@ -420,4 +420,27 @@ class GraftDatasetSpec extends SparkSpec {
     assert(dd.count() == 1)
     assert(dd.head().getString(0) == "changed")
   }
+
+  test("countRows: metadata-only count tracks the snapshot through mutations") {
+    val ds = freshTable() // 3 rows
+    def check(): Unit =
+      assert(ds.countRows == ds.toDF.count(), "countRows != scan count")
+    check()
+    ds.append(Seq((10L, "x", 1.0), (11L, "y", 2.0)).toDF("id", "label", "score"))
+    ds.commit("more"); check()
+    // updates change no uuid population
+    ds.update($"id" === 10L, Map("score" -> lit(9.0)))
+    ds.commit("upd"); check()
+    // tombstones subtract exactly once, even popping an updated row
+    ds.pop($"id" === 10L)
+    ds.commit("pop1"); check()
+    ds.pop($"id" <= 1L)
+    ds.commit("pop2"); check()
+    // schema evolution with epochs doesn't disturb the count
+    ds.renameTensor("label", "tag")
+    ds.deleteTensor("score")
+    ds.commit("evolve"); check()
+    ds.compact()
+    ds.commit("compacted"); check()
+  }
 }

@@ -211,13 +211,81 @@ class GraftSourceSpec extends SparkSpec {
           Cond("id", ">=", 150L)), Seq("OR")).count())
     assert(fvOr == 52L && d3b == 0,
       s"OR with untranslatable side must not prune, got $d3b")
-    // renames disable pruning (stats keyed by write-time names)
+    // renames KEEP pruning: stat keys are normalized alongside the
+    // column, so the filter on the new name still hits the old files'
+    // stats (at 100 TB a rename must not degrade every scan to a
+    // full-manifest plan until the next full compact)
     ds.renameTensor("v", "w")
     ds.commit("rename")
     val (renamed, d4) = prunedDelta(
       read().filter($"w" === 999L).select("id").as[Long].collect().toSeq)
-    assert(renamed == Seq(5L) && d4 == 0,
-      s"rename must disable pruning, pruned $d4")
+    assert(renamed == Seq(5L),
+      "renamed-column read must stay exact under pruning")
+    assert(d4 >= 2, s"renamed column must still prune via migrated stats, got $d4")
+  }
+
+  test("rename epochs + drop markers: no stale-column resurrection, skipping survives") {
+    import spark.implicits._
+    val root = tmpDir("epoch") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("id", LongType), StructField("b", LongType))))
+    ds.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "b"))
+    ds.commit("v1")
+    // delete + recreate: old rows must read NULL for the new column,
+    // not the deleted column's stale physical bytes
+    ds.deleteTensor("b")
+    ds.commit("drop b")
+    ds.createTensor("b", LongType)
+    ds.append(Seq((3L, 300L)).toDF("id", "b"))
+    ds.commit("recreate b")
+    val rec = ds.toDF.select("id", "b").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(rec == Map(1L -> None, 2L -> None, 3L -> Some(300L)),
+      s"recreated column must not resurrect deleted values, got $rec")
+    // rename the recreated column onto ANOTHER freed name: files from
+    // three epochs (pre-drop, pre-rename, post-rename) mix in one scan
+    ds.renameTensor("b", "c")
+    ds.append(Seq((4L, 4000L)).toDF("id", "c"))
+    ds.commit("rename b->c, add post-rename file")
+    val mix = ds.toDF.select("id", "c").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(mix == Map(1L -> None, 2L -> None, 3L -> Some(300L),
+      4L -> Some(4000L)), s"epoch-mixed scan wrong: $mix")
+    // skipping stats survived the delete+recreate+rename chain: the
+    // epoch-1 file (c=300) and epoch-2 file (c=4000) prune against a
+    // selective filter on the FINAL name; answers stay exact
+    def prunedDelta[T](body: => T): (T, Long) = {
+      val before = FileSkipping.prunedFiles.get()
+      val r = body
+      (r, FileSkipping.prunedFiles.get() - before)
+    }
+    val (got, d) = prunedDelta(
+      spark.read.format("graft").load(root).filter($"c" === 4000L)
+        .select("id").as[Long].collect().toSeq)
+    assert(got == Seq(4L))
+    assert(d >= 1, s"post-rename filter must prune via migrated stats, got $d")
+    // rename onto the ORIGINAL freed name: a->b where b was deleted —
+    // old files' stale physical b must NOT shadow a's data
+    val root2 = tmpDir("epoch2") + "/t"
+    val ds2 = GraftDataset.create(spark, root2, StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType))))
+    ds2.append(Seq((1L, 111L)).toDF("a", "b"))
+    ds2.commit("v1")
+    ds2.deleteTensor("b")
+    ds2.renameTensor("a", "b")
+    ds2.commit("drop b, rename a->b")
+    assert(ds2.toDF.select("b").as[Long].collect().toSeq == Seq(1L),
+      "rename onto a freed name must serve the renamed column, not stale bytes")
+    // back-compat: a commit written WITHOUT normalization (statsNormalized
+    // absent + non-empty chain) keeps the conservative no-pruning path
+    val m0 = CommitLog.readCommit(spark, root, ds.head.get)
+    CommitLog.writeCommit(spark, root, m0.copy(
+      id = "zzz_legacy", statsNormalized = None))
+    val (legacyRows, dLegacy) = prunedDelta(
+      spark.read.format("graft").option("commit", "zzz_legacy").load(root)
+        .filter($"c" === 4000L).count())
+    assert(legacyRows == 1L && dLegacy == 0,
+      s"pre-normalization commit must not prune, got $dLegacy")
   }
 
   test("skipping stat domains: float repr, non-finite bounds, UTF-8 order") {
