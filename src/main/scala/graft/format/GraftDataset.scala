@@ -802,9 +802,71 @@ class GraftDataset private[format] (
 
   def commit(message: String, allowEmpty: Boolean = false): String = {
     require(dirty || allowEmpty, "nothing to commit (allowEmpty=false)")
-    val id = CommitLog.nextCommitId(spark, root)
-    publishCommit(id, message, headId, None)
-    id
+    var result: Option[String] = None
+    var rebasesLeft = MaxCommitRebases
+    while (result.isEmpty) {
+      val id = CommitLog.nextCommitId(spark, root)
+      try { publishCommit(id, message, headId, None); result = Some(id) }
+      catch { case e: java.util.ConcurrentModificationException =>
+        // Delta-style logical conflict resolution: a lost branch-pointer
+        // CAS does not force the user to redo the WRITE when the staged
+        // change and the winner's commits provably commute — the retry
+        // is metadata-only (the data files already exist)
+        if (rebasesLeft <= 0 || !rebaseAppendsOntoBranchHead()) throw e
+        rebasesLeft -= 1
+      }
+    }
+    result.get
+  }
+
+  /** Rebase a lost optimistic commit onto the branch's new head, when
+    * that is provably safe: our staged change is APPEND-ONLY relative to
+    * the parent we loaded (new base entries only — no updates, pops,
+    * renames, or schema changes of ours), and the winner left schema and
+    * rename chain untouched. Appended rows commute with anything the
+    * winner did to OTHER rows: uuids are collision-free by construction
+    * ([[CommitLog.claimReservation]] — each appender atomically claims a
+    * disjoint uuid block), so the winner's updates/tombstones cannot
+    * reference ours, and file skipping stats ride along per entry. At
+    * scale this is what lets N ingest jobs append to one table without
+    * a lock or a user-level retry loop. Returns false (caller rethrows)
+    * for anything else — conflicts that need user semantics stay loud.
+    */
+  private def rebaseAppendsOntoBranchHead(): Boolean = {
+    val b = branchName.getOrElse(return false)
+    val newHeadId = CommitLog.readBranches(spark, root)
+      .getOrElse(b, return false)
+    val parentId = headId.getOrElse(return false)
+    if (newHeadId == parentId) return false
+    val parent = CommitLog.readCommit(spark, root, parentId)
+    val head = CommitLog.readCommit(spark, root, newHeadId)
+    val parentFiles = parent.files.toSet
+    val appended = stFiles.filterNot(parentFiles)
+    val appendOnly =
+      stFiles.filter(parentFiles) == parent.files.toVector &&
+        stUpdates.toSeq == parent.updates &&
+        stTombstones.toSeq == parent.tombstones &&
+        stRenames.map(p => Seq(p._1, p._2)).toSeq == parent.renames &&
+        stSchema.json == parent.schemaJson
+    val headCompatible =
+      head.schemaJson == parent.schemaJson && head.renames == parent.renames
+    if (!appendOnly || !headCompatible) return false
+    // adopt the winner's state wholesale; graft only OUR new entries
+    // (with their stats and epochs) on top
+    val appendedSet = appended.toSet
+    val ourStats = stStats.view.filterKeys(k =>
+      appended.exists(e => k == e || k.startsWith(e + "/"))).toMap
+    val ourEpochs = stEpochs.filter { case (k, _) => appendedSet(k) }
+    headId = Some(newHeadId)
+    stFiles = head.files.toVector ++ appended
+    stUpdates = head.updates.toVector
+    stTombstones = head.tombstones.toVector
+    stRenames = head.renames.map(p => (p(0), p(1))).toVector
+    stStats = head.stats.getOrElse(Map.empty) ++ ourStats
+    stEpochs = head.epochs.getOrElse(Map.empty) ++ ourEpochs
+    stStatsNormalized = head.statsNormalized.getOrElse(head.renames.isEmpty)
+    stSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    true
   }
 
   private def publishCommit(id: String, message: String,
@@ -2048,6 +2110,12 @@ object GraftDataset {
 
   private[format] def isDropMarker(to: String): Boolean =
     to.startsWith(DropPrefix)
+
+  /** Cap on metadata-only commit retries after a lost branch-pointer
+    * race (append-only rebase, [[GraftDataset.commit]]); beyond this the
+    * original conflict surfaces to the caller.
+    */
+  val MaxCommitRebases = 5
 
   /** Create a new table (reference `muller.empty` / `muller.dataset`). */
   def create(spark: SparkSession, root: String, schema: StructType,

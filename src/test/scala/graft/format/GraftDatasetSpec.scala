@@ -397,17 +397,44 @@ class GraftDatasetSpec extends SparkSpec {
     assert(ds.minView.filter($"id" === 7L).count() == 0)
   }
 
-  test("concurrent commits: atomic create makes the loser fail cleanly") {
+  test("concurrent appends auto-rebase: both writers' rows land, no lock") {
     val ds = freshTable()
     val other = GraftDataset.load(spark, ds.root) // second writer, same head
     ds.append(Seq((50L, "w1", 1.0)).toDF("id", "label", "score"))
     other.append(Seq((60L, "w2", 2.0)).toDF("id", "label", "score"))
-    ds.commit("writer 1")
-    // writer 2 races for the same next commit id and must lose loudly,
-    // not silently clobber (optimistic concurrency on file create)
-    intercept[Exception](other.commit("writer 2"))
-    // winner's row is durable; loser can reset and retry from new head
-    assert(GraftDataset.load(spark, ds.root).toDF.count() == 4)
+    val winId = ds.commit("writer 1")
+    // writer 2 loses the branch-pointer race, but its change is
+    // append-only and the winner's commutes — metadata-only rebase, no
+    // re-write of the data, no user retry
+    val rebasedId = other.commit("writer 2")
+    val merged = GraftDataset.load(spark, ds.root)
+    assert(merged.toDF.count() == 5, "both appends must land")
+    assert(merged.toDF.filter($"id" === 50L || $"id" === 60L).count() == 2)
+    // the rebased commit's parent is the WINNER, not the stale head
+    assert(CommitLog.readCommit(spark, ds.root, rebasedId)
+      .parent.contains(winId))
+    // uuids stayed collision-free across the concurrent writers
+    val uuids = merged.toDF.count()
+    assert(GraftDataset.load(spark, ds.root).countRows == uuids)
+  }
+
+  test("concurrent non-append conflicts still fail loudly") {
+    val ds = freshTable()
+    // loser staged an UPDATE: not append-only, must not silently rebase
+    val other = GraftDataset.load(spark, ds.root)
+    other.update($"id" === 0L, Map("score" -> lit(7.0)))
+    ds.append(Seq((70L, "w1", 1.0)).toDF("id", "label", "score"))
+    ds.commit("winner append")
+    intercept[java.util.ConcurrentModificationException](
+      other.commit("racing update"))
+    // loser appended but the WINNER changed the schema: rebase refused
+    val ds2 = freshTable()
+    val other2 = GraftDataset.load(spark, ds2.root)
+    other2.append(Seq((80L, "w2", 2.0)).toDF("id", "label", "score"))
+    ds2.renameTensor("label", "tag")
+    ds2.commit("winner rename")
+    intercept[java.util.ConcurrentModificationException](
+      other2.commit("racing append"))
   }
 
   test("uuids are dense and stable across updates") {
