@@ -556,6 +556,33 @@ object FormatQueries {
         s.range(1).select(lit(n).cast("long").as("n_live"))
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_live
-        FROM lineitem WHERE l_orderkey % 5 <> 0"""))
+        FROM lineitem WHERE l_orderkey % 5 <> 0""")),
+
+    // SQL-level metadata aggregates (Delta's "metadata query" as a
+    // Catalyst rule): ungrouped, unfiltered COUNT/MIN/MAX over a graft
+    // view collapse to a LocalRelation answered from manifest stats —
+    // no scan (plan shape pinned in MetadataAggregateSpec; here the
+    // driver's oracle pins the VALUES those stats produce, so a stat
+    // captured wrong at write time fails the hash compare).
+    QueryDef("q114_format_metadata_aggregates",
+      (s, dir) => {
+        org.apache.spark.sql.graftnative.GraftExtensions.install(s)
+        val c = Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+        val root = freshRoot("q114")
+        IO.fromDataFrame(c, root)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_cust_q114 " +
+          s"USING graft OPTIONS (path '$root')")
+        s.sql("""SELECT COUNT(*) AS n,
+            MIN(c_custkey) AS key_lo, MAX(c_custkey) AS key_hi,
+            MIN(c_acctbal) AS bal_lo, MAX(c_acctbal) AS bal_hi,
+            MIN(c_name) AS name_lo, MAX(c_name) AS name_hi
+          FROM graft_cust_q114""")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          MIN(c_custkey) AS key_lo, MAX(c_custkey) AS key_hi,
+          MIN(c_acctbal) AS bal_lo, MAX(c_acctbal) AS bal_hi,
+          MIN(c_name) AS name_lo, MAX(c_name) AS name_hi
+        FROM customer"""))
   )
 }

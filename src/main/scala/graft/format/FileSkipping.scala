@@ -206,7 +206,7 @@ object FileSkipping {
     x.length - y.length
   }
 
-  private def cmpInDomain(a: String, b: String, domain: String): Int =
+  private[format] def cmpInDomain(a: String, b: String, domain: String): Int =
     domain match {
       case "string" => utf8Cmp(a, b)
       case _ => BigDecimal(a).compare(BigDecimal(b))

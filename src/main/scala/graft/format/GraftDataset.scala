@@ -3,7 +3,7 @@ package graft.format
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType, DataType, StructField}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** A versioned, mutable table over immutable Parquet — the Spark-native
   * equivalent of the reference's Dataset abstraction
@@ -341,6 +341,63 @@ class GraftDataset private[format] (
     val statRows = stFiles.flatMap(entryStatRows)
     val unstatted = stFiles.filter(e => entryStatRows(e).isEmpty)
     statRows.sum + footerRows(unstatted) - footerRows(stTombstones)
+  }
+
+  /** Global (min, max) of a column from the skipping stats alone, when
+    * PROVABLY exact — the metadata source behind the SQL-level
+    * `MIN/MAX` pushdown ([[org.apache.spark.sql.graftnative]]'s
+    * MetadataAggregateRewrite). Refuses (None) whenever metadata cannot
+    * speak for the data: outstanding updates (values may have changed)
+    * or tombstones (an extreme row may be dead), un-normalized stats
+    * under a rename chain, any base entry without per-file stats, any
+    * file whose entry for the column is incomplete, or a column whose
+    * current schema domain differs from the stored one. `Some((null,
+    * null))` is a VALID exact answer: every row is null (SQL MIN/MAX of
+    * all-null input). Values come back typed to the schema.
+    */
+  private[format] def statMinMax(column: String): Option[(Any, Any)] = {
+    if (stUpdates.nonEmpty || stTombstones.nonEmpty) return None
+    if (stRenames.nonEmpty && !stStatsNormalized) return None
+    val field = stSchema.fields.find(_.name == column).getOrElse(return None)
+    val domain = field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case FloatType | DoubleType => "double"
+      case StringType => "string"
+      case _ => return None
+    }
+    var mn: String = null
+    var mx: String = null
+    for (entry <- stFiles) {
+      val prefix = entry + "/"
+      val perFile = stStats.view.filterKeys(_.startsWith(prefix)).toSeq
+      if (perFile.isEmpty) return None // unstatted entry: can't prove
+      for ((_, m) <- perFile) {
+        m.get(column) match {
+          case Some(cs) if cs.rows.contains(0L) => () // empty file
+          case Some(cs) if cs.typ == "null" =>
+            // count-only entry: exact only if EVERY row is null
+            if (!(cs.nulls.isDefined && cs.nulls == cs.rows)) return None
+          case Some(cs) if cs.typ == domain =>
+            if (mn == null || FileSkipping.cmpInDomain(cs.min, mn, domain) < 0)
+              mn = cs.min
+            if (mx == null || FileSkipping.cmpInDomain(cs.max, mx, domain) > 0)
+              mx = cs.max
+          case _ => return None // missing or cross-domain stats
+        }
+      }
+    }
+    if (mn == null) return Some((null, null)) // zero rows or all null
+    def typed(s: String): Any = field.dataType match {
+      case ByteType => s.toLong.toByte
+      case ShortType => s.toLong.toShort
+      case IntegerType => s.toLong.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case _ => s
+    }
+    try Some((typed(mn), typed(mx)))
+    catch { case _: NumberFormatException => None }
   }
 
   private def deleteData(rel: String): Unit = {

@@ -197,6 +197,17 @@ case class GraftRelation(spark: SparkSession, root: String,
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = snapshot.schema
 
+  /** Exact live row count from manifest metadata (no Spark job) — the
+    * source behind the SQL `COUNT(*)` pushdown. Resolved per call so
+    * cached catalog relations count the live head.
+    */
+  def metadataCount: Long = dataset.countRows
+
+  /** Exact (min, max) of a column from manifest metadata, when provable
+    * ([[GraftDataset.statMinMax]] lists the refusal conditions). */
+  def metadataMinMax(column: String): Option[(Any, Any)] =
+    dataset.statMinMax(column)
+
   /** Manifest byte size of the snapshot's inputs — WITHOUT this
     * override, `BaseRelation` reports `spark.sql.defaultSizeInBytes`
     * (≈ Long.MaxValue), so a 1 MB graft dimension table joined against

@@ -135,16 +135,19 @@ class GraftSparkExtensions
   extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => IndexedContainsRewrite(session))
+    ext.injectOptimizerRule(session => MetadataAggregateRewrite(session))
     SqlFunctions.descriptions.foreach(ext.injectFunction)
   }
 }
 
 object GraftExtensions {
   def install(spark: SparkSession): Unit = {
-    val rule = IndexedContainsRewrite(spark)
-    if (!spark.experimental.extraOptimizations.contains(rule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ rule
+    Seq(IndexedContainsRewrite(spark), MetadataAggregateRewrite(spark))
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+      }
     SqlFunctions.install(spark)
   }
 }

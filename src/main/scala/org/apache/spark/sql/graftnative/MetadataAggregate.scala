@@ -1,0 +1,89 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Metadata-only aggregates over graft tables (Delta's "metadata query"
+  * optimization as a Catalyst rule): an ungrouped, unfiltered
+  * `COUNT(*)` / `MIN(col)` / `MAX(col)` over a graft relation is
+  * answered from the MANIFEST — per-file row counts and skipping stats
+  * captured at write time — and the whole subtree collapses to a
+  * [[LocalRelation]] with one pre-computed row. At 100 TB that turns a
+  * full-corpus scan into a driver-side metadata read.
+  *
+  * Soundness gates, per aggregate:
+  *  - `COUNT(*)` (also `COUNT(1)`, non-distinct, unfiltered) uses
+  *    [[graft.format.GraftRelation.metadataCount]] — exact even with
+  *    outstanding updates/tombstones (updates never mint or retire
+  *    row uuids; each tombstoned uuid was live exactly once).
+  *  - `MIN`/`MAX` of a plain column uses `metadataMinMax`, which
+  *    REFUSES (rule leaves the plan alone) whenever metadata cannot
+  *    speak for the data: outstanding updates or tombstones, any
+  *    file without complete stats for the column, un-normalized stat
+  *    keys under a rename chain, or a non-comparable column type.
+  *  - Any Filter between the aggregate and the relation, any grouping,
+  *    DISTINCT, or an aggregate FILTER clause disables the rewrite.
+  *
+  * The rewrite runs in the user-rule batch after the main optimizer
+  * batches, so it sees the pruned shape `Aggregate → Project(attrs) →
+  * LogicalRelation(GraftRelation)`.
+  */
+case class MetadataAggregateRewrite(spark: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  /** The graft relation under the aggregate, looked through pure
+    * column-pruning Projects (attribute-only; an empty list is
+    * COUNT(*)'s prune-everything shape). */
+  private def relationOf(p: LogicalPlan): Option[graft.format.GraftRelation] =
+    p match {
+      case lr: LogicalRelation => lr.relation match {
+        case g: graft.format.GraftRelation => Some(g)
+        case _ => None
+      }
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        relationOf(child)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg: Aggregate if agg.groupingExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty &&
+        relationOf(agg.child).isDefined =>
+      val rel = relationOf(agg.child).get
+      // one metadata count per rewrite, however many COUNT columns
+      lazy val count = rel.metadataCount
+      val values = agg.aggregateExpressions.map(metadataValue(rel, count, _))
+      if (values.exists(_.isEmpty)) agg // something unprovable: keep the scan
+      else {
+        val row = InternalRow.fromSeq(
+          agg.aggregateExpressions.zip(values).map { case (ne, v) =>
+            CatalystTypeConverters.convertToCatalyst(v.get.orNull)
+          })
+        LocalRelation(agg.output, Seq(row))
+      }
+  }
+
+  /** Some(Some(v)) = provable value, Some(None) = provable NULL,
+    * None = not provable → whole rewrite aborts. */
+  private def metadataValue(rel: graft.format.GraftRelation, count: => Long,
+                            ne: NamedExpression): Option[Option[Any]] =
+    ne match {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null => Some(Some(count))
+          case Min(a: AttributeReference) =>
+            rel.metadataMinMax(a.name).map(mm => Option(mm._1))
+          case Max(a: AttributeReference) =>
+            rel.metadataMinMax(a.name).map(mm => Option(mm._2))
+          case _ => None
+        }
+      case _ => None
+    }
+}

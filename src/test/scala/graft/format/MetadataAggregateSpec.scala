@@ -1,0 +1,118 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.GraftExtensions
+import org.apache.spark.sql.types._
+
+/** SQL-level metadata aggregates: ungrouped, unfiltered COUNT/MIN/MAX
+  * over a graft relation must collapse to a LocalRelation (no scan at
+  * all) exactly when the manifest can prove the answer, and must NOT
+  * rewrite when it cannot.
+  */
+class MetadataAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.install(spark)
+
+  private def isMetadataOnly(df: DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan
+    p.collectFirst { case l: LocalRelation => l }.isDefined &&
+      p.collectFirst { case r: LogicalRelation => r }.isEmpty
+  }
+
+  private def table(tag: String): GraftDataset = {
+    val ds = GraftDataset.create(spark, tmpDir(tag) + "/t", StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("x", DoubleType))))
+    ds.append(Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "s", "x"))
+    ds.append(Seq((10L, "z", -4.5)).toDF("id", "s", "x"))
+    ds.commit("rows")
+    ds
+  }
+
+  test("COUNT(*) is metadata-only, exact through updates and tombstones") {
+    val ds = table("magg1")
+    def read() = spark.read.format("graft").load(ds.root)
+    val q0 = read().agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(q0), s"plan kept a scan:\n${q0.queryExecution.optimizedPlan}")
+    assert(q0.head().getLong(0) == 4L)
+    // updates and pops keep COUNT provable (uuid population bookkeeping)
+    ds.update($"id" === 1L, Map("x" -> lit(9.9)))
+    ds.pop($"id" === 2L)
+    ds.commit("mutate")
+    val q1 = read().agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(q1))
+    assert(q1.head().getLong(0) == 3L)
+    assert(q1.head().getLong(0) == read().count())
+  }
+
+  test("MIN/MAX from stats: typed values, exact; refused under mutations") {
+    val ds = table("magg2")
+    def read() = spark.read.format("graft").load(ds.root)
+    val q = read().agg(min($"id").as("lo"), max($"id").as("hi"),
+      min($"x").as("xlo"), max($"x").as("xhi"),
+      min($"s").as("slo"), max($"s").as("shi"), count(lit(1)).as("n"))
+    assert(isMetadataOnly(q), s"plan kept a scan:\n${q.queryExecution.optimizedPlan}")
+    val r = q.head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == -4.5 && r.getDouble(3) == 3.5)
+    assert(r.getString(4) == "a" && r.getString(5) == "z")
+    assert(r.getLong(6) == 4L)
+    // an outstanding update makes MIN/MAX unprovable: whole rewrite off,
+    // answer still correct via the scan
+    ds.update($"id" === 10L, Map("id" -> lit(99L)))
+    ds.commit("moved the max")
+    val q2 = read().agg(min($"id").as("lo"), max($"id").as("hi"))
+    assert(!isMetadataOnly(q2), "must not trust stats across updates")
+    assert(q2.head().getLong(1) == 99L)
+    // COUNT alone stays metadata-only even now
+    assert(isMetadataOnly(read().agg(count(lit(1)).as("n"))))
+    // compact folds the mutations -> stats speak again
+    ds.compact(); ds.commit("compacted")
+    val q3 = read().agg(max($"id").as("hi"))
+    assert(isMetadataOnly(q3))
+    assert(q3.head().getLong(0) == 99L)
+  }
+
+  test("late-added all-null column: MIN/MAX prove NULL from synth stats") {
+    val ds = table("magg3")
+    ds.createTensor("y", LongType)
+    ds.commit("added y")
+    val q = spark.read.format("graft").load(ds.root)
+      .agg(min($"y").as("lo"), max($"y").as("hi"))
+    assert(isMetadataOnly(q), s"plan kept a scan:\n${q.queryExecution.optimizedPlan}")
+    val r = q.head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("filters, grouping, and DISTINCT disable the rewrite") {
+    val ds = table("magg4")
+    def read() = spark.read.format("graft").load(ds.root)
+    val filtered = read().filter($"id" > 1L).agg(count(lit(1)).as("n"))
+    assert(!isMetadataOnly(filtered))
+    assert(filtered.head().getLong(0) == 3L)
+    val grouped = read().groupBy($"s").agg(count(lit(1)).as("n"))
+    assert(!isMetadataOnly(grouped))
+    val distinct = read().agg(countDistinct($"s").as("n"))
+    assert(!isMetadataOnly(distinct))
+    assert(distinct.head().getLong(0) == 4L)
+  }
+
+  test("SQL surface: SELECT COUNT(*)/MIN/MAX over a graft temp view") {
+    val ds = table("magg5")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW magg_v " +
+      s"USING graft OPTIONS (path '${ds.root}')")
+    try {
+      val q = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(id) AS lo, MAX(s) AS hi FROM magg_v")
+      assert(isMetadataOnly(q), s"plan kept a scan:\n${q.queryExecution.optimizedPlan}")
+      val r = q.head()
+      assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getString(2) == "z")
+    } finally spark.sql("DROP VIEW IF EXISTS magg_v")
+  }
+}
