@@ -338,9 +338,10 @@ class GraftDataset private[format] (
     * never be tombstoned again).
     */
   def countRows: Long = {
-    val statRows = stFiles.flatMap(entryStatRows)
-    val unstatted = stFiles.filter(e => entryStatRows(e).isEmpty)
-    statRows.sum + footerRows(unstatted) - footerRows(stTombstones)
+    val perEntry = stFiles.map(e => e -> entryStatRows(e)) // one stats pass
+    val statted = perEntry.flatMap(_._2).sum
+    val unstatted = perEntry.collect { case (e, None) => e }
+    statted + footerRows(unstatted) - footerRows(stTombstones)
   }
 
   /** Global (min, max) of a column from the skipping stats alone, when
@@ -803,12 +804,20 @@ class GraftDataset private[format] (
            _: org.apache.spark.sql.types.TimestampType => true
       case _ => false
     })
+    // DATE cannot cast straight to double (disallowed since Spark 3.0);
+    // route it through timestamp (one session-zone conversion, identical
+    // for boundaries and values, so bucket assignment is consistent)
+    def asDouble(c: String): Column = stSchema(c).dataType match {
+      case _: org.apache.spark.sql.types.DateType =>
+        col(c).cast("timestamp").cast("double")
+      case _ => col(c).cast("double")
+    }
     // one quantile job covers every numeric column
     val numBounds: Map[String, Array[Double]] =
       if (numeric.isEmpty) Map.empty
       else {
         val casted = snap.select(numeric.map(c =>
-          col(c).cast("double").as(c)): _*)
+          asDouble(c).as(c)): _*)
         // drop the SMALLEST boundary: the first quantile is ~the column
         // min, and a boundary at the min shifts every bucket up by one —
         // for low-cardinality columns that pushes the max value into an
@@ -820,7 +829,7 @@ class GraftDataset private[format] (
     val ids = clusterBy.map { c =>
       stSchema(c).dataType match {
         case _ if numBounds.contains(c) =>
-          ZOrder.rangeBucketDouble(col(c).cast("double"), numBounds(c))
+          ZOrder.rangeBucketDouble(asDouble(c), numBounds(c))
         case _: org.apache.spark.sql.types.StringType =>
           // bounded sample (RangePartitioner-style); the fraction is
           // sized from the base files' FOOTER row counts so the sample
@@ -837,13 +846,20 @@ class GraftDataset private[format] (
               org.apache.spark.unsafe.types.UTF8String.fromString(a)
                 .binaryCompare(
                   org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
-          val step = math.max(1, sample.length / nBuckets)
-          // exclude the sampled min for the same 0-based-bucket reason
-          // as the numeric path
-          val bounds = sample.indices.collect {
-            case i if i > 0 && i % step == 0 &&
-              sample(i) != sample.head => sample(i)
-          }.distinct.toArray
+          // EXACTLY ≤ nBuckets-1 evenly-spaced probes, mirroring the
+          // numeric quantile path: a step-based walk can emit up to
+          // ~2×nBuckets bounds when the sample size is not a multiple
+          // of nBuckets, and a bucket id ≥ 2^bits would alias onto a
+          // LOW rank in the interleave (which reads only bits 0..bits-1)
+          // — scattering the top-ranked strings into the bottom Morton
+          // quadrant and silently widening every file's stat range.
+          // The sampled min is excluded for the same 0-based-bucket
+          // reason as the numeric path.
+          val bounds =
+            if (sample.isEmpty) Array.empty[String]
+            else (1 until nBuckets).map(k =>
+                sample((k.toLong * sample.length / nBuckets).toInt))
+              .filter(_ != sample.head).distinct.toArray
           ZOrder.rangeBucketString(col(c), bounds)
         case other =>
           // no natural rank order to sample (binary/arrays/maps):
@@ -1179,7 +1195,19 @@ class GraftDataset private[format] (
     val now = System.currentTimeMillis()
     val cutoff = now - olderThanMs
     val all = CommitLog.readAllCommits(spark, root)
-    val protectedIds = pinnedCommits() ++
+    // merge BASES stay usable: the pairwise LCA of live branch heads (+
+    // this instance's HEAD) is what a future merge/diff reads its
+    // three-way base snapshot from; it is neither a head nor (after the
+    // retention window) recent, so without an explicit pin, vacuuming a
+    // long-diverged pair of branches would permanently break merging
+    // them. One ancestry walk per head pair — driver metadata only.
+    val mergeBases = {
+      val tips = (branches.values ++ headId).toSet.toSeq.sorted
+      tips.combinations(2).flatMap { pair =>
+        scala.util.Try(CommitLog.lca(spark, root, pair(0), pair(1))).toOption
+      }.toSet
+    }
+    val protectedIds = pinnedCommits() ++ mergeBases ++
       all.values.collect { case m if m.timestampMs >= cutoff => m.id }
     val live: Set[String] =
       protectedIds.flatMap(id => all.get(id).toSeq.flatMap(entriesOf)) ++

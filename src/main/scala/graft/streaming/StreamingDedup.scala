@@ -141,7 +141,15 @@ object StreamingDedup {
     // between the two commits) — replay their fingerprints from the
     // sink's own appended files, preserving the markers
     if (sinkLast.exists(s => stateLast.forall(_ < s))) {
-      val state = GraftDataset.load(spark, stateRoot)
+      // the state table may not exist at all: a crash after the FIRST
+      // sink commit but before the first state commit leaves
+      // sinkLast=Some(0), stateLast=None — create it here, or every
+      // replay of batch 0 fails the load and the stream wedges forever
+      val state =
+        if (tableExists(spark, stateRoot)) GraftDataset.load(spark, stateRoot)
+        else GraftDataset.create(spark, stateRoot, family.stateOf(
+          GraftDataset.load(spark, sinkRoot).toDF.limit(0),
+          textCol, idCol).schema)
       commitsAfter(spark, sinkRoot, token, stateLast.getOrElse(-1L))
         .foreach { case (ep, files) =>
           if (files.nonEmpty) {

@@ -129,10 +129,14 @@ class FormatFuzzSpec extends SparkSpec {
           if (!dirty) { // vacuum relies on this handle's staged state
             ds.vacuum(olderThanMs = -60000L)
             checkSnapshot()
-            // zero garbage: physical == union of all branch heads' + pins'
-            // entries (this handle has nothing staged)
+            // zero garbage: physical == union of all branch heads' +
+            // pairwise merge-base (LCA) entries — merge bases survive
+            // vacuum so diverged branches stay mergeable
             val heads = ds.branches.values.toSet
-            val live = heads.flatMap(h =>
+            val lcas = heads.toSeq.sorted.combinations(2).flatMap(p =>
+              scala.util.Try(
+                CommitLog.lca(spark, root, p(0), p(1))).toOption).toSet
+            val live = (heads ++ lcas).flatMap(h =>
               { val m = CommitLog.readCommit(spark, root, h)
                 m.files ++ m.updates ++ m.tombstones })
             assert(dataEntries(root).toSet == live,

@@ -147,6 +147,23 @@ class VacuumSpec extends SparkSpec {
     assert(dataEntries(ds).size == 1)
   }
 
+  test("vacuum protects merge bases: diverged branches stay mergeable") {
+    val ds = freshTable()
+    ds.checkout("dev", create = true)
+    ds.append(Seq((10L, "d", 4.0)).toDF("id", "label", "score"))
+    ds.commit("dev row")
+    ds.compact(); ds.commit("dev compacted")
+    ds.checkout("main")
+    ds.append(Seq((20L, "m", 5.0)).toDF("id", "label", "score"))
+    ds.commit("main row")
+    ds.compact(); ds.commit("main compacted")
+    // both sides rewrote everything: the LCA commit's entries are
+    // referenced by NO branch head — only the merge-base pin keeps them
+    ds.vacuum(olderThanMs = -60000L)
+    ds.merge("dev") // reads the LCA's three-way base snapshot
+    assert(ds.toDF.count() == 5, "merge after aggressive vacuum")
+  }
+
   test("deleteBranch purges exclusive commits and data; guards hold") {
     val ds = freshTable()
     val mainHead = ds.head.get

@@ -145,4 +145,51 @@ class ZOrderSpec extends SparkSpec {
     assert(FileSkipping.prunedFiles.get() - before >= 1,
       "equality on the string cluster column must prune files")
   }
+
+  test("string bucket ids stay below 2^bits for awkward sample sizes") {
+    // a sample length that is NOT a multiple of the bucket count used
+    // to emit ~2x too many boundaries via the step walk, and ids ≥
+    // 2^bits alias onto LOW ranks inside the interleave — the probe
+    // construction must cap boundaries at nBuckets-1 by design
+    val root = tmpDir("zcap") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("s", StringType), StructField("y", LongType))))
+    val rnd = new scala.util.Random(7)
+    // 3000 distinct strings: fraction sampling lands on an arbitrary,
+    // non-power-of-two sample length
+    ds.append(rnd.shuffle((0 until 3000).map(i =>
+      (f"k$i%05d", i.toLong)).toVector).toDF("s", "y"))
+    ds.commit("rows")
+    val key = ds.zorderKey(ds.toDF, Seq("s", "y"))
+    val ids = ds.toDF.select(key.as("z")).agg(max($"z")).head().getLong(0)
+    // 2 cluster columns → bits = min(10, 63/2) = 10 each → interleaved
+    // key < 2^20; an overflowing bucket id would exceed this
+    assert(ids < (1L << 20), s"interleaved key overflowed: $ids")
+    // and the zordered table still prunes string equality exactly
+    ds.compact(clusterBy = Seq("s", "y"), zorder = true)
+    ds.commit("zordered")
+    assert(spark.read.format("graft").load(root)
+      .filter($"s" === "k01500").count() == 1L)
+  }
+
+  test("zorder compaction on a DATE cluster column plans and prunes") {
+    val root = tmpDir("zdate") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("d", DateType), StructField("k", LongType))))
+    val rnd = new scala.util.Random(11)
+    ds.append(rnd.shuffle((0 until 2048).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(18000 + i / 8)),
+        i.toLong)).toVector).toDF("d", "k"))
+    ds.commit("dates")
+    // DATE → double is an illegal direct cast; the key must route it
+    // through timestamp or this throws at plan time
+    ds.compact(clusterBy = Seq("d", "k"), zorder = true)
+    ds.commit("zordered")
+    assert(ds.toDF.count() == 2048)
+    val got = ds.toDF
+      .filter($"d" === java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(18100)))
+      .count()
+    assert(got == 8L)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.format.GraftDataset
+import graft.format.{CommitLog, GraftDataset}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Cross-batch streaming dedup with format-persisted state: global
@@ -70,6 +70,31 @@ class StreamingDedupSpec extends SparkSpec {
     val st = GraftDataset.load(spark, state)
     assert(st.toDF.count() == 3)
     assert(st.log.map(_.message).count(_.startsWith("dedup[tok]")) == 3)
+  }
+
+  test("crash after the FIRST sink commit: state table created by repair") {
+    val (sink, state) = roots()
+    val fam = StreamingDedup.exactFamily
+    // simulate batch 0 crashing between its two commits: the sink table
+    // exists with the epoch-0 marker, the state table was NEVER created
+    val first = Seq((0L, "first doc"), (1L, "first doc")).toDF("id", "t")
+    val surv = fam.survivors(fam.stateOf(first.limit(0), "t", "id"),
+      first, "t", "id")
+    val sinkDs = GraftDataset.create(spark, sink, surv.schema)
+    sinkDs.append(surv)
+    sinkDs.commit("dedup[tok] batch 0")
+    assert(!CommitLog.readBranches(spark, state).contains("main"))
+    // the engine replays epoch 0, then advances: repair must CREATE the
+    // state table and absorb epoch 0 instead of wedging on load()
+    StreamingDedup.processBatch(first, 0L, "tok", sink, state,
+      "t", "id", fam)
+    StreamingDedup.processBatch(
+      Seq((2L, "first doc"), (3L, "new doc")).toDF("id", "t"),
+      1L, "tok", sink, state, "t", "id", fam)
+    val ids = GraftDataset.load(spark, sink).toDF
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(0L, 3L), s"repair must dedup against epoch 0: $ids")
+    assert(GraftDataset.load(spark, state).toDF.count() == 2)
   }
 
   test("simhash family: near-dup shadowing across batches") {
