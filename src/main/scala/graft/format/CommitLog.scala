@@ -142,19 +142,42 @@ object CommitLog {
     * O(history) round-trips on a long-lived table, the same problem the
     * ancestry checkpoint solves for walks).
     */
-  def readAllCommits(spark: SparkSession, root: String): Map[String, CommitMeta] = {
-    val ids = listCommits(spark, root)
-    if (ids.isEmpty) Map.empty
-    else if (ids.length == 1) Map(ids.head -> readCommit(spark, root, ids.head))
+  def readAllCommits(spark: SparkSession, root: String): Map[String, CommitMeta] =
+    parMap(listCommits(spark, root))(id => id -> readCommit(spark, root, id))
+      .toMap
+
+  /** Bounded-parallel map for driver-side metadata sweeps (footer
+    * reads, commit-log bulk reads, per-entry listings, bin writes):
+    * these are LATENCY-bound filesystem round-trips, not CPU work, so
+    * each sweep gets its own small pool — never the global ForkJoin
+    * pool — and trivial sizes stay serial. The single shared shape for
+    * what was the same ~8 lines at five maintenance sites.
+    */
+  private[format] def parMap[A, B](items: Seq[A], cap: Int = 16)
+                                  (f: A => B): Seq[B] =
+    if (items.length <= 1) items.map(f)
     else {
       import scala.collection.parallel.CollectionConverters._
-      val pool = new java.util.concurrent.ForkJoinPool(math.min(ids.length, 16))
+      val pool = new java.util.concurrent.ForkJoinPool(
+        math.max(1, math.min(items.length, cap)))
       try {
-        val p = ids.par
+        val p = items.par
         p.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
-        p.map(id => id -> readCommit(spark, root, id)).seq.toMap
+        p.map(f).seq
       } finally pool.shutdown()
     }
+
+  /** On-disk bytes of one manifest entry (single file or a `df.write`
+    * directory) — the one sizing rule for bin-packing, planner
+    * statistics, and reclamation reports.
+    */
+  private[format] def entryBytes(f: FileSystem, root: String,
+                                 rel: String): Long = {
+    val p = new Path(root, rel)
+    if (!f.exists(p)) 0L
+    else if (f.getFileStatus(p).isDirectory)
+      f.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    else f.getFileStatus(p).getLen
   }
 
   /** Physically remove a commit file (branch purge). Write-once commits

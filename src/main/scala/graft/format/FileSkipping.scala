@@ -71,21 +71,12 @@ object FileSkipping {
     val fs = dir.getFileSystem(conf)
     val wanted: Map[String, String] = schema.fields
       .flatMap(f => statDomain(f.dataType).map(d => f.name -> d)).toMap
-    // One footer open per file, parallelized: a 10k-file compact must
-    // not pay 10k SERIAL driver-side opens (each is a round-trip on an
-    // object store). Bounded I/O pool, not the global ForkJoin pool —
-    // footer reads are latency-bound, not CPU-bound.
+    // One footer open per file, parallelized ([[CommitLog.parMap]]): a
+    // 10k-file compact must not pay 10k SERIAL driver-side opens (each
+    // is a round-trip on an object store).
     val files = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val pool = new java.util.concurrent.ForkJoinPool(
-      math.max(1, math.min(files.length, 16)))
-    val par = {
-      import scala.collection.parallel.CollectionConverters._
-      val p = files.par
-      p.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
-      p
-    }
-    try par.map { st =>
+    CommitLog.parMap(files.toSeq) { st =>
         val fileRel = rel + "/" + st.getPath.getName
         if (wanted.isEmpty) fileRel -> Map.empty[String, ColStats]
         else {
@@ -176,8 +167,7 @@ object FileSkipping {
           }.toMap
           fileRel -> (withRange ++ countOnly)
         }
-      }.seq.toMap
-    finally pool.shutdown()
+      }.toMap
   } catch { case _: Exception => Map.empty }
 
   private def finite(s: String): Boolean =

@@ -300,18 +300,7 @@ class GraftDataset private[format] (
     * table).
     */
   private def footerRows(rels: Seq[String]): Long =
-    if (rels.isEmpty) 0L
-    else if (rels.length == 1) writtenRowCount(rels.head)
-    else {
-      import scala.collection.parallel.CollectionConverters._
-      val pool = new java.util.concurrent.ForkJoinPool(
-        math.min(rels.length, 16))
-      try {
-        val p = rels.par
-        p.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
-        p.map(writtenRowCount).sum
-      } finally pool.shutdown()
-    }
+    CommitLog.parMap(rels)(writtenRowCount).sum
 
   /** Per-file row counts of one base entry from the skipping stats, when
     * every file of the entry carries one (None → caller falls back to a
@@ -729,15 +718,11 @@ class GraftDataset private[format] (
     require(targetBytes > 0, "targetBytes must be positive")
     val rewriteOnly = !dirty
     val f = CommitLog.fs(spark, root)
-    val sized = stFiles.map { rel =>
-      val p = new Path(root, rel)
-      val bytes =
-        if (!f.exists(p)) 0L
-        else if (f.getFileStatus(p).isDirectory)
-          f.listStatus(p).filter(_.isFile).map(_.getLen).sum
-        else f.getFileStatus(p).getLen
-      rel -> bytes
-    }
+    // parallel sizing pre-pass: on the 10k-small-entry table this op
+    // targets, serial per-entry listings would cost 10k round-trips
+    // before any rewrite began
+    val sized = CommitLog.parMap(stFiles)(rel =>
+      rel -> CommitLog.entryBytes(f, root, rel))
     val (small, big) = sized.partition(_._2 < targetBytes)
     if (small.size < 2) return (0, 0) // nothing worth merging
     // greedy first-fit decreasing into ~targetBytes bins
@@ -757,24 +742,10 @@ class GraftDataset private[format] (
     val rewritten = worthIt.flatMap(_._1).toSet
     // each bin → ONE output file (the bins are sized to the target);
     // bins write as concurrent Spark jobs over a bounded pool
-    val newEntries: Seq[String] = {
-      val binSeqs = worthIt.map(_._1.toSeq).toSeq
-      if (binSeqs.size == 1)
-        Seq(writeData(readManifest(binSeqs.head,
+    val newEntries: Seq[String] =
+      CommitLog.parMap(worthIt.map(_._1.toSeq).toSeq, cap = 8)(bin =>
+        writeData(readManifest(bin,
           withUuidSchema(stSchema)).coalesce(1), "bin"))
-      else {
-        import scala.collection.parallel.CollectionConverters._
-        val pool = new java.util.concurrent.ForkJoinPool(
-          math.min(binSeqs.size, 8))
-        try {
-          val p = binSeqs.par
-          p.tasksupport =
-            new scala.collection.parallel.ForkJoinTaskSupport(pool)
-          p.map(bin => writeData(readManifest(bin,
-            withUuidSchema(stSchema)).coalesce(1), "bin")).seq
-        } finally pool.shutdown()
-      }
-    }
     stFiles = stFiles.filterNot(rewritten.contains) ++ newEntries
     dirty = true; pendingRewrite = rewriteOnly
     (rewritten.size, newEntries.size)
@@ -1232,18 +1203,7 @@ class GraftDataset private[format] (
           else { f.delete(st.getPath, true); (rel, bytes, "deleted") }
         }
       }
-      if (children.length <= 1) children.map(classify)
-      else {
-        import scala.collection.parallel.CollectionConverters._
-        val pool = new java.util.concurrent.ForkJoinPool(
-          math.min(children.length, 16))
-        try {
-          val p = children.par
-          p.tasksupport =
-            new scala.collection.parallel.ForkJoinTaskSupport(pool)
-          p.map(classify).seq
-        } finally pool.shutdown()
-      }
+      CommitLog.parMap(children)(classify)
     }
     if (!dryRun) {
       val newCutoff = math.max(vacuumCutoff().getOrElse(Long.MinValue),

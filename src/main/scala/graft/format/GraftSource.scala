@@ -225,13 +225,8 @@ case class GraftRelation(spark: SparkSession, root: String,
       GraftRelation.sizeCache.computeIfAbsent(
         (root, ds.head.getOrElse("")), _ => {
           val f = CommitLog.fs(spark, root)
-          ds.manifestEntries.map { rel =>
-            val p = new org.apache.hadoop.fs.Path(root, rel)
-            if (!f.exists(p)) 0L
-            else if (f.getFileStatus(p).isDirectory)
-              f.listStatus(p).filter(_.isFile).map(_.getLen).sum
-            else f.getFileStatus(p).getLen
-          }.sum
+          CommitLog.parMap(ds.manifestEntries)(
+            CommitLog.entryBytes(f, root, _)).sum
         })
     } catch { case _: Exception => super.sizeInBytes }
 
