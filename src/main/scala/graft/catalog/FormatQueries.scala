@@ -583,6 +583,54 @@ object FormatQueries {
           MIN(c_custkey) AS key_lo, MAX(c_custkey) AS key_hi,
           MIN(c_acctbal) AS bal_lo, MAX(c_acctbal) AS bal_hi,
           MIN(c_name) AS name_lo, MAX(c_name) AS name_hi
-        FROM customer"""))
+        FROM customer""")),
+
+    // change-data-feed tail (Delta CDF as a read-time manifest delta):
+    // run 1 drains the seed snapshot as insert events; a mixed commit
+    // (update + pop + append) then drains as update_postimage / delete /
+    // insert events on the SAME checkpoint. The oracle reconstructs the
+    // exact event multiset from the source table — a dropped event, a
+    // stale postimage, or a resurrected delete all break the hash.
+    QueryDef("q115_stream_change_feed",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val root = freshRoot("q115")
+        val ckpt = freshRoot("q115ck")
+        val ds = IO.fromDataFrame(o, root) // seed commit
+        // ONE live query across both phases (the memory sink cannot
+        // restart from a checkpoint): drain the snapshot, mutate the
+        // table mid-stream, drain the CDC delta, then aggregate
+        val q = s.readStream.format("graft")
+          .option("changeFeed", "true").load(root)
+          .writeStream.format("memory").queryName("q115_out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+          .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable()
+        ds.update(col("o_orderkey") % 7 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") + 1)))
+        ds.pop(col("o_orderkey") % 11 === 0)
+        ds.append(o.filter(col("o_orderkey") <= 50)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_totalprice")))
+        ds.commit("mixed mutation")
+        q.processAllAvailable()
+        q.stop()
+        s.table("q115_out")
+          .groupBy("_change_type").agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy("_change_type")
+      },
+      Some("""WITH ev AS (
+          SELECT 'insert' AS ct, o_totalprice AS p FROM orders
+          UNION ALL SELECT 'insert', o_totalprice FROM orders
+            WHERE o_orderkey <= 50
+          UNION ALL SELECT 'update_postimage', o_totalprice + 1 FROM orders
+            WHERE o_orderkey % 7 = 0
+          UNION ALL SELECT 'delete', NULL FROM orders
+            WHERE o_orderkey % 11 = 0)
+        SELECT ct AS _change_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM ev GROUP BY 1 ORDER BY 1"""))
   )
 }

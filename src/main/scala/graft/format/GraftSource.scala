@@ -100,7 +100,8 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       "graft stream source: the schema comes from the table; do not pass one")
     (shortName(), GraftTailSource.tableSchema(sqlContext.sparkSession,
       root(parameters), parameters.getOrElse("branch", "main"),
-      parameters.get("withUuid").exists(_.toBoolean)))
+      parameters.get("withUuid").exists(_.toBoolean),
+      parameters.get("changeFeed").exists(_.toBoolean)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -112,7 +113,8 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       parameters.get("withUuid").exists(_.toBoolean),
       parameters.get("ignoreChanges").exists(_.toBoolean),
       parameters.get("maxCommitsPerTrigger").map(_.toInt).getOrElse(0),
-      metadataPath)
+      metadataPath,
+      parameters.get("changeFeed").exists(_.toBoolean))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

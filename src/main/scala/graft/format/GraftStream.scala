@@ -3,7 +3,7 @@ package graft.format
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftnative.InternalDf
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -17,6 +17,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * micro-batch is a commit and every commit is a micro-batch.
   */
 object GraftStream {
+
+  /** Change-feed metadata columns (Delta CDF naming, minus pre-images). */
+  val ChangeTypeCol = "_change_type"
+  val CommitIdCol = "_commit_id"
 
   /** Commit-message marker carrying (query token, epoch id) — the
     * idempotency key for exactly-once appends under checkpoint recovery.
@@ -140,14 +144,25 @@ class GraftSink(spark: SparkSession, root: String, branch: String,
 class GraftTailSource(spark: SparkSession, root: String, branch: String,
                       withUuid: Boolean, ignoreChanges: Boolean,
                       maxCommitsPerTrigger: Int = 0,
-                      metadataPath: String = "")
+                      metadataPath: String = "",
+                      changeFeed: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  require(!(changeFeed && ignoreChanges),
+    "graft stream source: changeFeed already expresses in-place changes; " +
+      "ignoreChanges would silently drop them — pick one")
+
   override val schema: StructType =
-    GraftTailSource.tableSchema(spark, root, branch, withUuid)
+    GraftTailSource.tableSchema(spark, root, branch, withUuid, changeFeed)
 
   private def logicalCols = schema.fieldNames.toIndexedSeq.map(col)
+
+  /** The pinned DATA schema under the change-feed metadata columns:
+    * table columns + `_uuid` (the feed's row identity — a delete event
+    * carries ONLY identity, so the uuid is always included). */
+  private def cdfDataSchema: StructType =
+    StructType(schema.fields.dropRight(2))
 
   // ---- rate limiting (maxCommitsPerTrigger > 0) -------------------------
   // A stream resuming after downtime would otherwise replay the WHOLE
@@ -271,9 +286,15 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
     start match {
       case None =>
         // initial batch: the full snapshot at `end` (merge-on-read plan —
-        // updates and tombstones up to here are already folded in)
+        // updates and tombstones up to here are already folded in); in
+        // change-feed mode every snapshot row is an `insert` event
         val ds = GraftDataset.loadCommit(spark, root, endId)
-        val snap = if (withUuid) ds.snapshotWithUuid() else ds.toDF
+        val snap =
+          if (changeFeed) ds.snapshotWithUuid()
+            .withColumn(GraftStream.ChangeTypeCol, lit("insert"))
+            .withColumn(GraftStream.CommitIdCol, lit(endId))
+          else if (withUuid) ds.snapshotWithUuid()
+          else ds.toDF
         InternalDf.asStreaming(snap.select(logicalCols: _*))
       case Some(s) if GraftStream.offsetValue(s) >= GraftStream.offsetValue(end) =>
         InternalDf.emptyStreaming(spark, schema)
@@ -294,6 +315,7 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
         var prev = CommitLog.readCommit(spark, root,
           GraftStream.commitId(startV))
         val added = Vector.newBuilder[String]
+        val cdfBatches = Vector.newBuilder[DataFrame]
         for (m <- metas) {
           if (!m.rewrite.contains(true)) {
             // schema equality, not rename-chain equality: a compact-on-
@@ -307,31 +329,89 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
                 "to pick up the new schema")
             val prevFiles = prev.files.toSet
             val mFiles = m.files.toSet
-            val appendOnly = m.updates == prev.updates &&
-              m.tombstones == prev.tombstones &&
-              prev.files.forall(mFiles.contains)
-            require(appendOnly || ignoreChanges,
-              s"graft stream source: commit ${m.id} contains in-place " +
-                "changes (update/pop) that an append stream cannot " +
-                "express; set option ignoreChanges=true to stream the " +
-                "appends only")
-            added ++= m.files.filterNot(prevFiles)
+            if (changeFeed) cdfBatches ++= cdfEvents(m, prev)
+            else {
+              val appendOnly = m.updates == prev.updates &&
+                m.tombstones == prev.tombstones &&
+                prev.files.forall(mFiles.contains)
+              require(appendOnly || ignoreChanges,
+                s"graft stream source: commit ${m.id} contains in-place " +
+                  "changes (update/pop) that an append stream cannot " +
+                  "express; set option ignoreChanges=true to stream the " +
+                  "appends only, or changeFeed=true for full CDC events")
+              added ++= m.files.filterNot(prevFiles)
+            }
           }
           prev = m
         }
-        // manifest paths are table-root-relative; reading with the
-        // PINNED schema null-backfills columns a file predates and
-        // ignores columns it has extra (the snapshot readers'
-        // mergeSchema+align equivalent), so a file range written under
-        // an older schema — replayed after a schema-change restart —
-        // still reads instead of failing on single-file inference
-        val newFiles = added.result()
-          .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
-        if (newFiles.isEmpty) InternalDf.emptyStreaming(spark, schema)
-        else InternalDf.asStreaming(
-          spark.read.schema(schema).parquet(newFiles: _*)
-            .select(logicalCols: _*))
+        if (changeFeed) {
+          val parts = cdfBatches.result()
+          if (parts.isEmpty) InternalDf.emptyStreaming(spark, schema)
+          else InternalDf.asStreaming(
+            parts.reduce(_ unionByName _).select(logicalCols: _*))
+        } else {
+          // manifest paths are table-root-relative; reading with the
+          // PINNED schema null-backfills columns a file predates and
+          // ignores columns it has extra (the snapshot readers'
+          // mergeSchema+align equivalent), so a file range written under
+          // an older schema — replayed after a schema-change restart —
+          // still reads instead of failing on single-file inference
+          val newFiles = added.result()
+            .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
+          if (newFiles.isEmpty) InternalDf.emptyStreaming(spark, schema)
+          else InternalDf.asStreaming(
+            spark.read.schema(schema).parquet(newFiles: _*)
+              .select(logicalCols: _*))
+        }
     }
+  }
+
+  /** One commit's change events (Delta CDF shape, computed at READ time
+    * from the manifest delta — the format's update/tombstone files
+    * already carry everything the feed needs):
+    *   - new base files   → `insert` (full row),
+    *   - new update files → `update_postimage` (full row; update files
+    *     store complete rows, last-wins per uuid WITHIN the commit so a
+    *     multi-update commit emits its final image once),
+    *   - new tombstones   → `delete` (identity only: `_uuid` + null
+    *     data columns — the row's values died with the commit).
+    * Pre-images are not materialized (they would need the parent
+    * snapshot joined per commit); uuid identity + postimage covers
+    * downstream upsert/delete application, the dominant CDC use.
+    */
+  private def cdfEvents(m: CommitMeta, prev: CommitMeta): Seq[DataFrame] = {
+    def paths(rels: Seq[String]) =
+      rels.map(f => new org.apache.hadoop.fs.Path(root, f).toString)
+    def tagged(df: DataFrame, tpe: String) = df
+      .withColumn(GraftStream.ChangeTypeCol, lit(tpe))
+      .withColumn(GraftStream.CommitIdCol, lit(m.id))
+    val out = Vector.newBuilder[DataFrame]
+    val newFiles = m.files.filterNot(prev.files.toSet)
+    if (newFiles.nonEmpty) out += tagged(
+      spark.read.schema(cdfDataSchema).parquet(paths(newFiles): _*), "insert")
+    val newUps = m.updates.filterNot(prev.updates.toSet)
+    if (newUps.nonEmpty) {
+      val all = newUps.zipWithIndex.map { case (u, i) =>
+        spark.read.schema(cdfDataSchema).parquet(paths(Seq(u)): _*)
+          .withColumn("_file_seq", lit(i))
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(GraftDataset.UuidCol).orderBy(col("_file_seq").desc)
+      out += tagged(all
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn", "_file_seq"), "update_postimage")
+    }
+    val newTombs = m.tombstones.filterNot(prev.tombstones.toSet)
+    if (newTombs.nonEmpty) {
+      val dead = spark.read.parquet(paths(newTombs): _*)
+        .select(GraftDataset.UuidCol)
+      val cols = cdfDataSchema.fields.toIndexedSeq.map { f =>
+        if (f.name == GraftDataset.UuidCol) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      out += tagged(dead.select(cols: _*), "delete")
+    }
+    out.result()
   }
 
   override def commit(end: Offset): Unit = ()
@@ -344,7 +424,8 @@ object GraftTailSource {
     * json — no data read), plus the row-identity column when asked.
     */
   def tableSchema(spark: SparkSession, root: String, branch: String,
-                  withUuid: Boolean): StructType = {
+                  withUuid: Boolean,
+                  changeFeed: Boolean = false): StructType = {
     val head = CommitLog.readBranches(spark, root).getOrElse(branch,
       throw new IllegalArgumentException(
         s"graft stream source: no branch '$branch' at $root — the table " +
@@ -352,8 +433,17 @@ object GraftTailSource {
     val logical = org.apache.spark.sql.types.DataType
       .fromJson(CommitLog.readCommit(spark, root, head).schemaJson)
       .asInstanceOf[StructType]
-    if (withUuid) StructType(logical.fields :+
-      StructField(GraftDataset.UuidCol, LongType, nullable = false))
-    else logical
+    // the change feed always carries `_uuid`: a delete event is
+    // identity-only, and consumers key their apply on it
+    val withId =
+      if (withUuid || changeFeed) StructType(logical.fields :+
+        StructField(GraftDataset.UuidCol, LongType, nullable = false))
+      else logical
+    if (!changeFeed) withId
+    else StructType(withId.fields :+
+      StructField(GraftStream.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false) :+
+      StructField(GraftStream.CommitIdCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
   }
 }

@@ -111,6 +111,75 @@ class GraftStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("changeFeed=true streams CDC events for appends, updates, and pops") {
+    val root = tmpDir("gcdf") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ds.commit("seed")
+    val stream = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(root)
+    assert(stream.schema.fieldNames.toSeq ==
+      Seq("id", "v", "_uuid", "_change_type", "_commit_id"))
+    val q = stream.writeStream.format("memory").queryName("gcdf_out")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", tmpDir("gcdfckpt"))
+      .start()
+    q.processAllAvailable()
+    def events() = spark.table("gcdf_out")
+      .select("id", "v", "_change_type")
+      .as[(Option[Long], Option[String], String)].collect().toSeq
+    // initial snapshot: every live row as an insert event
+    assert(events().sorted ==
+      Seq((Some(1L), Some("a"), "insert"), (Some(2L), Some("b"), "insert")))
+    // one commit mixing all three change kinds: two updates of the SAME
+    // row (last image wins within the commit), a pop, and an append
+    ds.update(col("id") === 1L, Map("v" -> lit("A0")))
+    ds.update(col("id") === 1L, Map("v" -> lit("A")))
+    ds.pop(col("id") === 2L)
+    ds.append(Seq((3L, "c")).toDF("id", "v"))
+    ds.commit("mixed mutation")
+    q.processAllAvailable()
+    q.stop()
+    val byType = spark.table("gcdf_out")
+      .select("id", "v", "_change_type")
+      .as[(Option[Long], Option[String], String)].collect()
+      .groupBy(_._3).view.mapValues(_.toSeq.sorted).toMap
+    assert(byType("insert").sorted == Seq(
+      (Some(1L), Some("a"), "insert"), (Some(2L), Some("b"), "insert"),
+      (Some(3L), Some("c"), "insert")))
+    assert(byType("update_postimage") ==
+      Seq((Some(1L), Some("A"), "update_postimage")),
+      s"last image must win within the commit: ${byType("update_postimage")}")
+    // delete is identity-only: data columns null, uuid carried
+    assert(byType("delete") == Seq((None, None, "delete")))
+    val deadUuid = spark.table("gcdf_out")
+      .filter(col("_change_type") === "delete").select("_uuid")
+      .as[Long].collect().toSeq
+    val liveUuids = GraftDataset.load(spark, root).snapshotWithUuid()
+      .select("_uuid").as[Long].collect().toSet
+    assert(deadUuid.size == 1 && !liveUuids.contains(deadUuid.head))
+    // commit ids differ between the snapshot batch and the mutation
+    assert(spark.table("gcdf_out").select("_commit_id")
+      .distinct().count() == 2)
+  }
+
+  test("changeFeed and ignoreChanges are mutually exclusive") {
+    val root = tmpDir("gcdfex") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a")).toDF("id", "v"))
+    ds.commit("seed")
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("changeFeed", "true").option("ignoreChanges", "true")
+        .load(root)
+        .writeStream.format("memory").queryName("gcdfex_out")
+        .option("checkpointLocation", tmpDir("gcdfexckpt"))
+        .start().processAllAvailable()
+    }
+    assert(e.getMessage.contains("pick one") ||
+      Option(e.getCause).exists(_.getMessage.contains("pick one")))
+  }
+
   test("graft source ignoreChanges=true streams appends across mutations") {
     val root = tmpDir("gsrcig") + "/t"
     val ds = GraftDataset.create(spark, root, schema2)
