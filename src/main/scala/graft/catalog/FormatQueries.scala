@@ -631,6 +631,40 @@ object FormatQueries {
             WHERE o_orderkey % 11 = 0)
         SELECT ct AS _change_type, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM ev GROUP BY 1 ORDER BY 1""")),
+
+    // batch table_changes: the SAME event engine as q115 but through
+    // GraftDataset.changes(from) — reads only the mutation commit's
+    // delta files, no stream, no snapshot baseline (the range starts
+    // after the seed commit, so no seed inserts appear)
+    QueryDef("q116_format_table_changes",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val root = freshRoot("q116")
+        val ds = IO.fromDataFrame(o, root)
+        val c0 = ds.head.get
+        ds.update(col("o_orderkey") % 7 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") + 1)))
+        ds.pop(col("o_orderkey") % 11 === 0)
+        ds.append(o.filter(col("o_orderkey") <= 50)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_totalprice")))
+        ds.commit("mixed mutation")
+        ds.changes(c0)
+          .groupBy("_change_type").agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy("_change_type")
+      },
+      Some("""WITH ev AS (
+          SELECT 'insert' AS ct, o_totalprice AS p FROM orders
+            WHERE o_orderkey <= 50
+          UNION ALL SELECT 'update_postimage', o_totalprice + 1 FROM orders
+            WHERE o_orderkey % 7 = 0
+          UNION ALL SELECT 'delete', NULL FROM orders
+            WHERE o_orderkey % 11 = 0)
+        SELECT ct AS _change_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM ev GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1238,6 +1238,55 @@ class GraftDataset private[format] (
       Versioning.mergedSchema(stSchema, schemaAt(theirId)))
   }
 
+  /** Batch change feed (Delta's `table_changes`): every CDC event of
+    * the first-parent commits in `(fromRef, toRef]`, in the same shape
+    * the streaming `changeFeed=true` source emits — `insert` /
+    * `update_postimage` (full rows) / `delete` (identity-only) events
+    * with `_uuid` and `_commit_id`. Unlike [[diff]] (endpoint
+    * comparison via snapshot joins), this reads ONLY the delta files of
+    * the walked commits — the 100 TB path for "what changed since
+    * commit X": cost scales with the churn, not the table. Rewrite-only
+    * compaction commits contribute nothing; a schema change inside the
+    * range fails loudly (the event schema is pinned); commits whose
+    * files vacuum reclaimed fail with the clean expiry error.
+    */
+  def changes(fromRef: String, toRef: String = ""): DataFrame = {
+    val toId =
+      if (toRef.isEmpty) headId.getOrElse(
+        throw new IllegalStateException("no HEAD"))
+      else resolveRef(toRef)
+    val fromId = resolveRef(fromRef)
+    var metas = List.empty[CommitMeta]
+    var cur = Option(toId)
+    while (cur.isDefined && cur.get != fromId) {
+      val m = CommitLog.readCommit(spark, root, cur.get)
+      metas ::= m // ascending after the loop
+      cur = m.parent
+    }
+    require(cur.isDefined,
+      s"$fromRef is not a first-parent ancestor of ${if (toRef.isEmpty) "HEAD" else toRef}")
+    var prev = CommitLog.readCommit(spark, root, fromId)
+    val dataSchema = withUuidSchema(
+      DataType.fromJson(prev.schemaJson).asInstanceOf[StructType])
+    val cdfSchema = StructType(dataSchema.fields :+
+      StructField(GraftStream.ChangeTypeCol, StringType, nullable = false) :+
+      StructField(GraftStream.CommitIdCol, StringType, nullable = false))
+    val parts = Vector.newBuilder[DataFrame]
+    for (m <- metas) {
+      if (!m.rewrite.contains(true)) {
+        require(m.schemaJson == prev.schemaJson,
+          s"schema changed at commit ${m.id}; change feeds are " +
+            "schema-pinned — split the range at the schema change")
+        assertNotExpired(m)
+        parts ++= GraftStream.changeEvents(spark, root, dataSchema, m, prev)
+      }
+      prev = m
+    }
+    parts.result().reduceOption(_ unionByName _)
+      .getOrElse(emptyDf(cdfSchema))
+      .select(cdfSchema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
   /** Row-level value diff between HEAD and another ref
     * (reference `direct_diff`).
     */

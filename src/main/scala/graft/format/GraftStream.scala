@@ -86,6 +86,55 @@ object GraftStream {
   }
 
   private[format] def commitId(v: Long): String = f"$v%08d"
+
+  /** One commit's change events vs its parent state — the shared engine
+    * behind the streaming change feed (`changeFeed=true`) and the batch
+    * [[GraftDataset.changes]] (Delta `table_changes` analogue):
+    *   - new base files   → `insert` (full row),
+    *   - new update files → `update_postimage` (full row, last-wins per
+    *     uuid within the commit),
+    *   - new tombstones   → `delete` (identity only: `_uuid` + null data
+    *     columns).
+    * `dataSchema` is the pinned read schema (table columns + `_uuid`).
+    */
+  private[format] def changeEvents(spark: SparkSession, root: String,
+                                   dataSchema: StructType,
+                                   m: CommitMeta,
+                                   prev: CommitMeta): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.row_number
+    def paths(rels: Seq[String]) =
+      rels.map(f => new org.apache.hadoop.fs.Path(root, f).toString)
+    def tagged(df: DataFrame, tpe: String) = df
+      .withColumn(ChangeTypeCol, lit(tpe))
+      .withColumn(CommitIdCol, lit(m.id))
+    val out = Vector.newBuilder[DataFrame]
+    val newFiles = m.files.filterNot(prev.files.toSet)
+    if (newFiles.nonEmpty) out += tagged(
+      spark.read.schema(dataSchema).parquet(paths(newFiles): _*), "insert")
+    val newUps = m.updates.filterNot(prev.updates.toSet)
+    if (newUps.nonEmpty) {
+      val all = newUps.zipWithIndex.map { case (u, i) =>
+        spark.read.schema(dataSchema).parquet(paths(Seq(u)): _*)
+          .withColumn("_file_seq", lit(i))
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(GraftDataset.UuidCol).orderBy(col("_file_seq").desc)
+      out += tagged(all
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn", "_file_seq"), "update_postimage")
+    }
+    val newTombs = m.tombstones.filterNot(prev.tombstones.toSet)
+    if (newTombs.nonEmpty) {
+      val dead = spark.read.parquet(paths(newTombs): _*)
+        .select(GraftDataset.UuidCol)
+      val cols = dataSchema.fields.toIndexedSeq.map { f =>
+        if (f.name == GraftDataset.UuidCol) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      out += tagged(dead.select(cols: _*), "delete")
+    }
+    out.result()
+  }
 }
 
 /** Streaming sink: one graft commit per micro-batch, exactly-once via the
@@ -379,40 +428,8 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
     * snapshot joined per commit); uuid identity + postimage covers
     * downstream upsert/delete application, the dominant CDC use.
     */
-  private def cdfEvents(m: CommitMeta, prev: CommitMeta): Seq[DataFrame] = {
-    def paths(rels: Seq[String]) =
-      rels.map(f => new org.apache.hadoop.fs.Path(root, f).toString)
-    def tagged(df: DataFrame, tpe: String) = df
-      .withColumn(GraftStream.ChangeTypeCol, lit(tpe))
-      .withColumn(GraftStream.CommitIdCol, lit(m.id))
-    val out = Vector.newBuilder[DataFrame]
-    val newFiles = m.files.filterNot(prev.files.toSet)
-    if (newFiles.nonEmpty) out += tagged(
-      spark.read.schema(cdfDataSchema).parquet(paths(newFiles): _*), "insert")
-    val newUps = m.updates.filterNot(prev.updates.toSet)
-    if (newUps.nonEmpty) {
-      val all = newUps.zipWithIndex.map { case (u, i) =>
-        spark.read.schema(cdfDataSchema).parquet(paths(Seq(u)): _*)
-          .withColumn("_file_seq", lit(i))
-      }.reduce(_ unionByName _)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(GraftDataset.UuidCol).orderBy(col("_file_seq").desc)
-      out += tagged(all
-        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn", "_file_seq"), "update_postimage")
-    }
-    val newTombs = m.tombstones.filterNot(prev.tombstones.toSet)
-    if (newTombs.nonEmpty) {
-      val dead = spark.read.parquet(paths(newTombs): _*)
-        .select(GraftDataset.UuidCol)
-      val cols = cdfDataSchema.fields.toIndexedSeq.map { f =>
-        if (f.name == GraftDataset.UuidCol) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }
-      out += tagged(dead.select(cols: _*), "delete")
-    }
-    out.result()
-  }
+  private def cdfEvents(m: CommitMeta, prev: CommitMeta): Seq[DataFrame] =
+    GraftStream.changeEvents(spark, root, cdfDataSchema, m, prev)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

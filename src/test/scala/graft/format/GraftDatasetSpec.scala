@@ -448,6 +448,32 @@ class GraftDatasetSpec extends SparkSpec {
     assert(dd.head().getString(0) == "changed")
   }
 
+  test("changes(): batch CDC events between refs, delta files only") {
+    val ds = freshTable() // 3 rows: ids 0, 1, 2
+    val c0 = ds.head.get
+    ds.update($"id" === 0L, Map("score" -> lit(5.0)))
+    ds.pop($"id" === 1L)
+    val c1 = ds.commit("mutate")
+    ds.append(Seq((7L, "g", 7.0)).toDF("id", "label", "score"))
+    val c2 = ds.commit("grow")
+    val ev = ds.changes(c0).select("id", "_change_type", "_commit_id")
+      .as[(Option[Long], String, String)].collect().toSet
+    assert(ev == Set(
+      (Some(0L), "update_postimage", c1), // full postimage row
+      (None, "delete", c1),               // identity-only
+      (Some(7L), "insert", c2)), s"got $ev")
+    // the delete event still carries its uuid identity
+    assert(ds.changes(c0, c1).filter($"_change_type" === "delete")
+      .select(GraftDataset.UuidCol).as[Long].collect().length == 1)
+    assert(ds.changes(c0, c1).count() == 2)
+    // rewrite-only compaction contributes no events
+    ds.compact()
+    val c3 = ds.commit("compacted")
+    assert(ds.changes(c2, c3).count() == 0)
+    // a ref that is not a first-parent ancestor fails loudly
+    intercept[IllegalArgumentException](ds.changes(c2, c0))
+  }
+
   test("countRows: metadata-only count tracks the snapshot through mutations") {
     val ds = freshTable() // 3 rows
     def check(): Unit =
