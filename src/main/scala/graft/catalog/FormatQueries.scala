@@ -665,6 +665,46 @@ object FormatQueries {
             WHERE o_orderkey % 11 = 0)
         SELECT ct AS _change_type, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM ev GROUP BY 1 ORDER BY 1"""))
+        FROM ev GROUP BY 1 ORDER BY 1""")),
+
+    // CDC replication end to end: a replica table is built purely by
+    // applying the source's full change feed (insert events as a
+    // uuid-preserving base entry, postimages as ONE update file,
+    // deletes as ONE tombstone file), then aggregated. The oracle
+    // reconstructs the source's final state — a replica that diverges
+    // in any row breaks the hash.
+    QueryDef("q117_format_cdc_replica",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val ds = IO.fromDataFrame(o, freshRoot("q117src"))
+        ds.update(col("o_orderstatus") === "F",
+          Map("o_totalprice" -> (col("o_totalprice") + 10)))
+        ds.pop(col("o_orderkey") % 9 === 0)
+        ds.commit("mutate")
+        ds.append(o.filter(col("o_orderkey") <= 40)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        ds.commit("grow")
+        val replica = graft.format.GraftDataset.create(
+          s, freshRoot("q117rep"), ds.schema)
+        replica.applyChanges(ds.changes())
+        replica.commit("replicated")
+        replica.toDF.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH final AS (
+          SELECT o_orderstatus,
+            CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10
+                 ELSE o_totalprice END AS p
+          FROM orders WHERE o_orderkey % 9 <> 0
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey <= 40)
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM final GROUP BY 1 ORDER BY 1"""))
   )
 }

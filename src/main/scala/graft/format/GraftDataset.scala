@@ -1250,22 +1250,28 @@ class GraftDataset private[format] (
     * range fails loudly (the event schema is pinned); commits whose
     * files vacuum reclaimed fail with the clean expiry error.
     */
-  def changes(fromRef: String, toRef: String = ""): DataFrame = {
+  def changes(fromRef: String = "", toRef: String = ""): DataFrame = {
     val toId =
       if (toRef.isEmpty) headId.getOrElse(
         throw new IllegalStateException("no HEAD"))
       else resolveRef(toRef)
-    val fromId = resolveRef(fromRef)
+    // empty fromRef = from the very beginning: the full feed bootstraps
+    // a CDC replica (first commit's events included)
+    val fromId = if (fromRef.isEmpty) None else Some(resolveRef(fromRef))
     var metas = List.empty[CommitMeta]
     var cur = Option(toId)
-    while (cur.isDefined && cur.get != fromId) {
+    while (cur.isDefined && cur != fromId) {
       val m = CommitLog.readCommit(spark, root, cur.get)
       metas ::= m // ascending after the loop
       cur = m.parent
     }
-    require(cur.isDefined,
+    require(fromId.isEmpty || cur.isDefined,
       s"$fromRef is not a first-parent ancestor of ${if (toRef.isEmpty) "HEAD" else toRef}")
-    var prev = CommitLog.readCommit(spark, root, fromId)
+    var prev = fromId.map(CommitLog.readCommit(spark, root, _)).getOrElse(
+      CommitMeta(id = "", parent = None, mergeParent = None, message = "",
+        timestampMs = 0L,
+        schemaJson = metas.headOption.fold(stSchema.json)(_.schemaJson),
+        files = Nil, updates = Nil, tombstones = Nil, renames = Nil))
     val dataSchema = withUuidSchema(
       DataType.fromJson(prev.schemaJson).asInstanceOf[StructType])
     val cdfSchema = StructType(dataSchema.fields :+
@@ -1285,6 +1291,50 @@ class GraftDataset private[format] (
     parts.result().reduceOption(_ unionByName _)
       .getOrElse(emptyDf(cdfSchema))
       .select(cdfSchema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  /** Apply a change feed to THIS table — the replica side of CDC
+    * replication, and the inverse of [[changes]] / the streaming
+    * `changeFeed=true` source. Each event kind maps DIRECTLY onto the
+    * format's own file kinds, so applying N events costs one write per
+    * kind, not one operation per row:
+    *   - `insert` rows → one base entry (uuid-PRESERVING: the feed's
+    *     `_uuid` is the replica's row identity),
+    *   - `update_postimage` rows → one update file (merge-on-read
+    *     last-wins does the rest; multi-commit feeds are deduped to the
+    *     LATEST postimage per uuid by `_commit_id` first),
+    *   - `delete` rows → one tombstone file.
+    * Contract: a replica fed this way is identified by the SOURCE's
+    * uuids — write it exclusively through applyChanges (local appends
+    * would mint uuids from this table's own reservation space and could
+    * collide with the source's). The caller commits.
+    * Returns (inserts, updates, deletes) applied.
+    */
+  def applyChanges(events: DataFrame): (Long, Long, Long) = {
+    val need = Seq(GraftStream.ChangeTypeCol, GraftStream.CommitIdCol, UuidCol)
+    require(need.forall(events.columns.contains),
+      s"not a change feed: expected columns ${need.mkString(", ")}")
+    val tpe = col(GraftStream.ChangeTypeCol)
+    val dataCols = withUuidSchema(stSchema).fieldNames.toIndexedSeq.map(col)
+    def land(df: DataFrame, kind: String,
+             register: String => Unit): Long = {
+      val rel = writeData(df, kind)
+      val n = writtenRowCount(rel)
+      if (n > 0) { register(rel); dirty = true; pendingRewrite = false }
+      else deleteData(rel)
+      n
+    }
+    val nIns = land(events.filter(tpe === "insert").select(dataCols: _*),
+      "cdc", stFiles :+= _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(UuidCol).orderBy(col(GraftStream.CommitIdCol).desc)
+    val latestUpd = events.filter(tpe === "update_postimage")
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(dataCols: _*)
+    val nUpd = land(latestUpd, "update", stUpdates :+= _)
+    val nDel = land(events.filter(tpe === "delete").select(col(UuidCol)),
+      "tombstone", stTombstones :+= _)
+    (nIns, nUpd, nDel)
   }
 
   /** Row-level value diff between HEAD and another ref

@@ -474,6 +474,37 @@ class GraftDatasetSpec extends SparkSpec {
     intercept[IllegalArgumentException](ds.changes(c2, c0))
   }
 
+  test("applyChanges: CDC replica converges to the source, uuids preserved") {
+    val src = freshTable() // ids 0, 1, 2
+    src.update($"id" === 0L, Map("score" -> lit(5.0)))
+    src.pop($"id" === 1L)
+    src.commit("mutate")
+    src.update($"id" === 0L, Map("score" -> lit(6.0)))
+    src.commit("mutate2") // second postimage for id 0: latest must win
+    src.append(Seq((7L, "g", 7.0)).toDF("id", "label", "score"))
+    src.commit("grow")
+    val replica = GraftDataset.create(spark, tmpDir("replica") + "/t",
+      src.schema)
+    val (ins, upd, del) = replica.applyChanges(src.changes()) // full feed
+    replica.commit("replicated")
+    assert(ins == 4 && upd == 1 && del == 1, s"($ins, $upd, $del)")
+    assert(replica.toDF.orderBy("id").collect().toSeq ==
+      src.toDF.orderBy("id").collect().toSeq)
+    // row identity is the SOURCE's uuids, preserved verbatim
+    assert(replica.snapshotWithUuid().orderBy("id").select("_uuid")
+      .as[Long].collect().toSeq ==
+      src.snapshotWithUuid().orderBy("id").select("_uuid")
+        .as[Long].collect().toSeq)
+    // incremental catch-up applies only the delta commits
+    val mark = src.head.get
+    src.update($"id" === 2L, Map("label" -> lit("zz")))
+    src.commit("more churn")
+    replica.applyChanges(src.changes(mark))
+    replica.commit("caught up")
+    assert(replica.toDF.orderBy("id").collect().toSeq ==
+      src.toDF.orderBy("id").collect().toSeq)
+  }
+
   test("countRows: metadata-only count tracks the snapshot through mutations") {
     val ds = freshTable() // 3 rows
     def check(): Unit =
