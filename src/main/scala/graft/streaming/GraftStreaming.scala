@@ -35,6 +35,43 @@ object GraftStreaming {
       }
       .start()
 
+  /** Live CDC replication: tail `srcRoot`'s change feed and apply every
+    * event to the replica at `dstRoot` — full mutations (updates and
+    * pops included), not just appends, with the replica carrying the
+    * source's row identities verbatim ([[GraftDataset.applyChanges]]).
+    * Exactly-once per epoch via the same commit-marker idempotency the
+    * sink uses: a checkpoint-replayed batch whose marker already exists
+    * in the replica's log is skipped. The replica is created on the
+    * first batch (from the feed's data schema) and must be written
+    * ONLY through this stream (the applyChanges uuid contract).
+    */
+  def replicate(spark: org.apache.spark.sql.SparkSession,
+                srcRoot: String, dstRoot: String, checkpointDir: String,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.format("graft").option("changeFeed", "true")
+      .load(srcRoot)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val s = batch.sparkSession
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          batch.schema.fields.dropRight(2) // strip _change_type/_commit_id
+            .filterNot(_.name == GraftDataset.UuidCol))
+        val exists = graft.format.CommitLog
+          .readBranches(s, dstRoot).contains("main")
+        val replica =
+          if (exists) GraftDataset.load(s, dstRoot)
+          else GraftDataset.create(s, dstRoot, dataSchema)
+        val marker = s"cdc epoch $epoch"
+        if (!replica.log.exists(_.message == marker)) { // idempotent
+          replica.applyChanges(batch)
+          replica.commit(marker, allowEmpty = true)
+          ()
+        }
+      }
+      .start()
+
   /** Watermarked sliding/tumbling-window counts over an event stream —
     * the canonical late-data-tolerant streaming aggregation.
     */
