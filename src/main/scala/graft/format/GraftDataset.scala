@@ -157,16 +157,10 @@ class GraftDataset private[format] (
       // one update file needs no last-wins window — skip the extra shuffle
       val latest =
         if (updates.size == 1) readManifest(updates, target)
-        else {
-          val all = updates.zipWithIndex.map { case (u, i) =>
+        else GraftDataset.lastWinsPerUuid(
+          updates.zipWithIndex.map { case (u, i) =>
             readManifest(Seq(u), target).withColumn("_file_seq", lit(i))
-          }.reduce(_ unionByName _)
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(UuidCol).orderBy(col("_file_seq").desc)
-          all.withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1)
-            .drop("_rn", "_file_seq")
-        }
+          }.reduce(_ unionByName _), "_file_seq")
       df = df.join(latest.select(UuidCol), Seq(UuidCol), "left_anti")
         .unionByName(latest)
     }
@@ -1258,22 +1252,18 @@ class GraftDataset private[format] (
     // empty fromRef = from the very beginning: the full feed bootstraps
     // a CDC replica (first commit's events included)
     val fromId = if (fromRef.isEmpty) None else Some(resolveRef(fromRef))
-    var metas = List.empty[CommitMeta]
-    var cur = Option(toId)
-    while (cur.isDefined && cur != fromId) {
-      val m = CommitLog.readCommit(spark, root, cur.get)
-      metas ::= m // ascending after the loop
-      cur = m.parent
+    val metas = fromId match {
+      case Some(f) => commitsBetween(f, toId)
+      case None =>
+        new GraftDataset(spark, root, None, Some(toId)).log.reverse
     }
-    require(fromId.isEmpty || cur.isDefined,
-      s"$fromRef is not a first-parent ancestor of ${if (toRef.isEmpty) "HEAD" else toRef}")
     var prev = fromId.map(CommitLog.readCommit(spark, root, _)).getOrElse(
       CommitMeta(id = "", parent = None, mergeParent = None, message = "",
         timestampMs = 0L,
         schemaJson = metas.headOption.fold(stSchema.json)(_.schemaJson),
         files = Nil, updates = Nil, tombstones = Nil, renames = Nil))
-    val dataSchema = withUuidSchema(
-      DataType.fromJson(prev.schemaJson).asInstanceOf[StructType])
+    val dataSchema = GraftStream.nullableData(withUuidSchema(
+      DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]))
     val cdfSchema = StructType(dataSchema.fields :+
       StructField(GraftStream.ChangeTypeCol, StringType, nullable = false) :+
       StructField(GraftStream.CommitIdCol, StringType, nullable = false))
@@ -1283,6 +1273,7 @@ class GraftDataset private[format] (
         require(m.schemaJson == prev.schemaJson,
           s"schema changed at commit ${m.id}; change feeds are " +
             "schema-pinned — split the range at the schema change")
+        GraftStream.requireDeltaExpressible(m, prev)
         assertNotExpired(m)
         parts ++= GraftStream.changeEvents(spark, root, dataSchema, m, prev)
       }
@@ -1316,25 +1307,37 @@ class GraftDataset private[format] (
       s"not a change feed: expected columns ${need.mkString(", ")}")
     val tpe = col(GraftStream.ChangeTypeCol)
     val dataCols = withUuidSchema(stSchema).fieldNames.toIndexedSeq.map(col)
-    def land(df: DataFrame, kind: String,
-             register: String => Unit): Long = {
-      val rel = writeData(df, kind)
-      val n = writtenRowCount(rel)
-      if (n > 0) { register(rel); dirty = true; pendingRewrite = false }
-      else deleteData(rel)
-      n
-    }
-    val nIns = land(events.filter(tpe === "insert").select(dataCols: _*),
-      "cdc", stFiles :+= _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(UuidCol).orderBy(col(GraftStream.CommitIdCol).desc)
-    val latestUpd = events.filter(tpe === "update_postimage")
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(dataCols: _*)
-    val nUpd = land(latestUpd, "update", stUpdates :+= _)
-    val nDel = land(events.filter(tpe === "delete").select(col(UuidCol)),
-      "tombstone", stTombstones :+= _)
-    (nIns, nUpd, nDel)
+    // three writes consume the feed — persist so the (possibly
+    // expensive: bootstrap snapshot, multi-commit delta) plan runs once
+    val cached = events.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def land(df: DataFrame, kind: String,
+               register: String => Unit): Long = {
+        val rel = writeData(df, kind)
+        val n = writtenRowCount(rel)
+        if (n > 0) { register(rel); dirty = true; pendingRewrite = false }
+        else deleteData(rel)
+        n
+      }
+      // row-level idempotency: an insert whose uuid this replica already
+      // carries (replayed bootstrap, overlapping feed ranges) is dropped
+      // — a live tombstoned uuid stays dead regardless, because the
+      // tombstone file kills the uuid whichever base entry holds it.
+      // Postimages and deletes are idempotent by construction
+      // (last-wins window / uuid anti-join in the snapshot plan).
+      val freshIns = cached.filter(tpe === "insert").select(dataCols: _*)
+        .join(snapshotWithUuid().select(UuidCol), Seq(UuidCol), "left_anti")
+      val nIns = land(freshIns.select(dataCols: _*), "cdc", stFiles :+= _)
+      val latestUpd = GraftDataset.lastWinsPerUuid(
+        cached.filter(tpe === "update_postimage")
+          .select((dataCols :+ col(GraftStream.CommitIdCol)): _*),
+        GraftStream.CommitIdCol)
+      val nUpd = land(latestUpd, "update", stUpdates :+= _)
+      val nDel = land(cached.filter(tpe === "delete").select(col(UuidCol)),
+        "tombstone", stTombstones :+= _)
+      (nIns, nUpd, nDel)
+    } finally { cached.unpersist(false); () }
   }
 
   /** Row-level value diff between HEAD and another ref
@@ -2260,6 +2263,18 @@ object GraftDataset {
     * original conflict surfaces to the caller.
     */
   val MaxCommitRebases = 5
+
+  /** Keep only the LAST row per `_uuid`, ordered by `seqCol` — the one
+    * merge-on-read dedup idiom behind multi-file update resolution,
+    * change-event postimages, and CDC apply (drops `seqCol`).
+    */
+  private[format] def lastWinsPerUuid(df: DataFrame,
+                                      seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(UuidCol).orderBy(col(seqCol).desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", seqCol)
+  }
 
   /** Create a new table (reference `muller.empty` / `muller.dataset`). */
   def create(spark: SparkSession, root: String, schema: StructType,

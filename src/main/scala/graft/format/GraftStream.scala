@@ -32,7 +32,7 @@ object GraftStream {
     */
   private[format] val MarkerRe = "stream\\[([0-9a-f]+)\\] batch (\\d+)".r
 
-  private[format] def marker(token: String, batchId: Long) =
+  private[graft] def marker(token: String, batchId: Long) =
     s"stream[$token] batch $batchId"
 
   /** A stable per-query token from the checkpoint location (the one
@@ -42,7 +42,7 @@ object GraftStream {
     * over one table's lifetime — and a collision means silently dropped
     * batches. md5's full width makes that unreachable.
     */
-  private[format] def queryToken(checkpointLocation: String): String =
+  private[graft] def queryToken(checkpointLocation: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(checkpointLocation.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
@@ -64,7 +64,7 @@ object GraftStream {
     * a new query over an existing table walks past the other tokens'
     * markers once (its own first commit ends later walks).
     */
-  private[format] def lastBatchId(spark: SparkSession, root: String,
+  private[graft] def lastBatchId(spark: SparkSession, root: String,
                                   head: Option[String],
                                   tokens: Set[String]): Option[Long] = {
     var cur = head
@@ -87,6 +87,35 @@ object GraftStream {
 
   private[format] def commitId(v: Long): String = f"$v%08d"
 
+  /** Data columns forced NULLABLE for change feeds: delete events carry
+    * null in every data column (identity-only), so a non-nullable
+    * declared schema would let the optimizer constant-fold an
+    * `IsNotNull` filter to true and leak delete rows through it (or
+    * NPE a typed consumer). `_uuid` stays non-null — every event
+    * carries identity.
+    */
+  private[format] def nullableData(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields.map(f =>
+      if (f.name == GraftDataset.UuidCol) f else f.copy(nullable = true)))
+
+  /** A commit whose manifest DROPPED prior entries (compaction or
+    * bin-packing over staged changes, a merge) FOLDS history into fresh
+    * files: its new base files are rewritten old rows, not inserts, so
+    * a change feed cannot express it as per-row events — emitting its
+    * files as inserts would silently duplicate the whole table
+    * downstream. Fail loudly; maintenance run from a CLEAN state
+    * publishes a rewrite-flagged commit, which feeds skip entirely.
+    */
+  private[format] def requireDeltaExpressible(m: CommitMeta,
+                                              prev: CommitMeta): Unit =
+    require(prev.files.forall(m.files.contains) &&
+        prev.updates.forall(m.updates.contains) &&
+        prev.tombstones.forall(m.tombstones.contains),
+      s"commit ${m.id} folds prior state into rewritten files (compaction " +
+        "over staged changes, or a merge); a change feed cannot express " +
+        "it as row events — run maintenance from a clean state (rewrite-" +
+        "flagged commits are skipped) or split the feed at this commit")
+
   /** One commit's change events vs its parent state — the shared engine
     * behind the streaming change feed (`changeFeed=true`) and the batch
     * [[GraftDataset.changes]] (Delta `table_changes` analogue):
@@ -101,7 +130,6 @@ object GraftStream {
                                    dataSchema: StructType,
                                    m: CommitMeta,
                                    prev: CommitMeta): Seq[DataFrame] = {
-    import org.apache.spark.sql.functions.row_number
     def paths(rels: Seq[String]) =
       rels.map(f => new org.apache.hadoop.fs.Path(root, f).toString)
     def tagged(df: DataFrame, tpe: String) = df
@@ -117,11 +145,8 @@ object GraftStream {
         spark.read.schema(dataSchema).parquet(paths(Seq(u)): _*)
           .withColumn("_file_seq", lit(i))
       }.reduce(_ unionByName _)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(GraftDataset.UuidCol).orderBy(col("_file_seq").desc)
-      out += tagged(all
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn", "_file_seq"), "update_postimage")
+      out += tagged(GraftDataset.lastWinsPerUuid(all, "_file_seq"),
+        "update_postimage")
     }
     val newTombs = m.tombstones.filterNot(prev.tombstones.toSet)
     if (newTombs.nonEmpty) {
@@ -378,7 +403,10 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
                 "to pick up the new schema")
             val prevFiles = prev.files.toSet
             val mFiles = m.files.toSet
-            if (changeFeed) cdfBatches ++= cdfEvents(m, prev)
+            if (changeFeed) {
+              GraftStream.requireDeltaExpressible(m, prev)
+              cdfBatches ++= cdfEvents(m, prev)
+            }
             else {
               val appendOnly = m.updates == prev.updates &&
                 m.tombstones == prev.tombstones &&
@@ -457,7 +485,7 @@ object GraftTailSource {
         StructField(GraftDataset.UuidCol, LongType, nullable = false))
       else logical
     if (!changeFeed) withId
-    else StructType(withId.fields :+
+    else StructType(GraftStream.nullableData(withId).fields :+
       StructField(GraftStream.ChangeTypeCol,
         org.apache.spark.sql.types.StringType, nullable = false) :+
       StructField(GraftStream.CommitIdCol,

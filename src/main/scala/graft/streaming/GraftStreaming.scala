@@ -21,19 +21,34 @@ object GraftStreaming {
     */
   def appendStream(stream: DataFrame, ds: GraftDataset,
                    checkpointDir: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // per-QUERY token, not a bare epoch: epoch ids restart at 0 for
+    // every new checkpoint, so an epoch-only marker from an earlier
+    // query would silently swallow a new query's first batches (the
+    // GraftSink/GraftStream.marker contract); lastBatchId also stops at
+    // the first own marker instead of walking the whole log per batch
+    val token = graft.format.GraftStream.queryToken(checkpointDir)
+    // dual-read: tables written by the pre-token helper carry bare
+    // "stream epoch N" markers — honor them so an existing checkpoint
+    // resuming here does not re-append its replayed batch
+    def legacyDup(epoch: Long): Boolean =
+      ds.log.exists(_.message == s"stream epoch $epoch")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val marker = s"stream epoch $epoch"
-        if (!ds.log.exists(_.message == marker)) { // idempotent on retry
+        val spark = batch.sparkSession
+        val dup = graft.format.GraftStream
+          .lastBatchId(spark, ds.root, ds.head, Set(token))
+          .exists(_ >= epoch) || legacyDup(epoch)
+        if (!dup) {
           ds.append(batch)
-          ds.commit(marker)
+          ds.commit(graft.format.GraftStream.marker(token, epoch))
           ()
         }
       }
       .start()
+  }
 
   /** Live CDC replication: tail `srcRoot`'s change feed and apply every
     * event to the replica at `dstRoot` — full mutations (updates and
@@ -47,7 +62,11 @@ object GraftStreaming {
     */
   def replicate(spark: org.apache.spark.sql.SparkSession,
                 srcRoot: String, dstRoot: String, checkpointDir: String,
-                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // per-QUERY token (see appendStream): a fresh checkpoint restarts
+    // epochs at 0, and applyChanges' row-level insert idempotency makes
+    // even a re-applied bootstrap converge instead of duplicating rows
+    val token = graft.format.GraftStream.queryToken(checkpointDir)
     spark.readStream.format("graft").option("changeFeed", "true")
       .load(srcRoot)
       .writeStream
@@ -63,14 +82,18 @@ object GraftStreaming {
         val replica =
           if (exists) GraftDataset.load(s, dstRoot)
           else GraftDataset.create(s, dstRoot, dataSchema)
-        val marker = s"cdc epoch $epoch"
-        if (!replica.log.exists(_.message == marker)) { // idempotent
+        val dup = graft.format.GraftStream
+          .lastBatchId(s, dstRoot, replica.head, Set(token))
+          .exists(_ >= epoch)
+        if (!dup) {
           replica.applyChanges(batch)
-          replica.commit(marker, allowEmpty = true)
+          replica.commit(graft.format.GraftStream.marker(token, epoch),
+            allowEmpty = true)
           ()
         }
       }
       .start()
+  }
 
   /** Watermarked sliding/tumbling-window counts over an event stream —
     * the canonical late-data-tolerant streaming aggregation.

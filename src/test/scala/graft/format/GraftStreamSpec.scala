@@ -120,6 +120,11 @@ class GraftStreamSpec extends SparkSpec {
       .option("changeFeed", "true").load(root)
     assert(stream.schema.fieldNames.toSeq ==
       Seq("id", "v", "_uuid", "_change_type", "_commit_id"))
+    // data columns must be declared NULLABLE: delete events carry null
+    // there, and a non-nullable schema would constant-fold IsNotNull
+    // filters and leak delete rows through them
+    assert(stream.schema("id").nullable && stream.schema("v").nullable)
+    assert(!stream.schema("_uuid").nullable)
     val q = stream.writeStream.format("memory").queryName("gcdf_out")
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", tmpDir("gcdfckpt"))
@@ -196,6 +201,44 @@ class GraftStreamSpec extends SparkSpec {
     // an idle third run converges without duplicating anything
     sync()
     assert(replicaRows() == Seq((1L, "A"), (3L, "c")))
+    // a FRESH checkpoint restarts epochs at 0 and re-applies the
+    // bootstrap snapshot — row-level insert idempotency must converge
+    // the replica, not duplicate it (and not stall on stale markers)
+    graft.streaming.GraftStreaming
+      .replicate(spark, src, dst, tmpDir("grck2")).awaitTermination()
+    assert(replicaRows() == Seq((1L, "A"), (3L, "c")),
+      "fresh-checkpoint re-sync must be idempotent")
+  }
+
+  test("changeFeed fails loudly on commits that fold history") {
+    val root = tmpDir("gcdffold") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a")).toDF("id", "v"))
+    ds.commit("seed")
+    val q = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(root)
+      .writeStream.format("memory").queryName("gcdffold_out")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", tmpDir("gcdffoldckpt"))
+      .start()
+    q.processAllAvailable()
+    // compact over a STAGED append publishes a non-rewrite commit whose
+    // files replace the manifest: its base files are rewritten history,
+    // not inserts — emitting them would duplicate the table downstream
+    ds.append(Seq((2L, "b")).toDF("id", "v"))
+    ds.compact()
+    ds.commit("folded")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    assert(err.getMessage.contains("folds prior state") ||
+      Option(err.getCause).exists(_.getMessage.contains("folds prior state")))
+    q.stop()
+    // the batch twin refuses identically
+    val e2 = intercept[IllegalArgumentException](
+      GraftDataset.load(spark, root).changes().count())
+    assert(e2.getMessage.contains("folds prior state"))
   }
 
   test("changeFeed and ignoreChanges are mutually exclusive") {

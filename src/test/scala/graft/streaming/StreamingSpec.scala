@@ -23,10 +23,12 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(ds.toDF.count() == 3)
-    val epochs = ds.log.map(_.message).filter(_.startsWith("stream epoch"))
+    // markers carry the per-query token (epoch-only markers would let an
+    // earlier query's epoch 0 swallow a new query's first batch)
+    val epochs = ds.log.map(_.message).filter(_.startsWith("stream["))
     assert(epochs.size >= 2) // one commit per non-empty micro-batch
     // each epoch is a time-travelable snapshot
-    val afterFirst = ds.log.reverse.find(_.message.startsWith("stream epoch")).get
+    val afterFirst = ds.log.reverse.find(_.message.startsWith("stream[")).get
     assert(ds.snapshotAt(afterFirst.id).count() == 2)
   }
 
