@@ -842,16 +842,27 @@ class GraftDataset private[format] (
     require(dirty || allowEmpty, "nothing to commit (allowEmpty=false)")
     var result: Option[String] = None
     var rebasesLeft = MaxCommitRebases
+    var idRetries = 64
     while (result.isEmpty) {
       val id = CommitLog.nextCommitId(spark, root)
       try { publishCommit(id, message, headId, None); result = Some(id) }
-      catch { case e: java.util.ConcurrentModificationException =>
-        // Delta-style logical conflict resolution: a lost branch-pointer
-        // CAS does not force the user to redo the WRITE when the staged
-        // change and the winner's commits provably commute — the retry
-        // is metadata-only (the data files already exist)
-        if (rebasesLeft <= 0 || !rebaseAppendsOntoBranchHead()) throw e
-        rebasesLeft -= 1
+      catch {
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("already exists")
+              && idRetries > 0 =>
+          // lost the COMMIT-ID allocation race (another writer claimed
+          // the same next id): nothing about our staged state is stale —
+          // take the next id and republish; if the winner also advanced
+          // our branch, the branch CAS below surfaces that as a
+          // ConcurrentModificationException and the rebase path decides
+          idRetries -= 1
+        case e: java.util.ConcurrentModificationException =>
+          // Delta-style logical conflict resolution: a lost branch-pointer
+          // CAS does not force the user to redo the WRITE when the staged
+          // change and the winner's commits provably commute — the retry
+          // is metadata-only (the data files already exist)
+          if (rebasesLeft <= 0 || !rebaseAppendsOntoBranchHead()) throw e
+          rebasesLeft -= 1
       }
     }
     result.get
@@ -939,12 +950,20 @@ class GraftDataset private[format] (
     // read-check-write window assumes one writer per branch at a time,
     // same as the reference's lock scope.)
     branchName.foreach { b =>
-      val heads = CommitLog.readBranches(spark, root)
-      if (heads.get(b) != parent)
-        throw new java.util.ConcurrentModificationException(
-          s"branch $b moved from $parent to ${heads.get(b)} since checkout; " +
-            "reset() and retry")
-      CommitLog.writeBranches(spark, root, heads + (b -> id))
+      // JVM-wide lock closes the read-check-write window for the
+      // in-process multi-writer case (multiple threads / streaming
+      // queries share one driver): without it two racing threads can
+      // BOTH pass the parent check and the second silently clobbers the
+      // first's pointer advance. Cross-PROCESS writers keep the
+      // documented small-window contract (one writer per branch).
+      GraftDataset.branchCasLock.synchronized {
+        val heads = CommitLog.readBranches(spark, root)
+        if (heads.get(b) != parent)
+          throw new java.util.ConcurrentModificationException(
+            s"branch $b moved from $parent to ${heads.get(b)} since checkout; " +
+              "reset() and retry")
+        CommitLog.writeBranches(spark, root, heads + (b -> id))
+      }
     }
     headId = Some(id)
     dirty = false
@@ -2263,6 +2282,10 @@ object GraftDataset {
     * original conflict surfaces to the caller.
     */
   val MaxCommitRebases = 5
+
+  /** Serializes the branch-pointer compare-and-swap across THIS JVM's
+    * writers (see [[GraftDataset.publishCommit]]). */
+  private[format] val branchCasLock = new Object
 
   /** Keep only the LAST row per `_uuid`, ordered by `seqCol` — the one
     * merge-on-read dedup idiom behind multi-file update resolution,

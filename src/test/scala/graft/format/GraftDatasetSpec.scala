@@ -418,6 +418,36 @@ class GraftDatasetSpec extends SparkSpec {
     assert(GraftDataset.load(spark, ds.root).countRows == uuids)
   }
 
+  test("N threads of concurrent appenders all land via auto-rebase") {
+    val ds = freshTable() // 3 seed rows
+    val writers = 3
+    val commitsEach = 2
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val handle = GraftDataset.load(spark, ds.root)
+            for (c <- 0 until commitsEach) {
+              handle.append(Seq((100L + w * 10 + c, s"w$w-$c", 1.0))
+                .toDF("id", "label", "score"))
+              handle.commit(s"writer $w commit $c")
+            }
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // every writer's every row landed exactly once, no lost updates
+    val got = GraftDataset.load(spark, ds.root).toDF
+      .filter($"id" >= 100L).select("id").as[Long].collect().sorted.toSeq
+    val expect = (for (w <- 0 until writers; c <- 0 until commitsEach)
+      yield 100L + w * 10 + c).sorted
+    assert(got == expect, s"lost or duplicated appends: $got")
+    assert(GraftDataset.load(spark, ds.root).countRows ==
+      3 + writers * commitsEach)
+  }
+
   test("concurrent non-append conflicts still fail loudly") {
     val ds = freshTable()
     // loser staged an UPDATE: not append-only, must not silently rebase
