@@ -1960,24 +1960,25 @@ class GraftDataset private[format] (
   def describeFiles: DataFrame = {
     import spark.implicits._
     stFiles.flatMap { entry =>
+      val epoch = epochOf(entry) // rename-chain suffix start (0 = whole chain)
       val prefix = entry + "/"
       val perFile = stStats.view
         .filterKeys(k => k == entry || k.startsWith(prefix)).toMap
       if (perFile.isEmpty)
-        Seq((entry, entry, Option.empty[String], Option.empty[String],
+        Seq((entry, entry, epoch, Option.empty[String], Option.empty[String],
           Option.empty[String], Option.empty[Long], Option.empty[Long]))
       else perFile.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
         if (cols.isEmpty)
-          Seq((entry, f, Option.empty[String], Option.empty[String],
+          Seq((entry, f, epoch, Option.empty[String], Option.empty[String],
             Option.empty[String], Option.empty[Long], Option.empty[Long]))
         else cols.toSeq.sortBy(_._1).map { case (c, st) =>
           // count-only entries (typ "null") surface with empty min/max
           val (mn, mx) = if (st.typ == "null") (None, None)
                          else (Some(st.min), Some(st.max))
-          (entry, f, Some(c), mn, mx, st.nulls, st.rows)
+          (entry, f, epoch, Some(c), mn, mx, st.nulls, st.rows)
         }
       }
-    }.toDF("entry", "file", "column", "min", "max", "nulls", "rows")
+    }.toDF("entry", "file", "epoch", "column", "min", "max", "nulls", "rows")
   }
 
   /** Approximate on-disk size in bytes (reference `size_approx`,

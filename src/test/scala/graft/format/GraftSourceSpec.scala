@@ -264,6 +264,12 @@ class GraftSourceSpec extends SparkSpec {
         .select("id").as[Long].collect().toSeq)
     assert(got == Seq(4L))
     assert(d >= 1, s"post-rename filter must prune via migrated stats, got $d")
+    // observability: describeFiles surfaces each entry's rename epoch —
+    // this table's entries span three of them (pre-drop, pre-rename,
+    // post-rename)
+    val epochs = ds.describeFiles.select("epoch").distinct()
+      .as[Int].collect().sorted.toSeq
+    assert(epochs == Seq(0, 1, 2), s"expected epochs 0,1,2 got $epochs")
     // rename onto the ORIGINAL freed name: a->b where b was deleted —
     // old files' stale physical b must NOT shadow a's data
     val root2 = tmpDir("epoch2") + "/t"
