@@ -667,6 +667,31 @@ object TextQueries {
       Some(s"""SELECT doc_id, len($duckToks) AS n_tokens,
         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_runs
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // vocabulary statistics FROM THE INDEX (the reference aggregate()
+    // fast path, aggregate.py:33-52: grouped count answered from
+    // posting sizes, never the rows): per-term distinct-document counts
+    // read from the posting table — a vocabulary-sized scan, not a
+    // corpus tokenization pass. The oracle recomputes the counts from
+    // the raw text under the same whitespace-token contract.
+    QueryDef("q118_text_vocab_counts",
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val root = graft.QueryCleanup.tempRoot("q118")
+        val ds = graft.format.GraftDataset.create(s, root, d.schema)
+        ds.append(d)
+        ds.commit("docs")
+        ds.createIndexVectorized("text", numShards = 8)
+        ds.termCounts("text")
+          .filter(col("n_docs") >= 10) // the head of the vocabulary
+          .orderBy("term")
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id, UNNEST(list_distinct($duckToks)) AS term
+          FROM documents)
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM tok GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 10
+        ORDER BY term"""))
   )
 }

@@ -1638,6 +1638,24 @@ class GraftDataset private[format] (
   def indexFresh(kind: String, column: String): Boolean =
     indexCommit(indexDir(kind, column)) == headId
 
+  /** Per-term document counts straight from the inverted index's
+    * posting table — the reference's row-aggregate "fast path"
+    * (aggregate.py:33-52: grouped `count(*)` over an indexed
+    * class-label answered from posting sizes, never the rows)
+    * generalized into an explicit vocabulary-statistics op: the scan is
+    * over the index (vocabulary-sized), not the corpus text, which at
+    * 100 TB is the difference between a metadata-shaped job and a full
+    * tokenization pass. Counts are distinct documents per term under
+    * the index's own tokenizer contract. Requires a fresh index.
+    */
+  def termCounts(column: String): DataFrame = {
+    require(indexFresh("inverted", column),
+      s"no fresh inverted index for $column (create/update it first)")
+    val postings = graft.operators.InvertedIndex.load(spark,
+      new Path(indexDir("inverted", column), "postings").toString)
+    postings.groupBy("term").agg(count_distinct(col("id")).as("n_docs"))
+  }
+
   /** New base files since the index's commit — or None if the table saw
     * in-place changes (updates/tombstones/renames) that an append-only
     * delta cannot express, which forces a full rebuild.
