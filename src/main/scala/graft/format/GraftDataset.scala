@@ -847,6 +847,13 @@ class GraftDataset private[format] (
       val id = CommitLog.nextCommitId(spark, root)
       try { publishCommit(id, message, headId, None); result = Some(id) }
       catch {
+        // typed matches cover the non-file:// stores (HDFS/S3A throw
+        // FileAlreadyExistsException from create(overwrite=false)); the
+        // message match covers the local hard-link wrap
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException)
+            if idRetries > 0 =>
+          idRetries -= 1
         case e: java.io.IOException
             if e.getMessage != null && e.getMessage.contains("already exists")
               && idRetries > 0 =>
@@ -956,7 +963,7 @@ class GraftDataset private[format] (
       // BOTH pass the parent check and the second silently clobbers the
       // first's pointer advance. Cross-PROCESS writers keep the
       // documented small-window contract (one writer per branch).
-      GraftDataset.branchCasLock.synchronized {
+      GraftDataset.branchCasLock(root).synchronized {
         val heads = CommitLog.readBranches(spark, root)
         if (heads.get(b) != parent)
           throw new java.util.ConcurrentModificationException(
@@ -1320,7 +1327,8 @@ class GraftDataset private[format] (
     * collide with the source's). The caller commits.
     * Returns (inserts, updates, deletes) applied.
     */
-  def applyChanges(events: DataFrame): (Long, Long, Long) = {
+  def applyChanges(events: DataFrame,
+                   dedupInserts: Boolean = true): (Long, Long, Long) = {
     val need = Seq(GraftStream.ChangeTypeCol, GraftStream.CommitIdCol, UuidCol)
     require(need.forall(events.columns.contains),
       s"not a change feed: expected columns ${need.mkString(", ")}")
@@ -1339,19 +1347,37 @@ class GraftDataset private[format] (
         else deleteData(rel)
         n
       }
-      // row-level idempotency: an insert whose uuid this replica already
-      // carries (replayed bootstrap, overlapping feed ranges) is dropped
-      // — a live tombstoned uuid stays dead regardless, because the
-      // tombstone file kills the uuid whichever base entry holds it.
-      // Postimages and deletes are idempotent by construction
-      // (last-wins window / uuid anti-join in the snapshot plan).
-      val freshIns = cached.filter(tpe === "insert").select(dataCols: _*)
-        .join(snapshotWithUuid().select(UuidCol), Seq(UuidCol), "left_anti")
+      // row-level idempotency with UPSERT semantics: an insert whose
+      // uuid this replica already carries (replayed bootstrap after a
+      // lost checkpoint, overlapping feed ranges) must not be dropped —
+      // a bootstrap snapshot folds later updates into its insert
+      // events, so discarding it would strand a behind replica at its
+      // stale value forever. Fresh inserts land as a base entry; stale
+      // ones re-route as update postimages. A live tombstoned uuid
+      // stays dead regardless (the tombstone kills the uuid whichever
+      // file holds it). Deletes are idempotent by construction.
+      // `dedupInserts = false` skips the replica-snapshot uuid scan for
+      // batches that provably contain no re-deliveries (a live stream's
+      // steady-state delta batches, guarded by the epoch marker), so
+      // steady-state apply cost scales with the churn, not the table
+      val ins = cached.filter(tpe === "insert")
+      val replicaIds =
+        if (dedupInserts) snapshotWithUuid().select(UuidCol)
+        else ins.select(UuidCol).limit(0)
+      val freshIns = ins.select(dataCols: _*)
+        .join(replicaIds, Seq(UuidCol), "left_anti")
       val nIns = land(freshIns.select(dataCols: _*), "cdc", stFiles :+= _)
+      val staleIns = ins
+        .join(replicaIds, Seq(UuidCol), "left_semi")
+      // postimages win over a same-commit insert of the same uuid
+      // (append-then-update in one commit): order by (commit id,
+      // event-kind priority) — commit ids are zero-padded, so string
+      // concatenation preserves the order
+      val seq = concat(col(GraftStream.CommitIdCol),
+        when(tpe === "update_postimage", lit("1")).otherwise(lit("0")))
       val latestUpd = GraftDataset.lastWinsPerUuid(
-        cached.filter(tpe === "update_postimage")
-          .select((dataCols :+ col(GraftStream.CommitIdCol)): _*),
-        GraftStream.CommitIdCol)
+        cached.filter(tpe === "update_postimage").unionByName(staleIns)
+          .select((dataCols :+ seq.as("_seq")): _*), "_seq")
       val nUpd = land(latestUpd, "update", stUpdates :+= _)
       val nDel = land(cached.filter(tpe === "delete").select(col(UuidCol)),
         "tombstone", stTombstones :+= _)
@@ -2303,8 +2329,16 @@ object GraftDataset {
   val MaxCommitRebases = 5
 
   /** Serializes the branch-pointer compare-and-swap across THIS JVM's
-    * writers (see [[GraftDataset.publishCommit]]). */
-  private[format] val branchCasLock = new Object
+    * writers PER TABLE ROOT (see [[GraftDataset.publishCommit]]) — one
+    * global lock would stall unrelated tables on each other's
+    * filesystem round-trips (the CAS section includes branch-file I/O
+    * with bounded retries).
+    */
+  private val branchCasLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[format] def branchCasLock(root: String): Object =
+    branchCasLocks.computeIfAbsent(root, _ => new Object)
 
   /** Keep only the LAST row per `_uuid`, ordered by `seqCol` — the one
     * merge-on-read dedup idiom behind multi-file update resolution,

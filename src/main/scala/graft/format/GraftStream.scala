@@ -107,14 +107,17 @@ object GraftStream {
     * publishes a rewrite-flagged commit, which feeds skip entirely.
     */
   private[format] def requireDeltaExpressible(m: CommitMeta,
-                                              prev: CommitMeta): Unit =
-    require(prev.files.forall(m.files.contains) &&
-        prev.updates.forall(m.updates.contains) &&
-        prev.tombstones.forall(m.tombstones.contains),
+                                              prev: CommitMeta): Unit = {
+    val (files, ups, tombs) =
+      (m.files.toSet, m.updates.toSet, m.tombstones.toSet)
+    require(prev.files.forall(files) &&
+        prev.updates.forall(ups) &&
+        prev.tombstones.forall(tombs),
       s"commit ${m.id} folds prior state into rewritten files (compaction " +
         "over staged changes, or a merge); a change feed cannot express " +
         "it as row events — run maintenance from a clean state (rewrite-" +
         "flagged commits are skipped) or split the feed at this commit")
+  }
 
   /** One commit's change events vs its parent state — the shared engine
     * behind the streaming change feed (`changeFeed=true`) and the batch

@@ -25,14 +25,14 @@ object GraftStreaming {
     // per-QUERY token, not a bare epoch: epoch ids restart at 0 for
     // every new checkpoint, so an epoch-only marker from an earlier
     // query would silently swallow a new query's first batches (the
-    // GraftSink/GraftStream.marker contract); lastBatchId also stops at
-    // the first own marker instead of walking the whole log per batch
+    // GraftSink/GraftStream.marker contract); lastBatchId stops at the
+    // first own marker instead of walking the whole log per batch.
+    // NOTE: checkpoints from the pre-token helper (bare "stream epoch
+    // N" markers) should restart with a fresh checkpoint — honoring the
+    // old markers here would reintroduce the cross-query collision for
+    // every NEW query on such a table, a worse trade than one replayed
+    // batch on upgrade.
     val token = graft.format.GraftStream.queryToken(checkpointDir)
-    // dual-read: tables written by the pre-token helper carry bare
-    // "stream epoch N" markers — honor them so an existing checkpoint
-    // resuming here does not re-append its replayed batch
-    def legacyDup(epoch: Long): Boolean =
-      ds.log.exists(_.message == s"stream epoch $epoch")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -40,7 +40,7 @@ object GraftStreaming {
         val spark = batch.sparkSession
         val dup = graft.format.GraftStream
           .lastBatchId(spark, ds.root, ds.head, Set(token))
-          .exists(_ >= epoch) || legacyDup(epoch)
+          .exists(_ >= epoch)
         if (!dup) {
           ds.append(batch)
           ds.commit(graft.format.GraftStream.marker(token, epoch))
@@ -86,7 +86,11 @@ object GraftStreaming {
           .lastBatchId(s, dstRoot, replica.head, Set(token))
           .exists(_ >= epoch)
         if (!dup) {
-          replica.applyChanges(batch)
+          // only the FIRST batch of a query (the bootstrap snapshot) can
+          // re-deliver rows the replica already holds; later batches are
+          // per-commit deltas the epoch marker guards, so they skip the
+          // replica-wide uuid dedup scan (cost stays churn-sized)
+          replica.applyChanges(batch, dedupInserts = epoch == 0L)
           replica.commit(graft.format.GraftStream.marker(token, epoch),
             allowEmpty = true)
           ()

@@ -38,7 +38,7 @@ class FormatFuzzSpec extends SparkSpec {
   private case class BranchModel(rows: Map[Long, (String, Option[Long])],
                                  extra: Option[String])
 
-  for (seed <- Seq(4243, 977))
+  for (seed <- Seq(4243, 977, 260814))
   test(s"random op sequences (seed $seed): snapshot == model after every commit") {
     val rnd = new scala.util.Random(seed)
     val root = tmpDir("fuzz") + "/t"

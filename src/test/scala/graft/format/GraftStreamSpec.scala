@@ -210,6 +210,30 @@ class GraftStreamSpec extends SparkSpec {
       "fresh-checkpoint re-sync must be idempotent")
   }
 
+  test("behind replica converges from a re-applied bootstrap (upsert)") {
+    val src = tmpDir("grbsrc") + "/t"
+    val dst = tmpDir("grbdst") + "/t"
+    val ds = GraftDataset.create(spark, src, schema2)
+    ds.append(Seq((1L, "v1")).toDF("id", "v"))
+    ds.commit("seed")
+    graft.streaming.GraftStreaming
+      .replicate(spark, src, dst, tmpDir("grbck1")).awaitTermination()
+    assert(GraftDataset.load(spark, dst).toDF.as[(Long, String)]
+      .collect().toSeq == Seq((1L, "v1")))
+    // the source moves on; the replication checkpoint is LOST
+    ds.update(col("id") === 1L, Map("v" -> lit("v2")))
+    ds.commit("moved on")
+    // a fresh checkpoint's first batch is the FULL snapshot with v2
+    // folded into its insert events; the replica already holds the uuid,
+    // so the event must land as an update postimage — dropping it would
+    // strand the replica at v1 forever
+    graft.streaming.GraftStreaming
+      .replicate(spark, src, dst, tmpDir("grbck2")).awaitTermination()
+    assert(GraftDataset.load(spark, dst).toDF.as[(Long, String)]
+      .collect().toSeq == Seq((1L, "v2")),
+      "behind replica must converge to the bootstrap's current values")
+  }
+
   test("changeFeed fails loudly on commits that fold history") {
     val root = tmpDir("gcdffold") + "/t"
     val ds = GraftDataset.create(spark, root, schema2)
