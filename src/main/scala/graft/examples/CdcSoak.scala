@@ -1,0 +1,95 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import graft.format.GraftDataset
+import graft.streaming.GraftStreaming
+
+/** CDC replication soak: a source table mutated through many rounds of
+  * mixed append + update + pop (plus clean-state compactions, which the
+  * feed must SKIP as rewrite commits) is live-replicated table-to-table
+  * via the change feed, including a simulated CHECKPOINT LOSS mid-run —
+  * the fresh checkpoint's first batch re-applies the full bootstrap
+  * snapshot onto the already-populated, slightly-behind replica, so
+  * upsert convergence (stale inserts → postimages) is exercised at a
+  * row count where any divergence or duplication is obvious in the
+  * count and the order-independent row hash. GraftStreamSpec proves
+  * the logic on toy tables; this proves the CONSTANT FACTORS.
+  *
+  * Finally the REPLICA runs its own maintenance (bin-packing optimize +
+  * aggressive vacuum) and must still match the source row-for-row,
+  * uuid-for-uuid.
+  *
+  * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.examples.CdcSoak [seedRows] [rounds]"`
+  * Prints one JSON line; measured results recorded in SCALE.md.
+  */
+object CdcSoak {
+  def main(args: Array[String]): Unit = {
+    val seed = args.headOption.map(_.toLong).getOrElse(200000L)
+    val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(12)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-cdcsoak")
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+      md5(col("id").cast("string")).as("payload"))
+
+    val t0 = System.nanoTime()
+    val ds = GraftDataset.create(spark, src, rows(0, 1).schema)
+    ds.append(rows(0, seed)); ds.commit("seed")
+    var appended = seed
+
+    var ckpt = s"$base/ck1"
+    def sync(): Unit =
+      GraftStreaming.replicate(spark, src, dst, ckpt).awaitTermination()
+    sync() // bootstrap the replica from the full feed
+
+    for (r <- 1 to rounds) {
+      ds.append(rows(appended, appended + 10000)); appended += 10000
+      ds.update(pmod(col("id"), lit(7)) === (r % 7),
+        Map("payload" -> concat(lit(s"u$r-"), col("id"))))
+      ds.pop(pmod(col("id"), lit(101)) === (r % 101))
+      ds.commit(s"round $r")
+      if (r % 4 == 0) { // clean-state rewrite: the feed must skip it
+        ds.compact(); ds.commit(s"compact after round $r")
+      }
+      if (r == rounds / 2) ckpt = s"$base/ck2" // checkpoint LOST mid-run
+      sync()
+    }
+
+    // exact multiset equality INCLUDING row identity (_uuid): the
+    // replica must carry the source's uuids verbatim
+    def chk(root: String) = spark.read.format("graft")
+      .option("withUuid", "true").load(root)
+      .agg(count(lit(1)), sum(pmod(
+        xxhash64(col("id"), col("payload"), col("_uuid")),
+        lit(1000000007L)))).head()
+    val (srcChk, dstChk) = (chk(src), chk(dst))
+    val okReplicated = srcChk == dstChk
+
+    // replica-side maintenance must not disturb the converged state
+    val rds = GraftDataset.load(spark, dst)
+    rds.optimizeSmallFiles()
+    rds.commit("replica optimize", allowEmpty = true)
+    rds.vacuum(olderThanMs = -60000L)
+    val okMaintained = chk(dst) == srcChk
+
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"seedRows":$seed,"rounds":$rounds,""" +
+      s""""srcRows":${srcChk.getLong(0)},"dstRows":${dstChk.getLong(0)},""" +
+      s""""srcCommits":${ds.log.size},""" +
+      s""""replicaCommits":${rds.log.size},""" +
+      f""""sec":$sec%.1f,"okReplicated":$okReplicated,""" +
+      s""""okMaintained":$okMaintained}""")
+    if (!(okReplicated && okMaintained)) sys.exit(1)
+    graft.QueryCleanup.deleteRecursively(base.toString)
+    spark.stop()
+  }
+}

@@ -1328,10 +1328,13 @@ class GraftDataset private[format] (
     * Returns (inserts, updates, deletes) applied.
     */
   def applyChanges(events: DataFrame,
-                   dedupInserts: Boolean = true): (Long, Long, Long) = {
+                   dedupInserts: Boolean = true,
+                   reconcileDeletes: Boolean = false): (Long, Long, Long) = {
     val need = Seq(GraftStream.ChangeTypeCol, GraftStream.CommitIdCol, UuidCol)
     require(need.forall(events.columns.contains),
       s"not a change feed: expected columns ${need.mkString(", ")}")
+    require(!reconcileDeletes || dedupInserts,
+      "reconcileDeletes needs the replica uuid scan dedupInserts provides")
     val tpe = col(GraftStream.ChangeTypeCol)
     val dataCols = withUuidSchema(stSchema).fieldNames.toIndexedSeq.map(col)
     // three writes consume the feed — persist so the (possibly
@@ -1379,8 +1382,18 @@ class GraftDataset private[format] (
         cached.filter(tpe === "update_postimage").unionByName(staleIns)
           .select((dataCols :+ seq.as("_seq")): _*), "_seq")
       val nUpd = land(latestUpd, "update", stUpdates :+= _)
-      val nDel = land(cached.filter(tpe === "delete").select(col(UuidCol)),
+      var nDel = land(cached.filter(tpe === "delete").select(col(UuidCol)),
         "tombstone", stTombstones :+= _)
+      // a BOOTSTRAP feed (the complete live snapshot as insert events)
+      // carries no delete events for rows that died before it was cut —
+      // a behind replica re-synced from a fresh checkpoint would keep
+      // those rows as phantoms forever. reconcileDeletes treats the
+      // feed's insert set as the COMPLETE live population: replica rows
+      // outside it are tombstoned. Only valid for full feeds — a delta
+      // feed's absent uuids are merely untouched rows (caller decides).
+      if (reconcileDeletes)
+        nDel += land(replicaIds.join(ins.select(col(UuidCol)),
+          Seq(UuidCol), "left_anti"), "tombstone", stTombstones :+= _)
       (nIns, nUpd, nDel)
     } finally { cached.unpersist(false); () }
   }

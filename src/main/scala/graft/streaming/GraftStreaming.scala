@@ -86,11 +86,15 @@ object GraftStreaming {
           .lastBatchId(s, dstRoot, replica.head, Set(token))
           .exists(_ >= epoch)
         if (!dup) {
-          // only the FIRST batch of a query (the bootstrap snapshot) can
-          // re-deliver rows the replica already holds; later batches are
-          // per-commit deltas the epoch marker guards, so they skip the
-          // replica-wide uuid dedup scan (cost stays churn-sized)
-          replica.applyChanges(batch, dedupInserts = epoch == 0L)
+          // only the FIRST batch of a query is the bootstrap snapshot:
+          // it can re-deliver rows the replica already holds (upserted)
+          // and it is the COMPLETE live set, so replica rows outside it
+          // are phantoms from the checkpoint-loss gap — reconciled as
+          // deletes. Later batches are per-commit deltas the epoch
+          // marker guards; they skip the replica-wide uuid scan
+          // entirely (cost stays churn-sized).
+          replica.applyChanges(batch, dedupInserts = epoch == 0L,
+            reconcileDeletes = epoch == 0L)
           replica.commit(graft.format.GraftStream.marker(token, epoch),
             allowEmpty = true)
           ()

@@ -214,24 +214,27 @@ class GraftStreamSpec extends SparkSpec {
     val src = tmpDir("grbsrc") + "/t"
     val dst = tmpDir("grbdst") + "/t"
     val ds = GraftDataset.create(spark, src, schema2)
-    ds.append(Seq((1L, "v1")).toDF("id", "v"))
+    ds.append(Seq((1L, "v1"), (2L, "doomed")).toDF("id", "v"))
     ds.commit("seed")
     graft.streaming.GraftStreaming
       .replicate(spark, src, dst, tmpDir("grbck1")).awaitTermination()
     assert(GraftDataset.load(spark, dst).toDF.as[(Long, String)]
-      .collect().toSeq == Seq((1L, "v1")))
-    // the source moves on; the replication checkpoint is LOST
+      .collect().toSeq.sorted == Seq((1L, "v1"), (2L, "doomed")))
+    // the source moves on — an update AND a pop; the replication
+    // checkpoint is LOST, so neither event will ever be delivered
     ds.update(col("id") === 1L, Map("v" -> lit("v2")))
+    ds.pop(col("id") === 2L)
     ds.commit("moved on")
     // a fresh checkpoint's first batch is the FULL snapshot with v2
-    // folded into its insert events; the replica already holds the uuid,
-    // so the event must land as an update postimage — dropping it would
-    // strand the replica at v1 forever
+    // folded into its insert events and row 2 absent entirely. The
+    // replica must upsert the stale insert (or it strands at v1) AND
+    // reconcile the phantom row 2 as a delete (a bootstrap has no
+    // delete events — absence from the complete live set IS the delete)
     graft.streaming.GraftStreaming
       .replicate(spark, src, dst, tmpDir("grbck2")).awaitTermination()
     assert(GraftDataset.load(spark, dst).toDF.as[(Long, String)]
       .collect().toSeq == Seq((1L, "v2")),
-      "behind replica must converge to the bootstrap's current values")
+      "behind replica must converge to the bootstrap's exact live set")
   }
 
   test("changeFeed fails loudly on commits that fold history") {
