@@ -963,7 +963,9 @@ class GraftDataset private[format] (
       // BOTH pass the parent check and the second silently clobbers the
       // first's pointer advance. Cross-PROCESS writers keep the
       // documented small-window contract (one writer per branch).
-      GraftDataset.branchCasLock(root).synchronized {
+      GraftDataset.branchCasLock(
+          CommitLog.fs(spark, root).makeQualified(new Path(root)).toString)
+        .synchronized {
         val heads = CommitLog.readBranches(spark, root)
         if (heads.get(b) != parent)
           throw new java.util.ConcurrentModificationException(
@@ -1324,8 +1326,14 @@ class GraftDataset private[format] (
     * Contract: a replica fed this way is identified by the SOURCE's
     * uuids — write it exclusively through applyChanges (local appends
     * would mint uuids from this table's own reservation space and could
-    * collide with the source's). The caller commits.
-    * Returns (inserts, updates, deletes) applied.
+    * collide with the source's), and apply feeds FORWARD only: ranges
+    * must start at or after the replica's last applied commit.
+    * Re-applying an OLDER overlapping range would land its stale
+    * postimages in a newer update file and silently roll live rows
+    * back (update resolution is file-ordered, not commit-ordered).
+    * The bootstrap re-application path is safe by construction — a
+    * fresh feed's snapshot is always at or ahead of the replica.
+    * The caller commits. Returns (inserts, updates, deletes) applied.
     */
   def applyChanges(events: DataFrame,
                    dedupInserts: Boolean = true,
@@ -1341,6 +1349,7 @@ class GraftDataset private[format] (
     // expensive: bootstrap snapshot, multi-commit delta) plan runs once
     val cached = events.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var replicaIdsCache: Option[DataFrame] = None
     try {
       def land(df: DataFrame, kind: String,
                register: String => Unit): Long = {
@@ -1351,8 +1360,8 @@ class GraftDataset private[format] (
         n
       }
       // row-level idempotency with UPSERT semantics: an insert whose
-      // uuid this replica already carries (replayed bootstrap after a
-      // lost checkpoint, overlapping feed ranges) must not be dropped —
+      // uuid this replica already carries (a replayed bootstrap after a
+      // lost checkpoint) must not be dropped —
       // a bootstrap snapshot folds later updates into its insert
       // events, so discarding it would strand a behind replica at its
       // stale value forever. Fresh inserts land as a base entry; stale
@@ -1362,11 +1371,27 @@ class GraftDataset private[format] (
       // `dedupInserts = false` skips the replica-snapshot uuid scan for
       // batches that provably contain no re-deliveries (a live stream's
       // steady-state delta batches, guarded by the epoch marker), so
-      // steady-state apply cost scales with the churn, not the table
+      // steady-state apply cost scales with the churn, not the table.
+      // When it IS needed, the uuid set is persisted: three joins
+      // consume it (fresh/stale split + delete reconciliation), and
+      // re-resolving the merge-on-read snapshot three times would
+      // triple exactly the cost the flag exists to avoid.
       val ins = cached.filter(tpe === "insert")
       val replicaIds =
-        if (dedupInserts) snapshotWithUuid().select(UuidCol)
-        else ins.select(UuidCol).limit(0)
+        (if (dedupInserts) snapshotWithUuid().select(UuidCol)
+         else ins.select(UuidCol).limit(0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      replicaIdsCache = Some(replicaIds)
+      // a reconcile feed must be a BOOTSTRAP (all-insert complete live
+      // snapshot): reconciling against a partial/delta feed would
+      // tombstone every replica row outside the range — permanently,
+      // since later re-inserts of a tombstoned uuid stay dead. Fail
+      // loudly instead of corrupting.
+      if (reconcileDeletes)
+        require(cached.filter(tpe =!= "insert").limit(1).count() == 0L,
+          "reconcileDeletes expects a bootstrap feed (insert events " +
+            "only = the complete live snapshot); a delta feed's absent " +
+            "uuids are untouched rows, not deletions")
       val freshIns = ins.select(dataCols: _*)
         .join(replicaIds, Seq(UuidCol), "left_anti")
       val nIns = land(freshIns.select(dataCols: _*), "cdc", stFiles :+= _)
@@ -1395,7 +1420,11 @@ class GraftDataset private[format] (
         nDel += land(replicaIds.join(ins.select(col(UuidCol)),
           Seq(UuidCol), "left_anti"), "tombstone", stTombstones :+= _)
       (nIns, nUpd, nDel)
-    } finally { cached.unpersist(false); () }
+    } finally {
+      cached.unpersist(false)
+      replicaIdsCache.foreach(_.unpersist(false))
+      ()
+    }
   }
 
   /** Row-level value diff between HEAD and another ref
@@ -2345,13 +2374,21 @@ object GraftDataset {
     * writers PER TABLE ROOT (see [[GraftDataset.publishCommit]]) — one
     * global lock would stall unrelated tables on each other's
     * filesystem round-trips (the CAS section includes branch-file I/O
-    * with bounded retries).
+    * with bounded retries). Keys are the FILESYSTEM-QUALIFIED root
+    * (`fs.makeQualified`), so path spellings of the same table
+    * (`/data/t`, `file:/data/t`, trailing slash) share one lock.
+    * Entries are dropped on [[GraftDataset.delete]]; the residual
+    * growth is one small Object per live table root.
     */
   private val branchCasLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private[format] def branchCasLock(root: String): Object =
-    branchCasLocks.computeIfAbsent(root, _ => new Object)
+  private[format] def branchCasLock(qualifiedRoot: String): Object =
+    branchCasLocks.computeIfAbsent(qualifiedRoot, _ => new Object)
+
+  private[format] def dropBranchCasLock(qualifiedRoot: String): Unit = {
+    branchCasLocks.remove(qualifiedRoot); ()
+  }
 
   /** Keep only the LAST row per `_uuid`, ordered by `seqCol` — the one
     * merge-on-read dedup idiom behind multi-file update resolution,
@@ -2435,6 +2472,6 @@ object GraftDataset {
   def delete(spark: SparkSession, root: String): Unit = {
     val f = CommitLog.fs(spark, root)
     f.delete(new Path(root), true)
-    ()
+    dropBranchCasLock(f.makeQualified(new Path(root)).toString)
   }
 }

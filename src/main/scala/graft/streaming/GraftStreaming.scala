@@ -38,10 +38,22 @@ object GraftStreaming {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
-        val dup = graft.format.GraftStream
+        val last = graft.format.GraftStream
           .lastBatchId(spark, ds.root, ds.head, Set(token))
-          .exists(_ >= epoch)
-        if (!dup) {
+        // a RESUMED pre-token checkpoint (epoch > 0 with no token
+        // marker, bare legacy markers in the log) would replay its last
+        // batch with nothing to dedup against — fail loudly instead of
+        // silently appending the rows twice. Only runs on the rare
+        // no-marker path, so the one-off log walk costs nothing steady-
+        // state; a genuinely new query starts at epoch 0 and never hits
+        // this.
+        if (last.isEmpty && epoch > 0 &&
+            ds.log.exists(_.message.startsWith("stream epoch ")))
+          throw new IllegalStateException(
+            "resumed checkpoint predates the per-query marker scheme " +
+              "(bare 'stream epoch N' markers found); restart the " +
+              "stream with a FRESH checkpoint to avoid duplicates")
+        if (!last.exists(_ >= epoch)) {
           ds.append(batch)
           ds.commit(graft.format.GraftStream.marker(token, epoch))
           ()
