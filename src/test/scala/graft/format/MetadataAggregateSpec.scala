@@ -79,6 +79,18 @@ class MetadataAggregateSpec extends SparkSpec {
     assert(q3.head().getLong(0) == 99L)
   }
 
+  test("MIN/MAX stay metadata-only across a rename (migrated stat keys)") {
+    val ds = table("magg6")
+    ds.renameTensor("id", "key")
+    ds.commit("renamed")
+    val q = spark.read.format("graft").load(ds.root)
+      .agg(min($"key").as("lo"), max($"key").as("hi"))
+    assert(isMetadataOnly(q),
+      s"rename must keep stats provable:\n${q.queryExecution.optimizedPlan}")
+    val r = q.head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 10L)
+  }
+
   test("late-added all-null column: MIN/MAX prove NULL from synth stats") {
     val ds = table("magg3")
     ds.createTensor("y", LongType)
