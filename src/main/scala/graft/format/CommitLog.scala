@@ -37,10 +37,21 @@ import java.nio.charset.StandardCharsets
   * carry the file's null count and row count for the column, enabling
   * IsNull (nulls == 0 → prune), IsNotNull (all null → prune), and the
   * all-null strengthening of every value predicate.
+  *
+  * `bound = Some(true)` marks min/max as COVERING BOUNDS rather than
+  * guaranteed data values — set at capture time for string columns when
+  * `parquet.statistics.truncate.length` is configured on the writing
+  * session (parquet then stores a prefix-truncated min and an
+  * incremented-truncated max, both valid bounds but the max need not
+  * exist in the data). Pruning stays sound against bounds; only the
+  * exact-answer path ([[graft.format.GraftDataset.statMinMax]]) refuses
+  * them. Absent on pre-flag commits = captured without truncation (the
+  * default conf), so trusted as exact.
   */
 final case class ColStats(min: String, max: String, typ: String,
                           nulls: Option[Long] = None,
-                          rows: Option[Long] = None)
+                          rows: Option[Long] = None,
+                          bound: Option[Boolean] = None)
 
 final case class CommitMeta(
     id: String,

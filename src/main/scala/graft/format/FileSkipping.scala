@@ -67,6 +67,16 @@ object FileSkipping {
                   schema: StructType): Map[String, Map[String, ColStats]] =
   try {
     val conf = spark.sparkContext.hadoopConfiguration
+    // When parquet truncates BINARY stats (parquet.statistics.truncate
+    // .length below the no-truncation default), the stored string max is
+    // an incremented prefix — a valid upper BOUND that need not exist in
+    // the data. Mark string stats bound-only so exact MIN/MAX refuses
+    // them while range pruning (sound against bounds) keeps working.
+    val stringBoundsOnly = {
+      val len = conf.getInt("parquet.statistics.truncate.length",
+        Int.MaxValue)
+      len > 0 && len != Int.MaxValue
+    }
     val dir = new Path(root, rel)
     val fs = dir.getFileSystem(conf)
     val wanted: Map[String, String] = schema.fields
@@ -154,7 +164,9 @@ object FileSkipping {
           val withRange = (seen -- dropped).iterator.map { c =>
             val (mn, mx) = acc(c)
             c -> ColStats(mn, mx, wanted(c),
-              nulls = nullAcc.getOrElse(c, None), rows = Some(rowCount))
+              nulls = nullAcc.getOrElse(c, None), rows = Some(rowCount),
+              bound = if (stringBoundsOnly && wanted(c) == "string")
+                Some(true) else None)
           }.toMap
           // columns with NO usable min/max (all-null, or a domain we
           // don't compare) still ship their counts when complete —

@@ -362,6 +362,10 @@ class GraftDataset private[format] (
             // count-only entry: exact only if EVERY row is null
             if (!(cs.nulls.isDefined && cs.nulls == cs.rows)) return None
           case Some(cs) if cs.typ == domain =>
+            // bound-only stats (string min/max captured under parquet
+            // statistics truncation) cover the data but need not BE data
+            // values — sound for pruning, not for an exact answer
+            if (cs.bound.contains(true)) return None
             if (mn == null || FileSkipping.cmpInDomain(cs.min, mn, domain) < 0)
               mn = cs.min
             if (mx == null || FileSkipping.cmpInDomain(cs.max, mx, domain) > 0)
@@ -867,7 +871,18 @@ class GraftDataset private[format] (
           // Delta-style logical conflict resolution: a lost branch-pointer
           // CAS does not force the user to redo the WRITE when the staged
           // change and the winner's commits provably commute — the retry
-          // is metadata-only (the data files already exist)
+          // is metadata-only (the data files already exist). The commit
+          // FILE for this id was already written (the CAS runs after it):
+          // reclaim it before republishing under a new id, or one orphan
+          // per lost race accrues in _graft/commits forever — never on any
+          // branch, never vacuumed, inflating every readAllCommits sweep.
+          // Safe: nothing reachable points at an id whose CAS lost (the
+          // pointer never advanced), and the ancestry strip guards the
+          // rare hint-loss id-reuse path.
+          try {
+            CommitLog.deleteCommitFile(spark, root, id)
+            CommitLog.dropFromAncestry(spark, root, Set(id))
+          } catch { case _: java.io.IOException => () } // best-effort
           if (rebasesLeft <= 0 || !rebaseAppendsOntoBranchHead()) throw e
           rebasesLeft -= 1
       }

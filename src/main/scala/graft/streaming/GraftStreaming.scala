@@ -33,6 +33,19 @@ object GraftStreaming {
     // every NEW query on such a table, a worse trade than one replayed
     // batch on upgrade.
     val token = graft.format.GraftStream.queryToken(checkpointDir)
+    // Distinguish a RESUMED checkpoint from a fresh one at start time:
+    // offsets/ is non-empty iff a previous query instance already ran a
+    // batch here. A resumed checkpoint replays its last batch — epoch 0
+    // included — so the legacy-marker loud-failure below must also fire
+    // for a replayed batch 0, while a genuinely fresh checkpoint (no
+    // offsets yet) starting at epoch 0 must not be blocked on a table
+    // that merely carries old bare markers from a retired stream.
+    val resumed = {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+      val fs = p.getFileSystem(
+        stream.sparkSession.sessionState.newHadoopConf())
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -40,14 +53,15 @@ object GraftStreaming {
         val spark = batch.sparkSession
         val last = graft.format.GraftStream
           .lastBatchId(spark, ds.root, ds.head, Set(token))
-        // a RESUMED pre-token checkpoint (epoch > 0 with no token
-        // marker, bare legacy markers in the log) would replay its last
-        // batch with nothing to dedup against — fail loudly instead of
-        // silently appending the rows twice. Only runs on the rare
-        // no-marker path, so the one-off log walk costs nothing steady-
-        // state; a genuinely new query starts at epoch 0 and never hits
-        // this.
-        if (last.isEmpty && epoch > 0 &&
+        // a RESUMED pre-token checkpoint (no token marker, bare legacy
+        // markers in the log) would replay its last batch — possibly
+        // batch 0, when the crash fell between the legacy commit and
+        // the checkpoint write — with nothing to dedup against. Fail
+        // loudly instead of silently appending the rows twice. Only
+        // runs on the rare no-marker path, so the one-off log walk
+        // costs nothing steady-state; a genuinely new query runs on a
+        // fresh checkpoint (resumed = false) and never hits this.
+        if (last.isEmpty && (epoch > 0 || resumed) &&
             ds.log.exists(_.message.startsWith("stream epoch ")))
           throw new IllegalStateException(
             "resumed checkpoint predates the per-query marker scheme " +

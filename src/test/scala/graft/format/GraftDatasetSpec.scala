@@ -448,6 +448,46 @@ class GraftDatasetSpec extends SparkSpec {
       3 + writers * commitsEach)
   }
 
+  test("lost-CAS commit files are reclaimed, never orphaned (ADVICE r13)") {
+    // every lost branch-pointer race used to leave its already-written
+    // commit file in _graft/commits forever — unreachable, unvacuumable,
+    // inflating every readAllCommits sweep. The rebase/conflict paths now
+    // purge the file before retrying/rethrowing.
+    def reachable(root: String): Set[String] = {
+      val heads = CommitLog.readBranches(spark, root).values
+      val seen = scala.collection.mutable.Set[String]()
+      for (h <- heads) {
+        var cur: Option[String] = Some(h)
+        while (cur.isDefined && !seen(cur.get)) {
+          seen += cur.get
+          val m = CommitLog.readCommit(spark, root, cur.get)
+          m.mergeParent.foreach(seen += _)
+          cur = m.parent
+        }
+      }
+      seen.toSet
+    }
+    // case 1: lost CAS resolved by rebase
+    val ds = freshTable()
+    val other = GraftDataset.load(spark, ds.root)
+    ds.append(Seq((50L, "w1", 1.0)).toDF("id", "label", "score"))
+    other.append(Seq((60L, "w2", 2.0)).toDF("id", "label", "score"))
+    ds.commit("winner")
+    other.commit("rebased loser")
+    assert(CommitLog.listCommits(spark, ds.root).toSet == reachable(ds.root),
+      "rebase path must purge the lost commit file")
+    // case 2: lost CAS where the rebase is REFUSED (update conflict)
+    val ds2 = freshTable()
+    val other2 = GraftDataset.load(spark, ds2.root)
+    other2.update($"id" === 0L, Map("score" -> lit(7.0)))
+    ds2.append(Seq((70L, "w1", 1.0)).toDF("id", "label", "score"))
+    ds2.commit("winner append")
+    intercept[java.util.ConcurrentModificationException](
+      other2.commit("racing update"))
+    assert(CommitLog.listCommits(spark, ds2.root).toSet == reachable(ds2.root),
+      "refused-rebase path must purge the lost commit file too")
+  }
+
   test("concurrent non-append conflicts still fail loudly") {
     val ds = freshTable()
     // loser staged an UPDATE: not append-only, must not silently rebase

@@ -115,6 +115,34 @@ class MetadataAggregateSpec extends SparkSpec {
     assert(distinct.head().getLong(0) == 4L)
   }
 
+  test("string MIN/MAX refused when parquet stats truncation is configured") {
+    // with parquet.statistics.truncate.length set, the footer's BINARY
+    // max is an incremented prefix — a covering bound, not a value present
+    // in the data. Capture marks such string stats bound-only; the exact
+    // MIN/MAX path must refuse them (pruning may still use the bounds).
+    // Numeric stats are unaffected by truncation and stay exact.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("parquet.statistics.truncate.length", 4)
+    try {
+      val ds = GraftDataset.create(spark, tmpDir("maggtr") + "/t",
+        StructType(Seq(StructField("id", LongType),
+          StructField("s", StringType))))
+      ds.append(Seq((1L, "aardvark-long-value"), (2L, "zebra-long-value"))
+        .toDF("id", "s"))
+      ds.commit("rows")
+      assert(ds.statMinMax("s").isEmpty,
+        "truncated string stats must not answer exact MIN/MAX")
+      assert(ds.statMinMax("id").contains((1L, 2L)),
+        "numeric stats stay exact under string truncation")
+      val q = spark.read.format("graft").load(ds.root)
+        .agg(min($"s").as("lo"), max($"s").as("hi"))
+      assert(!isMetadataOnly(q), "rewrite must keep the scan")
+      val r = q.head()
+      assert(r.getString(0) == "aardvark-long-value" &&
+        r.getString(1) == "zebra-long-value")
+    } finally hconf.unset("parquet.statistics.truncate.length")
+  }
+
   test("SQL surface: SELECT COUNT(*)/MIN/MAX over a graft temp view") {
     val ds = table("magg5")
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW magg_v " +

@@ -32,6 +32,56 @@ class StreamingSpec extends SparkSpec {
     assert(ds.snapshotAt(afterFirst.id).count() == 2)
   }
 
+  test("resumed pre-token checkpoint replaying batch 0 fails loudly (ADVICE r13)") {
+    implicit val sq = spark.sqlContext
+    // the legacy table: bare 'stream epoch N' markers from the pre-token
+    // helper, whose checkpoint crashed between the epoch-0 commit and the
+    // checkpoint's commit-log write — resume replays batch 0 with nothing
+    // to dedup against, so the guard must fire even at epoch == 0
+    val legacyRoot = tmpDir("s-legacy0") + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val legacy = GraftDataset.create(spark, legacyRoot, schema)
+    legacy.append(Seq((1L, "a")).toDF("id", "v"))
+    legacy.commit("stream epoch 0")
+    // build a REAL resumed-at-batch-0 checkpoint: run one batch against a
+    // scratch table, then drop the checkpoint's commit log so restart
+    // replays batch 0
+    val ckpt = tmpDir("s-legacy0-ckpt")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"))
+    val scratch = GraftDataset.create(spark, tmpDir("s-legacy0-scratch") + "/t",
+      schema)
+    val q0 = GraftStreaming.appendStream(mem.toDF.toDF("id", "v"), scratch,
+      ckpt, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q0.processAllAvailable(); q0.stop()
+    val commitsDir = new java.io.File(ckpt, "commits")
+    commitsDir.listFiles().foreach(f => assert(f.delete()))
+    // restart against the LEGACY table: offsets exist (resumed), batch 0
+    // replays, no token marker in the legacy log, bare markers present
+    val q1 = GraftStreaming.appendStream(mem.toDF.toDF("id", "v"), legacy,
+      ckpt, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("FRESH checkpoint")), s"got: $err")
+    assert(GraftDataset.load(spark, legacyRoot).toDF.count() == 1,
+      "no silent duplicate append")
+    // a genuinely FRESH checkpoint at epoch 0 on the same legacy table is
+    // NOT blocked — old bare markers must not brick new streams
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((2L, "b"))
+    val q2 = GraftStreaming.appendStream(mem2.toDF.toDF("id", "v"),
+      GraftDataset.load(spark, legacyRoot), tmpDir("s-legacy0-fresh"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q2.processAllAvailable(); q2.stop()
+    assert(GraftDataset.load(spark, legacyRoot).toDF.count() == 2)
+  }
+
   test("watermarked windowed counts over a memory stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
