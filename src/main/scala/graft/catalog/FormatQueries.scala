@@ -705,6 +705,35 @@ object FormatQueries {
             WHERE o_orderkey <= 40)
         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM final GROUP BY 1 ORDER BY 1"""))
+        FROM final GROUP BY 1 ORDER BY 1""")),
+
+    // temporal file skipping (r14): events ingested then RANGE-CLUSTERED
+    // on ts (compact clusterBy), so each base file covers a disjoint
+    // time slice and the selective event-time range prunes all but the
+    // covering files — the most common selective predicate in
+    // log/training pipelines. The answer must match DuckDB bit-for-bit,
+    // proving the INT64-micros stat decode never prunes a live row.
+    QueryDef("q119_format_ts_skipping",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select("event_id", "ts", "event_type", "value")
+        val root = freshRoot("q119")
+        val ds = IO.fromDataFrame(ev, root)
+        ds.compact(clusterBy = Seq("ts"))
+        ds.commit("ts-clustered")
+        s.read.format("graft").load(root)
+          .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("v"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts < TIMESTAMP '2024-01-07 00:00:00'
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

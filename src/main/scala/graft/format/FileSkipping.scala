@@ -30,10 +30,13 @@ import org.apache.spark.sql.types._
   * names at write time — [[GraftDataset.pruneBaseFiles]] guards this).
   *
   * Conservativeness: a column with any unstatted row group, a type
-  * outside long/double/string domains (decimal/date/timestamp excluded
-  * on purpose — their footer encodings need logical-type decoding), or
-  * any comparison across domains keeps the file. Null semantics: stats
-  * ignore nulls, so IsNull/IsNotNull never prune.
+  * outside the long/double/string/date/timestamp domains (decimal
+  * excluded on purpose — fixed-point footer encodings carry per-file
+  * scale), or any comparison across domains keeps the file. Temporal
+  * stats decode their INT32/INT64 logical annotations into long
+  * days/micros at capture time ([[statDomain]]); files written under
+  * LEGACY datetime rebase refuse temporal stats wholesale. Null
+  * semantics: stats ignore nulls, so IsNull/IsNotNull never prune.
   */
 object FileSkipping {
 
@@ -41,12 +44,22 @@ object FileSkipping {
     * as [[CommitLog.commitReads]]). */
   val prunedFiles = new java.util.concurrent.atomic.AtomicLong
 
-  /** Spark types whose parquet footer stats we trust WITHOUT
-    * logical-type decoding. */
+  /** Spark types whose parquet footer stats we can compare soundly.
+    * long/double/string need no logical-type decoding; date and the two
+    * timestamp flavors decode their INT32/INT64 logical annotations into
+    * a single long domain at CAPTURE time (days since epoch; micros
+    * since epoch, MILLIS scaled up) so prune-time comparison is plain
+    * numeric. The two timestamp domains stay separate: an adjusted-to-
+    * UTC instant and a wall-clock NTZ value are different quantities and
+    * must never compare across ("ts" vs "tsntz").
+    */
   private def statDomain(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("long")
     case FloatType | DoubleType => Some("double")
     case StringType => Some("string")
+    case DateType => Some("date")
+    case TimestampType => Some("ts")
+    case TimestampNTZType => Some("tsntz")
     case _ => None
   }
 
@@ -103,6 +116,14 @@ object FileSkipping {
           var rowCount = 0L
           val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
           try {
+            // files Spark wrote under LEGACY datetime rebase carry
+            // julian-calendar values for ancient dates/timestamps that
+            // the proleptic-gregorian decode below would misplace —
+            // refuse temporal stats for the whole file (marker keys are
+            // what Spark's own reader keys its rebase decision on)
+            val kv = r.getFooter.getFileMetaData.getKeyValueMetaData
+            val legacyRebase = kv.containsKey("org.apache.spark.legacyDateTime") ||
+              kv.containsKey("org.apache.spark.legacyINT96")
             r.getFooter.getBlocks.forEach { block =>
               rowCount += block.getRowCount
               block.getColumns.forEach { cc =>
@@ -122,10 +143,33 @@ object FileSkipping {
                 wanted.get(path).foreach { domain =>
                   seen += path
                   val s = cc.getStatistics
+                  val logical = cc.getPrimitiveType.getLogicalTypeAnnotation
+                  import org.apache.parquet.schema.LogicalTypeAnnotation
+                  // for temporal domains the PHYSICAL match is not
+                  // enough: the logical annotation must agree with the
+                  // Spark type (utc-adjusted ↔ TimestampType, wall-clock
+                  // ↔ NTZ) and carry a unit we scale exactly (MILLIS/
+                  // MICROS; NANOS under nanosAsLong surfaces as LongType
+                  // and takes the raw "long" path). INT96 timestamps
+                  // have no ordered stats and fail the physical match.
+                  def tsAnnotationOk(wantUtc: Boolean): Boolean =
+                    logical match {
+                      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                        t.isAdjustedToUTC == wantUtc &&
+                          t.getUnit != LogicalTypeAnnotation.TimeUnit.NANOS
+                      case _ => false
+                    }
                   val ok = s != null && !s.isEmpty && s.hasNonNullValue &&
                     (cc.getPrimitiveType.getPrimitiveTypeName match {
                       case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
-                        domain == "long"
+                        domain match {
+                          case "long" => true
+                          case "ts" => !legacyRebase && tsAnnotationOk(true)
+                          case "tsntz" => !legacyRebase && tsAnnotationOk(false)
+                          case "date" => !legacyRebase && logical.isInstanceOf[
+                            LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+                          case _ => false
+                        }
                       case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
                         domain == "double"
                       case PrimitiveTypeName.BINARY => domain == "string"
@@ -133,12 +177,28 @@ object FileSkipping {
                     })
                   if (!ok) dropped += path
                   else {
+                    // MILLIS-annotated values scale ×1000 into the micros
+                    // domain — exact, no rounding either direction
+                    val scale = logical match {
+                      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                          if (domain == "ts" || domain == "tsntz") &&
+                            t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                        1000L
+                      case _ => 1L
+                    }
                     val (mn, mx) = cc.getPrimitiveType.getPrimitiveTypeName match {
                       case PrimitiveTypeName.BINARY =>
                         (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
                            .toStringUsingUTF8,
                          s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
                            .toStringUsingUTF8)
+                      case _ if scale != 1L =>
+                        (math.multiplyExact(
+                           s.genericGetMin.asInstanceOf[Number].longValue, scale)
+                           .toString,
+                         math.multiplyExact(
+                           s.genericGetMax.asInstanceOf[Number].longValue, scale)
+                           .toString)
                       case _ =>
                         (s.genericGetMin.toString, s.genericGetMax.toString)
                     }
@@ -232,14 +292,41 @@ object FileSkipping {
     case _ => None
   }
 
+  /** A pushed temporal filter value decoded into its stat domain —
+    * (numeric value, domain tag). Spark hands java.sql types with the
+    * default session config and java.time types under
+    * `spark.sql.datetime.java8API.enabled`; both decode through the
+    * same catalyst util the scan itself uses, so the comparison space
+    * is exactly the one the stored micros/days live in.
+    */
+  private def temporalDomain(v: Any): Option[(Long, String)] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case t: java.sql.Timestamp => Some((DateTimeUtils.fromJavaTimestamp(t), "ts"))
+      case i: java.time.Instant => Some((DateTimeUtils.instantToMicros(i), "ts"))
+      case l: java.time.LocalDateTime =>
+        Some((DateTimeUtils.localDateTimeToMicros(l), "tsntz"))
+      case d: java.sql.Date => Some((DateTimeUtils.fromJavaDate(d).toLong, "date"))
+      case l: java.time.LocalDate => Some((l.toEpochDay, "date"))
+      case _ => None
+    }
+  }
+
   // compare a filter value against one stat bound; None = incomparable
   // (including a bound that fails to parse — keep the file, never throw)
   private def cmp(v: Any, bound: String, typ: String): Option[Int] =
     try v match {
       case s: String if typ == "string" => Some(utf8Cmp(s, bound))
-      case _ => valueDomain(v).collect {
-        case (bd, _) if typ == "long" || typ == "double" =>
-          bd.compare(BigDecimal(bound))
+      case _ => temporalDomain(v) match {
+        case Some((n, dom)) =>
+          // a temporal value only ever compares within ITS domain —
+          // ts vs tsntz (instant vs wall-clock) must stay incomparable
+          if (dom == typ) Some(BigDecimal(n).compare(BigDecimal(bound)))
+          else None
+        case None => valueDomain(v).collect {
+          case (bd, _) if typ == "long" || typ == "double" =>
+            bd.compare(BigDecimal(bound))
+        }
       }
     } catch { case _: NumberFormatException => None }
 

@@ -3,7 +3,7 @@ package graft.format
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** A versioned, mutable table over immutable Parquet — the Spark-native
   * equivalent of the reference's Dataset abstraction
@@ -207,7 +207,22 @@ class GraftDataset private[format] (
   private def writeData(df: DataFrame, kind: String,
                         options: Map[String, String] = Map.empty): String = {
     val rel = newDataPath(kind)
-    df.write.options(options).parquet(new Path(root, rel).toString)
+    // graft data files always encode timestamps as INT64 micros: Spark's
+    // INT96 default carries NO ordered footer stats, which would silence
+    // temporal file skipping and metadata MIN/MAX forever. INT64 micros
+    // is lossless (Spark timestamps ARE micros internally) and is the
+    // modern parquet encoding. Scoped via session conf because parquet
+    // exposes no per-write option for it (ParquetOptions); a concurrent
+    // parquet write in the same session may pick MICROS up for its own
+    // files — benign (same values, better-statted encoding).
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.options(options).parquet(new Path(root, rel).toString)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     // base-data entries get PER-FILE skipping stats from the
     // just-written footers (driver-side metadata read, no job;
     // update/tombstone files are never pruned so they carry none).
@@ -347,6 +362,9 @@ class GraftDataset private[format] (
       case ByteType | ShortType | IntegerType | LongType => "long"
       case FloatType | DoubleType => "double"
       case StringType => "string"
+      case DateType => "date"
+      case TimestampType => "ts"
+      case TimestampNTZType => "tsntz"
       case _ => return None
     }
     var mn: String = null
@@ -382,6 +400,15 @@ class GraftDataset private[format] (
       case LongType => s.toLong
       case FloatType => s.toFloat
       case DoubleType => s.toDouble
+      // temporal stats live in long days/micros ([[FileSkipping]]'s
+      // capture decode); surface them as the external JVM types the
+      // Catalyst converters expect for each Spark type
+      case DateType => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaDate(s.toLong.toInt)
+      case TimestampType => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaTimestamp(s.toLong)
+      case TimestampNTZType => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToLocalDateTime(s.toLong)
       case _ => s
     }
     try Some((typed(mn), typed(mx)))
@@ -1313,9 +1340,18 @@ class GraftDataset private[format] (
     val parts = Vector.newBuilder[DataFrame]
     for (m <- metas) {
       if (!m.rewrite.contains(true)) {
-        require(m.schemaJson == prev.schemaJson,
-          s"schema changed at commit ${m.id}; change feeds are " +
-            "schema-pinned — split the range at the schema change")
+        // pure renames are tolerated exactly like the streaming feed:
+        // events keep the range-start (pinned) names, and the rename is
+        // announced as a one-row `schema_change` event (`_uuid` = -1)
+        // for replicas to apply ([[applyChanges]] / renameDelta on the
+        // event's commit meta)
+        if (m.schemaJson != prev.schemaJson) {
+          require(GraftStream.renameDelta(prev, m).isDefined,
+            s"schema changed at commit ${m.id}; change feeds are " +
+              "schema-pinned — pure column renames are expressed as " +
+              "schema_change events, anything else splits the range")
+          parts += GraftStream.schemaChangeEvent(spark, cdfSchema, m.id)
+        }
         GraftStream.requireDeltaExpressible(m, prev)
         assertNotExpired(m)
         parts ++= GraftStream.changeEvents(spark, root, dataSchema, m, prev)

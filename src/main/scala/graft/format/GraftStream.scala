@@ -119,6 +119,57 @@ object GraftStream {
         "flagged commits are skipped) or split the feed at this commit")
   }
 
+  /** The rename pairs a commit adds over its parent, IFF the schema
+    * change is a PURE RENAME: the rename chain grew by exactly the
+    * returned pairs, field count / order / types / nullability are
+    * unchanged, and applying the pairs to the parent's names yields the
+    * commit's names. Anything else (added / dropped column — drops also
+    * change the field count via their marker rename — or a type change)
+    * returns None and the caller keeps its loud-failure contract.
+    * Pure renames are metadata-only, so a change feed CAN keep speaking
+    * its pinned schema across them (positional identity holds).
+    */
+  private[graft] def renameDelta(prev: CommitMeta,
+                                 m: CommitMeta): Option[Seq[(String, String)]] = {
+    if (m.renames.size <= prev.renames.size) return None
+    if (m.renames.take(prev.renames.size) != prev.renames) return None
+    val added = m.renames.drop(prev.renames.size).map(p => (p(0), p(1)))
+    val prevS = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[StructType]
+    val mS = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[StructType]
+    if (prevS.fields.length != mS.fields.length) return None
+    val renamed = added.foldLeft(prevS.fieldNames.toSeq) { case (ns, (f, t)) =>
+      ns.map(n => if (n == f) t else n)
+    }
+    val shapeOk = prevS.fields.zip(mS.fields).forall { case (a, b) =>
+      a.dataType == b.dataType && a.nullable == b.nullable }
+    if (shapeOk && renamed == mS.fieldNames.toSeq) Some(added) else None
+  }
+
+  /** The one-row `schema_change` event a pure rename emits into a change
+    * feed: no row identity (`_uuid` = -1, a value real uuids — strictly
+    * positive by construction — never take), all data columns null. A
+    * replicator reads the rename pairs from the source commit's metadata
+    * ([[renameDelta]] on `_commit_id`'s meta vs its parent) and applies
+    * them to its replica; other consumers may treat it as a signal to
+    * restart with a fresh checkpoint if they want the new names.
+    */
+  private[format] def schemaChangeEvent(spark: SparkSession,
+                                        cdfSchema: StructType,
+                                        commitId: String): DataFrame = {
+    val row = org.apache.spark.sql.Row.fromSeq(cdfSchema.fields.toSeq.map {
+      f => f.name match {
+        case ChangeTypeCol => "schema_change"
+        case CommitIdCol => commitId
+        case GraftDataset.UuidCol => -1L
+        case _ => null
+      }
+    })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), cdfSchema)
+  }
+
   /** One commit's change events vs its parent state — the shared engine
     * behind the streaming change feed (`changeFeed=true`) and the batch
     * [[GraftDataset.changes]] (Delta `table_changes` analogue):
@@ -128,6 +179,15 @@ object GraftStream {
     *   - new tombstones   → `delete` (identity only: `_uuid` + null data
     *     columns).
     * `dataSchema` is the pinned read schema (table columns + `_uuid`).
+    *
+    * Rename-aware reads: when the walked range crosses pure renames, a
+    * commit's files carry PHYSICAL column names from their own rename
+    * epoch — reading them with the pinned names would silently
+    * null-backfill the renamed column. Each file group is read with the
+    * physical names of its epoch (the commit's own names with the chain
+    * suffix after the epoch undone) and re-aliased POSITIONALLY to the
+    * pinned schema — sound because pure renames preserve field order
+    * ([[renameDelta]] is validated at every schema change in the walk).
     */
   private[format] def changeEvents(spark: SparkSession, root: String,
                                    dataSchema: StructType,
@@ -138,15 +198,32 @@ object GraftStream {
     def tagged(df: DataFrame, tpe: String) = df
       .withColumn(ChangeTypeCol, lit(tpe))
       .withColumn(CommitIdCol, lit(m.id))
+    // names at commit m, aligned positionally with the pinned dataSchema
+    // (`_uuid` never renames); equal to the pinned names whenever the
+    // range crosses no rename
+    val curNames: Seq[String] = org.apache.spark.sql.types.DataType
+      .fromJson(m.schemaJson).asInstanceOf[StructType]
+      .fieldNames.toSeq :+ GraftDataset.UuidCol
+    val epochs = m.epochs.getOrElse(Map.empty)
+    def readPinned(rels: Seq[String]): DataFrame =
+      rels.groupBy(r => epochs.getOrElse(r, 0)).toSeq.map { case (e, rs) =>
+        // physical names at epoch e: undo the chain suffix applied
+        // after the files were written, newest pair first
+        val undo = m.renames.drop(e).reverse
+        val phys = curNames.map(n =>
+          undo.foldLeft(n)((nn, p) => if (nn == p(1)) p(0) else nn))
+        val readSchema = StructType(dataSchema.fields.zip(phys).map {
+          case (f, p) => f.copy(name = p) })
+        spark.read.schema(readSchema).parquet(paths(rs): _*)
+          .toDF(dataSchema.fieldNames.toIndexedSeq: _*)
+      }.reduce(_ unionByName _)
     val out = Vector.newBuilder[DataFrame]
     val newFiles = m.files.filterNot(prev.files.toSet)
-    if (newFiles.nonEmpty) out += tagged(
-      spark.read.schema(dataSchema).parquet(paths(newFiles): _*), "insert")
+    if (newFiles.nonEmpty) out += tagged(readPinned(newFiles), "insert")
     val newUps = m.updates.filterNot(prev.updates.toSet)
     if (newUps.nonEmpty) {
       val all = newUps.zipWithIndex.map { case (u, i) =>
-        spark.read.schema(dataSchema).parquet(paths(Seq(u)): _*)
-          .withColumn("_file_seq", lit(i))
+        readPinned(Seq(u)).withColumn("_file_seq", lit(i))
       }.reduce(_ unionByName _)
       out += tagged(GraftDataset.lastWinsPerUuid(all, "_file_seq"),
         "update_postimage")
@@ -399,11 +476,21 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
             // dirty commit FOLDS the cumulative rename chain into the
             // data (chain resets to empty with no logical rename), while
             // any real rename / added / dropped column changes the field
-            // list — which is exactly what invalidates the pinned schema
-            require(m.schemaJson == prev.schemaJson,
-              s"graft stream source: the table schema changed at commit " +
-                s"${m.id}; restart the stream (with a fresh checkpoint) " +
-                "to pick up the new schema")
+            // list — which is exactly what invalidates the pinned schema.
+            // Exception: in change-feed mode a PURE RENAME is tolerated —
+            // it is metadata-only, so the feed keeps speaking its pinned
+            // names (events re-aliased positionally) and announces the
+            // rename as a `schema_change` event for replicas to apply.
+            if (m.schemaJson != prev.schemaJson) {
+              require(changeFeed &&
+                  GraftStream.renameDelta(prev, m).isDefined,
+                s"graft stream source: the table schema changed at commit " +
+                  s"${m.id}; restart the stream (with a fresh checkpoint) " +
+                  "to pick up the new schema (change feeds tolerate pure " +
+                  "column renames; added/dropped/retyped columns always " +
+                  "need a restart)")
+              cdfBatches += GraftStream.schemaChangeEvent(spark, schema, m.id)
+            }
             val prevFiles = prev.files.toSet
             val mFiles = m.files.toSet
             if (changeFeed) {

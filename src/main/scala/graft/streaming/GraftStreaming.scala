@@ -112,18 +112,70 @@ object GraftStreaming {
           .lastBatchId(s, dstRoot, replica.head, Set(token))
           .exists(_ >= epoch)
         if (!dup) {
-          // only the FIRST batch of a query is the bootstrap snapshot:
-          // it can re-deliver rows the replica already holds (upserted)
-          // and it is the COMPLETE live set, so replica rows outside it
-          // are phantoms from the checkpoint-loss gap — reconciled as
-          // deletes. Later batches are per-commit deltas the epoch
-          // marker guards; they skip the replica-wide uuid scan
-          // entirely (cost stays churn-sized).
-          replica.applyChanges(batch, dedupInserts = epoch == 0L,
-            reconcileDeletes = epoch == 0L)
-          replica.commit(graft.format.GraftStream.marker(token, epoch),
-            allowEmpty = true)
-          ()
+          val tpe = col(graft.format.GraftStream.ChangeTypeCol)
+          // two consumers of the batch plan (schema_change scan + row
+          // apply) — persist so the feed read runs once
+          val b = batch.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // schema evolution: the feed tolerates PURE RENAMES and
+            // announces them as schema_change events. Field POSITIONS
+            // are invariant under pure renames, so row events (pinned
+            // names) align to the replica's current names positionally;
+            // the replica then adopts the rename itself (below), keeping
+            // its schema converged with the source's.
+            val logicalN = batch.schema.fields.length - 3 // data cols
+            val rf = replica.schema.fields
+            require(rf.length == logicalN &&
+                rf.map(_.dataType).toSeq ==
+                  batch.schema.fields.take(logicalN).map(_.dataType).toSeq,
+              "replica/feed schema shapes diverged (non-rename change?); " +
+                "re-sync the replica with a fresh checkpoint")
+            // a RE-BOOTSTRAP after checkpoint loss pins the source's
+            // CURRENT names — if renames happened during the gap, the
+            // snapshot carries no schema_change events for them, so the
+            // bootstrap adopts the feed's names positionally
+            if (epoch == 0L)
+              for ((r, bn) <- rf.zip(
+                  batch.schema.fields.take(logicalN).map(_.name))
+                  if r.name != bn)
+                replica.renameTensor(r.name, bn)
+            val names = replica.schema.fieldNames.toIndexedSeq ++
+              batch.schema.fieldNames.takeRight(3) // _uuid, _change_type, _commit_id
+            val rows = b.filter(tpe =!= "schema_change").toDF(names: _*)
+            // only the FIRST batch of a query is the bootstrap snapshot:
+            // it can re-deliver rows the replica already holds (upserted)
+            // and it is the COMPLETE live set, so replica rows outside it
+            // are phantoms from the checkpoint-loss gap — reconciled as
+            // deletes. Later batches are per-commit deltas the epoch
+            // marker guards; they skip the replica-wide uuid scan
+            // entirely (cost stays churn-sized).
+            replica.applyChanges(rows, dedupInserts = epoch == 0L,
+              reconcileDeletes = epoch == 0L)
+            // apply the batch's announced renames AFTER its row events —
+            // a pure rename is metadata-only and value-neutral, so it
+            // commutes with row events of later commits in the batch
+            // (which arrive in pinned names either way). Rename pairs
+            // come from the source commit's own metadata; already-
+            // applied pairs (replayed feed) skip idempotently.
+            val changed = b.filter(tpe === "schema_change")
+              .select(graft.format.GraftStream.CommitIdCol)
+              .distinct().collect().map(_.getString(0)).sorted
+            for (cid <- changed) {
+              val meta = graft.format.CommitLog.readCommit(s, srcRoot, cid)
+              val par = meta.parent.map(
+                graft.format.CommitLog.readCommit(s, srcRoot, _))
+              for (delta <- par.flatMap(p =>
+                     graft.format.GraftStream.renameDelta(p, meta));
+                   (f, t) <- delta)
+                if (replica.schema.fieldNames.contains(f) &&
+                    !replica.schema.fieldNames.contains(t))
+                  replica.renameTensor(f, t)
+            }
+            replica.commit(graft.format.GraftStream.marker(token, epoch),
+              allowEmpty = true)
+            ()
+          } finally { b.unpersist(false); () }
         }
       }
       .start()

@@ -224,6 +224,82 @@ class GraftSourceSpec extends SparkSpec {
     assert(d4 >= 2, s"renamed column must still prune via migrated stats, got $d4")
   }
 
+  test("temporal stat domains: ts/date range filters prune files, exact under merge-on-read") {
+    import spark.implicits._
+    val root = tmpDir("tskip") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("d", org.apache.spark.sql.types.DateType),
+      StructField("tn", org.apache.spark.sql.types.TimestampNTZType))))
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2026-03-0$day $h%02d:00:00")
+    def dt(day: Int) = java.sql.Date.valueOf(f"2026-03-0$day")
+    def ldt(day: Int, h: Int) =
+      java.time.LocalDateTime.of(2026, 3, day, h, 0)
+    // two range-clustered entries: day-1 events, day-2 events
+    ds.append((0 until 50).map(i =>
+      (i.toLong, t(1, i % 24), dt(1), ldt(1, i % 24))).toDF("id", "ts", "d", "tn"))
+    ds.append((50 until 100).map(i =>
+      (i.toLong, t(2, i % 24), dt(2), ldt(2, i % 24))).toDF("id", "ts", "d", "tn"))
+    ds.commit("two days")
+    def read() = spark.read.format("graft").load(root)
+    def prunedDelta[T](body: => T): (T, Long) = {
+      val before = FileSkipping.prunedFiles.get()
+      val r = body
+      (r, FileSkipping.prunedFiles.get() - before)
+    }
+    // timestamp range: day-2 cutoff prunes the day-1 file
+    val (n1, p1) = prunedDelta(read().filter($"ts" >= t(2, 0)).count())
+    assert(n1 == 50L && p1 >= 1, s"ts-range must prune the day-1 file, got $p1")
+    // date equality prunes the other day's file
+    val (n2, p2) = prunedDelta(read().filter($"d" === dt(1)).count())
+    assert(n2 == 50L && p2 >= 1, s"date filter must prune, got $p2")
+    // NTZ wall-clock range prunes too
+    val (n3, p3) = prunedDelta(
+      read().filter($"tn" < ldt(2, 0).toString.replace("T", " ")).count())
+    assert(n3 == 50L, s"ntz filter wrong count: $n3")
+    // exactness parity: pruned read == snapshot read on the same predicate
+    assert(read().filter($"ts" < t(2, 0)).count() ==
+      ds.toDF.filter($"ts" < t(2, 0)).count())
+    // metadata MIN/MAX: temporal domains are exact from stats alone
+    // (checked before the update below — outstanding updates refuse)
+    assert(ds.statMinMax("d").contains((dt(1), dt(2))))
+    assert(ds.statMinMax("ts").contains((t(1, 0), t(2, 23))))
+    // merge-on-read: an update moves a day-1 row to day 3 — both files'
+    // ts stats exclude day 3, yet the updated row must appear
+    ds.update($"id" === 7L, Map("ts" -> lit(t(3, 0))))
+    ds.commit("move to day 3")
+    val (moved, p4) = prunedDelta(
+      read().filter($"ts" >= t(3, 0)).select("id").as[Long].collect().toSeq)
+    assert(moved == Seq(7L), "pruned ts read must still see the updated row")
+    assert(p4 >= 2, "both base files excluded by ts stats")
+    // a mutated table refuses exact temporal MIN/MAX (update outstanding)
+    assert(GraftDataset.load(spark, root).statMinMax("ts").isEmpty)
+    val ds2root = tmpDir("tskip2") + "/t"
+    val ds2 = GraftDataset.create(spark, ds2root, StructType(Seq(
+      StructField("ts", org.apache.spark.sql.types.TimestampType))))
+    ds2.append(Seq(Tuple1(t(1, 5)), Tuple1(t(2, 9))).toDF("ts"))
+    ds2.commit("rows")
+    assert(ds2.statMinMax("ts").contains((t(1, 5), t(2, 9))))
+    // files written under LEGACY datetime rebase refuse temporal stats
+    // (julian-calendar ancient values would misplace in the decode)
+    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "LEGACY")
+    try {
+      val root3 = tmpDir("tskip3") + "/t"
+      val ds3 = GraftDataset.create(spark, root3, StructType(Seq(
+        StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      ds3.append(Seq(Tuple1(java.sql.Timestamp.valueOf("1500-01-01 00:00:00")),
+        Tuple1(t(1, 0))).toDF("ts"))
+      ds3.commit("legacy")
+      assert(ds3.statMinMax("ts").isEmpty,
+        "legacy-rebase files must not claim exact temporal stats")
+      assert(spark.read.format("graft").load(root3)
+        .filter($"ts" < t(2, 0)).count() == 2L)
+    } finally
+      spark.conf.unset("spark.sql.parquet.datetimeRebaseModeInWrite")
+  }
+
   test("rename epochs + drop markers: no stale-column resurrection, skipping survives") {
     import spark.implicits._
     val root = tmpDir("epoch") + "/t"

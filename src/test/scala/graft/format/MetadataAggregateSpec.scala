@@ -115,6 +115,29 @@ class MetadataAggregateSpec extends SparkSpec {
     assert(distinct.head().getLong(0) == 4L)
   }
 
+  test("temporal MIN/MAX collapse to metadata: typed timestamp/date values") {
+    val ds = GraftDataset.create(spark, tmpDir("maggts") + "/t",
+      StructType(Seq(StructField("id", LongType),
+        StructField("ts", TimestampType), StructField("d", DateType))))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    ds.append(Seq((1L, t("2026-03-01 08:30:00"), java.sql.Date.valueOf("2026-03-01")),
+      (2L, t("2026-03-02 23:45:00"), java.sql.Date.valueOf("2026-03-02")))
+      .toDF("id", "ts", "d"))
+    ds.commit("rows")
+    val q = spark.read.format("graft").load(ds.root)
+      .agg(min($"ts").as("tlo"), max($"ts").as("thi"),
+        min($"d").as("dlo"), max($"d").as("dhi"))
+    assert(isMetadataOnly(q), s"plan kept a scan:\n${q.queryExecution.optimizedPlan}")
+    val r = q.head()
+    assert(r.getTimestamp(0) == t("2026-03-01 08:30:00") &&
+      r.getTimestamp(1) == t("2026-03-02 23:45:00"))
+    assert(r.getDate(2) == java.sql.Date.valueOf("2026-03-01") &&
+      r.getDate(3) == java.sql.Date.valueOf("2026-03-02"))
+    // parity with the scan answer
+    val full = ds.toDF.agg(min($"ts"), max($"ts"), min($"d"), max($"d")).head()
+    assert(full == r)
+  }
+
   test("string MIN/MAX refused when parquet stats truncation is configured") {
     // with parquet.statistics.truncate.length set, the footer's BINARY
     // max is an incremented prefix — a covering bound, not a value present
