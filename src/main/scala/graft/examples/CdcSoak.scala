@@ -13,7 +13,11 @@ import graft.streaming.GraftStreaming
   * snapshot onto the already-populated, slightly-behind replica, so
   * upsert convergence (stale inserts → postimages) is exercised at a
   * row count where any divergence or duplication is obvious in the
-  * count and the order-independent row hash. GraftStreamSpec proves
+  * count and the order-independent row hash. Schema EVOLUTION is in the
+  * mix too (r14): one column rename lands mid-feed (delivered as a
+  * schema_change event the replica applies) and one lands in the same
+  * round the checkpoint is lost (never delivered — the fresh bootstrap
+  * adopts the feed's names positionally). GraftStreamSpec proves
   * the logic on toy tables; this proves the CONSTANT FACTORS.
   *
   * Finally the REPLICA runs its own maintenance (bin-packing optimize +
@@ -51,10 +55,22 @@ object CdcSoak {
       GraftStreaming.replicate(spark, src, dst, ckpt).awaitTermination()
     sync() // bootstrap the replica from the full feed
 
+    var payloadCol = "payload"
     for (r <- 1 to rounds) {
-      ds.append(rows(appended, appended + 10000)); appended += 10000
+      // schema evolution under live replication: one rename mid-feed
+      // (announced as a schema_change event, replica adopts it) and one
+      // in the SAME round the checkpoint is lost (no event ever delivered
+      // — the fresh bootstrap must adopt the feed's names positionally)
+      if (r == rounds / 3 || r == rounds / 2) {
+        val next = s"payload_r$r"
+        ds.renameTensor(payloadCol, next)
+        payloadCol = next
+      }
+      ds.append(rows(appended, appended + 10000)
+        .withColumnRenamed("payload", payloadCol))
+      appended += 10000
       ds.update(pmod(col("id"), lit(7)) === (r % 7),
-        Map("payload" -> concat(lit(s"u$r-"), col("id"))))
+        Map(payloadCol -> concat(lit(s"u$r-"), col("id"))))
       ds.pop(pmod(col("id"), lit(101)) === (r % 101))
       ds.commit(s"round $r")
       if (r % 4 == 0) { // clean-state rewrite: the feed must skip it
@@ -69,10 +85,13 @@ object CdcSoak {
     def chk(root: String) = spark.read.format("graft")
       .option("withUuid", "true").load(root)
       .agg(count(lit(1)), sum(pmod(
-        xxhash64(col("id"), col("payload"), col("_uuid")),
+        xxhash64(col("id"), col(payloadCol), col("_uuid")),
         lit(1000000007L)))).head()
     val (srcChk, dstChk) = (chk(src), chk(dst))
-    val okReplicated = srcChk == dstChk
+    // the replica must also have ADOPTED the renamed schema
+    val okSchema = GraftDataset.load(spark, dst).schema.fieldNames.toSeq ==
+      GraftDataset.load(spark, src).schema.fieldNames.toSeq
+    val okReplicated = srcChk == dstChk && okSchema
 
     // replica-side maintenance must not disturb the converged state
     val rds = GraftDataset.load(spark, dst)

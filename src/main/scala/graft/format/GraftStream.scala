@@ -204,6 +204,14 @@ object GraftStream {
     val curNames: Seq[String] = org.apache.spark.sql.types.DataType
       .fromJson(m.schemaJson).asInstanceOf[StructType]
       .fieldNames.toSeq :+ GraftDataset.UuidCol
+    // the walked commit must be a pure-rename stage of the pinned schema
+    // (the per-commit walk validates prev→m; this guards the PIN itself,
+    // e.g. a checkpoint-reconstruction walk over a range that predates a
+    // non-rename change the pinned head schema already carries)
+    require(curNames.length == dataSchema.fields.length,
+      s"graft change feed: the table schema changed between commit " +
+        s"${m.id} and the feed's pinned schema; restart the stream with " +
+        "a fresh checkpoint to pick up the new schema")
     val epochs = m.epochs.getOrElse(Map.empty)
     def readPinned(rels: Seq[String]): DataFrame =
       rels.groupBy(r => epochs.getOrElse(r, 0)).toSeq.map { case (e, rs) =>
@@ -441,14 +449,39 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
       case None =>
         // initial batch: the full snapshot at `end` (merge-on-read plan —
         // updates and tombstones up to here are already folded in); in
-        // change-feed mode every snapshot row is an `insert` event
+        // change-feed mode every snapshot row is an `insert` event.
+        // `end` may sit BEFORE a pure rename the pinned schema already
+        // carries (restart reconstruction replays the bootstrap range
+        // against a head-pinned source): align POSITIONALLY — pure
+        // renames preserve field order — instead of selecting by name,
+        // which would fail resolution (or null-backfill) on the old
+        // names. Shape divergence = a real schema change: fail loudly.
         val ds = GraftDataset.loadCommit(spark, root, endId)
+        val snap0 = {
+          // canonical order (logical fields, then `_uuid`) in the
+          // commit's OWN names, so the positional pin below is
+          // order-independent of the snapshot plan's internal layout
+          val s0 = if (changeFeed || withUuid) ds.snapshotWithUuid() else ds.toDF
+          val names =
+            if (changeFeed || withUuid)
+              ds.schema.fieldNames.toIndexedSeq :+ GraftDataset.UuidCol
+            else ds.schema.fieldNames.toIndexedSeq
+          s0.select(names.map(col): _*)
+        }
+        val pinnedData =
+          if (changeFeed) schema.fields.dropRight(2) else schema.fields
+        require(snap0.schema.fields.length == pinnedData.length &&
+            snap0.schema.fields.map(_.dataType).toSeq ==
+              pinnedData.map(_.dataType).toSeq,
+          s"graft stream source: the table schema changed between commit " +
+            s"$endId and the stream's pinned schema; restart the stream " +
+            "(with a fresh checkpoint) to pick up the new schema")
+        val snap1 = snap0.toDF(pinnedData.map(_.name).toIndexedSeq: _*)
         val snap =
-          if (changeFeed) ds.snapshotWithUuid()
+          if (changeFeed) snap1
             .withColumn(GraftStream.ChangeTypeCol, lit("insert"))
             .withColumn(GraftStream.CommitIdCol, lit(endId))
-          else if (withUuid) ds.snapshotWithUuid()
-          else ds.toDF
+          else snap1
         InternalDf.asStreaming(snap.select(logicalCols: _*))
       case Some(s) if GraftStream.offsetValue(s) >= GraftStream.offsetValue(end) =>
         InternalDf.emptyStreaming(spark, schema)

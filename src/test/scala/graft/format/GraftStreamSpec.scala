@@ -237,6 +237,132 @@ class GraftStreamSpec extends SparkSpec {
       "behind replica must converge to the bootstrap's exact live set")
   }
 
+  test("changeFeed tolerates a pure rename: schema_change event, pinned-name rows") {
+    val root = tmpDir("gcdfren") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ds.commit("seed")
+    val ckpt = tmpDir("gcdfrenckpt")
+    val q = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(root)
+      .writeStream.format("memory").queryName("gcdfren_out")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    // rename + append + update in ONE commit, then another commit under
+    // the new name — the feed keeps speaking its PINNED names (v), the
+    // rename is announced as a schema_change event, and files written
+    // under the new physical name (w) are re-aliased, not null-backfilled
+    val renameCommit = {
+      ds.renameTensor("v", "w")
+      ds.append(Seq((3L, "c")).toDF("id", "w"))
+      ds.commit("rename v->w + append")
+    }
+    ds.update(col("id") === 1L, Map("w" -> lit("A")))
+    ds.commit("post-rename update")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("gcdfren_out")
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("id", "v", "_uuid", "_change_type", "_commit_id"))
+    val sc = out.filter(col("_change_type") === "schema_change")
+      .select("id", "v", "_uuid", "_commit_id")
+      .as[(Option[Long], Option[String], Long, String)].collect().toSeq
+    assert(sc == Seq((None, None, -1L, renameCommit)),
+      s"one identity-less schema_change event at the rename commit: $sc")
+    val rows = out.filter(col("_change_type") =!= "schema_change")
+      .select("id", "v", "_change_type")
+      .as[(Option[Long], Option[String], String)].collect().toSeq
+    assert(rows.contains((Some(3L), Some("c"), "insert")),
+      s"post-rename append must surface under the pinned name: $rows")
+    assert(rows.contains((Some(1L), Some("A"), "update_postimage")),
+      s"post-rename update must surface under the pinned name: $rows")
+    // a non-rename schema change (added column) still fails loudly
+    ds.createTensor("extra", org.apache.spark.sql.types.LongType)
+    ds.append(Seq((4L, "d", 40L)).toDF("id", "w", "extra"))
+    ds.commit("add column")
+    val q2 = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(root)
+      .writeStream.format("noop") // memory sink can't resume a checkpoint
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", ckpt) // resume the original pin
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("schema changed") ||
+      Option(err.getCause).exists(_.getMessage.contains("schema changed")))
+  }
+
+  test("batch table_changes across a rename emits schema_change, pinned rows") {
+    val root = tmpDir("gtcren") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a")).toDF("id", "v"))
+    val from = ds.commit("seed")
+    ds.renameTensor("v", "w")
+    ds.commit("rename")
+    ds.append(Seq((2L, "b")).toDF("id", "w"))
+    ds.commit("grow")
+    val feed = ds.changes(fromRef = from)
+    // pinned at the RANGE START's schema (v)
+    assert(feed.schema.fieldNames.toSeq ==
+      Seq("id", "v", "_uuid", "_change_type", "_commit_id"))
+    val got = feed.select("id", "v", "_change_type")
+      .as[(Option[Long], Option[String], String)].collect().toSeq.sorted
+    assert(got == Seq((None, None, "schema_change"),
+      (Some(2L), Some("b"), "insert")), s"got $got")
+  }
+
+  test("replicate applies source renames to the replica (schema evolution)") {
+    val src = tmpDir("grensrc") + "/t"
+    val dst = tmpDir("grendst") + "/t"
+    val ckpt = tmpDir("grenck")
+    val ds = GraftDataset.create(spark, src, schema2)
+    ds.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ds.commit("seed")
+    def sync(): Unit = graft.streaming.GraftStreaming
+      .replicate(spark, src, dst, ckpt).awaitTermination()
+    sync()
+    // source renames mid-replication, then keeps mutating under the new
+    // name — the replica must adopt the rename AND stay row-converged
+    ds.renameTensor("v", "w")
+    ds.append(Seq((3L, "c")).toDF("id", "w"))
+    ds.commit("rename + append")
+    ds.update(col("id") === 1L, Map("w" -> lit("A")))
+    ds.pop(col("id") === 2L)
+    ds.commit("mutate under new name")
+    sync()
+    val replica = GraftDataset.load(spark, dst)
+    assert(replica.schema.fieldNames.toSeq == Seq("id", "w"),
+      s"replica must carry the renamed schema: ${replica.schema.fieldNames.toSeq}")
+    def rows(root: String) = GraftDataset.load(spark, root).toDF
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(rows(dst) == Seq((1L, "A"), (3L, "c")))
+    assert(rows(dst) == rows(src))
+    // uuid-for-uuid identity preserved across the rename
+    assert(GraftDataset.load(spark, dst).snapshotWithUuid()
+      .orderBy("id").select("_uuid").as[Long].collect().toSeq ==
+      GraftDataset.load(spark, src).snapshotWithUuid()
+        .orderBy("id").select("_uuid").as[Long].collect().toSeq)
+    // idle re-run converges (rename application is idempotent)
+    sync()
+    assert(rows(dst) == Seq((1L, "A"), (3L, "c")))
+    // checkpoint LOSS during a further rename: the fresh bootstrap pins
+    // the source's newest names with no schema_change events — the
+    // replica adopts them positionally and reconciles rows
+    ds.renameTensor("w", "x")
+    ds.update(col("id") === 3L, Map("x" -> lit("C")))
+    ds.commit("rename again while checkpoint lost")
+    graft.streaming.GraftStreaming
+      .replicate(spark, src, dst, tmpDir("grenck2")).awaitTermination()
+    val replica2 = GraftDataset.load(spark, dst)
+    assert(replica2.schema.fieldNames.toSeq == Seq("id", "x"),
+      s"bootstrap must adopt the feed's names: ${replica2.schema.fieldNames.toSeq}")
+    assert(rows(dst) == Seq((1L, "A"), (3L, "C")))
+  }
+
   test("changeFeed fails loudly on commits that fold history") {
     val root = tmpDir("gcdffold") + "/t"
     val ds = GraftDataset.create(spark, root, schema2)

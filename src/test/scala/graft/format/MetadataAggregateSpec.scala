@@ -115,6 +115,51 @@ class MetadataAggregateSpec extends SparkSpec {
     assert(distinct.head().getLong(0) == 4L)
   }
 
+  test("miss path is plan-only: zero Spark jobs, zero manifest reads") {
+    // the rewrite runs on EVERY optimized plan — a miss (grouped agg,
+    // unsupported aggregate) must cost nothing: no Spark job during
+    // optimization and no commit-log I/O beyond what loading the
+    // relation already did
+    val ds = table("maggmiss")
+    val df = spark.read.format("graft").load(ds.root)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    @volatile var sentinelSeen = false
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null && "magg-miss-sentinel" ==
+            js.properties.getProperty("spark.jobGroup.id"))
+          sentinelSeen = true
+        else jobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val reads0 = CommitLog.commitReads.get()
+      val grouped = df.groupBy($"s").agg(count(lit(1)).as("n"))
+      val unsupported = df.agg(avg($"x").as("m"))
+      val filtered = df.filter($"id" > 1L).agg(count(lit(1)).as("n"))
+      grouped.queryExecution.optimizedPlan
+      unsupported.queryExecution.optimizedPlan
+      filtered.queryExecution.optimizedPlan
+      assert(CommitLog.commitReads.get() == reads0,
+        "miss-path optimization must read no commit metadata")
+      // listener events are async but FIFO: once the group-tagged
+      // sentinel's start event is observed, every job started before it
+      // has been counted — so the total must be exactly the sentinel
+      spark.sparkContext.setJobGroup("magg-miss-sentinel", "sentinel")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!sentinelSeen && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(sentinelSeen, "sentinel job never observed")
+      assert(jobs.get() == 0,
+        s"optimization of miss-path plans ran ${jobs.get()} extra jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("temporal MIN/MAX collapse to metadata: typed timestamp/date values") {
     val ds = GraftDataset.create(spark, tmpDir("maggts") + "/t",
       StructType(Seq(StructField("id", LongType),
