@@ -51,8 +51,21 @@ object CdcSoak {
     var appended = seed
 
     var ckpt = s"$base/ck1"
-    def sync(): Unit =
-      GraftStreaming.replicate(spark, src, dst, ckpt).awaitTermination()
+    // per-batch throughput + feed lag from the engine's own progress
+    val batchRate = scala.collection.mutable.ArrayBuffer[Double]()
+    val lagCommits = scala.collection.mutable.ArrayBuffer[Long]()
+    def sync(): Unit = {
+      val q = GraftStreaming.replicate(spark, src, dst, ckpt)
+      q.awaitTermination()
+      val ps = q.recentProgress.filter(_.numInputRows > 0)
+      batchRate ++= ps.map(_.processedRowsPerSecond).filter(_.isFinite)
+      lagCommits ++= ps.flatMap(_.sources.headOption).flatMap { s =>
+        for (e <- Option(s.endOffset); l <- Option(s.latestOffset);
+             ev <- e.trim.toLongOption; lv <- l.trim.toLongOption)
+          yield math.max(0L, lv - ev)
+      }
+      ()
+    }
     sync() // bootstrap the replica from the full feed
 
     var payloadCol = "payload"
@@ -101,10 +114,15 @@ object CdcSoak {
     val okMaintained = chk(dst) == srcChk
 
     val sec = (System.nanoTime() - t0) / 1e9
+    val meanRate =
+      if (batchRate.isEmpty) 0.0 else batchRate.sum / batchRate.size
     println(s"""{"seedRows":$seed,"rounds":$rounds,""" +
       s""""srcRows":${srcChk.getLong(0)},"dstRows":${dstChk.getLong(0)},""" +
       s""""srcCommits":${ds.log.size},""" +
       s""""replicaCommits":${rds.log.size},""" +
+      f""""meanEventsPerSec":$meanRate%.0f,""" +
+      f""""peakEventsPerSec":${batchRate.maxOption.getOrElse(0.0)}%.0f,""" +
+      s""""maxLagCommits":${lagCommits.maxOption.getOrElse(0L)},""" +
       f""""sec":$sec%.1f,"okReplicated":$okReplicated,""" +
       s""""okMaintained":$okMaintained}""")
     if (!(okReplicated && okMaintained)) sys.exit(1)

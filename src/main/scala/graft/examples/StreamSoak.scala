@@ -58,6 +58,12 @@ object StreamSoak {
     for (i <- 1 to commits / 2) appendCommit(perCommit, s"seed $i")
 
     val batchRows = scala.collection.mutable.ArrayBuffer[Long]()
+    // sustained-throughput + lag evidence (r14): per-batch processed
+    // rows/s from the engine's own progress, and source lag = commits
+    // between the branch head (reportLatestOffset) and the batch's end
+    // offset — how far the tail is behind the table it is draining
+    val batchRate = scala.collection.mutable.ArrayBuffer[Double]()
+    val lagCommits = scala.collection.mutable.ArrayBuffer[Long]()
     def run(trigger: Trigger, stopAfterBatches: Int = 0): Unit = {
       val q = spark.readStream.format("graft")
         .option("maxCommitsPerTrigger", "3").load(src)
@@ -76,7 +82,14 @@ object StreamSoak {
         require(q.awaitTermination(600000), "AvailableNow must self-stop")
       } else q.processAllAvailable()
       q.stop()
-      batchRows ++= q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      val ps = q.recentProgress.filter(_.numInputRows > 0)
+      batchRows ++= ps.map(_.numInputRows)
+      batchRate ++= ps.map(_.processedRowsPerSecond).filter(_.isFinite)
+      lagCommits ++= ps.flatMap(_.sources.headOption).flatMap { s =>
+        for (e <- Option(s.endOffset); l <- Option(s.latestOffset);
+             ev <- e.trim.toLongOption; lv <- l.trim.toLongOption)
+          yield math.max(0L, lv - ev)
+      }
     }
 
     // phase 2: capped tail killed mid-backlog (restart scenario)
@@ -103,9 +116,14 @@ object StreamSoak {
     val (srcChk, dstChk) = (chk(ds.toDF), chk(out))
     val ok = srcChk == dstChk && srcChk.getLong(0) == total
     val sec = (System.nanoTime() - t0) / 1e9
+    val meanRate =
+      if (batchRate.isEmpty) 0.0 else batchRate.sum / batchRate.size
     println(s"""{"rows":$total,"commits":${ds.log.size},""" +
       s""""batches":${batchRows.size},""" +
       s""""maxBatchRows":${batchRows.maxOption.getOrElse(0L)},""" +
+      f""""meanRowsPerSec":$meanRate%.0f,""" +
+      f""""peakRowsPerSec":${batchRate.maxOption.getOrElse(0.0)}%.0f,""" +
+      s""""maxLagCommits":${lagCommits.maxOption.getOrElse(0L)},""" +
       s""""srcCount":${srcChk.getLong(0)},"dstCount":${dstChk.getLong(0)},""" +
       f""""sec":$sec%.1f,"ok":$ok}""")
     if (!ok) sys.exit(1)

@@ -11,12 +11,18 @@ import org.apache.spark.sql.types._
   * reference stores compressed samples per tensor
   * (muller/core/sample.py, compression.py:73-101).
   *
-  * The DECODE step is a clearly-marked deterministic STUB (this
-  * environment ships no image/audio codecs); everything around it — the
-  * schema contract, the `mapPartitions` batch shape, partition sizing for
-  * CPU-bound work, and the feature-extraction plumbing — is the real,
-  * tested scale path. Swapping the stub for javacv/ImageIO (or a Pandas
-  * UDF under PySpark) changes ONE function.
+  * DECODE is REAL for every codec the JVM can express without extra
+  * dependencies: png/jpeg/bmp/gif/wbmp via javax.imageio, WAV (PCM) via
+  * javax.sound, FLAC via the in-repo frame decoder ([[FlacFrames]]) —
+  * full pixel/sample access, spec-tested against fixtures. Lossy A/V
+  * codecs with no pure-JVM decoder (mp3/ogg/mp4/avi/mkv) plus
+  * dicom/nifti get REAL metadata/header parsing with the full-frame
+  * decode left as a clearly-marked deterministic fallback — that
+  * boundary, not the whole pipeline, is the stub. Everything around it —
+  * the schema contract, the `mapPartitions` batch shape, partition
+  * sizing for CPU-bound work, and the feature-extraction plumbing — is
+  * the same tested scale path either way; swapping a fallback for
+  * javacv (or a Pandas UDF under PySpark) changes ONE function.
   */
 object Multimodal {
 

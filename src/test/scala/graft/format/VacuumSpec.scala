@@ -87,6 +87,51 @@ class VacuumSpec extends SparkSpec {
     assert(ds.toDF.count() == 4)
   }
 
+  test("CONCURRENT writer's staged files survive vacuum (mtime retention guard)") {
+    // cross-handle interleaving (FormatFuzzSpec covers sequential ones):
+    // a second handle — standing in for another JVM's writer — has
+    // staged an append whose commit is not yet published. No commit
+    // references those files and the maintenance handle's own staged
+    // set does not contain them: ONLY the mtime-vs-retention guard
+    // keeps them alive. With a sane window the write must land intact.
+    val ds = freshTable()
+    val writer = GraftDataset.load(spark, ds.root)
+    writer.append(Seq((50L, "w", 5.0)).toDF("id", "label", "score"))
+    val before = dataEntries(ds)
+    val rep = ds.vacuum(olderThanMs = 30 * 60 * 1000L)
+    assert(rep.filter(col("status") === "deleted").count() == 0,
+      "nothing is old enough to die; the staged entry must be kept_recent")
+    assert(dataEntries(ds) == before, "no staged file may vanish")
+    writer.commit("in-flight writer lands after the vacuum")
+    assert(GraftDataset.load(spark, ds.root).toDF.count() == 4)
+    // truly interleaved: vacuum loops in one thread while a writer
+    // stages + commits in another — every landed row must resolve
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vacuumErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val sweeper = new Thread(() => {
+      val h = GraftDataset.load(spark, ds.root)
+      while (!stop.get())
+        try h.vacuum(olderThanMs = 30 * 60 * 1000L)
+        catch { case t: Throwable => vacuumErr.compareAndSet(null, t); stop.set(true) }
+    })
+    sweeper.start()
+    try {
+      val w2 = GraftDataset.load(spark, ds.root)
+      for (i <- 0 until 5) {
+        w2.append(Seq((100L + i, s"c$i", i.toDouble))
+          .toDF("id", "label", "score"))
+        w2.commit(s"racing commit $i")
+      }
+    } finally { stop.set(true); sweeper.join(30000) }
+    assert(vacuumErr.get() == null,
+      s"racing vacuum must not fail: ${vacuumErr.get()}")
+    val finalRows = GraftDataset.load(spark, ds.root).toDF
+      .select("id").as[Long].collect().toSet
+    assert((100L until 105L).forall(finalRows.contains),
+      s"every racing commit's rows must survive: $finalRows")
+    assert(finalRows.size == 9)
+  }
+
   test("view and index pins protect their commits' files") {
     val ds = freshTable()
     ds.saveView("small", $"id" < 2L)
