@@ -312,12 +312,15 @@ object Multimodal {
         .map(Double.box).orNull))
   }
 
-  /** REAL ogg METADATA decode — OggS page walk (public Ogg framing +
-    * Vorbis I / Opus identification headers): the first page's payload
-    * gives the codec, channels and sample rate; the LAST page's granule
-    * position is the total PCM sample count (Opus granules always run
-    * at 48 kHz, minus the declared pre-skip). Amplitude needs full
-    * codec synthesis → null, same boundary as [[decodeMp3]].
+  /** REAL ogg decode — OggS page walk (public Ogg framing + Vorbis I /
+    * Opus identification headers): the first page's payload gives the
+    * codec, channels and sample rate; the LAST page's granule position
+    * is the total PCM sample count (Opus granules always run at 48 kHz,
+    * minus the declared pre-skip). For VORBIS payloads the amplitude is
+    * computed by FULL synthesis ([[VorbisFrames]] — headers, codebooks,
+    * floor1, residue, coupling, iMDCT, overlap-add), degrading to null
+    * on any parse failure; Opus needs a SILK/CELT decoder → null, the
+    * same boundary as [[decodeMp3]].
     */
   private[graft] def decodeOgg(bytes: Array[Byte])
       : Option[(Int, Int, Long, Double, java.lang.Double)] = {
@@ -336,18 +339,19 @@ object Multimodal {
     if (pay0 + 19 > bytes.length) return None
     def ascii(p: Int, n: Int) = new String(bytes, p, n,
       java.nio.charset.StandardCharsets.US_ASCII)
-    val (rate, channels, granulesPerSec, preskip) =
+    val (rate, channels, granulesPerSec, preskip, amp) =
       if (bytes(pay0) == 0x01 && ascii(pay0 + 1, 6) == "vorbis") {
         // 0x01 "vorbis" version(4) channels(1) rate(4 LE)
         val ch = bytes(pay0 + 11) & 0xff
         val r = le32At(pay0 + 12).toInt
-        (r, ch, r.toLong, 0L)
+        (r, ch, r.toLong, 0L,
+          VorbisFrames.meanAbs(bytes).map(Double.box).orNull)
       } else if (ascii(pay0, 8) == "OpusHead") {
         // "OpusHead" version(1) channels(1) preskip(2 LE) inputRate(4 LE)
         val ch = bytes(pay0 + 9) & 0xff
         val r = le32At(pay0 + 12).toInt
         (r, ch, 48000L, (bytes(pay0 + 10) & 0xffL) |
-          ((bytes(pay0 + 11) & 0xffL) << 8))
+          ((bytes(pay0 + 11) & 0xffL) << 8), null)
       } else return None
     if (rate <= 0 || granulesPerSec <= 0) return None
     // last page: scan backwards for the final OggS capture
@@ -357,7 +361,7 @@ object Multimodal {
     if (granule < 0) return None
     val samples = math.max(granule - preskip, 0L)
     Some((rate, channels, samples,
-      samples.toDouble / granulesPerSec, null))
+      samples.toDouble / granulesPerSec, amp))
   }
 
   /** STUB audio decode for codecs the JVM lacks: deterministic features

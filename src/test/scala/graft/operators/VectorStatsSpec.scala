@@ -825,6 +825,244 @@ class VectorStatsSpec extends SparkSpec {
       page(0, Array.fill(19)(0x7e.toByte))).isEmpty)
   }
 
+  test("multimodal: ogg vorbis FULL synthesis matches the analytic signal") {
+    // A minimal but spec-valid Vorbis I stream built here bit-by-bit
+    // (LSB-first packing, MSB-first huffman codewords): mono, 8 kHz,
+    // blocksizes 256/256, one mode/mapping, floor1 with zero partitions
+    // (a flat y0=y1=255 line -> linear amplitude exactly 1.0), residue
+    // type 2 over [0,128) in 4 partitions with a 2-entry classbook and
+    // a 3-entry {-1,0,+1} lookup-1 value book. Every audio packet
+    // encodes a single +1 at spectral bin K, so the decoded time signal
+    // is ANALYTIC: imdct of a unit bin through the vorbis window and
+    // equal-size overlap-add, computable here from the spec formulas
+    // alone - independent of the decoder's internals.
+    final class BitW {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var cur = 0; private var nb = 0
+      def bit(b: Int): Unit = {
+        cur |= (b & 1) << nb; nb += 1
+        if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+      }
+      def bits(v: Long, n: Int): Unit =         // raw ints: LSB first
+        (0 until n).foreach(i => bit(((v >> i) & 1).toInt))
+      def code(c: Int, len: Int): Unit =        // huffman: MSB first
+        (len - 1 to 0 by -1).foreach(j => bit((c >> j) & 1))
+      def bytes: Array[Byte] = {
+        if (nb > 0) { out.write(cur); cur = 0; nb = 0 }
+        out.toByteArray
+      }
+    }
+    def vorbisFloat(v: Double): Long = { // 21-bit mantissa, biased exp
+      val sign = if (v < 0) 0x80000000L else 0L
+      val m = math.abs(v).toLong              // integers only, exp 788
+      sign | (788L << 21) | m
+    }
+    val n = 256; val n2 = 128; val binK = 9
+    val ident = {
+      val w = new BitW
+      w.bits(1, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(0, 32); w.bits(1, 8); w.bits(8000, 32)
+      w.bits(0, 32); w.bits(0, 32); w.bits(0, 32)
+      w.bits(8 | (8 << 4), 8) // blocksize0 = blocksize1 = 2^8
+      w.bit(1)
+      w.bytes
+    }
+    val comment = {
+      val w = new BitW
+      w.bits(3, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(0, 32); w.bits(0, 32); w.bit(1)
+      w.bytes
+    }
+    val setup = {
+      val w = new BitW
+      w.bits(5, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(1, 8) // 2 codebooks
+      // book 0 (classbook): dim 1, 2 entries, lengths [1,1], no lookup
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(2, 24)
+      w.bit(0); w.bit(0) // unordered, non-sparse
+      w.bits(0, 5); w.bits(0, 5) // lengths - 1
+      w.bits(0, 4) // lookup 0
+      // book 1 (values): dim 1, 3 entries, lengths [1,2,2], lookup 1
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(3, 24)
+      w.bit(0); w.bit(0)
+      w.bits(0, 5); w.bits(1, 5); w.bits(1, 5)
+      w.bits(1, 4) // lookup type 1
+      w.bits(vorbisFloat(-1.0), 32) // minimum
+      w.bits(vorbisFloat(1.0), 32)  // delta
+      w.bits(1, 4) // value_bits - 1 = 1 -> 2 bits each
+      w.bit(0)     // sequence_p
+      Seq(0, 1, 2).foreach(m => w.bits(m, 2)) // values -1, 0, +1
+      // time domain: 1 transform, type 0
+      w.bits(0, 6); w.bits(0, 16)
+      // floors: 1 of type 1, zero partitions, multiplier 1, rangebits 7
+      w.bits(0, 6); w.bits(1, 16)
+      w.bits(0, 5)      // partitions
+      w.bits(0, 2)      // multiplier - 1
+      w.bits(7, 4)      // rangebits -> x list [0, 128]
+      // residues: 1 of type 2
+      w.bits(0, 6); w.bits(2, 16)
+      w.bits(0, 24); w.bits(128, 24); w.bits(31, 24) // begin/end/psize-1
+      w.bits(0, 6)      // classifications - 1 = 0 -> 1 class
+      w.bits(0, 8)      // classbook = book 0
+      w.bits(1, 3); w.bit(0) // cascade[0] = 1 (pass 0 only)
+      w.bits(1, 8)      // books[0][pass0] = book 1
+      // mappings: 1 of type 0, no flags -> 1 submap, no coupling
+      w.bits(0, 6); w.bits(0, 16)
+      w.bit(0); w.bit(0); w.bits(0, 2)
+      w.bits(0, 8); w.bits(0, 8); w.bits(0, 8) // time/floor/residue = 0
+      // modes: 1, blockflag 0
+      w.bits(0, 6)
+      w.bit(0); w.bits(0, 16); w.bits(0, 16); w.bits(0, 8)
+      w.bit(1)
+      w.bytes
+    }
+    val audio = {
+      val w = new BitW
+      w.bit(0) // audio packet; mode number = ilog(0) = 0 bits
+      // floor ch0: voiced, y0 = y1 = 255 (8 bits each: ilog(255) = 8)
+      w.bit(1); w.bits(255, 8); w.bits(255, 8)
+      // residue: 4 partitions x (1 classword bit + 32 values);
+      // values: entry1 '10' = 0 everywhere except bin K -> entry2 '11'
+      for (p <- 0 until 4) {
+        w.code(0, 1) // classword: entry 0
+        for (i <- 0 until 32) {
+          val bin = p * 32 + i
+          if (bin == binK) w.code(3, 2) else w.code(2, 2)
+        }
+      }
+      w.bytes
+    }
+    def le(v: Long, nB: Int): Array[Byte] =
+      (0 until nB).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def page(tpe: Int, granule: Long, seq: Int,
+             packets: Seq[Array[Byte]]): Array[Byte] = {
+      val lacing = packets.flatMap { p =>
+        val full = Seq.fill(p.length / 255)(255.toByte)
+        full :+ (p.length % 255).toByte
+      }
+      "OggS".getBytes ++ Array[Byte](0, tpe.toByte) ++ le(granule, 8) ++
+        le(7, 4) ++ le(seq, 4) ++ le(0, 4) ++
+        Array(lacing.length.toByte) ++ lacing ++ packets.flatten
+    }
+    val nPackets = 5 // first primes the overlap; 4 x 128 samples emitted
+    val ogg = page(2, 0, 0, Seq(ident)) ++
+      page(0, 0, 1, Seq(comment, setup)) ++
+      page(4, 4 * n2, 2, Seq.fill(nPackets)(audio))
+    // ---- analytic expectation from the SPEC formulas -------------------
+    def slope(i: Int, sn: Int): Double =
+      math.sin(math.Pi / 2 * math.pow(
+        math.sin(math.Pi / 2 * (i + 0.5) / sn), 2))
+    val wnd = Array.tabulate(n)(i =>
+      if (i < n2) slope(i, n2) else slope(n - 1 - i, n2))
+    val t = Array.tabulate(n)(i => math.cos(
+      math.Pi / (2.0 * n) * (2 * i + 1 + n2) * (2 * binK + 1)))
+    val steady = Array.tabulate(n2)(i =>
+      t(n2 + i) * wnd(n2 + i) + t(i) * wnd(i))
+    val expectMean = steady.map(s =>
+      math.abs(math.max(-1.0, math.min(1.0, s)))).sum / n2
+    // ---- decode through the public surface ----------------------------
+    val od = Multimodal.decodeOgg(ogg)
+    assert(od.isDefined, "fixture must parse as ogg-vorbis")
+    val (rate, ch, samples, dur, amp) = od.get
+    assert(rate == 8000 && ch == 1 && samples == 4L * n2)
+    assert(math.abs(dur - 512.0 / 8000) < 1e-9)
+    assert(amp != null, "full vorbis synthesis must produce an amplitude")
+    assert(math.abs(amp.doubleValue - expectMean) < 1e-4,
+      s"decoded mean ${amp.doubleValue} vs analytic $expectMean")
+    // degradation: a stream whose setup is corrupted keeps its metadata
+    // and reports amplitude null (the parse-fail -> metadata boundary)
+    val broken = page(2, 0, 0, Seq(ident)) ++
+      page(0, 0, 1, Seq(comment, setup.take(20))) ++
+      page(4, 4 * n2, 2, Seq.fill(nPackets)(audio))
+    val bd = Multimodal.decodeOgg(broken)
+    assert(bd.isDefined && bd.get._5 == null,
+      s"corrupt setup must degrade to metadata-only, got $bd")
+
+    // ---- stereo + square-polar coupling + negative residues ------------
+    // magnitude channel carries +1 at binK; the angle channel carries -1
+    // at binK2 (magnitude 0 there). Inverse coupling (spec 4.3.5):
+    //   at binK : M=1, A=0  -> ch0 += bin, ch1 += bin
+    //   at binK2: M=0, A=-1 -> ch0 = 0-(-1) = +1, ch1 = 0
+    // so ch0 is a TWO-bin signal and ch1 a one-bin signal - all of it
+    // decoded through the interleaved residue-2 vector.
+    val binK2 = 40
+    val ident2 = {
+      val w = new BitW
+      w.bits(1, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(0, 32); w.bits(2, 8); w.bits(8000, 32)
+      w.bits(0, 32); w.bits(0, 32); w.bits(0, 32)
+      w.bits(8 | (8 << 4), 8); w.bit(1)
+      w.bytes
+    }
+    val setup2 = {
+      val w = new BitW
+      w.bits(5, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(1, 8)
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(2, 24)
+      w.bit(0); w.bit(0); w.bits(0, 5); w.bits(0, 5); w.bits(0, 4)
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(3, 24)
+      w.bit(0); w.bit(0); w.bits(0, 5); w.bits(1, 5); w.bits(1, 5)
+      w.bits(1, 4); w.bits(vorbisFloat(-1.0), 32); w.bits(vorbisFloat(1.0), 32)
+      w.bits(1, 4); w.bit(0); Seq(0, 1, 2).foreach(m => w.bits(m, 2))
+      w.bits(0, 6); w.bits(0, 16)
+      w.bits(0, 6); w.bits(1, 16)
+      w.bits(0, 5); w.bits(0, 2); w.bits(7, 4)
+      // residue 2 over the INTERLEAVED stereo vector [0, 256)
+      w.bits(0, 6); w.bits(2, 16)
+      w.bits(0, 24); w.bits(256, 24); w.bits(31, 24)
+      w.bits(0, 6); w.bits(0, 8)
+      w.bits(1, 3); w.bit(0); w.bits(1, 8)
+      // mapping: 1 submap, ONE coupling step mag=0 ang=1
+      w.bits(0, 6); w.bits(0, 16)
+      w.bit(0)          // submaps flag -> 1
+      w.bit(1)          // coupling flag
+      w.bits(0, 8)      // steps - 1
+      w.bits(0, 1); w.bits(1, 1) // mag 0, ang 1 (ilog(1) = 1 bit)
+      w.bits(0, 2)
+      w.bits(0, 8); w.bits(0, 8); w.bits(0, 8)
+      w.bits(0, 6)
+      w.bit(0); w.bits(0, 16); w.bits(0, 16); w.bits(0, 8)
+      w.bit(1)
+      w.bytes
+    }
+    val audio2 = {
+      val w = new BitW
+      w.bit(0)
+      // two voiced flat floors
+      w.bit(1); w.bits(255, 8); w.bits(255, 8)
+      w.bit(1); w.bits(255, 8); w.bits(255, 8)
+      // interleaved residue: 8 partitions x (1 classword + 32 values);
+      // +1 at interleaved 2*binK (ch0), -1 at 2*binK2+1 (ch1)
+      for (p <- 0 until 8) {
+        w.code(0, 1)
+        for (i <- 0 until 32) {
+          val pos = p * 32 + i
+          if (pos == 2 * binK) w.code(3, 2)        // +1
+          else if (pos == 2 * binK2 + 1) w.code(0, 1) // -1
+          else w.code(2, 2)                         // 0
+        }
+      }
+      w.bytes
+    }
+    val ogg2 = page(2, 0, 0, Seq(ident2)) ++
+      page(0, 0, 1, Seq(comment, setup2)) ++
+      page(4, 4 * n2, 2, Seq.fill(nPackets)(audio2))
+    val t2 = Array.tabulate(n)(i => math.cos(
+      math.Pi / (2.0 * n) * (2 * i + 1 + n2) * (2 * binK2 + 1)))
+    def steadyOf(sig: Array[Double]): Array[Double] =
+      Array.tabulate(n2)(i => sig(n2 + i) * wnd(n2 + i) + sig(i) * wnd(i))
+    val ch0 = steadyOf(Array.tabulate(n)(i => t(i) + t2(i)))
+    val ch1 = steadyOf(t)
+    val expect2 = (ch0 ++ ch1).map(s =>
+      math.abs(math.max(-1.0, math.min(1.0, s)))).sum / (2.0 * n2)
+    val od2 = Multimodal.decodeOgg(ogg2)
+    assert(od2.isDefined && od2.get._2 == 2 && od2.get._3 == 4L * n2)
+    val amp2 = od2.get._5
+    assert(amp2 != null, "stereo coupled synthesis must decode")
+    assert(math.abs(amp2.doubleValue - expect2) < 1e-4,
+      s"stereo decoded mean ${amp2.doubleValue} vs analytic $expect2")
+  }
+
   test("multimodal: avi RIFF and mkv EBML metadata decode") {
     // AVI: RIFF/AVI + LIST(hdrl) + 56-byte avih: 33333 us/frame (30 fps),
     // 300 frames, 2 streams
