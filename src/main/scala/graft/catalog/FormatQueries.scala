@@ -734,6 +734,79 @@ object FormatQueries {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
           AND ts < TIMESTAMP '2024-01-07 00:00:00'
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // temporal metadata aggregates (r14): MIN/MAX over timestamp and
+    // date columns answered from manifest stats alone through the
+    // Catalyst rewrite — the oracle pins the VALUES the INT64-micros /
+    // INT32-days stat decode produces (a scale error, a MILLIS/MICROS
+    // mixup, or timezone drift all break the hash). The plan shape
+    // (LocalRelation, no scan) is pinned in MetadataAggregateSpec.
+    QueryDef("q120_format_ts_metadata_minmax",
+      (s, dir) => {
+        org.apache.spark.sql.graftnative.GraftExtensions.install(s)
+        val ev = Tables.load(s, dir, "events")
+          .select("event_id", "ts", "value")
+          .withColumn("d", to_date(col("ts")))
+        val root = freshRoot("q120")
+        IO.fromDataFrame(ev, root)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ev_q120 " +
+          s"USING graft OPTIONS (path '$root')")
+        graft.QueryCleanup.registerTempView("graft_ev_q120")
+        // raw typed MIN/MAX (no CAST wrapper) — a Cast around the
+        // aggregate would stop the rewrite from collapsing the plan
+        s.sql("""SELECT COUNT(*) AS n,
+            MIN(ts) AS ts_lo, MAX(ts) AS ts_hi,
+            MIN(d) AS d_lo, MAX(d) AS d_hi
+          FROM graft_ev_q120""")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          MIN(ts) AS ts_lo, MAX(ts) AS ts_hi,
+          MIN(CAST(ts AS DATE)) AS d_lo, MAX(CAST(ts AS DATE)) AS d_hi
+        FROM events""")),
+
+    // CDC across schema evolution (r14): the source renames a column
+    // MID-RANGE; batch table_changes announces it as a schema_change
+    // event and keeps row events in the pinned names, and the replica
+    // stream applies the rename — the final replica must answer the
+    // aggregate under the NEW column name, row-for-row equal to the
+    // renamed source.
+    QueryDef("q121_format_cdc_rename",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val srcRoot = freshRoot("q121src")
+        val ds = IO.fromDataFrame(o, srcRoot)
+        ds.update(col("o_orderstatus") === "F",
+          Map("o_totalprice" -> (col("o_totalprice") + 5)))
+        ds.commit("pre-rename mutate")
+        ds.renameTensor("o_totalprice", "o_price")
+        ds.append(o.filter(col("o_orderkey") <= 30)
+          .select((col("o_orderkey") + 40000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice").as("o_price")))
+        ds.commit("rename + grow under new name")
+        ds.pop(col("o_orderkey") % 11 === 0)
+        ds.commit("post-rename pop")
+        val repRoot = freshRoot("q121rep")
+        graft.streaming.GraftStreaming.replicate(
+          s, srcRoot, repRoot, freshRoot("q121ck")).awaitTermination()
+        val replica = GraftDataset.load(s, repRoot)
+        replica.toDF.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_price"))).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH renamed AS (
+          SELECT o_orderkey, o_orderstatus,
+            CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 5
+                 ELSE o_totalprice END AS o_price
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey + 40000000, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey <= 30)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM renamed WHERE o_orderkey % 11 <> 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

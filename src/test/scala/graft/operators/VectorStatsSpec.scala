@@ -1061,6 +1061,116 @@ class VectorStatsSpec extends SparkSpec {
     assert(amp2 != null, "stereo coupled synthesis must decode")
     assert(math.abs(amp2.doubleValue - expect2) < 1e-4,
       s"stereo decoded mean ${amp2.doubleValue} vs analytic $expect2")
+
+    // ---- mixed long/short blocks (64/256): the general unequal-size
+    // window slopes and center-aligned overlap-add. Packet pattern
+    // long, short, long, short, long with the long blocks' window
+    // flags marking their short neighbors. Mono, one +1 bin per block.
+    val nS = 64; val nL = 256
+    val ident3 = {
+      val w = new BitW
+      w.bits(1, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(0, 32); w.bits(1, 8); w.bits(8000, 32)
+      w.bits(0, 32); w.bits(0, 32); w.bits(0, 32)
+      w.bits(6 | (8 << 4), 8) // blocksize0 = 2^6, blocksize1 = 2^8
+      w.bit(1)
+      w.bytes
+    }
+    val setup3 = {
+      val w = new BitW
+      w.bits(5, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(1, 8)
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(2, 24)
+      w.bit(0); w.bit(0); w.bits(0, 5); w.bits(0, 5); w.bits(0, 4)
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(3, 24)
+      w.bit(0); w.bit(0); w.bits(0, 5); w.bits(1, 5); w.bits(1, 5)
+      w.bits(1, 4); w.bits(vorbisFloat(-1.0), 32); w.bits(vorbisFloat(1.0), 32)
+      w.bits(1, 4); w.bit(0); Seq(0, 1, 2).foreach(m => w.bits(m, 2))
+      w.bits(0, 6); w.bits(0, 16)
+      w.bits(0, 6); w.bits(1, 16)
+      w.bits(0, 5); w.bits(0, 2); w.bits(7, 4)
+      w.bits(0, 6); w.bits(2, 16)
+      w.bits(0, 24); w.bits(128, 24); w.bits(31, 24)
+      w.bits(0, 6); w.bits(0, 8)
+      w.bits(1, 3); w.bit(0); w.bits(1, 8)
+      w.bits(0, 6); w.bits(0, 16)
+      w.bit(0); w.bit(0); w.bits(0, 2)
+      w.bits(0, 8); w.bits(0, 8); w.bits(0, 8)
+      // TWO modes: 0 = short, 1 = long (same mapping)
+      w.bits(1, 6)
+      w.bit(0); w.bits(0, 16); w.bits(0, 16); w.bits(0, 8)
+      w.bit(1); w.bits(0, 16); w.bits(0, 16); w.bits(0, 8)
+      w.bit(1)
+      w.bytes
+    }
+    def audio3(long: Boolean, prevLong: Boolean, nextLong: Boolean) = {
+      val w = new BitW
+      w.bit(0)
+      w.bits(if (long) 1 else 0, 1) // mode number (ilog(1) = 1 bit)
+      if (long) { w.bit(if (prevLong) 1 else 0); w.bit(if (nextLong) 1 else 0) }
+      w.bit(1); w.bits(255, 8); w.bits(255, 8)
+      val n2here = (if (long) nL else nS) / 2
+      val parts = math.min(128, n2here) / 32
+      for (p <- 0 until parts) {
+        w.code(0, 1)
+        for (i <- 0 until 32)
+          if (p * 32 + i == binK) w.code(3, 2) else w.code(2, 2)
+      }
+      w.bytes
+    }
+    val pkts = Seq(
+      audio3(long = true, prevLong = true, nextLong = false),
+      audio3(long = false, prevLong = false, nextLong = false),
+      audio3(long = true, prevLong = false, nextLong = false),
+      audio3(long = false, prevLong = false, nextLong = false),
+      audio3(long = true, prevLong = false, nextLong = true))
+    // emitted: 4 transitions x (prevN/4 + curN/4) = 4 x 80
+    val total3 = 4 * (nL / 4 + nS / 4)
+    val ogg3 = page(2, 0, 0, Seq(ident3)) ++
+      page(0, 0, 1, Seq(comment, setup3)) ++
+      page(4, total3, 2, pkts)
+    // analytic: spec window shapes (slopes sized by the smaller
+    // neighbor, centered at n/4 and 3n/4) and center-aligned lap
+    def wndOf(nn: Int, leftN: Int, rightN: Int): Array[Double] = {
+      val ls = nn / 4 - leftN / 2
+      val rs = 3 * nn / 4 - rightN / 2
+      Array.tabulate(nn) { i =>
+        if (i < ls) 0.0
+        else if (i < ls + leftN) slope(i - ls, leftN)
+        else if (i < rs) 1.0
+        else if (i < rs + rightN) slope(rightN - 1 - (i - rs), rightN)
+        else 0.0
+      }
+    }
+    def sig(nn: Int): Array[Double] = Array.tabulate(nn)(i => math.cos(
+      math.Pi / (2.0 * nn) * (2 * i + 1 + nn / 2) * (2 * binK + 1)))
+    val blocks = Seq( // (n, leftN, rightN) per packet
+      (nL, nL / 2, nS / 2), (nS, nS / 2, nS / 2), (nL, nS / 2, nS / 2),
+      (nS, nS / 2, nS / 2), (nL, nS / 2, nL / 2))
+    val windowed3 = blocks.map { case (nn, l, r) =>
+      val w = wndOf(nn, l, r); val s0 = sig(nn)
+      Array.tabulate(nn)(i => s0(i) * w(i))
+    }
+    val expected3 = (1 until 5).flatMap { b =>
+      val pN = blocks(b - 1)._1; val cN = blocks(b)._1
+      val curT0 = 3 * pN / 4 - cN / 4
+      (0 until pN / 4 + cN / 4).map { j =>
+        val tAbs = pN / 2 + j
+        var v = 0.0
+        if (tAbs < pN) v += windowed3(b - 1)(tAbs)
+        val ci = tAbs - curT0
+        if (ci >= 0 && ci < cN) v += windowed3(b)(ci)
+        v
+      }
+    }
+    val expect3 = expected3.map(s =>
+      math.abs(math.max(-1.0, math.min(1.0, s)))).sum / total3
+    val od3 = Multimodal.decodeOgg(ogg3)
+    assert(od3.isDefined && od3.get._3 == total3.toLong, s"got $od3")
+    val amp3 = od3.get._5
+    assert(amp3 != null, "long/short synthesis must decode")
+    assert(math.abs(amp3.doubleValue - expect3) < 1e-4,
+      s"long/short decoded mean ${amp3.doubleValue} vs analytic $expect3")
   }
 
   test("multimodal: avi RIFF and mkv EBML metadata decode") {
