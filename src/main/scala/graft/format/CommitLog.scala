@@ -152,10 +152,21 @@ object CommitLog {
     * branch purging (serial per-file reads would make reclamation
     * O(history) round-trips on a long-lived table, the same problem the
     * ancestry checkpoint solves for walks).
+    *
+    * A file that vanishes between the listing and its read is DROPPED,
+    * not an error: write-once commits only disappear through legitimate
+    * purges (a lost-CAS reclaim in a racing writer, a concurrent branch
+    * purge), and a purged commit was by construction unreachable — so a
+    * maintenance sweep proceeding without it stays sound, where failing
+    * the whole sweep on someone else's cleanup would not. Reachable
+    * walks go through [[readCommit]] directly and still fail loudly on
+    * a missing file.
     */
   def readAllCommits(spark: SparkSession, root: String): Map[String, CommitMeta] =
-    parMap(listCommits(spark, root))(id => id -> readCommit(spark, root, id))
-      .toMap
+    parMap(listCommits(spark, root)) { id =>
+      try Some(id -> readCommit(spark, root, id))
+      catch { case _: java.io.FileNotFoundException => None }
+    }.flatten.toMap
 
   /** Bounded-parallel map for driver-side metadata sweeps (footer
     * reads, commit-log bulk reads, per-entry listings, bin writes):

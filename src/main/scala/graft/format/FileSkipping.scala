@@ -79,7 +79,12 @@ object FileSkipping {
   def footerStats(spark: SparkSession, root: String, rel: String,
                   schema: StructType): Map[String, Map[String, ColStats]] =
   try {
-    val conf = spark.sparkContext.hadoopConfiguration
+    // the SESSION-merged hadoop conf: Spark's own write path builds its
+    // job conf this way (sessionState.newHadoopConf overlays every SQL
+    // conf entry), so a `spark.conf.set("parquet.statistics...")` that
+    // affected the just-written footers is visible to the capture too —
+    // the base sparkContext conf alone would miss it
+    val conf = spark.sessionState.newHadoopConf()
     // When parquet truncates BINARY stats (parquet.statistics.truncate
     // .length below the no-truncation default), the stored string max is
     // an incremented prefix — a valid upper BOUND that need not exist in

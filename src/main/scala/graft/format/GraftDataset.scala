@@ -211,17 +211,15 @@ class GraftDataset private[format] (
     // INT96 default carries NO ordered footer stats, which would silence
     // temporal file skipping and metadata MIN/MAX forever. INT64 micros
     // is lossless (Spark timestamps ARE micros internally) and is the
-    // modern parquet encoding. Scoped via session conf because parquet
-    // exposes no per-write option for it (ParquetOptions); a concurrent
-    // parquet write in the same session may pick MICROS up for its own
-    // files — benign (same values, better-statted encoding).
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.options(options).parquet(new Path(root, rel).toString)
-    finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    // modern parquet encoding. Scoped via a REFCOUNTED session-conf
+    // override ([[GraftDataset.withMicrosTimestamps]]) because parquet
+    // exposes no per-write option for it (ParquetOptions) and a plain
+    // set/restore races the concurrent bin writes optimizeSmallFiles
+    // issues; a concurrent non-graft parquet write in the same session
+    // may pick MICROS up for its own files — benign (same values,
+    // better-statted encoding).
+    GraftDataset.withMicrosTimestamps(spark) {
+      df.write.options(options).parquet(new Path(root, rel).toString)
     }
     // base-data entries get PER-FILE skipping stats from the
     // just-written footers (driver-side metadata read, no job;
@@ -2439,6 +2437,45 @@ object GraftDataset {
 
   private[format] def dropBranchCasLock(qualifiedRoot: String): Unit = {
     branchCasLocks.remove(qualifiedRoot); ()
+  }
+
+  /** Reference-counted session-conf override forcing INT64-micros
+    * parquet timestamps for graft data writes (see [[writeData]]).
+    * A plain set/restore per write RACES concurrent writers (the
+    * optimizeSmallFiles bin pool): writer A's restore can land before
+    * writer B's parquet job snapshots the conf, silently reverting B's
+    * files to stat-less INT96 — so the first writer in sets and saves
+    * the prior value, and only the LAST writer out restores it.
+    * Depth is tracked per SparkSession (concurrent sessions each keep
+    * their own conf).
+    */
+  private val tsConfDepth =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Int, Option[String])]()
+
+  private[format] def withMicrosTimestamps[T](spark: SparkSession)
+                                             (body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    tsConfDepth.synchronized {
+      val (depth, prev) = tsConfDepth.getOrDefault(spark, (0, None))
+      val p = if (depth == 0) {
+        val saved = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        saved
+      } else prev
+      tsConfDepth.put(spark, (depth + 1, p))
+    }
+    try body
+    finally tsConfDepth.synchronized {
+      val (depth, prev) = tsConfDepth.get(spark)
+      if (depth == 1) {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        tsConfDepth.remove(spark)
+      } else tsConfDepth.put(spark, (depth - 1, prev))
+      ()
+    }
   }
 
   /** Keep only the LAST row per `_uuid`, ordered by `seqCol` — the one

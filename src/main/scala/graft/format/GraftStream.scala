@@ -315,8 +315,56 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
     "graft stream source: changeFeed already expresses in-place changes; " +
       "ignoreChanges would silently drop them — pick one")
 
+  /** The branch head this source's schema was pinned at — the anchor
+    * for validating that any other commit the engine asks to read is a
+    * pure-rename stage of the pinned schema (positional identity). */
+  private val pinnedHead: String =
+    CommitLog.readBranches(spark, root).getOrElse(branch,
+      throw new IllegalArgumentException(
+        s"graft stream source: no branch '$branch' at $root — the table " +
+          "must exist with at least one commit before streaming from it"))
+
   override val schema: StructType =
     GraftTailSource.tableSchema(spark, root, branch, withUuid, changeFeed)
+
+  /** Every schema change on the first-parent path between `endId` and
+    * the pinned head must be a PURE RENAME — otherwise positional
+    * alignment would silently mislabel columns (a delete+create of
+    * same-typed columns has an identical SHAPE but different meaning).
+    * Walked only when the two differ (restart reconstruction of an old
+    * range, or commits landing between construction and first trigger);
+    * O(gap) driver metadata reads.
+    */
+  private def requirePureRenamePath(endId: String): Unit = {
+    if (endId == pinnedHead) return
+    def chain(from: String, to: String): Option[List[CommitMeta]] = {
+      var metas = List.empty[CommitMeta] // ascending after the walk
+      var cur = Option(from)
+      while (cur.isDefined && cur.get != to) {
+        val m = CommitLog.readCommit(spark, root, cur.get)
+        metas ::= m
+        cur = m.parent
+      }
+      if (cur.isDefined) Some(metas) else None
+    }
+    val (ancestor, path) = chain(pinnedHead, endId)
+      .map((endId, _))
+      .orElse(chain(endId, pinnedHead).map((pinnedHead, _)))
+      .getOrElse(throw new IllegalStateException(
+        s"graft stream source: commit $endId and the stream's pinned " +
+          s"head $pinnedHead are not on one first-parent chain — " +
+          "restart the stream with a fresh checkpoint"))
+    var prev = CommitLog.readCommit(spark, root, ancestor)
+    for (m <- path) {
+      if (m.schemaJson != prev.schemaJson)
+        require(GraftStream.renameDelta(prev, m).isDefined,
+          s"graft stream source: the table schema changed at commit " +
+            s"${m.id} in a way positional alignment cannot express " +
+            "(added/dropped/retyped column); restart the stream with a " +
+            "fresh checkpoint to pick up the new schema")
+      prev = m
+    }
+  }
 
   private def logicalCols = schema.fieldNames.toIndexedSeq.map(col)
 
@@ -456,6 +504,7 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
         // renames preserve field order — instead of selecting by name,
         // which would fail resolution (or null-backfill) on the old
         // names. Shape divergence = a real schema change: fail loudly.
+        requirePureRenamePath(endId)
         val ds = GraftDataset.loadCommit(spark, root, endId)
         val snap0 = {
           // canonical order (logical fields, then `_uuid`) in the

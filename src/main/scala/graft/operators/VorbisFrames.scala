@@ -166,9 +166,6 @@ private[operators] object VorbisFrames {
     // nodes as flat arrays: child(node)(bit) = index, or -(entry+1) leaf
     private val child = {
       val codes = Codebook.assignCodewords(lengths)
-      val zero = Array.newBuilder[Int]
-      val one = Array.newBuilder[Int]
-      zero += 0; one += 0 // root placeholders (0 = unset)
       var nNodes = 1
       val z = scala.collection.mutable.ArrayBuffer(0)
       val o = scala.collection.mutable.ArrayBuffer(0)
@@ -254,6 +251,10 @@ private[operators] object VorbisFrames {
       require(br.read(24) == 0x564342, "bad codebook sync")
       val dim = br.read(16)
       val entries = br.read(24)
+      // dim 0 would make the lookup-values search below spin forever
+      // (x^0 == 1 <= entries always) — a malformed stream must throw,
+      // never hang the decoding task
+      require(dim > 0 && entries > 0, "degenerate codebook shape")
       val lengths = new Array[Int](entries)
       val ordered = br.readBit() == 1
       if (!ordered) {
@@ -335,6 +336,9 @@ private[operators] object VorbisFrames {
     require(br.readBit() == 1, "ident framing")
     require(channels > 0 && rate > 0, "bad ident")
     require(blocksize0 <= blocksize1, "blocksize order")
+    // the spec's legal range; it also bounds the O(n²) iMDCT work a
+    // malformed exponent could otherwise inflate 16×
+    require(blocksize0 >= 64 && blocksize1 <= 8192, "blocksize range")
     Ident(channels, rate, blocksize0, blocksize1)
   }
 

@@ -134,12 +134,23 @@ object GraftStreaming {
             // a RE-BOOTSTRAP after checkpoint loss pins the source's
             // CURRENT names — if renames happened during the gap, the
             // snapshot carries no schema_change events for them, so the
-            // bootstrap adopts the feed's names positionally
-            if (epoch == 0L)
-              for ((r, bn) <- rf.zip(
-                  batch.schema.fields.take(logicalN).map(_.name))
-                  if r.name != bn)
-                replica.renameTensor(r.name, bn)
+            // bootstrap adopts the feed's names positionally. TWO-PHASE
+            // through unique temp names: overlapping gap renames (b→c
+            // then a→b) make a direct positional rename collide with a
+            // still-live name and wedge every restart on the same
+            // require — via temps, any pure-rename permutation applies.
+            if (epoch == 0L) {
+              val targets = batch.schema.fields.take(logicalN).map(_.name)
+              val diff = rf.map(_.name).zip(targets).zipWithIndex
+                .filter { case ((a, b), _) => a != b }
+              if (diff.nonEmpty) {
+                val tag = java.util.UUID.randomUUID.toString.take(8)
+                for (((a, _), i) <- diff)
+                  replica.renameTensor(a, s"__adopt_${tag}_$i")
+                for (((_, b), i) <- diff)
+                  replica.renameTensor(s"__adopt_${tag}_$i", b)
+              }
+            }
             val names = replica.schema.fieldNames.toIndexedSeq ++
               batch.schema.fieldNames.takeRight(3) // _uuid, _change_type, _commit_id
             val rows = b.filter(tpe =!= "schema_change").toDF(names: _*)

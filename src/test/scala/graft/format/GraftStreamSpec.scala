@@ -361,6 +361,61 @@ class GraftStreamSpec extends SparkSpec {
     assert(replica2.schema.fieldNames.toSeq == Seq("id", "x"),
       s"bootstrap must adopt the feed's names: ${replica2.schema.fieldNames.toSeq}")
     assert(rows(dst) == Seq((1L, "A"), (3L, "C")))
+    // OVERLAPPING gap renames (x->id would collide; here: x->y then
+    // id->x — the new name of one column IS another's old name): a
+    // direct positional rename wedges on 'column exists'; the two-phase
+    // temp-name adoption must land any pure-rename permutation
+    ds.renameTensor("x", "y")
+    ds.renameTensor("id", "x")
+    ds.update(col("x") === 1L, Map("y" -> lit("A2")))
+    ds.commit("overlapping renames while checkpoint lost")
+    graft.streaming.GraftStreaming
+      .replicate(spark, src, dst, tmpDir("grenck3")).awaitTermination()
+    val replica3 = GraftDataset.load(spark, dst)
+    assert(replica3.schema.fieldNames.toSeq == Seq("x", "y"),
+      s"overlapping renames must adopt: ${replica3.schema.fieldNames.toSeq}")
+    assert(replica3.toDF.orderBy("x").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "A2"), (3L, "C")))
+  }
+
+  test("positional re-pin refuses a delete+create that merely matches shape") {
+    // same field count and types, but NOT a rename: column `a` dropped
+    // and `c` created while the stream was down. Positional alignment
+    // would silently emit a's values as b's and b's as c's — the source
+    // must detect the path is not pure renames and fail loudly.
+    val root = tmpDir("gshape") + "/t"
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType))))
+    ds.append(Seq((1L, 10L)).toDF("a", "b"))
+    ds.commit("seed")
+    val ckpt = tmpDir("gshapeckpt")
+    val q1 = spark.readStream.format("graft").load(root)
+      .writeStream.format("noop")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", ckpt)
+      .start()
+    q1.processAllAvailable(); q1.stop()
+    ds.deleteTensor("a")
+    ds.createTensor("c", LongType)
+    ds.append(Seq((20L, 200L)).toDF("b", "c"))
+    ds.commit("delete+create, same shape")
+    // force reconstruction of the OLD bootstrap range against the new
+    // pinned head: drop the checkpoint's commit log
+    new java.io.File(ckpt, "commits").listFiles().foreach(_.delete())
+    val q2 = spark.readStream.format("graft").load(root)
+      .writeStream.format("noop")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", ckpt)
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(c => c.getMessage != null &&
+      c.getMessage.contains("positional alignment cannot express")),
+      s"got: $err")
   }
 
   test("changeFeed fails loudly on commits that fold history") {

@@ -189,8 +189,10 @@ class MetadataAggregateSpec extends SparkSpec {
     // in the data. Capture marks such string stats bound-only; the exact
     // MIN/MAX path must refuse them (pruning may still use the bounds).
     // Numeric stats are unaffected by truncation and stay exact.
-    val hconf = spark.sparkContext.hadoopConfiguration
-    hconf.setInt("parquet.statistics.truncate.length", 4)
+    // set at the SESSION level — the same route a user takes, and the
+    // one Spark's write path overlays into its job conf; capture must
+    // see it there (the base sparkContext hadoop conf never changes)
+    spark.conf.set("parquet.statistics.truncate.length", "4")
     try {
       val ds = GraftDataset.create(spark, tmpDir("maggtr") + "/t",
         StructType(Seq(StructField("id", LongType),
@@ -208,7 +210,7 @@ class MetadataAggregateSpec extends SparkSpec {
       val r = q.head()
       assert(r.getString(0) == "aardvark-long-value" &&
         r.getString(1) == "zebra-long-value")
-    } finally hconf.unset("parquet.statistics.truncate.length")
+    } finally spark.conf.unset("parquet.statistics.truncate.length")
   }
 
   test("SQL surface: SELECT COUNT(*)/MIN/MAX over a graft temp view") {

@@ -977,6 +977,24 @@ class VectorStatsSpec extends SparkSpec {
     val bd = Multimodal.decodeOgg(broken)
     assert(bd.isDefined && bd.get._5 == null,
       s"corrupt setup must degrade to metadata-only, got $bd")
+    // adversarial dim=0 codebook (would spin the lookup-values search
+    // forever without the shape guard): must degrade, never hang
+    val evilSetup = {
+      val w = new BitW
+      w.bits(5, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(0, 8) // 1 codebook
+      w.bits(0x564342, 24); w.bits(0, 16); w.bits(3, 24) // dim = 0 !
+      w.bit(0); w.bit(0); w.bits(0, 5); w.bits(1, 5); w.bits(1, 5)
+      w.bits(1, 4); w.bits(vorbisFloat(-1.0), 32); w.bits(vorbisFloat(1.0), 32)
+      w.bits(1, 4); w.bit(0)
+      w.bytes
+    }
+    val evil = page(2, 0, 0, Seq(ident)) ++
+      page(0, 0, 1, Seq(comment, evilSetup)) ++
+      page(4, 4 * n2, 2, Seq(audio))
+    val ed = Multimodal.decodeOgg(evil)
+    assert(ed.isDefined && ed.get._5 == null,
+      s"dim-0 codebook must degrade to metadata-only, got $ed")
 
     // ---- stereo + square-polar coupling + negative residues ------------
     // magnitude channel carries +1 at binK; the angle channel carries -1
