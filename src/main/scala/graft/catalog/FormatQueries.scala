@@ -807,6 +807,45 @@ object FormatQueries {
         SELECT o_orderstatus, COUNT(*) AS n,
           CAST(SUM(CAST(o_price AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM renamed WHERE o_orderkey % 11 <> 0
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // decimal stat domain (r14): prices stored as DECIMAL(12,2),
+    // price-clustered so files cover disjoint ranges; a selective
+    // decimal range plus metadata MIN/MAX both answer from the
+    // annotation-scale-decoded footer stats, value-pinned vs DuckDB
+    QueryDef("q122_format_decimal_skipping",
+      (s, dir) => {
+        org.apache.spark.sql.graftnative.GraftExtensions.install(s)
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_extendedprice").cast("decimal(12,2)").as("price"))
+        val root = freshRoot("q122")
+        val ds = IO.fromDataFrame(li, root)
+        ds.compact(clusterBy = Seq("price"))
+        ds.commit("price-clustered")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_li_q122 " +
+          s"USING graft OPTIONS (path '$root')")
+        graft.QueryCleanup.registerTempView("graft_li_q122")
+        // CAST(MIN/MAX) folds through the metadata rewrite (the Cast-
+        // literal path); string output keeps the DuckDB compare exact
+        s.sql("""SELECT
+            (SELECT COUNT(*) FROM graft_li_q122
+               WHERE price >= 900.00 AND price < 2000.00) AS n_range,
+            (SELECT CAST(SUM(price) AS DOUBLE) FROM graft_li_q122
+               WHERE price >= 900.00 AND price < 2000.00) AS sum_range,
+            CAST(MIN(price) AS STRING) AS lo, CAST(MAX(price) AS STRING) AS hi
+          FROM graft_li_q122""")
+      },
+      Some("""SELECT
+          (SELECT COUNT(*) FROM lineitem
+             WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 900.00
+               AND CAST(l_extendedprice AS DECIMAL(12,2)) < 2000.00) AS n_range,
+          (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             FROM lineitem
+             WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 900.00
+               AND CAST(l_extendedprice AS DECIMAL(12,2)) < 2000.00) AS sum_range,
+          CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS lo,
+          CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS hi
+        FROM lineitem"""))
   )
 }

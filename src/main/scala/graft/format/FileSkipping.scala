@@ -30,13 +30,14 @@ import org.apache.spark.sql.types._
   * names at write time — [[GraftDataset.pruneBaseFiles]] guards this).
   *
   * Conservativeness: a column with any unstatted row group, a type
-  * outside the long/double/string/date/timestamp domains (decimal
-  * excluded on purpose — fixed-point footer encodings carry per-file
-  * scale), or any comparison across domains keeps the file. Temporal
-  * stats decode their INT32/INT64 logical annotations into long
-  * days/micros at capture time ([[statDomain]]); files written under
-  * LEGACY datetime rebase refuse temporal stats wholesale. Null
-  * semantics: stats ignore nulls, so IsNull/IsNotNull never prune.
+  * outside the long/double/string/date/timestamp/decimal domains, or
+  * any comparison across domains keeps the file. Temporal stats decode
+  * their INT32/INT64 logical annotations into long days/micros at
+  * capture time ([[statDomain]]); files written under LEGACY datetime
+  * rebase refuse temporal stats wholesale. Decimal stats decode each
+  * file's annotation scale into plain value strings at capture, so the
+  * comparison space is scale-free exact arithmetic. Null semantics:
+  * stats ignore nulls, so IsNull/IsNotNull never prune.
   */
 object FileSkipping {
 
@@ -60,6 +61,10 @@ object FileSkipping {
     case DateType => Some("date")
     case TimestampType => Some("ts")
     case TimestampNTZType => Some("tsntz")
+    // decimals decode their per-column annotation scale at CAPTURE time
+    // into plain decimal strings, so prune-time comparison is the same
+    // exact BigDecimal path the numeric domains use
+    case _: org.apache.spark.sql.types.DecimalType => Some("dec")
     case _ => None
   }
 
@@ -164,6 +169,8 @@ object FileSkipping {
                           t.getUnit != LogicalTypeAnnotation.TimeUnit.NANOS
                       case _ => false
                     }
+                  def decimalAnnotated: Boolean = logical.isInstanceOf[
+                    LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
                   val ok = s != null && !s.isEmpty && s.hasNonNullValue &&
                     (cc.getPrimitiveType.getPrimitiveTypeName match {
                       case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
@@ -173,8 +180,11 @@ object FileSkipping {
                           case "tsntz" => !legacyRebase && tsAnnotationOk(false)
                           case "date" => !legacyRebase && logical.isInstanceOf[
                             LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+                          case "dec" => decimalAnnotated
                           case _ => false
                         }
+                      case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+                        domain == "dec" && decimalAnnotated
                       case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
                         domain == "double"
                       case PrimitiveTypeName.BINARY => domain == "string"
@@ -191,7 +201,25 @@ object FileSkipping {
                         1000L
                       case _ => 1L
                     }
+                    // decimals: unscaled footer ints / big-endian
+                    // two's-complement FIXED bytes → plain value strings
+                    // at the annotation's scale (exact, scale-free
+                    // comparison downstream)
+                    def decStr(v: Any): String = {
+                      val sc = logical.asInstanceOf[
+                          LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+                        .getScale
+                      val unscaled = v match {
+                        case b: org.apache.parquet.io.api.Binary =>
+                          new java.math.BigInteger(b.getBytes)
+                        case n: Number =>
+                          java.math.BigInteger.valueOf(n.longValue)
+                      }
+                      new java.math.BigDecimal(unscaled, sc).toPlainString
+                    }
                     val (mn, mx) = cc.getPrimitiveType.getPrimitiveTypeName match {
+                      case _ if domain == "dec" =>
+                        (decStr(s.genericGetMin), decStr(s.genericGetMax))
                       case PrimitiveTypeName.BINARY =>
                         (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
                            .toStringUsingUTF8,
@@ -294,6 +322,8 @@ object FileSkipping {
     case n: Float if !n.isNaN && !n.isInfinite =>
       Some((BigDecimal(n.toString), "num"))
     case n: Double if !n.isNaN && !n.isInfinite => Some((BigDecimal(n), "num"))
+    case d: java.math.BigDecimal => Some((BigDecimal(d), "num"))
+    case d: BigDecimal => Some((d, "num"))
     case _ => None
   }
 
@@ -329,7 +359,7 @@ object FileSkipping {
           if (dom == typ) Some(BigDecimal(n).compare(BigDecimal(bound)))
           else None
         case None => valueDomain(v).collect {
-          case (bd, _) if typ == "long" || typ == "double" =>
+          case (bd, _) if typ == "long" || typ == "double" || typ == "dec" =>
             bd.compare(BigDecimal(bound))
         }
       }

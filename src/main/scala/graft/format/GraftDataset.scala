@@ -363,6 +363,7 @@ class GraftDataset private[format] (
       case DateType => "date"
       case TimestampType => "ts"
       case TimestampNTZType => "tsntz"
+      case _: org.apache.spark.sql.types.DecimalType => "dec"
       case _ => return None
     }
     var mn: String = null
@@ -407,10 +408,18 @@ class GraftDataset private[format] (
         .toJavaTimestamp(s.toLong)
       case TimestampNTZType => org.apache.spark.sql.catalyst.util.DateTimeUtils
         .microsToLocalDateTime(s.toLong)
+      case dt: org.apache.spark.sql.types.DecimalType =>
+        // stat strings carry the value at the file annotation's scale;
+        // re-scale to the column type's declared scale (value-neutral)
+        new java.math.BigDecimal(s).setScale(dt.scale)
       case _ => s
     }
     try Some((typed(mn), typed(mx)))
-    catch { case _: NumberFormatException => None }
+    catch {
+      // unparsable stat string, or a decimal stat whose scale cannot
+      // re-scale losslessly to the column type — refuse, never throw
+      case _: NumberFormatException | _: ArithmeticException => None
+    }
   }
 
   private def deleteData(rel: String): Unit = {

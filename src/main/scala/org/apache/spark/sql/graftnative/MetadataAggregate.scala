@@ -60,30 +60,51 @@ case class MetadataAggregateRewrite(spark: SparkSession)
       lazy val count = rel.metadataCount
       val values = agg.aggregateExpressions.map(metadataValue(rel, count, _))
       if (values.exists(_.isEmpty)) agg // something unprovable: keep the scan
-      else {
-        val row = InternalRow.fromSeq(
-          agg.aggregateExpressions.zip(values).map { case (ne, v) =>
-            CatalystTypeConverters.convertToCatalyst(v.get.orNull)
-          })
-        LocalRelation(agg.output, Seq(row))
-      }
+      else
+        LocalRelation(agg.output,
+          Seq(InternalRow.fromSeq(values.map(_.get))))
   }
 
-  /** Some(Some(v)) = provable value, Some(None) = provable NULL,
-    * None = not provable → whole rewrite aborts. */
+  /** The CATALYST value this output column provably takes (Some(null) =
+    * provable NULL), or None = not provable → whole rewrite aborts.
+    * `CAST(MIN(x) AS t)` — the common presentation wrapper — folds by
+    * evaluating the resolved Cast over the metadata value as a literal,
+    * so casting an aggregate does not silently bring the scan back.
+    */
   private def metadataValue(rel: graft.format.GraftRelation, count: => Long,
-                            ne: NamedExpression): Option[Option[Any]] =
+                            ne: NamedExpression): Option[Any] =
     ne match {
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Count(Seq(Literal(v, _))) if v != null => Some(Some(count))
-          case Min(a: AttributeReference) =>
-            rel.metadataMinMax(a.name).map(mm => Option(mm._1))
-          case Max(a: AttributeReference) =>
-            rel.metadataMinMax(a.name).map(mm => Option(mm._2))
+      case Alias(ae: AggregateExpression, _) =>
+        aggValue(rel, count, ae).map { case (v, _) =>
+          CatalystTypeConverters.convertToCatalyst(v.orNull)
+        }
+      case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
+        c.child match {
+          case ae: AggregateExpression =>
+            aggValue(rel, count, ae).map { case (v, dt) =>
+              c.withNewChildren(Seq(
+                org.apache.spark.sql.catalyst.expressions.Literal
+                  .create(v.orNull, dt))).eval(InternalRow.empty)
+            }
           case _ => None
         }
       case _ => None
     }
+
+  /** (external value — None = SQL NULL — and its pre-cast type), or
+    * None when metadata cannot prove this aggregate. */
+  private def aggValue(rel: graft.format.GraftRelation, count: => Long,
+                       ae: AggregateExpression)
+      : Option[(Option[Any], org.apache.spark.sql.types.DataType)] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    ae.aggregateFunction match {
+      case Count(Seq(Literal(v, _))) if v != null =>
+        Some((Some(count), org.apache.spark.sql.types.LongType))
+      case Min(a: AttributeReference) =>
+        rel.metadataMinMax(a.name).map(mm => (Option(mm._1), a.dataType))
+      case Max(a: AttributeReference) =>
+        rel.metadataMinMax(a.name).map(mm => (Option(mm._2), a.dataType))
+      case _ => None
+    }
+  }
 }

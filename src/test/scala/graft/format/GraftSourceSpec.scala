@@ -300,6 +300,43 @@ class GraftSourceSpec extends SparkSpec {
       spark.conf.unset("spark.sql.parquet.datetimeRebaseModeInWrite")
   }
 
+  test("decimal stat domain: range filters prune across INT and FIXED encodings") {
+    import spark.implicits._
+    val root = tmpDir("decskip") + "/t"
+    // DECIMAL(12,2) → INT64 footer stats; DECIMAL(25,4) → FIXED bytes
+    val ds = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("id", LongType),
+      StructField("price", org.apache.spark.sql.types.DecimalType(12, 2)),
+      StructField("big", org.apache.spark.sql.types.DecimalType(25, 4)))))
+    def batch(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i.toLong, new java.math.BigDecimal(s"$i.25"),
+        new java.math.BigDecimal(s"${i}000000000000.1234")))
+      .toDF("id", "price", "big")
+    ds.append(batch(0, 50))
+    ds.append(batch(50, 100))
+    ds.commit("two price ranges")
+    def read() = spark.read.format("graft").load(root)
+    def prunedDelta[T](body: => T): (T, Long) = {
+      val before = FileSkipping.prunedFiles.get()
+      val r = body
+      (r, FileSkipping.prunedFiles.get() - before)
+    }
+    val (n1, p1) = prunedDelta(
+      read().filter($"price" >= new java.math.BigDecimal("50.25")).count())
+    assert(n1 == 50L && p1 >= 1, s"INT64 decimal range must prune, got $p1")
+    val (n2, p2) = prunedDelta(read().filter(
+      $"big" < new java.math.BigDecimal("50000000000000.1234")).count())
+    assert(n2 == 50L && p2 >= 1, s"FIXED decimal range must prune, got $p2")
+    // exactness parity under pruning
+    assert(read().filter($"price" < new java.math.BigDecimal("25.00")).count()
+      == ds.toDF.filter($"price" < new java.math.BigDecimal("25.00")).count())
+    // metadata MIN/MAX: typed decimal values, exact
+    assert(ds.statMinMax("price").contains((
+      new java.math.BigDecimal("0.25"), new java.math.BigDecimal("99.25"))))
+    assert(ds.statMinMax("big").exists(_._2 ==
+      new java.math.BigDecimal("99000000000000.1234")))
+  }
+
   test("rename epochs + drop markers: no stale-column resurrection, skipping survives") {
     import spark.implicits._
     val root = tmpDir("epoch") + "/t"

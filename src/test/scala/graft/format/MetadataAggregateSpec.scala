@@ -183,6 +183,42 @@ class MetadataAggregateSpec extends SparkSpec {
     assert(full == r)
   }
 
+  test("decimal MIN/MAX collapse to metadata: typed values at the column scale") {
+    val ds = GraftDataset.create(spark, tmpDir("maggdec") + "/t",
+      StructType(Seq(StructField("id", LongType),
+        StructField("price", DecimalType(12, 2)),
+        StructField("big", DecimalType(25, 4)))))
+    ds.append(Seq(
+      (1L, new java.math.BigDecimal("10.50"),
+        new java.math.BigDecimal("1000000000000.1234")),
+      (2L, new java.math.BigDecimal("99.25"),
+        new java.math.BigDecimal("9000000000000.9999")))
+      .toDF("id", "price", "big"))
+    ds.commit("rows")
+    val q = spark.read.format("graft").load(ds.root)
+      .agg(min($"price").as("plo"), max($"price").as("phi"),
+        min($"big").as("blo"), max($"big").as("bhi"))
+    assert(isMetadataOnly(q), s"plan kept a scan:\n${q.queryExecution.optimizedPlan}")
+    val r = q.head()
+    assert(r.getDecimal(0) == new java.math.BigDecimal("10.50") &&
+      r.getDecimal(1) == new java.math.BigDecimal("99.25"))
+    assert(r.getDecimal(2) == new java.math.BigDecimal("1000000000000.1234") &&
+      r.getDecimal(3) == new java.math.BigDecimal("9000000000000.9999"))
+    assert(ds.toDF.agg(min($"price"), max($"price"),
+      min($"big"), max($"big")).head() == r)
+    // CAST(MIN(x) AS t) — the common presentation wrapper — must fold
+    // through the rewrite instead of silently bringing the scan back
+    val qc = spark.read.format("graft").load(ds.root)
+      .agg(min($"price").cast("string").as("lo"),
+        max($"price").cast("double").as("hi"),
+        count(lit(1)).cast("int").as("n"))
+    assert(isMetadataOnly(qc), s"cast-wrapped aggregates kept a scan:\n${
+      qc.queryExecution.optimizedPlan}")
+    val rc = qc.head()
+    assert(rc.getString(0) == "10.50" && rc.getDouble(1) == 99.25 &&
+      rc.getInt(2) == 2)
+  }
+
   test("string MIN/MAX refused when parquet stats truncation is configured") {
     // with parquet.statistics.truncate.length set, the footer's BINARY
     // max is an incremented prefix — a covering bound, not a value present
