@@ -10,12 +10,13 @@ package graft.operators
   * reassembly (continued packets included), LSB-first bit unpacking,
   * Huffman codebooks (spec 3.2.1 canonical assignment) with type-1/2 VQ
   * lookups, floor type 1 (two-stage prediction + Bresenham line render
-  * through the inverse-dB table), residue types 1 and 2, channel
+  * through the inverse-dB table), all three residue types (0's stride
+  * interleave, 1's sequential walk, 2's channel interleave), channel
   * coupling (square polar), the direct-form inverse MDCT, and the
   * general unequal-blocksize window overlap-add (center-aligned slopes).
-  * Floor type 0 (LSP, emitted by no known encoder) and residue type 0
-  * (archaic) raise — the caller degrades to metadata-only, the same
-  * parse-fail contract [[FlacFrames]] uses. The iMDCT is the O(n²)
+  * Floor type 0 (LSP, emitted by no known encoder) raises — the caller
+  * degrades to metadata-only, the same parse-fail contract
+  * [[FlacFrames]] uses. The iMDCT is the O(n²)
   * definition from the spec — exact and dependency-free; at 2048-sample
   * blocks that is ~2M multiplies per block, fine for the feature-
   * extraction batch path this feeds (a production hot loop would swap
@@ -410,7 +411,7 @@ private[operators] object VorbisFrames {
     }
     val residues = Array.fill(br.read(6) + 1) {
       val tpe = br.read(16)
-      require(tpe == 1 || tpe == 2, s"residue type $tpe unsupported")
+      require(tpe <= 2, s"residue type $tpe unknown")
       val begin = br.read(24)
       val end = br.read(24)
       val psize = br.read(24) + 1
@@ -612,8 +613,10 @@ private[operators] object VorbisFrames {
     }
   }
 
-  /** Format-1 partition walk into one vector (also the body residue 2
-    * runs over its interleaved vector). */
+  /** Partition walk into one vector (types 0 and 1 differ only in how
+    * a VQ vector's entries land inside the partition — type 0
+    * interleaves with stride psize/dim, type 1 writes sequentially;
+    * residue 2 runs the type-1 body over its interleaved vector). */
   private def residue1Into(br: BitReader, r: Residue,
                            books: Array[Codebook],
                            v: Array[Float]): Unit = {
@@ -643,12 +646,16 @@ private[operators] object VorbisFrames {
           if (book >= 0) {
             val cb = books(book)
             val base = begin + pc * r.partitionSize
+            val steps = r.partitionSize / cb.dim
             var k = 0
-            while (k < r.partitionSize / cb.dim) {
+            while (k < steps) {
               val vec = cb.decodeVQ(br)
               var d = 0
               while (d < cb.dim) {
-                v(base + k * cb.dim + d) += vec(d)
+                // spec 8.6.4: type 0 interleaves entry d of step k at
+                // stride `steps`; types 1/2 write sequentially
+                val off = if (r.tpe == 0) d * steps + k else k * cb.dim + d
+                v(base + off) += vec(d)
                 d += 1
               }
               k += 1

@@ -72,6 +72,20 @@ class FormatFuzzSpec extends SparkSpec {
       val got = snapshot()
       assert(got == staged.rows, s"branch $branch: snapshot != model " +
         s"(got ${got.size} rows, expected ${staged.rows.size})")
+      // PRUNED read through the registered source: a selective id-range
+      // filter (file skipping fires against whatever file/epoch/rename
+      // state this sequence produced) must agree with the model exactly
+      // — fuzzing the stat machinery against interleavings no
+      // hand-written pruning spec enumerates. The source reads the
+      // COMMITTED head, so only when nothing is staged.
+      if (!dirty) {
+        val mid = nextId / 2
+        val pruned = spark.read.format("graft").option("branch", branch)
+          .load(root).filter(col("id") >= mid)
+          .select("id").as[Long].collect().toSet
+        assert(pruned == staged.rows.keySet.filter(_ >= mid),
+          s"branch $branch: pruned id-range read diverged from the model")
+      }
     }
 
     def commit(msg: String): Unit = {

@@ -1189,6 +1189,73 @@ class VectorStatsSpec extends SparkSpec {
     assert(amp3 != null, "long/short synthesis must decode")
     assert(math.abs(amp3.doubleValue - expect3) < 1e-4,
       s"long/short decoded mean ${amp3.doubleValue} vs analytic $expect3")
+
+    // ---- residue type 0 (stride interleave) with a dim-2 SPARSE book:
+    // entry d of VQ step k lands at d*(psize/dim)+k, so a +1 emitted as
+    // vector slot 0 of step 9 hits bin 9 while slot 1 of step 10 hits
+    // bin 26 — a sequential (type-1) reading would place them at 18/21
+    // and fail the analytic compare.
+    val setup4 = {
+      val w = new BitW
+      w.bits(5, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(1, 8) // 2 codebooks
+      // book 0: classbook (dim 1, 2 entries, lengths [1,1])
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(2, 24)
+      w.bit(0); w.bit(0); w.bits(0, 5); w.bits(0, 5); w.bits(0, 4)
+      // book 1: dim 2, 9 entries, SPARSE (only 4,5,7 used), lookup 1:
+      // lv = 3, values (e%3 - 1, e/3%3 - 1): e4=(0,0) e5=(1,0) e7=(0,1)
+      w.bits(0x564342, 24); w.bits(2, 16); w.bits(9, 24)
+      w.bit(0); w.bit(1) // unordered, sparse
+      for (e <- 0 until 9) {
+        if (e == 4) { w.bit(1); w.bits(0, 5) }       // len 1
+        else if (e == 5 || e == 7) { w.bit(1); w.bits(1, 5) } // len 2
+        else w.bit(0)
+      }
+      w.bits(1, 4); w.bits(vorbisFloat(-1.0), 32); w.bits(vorbisFloat(1.0), 32)
+      w.bits(1, 4); w.bit(0); Seq(0, 1, 2).foreach(m => w.bits(m, 2))
+      w.bits(0, 6); w.bits(0, 16)
+      w.bits(0, 6); w.bits(1, 16)
+      w.bits(0, 5); w.bits(0, 2); w.bits(7, 4)
+      // residue TYPE 0
+      w.bits(0, 6); w.bits(0, 16)
+      w.bits(0, 24); w.bits(128, 24); w.bits(31, 24)
+      w.bits(0, 6); w.bits(0, 8)
+      w.bits(1, 3); w.bit(0); w.bits(1, 8)
+      w.bits(0, 6); w.bits(0, 16)
+      w.bit(0); w.bit(0); w.bits(0, 2)
+      w.bits(0, 8); w.bits(0, 8); w.bits(0, 8)
+      w.bits(0, 6)
+      w.bit(0); w.bits(0, 16); w.bits(0, 16); w.bits(0, 8)
+      w.bit(1)
+      w.bytes
+    }
+    val audio4 = {
+      val w = new BitW
+      w.bit(0)
+      w.bit(1); w.bits(255, 8); w.bits(255, 8)
+      for (p <- 0 until 4) { // 4 partitions x (classword + 16 VQ steps)
+        w.code(0, 1)
+        for (k <- 0 until 16) {
+          if (p == 0 && k == 9) w.code(2, 2)       // e5 -> +1 at bin 9
+          else if (p == 0 && k == 10) w.code(3, 2) // e7 -> +1 at bin 26
+          else w.code(0, 1)                        // e4 -> zeros
+        }
+      }
+      w.bytes
+    }
+    val ogg4 = page(2, 0, 0, Seq(ident)) ++
+      page(0, 0, 1, Seq(comment, setup4)) ++
+      page(4, 4 * n2, 2, Seq.fill(nPackets)(audio4))
+    val t26 = Array.tabulate(n)(i => math.cos(
+      math.Pi / (2.0 * n) * (2 * i + 1 + n2) * (2 * 26 + 1)))
+    val steady4 = steadyOf(Array.tabulate(n)(i => t(i) + t26(i)))
+    val expect4 = steady4.map(s =>
+      math.abs(math.max(-1.0, math.min(1.0, s)))).sum / n2
+    val od4 = Multimodal.decodeOgg(ogg4)
+    assert(od4.isDefined && od4.get._5 != null,
+      s"residue-0 stream must decode, got $od4")
+    assert(math.abs(od4.get._5.doubleValue - expect4) < 1e-4,
+      s"residue-0 decoded mean ${od4.get._5.doubleValue} vs analytic $expect4")
   }
 
   test("multimodal: avi RIFF and mkv EBML metadata decode") {
