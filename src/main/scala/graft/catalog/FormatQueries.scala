@@ -826,26 +826,33 @@ object FormatQueries {
         s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_li_q122 " +
           s"USING graft OPTIONS (path '$root')")
         graft.QueryCleanup.registerTempView("graft_li_q122")
-        // CAST(MIN/MAX) folds through the metadata rewrite (the Cast-
-        // literal path); string output keeps the DuckDB compare exact
-        s.sql("""SELECT
-            (SELECT COUNT(*) FROM graft_li_q122
-               WHERE price >= 900.00 AND price < 2000.00) AS n_range,
-            (SELECT CAST(SUM(price) AS DOUBLE) FROM graft_li_q122
-               WHERE price >= 900.00 AND price < 2000.00) AS sum_range,
-            CAST(MIN(price) AS STRING) AS lo, CAST(MAX(price) AS STRING) AS hi
-          FROM graft_li_q122""")
+        // CROSS JOIN of two independent aggregates: the right side is
+        // ungrouped MIN/MAX only, so the metadata rewrite collapses it
+        // (CAST wrappers fold via literal substitution) — scalar
+        // subqueries in one SELECT list would abort the rewrite and
+        // quietly un-pin the fold from this oracle. String output
+        // keeps the DuckDB decimal compare exact.
+        s.sql("""SELECT * FROM
+            (SELECT COUNT(*) AS n_range, CAST(SUM(price) AS DOUBLE) AS sum_range
+               FROM graft_li_q122
+              WHERE price >= 900.00 AND price < 2000.00)
+          CROSS JOIN
+            (SELECT CAST(MIN(price) AS STRING) AS lo,
+                    CAST(MAX(price) AS STRING) AS hi
+               FROM graft_li_q122)""")
       },
-      Some("""SELECT
-          (SELECT COUNT(*) FROM lineitem
-             WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 900.00
-               AND CAST(l_extendedprice AS DECIMAL(12,2)) < 2000.00) AS n_range,
-          (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      Some("""SELECT * FROM
+          (SELECT COUNT(*) AS n_range,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                AS sum_range
              FROM lineitem
-             WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 900.00
-               AND CAST(l_extendedprice AS DECIMAL(12,2)) < 2000.00) AS sum_range,
-          CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS lo,
-          CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS hi
-        FROM lineitem"""))
+            WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 900.00
+              AND CAST(l_extendedprice AS DECIMAL(12,2)) < 2000.00)
+        CROSS JOIN
+          (SELECT CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+                AS lo,
+              CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+                AS hi
+             FROM lineitem)"""))
   )
 }

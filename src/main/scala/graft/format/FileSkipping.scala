@@ -54,7 +54,7 @@ object FileSkipping {
     * UTC instant and a wall-clock NTZ value are different quantities and
     * must never compare across ("ts" vs "tsntz").
     */
-  private def statDomain(dt: DataType): Option[String] = dt match {
+  private[format] def statDomain(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("long")
     case FloatType | DoubleType => Some("double")
     case StringType => Some("string")

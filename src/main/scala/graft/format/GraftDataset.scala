@@ -356,16 +356,9 @@ class GraftDataset private[format] (
     if (stUpdates.nonEmpty || stTombstones.nonEmpty) return None
     if (stRenames.nonEmpty && !stStatsNormalized) return None
     val field = stSchema.fields.find(_.name == column).getOrElse(return None)
-    val domain = field.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => "long"
-      case FloatType | DoubleType => "double"
-      case StringType => "string"
-      case DateType => "date"
-      case TimestampType => "ts"
-      case TimestampNTZType => "tsntz"
-      case _: org.apache.spark.sql.types.DecimalType => "dec"
-      case _ => return None
-    }
+    // the ONE type→domain mapping lives in FileSkipping (capture side);
+    // using it here keeps prune and exact-answer domains from drifting
+    val domain = FileSkipping.statDomain(field.dataType).getOrElse(return None)
     var mn: String = null
     var mx: String = null
     for (entry <- stFiles) {

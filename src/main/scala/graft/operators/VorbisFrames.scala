@@ -591,7 +591,11 @@ private[operators] object VorbisFrames {
   /** Decode one residue configuration into `vectors` (one per channel
     * in this submap; `doNotDecode` flags channels whose floor was
     * unvoiced). Residue 2 treats the channel set as ONE interleaved
-    * vector and deinterleaves at the end.
+    * vector and deinterleaves at the end; types 0/1 run the walk over
+    * the submap's decodable channels TOGETHER — the spec interleaves
+    * classwords and partition payloads across channels within each
+    * pass, so a per-channel sequential read would misalign every bit
+    * after the first channel's first partition.
     */
   private def residueDecode(br: BitReader, r: Residue,
                             books: Array[Codebook],
@@ -601,65 +605,79 @@ private[operators] object VorbisFrames {
     if (r.tpe == 2) {
       if (doNotDecode.forall(identity)) return
       val inter = new Array[Float](vectors.length * n2)
-      residue1Into(br, r, books, inter)
+      residueWalk(br, r, books, Array(inter))
       var i = 0
       while (i < inter.length) {
         vectors(i % vectors.length)(i / vectors.length) = inter(i)
         i += 1
       }
     } else {
-      for (c <- vectors.indices if !doNotDecode(c))
-        residue1Into(br, r, books, vectors(c))
+      val vecs = vectors.indices.filter(!doNotDecode(_))
+        .map(vectors(_)).toArray
+      if (vecs.nonEmpty) residueWalk(br, r, books, vecs)
     }
   }
 
-  /** Partition walk into one vector (types 0 and 1 differ only in how
-    * a VQ vector's entries land inside the partition — type 0
-    * interleaves with stride psize/dim, type 1 writes sequentially;
-    * residue 2 runs the type-1 body over its interleaved vector). */
-  private def residue1Into(br: BitReader, r: Residue,
-                           books: Array[Codebook],
-                           v: Array[Float]): Unit = {
+  /** The spec 8.6.2 partition walk over a set of channel vectors:
+    * per pass, per partition GROUP — classwords for every channel
+    * first (pass 0), then each partition's payloads channel by
+    * channel. Types 0 and 1 differ only in how a VQ vector's entries
+    * land inside the partition — type 0 interleaves with stride
+    * psize/dim, type 1 writes sequentially (residue 2's interleaved
+    * vector also walks as type 1).
+    */
+  private def residueWalk(br: BitReader, r: Residue,
+                          books: Array[Codebook],
+                          vecs: Array[Array[Float]]): Unit = {
     val classbook = books(r.classbook)
-    val begin = math.min(r.begin, v.length)
-    val end = math.min(r.end, v.length)
+    val begin = math.min(r.begin, vecs(0).length)
+    val end = math.min(r.end, vecs(0).length)
     val partitions = (end - begin) / r.partitionSize
     if (partitions <= 0) return
-    val classes = new Array[Int](partitions)
+    val classes = Array.ofDim[Int](vecs.length, partitions)
     var pass = 0
     while (pass < 8) {
       var pc = 0
       while (pc < partitions) {
         if (pass == 0) {
-          var temp = classbook.decodeScalar(br)
-          var i = classbook.dim - 1
-          while (i >= 0) {
-            if (pc + i < partitions) classes(pc + i) = temp % r.classifications
-            temp /= r.classifications
-            i -= 1
+          var j = 0
+          while (j < vecs.length) {
+            var temp = classbook.decodeScalar(br)
+            var i = classbook.dim - 1
+            while (i >= 0) {
+              if (pc + i < partitions)
+                classes(j)(pc + i) = temp % r.classifications
+              temp /= r.classifications
+              i -= 1
+            }
+            j += 1
           }
         }
         var i = 0
         while (i < classbook.dim && pc < partitions) {
-          val cls = classes(pc)
-          val book = r.books(cls)(pass)
-          if (book >= 0) {
-            val cb = books(book)
-            val base = begin + pc * r.partitionSize
-            val steps = r.partitionSize / cb.dim
-            var k = 0
-            while (k < steps) {
-              val vec = cb.decodeVQ(br)
-              var d = 0
-              while (d < cb.dim) {
-                // spec 8.6.4: type 0 interleaves entry d of step k at
-                // stride `steps`; types 1/2 write sequentially
-                val off = if (r.tpe == 0) d * steps + k else k * cb.dim + d
-                v(base + off) += vec(d)
-                d += 1
+          var j = 0
+          while (j < vecs.length) {
+            val book = r.books(classes(j)(pc))(pass)
+            if (book >= 0) {
+              val cb = books(book)
+              val v = vecs(j)
+              val base = begin + pc * r.partitionSize
+              val steps = r.partitionSize / cb.dim
+              var k = 0
+              while (k < steps) {
+                val vec = cb.decodeVQ(br)
+                var d = 0
+                while (d < cb.dim) {
+                  // spec 8.6.4: type 0 interleaves entry d of step k at
+                  // stride `steps`; types 1/2 write sequentially
+                  val off = if (r.tpe == 0) d * steps + k else k * cb.dim + d
+                  v(base + off) += vec(d)
+                  d += 1
+                }
+                k += 1
               }
-              k += 1
             }
+            j += 1
           }
           pc += 1
           i += 1

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
@@ -67,27 +67,31 @@ case class MetadataAggregateRewrite(spark: SparkSession)
 
   /** The CATALYST value this output column provably takes (Some(null) =
     * provable NULL), or None = not provable → whole rewrite aborts.
-    * `CAST(MIN(x) AS t)` — the common presentation wrapper — folds by
-    * evaluating the resolved Cast over the metadata value as a literal,
-    * so casting an aggregate does not silently bring the scan back.
+    * Presentation wrappers over provable aggregates — `CAST(MIN(x))`,
+    * `COALESCE(MIN(x), 0)`, `MIN(x) + 0`, arbitrarily nested — fold by
+    * substituting each aggregate with its metadata value as a literal
+    * and evaluating the remaining DETERMINISTIC expression once on the
+    * driver, so wrapping an aggregate does not silently bring the
+    * 100 TB scan back.
     */
   private def metadataValue(rel: graft.format.GraftRelation, count: => Long,
                             ne: NamedExpression): Option[Any] =
     ne match {
-      case Alias(ae: AggregateExpression, _) =>
-        aggValue(rel, count, ae).map { case (v, _) =>
-          CatalystTypeConverters.convertToCatalyst(v.orNull)
-        }
-      case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
-        c.child match {
+      case Alias(expr, _) =>
+        var provable = true
+        val substituted = expr.transformUp {
           case ae: AggregateExpression =>
-            aggValue(rel, count, ae).map { case (v, dt) =>
-              c.withNewChildren(Seq(
+            aggValue(rel, count, ae) match {
+              case Some((v, dt)) =>
                 org.apache.spark.sql.catalyst.expressions.Literal
-                  .create(v.orNull, dt))).eval(InternalRow.empty)
+                  .create(v.orNull, dt)
+              case None => provable = false; ae
             }
-          case _ => None
         }
+        if (!provable || !substituted.deterministic) None
+        else
+          try Some(substituted.eval(InternalRow.empty))
+          catch { case scala.util.control.NonFatal(_) => None }
       case _ => None
     }
 

@@ -206,17 +206,27 @@ class MetadataAggregateSpec extends SparkSpec {
       r.getDecimal(3) == new java.math.BigDecimal("9000000000000.9999"))
     assert(ds.toDF.agg(min($"price"), max($"price"),
       min($"big"), max($"big")).head() == r)
-    // CAST(MIN(x) AS t) — the common presentation wrapper — must fold
-    // through the rewrite instead of silently bringing the scan back
+    // presentation wrappers — casts, arithmetic, COALESCE, nesting —
+    // must FOLD through the rewrite (literal substitution + driver
+    // eval) instead of silently bringing the scan back
     val qc = spark.read.format("graft").load(ds.root)
       .agg(min($"price").cast("string").as("lo"),
-        max($"price").cast("double").as("hi"),
+        max($"price").cast("double").cast("string").as("hi2"),
+        (max($"price") + lit(1)).as("plus"),
+        coalesce(min($"price"), lit(0)).as("co"),
         count(lit(1)).cast("int").as("n"))
-    assert(isMetadataOnly(qc), s"cast-wrapped aggregates kept a scan:\n${
+    assert(isMetadataOnly(qc), s"wrapped aggregates kept a scan:\n${
       qc.queryExecution.optimizedPlan}")
     val rc = qc.head()
-    assert(rc.getString(0) == "10.50" && rc.getDouble(1) == 99.25 &&
-      rc.getInt(2) == 2)
+    assert(rc.getString(0) == "10.50" && rc.getString(1) == "99.25")
+    assert(rc.getDecimal(2) == new java.math.BigDecimal("100.25") &&
+      rc.getDecimal(3) == new java.math.BigDecimal("10.50") &&
+      rc.getInt(4) == 2)
+    // a NONDETERMINISTIC wrapper refuses (the value would be wrong to
+    // pre-evaluate once on the driver)
+    val qn = spark.read.format("graft").load(ds.root)
+      .agg((min($"price") + rand()).as("r"))
+    assert(!isMetadataOnly(qn), "nondeterministic wrapper must keep the scan")
   }
 
   test("string MIN/MAX refused when parquet stats truncation is configured") {

@@ -1256,6 +1256,70 @@ class VectorStatsSpec extends SparkSpec {
       s"residue-0 stream must decode, got $od4")
     assert(math.abs(od4.get._5.doubleValue - expect4) < 1e-4,
       s"residue-0 decoded mean ${od4.get._5.doubleValue} vs analytic $expect4")
+
+    // ---- UNCOUPLED stereo, residue type 1: the spec interleaves
+    // classwords and partition payloads ACROSS the submap's channels
+    // (cw0 cw1 pay0 pay1 per partition group) — a per-channel
+    // sequential walk reads every bit after ch0's first partition at
+    // the wrong offset. ch0 carries +1 at bin 9, ch1 carries -1 at
+    // bin 40; the analytic compare fails under any misalignment.
+    val setup5 = {
+      val w = new BitW
+      w.bits(5, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(1, 8)
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(2, 24)
+      w.bit(0); w.bit(0); w.bits(0, 5); w.bits(0, 5); w.bits(0, 4)
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(3, 24)
+      w.bit(0); w.bit(0); w.bits(0, 5); w.bits(1, 5); w.bits(1, 5)
+      w.bits(1, 4); w.bits(vorbisFloat(-1.0), 32); w.bits(vorbisFloat(1.0), 32)
+      w.bits(1, 4); w.bit(0); Seq(0, 1, 2).foreach(m => w.bits(m, 2))
+      w.bits(0, 6); w.bits(0, 16)
+      w.bits(0, 6); w.bits(1, 16)
+      w.bits(0, 5); w.bits(0, 2); w.bits(7, 4)
+      // residue TYPE 1, per-channel vectors [0, 128)
+      w.bits(0, 6); w.bits(1, 16)
+      w.bits(0, 24); w.bits(128, 24); w.bits(31, 24)
+      w.bits(0, 6); w.bits(0, 8)
+      w.bits(1, 3); w.bit(0); w.bits(1, 8)
+      // mapping: 1 submap, NO coupling, both channels in it
+      w.bits(0, 6); w.bits(0, 16)
+      w.bit(0); w.bit(0); w.bits(0, 2)
+      w.bits(0, 8); w.bits(0, 8); w.bits(0, 8)
+      w.bits(0, 6)
+      w.bit(0); w.bits(0, 16); w.bits(0, 16); w.bits(0, 8)
+      w.bit(1)
+      w.bytes
+    }
+    val audio5 = {
+      val w = new BitW
+      w.bit(0)
+      w.bit(1); w.bits(255, 8); w.bits(255, 8) // floor ch0
+      w.bit(1); w.bits(255, 8); w.bits(255, 8) // floor ch1
+      for (p <- 0 until 4) {
+        w.code(0, 1) // classword ch0
+        w.code(0, 1) // classword ch1
+        for (i <- 0 until 32) { // payload ch0, partition p
+          if (p * 32 + i == binK) w.code(3, 2) else w.code(2, 2)
+        }
+        for (i <- 0 until 32) { // payload ch1, partition p
+          if (p * 32 + i == binK2) w.code(0, 1) else w.code(2, 2) // -1 at binK2
+        }
+      }
+      w.bytes
+    }
+    val ogg5 = page(2, 0, 0, Seq(ident2)) ++ // stereo ident
+      page(0, 0, 1, Seq(comment, setup5)) ++
+      page(4, 4 * n2, 2, Seq.fill(nPackets)(audio5))
+    val ch0s = steadyOf(t)
+    val ch1s = steadyOf(Array.tabulate(n)(i => math.cos(
+      math.Pi / (2.0 * n) * (2 * i + 1 + n2) * (2 * binK2 + 1))))
+    val expect5 = (ch0s ++ ch1s).map(s =>
+      math.abs(math.max(-1.0, math.min(1.0, s)))).sum / (2.0 * n2)
+    val od5 = Multimodal.decodeOgg(ogg5)
+    assert(od5.isDefined && od5.get._2 == 2 && od5.get._5 != null,
+      s"uncoupled stereo residue-1 must decode, got $od5")
+    assert(math.abs(od5.get._5.doubleValue - expect5) < 1e-4,
+      s"residue-1 stereo decoded mean ${od5.get._5.doubleValue} vs analytic $expect5")
   }
 
   test("multimodal: avi RIFF and mkv EBML metadata decode") {
