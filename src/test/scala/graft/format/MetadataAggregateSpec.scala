@@ -269,6 +269,20 @@ class MetadataAggregateSpec extends SparkSpec {
       assert(isMetadataOnly(q), s"plan kept a scan:\n${q.queryExecution.optimizedPlan}")
       val r = q.head()
       assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getString(2) == "z")
+      // the q122 shape: a CROSS JOIN whose right side is a pure
+      // ungrouped aggregate — THAT side must collapse to a
+      // LocalRelation even though the left keeps its (filtered) scan
+      val qj = spark.sql("""SELECT * FROM
+          (SELECT COUNT(*) AS n FROM magg_v WHERE id > 1)
+        CROSS JOIN
+          (SELECT CAST(MIN(id) AS STRING) AS lo FROM magg_v)""")
+      val p = qj.queryExecution.optimizedPlan
+      assert(p.collectFirst { case l: LocalRelation => l }.isDefined,
+        s"aggregate side of the join must collapse:\n$p")
+      assert(p.collect { case r: LogicalRelation => r }.size == 1,
+        s"exactly ONE scan (the filtered side) must remain:\n$p")
+      val rj = qj.head()
+      assert(rj.getLong(0) == 3L && rj.getString(1) == "1")
     } finally spark.sql("DROP VIEW IF EXISTS magg_v")
   }
 }

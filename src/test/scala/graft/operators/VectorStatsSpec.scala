@@ -1320,6 +1320,39 @@ class VectorStatsSpec extends SparkSpec {
       s"uncoupled stereo residue-1 must decode, got $od5")
     assert(math.abs(od5.get._5.doubleValue - expect5) < 1e-4,
       s"residue-1 stereo decoded mean ${od5.get._5.doubleValue} vs analytic $expect5")
+
+    // ---- mutation fuzz: bit-flipped / truncated variants of the valid
+    // fixtures must DEGRADE (amplitude null or a changed-but-finite
+    // value), never hang or throw out of decodeOgg — the one contract
+    // an ingest pipeline fed arbitrary blobs depends on. A hang shows
+    // up as this suite timing out.
+    val rndm = new scala.util.Random(260814)
+    val bases = Seq(ogg, ogg2, ogg3, ogg4, ogg5)
+    for (trial <- 0 until 300) {
+      val base = bases(trial % bases.length)
+      val mutant = base.clone()
+      rndm.nextInt(3) match {
+        case 0 => // flip 1-4 random bits
+          for (_ <- 0 to rndm.nextInt(4)) {
+            val i = rndm.nextInt(mutant.length)
+            mutant(i) = (mutant(i) ^ (1 << rndm.nextInt(8))).toByte
+          }
+        case 1 => // zero a random run
+          val i = rndm.nextInt(mutant.length)
+          val len = math.min(1 + rndm.nextInt(16), mutant.length - i)
+          java.util.Arrays.fill(mutant, i, i + len, 0.toByte)
+        case _ => () // truncation handled below
+      }
+      val cut =
+        if (trial % 3 == 2) mutant.take(rndm.nextInt(mutant.length))
+        else mutant
+      val out = Multimodal.decodeOgg(cut) // must return, not throw/hang
+      out.foreach { o =>
+        val a = o._5
+        assert(a == null || !a.doubleValue.isNaN,
+          s"trial $trial: decode produced NaN amplitude")
+      }
+    }
   }
 
   test("multimodal: avi RIFF and mkv EBML metadata decode") {
