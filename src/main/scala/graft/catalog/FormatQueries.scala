@@ -853,6 +853,40 @@ object FormatQueries {
                 AS lo,
               CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
                 AS hi
-             FROM lineitem)"""))
+             FROM lineitem)""")),
+
+    // class-label columns (r14 oracle upgrade for a spec-only row):
+    // values are dictionary ids, the names ride in column metadata;
+    // the safe string query coerces 'name' literals to ids on BOTH
+    // comparison sides of the filter, and labelName() decodes ids back
+    // for the grouped output — the oracle speaks plain lang strings
+    QueryDef("q123_format_class_label",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        val names = Seq("de", "en", "es", "fr", "zh")
+        val root = freshRoot("q123")
+        val ds = GraftDataset.create(s, root, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_chars",
+              org.apache.spark.sql.types.LongType))))
+        ds.createTensor("lang_id", org.apache.spark.sql.types.LongType, names)
+        val id = names.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (n, i)) =>
+          when(col("lang") === n, lit(i.toLong)).otherwise(acc)
+        }
+        ds.append(d.select(col("doc_id"), col("n_chars").cast("long"),
+          id.as("lang_id")))
+        ds.commit("docs with class labels")
+        ds.filterQuery("lang_id != 'zh' and n_chars > 500")
+          .groupBy(ds.labelName("lang_id").as("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n,
+          CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE lang <> 'zh' AND n_chars > 500
+        GROUP BY lang ORDER BY lang"""))
   )
 }
