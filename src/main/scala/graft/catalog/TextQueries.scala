@@ -159,6 +159,52 @@ object TextQueries {
            OR (list_contains($duckToks, 'stream') AND list_contains($duckToks, 'batch'))
         ORDER BY doc_id""")),
 
+    // REAL audio decode, oracle-checked (r14): 64 valid 8-bit PCM WAV
+    // payloads built from doc-id arithmetic, decoded by the javax.sound
+    // path into rate/frames/duration/mean-|amplitude|, then grouped.
+    // Every quantity is EXACT dyadic arithmetic (|v-128|/128 sums, /2^k
+    // divisions), so DuckDB restates the decode's expected output from
+    // generate_series with bit-identical doubles — a real full-decode
+    // oracle for the multimodal row, no codec needed oracle-side.
+    QueryDef("q124_multimodal_audio_decode",
+      (s, dir) => {
+        def wav(samples: Array[Byte]): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(8000).putInt(8000).putShort(1).putShort(8)
+            .put("data".getBytes("US-ASCII")).putInt(samples.length)
+            .put(samples)
+          bb.array()
+        }
+        import s.implicits._
+        val rows = (0 until 64).map { i =>
+          (i.toLong, wav(Array.tabulate(2048)(j =>
+            ((i * 31 + j * 7) % (64 * (i % 4 + 1))).toByte)))
+        }
+        val df = rows.toDF("id", "audio_bytes")
+        graft.operators.Multimodal.decodeAudio(df, "audio")
+          .groupBy((col("id") % 4).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("num_frames")).as("frames"),
+            avg(col("mean_amplitude")).as("amp"),
+            sum(col("sample_rate")).as("rates"))
+          .orderBy("grp")
+      },
+      Some("""WITH m AS (
+          SELECT i, SUM(ABS(((i*31 + j*7) % (64*(i%4+1))) - 128) / 128.0)
+              / 2048 AS row_mean
+          FROM generate_series(0, 63) t(i), generate_series(0, 2047) u(j)
+          GROUP BY i)
+        SELECT CAST(i % 4 AS BIGINT) AS grp, COUNT(*) AS n,
+          CAST(COUNT(*) * 2048 AS BIGINT) AS frames,
+          AVG(row_mean) AS amp,
+          CAST(COUNT(*) * 8000 AS BIGINT) AS rates
+        FROM m GROUP BY 1 ORDER BY 1""")),
+
     // tiled ingest round-trip, oracle-checked: each doc's UTF-8 bytes
     // split into 64-byte tile ROWS (explode + binary substring), then
     // reassemble in an ordered binary-concat aggregation. The oracle
