@@ -205,6 +205,45 @@ object TextQueries {
           CAST(COUNT(*) * 8000 AS BIGINT) AS rates
         FROM m GROUP BY 1 ORDER BY 1""")),
 
+    // media FILE ingest, oracle-checked (r14): documents' texts written
+    // as real files, then pulled back through BOTH ingest surfaces —
+    // the binaryFile source (`muller.read` directory scan) and
+    // attachBinary (path-column rows → executor-side Hadoop reads,
+    // distinct paths read once). Each surface's md5 must equal the
+    // oracle's digest of the original text — a dropped, truncated, or
+    // cross-wired payload on either path breaks the hash.
+    QueryDef("q125_media_file_ingest",
+      (s, dir) => {
+        val d = docs(s, dir).filter(col("doc_id") < 200)
+          .select("doc_id", "text")
+        val base = graft.QueryCleanup.tempRoot("q125")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+        d.collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(base, f"doc_${r.getLong(0)}%06d.txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val scanned = graft.sources.IO.readBinaryFiles(s, base, "*.txt")
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1)
+              .cast("long").as("doc_id"),
+            col("length"), md5(col("content")).as("scan_digest"))
+        val attached = graft.sources.IO.attachBinary(
+            d.select(col("doc_id"),
+              concat(lit(s"$base/doc_"),
+                format_string("%06d", col("doc_id")), lit(".txt"))
+                .as("path")),
+            "path")
+          .select(col("doc_id"), md5(col("path_bytes")).as("attach_digest"))
+        scanned.join(attached, "doc_id")
+          .select("doc_id", "length", "scan_digest", "attach_digest")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS length,
+          md5(text) AS scan_digest, md5(text) AS attach_digest
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
     // tiled ingest round-trip, oracle-checked: each doc's UTF-8 bytes
     // split into 64-byte tile ROWS (explode + binary substring), then
     // reassemble in an ordered binary-concat aggregation. The oracle
