@@ -53,7 +53,11 @@ private[operators] object VorbisFrames {
           i += 1
         }
       }
-      if (n == 0) None else Some(sum / n)
+      // belt over the braces above: any non-finite value that slips
+      // through arithmetic (NaN propagates through min/max clamps)
+      // degrades rather than escaping as a poisoned amplitude
+      if (n == 0 || !java.lang.Double.isFinite(sum)) None
+      else Some(sum / n)
     } catch { case _: Exception => None }
 
   // ---- Ogg layer ----------------------------------------------------------
@@ -154,7 +158,14 @@ private[operators] object VorbisFrames {
     val sign = (x & 0x80000000L) != 0
     val exp = ((x & 0x7fe00000L) >>> 21).toInt
     val v = mantissa * math.pow(2.0, exp - 788)
-    (if (sign) -v else v).toFloat
+    val f = (if (sign) -v else v).toFloat
+    // a packed exponent near the field's top overflows Float to ±Inf;
+    // one Inf in a VQ table turns Inf-Inf = NaN in the iMDCT sums, and
+    // NaN passes straight through min/max clamps — so a NaN mean would
+    // ESCAPE the degrade-to-null contract. No valid stream encodes
+    // non-finite VQ parameters: refuse at the source.
+    require(java.lang.Float.isFinite(f), "non-finite packed float")
+    f
   }
 
   // ---- codebooks ----------------------------------------------------------

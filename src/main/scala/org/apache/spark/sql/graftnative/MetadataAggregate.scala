@@ -88,7 +88,20 @@ case class MetadataAggregateRewrite(spark: SparkSession)
               case None => provable = false; ae
             }
         }
-        if (!provable || !substituted.deterministic) None
+        // never run USER code inside the optimizer: a ScalaUDF (or a
+        // python UDF) is deterministic-by-default yet may be slow, do
+        // I/O, or be wrongly marked — freezing its plan-time result
+        // into the LocalRelation would silently change semantics. Only
+        // built-in deterministic expressions fold; everything else
+        // keeps the scan and evaluates at execution time as before.
+        def runsUserCode(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Boolean = e.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true
+          case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+          case x => x.getClass.getName.contains("PythonUDF")
+        }
+        if (!provable || !substituted.deterministic ||
+            runsUserCode(substituted)) None
         else
           try Some(substituted.eval(InternalRow.empty))
           catch { case scala.util.control.NonFatal(_) => None }

@@ -227,6 +227,15 @@ class MetadataAggregateSpec extends SparkSpec {
     val qn = spark.read.format("graft").load(ds.root)
       .agg((min($"price") + rand()).as("r"))
     assert(!isMetadataOnly(qn), "nondeterministic wrapper must keep the scan")
+    // USER code never runs inside the optimizer: a (deterministic-by-
+    // default) ScalaUDF wrapper must keep the scan and evaluate at
+    // execution time, not get frozen into the plan
+    val f = org.apache.spark.sql.functions.udf((d: java.math.BigDecimal) =>
+      if (d == null) "" else d.toPlainString)
+    val qu = spark.read.format("graft").load(ds.root)
+      .agg(f(min($"price")).as("u"))
+    assert(!isMetadataOnly(qu), "UDF wrapper must keep the scan")
+    assert(qu.head().getString(0) == "10.50")
   }
 
   test("string MIN/MAX refused when parquet stats truncation is configured") {

@@ -995,6 +995,30 @@ class VectorStatsSpec extends SparkSpec {
     val ed = Multimodal.decodeOgg(evil)
     assert(ed.isDefined && ed.get._5 == null,
       s"dim-0 codebook must degrade to metadata-only, got $ed")
+    // adversarial VQ minimum with a near-top packed exponent: the
+    // unpacked Float overflows to Inf, Inf-Inf = NaN in the synthesis
+    // sums, and NaN passes through min/max clamps — must degrade, not
+    // escape as a poisoned (NaN) amplitude
+    val infSetup = {
+      val w = new BitW
+      w.bits(5, 8); "vorbis".getBytes.foreach(c => w.bits(c, 8))
+      w.bits(1, 8)
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(2, 24)
+      w.bit(0); w.bit(0); w.bits(0, 5); w.bits(0, 5); w.bits(0, 4)
+      w.bits(0x564342, 24); w.bits(1, 16); w.bits(3, 24)
+      w.bit(0); w.bit(0); w.bits(0, 5); w.bits(1, 5); w.bits(1, 5)
+      w.bits(1, 4)
+      w.bits((1023L << 21) | 1L, 32) // minimum = 1 * 2^235 -> Float Inf
+      w.bits(vorbisFloat(1.0), 32)
+      w.bits(1, 4); w.bit(0); Seq(0, 1, 2).foreach(m => w.bits(m, 2))
+      w.bytes // truncated tail is fine — the require fires first
+    }
+    val infOgg = page(2, 0, 0, Seq(ident)) ++
+      page(0, 0, 1, Seq(comment, infSetup)) ++
+      page(4, 4 * n2, 2, Seq(audio))
+    val ifd = Multimodal.decodeOgg(infOgg)
+    assert(ifd.isDefined && ifd.get._5 == null,
+      s"non-finite VQ params must degrade to metadata-only, got $ifd")
 
     // ---- stereo + square-polar coupling + negative residues ------------
     // magnitude channel carries +1 at binK; the angle channel carries -1
