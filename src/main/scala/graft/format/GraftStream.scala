@@ -324,8 +324,8 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
         s"graft stream source: no branch '$branch' at $root — the table " +
           "must exist with at least one commit before streaming from it"))
 
-  override val schema: StructType =
-    GraftTailSource.tableSchema(spark, root, branch, withUuid, changeFeed)
+  override val schema: StructType = GraftTailSource
+    .schemaAtCommit(spark, root, pinnedHead, withUuid, changeFeed)
 
   /** Every schema change on the first-parent path between `endId` and
     * the pinned head must be a PURE RENAME — otherwise positional
@@ -337,6 +337,14 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
     */
   private def requirePureRenamePath(endId: String): Unit = {
     if (endId == pinnedHead) return
+    // commit ids are zero-padded monotone sequence numbers and parents
+    // are strictly older, so the walk direction is decided numerically
+    // up front — probing the wrong direction first would read the
+    // WHOLE ancestry to the root (O(history), not O(gap)) every time a
+    // commit lands between source construction and the first trigger
+    val (ancestor, descendant) =
+      if (endId.toLong < pinnedHead.toLong) (endId, pinnedHead)
+      else (pinnedHead, endId)
     def chain(from: String, to: String): Option[List[CommitMeta]] = {
       var metas = List.empty[CommitMeta] // ascending after the walk
       var cur = Option(from)
@@ -347,9 +355,7 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
       }
       if (cur.isDefined) Some(metas) else None
     }
-    val (ancestor, path) = chain(pinnedHead, endId)
-      .map((endId, _))
-      .orElse(chain(endId, pinnedHead).map((pinnedHead, _)))
+    val path = chain(descendant, ancestor)
       .getOrElse(throw new IllegalStateException(
         s"graft stream source: commit $endId and the stream's pinned " +
           s"head $pinnedHead are not on one first-parent chain — " +
@@ -357,11 +363,15 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
     var prev = CommitLog.readCommit(spark, root, ancestor)
     for (m <- path) {
       if (m.schemaJson != prev.schemaJson)
-        require(GraftStream.renameDelta(prev, m).isDefined,
+        // change feeds tolerate pure renames (positional identity);
+        // the plain tail reads files BY NAME against the pinned schema,
+        // where even a pure rename would silently null-backfill the
+        // renamed column — any gap schema change fails it loudly
+        require(changeFeed && GraftStream.renameDelta(prev, m).isDefined,
           s"graft stream source: the table schema changed at commit " +
-            s"${m.id} in a way positional alignment cannot express " +
-            "(added/dropped/retyped column); restart the stream with a " +
-            "fresh checkpoint to pick up the new schema")
+            s"${m.id} between this batch's range and the stream's " +
+            "pinned schema; restart the stream with a fresh checkpoint " +
+            "to pick up the new schema")
       prev = m
     }
   }
@@ -535,6 +545,13 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
       case Some(s) if GraftStream.offsetValue(s) >= GraftStream.offsetValue(end) =>
         InternalDf.emptyStreaming(spark, schema)
       case Some(s) =>
+        // the per-commit walk below validates schema changes WITHIN the
+        // range, but a replayed range can end BEFORE the pinned head —
+        // a non-rename change in the (end, pinnedHead] gap would make
+        // the positional pin mislabel the replayed events (same-arity
+        // delete+create passes a shape check); validate the gap too.
+        // Steady state (end == pinned head) returns immediately.
+        requirePureRenamePath(endId)
         // per-commit walk (not an endpoint diff): a rewrite-only commit
         // (compaction, CommitMeta.rewrite) replaces the whole manifest
         // while leaving logical rows untouched — an endpoint diff would
@@ -647,6 +664,17 @@ object GraftTailSource {
       throw new IllegalArgumentException(
         s"graft stream source: no branch '$branch' at $root — the table " +
           "must exist with at least one commit before streaming from it"))
+    schemaAtCommit(spark, root, head, withUuid, changeFeed)
+  }
+
+  /** [[tableSchema]] pinned to one specific commit — the source derives
+    * its pinned schema and its rename-path anchor from a SINGLE head
+    * read (two independent branch reads leave a window where a racing
+    * commit makes the anchor and the schema disagree).
+    */
+  private[format] def schemaAtCommit(spark: SparkSession, root: String,
+                                     head: String, withUuid: Boolean,
+                                     changeFeed: Boolean): StructType = {
     val logical = org.apache.spark.sql.types.DataType
       .fromJson(CommitLog.readCommit(spark, root, head).schemaJson)
       .asInstanceOf[StructType]

@@ -115,6 +115,13 @@ private[operators] object VorbisFrames {
 
   // ---- bit reader (vorbis packs LSB-first within each byte) ---------------
 
+  /** End-of-packet: a TYPED signal, because its handling is contextual
+    * — fatal in headers (truncated stream → degrade to metadata), but
+    * NORMAL during an audio packet's floor/residue decode, where the
+    * spec's practice (libvorbis/stb alike) is to keep what was decoded
+    * and leave the remainder zero. */
+  private final class EopException extends RuntimeException("end of packet")
+
   private final class BitReader(b: Array[Byte]) {
     private var pos = 0 // absolute bit position
     def read(n: Int): Int = {
@@ -122,7 +129,7 @@ private[operators] object VorbisFrames {
       var i = 0
       while (i < n) {
         val byteI = pos >>> 3
-        require(byteI < b.length, "packet overrun")
+        if (byteI >= b.length) throw new EopException
         v |= (((b(byteI) >> (pos & 7)) & 1) << i)
         pos += 1
         i += 1
@@ -134,7 +141,7 @@ private[operators] object VorbisFrames {
       var i = 0
       while (i < n) {
         val byteI = pos >>> 3
-        require(byteI < b.length, "packet overrun")
+        if (byteI >= b.length) throw new EopException
         v |= (((b(byteI) >> (pos & 7)) & 1).toLong << i)
         pos += 1
         i += 1
@@ -267,6 +274,15 @@ private[operators] object VorbisFrames {
       // (x^0 == 1 <= entries always) — a malformed stream must throw,
       // never hang the decoding task
       require(dim > 0 && entries > 0, "degenerate codebook shape")
+      // the header FIELDS allow entries up to 2^24 and dim up to 2^16,
+      // but a ~50-byte packet can declare both (ordered lengths cost a
+      // handful of bits) and the VQ table allocation below would then
+      // OOM — and OutOfMemoryError is an Error, ESCAPING the
+      // catch-Exception degrade path and killing the task. Real books
+      // are a few thousand entries with single-digit dims; cap far
+      // above that, far below harm.
+      require(entries <= (1 << 18) && dim <= 32 &&
+        entries.toLong * dim <= (1L << 22), "implausible codebook size")
       val lengths = new Array[Int](entries)
       val ordered = br.readBit() == 1
       if (!ordered) {
@@ -772,32 +788,37 @@ private[operators] object VorbisFrames {
       val mapping = setup.mappings(mode.mapping)
       val n2 = n / 2
 
-      // floors
+      // floors + residues: an END-OF-PACKET from here on is NORMAL
+      // (truncated final packet, or an encoder relying on the spec's
+      // EOP termination) — keep what was decoded, the rest stays zero/
+      // unvoiced. EOP in the header bits above still fails the stream.
       val floorOut = new Array[Array[Float]](id.channels)
       val unvoiced = new Array[Boolean](id.channels)
-      for (c <- 0 until id.channels) {
-        val f = setup.floors(mapping.submapFloor(mapping.mux(c)))
-        val y = floorDecode(br, f, setup.books)
-        if (y == null) unvoiced(c) = true
-        else floorOut(c) = floorCurve(f, y, n2)
-      }
-      // coupling: an unvoiced magnitude/angle partner revives the other
-      for (s <- mapping.couplingMag.indices) {
-        if (!unvoiced(mapping.couplingMag(s)) ||
-            !unvoiced(mapping.couplingAng(s))) {
-          unvoiced(mapping.couplingMag(s)) = false
-          unvoiced(mapping.couplingAng(s)) = false
-        }
-      }
-      // residues per submap
       val residueOut = Array.fill(id.channels)(new Array[Float](n2))
-      for (s <- 0 until mapping.submaps) {
-        val chans = (0 until id.channels).filter(mapping.mux(_) == s)
-        val r = setup.residues(mapping.submapResidue(s))
-        val vecs = chans.map(residueOut(_)).toArray
-        val dnd = chans.map(unvoiced(_)).toArray
-        residueDecode(br, r, setup.books, vecs, dnd)
-      }
+      try {
+        for (c <- 0 until id.channels) {
+          val f = setup.floors(mapping.submapFloor(mapping.mux(c)))
+          val y = floorDecode(br, f, setup.books)
+          if (y == null) unvoiced(c) = true
+          else floorOut(c) = floorCurve(f, y, n2)
+        }
+        // coupling: an unvoiced magnitude/angle partner revives the other
+        for (s <- mapping.couplingMag.indices) {
+          if (!unvoiced(mapping.couplingMag(s)) ||
+              !unvoiced(mapping.couplingAng(s))) {
+            unvoiced(mapping.couplingMag(s)) = false
+            unvoiced(mapping.couplingAng(s)) = false
+          }
+        }
+        // residues per submap
+        for (s <- 0 until mapping.submaps) {
+          val chans = (0 until id.channels).filter(mapping.mux(_) == s)
+          val r = setup.residues(mapping.submapResidue(s))
+          val vecs = chans.map(residueOut(_)).toArray
+          val dnd = chans.map(unvoiced(_)).toArray
+          residueDecode(br, r, setup.books, vecs, dnd)
+        }
+      } catch { case _: EopException => () }
       // inverse coupling (square polar, spec 4.3.5), last step first
       for (s <- mapping.couplingMag.indices.reverse) {
         val m = residueOut(mapping.couplingMag(s))

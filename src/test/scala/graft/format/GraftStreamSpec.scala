@@ -414,7 +414,8 @@ class GraftStreamSpec extends SparkSpec {
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)
     assert(chain(err).exists(c => c.getMessage != null &&
-      c.getMessage.contains("positional alignment cannot express")),
+      c.getMessage.contains("between this batch's range and the " +
+        "stream's pinned schema")),
       s"got: $err")
   }
 

@@ -1019,6 +1019,25 @@ class VectorStatsSpec extends SparkSpec {
     val ifd = Multimodal.decodeOgg(infOgg)
     assert(ifd.isDefined && ifd.get._5 == null,
       s"non-finite VQ params must degrade to metadata-only, got $ifd")
+    // END-OF-PACKET mid-audio-decode is NORMAL (truncated final packet):
+    // the packet keeps what was decoded — here EOP hits in the first
+    // floor read, so the last block synthesizes silence and the final
+    // overlap slice carries only the previous block's windowed tail
+    val eopOgg = page(2, 0, 0, Seq(ident)) ++
+      page(0, 0, 1, Seq(comment, setup)) ++
+      page(4, 4 * n2, 2, Seq.fill(nPackets - 1)(audio) :+ audio.take(1))
+    val eopExpect = {
+      val steadySum = steady.map(s =>
+        math.abs(math.max(-1.0, math.min(1.0, s)))).sum
+      val tailOnly = (0 until n2).map(i =>
+        math.abs(math.max(-1.0, math.min(1.0, t(n2 + i) * wnd(n2 + i))))).sum
+      (3 * steadySum + tailOnly) / (4.0 * n2)
+    }
+    val eod = Multimodal.decodeOgg(eopOgg)
+    assert(eod.isDefined && eod.get._5 != null,
+      s"EOP mid-decode must still produce audio, got $eod")
+    assert(math.abs(eod.get._5.doubleValue - eopExpect) < 1e-4,
+      s"EOP decoded mean ${eod.get._5.doubleValue} vs analytic $eopExpect")
 
     // ---- stereo + square-polar coupling + negative residues ------------
     // magnitude channel carries +1 at binK; the angle channel carries -1
