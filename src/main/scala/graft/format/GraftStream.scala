@@ -546,12 +546,17 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
         InternalDf.emptyStreaming(spark, schema)
       case Some(s) =>
         // the per-commit walk below validates schema changes WITHIN the
-        // range, but a replayed range can end BEFORE the pinned head —
+        // range, but a REPLAYED range can end BEFORE the pinned head —
         // a non-rename change in the (end, pinnedHead] gap would make
         // the positional pin mislabel the replayed events (same-arity
-        // delete+create passes a shape check); validate the gap too.
-        // Steady state (end == pinned head) returns immediately.
-        requirePureRenamePath(endId)
+        // delete+create passes a shape check); validate that gap.
+        // ONLY for ranges older than the pin: a live stream's ranges
+        // end at or past the pin, every commit from the checkpoint
+        // forward passes through some batch's in-range walk, and
+        // re-walking pin→end each batch would be O(commits since
+        // construction) per trigger
+        if (GraftStream.offsetValue(end) < pinnedHead.toLong)
+          requirePureRenamePath(endId)
         // per-commit walk (not an endpoint diff): a rewrite-only commit
         // (compaction, CommitMeta.rewrite) replaces the whole manifest
         // while leaving logical rows untouched — an endpoint diff would

@@ -417,6 +417,43 @@ class GraftStreamSpec extends SparkSpec {
       c.getMessage.contains("between this batch's range and the " +
         "stream's pinned schema")),
       s"got: $err")
+    // DELTA-path variant: only the LAST checkpoint commit is lost, so
+    // restart replays a (start, end] range whose end sits BEFORE the
+    // new pinned head — the in-range walk sees no schema change (it
+    // happened in the gap), so the gap validation must catch it
+    val root2 = tmpDir("gshape2") + "/t"
+    val ds2 = GraftDataset.create(spark, root2, StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType))))
+    ds2.append(Seq((1L, 10L)).toDF("a", "b")); ds2.commit("seed")
+    val ckpt2 = tmpDir("gshape2ckpt")
+    val q3 = spark.readStream.format("graft").load(root2)
+      .writeStream.format("noop")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", ckpt2)
+      .start()
+    q3.processAllAvailable()
+    ds2.append(Seq((2L, 20L)).toDF("a", "b")); ds2.commit("delta")
+    q3.processAllAvailable(); q3.stop()
+    val commits2 = new java.io.File(ckpt2, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits2.length >= 2, s"need a delta batch, got ${commits2.length}")
+    assert(commits2.last.delete())
+    ds2.deleteTensor("a")
+    ds2.createTensor("c", LongType)
+    ds2.append(Seq((30L, 300L)).toDF("b", "c"))
+    ds2.commit("delete+create in the gap")
+    val q4 = spark.readStream.format("graft").load(root2)
+      .writeStream.format("noop")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", ckpt2)
+      .start()
+    val err2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+    }
+    q4.stop()
+    assert(chain(err2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("restart the stream with a fresh checkpoint")),
+      s"got: $err2")
   }
 
   test("changeFeed fails loudly on commits that fold history") {
