@@ -16,11 +16,11 @@ package graft.operators
   * general unequal-blocksize window overlap-add (center-aligned slopes).
   * Floor type 0 (LSP, emitted by no known encoder) raises — the caller
   * degrades to metadata-only, the same parse-fail contract
-  * [[FlacFrames]] uses. The iMDCT is the O(n²)
-  * definition from the spec — exact and dependency-free; at 2048-sample
-  * blocks that is ~2M multiplies per block, fine for the feature-
-  * extraction batch path this feeds (a production hot loop would swap
-  * in an FFT-based lap without touching anything else here).
+  * [[FlacFrames]] uses. The iMDCT runs an O(n log n) FFT factorization
+  * of the spec 4.3.6 sum (input rotation → length-n inverse DFT →
+  * output rotation), dependency-free; the direct O(n²) spec
+  * transcription is kept as [[imdctDirect]] and a randomized spec
+  * cross-checks the two to float precision.
   *
   * Every failure path throws internally and [[meanAbs]] returns None —
   * callers never see a partial decode.
@@ -364,8 +364,8 @@ private[operators] object VorbisFrames {
     require(br.readBit() == 1, "ident framing")
     require(channels > 0 && rate > 0, "bad ident")
     require(blocksize0 <= blocksize1, "blocksize order")
-    // the spec's legal range; it also bounds the O(n²) iMDCT work a
-    // malformed exponent could otherwise inflate 16×
+    // the spec's legal range; it also bounds the iMDCT trig tables a
+    // malformed exponent could otherwise inflate
     require(blocksize0 >= 64 && blocksize1 <= 8192, "blocksize range")
     Ident(channels, rate, blocksize0, blocksize1)
   }
@@ -744,9 +744,10 @@ private[operators] object VorbisFrames {
   }
 
   /** Direct-form inverse MDCT (spec 4.3.6): n time samples from n/2
-    * spectral bins. O(n²) — see the file header for why that's fine
-    * here. */
-  private def imdct(spec: Array[Float]): Array[Float] = {
+    * spectral bins. O(n²) — kept as the readable spec transcription and
+    * the cross-check oracle for [[imdct]]; the hot path runs the FFT
+    * factorization below. */
+  private[operators] def imdctDirect(spec: Array[Float]): Array[Float] = {
     val n2 = spec.length
     val n = 2 * n2
     val out = new Array[Float](n)
@@ -760,6 +761,113 @@ private[operators] object VorbisFrames {
         k += 1
       }
       out(i) = acc.toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Per-blocksize trig tables for the FFT-based iMDCT. A stream uses at
+    * most two block sizes (64..8192, powers of two by identHeader), so
+    * the cache stays tiny; entries are immutable and shared across
+    * executor task threads.
+    *
+    *   preRe/preIm  — e^{iπ(1+n2)(2k+1)/(2n)},  k < n2   (input rotation)
+    *   postRe/postIm — e^{iπ i/n},               i < n    (output rotation)
+    *   twRe/twIm    — e^{+2πi k/n},              k < n/2  (FFT butterflies)
+    */
+  private final class ImdctTables(val n2: Int) {
+    val n: Int = 2 * n2
+    val preRe = new Array[Double](n2); val preIm = new Array[Double](n2)
+    val postRe = new Array[Double](n); val postIm = new Array[Double](n)
+    val twRe = new Array[Double](n / 2)
+    val twIm = new Array[Double](n / 2)
+    locally { var k = 0
+      while (k < n2) {
+        val phi = math.Pi * (1.0 + n2) * (2 * k + 1) / (2.0 * n)
+        preRe(k) = math.cos(phi); preIm(k) = math.sin(phi); k += 1
+      }
+      var i = 0
+      while (i < n) {
+        val a = math.Pi * i / n
+        postRe(i) = math.cos(a); postIm(i) = math.sin(a); i += 1
+      }
+      var t = 0
+      while (t < n / 2) {
+        val a = 2.0 * math.Pi * t / n
+        twRe(t) = math.cos(a); twIm(t) = math.sin(a); t += 1
+      }
+    }
+  }
+  private val imdctTables =
+    new java.util.concurrent.ConcurrentHashMap[Int, ImdctTables]()
+
+  /** Un-normalized radix-2 DIT transform with the e^{+2πi/n} kernel
+    * (i.e. an inverse DFT without the 1/n factor), in place. */
+  private def fftInPlace(re: Array[Double], im: Array[Double],
+                         twRe: Array[Double], twIm: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    var i = 1
+    while (i < n) { // bit-reversal permutation
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        var t = re(i); re(i) = re(j); re(j) = t
+        t = im(i); im(i) = im(j); im(j) = t
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val half = len >> 1
+      val step = n / len // table stride: e^{+2πi k/len} = tw(k·n/len)
+      var base = 0
+      while (base < n) {
+        var k = 0
+        var tw = 0
+        while (k < half) {
+          val wr = twRe(tw); val wi = twIm(tw)
+          val a = base + k; val b = a + half
+          val xr = re(b) * wr - im(b) * wi
+          val xi = re(b) * wi + im(b) * wr
+          re(b) = re(a) - xr; im(b) = im(a) - xi
+          re(a) += xr; im(a) += xi
+          k += 1; tw += step
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Inverse MDCT via one length-n complex FFT — O(n log n).
+    *
+    * Factorization of the spec 4.3.6 sum: with N = 2·n2,
+    *   y(i) = Σₖ X(k)·cos(π/(2N)·(2i+1+N/2)(2k+1))
+    * and (2i+1+N/2)(2k+1) = 2i(2k+1) + (1+N/2)(2k+1), so
+    *   y(i) = Re[ e^{iπi/N} · Σₖ (X(k)·e^{iφₖ}) · e^{2πi·ik/N} ],
+    *   φₖ = π(1+N/2)(2k+1)/(2N)
+    * — an input rotation, an un-normalized inverse DFT of the rotated
+    * spectrum zero-padded to N, and an output rotation. Double-precision
+    * throughout (matches imdctDirect's accumulator); the analytic
+    * fixtures and the randomized cross-check spec pin agreement. */
+  private[operators] def imdct(spec: Array[Float]): Array[Float] = {
+    val n2 = spec.length
+    val t = imdctTables.computeIfAbsent(n2, m => new ImdctTables(m))
+    val n = t.n
+    val re = new Array[Double](n); val im = new Array[Double](n)
+    var k = 0
+    while (k < n2) {
+      re(k) = spec(k) * t.preRe(k)
+      im(k) = spec(k) * t.preIm(k)
+      k += 1
+    }
+    fftInPlace(re, im, t.twRe, t.twIm)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (re(i) * t.postRe(i) - im(i) * t.postIm(i)).toFloat
       i += 1
     }
     out

@@ -1398,6 +1398,36 @@ class VectorStatsSpec extends SparkSpec {
     }
   }
 
+  test("vorbis iMDCT: FFT factorization matches the direct spec sum") {
+    // The hot-path imdct is the O(n log n) FFT factorization; imdctDirect
+    // is the literal spec 4.3.6 transcription. Random spectra across every
+    // legal Vorbis block size must agree to float precision (both
+    // accumulate in double; disagreement scales with the spectrum's L1
+    // norm, so the bound is relative).
+    val rnd = new scala.util.Random(41)
+    for (n2 <- Seq(32, 64, 128, 512, 1024, 4096); trial <- 0 until 3) {
+      val spec = Array.fill(n2)((rnd.nextFloat() * 2 - 1) * 4f)
+      val fast = VorbisFrames.imdct(spec)
+      val slow = VorbisFrames.imdctDirect(spec)
+      assert(fast.length == slow.length && fast.length == 2 * n2)
+      val scale = spec.map(v => math.abs(v.toDouble)).sum.max(1.0)
+      var i = 0
+      while (i < fast.length) {
+        assert(math.abs(fast(i) - slow(i)) <= 1e-5 * scale,
+          s"n2=$n2 trial=$trial i=$i: ${fast(i)} vs ${slow(i)}")
+        i += 1
+      }
+    }
+    // sparse spectra (the analytic-fixture shape): exact agreement band
+    for (n2 <- Seq(128, 1024)) {
+      val spec = new Array[Float](n2); spec(n2 / 3) = 1f
+      val fast = VorbisFrames.imdct(spec)
+      val slow = VorbisFrames.imdctDirect(spec)
+      (0 until 2 * n2).foreach(i =>
+        assert(math.abs(fast(i) - slow(i)) < 1e-6))
+    }
+  }
+
   test("multimodal: avi RIFF and mkv EBML metadata decode") {
     // AVI: RIFF/AVI + LIST(hdrl) + 56-byte avih: 33333 us/frame (30 fps),
     // 300 frames, 2 streams
