@@ -887,6 +887,65 @@ object FormatQueries {
       Some("""SELECT lang, COUNT(*) AS n,
           CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM documents WHERE lang <> 'zh' AND n_chars > 500
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // CDC across ADDITIVE schema evolution (r15): the source adds a
+    // nullable column MID-RANGE; the change feed extends its pin with
+    // the added column (pre-add events null-backfill it, post-add
+    // events carry its values, the add itself is a schema_change
+    // event), and the replica stream adopts the column — the final
+    // replica must answer an aggregate OVER THE ADDED COLUMN
+    // row-for-row equal to the evolved source.
+    QueryDef("q126_format_cdc_add_column",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val srcRoot = freshRoot("q126src")
+        val ds = IO.fromDataFrame(o, srcRoot)
+        ds.update(col("o_orderstatus") === "O",
+          Map("o_totalprice" -> (col("o_totalprice") + 3)))
+        ds.commit("pre-add mutate")
+        ds.createTensor("o_note", org.apache.spark.sql.types.StringType)
+        ds.append(o.filter(col("o_orderkey") <= 40)
+          .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            concat(lit("a"), col("o_orderkey")).as("o_note")))
+        ds.commit("add column + grow under it")
+        ds.update(col("o_orderkey") % 5 === 0,
+          Map("o_note" -> concat(lit("n"), col("o_orderkey"))))
+        ds.commit("backfill across the add boundary")
+        ds.pop(col("o_orderkey") % 13 === 0)
+        ds.commit("post-add pop")
+        val repRoot = freshRoot("q126rep")
+        graft.streaming.GraftStreaming.replicate(
+          s, srcRoot, repRoot, freshRoot("q126ck")).awaitTermination()
+        val replica = GraftDataset.load(s, repRoot)
+        replica.toDF.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"),
+            count(col("o_note")).as("with_note"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH evolved AS (
+          SELECT o_orderkey, o_orderstatus,
+            CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 3
+                 ELSE o_totalprice END AS o_totalprice,
+            CAST(NULL AS VARCHAR) AS o_note
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey + 50000000, o_orderstatus, o_totalprice,
+            'a' || CAST(o_orderkey AS VARCHAR)
+          FROM orders WHERE o_orderkey <= 40),
+        noted AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+            CASE WHEN o_orderkey % 5 = 0
+                 THEN 'n' || CAST(o_orderkey AS VARCHAR)
+                 ELSE o_note END AS o_note
+          FROM evolved)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          COUNT(o_note) AS with_note
+        FROM noted WHERE o_orderkey % 13 <> 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -69,21 +69,34 @@ object CdcSoak {
     sync() // bootstrap the replica from the full feed
 
     var payloadCol = "payload"
+    var hasTag = false
     for (r <- 1 to rounds) {
       // schema evolution under live replication: one rename mid-feed
       // (announced as a schema_change event, replica adopts it) and one
       // in the SAME round the checkpoint is lost (no event ever delivered
-      // — the fresh bootstrap must adopt the feed's names positionally)
+      // — the fresh bootstrap must adopt the feed's names positionally).
+      // r15 adds ADDITIVE evolution: a nullable column lands between
+      // syncs (the AvailableNow restart re-pins past it — the replica
+      // adopts the column, its pre-add rows null-backfilled), then keeps
+      // taking values through later rounds' appends and updates.
       if (r == rounds / 3 || r == rounds / 2) {
         val next = s"payload_r$r"
         ds.renameTensor(payloadCol, next)
         payloadCol = next
       }
-      ds.append(rows(appended, appended + 10000)
-        .withColumnRenamed("payload", payloadCol))
+      if (r == rounds / 4 && !hasTag) {
+        ds.createTensor("tag", org.apache.spark.sql.types.StringType)
+        hasTag = true
+      }
+      val grow = rows(appended, appended + 10000)
+        .withColumnRenamed("payload", payloadCol)
+      ds.append(if (hasTag) grow.withColumn("tag",
+        concat(lit("t"), col("id"))) else grow)
       appended += 10000
       ds.update(pmod(col("id"), lit(7)) === (r % 7),
-        Map(payloadCol -> concat(lit(s"u$r-"), col("id"))))
+        Map(payloadCol -> concat(lit(s"u$r-"), col("id"))) ++
+          (if (hasTag) Map("tag" -> concat(lit(s"g$r-"), col("id")))
+           else Map.empty))
       ds.pop(pmod(col("id"), lit(101)) === (r % 101))
       ds.commit(s"round $r")
       if (r % 4 == 0) { // clean-state rewrite: the feed must skip it
@@ -98,7 +111,8 @@ object CdcSoak {
     def chk(root: String) = spark.read.format("graft")
       .option("withUuid", "true").load(root)
       .agg(count(lit(1)), sum(pmod(
-        xxhash64(col("id"), col(payloadCol), col("_uuid")),
+        xxhash64((Seq(col("id"), col(payloadCol)) ++
+          (if (hasTag) Seq(col("tag")) else Nil) :+ col("_uuid")): _*),
         lit(1000000007L)))).head()
     val (srcChk, dstChk) = (chk(src), chk(dst))
     // the replica must also have ADOPTED the renamed schema

@@ -1332,8 +1332,26 @@ class GraftDataset private[format] (
         timestampMs = 0L,
         schemaJson = metas.headOption.fold(stSchema.json)(_.schemaJson),
         files = Nil, updates = Nil, tombstones = Nil, renames = Nil))
-    val dataSchema = GraftStream.nullableData(withUuidSchema(
-      DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]))
+    // the feed's pinned schema: the range-START schema extended by every
+    // column ADDED within the range (at its add-time name — a later
+    // rename is announced as schema_change, not adopted, like any other
+    // pinned name). Pre-add events null-backfill the added columns;
+    // post-add events carry their values — without the extension the
+    // pin would silently DROP them.
+    val rangeAdds = {
+      var p = prev
+      val b = Vector.newBuilder[org.apache.spark.sql.types.StructField]
+      for (m <- metas) { // prev advances over rewrite commits too,
+        if (!m.rewrite.contains(true) && // mirroring the event walk below
+            m.schemaJson != p.schemaJson)
+          GraftStream.addDelta(p, m).foreach(b ++= _)
+        p = m
+      }
+      b.result()
+    }
+    val dataSchema = GraftStream.nullableData(withUuidSchema(StructType(
+      DataType.fromJson(prev.schemaJson).asInstanceOf[StructType].fields ++
+        rangeAdds)))
     val cdfSchema = StructType(dataSchema.fields :+
       StructField(GraftStream.ChangeTypeCol, StringType, nullable = false) :+
       StructField(GraftStream.CommitIdCol, StringType, nullable = false))
@@ -1346,10 +1364,12 @@ class GraftDataset private[format] (
         // for replicas to apply ([[applyChanges]] / renameDelta on the
         // event's commit meta)
         if (m.schemaJson != prev.schemaJson) {
-          require(GraftStream.renameDelta(prev, m).isDefined,
+          require(GraftStream.renameDelta(prev, m).isDefined ||
+              GraftStream.addDelta(prev, m).isDefined,
             s"schema changed at commit ${m.id}; change feeds are " +
-              "schema-pinned — pure column renames are expressed as " +
-              "schema_change events, anything else splits the range")
+              "schema-pinned — pure column renames and pure column adds " +
+              "are expressed as schema_change events, anything else " +
+              "splits the range")
           parts += GraftStream.schemaChangeEvent(spark, cdfSchema, m.id)
         }
         GraftStream.requireDeltaExpressible(m, prev)

@@ -147,6 +147,35 @@ object GraftStream {
     if (shapeOk && renamed == mS.fieldNames.toSeq) Some(added) else None
   }
 
+  /** The fields a commit ADDED over its parent, IFF the schema change is
+    * a PURE ADDITIVE evolution: the rename chain is unchanged (drops
+    * always touch it via their marker rename), the parent's fields are a
+    * positional prefix of the commit's (same names, types, nullability),
+    * and every appended field is nullable (existing rows must read as
+    * null — `createTensor`'s contract). Anything else (drop, retype, a
+    * nested add that mutates a struct field in place, an add combined
+    * with a rename in one commit) returns None and the caller keeps its
+    * loud-failure contract. Pure adds are metadata-only, so a change
+    * feed pinned AT OR AFTER the add can keep speaking its pinned
+    * schema: pre-add events null-backfill the added columns
+    * (positional identity of the prefix holds).
+    */
+  private[graft] def addDelta(prev: CommitMeta,
+                              m: CommitMeta): Option[Seq[StructField]] = {
+    if (m.renames != prev.renames) return None
+    val prevS = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[StructType]
+    val mS = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[StructType]
+    val k = prevS.fields.length
+    if (mS.fields.length <= k) return None
+    val prefixOk = prevS.fields.zip(mS.fields.take(k)).forall { case (a, b) =>
+      a.name == b.name && a.dataType == b.dataType && a.nullable == b.nullable
+    }
+    val added = mS.fields.drop(k)
+    if (prefixOk && added.forall(_.nullable)) Some(added.toSeq) else None
+  }
+
   /** The one-row `schema_change` event a pure rename emits into a change
     * feed: no row identity (`_uuid` = -1, a value real uuids — strictly
     * positive by construction — never take), all data columns null. A
@@ -201,30 +230,48 @@ object GraftStream {
     // names at commit m, aligned positionally with the pinned dataSchema
     // (`_uuid` never renames); equal to the pinned names whenever the
     // range crosses no rename
-    val curNames: Seq[String] = org.apache.spark.sql.types.DataType
-      .fromJson(m.schemaJson).asInstanceOf[StructType]
-      .fieldNames.toSeq :+ GraftDataset.UuidCol
-    // the walked commit must be a pure-rename stage of the pinned schema
-    // (the per-commit walk validates prev→m; this guards the PIN itself,
-    // e.g. a checkpoint-reconstruction walk over a range that predates a
-    // non-rename change the pinned head schema already carries)
-    require(curNames.length == dataSchema.fields.length,
+    val mFields = org.apache.spark.sql.types.DataType
+      .fromJson(m.schemaJson).asInstanceOf[StructType].fields
+    val curNames: Seq[String] =
+      mFields.map(_.name).toSeq :+ GraftDataset.UuidCol
+    // the walked commit must be a pure-rename/pure-add stage of the
+    // pinned schema: equal width, or NARROWER when the pin carries
+    // columns added after this commit (the walk validates prev→m;
+    // this guards the PIN itself, e.g. a checkpoint-reconstruction walk
+    // over a range that predates a non-rename change the pinned head
+    // schema already carries). The commit's fields must align as a
+    // positional TYPE prefix of the pin — a same-width name skew is a
+    // rename (fine); a type skew is a real schema change.
+    require(curNames.length <= dataSchema.fields.length &&
+        mFields.map(_.dataType).toSeq ==
+          dataSchema.fields.take(mFields.length).map(_.dataType).toSeq,
       s"graft change feed: the table schema changed between commit " +
         s"${m.id} and the feed's pinned schema; restart the stream with " +
         "a fresh checkpoint to pick up the new schema")
+    // pinned fields this commit's files can physically carry (prefix +
+    // `_uuid`); columns the pin added later are null-backfilled below
+    val pinnedSub = dataSchema.fields.take(mFields.length) :+
+      dataSchema.fields.last
+    val lateAdds = dataSchema.fields
+      .slice(mFields.length, dataSchema.fields.length - 1)
     val epochs = m.epochs.getOrElse(Map.empty)
-    def readPinned(rels: Seq[String]): DataFrame =
-      rels.groupBy(r => epochs.getOrElse(r, 0)).toSeq.map { case (e, rs) =>
-        // physical names at epoch e: undo the chain suffix applied
-        // after the files were written, newest pair first
-        val undo = m.renames.drop(e).reverse
-        val phys = curNames.map(n =>
-          undo.foldLeft(n)((nn, p) => if (nn == p(1)) p(0) else nn))
-        val readSchema = StructType(dataSchema.fields.zip(phys).map {
-          case (f, p) => f.copy(name = p) })
-        spark.read.schema(readSchema).parquet(paths(rs): _*)
-          .toDF(dataSchema.fieldNames.toIndexedSeq: _*)
+    def readPinned(rels: Seq[String]): DataFrame = {
+      val narrow = rels.groupBy(r => epochs.getOrElse(r, 0)).toSeq.map {
+        case (e, rs) =>
+          // physical names at epoch e: undo the chain suffix applied
+          // after the files were written, newest pair first
+          val undo = m.renames.drop(e).reverse
+          val phys = curNames.map(n =>
+            undo.foldLeft(n)((nn, p) => if (nn == p(1)) p(0) else nn))
+          val readSchema = StructType(pinnedSub.zip(phys).map {
+            case (f, p) => f.copy(name = p) })
+          spark.read.schema(readSchema).parquet(paths(rs): _*)
+            .toDF(pinnedSub.map(_.name).toIndexedSeq: _*)
       }.reduce(_ unionByName _)
+      lateAdds.foldLeft(narrow)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(dataSchema.fieldNames.toIndexedSeq.map(col): _*)
+    }
     val out = Vector.newBuilder[DataFrame]
     val newFiles = m.files.filterNot(prev.files.toSet)
     if (newFiles.nonEmpty) out += tagged(readPinned(newFiles), "insert")
@@ -363,11 +410,14 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
     var prev = CommitLog.readCommit(spark, root, ancestor)
     for (m <- path) {
       if (m.schemaJson != prev.schemaJson)
-        // change feeds tolerate pure renames (positional identity);
+        // change feeds tolerate pure renames and pure ADDS (positional
+        // identity of the prefix; pre-add events null-backfill);
         // the plain tail reads files BY NAME against the pinned schema,
         // where even a pure rename would silently null-backfill the
         // renamed column — any gap schema change fails it loudly
-        require(changeFeed && GraftStream.renameDelta(prev, m).isDefined,
+        require(changeFeed &&
+            (GraftStream.renameDelta(prev, m).isDefined ||
+              GraftStream.addDelta(prev, m).isDefined),
           s"graft stream source: the table schema changed at commit " +
             s"${m.id} between this batch's range and the stream's " +
             "pinned schema; restart the stream with a fresh checkpoint " +
@@ -529,13 +579,30 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
         }
         val pinnedData =
           if (changeFeed) schema.fields.dropRight(2) else schema.fields
-        require(snap0.schema.fields.length == pinnedData.length &&
+        // a change-feed snapshot may be NARROWER than the pin when pure
+        // adds sit between `end` and the pinned head (restart
+        // reconstruction of a pre-add bootstrap range): align the
+        // prefix positionally, null-backfill the added columns. The
+        // `_uuid` tail column always pins last in both shapes.
+        val nSnap = snap0.schema.fields.length
+        val addTolerated = changeFeed && nSnap < pinnedData.length
+        val pinnedSub =
+          if (addTolerated) pinnedData.take(nSnap - 1) :+ pinnedData.last
+          else pinnedData
+        require(nSnap == pinnedSub.length &&
             snap0.schema.fields.map(_.dataType).toSeq ==
-              pinnedData.map(_.dataType).toSeq,
+              pinnedSub.map(_.dataType).toSeq,
           s"graft stream source: the table schema changed between commit " +
             s"$endId and the stream's pinned schema; restart the stream " +
             "(with a fresh checkpoint) to pick up the new schema")
-        val snap1 = snap0.toDF(pinnedData.map(_.name).toIndexedSeq: _*)
+        val snap1 = {
+          val aligned = snap0.toDF(pinnedSub.map(_.name).toIndexedSeq: _*)
+          if (!addTolerated) aligned
+          else pinnedData.slice(nSnap - 1, pinnedData.length - 1)
+            .foldLeft(aligned)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
+            .select(pinnedData.map(_.name).toIndexedSeq.map(col): _*)
+        }
         val snap =
           if (changeFeed) snap1
             .withColumn(GraftStream.ChangeTypeCol, lit("insert"))
@@ -586,13 +653,25 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
             // names (events re-aliased positionally) and announces the
             // rename as a `schema_change` event for replicas to apply.
             if (m.schemaJson != prev.schemaJson) {
+              // pure ADDS are tolerated only when the pin already
+              // carries the added columns (a replayed range, or a
+              // restart whose fresh pin post-dates the add): a LIVE add
+              // beyond the pin cannot be expressed — the feed's output
+              // schema is fixed at stream start — so it keeps the loud
+              // restart contract instead of silently dropping the new
+              // column's values
+              val addOk = GraftStream.addDelta(prev, m).exists(_ =>
+                org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+                  .asInstanceOf[StructType].fields.length <=
+                  cdfDataSchema.fields.length - 1)
               require(changeFeed &&
-                  GraftStream.renameDelta(prev, m).isDefined,
+                  (GraftStream.renameDelta(prev, m).isDefined || addOk),
                 s"graft stream source: the table schema changed at commit " +
                   s"${m.id}; restart the stream (with a fresh checkpoint) " +
                   "to pick up the new schema (change feeds tolerate pure " +
-                  "column renames; added/dropped/retyped columns always " +
-                  "need a restart)")
+                  "column renames, and pure column ADDS the stream's " +
+                  "pinned schema already carries; a live add, dropped, " +
+                  "or retyped column always needs a restart)")
               cdfBatches += GraftStream.schemaChangeEvent(spark, schema, m.id)
             }
             val prevFiles = prev.files.toSet

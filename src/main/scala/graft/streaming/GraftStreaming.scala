@@ -118,19 +118,44 @@ object GraftStreaming {
           val b = batch.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            // schema evolution: the feed tolerates PURE RENAMES and
-            // announces them as schema_change events. Field POSITIONS
-            // are invariant under pure renames, so row events (pinned
-            // names) align to the replica's current names positionally;
-            // the replica then adopts the rename itself (below), keeping
-            // its schema converged with the source's.
+            // schema evolution: the feed tolerates PURE RENAMES and PURE
+            // ADDS and announces them as schema_change events. Field
+            // POSITIONS are invariant under pure renames, so row events
+            // (pinned names) align to the replica's current names
+            // positionally; the replica adopts renames itself (below).
+            // Pure adds only ever leave the replica NARROWER than the
+            // feed (the source walk rejects adds beyond the feed's pin):
+            // the replica adopts the missing trailing columns BEFORE the
+            // row apply — pre-add rows it already holds read as null
+            // (createTensor's contract = the feed's null-backfill), and
+            // post-add events carry the column's values. Covers both the
+            // re-pin bootstrap after an add in a checkpoint-loss gap and
+            // a retained-checkpoint replay that crosses the add.
             val logicalN = batch.schema.fields.length - 3 // data cols
+            require(replica.schema.fields.length <= logicalN &&
+                replica.schema.fields.map(_.dataType).toSeq ==
+                  batch.schema.fields.take(replica.schema.fields.length)
+                    .map(_.dataType).toSeq,
+              "replica/feed schema shapes diverged (non-rename/add " +
+                "change?); re-sync the replica with a fresh checkpoint")
+            // row apply aligns POSITIONALLY (toDF below), so the adopted
+            // column's name may lag the feed's: when the feed's name for
+            // an added column is still held by a not-yet-renamed prefix
+            // column (gap rename a→b plus a new column named a), adopt
+            // under a placeholder and reconcile after the rename pass
+            // frees the name.
+            val placeholders = scala.collection.mutable.Buffer.empty[(String, String)]
+            for (f <- batch.schema.fields
+                   .slice(replica.schema.fields.length, logicalN)) {
+              if (!replica.schema.fieldNames.contains(f.name))
+                replica.createTensor(f.name, f.dataType)
+              else {
+                val tmp = s"__add_adopt_${java.util.UUID.randomUUID.toString.take(8)}"
+                replica.createTensor(tmp, f.dataType)
+                placeholders += ((tmp, f.name))
+              }
+            }
             val rf = replica.schema.fields
-            require(rf.length == logicalN &&
-                rf.map(_.dataType).toSeq ==
-                  batch.schema.fields.take(logicalN).map(_.dataType).toSeq,
-              "replica/feed schema shapes diverged (non-rename change?); " +
-                "re-sync the replica with a fresh checkpoint")
             // a RE-BOOTSTRAP after checkpoint loss pins the source's
             // CURRENT names — if renames happened during the gap, the
             // snapshot carries no schema_change events for them, so the
@@ -183,6 +208,12 @@ object GraftStreaming {
                     !replica.schema.fieldNames.contains(t))
                   replica.renameTensor(f, t)
             }
+            // placeholder-adopted added columns take their feed name once
+            // the rename pass freed it (see adoption above)
+            for ((tmp, want) <- placeholders)
+              if (replica.schema.fieldNames.contains(tmp) &&
+                  !replica.schema.fieldNames.contains(want))
+                replica.renameTensor(tmp, want)
             replica.commit(graft.format.GraftStream.marker(token, epoch),
               allowEmpty = true)
             ()

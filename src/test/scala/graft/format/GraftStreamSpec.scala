@@ -278,16 +278,21 @@ class GraftStreamSpec extends SparkSpec {
       s"post-rename append must surface under the pinned name: $rows")
     assert(rows.contains((Some(1L), Some("A"), "update_postimage")),
       s"post-rename update must surface under the pinned name: $rows")
-    // a non-rename schema change (added column) still fails loudly
-    ds.createTensor("extra", org.apache.spark.sql.types.LongType)
-    ds.append(Seq((4L, "d", 40L)).toDF("id", "w", "extra"))
-    ds.commit("add column")
+    // a LIVE add — landing while the stream runs, beyond its pin — still
+    // fails loudly: the feed's output schema is fixed at stream start,
+    // so the new column's values would be silently dropped otherwise.
+    // (An add crossed via a RESTART re-pin is tolerated — see the
+    // replay-across-an-add test.)
     val q2 = spark.readStream.format("graft")
       .option("changeFeed", "true").load(root)
       .writeStream.format("noop") // memory sink can't resume a checkpoint
       .trigger(Trigger.ProcessingTime(0L))
-      .option("checkpointLocation", ckpt) // resume the original pin
+      .option("checkpointLocation", ckpt) // resume: pin re-reads the head
       .start()
+    q2.processAllAvailable() // pin is now at the post-update head
+    ds.createTensor("extra", org.apache.spark.sql.types.LongType)
+    ds.append(Seq((4L, "d", 40L)).toDF("id", "w", "extra"))
+    ds.commit("live add beyond the pin")
     val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q2.processAllAvailable()
     }
@@ -376,6 +381,165 @@ class GraftStreamSpec extends SparkSpec {
       s"overlapping renames must adopt: ${replica3.schema.fieldNames.toSeq}")
     assert(replica3.toDF.orderBy("x").as[(Long, String)].collect().toSeq ==
       Seq((1L, "A2"), (3L, "C")))
+  }
+
+  test("batch table_changes across an add: pin extends, pre-add rows null-backfill") {
+    val root = tmpDir("gtcadd") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a")).toDF("id", "v"))
+    val from = ds.commit("seed")
+    ds.append(Seq((2L, "b")).toDF("id", "v"))
+    ds.commit("pre-add grow")
+    ds.createTensor("extra", LongType)
+    ds.append(Seq((3L, "c", 30L)).toDF("id", "v", "extra"))
+    val addCommit = ds.commit("add column + grow")
+    ds.update(col("id") === 1L, Map("extra" -> lit(10L)))
+    ds.commit("backfill pre-add row")
+    // a rename of the ADDED column later in the range: announced, not
+    // adopted — the feed keeps the add-time name
+    ds.renameTensor("extra", "bonus")
+    ds.commit("rename the added column")
+    val feed = ds.changes(fromRef = from)
+    assert(feed.schema.fieldNames.toSeq ==
+      Seq("id", "v", "extra", "_uuid", "_change_type", "_commit_id"),
+      s"pin = range-start schema + in-range adds: ${feed.schema.fieldNames.toSeq}")
+    val got = feed.select("id", "v", "extra", "_change_type")
+      .as[(Option[Long], Option[String], Option[Long], String)]
+      .collect().toSeq.sorted
+    assert(got == Seq(
+      (None, None, None, "schema_change"),  // the add commit
+      (None, None, None, "schema_change"),  // the rename commit
+      (Some(1L), Some("a"), Some(10L), "update_postimage"),
+      (Some(2L), Some("b"), None, "insert"),  // pre-add: null-backfilled
+      (Some(3L), Some("c"), Some(30L), "insert")), s"got $got")
+    val scIds = feed.filter(col("_change_type") === "schema_change")
+      .select("_commit_id").as[String].collect().toSeq.sorted
+    assert(scIds.head == addCommit, s"schema_change at the add commit: $scIds")
+    // a DROP in the range still splits it loudly
+    ds.deleteTensor("bonus")
+    ds.commit("drop the column")
+    val err = intercept[IllegalArgumentException] {
+      ds.changes(fromRef = from).count()
+    }
+    assert(err.getMessage.contains("schema changed"))
+  }
+
+  test("changeFeed replay across an add null-backfills when the pin carries it") {
+    val root = tmpDir("gcdfadd") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ds.commit("seed")
+    val ckpt = tmpDir("gcdfaddckpt")
+    val q = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(root)
+      .writeStream.format("noop")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the add lands while the stream is DOWN; the restart re-pins at the
+    // post-add head, so the walked range's add is WITHIN the pin —
+    // tolerated, announced, and post-add rows carry the new column
+    ds.createTensor("extra", LongType)
+    ds.append(Seq((3L, "c", 30L)).toDF("id", "v", "extra"))
+    val addCommit = ds.commit("add + grow while stream down")
+    ds.update(col("id") === 1L, Map("extra" -> lit(10L)))
+    ds.commit("backfill pre-add row")
+    val outRows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    @volatile var outNames: Seq[String] = Nil
+    val q2 = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(root)
+      .writeStream // memory sink can't resume a checkpoint: collect here
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        outNames = df.schema.fieldNames.toSeq
+        outRows ++= df.collect(); ()
+      }
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", ckpt)
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(outNames ==
+      Seq("id", "v", "extra", "_uuid", "_change_type", "_commit_id"))
+    val sc = outRows.filter(_.getString(4) == "schema_change")
+      .map(r => (r.getLong(3), r.getString(5))).toSeq
+    assert(sc == Seq((-1L, addCommit)), s"one schema_change event: $sc")
+    val rows = outRows.filterNot(_.getString(4) == "schema_change")
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getString(4))).toSeq.sorted
+    assert(rows == Seq(
+      (Some(1L), Some("a"), Some(10L), "update_postimage"),
+      (Some(3L), Some("c"), Some(30L), "insert")), s"got $rows")
+  }
+
+  test("replicate converges across an added column (schema evolution)") {
+    val src = tmpDir("gaddsrc") + "/t"
+    val dst = tmpDir("gadddst") + "/t"
+    val ckpt = tmpDir("gaddck")
+    val ds = GraftDataset.create(spark, src, schema2)
+    ds.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ds.commit("seed")
+    def sync(ck: String = ckpt): Unit = graft.streaming.GraftStreaming
+      .replicate(spark, src, dst, ck).awaitTermination()
+    sync()
+    // add + mutate while the stream is down (retained checkpoint): the
+    // restart pin carries the add, the replica adopts the column, and
+    // its pre-add rows read null until the source backfills them
+    ds.createTensor("extra", LongType)
+    ds.append(Seq((3L, "c", 30L)).toDF("id", "v", "extra"))
+    ds.commit("add + grow")
+    ds.update(col("id") === 1L, Map("extra" -> lit(10L)))
+    ds.pop(col("id") === 2L)
+    ds.commit("backfill + pop")
+    sync()
+    val replica = GraftDataset.load(spark, dst)
+    assert(replica.schema.fieldNames.toSeq == Seq("id", "v", "extra"),
+      s"replica must adopt the added column: ${replica.schema.fieldNames.toSeq}")
+    def rows(root: String) = GraftDataset.load(spark, root).toDF
+      .orderBy("id").as[(Long, String, Option[Long])].collect().toSeq
+    assert(rows(dst) == Seq((1L, "a", Some(10L)), (3L, "c", Some(30L))))
+    assert(rows(dst) == rows(src))
+    assert(GraftDataset.load(spark, dst).snapshotWithUuid()
+      .orderBy("id").select("_uuid").as[Long].collect().toSeq ==
+      GraftDataset.load(spark, src).snapshotWithUuid()
+        .orderBy("id").select("_uuid").as[Long].collect().toSeq,
+      "uuid-for-uuid identity across the add")
+    // idle re-run: adoption is idempotent
+    sync()
+    assert(rows(dst) == Seq((1L, "a", Some(10L)), (3L, "c", Some(30L))))
+    // checkpoint LOSS + another add in the gap: the fresh bootstrap
+    // carries no schema_change events — structural adoption widens the
+    // replica and reconciles rows
+    ds.createTensor("more", StringType)
+    ds.update(col("id") === 3L, Map("more" -> lit("z")))
+    ds.commit("add in gap")
+    sync(tmpDir("gaddck2"))
+    val replica2 = GraftDataset.load(spark, dst)
+    assert(replica2.schema.fieldNames.toSeq == Seq("id", "v", "extra", "more"),
+      s"bootstrap must adopt gap adds: ${replica2.schema.fieldNames.toSeq}")
+    assert(replica2.toDF.orderBy("id")
+      .as[(Long, String, Option[Long], Option[String])].collect().toSeq ==
+      Seq((1L, "a", Some(10L), None), (3L, "c", Some(30L), Some("z"))))
+    // gap RENAME + gap ADD whose name collides with the freed one:
+    // rename v->w and add a NEW column v — the two-phase adoption plus
+    // the placeholder reconciliation must land both
+    ds.renameTensor("v", "w")
+    ds.createTensor("v", LongType)
+    ds.update(col("id") === 1L, Map("v" -> lit(7L)))
+    ds.commit("rename + colliding add in gap")
+    sync(tmpDir("gaddck3"))
+    val replica3 = GraftDataset.load(spark, dst)
+    assert(replica3.schema.fieldNames.toSeq == Seq("id", "w", "extra", "more", "v"),
+      s"colliding gap add must adopt: ${replica3.schema.fieldNames.toSeq}")
+    assert(replica3.toDF.orderBy("id")
+      .as[(Long, String, Option[Long], Option[String], Option[Long])]
+      .collect().toSeq ==
+      Seq((1L, "a", Some(10L), None, Some(7L)),
+        (3L, "c", Some(30L), Some("z"), None)))
   }
 
   test("positional re-pin refuses a delete+create that merely matches shape") {
