@@ -79,14 +79,19 @@ object CdcSoak {
       // syncs (the AvailableNow restart re-pins past it — the replica
       // adopts the column, its pre-add rows null-backfilled), then keeps
       // taking values through later rounds' appends and updates.
+      if (r == rounds / 4 && !hasTag) {
+        // its own commit, BEFORE any rename staging this round: an add
+        // COMBINED with a rename in one commit is not pure and splits
+        // the feed by design — the soak exercises the tolerated
+        // evolutions
+        ds.createTensor("tag", org.apache.spark.sql.types.StringType)
+        ds.commit("add tag column")
+        hasTag = true
+      }
       if (r == rounds / 3 || r == rounds / 2) {
         val next = s"payload_r$r"
         ds.renameTensor(payloadCol, next)
         payloadCol = next
-      }
-      if (r == rounds / 4 && !hasTag) {
-        ds.createTensor("tag", org.apache.spark.sql.types.StringType)
-        hasTag = true
       }
       val grow = rows(appended, appended + 10000)
         .withColumnRenamed("payload", payloadCol)
