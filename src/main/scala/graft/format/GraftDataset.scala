@@ -934,9 +934,19 @@ class GraftDataset private[format] (
     val b = branchName.getOrElse(return false)
     val newHeadId = CommitLog.readBranches(spark, root)
       .getOrElse(b, return false)
-    val parentId = headId.getOrElse(return false)
-    if (newHeadId == parentId) return false
-    val parent = CommitLog.readCommit(spark, root, parentId)
+    val parentId = headId
+    if (parentId.contains(newHeadId)) return false
+    // a None parent is the CREATE race: two writers (e.g. two streaming
+    // queries starting against one empty table) both staged the table's
+    // FIRST commit and ours lost the branch CAS. Synthesize the empty
+    // pre-state with OUR schema: the append-only check below then
+    // demands we staged nothing but base files, and the compatibility
+    // check demands the winner established the SAME schema — anything
+    // else (diverging create schemas) stays a loud conflict.
+    val parent = parentId.map(CommitLog.readCommit(spark, root, _))
+      .getOrElse(CommitMeta(id = "", parent = None, mergeParent = None,
+        message = "", timestampMs = 0L, schemaJson = stSchema.json,
+        files = Nil, updates = Nil, tombstones = Nil, renames = Nil))
     val head = CommitLog.readCommit(spark, root, newHeadId)
     val parentFiles = parent.files.toSet
     val appended = stFiles.filterNot(parentFiles)

@@ -58,6 +58,53 @@ class GraftStreamSpec extends SparkSpec {
     assert(GraftDataset.load(spark, root).toDF.count() == 5)
   }
 
+  test("two live streams append to one table: exactly-once across a restart of each") {
+    implicit val sq = spark.sqlContext
+    val root = tmpDir("gmulti") + "/t"
+    val ck1 = tmpDir("gmultick1"); val ck2 = tmpDir("gmultick2")
+    val m1 = MemoryStream[(Long, String)]; val m2 = MemoryStream[(Long, String)]
+    def start(m: MemoryStream[(Long, String)], ck: String) =
+      m.toDF.toDF("id", "v").writeStream.format("graft")
+        .option("path", root).option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(0L)).start()
+    var q1 = start(m1, ck1)
+    var q2 = start(m2, ck2)
+    // both queries commit to ONE table concurrently: each append CAS-es
+    // the branch head and auto-rebases over the other's fresh commits
+    m1.addData((1L to 200L).map(i => (i, s"a$i")): _*)
+    m2.addData((1001L to 1200L).map(i => (i, s"b$i")): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    // mid-run restart of q1 — its resumed checkpoint replays the last
+    // batch (the per-query marker must swallow it) while q2 keeps
+    // writing live commits between q1's marker and the replay
+    q1.stop()
+    m2.addData((1201L to 1300L).map(i => (i, s"b$i")): _*)
+    q2.processAllAvailable()
+    m1.addData((201L to 260L).map(i => (i, s"a$i")): _*)
+    q1 = start(m1, ck1)
+    q1.processAllAvailable()
+    // and a mid-run restart of q2 the same way
+    q2.stop()
+    m1.addData((261L to 300L).map(i => (i, s"a$i")): _*)
+    q1.processAllAvailable()
+    m2.addData((1301L to 1350L).map(i => (i, s"b$i")): _*)
+    q2 = start(m2, ck2)
+    q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val ds = GraftDataset.load(spark, root)
+    val ids = ds.toDF.select("id").as[Long].collect().toSeq.sorted
+    assert(ids == ((1L to 300L) ++ (1001L to 1350L)),
+      s"every row exactly once: got ${ids.size} rows, " +
+        s"dupes=${ids.groupBy(identity).filter(_._2.size > 1).keys.take(5)}")
+    // both queries' tokens interleave in the ONE commit log
+    val t1 = GraftStream.queryToken(ck1)
+    val t2 = GraftStream.queryToken(ck2)
+    val markers = ds.log.map(_.message)
+    assert(markers.exists(_.startsWith(s"stream[$t1]")) &&
+      markers.exists(_.startsWith(s"stream[$t2]")),
+      s"both stream tokens must appear: $markers")
+  }
+
   test("graft source: initial snapshot then per-commit append deltas") {
     val root = tmpDir("gsrc") + "/t"
     val ds = GraftDataset.create(spark, root, schema2)
