@@ -898,7 +898,11 @@ object FormatQueries {
     // row-for-row equal to the evolved source.
     QueryDef("q126_format_cdc_add_column",
       (s, dir) => {
+        // a 60k-key slice: the pipeline cost is streaming-engine startups
+        // plus per-commit deltas, so the full table only inflates the
+        // bootstrap I/O without exercising anything more
         val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 60000)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
         val srcRoot = freshRoot("q126src")
         val ds = IO.fromDataFrame(o, srcRoot)
@@ -931,7 +935,7 @@ object FormatQueries {
             CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 3
                  ELSE o_totalprice END AS o_totalprice,
             CAST(NULL AS VARCHAR) AS o_note
-          FROM orders
+          FROM orders WHERE o_orderkey <= 60000
           UNION ALL
           SELECT o_orderkey + 50000000, o_orderstatus, o_totalprice,
             'a' || CAST(o_orderkey AS VARCHAR)

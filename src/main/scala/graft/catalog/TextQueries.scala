@@ -777,6 +777,83 @@ object TextQueries {
           FROM documents)
         SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM tok GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 10
-        ORDER BY term"""))
+        ORDER BY term""")),
+
+    // REAL video-frame decode (r15): MJPEG-in-AVI payloads built
+    // in-flight — solid-gray frames at 16k+8 gray levels, so the JPEG
+    // round-trip error (DC quantization, bounded well under ±8 for a
+    // uniform frame) never crosses a 16-wide bin and
+    // floor(mean_luma/16) is EXACT for the oracle. Every 7th row is a
+    // non-MJPEG codec and must read as null features, pinning the
+    // degrade-to-None boundary through the aggregate's count(col).
+    QueryDef("q127_multimodal_video_frames",
+      (s, dir) => {
+        def le32(v: Int): Array[Byte] =
+          Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+        def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+          id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+            (if (payload.length % 2 == 1) Array(0.toByte)
+             else Array.empty[Byte])
+        def list(tpe: String, payload: Array[Byte]): Array[Byte] =
+          chunk("LIST", tpe.getBytes("US-ASCII") ++ payload)
+        def jpegGray(w: Int, h: Int, v: Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = img.createGraphics()
+          g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h)
+          g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", out)
+          out.toByteArray
+        }
+        def avi(handler: String, frames: Seq[Array[Byte]]): Array[Byte] = {
+          val avih = new Array[Byte](56)
+          le32(40000).copyToArray(avih, 0)
+          le32(frames.size).copyToArray(avih, 16)
+          le32(1).copyToArray(avih, 24)
+          val strh = new Array[Byte](56)
+          "vids".getBytes("US-ASCII").copyToArray(strh, 0)
+          handler.getBytes("US-ASCII").copyToArray(strh, 4)
+          val strf = new Array[Byte](40)
+          le32(40).copyToArray(strf, 0)
+          handler.getBytes("US-ASCII").copyToArray(strf, 16)
+          val body = list("hdrl", chunk("avih", avih) ++
+            list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
+            list("movi", frames.map(chunk("00dc", _)).flatten.toArray)
+          "RIFF".getBytes("US-ASCII") ++ le32(body.length + 4) ++
+            "AVI ".getBytes("US-ASCII") ++ body
+        }
+        import s.implicits._
+        val rows = (0 until 48).map { i =>
+          val n = i % 4 + 1
+          val w = 16 * (i % 3 + 1); val h = 8 * (i % 2 + 1)
+          val gray = 16 * ((i * 7) % 12) + 8
+          val handler = if (i % 7 == 3) "H264" else "MJPG"
+          (i.toLong, avi(handler,
+            Seq.fill(n)(jpegGray(w, h, gray))))
+        }
+        val df = rows.toDF("id", "video_bytes")
+        graft.operators.Multimodal.decodeVideoFrames(df, "video")
+          .groupBy((col("id") % 4).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            count(col("frames_decoded")).as("decoded"),
+            sum(col("frames_decoded")).as("frames"),
+            sum(col("frame_width") * col("frame_height")).as("px"),
+            sum(floor(col("mean_frame_luma") / 16).cast("long")).as("bins"))
+          .orderBy("grp")
+      },
+      Some("""WITH m AS (
+          SELECT i,
+            CASE WHEN i%7=3 THEN NULL ELSE i%4+1 END AS frames,
+            CASE WHEN i%7=3 THEN NULL
+                 ELSE (16*(i%3+1)) * (8*(i%2+1)) END AS px,
+            CASE WHEN i%7=3 THEN NULL ELSE (i*7)%12 END AS bin
+          FROM generate_series(0, 47) t(i))
+        SELECT CAST(i%4 AS BIGINT) AS grp, COUNT(*) AS n,
+          COUNT(frames) AS decoded,
+          CAST(SUM(frames) AS BIGINT) AS frames,
+          CAST(SUM(px) AS BIGINT) AS px,
+          CAST(SUM(bin) AS BIGINT) AS bins
+        FROM m GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1428,6 +1428,94 @@ class VectorStatsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: MJPEG-in-AVI frame decode, real per-frame JPEG") {
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tpe: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("US-ASCII") ++ payload)
+    def jpegGray(w: Int, h: Int, v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out))
+      out.toByteArray
+    }
+    def strl(fccType: String, handler: String,
+             strfComp: String): Array[Byte] = {
+      val strh = new Array[Byte](56)
+      fccType.getBytes("US-ASCII").copyToArray(strh, 0)
+      handler.getBytes("US-ASCII").copyToArray(strh, 4)
+      val strf = new Array[Byte](40) // BITMAPINFOHEADER
+      le32(40).copyToArray(strf, 0)
+      strfComp.getBytes("US-ASCII").copyToArray(strf, 16)
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    }
+    def avi(streams: Seq[Array[Byte]], movi: Array[Byte]): Array[Byte] = {
+      val avih = new Array[Byte](56)
+      le32(40000).copyToArray(avih, 0) // 25 fps
+      le32(3).copyToArray(avih, 16)    // total frames
+      le32(streams.size).copyToArray(avih, 24)
+      val body = list("hdrl", chunk("avih", avih) ++
+        streams.flatten.toArray) ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length + 4) ++
+        "AVI ".getBytes("US-ASCII") ++ body
+    }
+    // audio stream FIRST so the video stream index is 1, frames in 01dc;
+    // one frame grouped inside a `rec ` LIST
+    val grays = Seq(40, 104, 200)
+    val fs = grays.map(v => jpegGray(32, 24, v))
+    val movi = list("movi", chunk("01dc", fs(0)) ++
+      list("rec ", chunk("01dc", fs(1))) ++ chunk("01db", fs(2)) ++
+      chunk("00wb", Array.fill(16)(0.toByte))) // audio chunk: ignored
+    val bytes = avi(Seq(strl("auds", "    ", "    "),
+      strl("vids", "MJPG", "MJPG")), movi)
+    val frames = Multimodal.decodeAviMjpegFrames(bytes)
+    assert(frames.isDefined && frames.get.size == 3, s"got $frames")
+    for (((w, h, mean), v) <- frames.get.zip(grays)) {
+      assert(w == 32 && h == 24)
+      assert(math.abs(mean - v) <= 7, s"luma $mean vs solid $v")
+    }
+    // maxFrames bounds the per-row work
+    assert(Multimodal.decodeAviMjpegFrames(bytes, maxFrames = 2)
+      .get.size == 2)
+    // the metadata path still reads the same container
+    val md = Multimodal.decodeAvi(bytes)
+    assert(md.contains((25, 0.12, 2)), s"avih metadata: $md")
+    // handler detected from strf biCompression when strh says DIB
+    val bytes2 = avi(Seq(strl("vids", "    ", "mjpg")),
+      list("movi", chunk("00dc", fs(0))))
+    assert(Multimodal.decodeAviMjpegFrames(bytes2).exists(_.size == 1))
+    // non-MJPEG video stream → None (no silent wrong-codec decode)
+    val h264 = avi(Seq(strl("vids", "H264", "H264")),
+      list("movi", chunk("00dc", fs(0))))
+    assert(Multimodal.decodeAviMjpegFrames(h264).isEmpty)
+    // a corrupt frame poisons the row — partial decodes never escape
+    val bad = avi(Seq(strl("vids", "MJPG", "MJPG")),
+      list("movi", chunk("00dc", fs(0)) ++
+        chunk("00dc", Array.fill(64)(7.toByte))))
+    assert(Multimodal.decodeAviMjpegFrames(bad).isEmpty)
+    // non-AVI payload → None
+    assert(Multimodal.decodeAviMjpegFrames("hello".getBytes).isEmpty)
+    // DataFrame surface: features for MJPEG rows, nulls for the rest
+    val df = Seq((1L, bytes), (2L, h264), (3L, "nope".getBytes))
+      .toDF("id", "video_bytes")
+    val out = Multimodal.decodeVideoFrames(df, "video")
+      .select("id", "frames_decoded", "frame_width", "frame_height",
+        "mean_frame_luma")
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 3 && out(0).getInt(2) == 32 &&
+      out(0).getInt(3) == 24)
+    assert(math.abs(out(0).getDouble(4) - grays.sum / 3.0) <= 7)
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1),
+      "non-MJPEG rows must read as null features")
+  }
+
   test("multimodal: avi RIFF and mkv EBML metadata decode") {
     // AVI: RIFF/AVI + LIST(hdrl) + 56-byte avih: 33333 us/frame (30 fps),
     // 300 frames, 2 streams
