@@ -805,6 +805,33 @@ object VectorQueries {
       Some("""SELECT vec_id, label FROM embeddings
         WHERE len(embedding) = 64
           AND list_aggregate(embedding, 'max') >= 0.29
-          AND label < 3 ORDER BY vec_id"""))
+          AND label < 3 ORDER BY vec_id""")),
+
+    // RESIDUAL IVFPQ (r15) — PQ codes over v − centroid(cell), the
+    // faiss IVFPQ layout: RecallSoak measured raw-vector PQ collapsing
+    // to 0.17 recall@10 on clustered corpora (same-cluster members
+    // quantize identically) while the residual build holds 0.93 at the
+    // retuned defaults. This pins the batched residual search
+    // (per-(query,cell) ADC tables over query residuals + exact rerank)
+    // under the recall-audit oracle.
+    QueryDef("q128_vector_ivfpq_residual",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 3L)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+        val (assigned, centroids) =
+          VectorSearch.ivfBuild(e, "embedding", "vec_id", nlist = 16)
+        val (enc, model) = VectorSearch.ivfPqResidualBuild(
+          assigned, centroids, "embedding", "vec_id", m = 8, k = 64)
+        val res = VectorSearch.ivfPqResidualBatchTopK(enc, centroids,
+            "embedding", "vec_id", model, queries, k = 5, nprobe = 8,
+            rerank = 128)
+          .select(lit("ivfpq_res").as("idx"), col("query_id").as("qid"),
+            col("vec_id"))
+        recallAudit(e, res, queries, k = 5,
+          minHits = Map("ivfpq_res" -> 12))
+      },
+      Some(recallOracle(Seq("ivfpq_res"), "vec_id < 3", 5)))
   )
 }

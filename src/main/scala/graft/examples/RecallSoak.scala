@@ -102,7 +102,7 @@ object RecallSoak {
         .withColumnRenamed("ext_id", "vec_id"))
 
     // Vamana (DiskANN): beam search + PQ approx + exact rerank
-    fam("vamana", s"r=32,alpha=1.2,beam=64,rerank=100",
+    fam("vamana", "r=32,alpha=1.2,beam=64,rerank=100",
       Vamana.build(data, "emb", "vec_id", 0, 32, 1.2, 64, 8, 16))(idx =>
       Vamana.batchTopK(idx, queries, k, beam = 64, rerank = 100,
         colocated = true)
@@ -142,9 +142,29 @@ object RecallSoak {
     val (ivfPqRec, ivfPqSec) = timed(recallOf(
       VectorSearch.ivfPqBatchTopK(encoded, centroids, "emb", "vec_id",
         model, queries, k, nprobe = 16, rerank = 50), "query_id", "vec_id"))
-    out("ivfpq") =
+    out("ivfpq_raw") =
       f"""{"recall":$ivfPqRec%.4f,"knobs":"nlist=256,nprobe=16,m=8,rerank=50",""" +
         f""""buildSec":${ivfBuildSec + pqTrainSec}%.1f,"searchSec":$ivfPqSec%.1f}"""
+
+    // residual IVFPQ — codes over v − centroid(cell), the faiss layout;
+    // the within-cluster geometry raw-vector PQ throws away
+    for ((m, rerank) <- Seq((8, 50), (16, 200))) {
+      val ((encRes, modelRes), resBuildSec) = timed {
+        val (e, mo) = VectorSearch.ivfPqResidualBuild(assignedP, centroids,
+          "emb", "vec_id", m = m, k = 256, refineIters = 2)
+        val p = e.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); (p, mo)
+      }
+      val (resRec, resSec) = timed(recallOf(
+        VectorSearch.ivfPqResidualBatchTopK(encRes, centroids, "emb",
+          "vec_id", modelRes, queries, k, nprobe = 16, rerank = rerank),
+        "query_id", "vec_id"))
+      out(s"ivfpq_residual_m$m") =
+        f"""{"recall":$resRec%.4f,"knobs":"nlist=256,nprobe=16,m=$m,rerank=$rerank",""" +
+          f""""buildSec":${ivfBuildSec + resBuildSec}%.1f,"searchSec":$resSec%.1f}"""
+      encRes.unpersist()
+    }
 
     val fams = out.map { case (kk, v) => s""""$kk":$v""" }.mkString(",")
     println(s"""{"rows":$n,"dim":$dim,"queries":$nq,"k":$k,$fams}""")

@@ -1661,6 +1661,72 @@ class VectorStatsSpec extends SparkSpec {
     assert(dec(2L).getAs[Int]("bitpix") == 8)
   }
 
+  test("residual IVFPQ separates within-cluster neighbors raw PQ cannot") {
+    // 8 tight clusters in 16-d: every member of a cluster quantizes to
+    // (nearly) the same raw-vector PQ code, so raw ADC cannot rank
+    // within the cluster — which is where ALL the true neighbors live.
+    // Residual codes (v − centroid) put the codebook's resolution on
+    // exactly that geometry.
+    val rnd = new scala.util.Random(11)
+    val dim = 16; val nClusters = 8
+    val centers = Array.fill(nClusters, dim)((rnd.nextGaussian() * 8).toFloat)
+    val rows = (0 until 800).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, Seq.tabulate(dim)(j =>
+        c(j) + (rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "emb").repartition(4)
+    val queries = (0 until 8).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, Seq.tabulate(dim)(j =>
+        c(j) + (rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val qdf = queries.toDF("_qid", "_qvec")
+    val k = 5
+    val truth = VectorSearch
+      .batchTopK(df, "emb", "vec_id", qdf, "_qid", "_qvec", "l2", k,
+        exact = true)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(hits: org.apache.spark.sql.DataFrame): Double = {
+      val got = hits.select("query_id", "vec_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      queries.map { case (q, _) =>
+        truth(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / k
+      }.sum / queries.size
+    }
+    val (assigned, centroids) =
+      VectorSearch.ivfBuild(df, "emb", "vec_id", nlist = nClusters,
+        refineIters = 2)
+    val rawModel = VectorSearch.pqTrain(df, "emb", "vec_id", m = 8,
+      k = 32, refineIters = 2)
+    val rawEnc = VectorSearch.pqEncode(assigned, "emb", rawModel)
+    val rawRecall = recall(VectorSearch.ivfPqBatchTopK(rawEnc, centroids,
+      "emb", "vec_id", rawModel, queries, k, nprobe = 2, rerank = 30))
+    val (resEnc, resModel) = VectorSearch.ivfPqResidualBuild(
+      assigned, centroids, "emb", "vec_id", m = 8, k = 32,
+      refineIters = 2)
+    val resRecall = recall(VectorSearch.ivfPqResidualBatchTopK(resEnc,
+      centroids, "emb", "vec_id", resModel, queries, k, nprobe = 2,
+      rerank = 30))
+    // the DRAMATIC raw-PQ collapse needs clusters far wider than the
+    // rerank pool (RecallSoak at 100k rows: 0.17 raw vs 0.93 residual);
+    // at this spec's scale the pinned claims are the floor and the
+    // strict ordering
+    assert(resRecall >= 0.9, s"residual recall@5 $resRecall must hold")
+    assert(resRecall > rawRecall,
+      s"residual ($resRecall) must beat raw-vector PQ ($rawRecall) " +
+        "on clustered data")
+    // residual codes round-trip the raw vector for reranking: the output
+    // score is the EXACT distance, so top-1 for a query drawn exactly at
+    // a corpus point is that point
+    val exactQ = Seq((99L, rows(42)._2))
+    val hit = VectorSearch.ivfPqResidualBatchTopK(resEnc, centroids,
+      "emb", "vec_id", resModel, exactQ, 1, nprobe = 2, rerank = 30)
+      .select("vec_id").as[Long].head()
+    assert(hit == 42L, s"self-query must return itself, got $hit")
+  }
+
   test("IVF/PQ batch search: one pass per batch matches per-query search") {
     val df = vecs(400, 16)
     val queries = (0L until 4L).map(qid =>
