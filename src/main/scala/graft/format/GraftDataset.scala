@@ -142,8 +142,9 @@ class GraftDataset private[format] (
         }.reduce(_ unionByName _)
     }
 
-  /** Snapshot with the hidden `_uuid` column (internal + merge/diff). */
-  private[format] def snapshotWithUuid(
+  /** Snapshot with the hidden `_uuid` column (internal + merge/diff +
+    * the integrity gates of the soak mains). */
+  private[graft] def snapshotWithUuid(
       files: Seq[String] = stFiles, updates: Seq[String] = stUpdates,
       tombstones: Seq[String] = stTombstones,
       schema: StructType = stSchema): DataFrame = {
@@ -1350,11 +1351,28 @@ class GraftDataset private[format] (
     // pin would silently DROP them.
     val rangeAdds = {
       var p = prev
+      // pinned names must stay UNIQUE: a tolerated sequence like
+      // add x → pure-rename x→y → add x again would otherwise pin two
+      // fields named x (adds keep their add-time name) and every
+      // downstream select/toDF on the feed fails on the ambiguity —
+      // fail here with the range-split contract instead
+      val pinned = scala.collection.mutable.Set.empty[String]
+      pinned ++= DataType.fromJson(prev.schemaJson)
+        .asInstanceOf[StructType].fieldNames
       val b = Vector.newBuilder[org.apache.spark.sql.types.StructField]
       for (m <- metas) { // prev advances over rewrite commits too,
         if (!m.rewrite.contains(true) && // mirroring the event walk below
             m.schemaJson != p.schemaJson)
-          GraftStream.addDelta(p, m).foreach(b ++= _)
+          GraftStream.addDelta(p, m).foreach { fs =>
+            for (f <- fs) {
+              require(pinned.add(f.name),
+                s"schema changed at commit ${m.id}: column '${f.name}' " +
+                  "collides with a name already pinned by this range " +
+                  "(re-added after a rename?); change feeds are " +
+                  "schema-pinned — anything else splits the range")
+              b += f
+            }
+          }
         p = m
       }
       b.result()

@@ -645,11 +645,17 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](bytesIdx)
           decodeAviMjpegFrames(bytes, maxFrames) match {
-            case Some(fs) =>
+            // frame_width/frame_height describe EVERY decoded frame, so a
+            // stream whose frame dimensions vary mid-video poisons the row
+            // (null features, the same degrade-to-None contract as an
+            // undecodable frame) instead of silently reporting the first
+            // frame's size against an all-frame luma mean
+            case Some(fs) if fs.forall(f =>
+                f._1 == fs.head._1 && f._2 == fs.head._2) =>
               val (w, h) = (fs.head._1, fs.head._2)
               val mean = fs.map(_._3).sum / fs.size
               Row.fromSeq(r.toSeq ++ Seq[Any](fs.size, w, h, mean))
-            case None =>
+            case _ =>
               Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null, null))
           }
         }

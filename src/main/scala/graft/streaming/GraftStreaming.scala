@@ -88,12 +88,15 @@ object GraftStreaming {
     */
   def replicate(spark: org.apache.spark.sql.SparkSession,
                 srcRoot: String, dstRoot: String, checkpointDir: String,
-                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                trigger: Trigger = Trigger.AvailableNow(),
+                sourceOptions: Map[String, String] = Map.empty)
+      : StreamingQuery = {
     // per-QUERY token (see appendStream): a fresh checkpoint restarts
     // epochs at 0, and applyChanges' row-level insert idempotency makes
     // even a re-applied bootstrap converge instead of duplicating rows
     val token = graft.format.GraftStream.queryToken(checkpointDir)
     spark.readStream.format("graft").option("changeFeed", "true")
+      .options(sourceOptions) // e.g. maxCommitsPerTrigger for paced drains
       .load(srcRoot)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -142,18 +145,16 @@ object GraftStreaming {
             // column's name may lag the feed's: when the feed's name for
             // an added column is still held by a not-yet-renamed prefix
             // column (gap rename a→b plus a new column named a), adopt
-            // under a placeholder and reconcile after the rename pass
-            // frees the name.
-            val placeholders = scala.collection.mutable.Buffer.empty[(String, String)]
+            // under a placeholder; a stateless pass below reconciles it
+            // once the rename frees the name.
             for (f <- batch.schema.fields
                    .slice(replica.schema.fields.length, logicalN)) {
               if (!replica.schema.fieldNames.contains(f.name))
                 replica.createTensor(f.name, f.dataType)
-              else {
-                val tmp = s"__add_adopt_${java.util.UUID.randomUUID.toString.take(8)}"
-                replica.createTensor(tmp, f.dataType)
-                placeholders += ((tmp, f.name))
-              }
+              else
+                replica.createTensor(
+                  s"__add_adopt_${java.util.UUID.randomUUID.toString.take(8)}",
+                  f.dataType)
             }
             val rf = replica.schema.fields
             // a RE-BOOTSTRAP after checkpoint loss pins the source's
@@ -208,12 +209,22 @@ object GraftStreaming {
                     !replica.schema.fieldNames.contains(t))
                   replica.renameTensor(f, t)
             }
-            // placeholder-adopted added columns take their feed name once
-            // the rename pass freed it (see adoption above)
-            for ((tmp, want) <- placeholders)
-              if (replica.schema.fieldNames.contains(tmp) &&
-                  !replica.schema.fieldNames.contains(want))
-                replica.renameTensor(tmp, want)
+            // placeholder-adopted added columns take the feed's POSITIONAL
+            // name once a rename pass freed it. STATELESS by design: the
+            // adoption and the rename that frees its feed name may land in
+            // DIFFERENT micro-batches (Spark can split a replayed range),
+            // so this scans the replica's live schema instead of relying
+            // on any per-batch record of adoptions — a leftover
+            // placeholder from an earlier batch reconciles the moment its
+            // name frees up. Field positions are invariant under pure
+            // renames/adds, so the feed's name at the same index IS the
+            // placeholder's target.
+            for ((f, i) <- replica.schema.fields.zipWithIndex
+                   if f.name.startsWith("__add_adopt_") && i < logicalN) {
+              val want = batch.schema.fields(i).name
+              if (!replica.schema.fieldNames.contains(want))
+                replica.renameTensor(f.name, want)
+            }
             replica.commit(graft.format.GraftStream.marker(token, epoch),
               allowEmpty = true)
             ()

@@ -589,6 +589,87 @@ class GraftStreamSpec extends SparkSpec {
         (3L, "c", Some(30L), Some("z"), None)))
   }
 
+  test("colliding add reconciles when its freeing rename lands in a LATER batch") {
+    // the placeholder-adoption corner SPLIT ACROSS micro-batches: the
+    // restart pin already carries an added column named `v`, but the
+    // first replayed batch holds only pre-rename row commits — so the
+    // replica still owns the OLD `v` and adopts the add under a
+    // __add_adopt_ placeholder. The rename that frees the name (v→w)
+    // arrives in the NEXT batch (maxCommitsPerTrigger=1 forces the
+    // split); reconciliation must be stateless across batches or the
+    // placeholder name sticks forever.
+    val src = tmpDir("gxbsrc") + "/t"
+    val dst = tmpDir("gxbdst") + "/t"
+    val ck = tmpDir("gxbck")
+    val ds = GraftDataset.create(spark, src, schema2)
+    ds.append(Seq((1L, "a")).toDF("id", "v"))
+    ds.commit("seed")
+    graft.streaming.GraftStreaming
+      .replicate(spark, src, dst, ck).awaitTermination()
+    // while the stream is down: a plain row commit, THEN the rename,
+    // THEN the colliding add — three separate commits
+    ds.append(Seq((2L, "b")).toDF("id", "v"))
+    ds.commit("pre-rename row commit")
+    ds.renameTensor("v", "w")
+    ds.commit("rename frees the name")
+    ds.createTensor("v", LongType)
+    ds.update(col("id") === 1L, Map("v" -> lit(7L)))
+    ds.commit("re-add v with data")
+    graft.streaming.GraftStreaming
+      .replicate(spark, src, dst, ck,
+        sourceOptions = Map("maxCommitsPerTrigger" -> "1"))
+      .awaitTermination()
+    val replica = GraftDataset.load(spark, dst)
+    assert(replica.schema.fieldNames.toSeq == Seq("id", "w", "v"),
+      s"placeholder must reconcile across batches: " +
+        s"${replica.schema.fieldNames.toSeq}")
+    assert(replica.toDF.orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toSeq ==
+      Seq((1L, "a", Some(7L)), (2L, "b", None)))
+    assert(GraftDataset.load(spark, dst).snapshotWithUuid()
+      .orderBy("id").select("_uuid").as[Long].collect().toSeq ==
+      GraftDataset.load(spark, src).snapshotWithUuid()
+        .orderBy("id").select("_uuid").as[Long].collect().toSeq,
+      "uuid-for-uuid identity across the split evolution")
+  }
+
+  test("batch table_changes refuses duplicate pinned names (re-added column)") {
+    // add x → pure-rename x→y → add x again inside ONE range would pin
+    // two fields named x (adds keep their add-time name); the feed must
+    // split the range loudly instead of emitting an ambiguous schema
+    val root = tmpDir("gdupadd") + "/t"
+    val ds = GraftDataset.create(spark, root, schema2)
+    ds.append(Seq((1L, "a")).toDF("id", "v"))
+    val from = ds.commit("seed")
+    ds.createTensor("x", LongType)
+    ds.commit("add x")
+    ds.renameTensor("x", "y")
+    ds.commit("rename x to y")
+    ds.createTensor("x", StringType)
+    ds.commit("re-add x")
+    val err = intercept[IllegalArgumentException] {
+      ds.changes(fromRef = from).count()
+    }
+    assert(err.getMessage.contains("collides"), err.getMessage)
+    // the same holds when the START schema owns the name: rename v→w,
+    // then add a new v
+    val root2 = tmpDir("gdupadd2") + "/t"
+    val ds2 = GraftDataset.create(spark, root2, schema2)
+    ds2.append(Seq((1L, "a")).toDF("id", "v"))
+    val from2 = ds2.commit("seed")
+    ds2.renameTensor("v", "w")
+    ds2.commit("rename v to w")
+    ds2.createTensor("v", LongType)
+    ds2.commit("re-add v")
+    val err2 = intercept[IllegalArgumentException] {
+      ds2.changes(fromRef = from2).count()
+    }
+    assert(err2.getMessage.contains("collides"), err2.getMessage)
+    // sub-ranges that stay duplicate-free still read fine
+    assert(ds2.changes(fromRef = from2, toRef = ds2.log
+      .find(_.message == "rename v to w").get.id).count() >= 1)
+  }
+
   test("positional re-pin refuses a delete+create that merely matches shape") {
     // same field count and types, but NOT a rename: column `a` dropped
     // and `c` created while the stream was down. Positional alignment

@@ -1514,6 +1514,21 @@ class VectorStatsSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(4) - grays.sum / 3.0) <= 7)
     assert(out(1).isNullAt(1) && out(2).isNullAt(1),
       "non-MJPEG rows must read as null features")
+    // MIXED frame dimensions poison the row: frame_width/height describe
+    // every frame, so a stream that changes size mid-video must degrade
+    // to null features, not report frame 0's size with an all-frame mean
+    val mixed = avi(Seq(strl("vids", "MJPG", "MJPG")),
+      list("movi", chunk("00dc", jpegGray(32, 24, 40)) ++
+        chunk("00dc", jpegGray(16, 12, 200))))
+    val mout = Multimodal.decodeVideoFrames(
+      Seq((1L, mixed)).toDF("id", "video_bytes"), "video")
+      .select("frames_decoded", "frame_width", "mean_frame_luma")
+      .collect()(0)
+    assert(mout.isNullAt(0) && mout.isNullAt(1) && mout.isNullAt(2),
+      s"mixed-dimension stream must read as null features: $mout")
+    // the raw per-frame decoder still reports both faithfully
+    assert(Multimodal.decodeAviMjpegFrames(mixed).get.map(f => (f._1, f._2))
+      == Seq((32, 24), (16, 12)))
   }
 
   test("multimodal: avi RIFF and mkv EBML metadata decode") {
