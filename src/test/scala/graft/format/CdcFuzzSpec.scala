@@ -6,19 +6,22 @@ import org.apache.spark.sql.types._
 
 /** Randomized MODEL-BASED check of the CDC layer: a fixed-seed random
   * sequence of mutations (append/update/pop), schema evolutions (pure
-  * renames, pure adds) and clean-state compactions runs on a source
-  * table; after EVERY commit the batch change feed for that commit is
-  * applied to a replica (adds adopted before the row events, renames
-  * after — the replicate helper's order), and the replica must equal
-  * the source row-for-row, uuid-for-uuid, schema-for-schema. At the
-  * end a SECOND replica bootstraps from the full-range feed (pinned at
-  * the FIRST commit's schema extended by every in-range add) and must
-  * converge too. The point is INTERACTION coverage for the r15
-  * additive-evolution machinery: adds over renamed columns, updates
-  * through the add boundary, rename epochs mixing physical names
-  * inside one walked range, rewrite commits interleaved — sequences no
-  * hand-written spec enumerates. Drops are excluded: they split feeds
-  * loudly by design.
+  * renames, pure adds — both may REUSE names earlier renames freed) and
+  * clean-state compactions runs on a source table; after EVERY commit
+  * the batch change feed for that commit is applied to a replica (adds
+  * adopted before the row events, renames after — the replicate
+  * helper's order), and the replica must equal the source row-for-row,
+  * uuid-for-uuid, schema-for-schema. A STREAMING replica
+  * ([[graft.streaming.GraftStreaming.replicate]], retained checkpoint,
+  * randomized maxCommitsPerTrigger so schema events split across
+  * micro-batches) syncs periodically and must converge too — this is
+  * the path that exercises the placeholder adoption + stateless
+  * reconciliation for colliding re-added names. At the end a fresh
+  * streaming bootstrap converges, and the full-range batch feed either
+  * replays to an identical replica or (when name reuse pinned a
+  * duplicate) refuses the range loudly. The point is INTERACTION
+  * coverage — sequences no hand-written spec enumerates. Drops are
+  * excluded: they split feeds loudly by design.
   */
 class CdcFuzzSpec extends SparkSpec {
   import spark.implicits._
@@ -39,6 +42,18 @@ class CdcFuzzSpec extends SparkSpec {
     var nextCol = 1
     var lastApplied: Option[String] = None
     var replicaOpt: Option[GraftDataset] = None
+    // names freed by renames, available for reuse by later renames/adds
+    var freed = Set.empty[String]
+    var nameReuse = false // any rename/add took a previously-used name
+    // the full-range pin = first commit's schema + every add-time name;
+    // a reused ADD name duplicates it and must split the range
+    val fullPin = scala.collection.mutable.Set("id", "c0")
+    var fullPinDup = false
+    def takeName(fresh: String): String =
+      if (freed.nonEmpty && rnd.nextInt(10) < 4) {
+        val n = freed.toSeq.sorted.apply(rnd.nextInt(freed.size))
+        freed -= n; nameReuse = true; n
+      } else fresh
 
     def compare(replica: GraftDataset, what: String): Unit = {
       assert(replica.schema.fieldNames.toSeq ==
@@ -91,6 +106,19 @@ class CdcFuzzSpec extends SparkSpec {
 
     def commitAndReplay(msg: String): Unit = replay(ds.commit(msg))
 
+    // streaming replica: the ENGINE's replicate path, with a retained
+    // checkpoint and a randomized commits-per-trigger cap so schema
+    // events and the row commits around them split across micro-batches
+    val streamRoot = tmpDir("cdcfuzz") + "/stream"
+    val streamCkpt = tmpDir("cdcfuzz") + "/streamck"
+    def syncStream(): Unit = {
+      graft.streaming.GraftStreaming.replicate(spark, srcRoot, streamRoot,
+        streamCkpt, sourceOptions = Map(
+          "maxCommitsPerTrigger" -> (1 + rnd.nextInt(3)).toString))
+        .awaitTermination()
+      compare(GraftDataset.load(spark, streamRoot), "streaming replica")
+    }
+
     // seed the table so updates/pops have something to chew on
     ds.append((0 until 20).map { _ =>
       val id = nextId; nextId += 1; (id, id * 3)
@@ -124,10 +152,12 @@ class CdcFuzzSpec extends SparkSpec {
           val mdl = 3 + rnd.nextInt(5)
           ds.pop(pmod(col("id"), lit(mdl)) === rnd.nextInt(mdl))
           commitAndReplay(s"pop $ops")
-        case 6 => // pure rename of a random data column
+        case 6 => // pure rename of a random data column (target may be a
+          // name an earlier rename freed — a REUSED name)
           val i = rnd.nextInt(cols.size)
-          val to = s"r$nextCol"; nextCol += 1
+          val to = takeName(s"r$nextCol"); nextCol += 1
           ds.renameTensor(cols(i), to)
+          freed += cols(i)
           cols = cols.updated(i, to)
           // a rename may share its commit with row events (still pure)
           if (rnd.nextBoolean()) {
@@ -140,10 +170,12 @@ class CdcFuzzSpec extends SparkSpec {
                   id +: cols.indices.map(ci => id * 3 + ci))), sch))
           }
           commitAndReplay(s"rename $ops")
-        case 7 => // pure add of a fresh nullable column
+        case 7 => // pure add of a nullable column (name may be a reused
+          // one — the sequence behind the colliding-adopt machinery)
           if (cols.size < 4) {
-            val name = s"a$nextCol"; nextCol += 1
+            val name = takeName(s"a$nextCol"); nextCol += 1
             ds.createTensor(name, LongType)
+            if (!fullPin.add(name)) fullPinDup = true
             cols = cols :+ name
             // post-add rows in the SAME commit may carry values
             if (rnd.nextBoolean()) {
@@ -163,8 +195,30 @@ class CdcFuzzSpec extends SparkSpec {
         case 9 => // no-op round (commit pressure elsewhere)
           ()
       }
+      if (ops % 10 == 0) syncStream()
     }
+    syncStream() // drain whatever the last paced sync left behind
 
+    // fresh STREAMING bootstrap: a new checkpoint pins the source's
+    // CURRENT names (no range-wide add pin), so it converges even when
+    // the run reused names — the engine path a user takes after any
+    // range-splitting evolution
+    val bootRoot = tmpDir("cdcfuzz") + "/boot"
+    graft.streaming.GraftStreaming.replicate(spark, srcRoot, bootRoot,
+      tmpDir("cdcfuzz") + "/bootck").awaitTermination()
+    compare(GraftDataset.load(spark, bootRoot), "fresh streaming bootstrap")
+
+    info(s"seed $seed coverage: nameReuse=$nameReuse fullPinDup=$fullPinDup")
+    if (fullPinDup) {
+      // a reused ADD name duplicates the full-range pin: the batch feed
+      // must refuse the range loudly, never emit an ambiguous schema
+      val err = intercept[IllegalArgumentException](ds.changes().count())
+      assert(err.getMessage.contains("collides"), err.getMessage)
+    } else if (!nameReuse) {
+    // (reused names without a duplicate pin still defeat the SIMPLE
+    // name-keyed replay below — an add can occupy a later rename's
+    // target; the engine-side replicate above is the collision-safe
+    // consumer, so the manual path only runs on reuse-free sequences)
     // full-range bootstrap: a SECOND replica from changes("") — pinned
     // at the FIRST commit's schema extended by every in-range add, with
     // every rename announced; applying announced deltas in commit order
@@ -196,5 +250,6 @@ class CdcFuzzSpec extends SparkSpec {
     }
     rep2.commit("bootstrap replay", allowEmpty = true)
     compare(rep2, "full-range bootstrap")
+    }
   }
 }
