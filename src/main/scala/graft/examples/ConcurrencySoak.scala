@@ -74,7 +74,11 @@ object ConcurrencySoak {
           val m = GraftDataset.load(spark, rootK)
           m.optimizeSmallFiles(targetBytes = 8L << 20)
           if (m.hasUncommitted) m.commit("maintenance bin-pack")
-          m.vacuum(olderThanMs = -60000L)
+          // POSITIVE retention: `<= 0` reclaims staged-but-uncommitted
+          // files out from under the racing writers (documented unsafe);
+          // 30 s is far above any staged window here while still young
+          // enough to reclaim this run's early pre-images before it ends
+          m.vacuum(olderThanMs = 30000L)
           ()
         }
       } catch { case e: Throwable => errors.add(e); () }

@@ -911,7 +911,8 @@ class GraftDataset private[format] (
             CommitLog.deleteCommitFile(spark, root, id)
             CommitLog.dropFromAncestry(spark, root, Set(id))
           } catch { case _: java.io.IOException => () } // best-effort
-          if (rebasesLeft <= 0 || !rebaseAppendsOntoBranchHead()) throw e
+          if (rebasesLeft <= 0 || !(rebaseAppendsOntoBranchHead() ||
+              rebaseRewriteOntoBranchHead())) throw e
           rebasesLeft -= 1
       }
     }
@@ -974,6 +975,70 @@ class GraftDataset private[format] (
     stStats = head.stats.getOrElse(Map.empty) ++ ourStats
     stEpochs = head.epochs.getOrElse(Map.empty) ++ ourEpochs
     stStatsNormalized = head.statsNormalized.getOrElse(head.renames.isEmpty)
+    stSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    true
+  }
+
+  /** Rebase a lost REWRITE commit (clean-state [[optimizeSmallFiles]] /
+    * [[compact]]) onto the branch's new head, when that is provably
+    * safe — the Delta OPTIMIZE conflict resolution, and what lets
+    * routine maintenance run alongside live ingest without a user-level
+    * retry loop. Conditions:
+    *   - our staged change is a PURE base-entry rewrite vs the parent we
+    *     loaded: updates/tombstones/renames/schema all verbatim equal
+    *     (a FOLDING compact resets them and stays a loud conflict), only
+    *     `files` changed — some entries replaced by repacked ones;
+    *   - the winner kept every entry we replaced in its manifest (nobody
+    *     else rewrote them) and left schema + rename chain untouched.
+    * Then the rewrite commutes with whatever the winner did: base bytes
+    * are immutable and position-independent, the winner's new
+    * updates/tombstones key on `_uuid` and apply merge-on-read over the
+    * repacked bases unchanged, and the winner's new base entries simply
+    * stay unpacked until the next maintenance pass. The rebased commit
+    * adopts the winner's state wholesale, swaps the replaced entries for
+    * ours (stats + epochs riding along — valid because the rename chain
+    * is unchanged), and keeps its rewrite flag so feeds still skip it.
+    */
+  private def rebaseRewriteOntoBranchHead(): Boolean = {
+    if (!pendingRewrite) return false
+    val b = branchName.getOrElse(return false)
+    val newHeadId = CommitLog.readBranches(spark, root)
+      .getOrElse(b, return false)
+    val parentId = headId.getOrElse(return false) // rewrites have a parent
+    if (parentId == newHeadId) return false
+    val parent = CommitLog.readCommit(spark, root, parentId)
+    val head = CommitLog.readCommit(spark, root, newHeadId)
+    val parentFiles = parent.files.toSet
+    val stFileSet = stFiles.toSet
+    val replaced = parent.files.filterNot(stFileSet)
+    val packed = stFiles.filterNot(parentFiles)
+    val rewriteOnly = replaced.nonEmpty &&
+      stUpdates.toSeq == parent.updates &&
+      stTombstones.toSeq == parent.tombstones &&
+      stRenames.map(p => Seq(p._1, p._2)).toSeq == parent.renames &&
+      stSchema.json == parent.schemaJson
+    val headFiles = head.files.toSet
+    val headCompatible =
+      head.schemaJson == parent.schemaJson &&
+        head.renames == parent.renames &&
+        replaced.forall(headFiles)
+    if (!rewriteOnly || !headCompatible) return false
+    val replacedSet = replaced.toSet
+    val packedSet = packed.toSet
+    val ourStats = stStats.view.filterKeys(k =>
+      packed.exists(e => k == e || k.startsWith(e + "/"))).toMap
+    val ourEpochs = stEpochs.filter { case (k, _) => packedSet(k) }
+    headId = Some(newHeadId)
+    stFiles = head.files.toVector.filterNot(replacedSet) ++ packed
+    stUpdates = head.updates.toVector
+    stTombstones = head.tombstones.toVector
+    stRenames = head.renames.map(p => (p(0), p(1))).toVector
+    stStats = head.stats.getOrElse(Map.empty) ++ ourStats
+    stEpochs = head.epochs.getOrElse(Map.empty) ++ ourEpochs
+    // conservative AND: never claim normalized stat keys the winner (or
+    // our own pre-rebase handle) did not
+    stStatsNormalized = stStatsNormalized &&
+      head.statsNormalized.getOrElse(head.renames.isEmpty)
     stSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     true
   }

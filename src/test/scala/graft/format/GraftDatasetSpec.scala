@@ -507,6 +507,56 @@ class GraftDatasetSpec extends SparkSpec {
       other2.commit("racing append"))
   }
 
+  test("clean-state bin-pack auto-rebases over a concurrent append (Delta OPTIMIZE)") {
+    val ds = freshTable()
+    ds.append(Seq((10L, "d", 4.0)).toDF("id", "label", "score"))
+    ds.commit("grow 1")
+    ds.append(Seq((11L, "e", 5.0)).toDF("id", "label", "score"))
+    ds.commit("grow 2") // three small base entries now
+    val maint = GraftDataset.load(spark, ds.root) // maintenance handle
+    val (nRewritten, nBins) = maint.optimizeSmallFiles(targetBytes = 8L << 20)
+    assert(nRewritten >= 2 && nBins >= 1, s"($nRewritten, $nBins)")
+    // a writer races the staged bin-pack and wins the branch CAS
+    ds.append(Seq((90L, "race", 9.0)).toDF("id", "label", "score"))
+    val winId = ds.commit("winner append")
+    // the lost rewrite rebases: metadata-only, no re-pack of the data
+    val rebasedId = maint.commit("maintenance bin-pack")
+    val rebasedMeta = CommitLog.readCommit(spark, ds.root, rebasedId)
+    assert(rebasedMeta.parent.contains(winId),
+      "rebased rewrite must sit on the winner")
+    assert(rebasedMeta.rewrite.contains(true),
+      "the rebased commit must keep its rewrite flag (feeds skip it)")
+    val merged = GraftDataset.load(spark, ds.root)
+    assert(merged.toDF.count() == 6 && merged.countRows == 6,
+      "no lost rows, including the winner's racing append")
+    assert(merged.toDF.filter($"id" === 90L).count() == 1)
+    // the winner's appended entry survived the rebase un-packed
+    val winMeta = CommitLog.readCommit(spark, ds.root, winId)
+    val winParentFiles = winMeta.parent
+      .map(p => CommitLog.readCommit(spark, ds.root, p).files.toSet)
+      .getOrElse(Set.empty)
+    val winnerEntries = winMeta.files.filterNot(winParentFiles)
+    assert(winnerEntries.nonEmpty &&
+      winnerEntries.forall(rebasedMeta.files.contains),
+      "the winner's new entry must ride through the rebase")
+    // a change feed across the race carries ONLY the winner's insert —
+    // the rewrite commit contributes nothing
+    val feed = merged.changes(fromRef = winId)
+    assert(feed.count() == 0, "rewrite commits must stay feed-invisible")
+    // concurrent REWRITES still conflict loudly (both repack the same
+    // entries; second must not silently drop the first's bins)
+    val grower = GraftDataset.load(spark, ds.root)
+    grower.append(Seq((91L, "f", 1.0)).toDF("id", "label", "score"))
+    grower.commit("more small files")
+    val m1 = GraftDataset.load(spark, ds.root)
+    val m2 = GraftDataset.load(spark, ds.root)
+    assert(m1.optimizeSmallFiles(targetBytes = 8L << 20)._1 >= 2)
+    assert(m2.optimizeSmallFiles(targetBytes = 8L << 20)._1 >= 2)
+    m1.commit("first pack wins")
+    intercept[java.util.ConcurrentModificationException](
+      m2.commit("second pack must not silently land"))
+  }
+
   test("uuids are dense and stable across updates") {
     val ds = freshTable()
     ds.update($"id" === 0L, Map("score" -> lit(9.9)))
