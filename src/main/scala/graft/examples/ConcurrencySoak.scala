@@ -84,8 +84,33 @@ object ConcurrencySoak {
       } catch { case e: Throwable => errors.add(e); () }
     }, "maintenance")
     maint.start()
+    // enrichment thread: uuid-pinned updates racing the appends and the
+    // bin-packs — lost CASes rebase (snapshot-scoped mutations commute
+    // with append/rewrite winners); as the ONLY mutator it never hits
+    // the loud mutation-vs-mutation conflict
+    val enrichCommits = new java.util.concurrent.atomic.AtomicLong(0)
+    val enrichedRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val enrich = new Thread(() => {
+      try {
+        var i = 0
+        while (!stop.get()) {
+          Thread.sleep(900)
+          val h = GraftDataset.load(spark, rootK)
+          val n = h.update(pmod(col("id"), lit(97)) === (i % 97),
+            Map("payload" -> concat_ws("-", lit("enriched"), col("id"))))
+          if (h.hasUncommitted) {
+            h.commit(s"enrich $i")
+            enrichCommits.incrementAndGet()
+            enrichedRows.addAndGet(n)
+            ()
+          }
+          i += 1
+        }
+      } catch { case e: Throwable => errors.add(e); () }
+    }, "enrich")
+    enrich.start()
     threads.foreach(_.join())
-    stop.set(true); maint.join()
+    stop.set(true); maint.join(); enrich.join()
     val multiSec = (System.nanoTime() - t2) / 1e9
     if (!errors.isEmpty) {
       errors.forEach(e => e.printStackTrace())
@@ -102,6 +127,13 @@ object ConcurrencySoak {
       snap.getLong(1) == expect && snap.getLong(2) == expect
     val writerCommits = ds.log.count(_.message.startsWith("w"))
     val okCommits = writerCommits == writers * commits
+    // every enrichment commit that claimed success is on the branch, and
+    // enriched payloads actually landed through the rebases
+    val landedEnrich = ds.log.count(_.message.startsWith("enrich"))
+    val enrichedLive = ds.toDF
+      .filter(col("payload").startsWith("enriched-")).count()
+    val okEnrich = landedEnrich == enrichCommits.get() &&
+      (enrichCommits.get() == 0 || enrichedLive > 0)
 
     val totRows = writers.toLong * commits * rowsPer
     println(s"""{"writers":$writers,"commitsPerWriter":$commits,""" +
@@ -111,8 +143,10 @@ object ConcurrencySoak {
       f""""multiCommitsPerSec":${writers * commits / multiSec}%.2f,""" +
       f""""multiRowsPerSec":${totRows / multiSec}%.0f,""" +
       s""""okRows":$okRows,"okCommits":$okCommits,""" +
+      s""""enrichCommits":${enrichCommits.get()},""" +
+      s""""enrichedRows":${enrichedRows.get()},"okEnrich":$okEnrich,""" +
       s""""logSize":${ds.log.size}}""")
-    if (!(okRows && okCommits)) sys.exit(1)
+    if (!(okRows && okCommits && okEnrich)) sys.exit(1)
     graft.QueryCleanup.deleteRecursively(base.toString)
     spark.stop()
   }

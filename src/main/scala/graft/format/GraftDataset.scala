@@ -912,8 +912,17 @@ class GraftDataset private[format] (
             CommitLog.dropFromAncestry(spark, root, Set(id))
           } catch { case _: java.io.IOException => () } // best-effort
           if (rebasesLeft <= 0 || !(rebaseAppendsOntoBranchHead() ||
-              rebaseRewriteOntoBranchHead())) throw e
+              rebaseRewriteOntoBranchHead() ||
+              rebaseMutationsOntoBranchHead())) throw e
           rebasesLeft -= 1
+          // jittered backoff breaks convoys: under heavy same-table
+          // contention a straight retry tends to lose the CAS to the
+          // same steady committers again and again until the budget
+          // starves; a short randomized pause (growing with each loss)
+          // lets the retrier slip between their commits
+          val lost = MaxCommitRebases - rebasesLeft
+          Thread.sleep(
+            scala.util.Random.nextInt(25 * math.min(lost, 8)).toLong)
       }
     }
     result.get
@@ -1037,6 +1046,66 @@ class GraftDataset private[format] (
     stEpochs = head.epochs.getOrElse(Map.empty) ++ ourEpochs
     // conservative AND: never claim normalized stat keys the winner (or
     // our own pre-rebase handle) did not
+    stStatsNormalized = stStatsNormalized &&
+      head.statsNormalized.getOrElse(head.renames.isEmpty)
+    stSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    true
+  }
+
+  /** Rebase a lost commit that staged uuid-keyed MUTATIONS (update /
+    * pop entries, optionally alongside appends) onto the branch's new
+    * head, when that is provably safe — what lets an enrichment job
+    * run beside live ingest and maintenance without a lock. Our
+    * mutations are SNAPSHOT-SCOPED row edits pinned to `_uuid`: the
+    * rows they touch are exactly the rows our handle read, so they
+    * commute with a winner that only APPENDED (disjoint uuid spaces by
+    * reservation) or only REWROTE base entries (uuid-preserving, and
+    * update/tombstone entries apply merge-on-read by uuid over any base
+    * layout). They do NOT commute with a winner whose own
+    * update/tombstone lists moved: update postimages are FULL rows
+    * computed against OUR parent snapshot, so replaying them over the
+    * winner's edits would silently clobber those edits (and
+    * last-wins ordering between the two would be an arbitrary pick) —
+    * racing mutations stay a loud conflict needing user semantics,
+    * same as Delta's ConcurrentDeleteRead/WriteException family.
+    */
+  private def rebaseMutationsOntoBranchHead(): Boolean = {
+    val b = branchName.getOrElse(return false)
+    val newHeadId = CommitLog.readBranches(spark, root)
+      .getOrElse(b, return false)
+    val parentId = headId.getOrElse(return false) // mutations need rows
+    if (parentId == newHeadId) return false
+    val parent = CommitLog.readCommit(spark, root, parentId)
+    val head = CommitLog.readCommit(spark, root, newHeadId)
+    def extendsSeq(ours: Seq[String], base: Seq[String]) =
+      ours.length >= base.length && ours.take(base.length) == base
+    val newFiles = stFiles.drop(parent.files.length)
+    val newUpdates = stUpdates.drop(parent.updates.length)
+    val newTombstones = stTombstones.drop(parent.tombstones.length)
+    val mutationOnly =
+      (newUpdates.nonEmpty || newTombstones.nonEmpty) &&
+        extendsSeq(stFiles.toSeq, parent.files) &&
+        extendsSeq(stUpdates.toSeq, parent.updates) &&
+        extendsSeq(stTombstones.toSeq, parent.tombstones) &&
+        stRenames.map(p => Seq(p._1, p._2)).toSeq == parent.renames &&
+        stSchema.json == parent.schemaJson
+    val headCompatible =
+      head.schemaJson == parent.schemaJson &&
+        head.renames == parent.renames &&
+        head.updates == parent.updates &&
+        head.tombstones == parent.tombstones
+    if (!mutationOnly || !headCompatible) return false
+    val newEntries = (newFiles ++ newUpdates ++ newTombstones).toSet
+    val ourStats = stStats.view.filterKeys(k =>
+      newFiles.exists(e => k == e || k.startsWith(e + "/"))).toMap
+    val ourEpochs = stEpochs.filter { case (k, _) => newEntries(k) }
+    headId = Some(newHeadId)
+    stFiles = head.files.toVector ++ newFiles
+    stUpdates = head.updates.toVector ++ newUpdates
+    stTombstones = head.tombstones.toVector ++ newTombstones
+    stRenames = head.renames.map(p => (p(0), p(1))).toVector
+    stStats = head.stats.getOrElse(Map.empty) ++ ourStats
+    stEpochs = head.epochs.getOrElse(Map.empty) ++ ourEpochs
     stStatsNormalized = stStatsNormalized &&
       head.statsNormalized.getOrElse(head.renames.isEmpty)
     stSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
@@ -2529,10 +2598,15 @@ object GraftDataset {
     to.startsWith(DropPrefix)
 
   /** Cap on metadata-only commit retries after a lost branch-pointer
-    * race (append-only rebase, [[GraftDataset.commit]]); beyond this the
-    * original conflict surfaces to the caller.
+    * race (the append/rewrite/mutation rebases, [[GraftDataset.commit]]);
+    * beyond this the original conflict surfaces to the caller. Sized for
+    * a busy multi-writer table: each retry is a metadata-only re-publish
+    * (no data rewrite), and the jittered backoff in `commit` breaks
+    * same-JVM convoys, so 20 consecutive losses means contention worth
+    * surfacing rather than spinning on (Delta retries effectively
+    * unbounded; we prefer a loud ceiling).
     */
-  val MaxCommitRebases = 5
+  val MaxCommitRebases = 20
 
   /** Serializes the branch-pointer compare-and-swap across THIS JVM's
     * writers PER TABLE ROOT (see [[GraftDataset.publishCommit]]) — one

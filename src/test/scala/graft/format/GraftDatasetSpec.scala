@@ -476,27 +476,36 @@ class GraftDatasetSpec extends SparkSpec {
     other.commit("rebased loser")
     assert(CommitLog.listCommits(spark, ds.root).toSet == reachable(ds.root),
       "rebase path must purge the lost commit file")
-    // case 2: lost CAS where the rebase is REFUSED (update conflict)
+    // case 2: lost CAS where the rebase is REFUSED (racing updates)
     val ds2 = freshTable()
     val other2 = GraftDataset.load(spark, ds2.root)
     other2.update($"id" === 0L, Map("score" -> lit(7.0)))
-    ds2.append(Seq((70L, "w1", 1.0)).toDF("id", "label", "score"))
-    ds2.commit("winner append")
+    ds2.update($"id" === 0L, Map("score" -> lit(8.0)))
+    ds2.commit("winner update")
     intercept[java.util.ConcurrentModificationException](
       other2.commit("racing update"))
     assert(CommitLog.listCommits(spark, ds2.root).toSet == reachable(ds2.root),
       "refused-rebase path must purge the lost commit file too")
   }
 
-  test("concurrent non-append conflicts still fail loudly") {
+  test("concurrent non-commuting conflicts still fail loudly") {
+    // racing MUTATIONS (update-vs-update, update-vs-pop): full-row
+    // postimages computed against different snapshots would clobber each
+    // other under any silent ordering — needs user semantics
     val ds = freshTable()
-    // loser staged an UPDATE: not append-only, must not silently rebase
     val other = GraftDataset.load(spark, ds.root)
     other.update($"id" === 0L, Map("score" -> lit(7.0)))
-    ds.append(Seq((70L, "w1", 1.0)).toDF("id", "label", "score"))
-    ds.commit("winner append")
+    ds.update($"id" === 1L, Map("score" -> lit(6.0)))
+    ds.commit("winner update")
     intercept[java.util.ConcurrentModificationException](
       other.commit("racing update"))
+    val ds3 = freshTable()
+    val other3 = GraftDataset.load(spark, ds3.root)
+    other3.update($"id" === 0L, Map("score" -> lit(7.0)))
+    ds3.pop($"id" === 2L)
+    ds3.commit("winner pop")
+    intercept[java.util.ConcurrentModificationException](
+      other3.commit("racing update vs pop"))
     // loser appended but the WINNER changed the schema: rebase refused
     val ds2 = freshTable()
     val other2 = GraftDataset.load(spark, ds2.root)
@@ -505,6 +514,47 @@ class GraftDatasetSpec extends SparkSpec {
     ds2.commit("winner rename")
     intercept[java.util.ConcurrentModificationException](
       other2.commit("racing append"))
+  }
+
+  test("uuid-pinned update/pop auto-rebases over append and rewrite winners") {
+    // enrichment beside live ingest: the update loses the CAS to an
+    // append; both land — the update touches exactly the rows its
+    // handle read (snapshot-scoped), the winner's new row rides through
+    val ds = freshTable()
+    val enrich = GraftDataset.load(spark, ds.root)
+    assert(enrich.update($"id" === 1L, Map("score" -> lit(42.0))) == 1L)
+    ds.append(Seq((70L, "new", 7.0)).toDF("id", "label", "score"))
+    val winId = ds.commit("winner append")
+    val rebasedId = enrich.commit("enrichment update")
+    assert(CommitLog.readCommit(spark, ds.root, rebasedId)
+      .parent.contains(winId))
+    val after = GraftDataset.load(spark, ds.root).toDF
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(after == Seq((0L, "a", 1.0), (1L, "b", 42.0), (2L, "c", 3.0),
+      (70L, "new", 7.0)), s"got $after")
+    // pop loses to an append: the popped row goes, the new row stays
+    val popper = GraftDataset.load(spark, ds.root)
+    assert(popper.pop($"id" === 0L) == 1L)
+    ds.reset()
+    ds.append(Seq((71L, "more", 8.0)).toDF("id", "label", "score"))
+    ds.commit("another append")
+    popper.commit("racing pop")
+    assert(GraftDataset.load(spark, ds.root).toDF.orderBy("id")
+      .select("id").as[Long].collect().toSeq == Seq(1L, 2L, 70L, 71L))
+    // update loses to a clean-state BIN-PACK: uuid-keyed entries apply
+    // merge-on-read over the repacked bases unchanged
+    val enrich2 = GraftDataset.load(spark, ds.root)
+    assert(enrich2.update($"id" === 2L, Map("label" -> lit("packed"))) == 1L)
+    val maint = GraftDataset.load(spark, ds.root)
+    assert(maint.optimizeSmallFiles(targetBytes = 8L << 20)._1 >= 2)
+    maint.commit("bin-pack wins")
+    enrich2.commit("update over rewrite")
+    val after2 = GraftDataset.load(spark, ds.root).toDF
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(after2 == Seq((1L, "b", 42.0), (2L, "packed", 3.0),
+      (70L, "new", 7.0), (71L, "more", 8.0)), s"got $after2")
+    // row counts stay metadata-consistent through the whole dance
+    assert(GraftDataset.load(spark, ds.root).countRows == 4)
   }
 
   test("clean-state bin-pack auto-rebases over a concurrent append (Delta OPTIMIZE)") {
