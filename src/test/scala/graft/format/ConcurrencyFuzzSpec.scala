@@ -1,0 +1,182 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Randomized MODEL-BASED check of the optimistic-concurrency layer: two
+  * handles load the same head, each stages a random op (append / update
+  * / pop / bin-pack / compact / rename), A commits first and wins, B's
+  * commit then either AUTO-REBASES (when the contract says the changes
+  * commute) or fails with ConcurrentModificationException (when it says
+  * they don't) — the fuzzer PREDICTS which from the contract alone and
+  * asserts the engine agrees, then checks the full table content
+  * against an id-keyed model after every round. The serialization the
+  * rebases promise is "winner first, loser's SNAPSHOT-SCOPED change
+  * second": B's mutations touch exactly the rows B's handle read, never
+  * the winner's new rows. Solo rounds interleave so renames, compacts
+  * and outstanding update/tombstone entries build up real state for the
+  * racing rounds to trip over. Complements ConcurrencySoak (threaded,
+  * throughput) with deterministic interaction coverage of the rebase
+  * family's refusal conditions — sequences no hand-written spec
+  * enumerates.
+  */
+class ConcurrencyFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  sealed trait Kind
+  case object Append extends Kind
+  case object Update extends Kind
+  case object Pop extends Kind
+  case object BinPack extends Kind
+  case object Compact extends Kind
+  case object Rename extends Kind
+
+  for (seed <- Seq(402, 7177, 52601))
+  test(s"random racing op pairs (seed $seed): commute contract + content") {
+    val rnd = new scala.util.Random(seed)
+    val root = tmpDir("concfuzz") + "/t"
+    var curCol = "v"
+    val ds0 = GraftDataset.create(spark, root, StructType(Seq(
+      StructField("id", LongType), StructField(curCol, StringType))))
+    var nextId = 0L
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    def appendRows(h: GraftDataset, n: Int): Seq[(Long, String)] = {
+      val rows = (0 until n).map { _ =>
+        val id = nextId; nextId += 1; (id, s"r$id")
+      }
+      h.append(rows.toDF("id", h.schema.fieldNames(1)))
+      rows
+    }
+    appendRows(ds0, 40).foreach { case (i, v) => model(i) = v }
+    ds0.commit("seed")
+
+    // outstanding state of the COMMITTED table, for the predictions
+    var hasUpd = false
+    var hasTomb = false
+    var hasRen = false
+
+    /** Stage `kind` on a freshly-loaded handle; returns the kind
+      * actually staged (no-op stagings fall back to an append) plus the
+      * model effect to apply IF the commit lands. Mutations are
+      * computed against the handle's snapshot (= the model now). */
+    def stage(h: GraftDataset, kind: Kind, tag: String)
+        : (Kind, () => Unit) = kind match {
+      case Append =>
+        val rows = appendRows(h, 1 + rnd.nextInt(4))
+        (Append, () => rows.foreach { case (i, v) => model(i) = v })
+      case Update =>
+        val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+        val hit = model.keys.filter(_ % m == r).toSeq
+        if (hit.isEmpty) stage(h, Append, tag)
+        else {
+          val n = h.update(pmod(col("id"), lit(m)) === r,
+            Map(h.schema.fieldNames(1) ->
+              concat(lit(s"u$tag-"), col("id").cast("string"))))
+          assert(n == hit.size, s"update matched $n, model says ${hit.size}")
+          (Update, () => hit.foreach(i => model(i) = s"u$tag-$i"))
+        }
+      case Pop =>
+        val m = 4 + rnd.nextInt(5); val r = rnd.nextInt(m)
+        val hit = model.keys.filter(_ % m == r).toSeq
+        if (hit.isEmpty) stage(h, Append, tag)
+        else {
+          val n = h.pop(pmod(col("id"), lit(m)) === r)
+          assert(n == hit.size, s"pop matched $n, model says ${hit.size}")
+          (Pop, () => hit.foreach(model.remove))
+        }
+      case BinPack =>
+        if (h.optimizeSmallFiles(targetBytes = 8L << 20)._1 < 2)
+          stage(h, Append, tag)
+        else (BinPack, () => ())
+      case Compact =>
+        h.compact()
+        (Compact, () => ())
+      case Rename =>
+        val to = s"c$tag"
+        h.renameTensor(h.schema.fieldNames(1), to)
+        (Rename, () => { curCol = to; () })
+    }
+
+    /** The commute CONTRACT: does B's staged kind rebase over A's
+      * committed kind, given the table's outstanding state? */
+    def predictLands(kA: Kind, kB: Kind): Boolean = {
+      val flagsClean = !hasUpd && !hasTomb && !hasRen
+      kB match {
+        case Append => kA match {
+          case Rename => false
+          case Compact => !hasRen // the fold resets the rename chain
+          case _ => true
+        }
+        case Update | Pop => kA match {
+          case Append | BinPack => true
+          case Compact => flagsClean // fold moved the mutation lists
+          case _ => false // racing mutations / schema changes: loud
+        }
+        case BinPack => kA match {
+          // overlapping rewrites (A binpacked/compacted the entries B
+          // replaced) and schema changes stay loud
+          case Append | Update | Pop => true
+          case _ => false
+        }
+        case Compact =>
+          // B's fold must be a PURE file swap (no outstanding lists to
+          // fold) and A must have kept every file B replaced
+          flagsClean && (kA == Append || kA == Update || kA == Pop)
+        case Rename => false // schema changes never rebase
+        case Append | Update | Pop | BinPack | Compact | Rename => false
+      }
+    }
+
+    def applyFlags(k: Kind): Unit = k match {
+      case Update => hasUpd = true
+      case Pop => hasTomb = true
+      case Rename => hasRen = true
+      case Compact => hasUpd = false; hasTomb = false; hasRen = false
+      case _ => ()
+    }
+
+    def checkContent(where: String): Unit = {
+      val t = GraftDataset.load(spark, root)
+      assert(t.schema.fieldNames.toSeq == Seq("id", curCol),
+        s"$where: schema ${t.schema.fieldNames.toSeq} vs (id, $curCol)")
+      val got = t.toDF.orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val want = model.toSeq.sortBy(_._1)
+      assert(got == want, s"$where: table diverged from model " +
+        s"(got ${got.size} rows, want ${want.size})")
+      assert(t.countRows == model.size, s"$where: metadata count diverged")
+    }
+
+    val kinds = Vector(Append, Append, Update, Update, Pop, BinPack,
+      Compact, Rename) // appends/updates weighted: they race most often
+    for (round <- 0 until 24) {
+      val solo = rnd.nextInt(10) < 3
+      if (solo) {
+        val a = GraftDataset.load(spark, root)
+        val (kA, fxA) = stage(a, kinds(rnd.nextInt(kinds.size)), s"s$round")
+        a.commit(s"solo $kA $round")
+        fxA(); applyFlags(kA)
+      } else {
+        val a = GraftDataset.load(spark, root)
+        val b = GraftDataset.load(spark, root)
+        val (kA, fxA) = stage(a, kinds(rnd.nextInt(kinds.size)), s"a$round")
+        val (kB, fxB) = stage(b, kinds(rnd.nextInt(kinds.size)), s"b$round")
+        val lands = predictLands(kA, kB)
+        a.commit(s"A $kA $round")
+        fxA(); applyFlags(kA)
+        if (lands) {
+          b.commit(s"B $kB $round (rebased)")
+          fxB(); applyFlags(kB)
+        } else {
+          intercept[java.util.ConcurrentModificationException](
+            b.commit(s"B $kB $round (must conflict)"))
+          // the loser's change is dropped; the table must be exactly A's
+        }
+        info(s"round $round: A=$kA B=$kB -> " +
+          (if (lands) "rebased" else "conflict"))
+      }
+      checkContent(s"after round $round")
+    }
+  }
+}
