@@ -298,6 +298,79 @@ object CommitLog {
     seenBranches.add(root)
   }
 
+  /** Atomic create-if-absent of a small file: the commit point of every
+    * exclusive claim in the format. On file:// Hadoop's
+    * create(overwrite=false) is a non-atomic exists-then-create, so the
+    * claim is a hard link of a fully-written temp (atomic, fails when
+    * the file exists — the [[writeCommit]] pattern); elsewhere the
+    * store's own exclusive create carries it. Returns false on loss. */
+  private[format] def tryCreateExclusive(f: FileSystem, p: Path,
+                                         content: String): Boolean = {
+    f.mkdirs(p.getParent)
+    if (f.getScheme == "file") {
+      val destNio = java.nio.file.Paths.get(p.toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(
+        destNio.getParent, s".${p.getName}", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+        try { java.nio.file.Files.createLink(destNio, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    } else {
+      try { writeString(f, p, content, overwrite = false); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Cross-PROCESS mutual exclusion for branch-pointer read-check-write
+    * sections — the piece the in-JVM [[GraftDataset.branchCasLock]]
+    * cannot provide when N DRIVERS write one table. A short-lived lock
+    * file claimed by atomic exclusive create serializes the CAS (the
+    * lock-file LogStore pattern Delta uses on stores without a
+    * conditional PUT); a holder that crashed mid-section is STOLEN from
+    * after `spark.graft.branchLockLeaseMs` (default 30 s) via the lock
+    * file's mtime. The standard lease caveat applies: a holder paused
+    * longer than the lease (GC, VM freeze) can lose the lock mid-write —
+    * size the lease above worst-case pauses; release only deletes the
+    * lock when it still holds OUR token, so a stolen lock is never
+    * released out from under the thief.
+    */
+  private[format] def withBranchLock[T](spark: SparkSession, root: String)
+                                       (body: => T): T = {
+    val f = fs(spark, root)
+    val lock = new Path(root, "_graft/branch.lock")
+    val token = java.util.UUID.randomUUID().toString
+    val leaseMs = spark.conf.get("spark.graft.branchLockLeaseMs", "30000").toLong
+    val deadline = System.currentTimeMillis() + math.max(leaseMs * 4, 60000L)
+    var acquired = false
+    while (!acquired) {
+      if (tryCreateExclusive(f, lock, token)) acquired = true
+      else {
+        val st = scala.util.Try(f.getFileStatus(lock)).toOption
+        val now = System.currentTimeMillis()
+        if (now > deadline)
+          throw new java.io.IOException(
+            s"branch lock $lock not acquired within ${leaseMs * 4} ms; " +
+              "a writer is stuck or the lease " +
+              "(spark.graft.branchLockLeaseMs) is too long")
+        if (st.exists(s => now - s.getModificationTime > leaseMs)) {
+          // holder exceeded its lease (crashed writer): steal. The
+          // delete+create race among stealers is resolved by the atomic
+          // create on the next loop.
+          scala.util.Try(f.delete(lock, false)); ()
+        } else if (st.isDefined)
+          Thread.sleep(5L + scala.util.Random.nextInt(20))
+        // st empty: released between our create and stat — retry now
+      }
+    }
+    try body
+    finally {
+      if (scala.util.Try(readString(f, lock)).toOption.contains(token)) {
+        scala.util.Try(f.delete(lock, false)); ()
+      }
+    }
+  }
+
   /** Commit ids are zero-padded sequence numbers → lexicographic order is
     * creation order (LCA relies on parents having smaller ids; gaps from
     * crashed writers are harmless). O(1) via the same best-effort hint

@@ -1153,12 +1153,18 @@ class GraftDataset private[format] (
       GraftDataset.branchCasLock(
           CommitLog.fs(spark, root).makeQualified(new Path(root)).toString)
         .synchronized {
-        val heads = CommitLog.readBranches(spark, root)
-        if (heads.get(b) != parent)
-          throw new java.util.ConcurrentModificationException(
-            s"branch $b moved from $parent to ${heads.get(b)} since checkout; " +
-              "reset() and retry")
-        CommitLog.writeBranches(spark, root, heads + (b -> id))
+        // the JVM lock serializes THIS driver's threads cheaply; the
+        // lock FILE serializes drivers across processes (see
+        // CommitLog.withBranchLock) — without it two drivers passing
+        // the parent check together silently orphan one commit
+        CommitLog.withBranchLock(spark, root) {
+          val heads = CommitLog.readBranches(spark, root)
+          if (heads.get(b) != parent)
+            throw new java.util.ConcurrentModificationException(
+              s"branch $b moved from $parent to ${heads.get(b)} since checkout; " +
+                "reset() and retry")
+          CommitLog.writeBranches(spark, root, heads + (b -> id))
+        }
       }
     }
     headId = Some(id)
@@ -1216,9 +1222,14 @@ class GraftDataset private[format] (
   def checkout(ref: String, create: Boolean = false): Unit = {
     require(!dirty, "uncommitted changes; commit or reset first")
     if (create) {
-      require(!branches.contains(ref), s"branch $ref exists")
-      CommitLog.writeBranches(spark, root, branches + (ref -> headId.getOrElse(
-        throw new IllegalStateException("cannot branch before first commit"))))
+      // read-modify-write of the pointer map: cross-process locked, or a
+      // racing commit's pointer advance could be silently overwritten
+      CommitLog.withBranchLock(spark, root) {
+        val heads = branches
+        require(!heads.contains(ref), s"branch $ref exists")
+        CommitLog.writeBranches(spark, root, heads + (ref -> headId.getOrElse(
+          throw new IllegalStateException("cannot branch before first commit"))))
+      }
       branchName = Some(ref)
     } else branches.get(ref) match {
       case Some(commitId) =>
@@ -1256,8 +1267,20 @@ class GraftDataset private[format] (
       otherRoots.flatMap(CommitLog.ancestors(spark, root, _))
     val exclusive =
       CommitLog.ancestors(spark, root, heads(name)) -- reachable
+    // pointer drops re-read under the cross-process lock: writing the
+    // STALE map back would silently erase any pointer advance a racing
+    // commit landed between our read and this write
+    def dropPointer(expected: String): Unit =
+      CommitLog.withBranchLock(spark, root) {
+        val cur = CommitLog.readBranches(spark, root)
+        if (!cur.get(name).contains(expected))
+          throw new java.util.ConcurrentModificationException(
+            s"branch $name moved during delete (expected $expected, " +
+              s"found ${cur.get(name)}); re-run deleteBranch")
+        CommitLog.writeBranches(spark, root, cur - name)
+      }
     if (exclusive.isEmpty) { // fully shared history: pointer drop only
-      CommitLog.writeBranches(spark, root, heads - name); return
+      dropPointer(heads(name)); return
     }
     val all = CommitLog.readAllCommits(spark, root)
     // reference guard (functions.py:1003-1016): a commit OUTSIDE the
@@ -1273,7 +1296,7 @@ class GraftDataset private[format] (
     require(pinned.isEmpty,
       s"cannot delete branch $name: saved views/indexes pin commits " +
         pinned.toSeq.sorted.mkString(", "))
-    CommitLog.writeBranches(spark, root, heads - name)
+    dropPointer(heads(name))
     // entries referenced ONLY by the purged commits are reclaimed; any
     // entry a surviving commit (or this instance's staged state) shares
     // stays on disk

@@ -607,6 +607,45 @@ class GraftDatasetSpec extends SparkSpec {
       m2.commit("second pack must not silently land"))
   }
 
+  test("cross-process branch lock: mutual exclusion, stale steal, lease wait") {
+    val ds = freshTable()
+    val f = CommitLog.fs(spark, ds.root)
+    val lock = new org.apache.hadoop.fs.Path(ds.root, "_graft/branch.lock")
+    // mutual exclusion between raw FILE-lock holders (bypassing the JVM
+    // lock — this is what two drivers look like)
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ths = (0 until 4).map { _ =>
+      val t = new Thread(() => CommitLog.withBranchLock(spark, ds.root) {
+        val now = inside.incrementAndGet()
+        maxInside.getAndAccumulate(now, math.max)
+        Thread.sleep(50)
+        inside.decrementAndGet(); ()
+      })
+      t.start(); t
+    }
+    ths.foreach(_.join())
+    assert(maxInside.get() == 1, s"lock admitted ${maxInside.get()} holders")
+    assert(!f.exists(lock), "lock must be released after the section")
+    spark.conf.set("spark.graft.branchLockLeaseMs", "400")
+    try {
+      // a crashed writer's stale lock is stolen after the lease
+      assert(CommitLog.tryCreateExclusive(f, lock, "dead-writer"))
+      f.setTimes(lock, System.currentTimeMillis() - 10000L, -1L)
+      ds.append(Seq((90L, "x", 1.0)).toDF("id", "label", "score"))
+      ds.commit("steals the stale lock") // must not hang
+      assert(!f.exists(lock))
+      // a LIVE (fresh) lock delays the commit until the lease expires
+      assert(CommitLog.tryCreateExclusive(f, lock, "live-but-silent"))
+      val t0 = System.nanoTime()
+      ds.append(Seq((91L, "y", 2.0)).toDF("id", "label", "score"))
+      ds.commit("waits out the lease")
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(ms >= 300, s"commit should wait out the ~400ms lease, took $ms ms")
+      assert(GraftDataset.load(spark, ds.root).toDF.count() == 5)
+    } finally spark.conf.unset("spark.graft.branchLockLeaseMs")
+  }
+
   test("uuids are dense and stable across updates") {
     val ds = freshTable()
     ds.update($"id" === 0L, Map("score" -> lit(9.9)))
