@@ -1061,13 +1061,18 @@ class GraftDataset private[format] (
     * commute with a winner that only APPENDED (disjoint uuid spaces by
     * reservation) or only REWROTE base entries (uuid-preserving, and
     * update/tombstone entries apply merge-on-read by uuid over any base
-    * layout). They do NOT commute with a winner whose own
-    * update/tombstone lists moved: update postimages are FULL rows
-    * computed against OUR parent snapshot, so replaying them over the
-    * winner's edits would silently clobber those edits (and
+    * layout). A winner whose own update/tombstone lists ALSO grew
+    * commutes exactly when the two sides' new entries touch DISJOINT
+    * uuid sets — checked with one tiny join over just the racing
+    * entries (row-level conflict detection, finer than Delta's
+    * file-level check: two enrichment jobs on disjoint slices never
+    * block each other). OVERLAPPING mutations stay a loud conflict
+    * needing user semantics: update postimages are FULL rows computed
+    * against OUR parent snapshot, so replaying them over the winner's
+    * edit of the SAME row would silently clobber it (and any silent
     * last-wins ordering between the two would be an arbitrary pick) —
-    * racing mutations stay a loud conflict needing user semantics,
-    * same as Delta's ConcurrentDeleteRead/WriteException family.
+    * Delta's ConcurrentDeleteRead/WriteException family. A winner that
+    * FOLDED the lists (compact over outstanding churn) stays loud too.
     */
   private def rebaseMutationsOntoBranchHead(): Boolean = {
     val b = branchName.getOrElse(return false)
@@ -1089,12 +1094,27 @@ class GraftDataset private[format] (
         extendsSeq(stTombstones.toSeq, parent.tombstones) &&
         stRenames.map(p => Seq(p._1, p._2)).toSeq == parent.renames &&
         stSchema.json == parent.schemaJson
+    val headNewUpdates = head.updates.drop(parent.updates.length)
+    val headNewTombstones = head.tombstones.drop(parent.tombstones.length)
     val headCompatible =
       head.schemaJson == parent.schemaJson &&
         head.renames == parent.renames &&
-        head.updates == parent.updates &&
-        head.tombstones == parent.tombstones
+        extendsSeq(head.updates, parent.updates) &&
+        extendsSeq(head.tombstones, parent.tombstones)
     if (!mutationOnly || !headCompatible) return false
+    // the winner also mutated: commutes iff the two sides' new entries
+    // touch disjoint uuid sets. One join over ONLY the racing entries —
+    // cost scales with the churn of the two commits, never the table —
+    // with no driver-side uuid materialization.
+    if (headNewUpdates.nonEmpty || headNewTombstones.nonEmpty) {
+      def uuidsOf(entries: Seq[String]) = entries
+        .map(rel => spark.read.parquet(new Path(root, rel).toString)
+          .select(col(UuidCol)))
+        .reduce(_ union _)
+      val ours = uuidsOf(newUpdates ++ newTombstones)
+      val theirs = uuidsOf(headNewUpdates ++ headNewTombstones)
+      if (!ours.join(theirs, UuidCol).isEmpty) return false
+    }
     val newEntries = (newFiles ++ newUpdates ++ newTombstones).toSet
     val ourStats = stStats.view.filterKeys(k =>
       newFiles.exists(e => k == e || k.startsWith(e + "/"))).toMap

@@ -57,50 +57,55 @@ class ConcurrencyFuzzSpec extends SparkSpec {
     var hasRen = false
 
     /** Stage `kind` on a freshly-loaded handle; returns the kind
-      * actually staged (no-op stagings fall back to an append) plus the
-      * model effect to apply IF the commit lands. Mutations are
-      * computed against the handle's snapshot (= the model now). */
+      * actually staged (no-op stagings fall back to an append), the
+      * model effect to apply IF the commit lands, and the id set the
+      * staged mutation touches (drives the disjointness prediction).
+      * Mutations are computed against the handle's snapshot (= the
+      * model now). */
     def stage(h: GraftDataset, kind: Kind, tag: String)
-        : (Kind, () => Unit) = kind match {
+        : (Kind, () => Unit, Set[Long]) = kind match {
       case Append =>
         val rows = appendRows(h, 1 + rnd.nextInt(4))
-        (Append, () => rows.foreach { case (i, v) => model(i) = v })
+        (Append, () => rows.foreach { case (i, v) => model(i) = v },
+          Set.empty)
       case Update =>
         val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
-        val hit = model.keys.filter(_ % m == r).toSeq
+        val hit = model.keys.filter(_ % m == r).toSet
         if (hit.isEmpty) stage(h, Append, tag)
         else {
           val n = h.update(pmod(col("id"), lit(m)) === r,
             Map(h.schema.fieldNames(1) ->
               concat(lit(s"u$tag-"), col("id").cast("string"))))
           assert(n == hit.size, s"update matched $n, model says ${hit.size}")
-          (Update, () => hit.foreach(i => model(i) = s"u$tag-$i"))
+          (Update, () => hit.foreach(i => model(i) = s"u$tag-$i"), hit)
         }
       case Pop =>
         val m = 4 + rnd.nextInt(5); val r = rnd.nextInt(m)
-        val hit = model.keys.filter(_ % m == r).toSeq
+        val hit = model.keys.filter(_ % m == r).toSet
         if (hit.isEmpty) stage(h, Append, tag)
         else {
           val n = h.pop(pmod(col("id"), lit(m)) === r)
           assert(n == hit.size, s"pop matched $n, model says ${hit.size}")
-          (Pop, () => hit.foreach(model.remove))
+          (Pop, () => hit.foreach(model.remove), hit)
         }
       case BinPack =>
         if (h.optimizeSmallFiles(targetBytes = 8L << 20)._1 < 2)
           stage(h, Append, tag)
-        else (BinPack, () => ())
+        else (BinPack, () => (), Set.empty)
       case Compact =>
         h.compact()
-        (Compact, () => ())
+        (Compact, () => (), Set.empty)
       case Rename =>
         val to = s"c$tag"
         h.renameTensor(h.schema.fieldNames(1), to)
-        (Rename, () => { curCol = to; () })
+        (Rename, () => { curCol = to; () }, Set.empty)
     }
 
     /** The commute CONTRACT: does B's staged kind rebase over A's
-      * committed kind, given the table's outstanding state? */
-    def predictLands(kA: Kind, kB: Kind): Boolean = {
+      * committed kind, given the table's outstanding state and the two
+      * mutations' touched-row sets? */
+    def predictLands(kA: Kind, kB: Kind,
+                     hitA: Set[Long], hitB: Set[Long]): Boolean = {
       val flagsClean = !hasUpd && !hasTomb && !hasRen
       kB match {
         case Append => kA match {
@@ -111,7 +116,9 @@ class ConcurrencyFuzzSpec extends SparkSpec {
         case Update | Pop => kA match {
           case Append | BinPack => true
           case Compact => flagsClean // fold moved the mutation lists
-          case _ => false // racing mutations / schema changes: loud
+          // racing mutations commute iff they touch DISJOINT rows
+          case Update | Pop => (hitA intersect hitB).isEmpty
+          case _ => false // schema changes: loud
         }
         case BinPack => kA match {
           // overlapping rewrites (A binpacked/compacted the entries B
@@ -154,15 +161,15 @@ class ConcurrencyFuzzSpec extends SparkSpec {
       val solo = rnd.nextInt(10) < 3
       if (solo) {
         val a = GraftDataset.load(spark, root)
-        val (kA, fxA) = stage(a, kinds(rnd.nextInt(kinds.size)), s"s$round")
+        val (kA, fxA, _) = stage(a, kinds(rnd.nextInt(kinds.size)), s"s$round")
         a.commit(s"solo $kA $round")
         fxA(); applyFlags(kA)
       } else {
         val a = GraftDataset.load(spark, root)
         val b = GraftDataset.load(spark, root)
-        val (kA, fxA) = stage(a, kinds(rnd.nextInt(kinds.size)), s"a$round")
-        val (kB, fxB) = stage(b, kinds(rnd.nextInt(kinds.size)), s"b$round")
-        val lands = predictLands(kA, kB)
+        val (kA, fxA, hitA) = stage(a, kinds(rnd.nextInt(kinds.size)), s"a$round")
+        val (kB, fxB, hitB) = stage(b, kinds(rnd.nextInt(kinds.size)), s"b$round")
+        val lands = predictLands(kA, kB, hitA, hitB)
         a.commit(s"A $kA $round")
         fxA(); applyFlags(kA)
         if (lands) {

@@ -489,23 +489,24 @@ class GraftDatasetSpec extends SparkSpec {
   }
 
   test("concurrent non-commuting conflicts still fail loudly") {
-    // racing MUTATIONS (update-vs-update, update-vs-pop): full-row
-    // postimages computed against different snapshots would clobber each
-    // other under any silent ordering — needs user semantics
+    // racing MUTATIONS of the SAME rows (update-vs-update,
+    // update-vs-pop on an overlapping uuid): full-row postimages
+    // computed against different snapshots would clobber each other
+    // under any silent ordering — needs user semantics
     val ds = freshTable()
     val other = GraftDataset.load(spark, ds.root)
     other.update($"id" === 0L, Map("score" -> lit(7.0)))
-    ds.update($"id" === 1L, Map("score" -> lit(6.0)))
+    ds.update($"id" === 0L, Map("label" -> lit("clash")))
     ds.commit("winner update")
     intercept[java.util.ConcurrentModificationException](
-      other.commit("racing update"))
+      other.commit("racing update, same row"))
     val ds3 = freshTable()
     val other3 = GraftDataset.load(spark, ds3.root)
     other3.update($"id" === 0L, Map("score" -> lit(7.0)))
-    ds3.pop($"id" === 2L)
+    ds3.pop($"id" === 0L)
     ds3.commit("winner pop")
     intercept[java.util.ConcurrentModificationException](
-      other3.commit("racing update vs pop"))
+      other3.commit("racing update vs pop, same row"))
     // loser appended but the WINNER changed the schema: rebase refused
     val ds2 = freshTable()
     val other2 = GraftDataset.load(spark, ds2.root)
@@ -555,6 +556,28 @@ class GraftDatasetSpec extends SparkSpec {
       (70L, "new", 7.0), (71L, "more", 8.0)), s"got $after2")
     // row counts stay metadata-consistent through the whole dance
     assert(GraftDataset.load(spark, ds.root).countRows == 4)
+    // DISJOINT racing mutations commute: row-level conflict detection,
+    // so two enrichment jobs on different slices both land
+    val e1 = GraftDataset.load(spark, ds.root)
+    val e2 = GraftDataset.load(spark, ds.root)
+    assert(e1.update($"id" === 1L, Map("label" -> lit("left"))) == 1L)
+    assert(e2.update($"id" === 70L, Map("label" -> lit("right"))) == 1L)
+    e1.commit("enricher one wins")
+    e2.commit("enricher two rebased (disjoint rows)")
+    val after3 = GraftDataset.load(spark, ds.root).toDF
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(after3 == Seq((1L, "left", 42.0), (2L, "packed", 3.0),
+      (70L, "right", 7.0), (71L, "more", 8.0)), s"got $after3")
+    // disjoint update-vs-pop commutes too
+    val e3 = GraftDataset.load(spark, ds.root)
+    val e4 = GraftDataset.load(spark, ds.root)
+    assert(e3.pop($"id" === 71L) == 1L)
+    assert(e4.update($"id" === 2L, Map("score" -> lit(9.0))) == 1L)
+    e3.commit("pop wins")
+    e4.commit("update rebased (disjoint)")
+    assert(GraftDataset.load(spark, ds.root).toDF.orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "left", 42.0), (2L, "packed", 9.0), (70L, "right", 7.0)))
   }
 
   test("clean-state bin-pack auto-rebases over a concurrent append (Delta OPTIMIZE)") {
