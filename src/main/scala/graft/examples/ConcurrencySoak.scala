@@ -84,33 +84,40 @@ object ConcurrencySoak {
       } catch { case e: Throwable => errors.add(e); () }
     }, "maintenance")
     maint.start()
-    // enrichment thread: uuid-pinned updates racing the appends and the
-    // bin-packs — lost CASes rebase (snapshot-scoped mutations commute
-    // with append/rewrite winners); as the ONLY mutator it never hits
-    // the loud mutation-vs-mutation conflict
+    // TWO enrichment threads on DISJOINT row slices (even/odd ids),
+    // racing the appends, the bin-packs and each other — lost CASes
+    // rebase throughout: snapshot-scoped mutations commute with
+    // append/rewrite winners, and with each other because their
+    // update entries touch disjoint uuid sets (row-level conflict
+    // detection); a same-row race would stay loud, which the disjoint
+    // slices never trigger
     val enrichCommits = new java.util.concurrent.atomic.AtomicLong(0)
     val enrichedRows = new java.util.concurrent.atomic.AtomicLong(0)
-    val enrich = new Thread(() => {
-      try {
-        var i = 0
-        while (!stop.get()) {
-          Thread.sleep(900)
-          val h = GraftDataset.load(spark, rootK)
-          val n = h.update(pmod(col("id"), lit(97)) === (i % 97),
-            Map("payload" -> concat_ws("-", lit("enriched"), col("id"))))
-          if (h.hasUncommitted) {
-            h.commit(s"enrich $i")
-            enrichCommits.incrementAndGet()
-            enrichedRows.addAndGet(n)
-            ()
+    val enrichers = (0 until 2).map { par =>
+      val t = new Thread(() => {
+        try {
+          var i = 0
+          while (!stop.get()) {
+            Thread.sleep(900)
+            val h = GraftDataset.load(spark, rootK)
+            val n = h.update(
+              pmod(col("id"), lit(2)) === par &&
+                pmod(col("id"), lit(97)) === (i % 97),
+              Map("payload" -> concat_ws("-", lit("enriched"), col("id"))))
+            if (h.hasUncommitted) {
+              h.commit(s"enrich[$par] $i")
+              enrichCommits.incrementAndGet()
+              enrichedRows.addAndGet(n)
+              ()
+            }
+            i += 1
           }
-          i += 1
-        }
-      } catch { case e: Throwable => errors.add(e); () }
-    }, "enrich")
-    enrich.start()
+        } catch { case e: Throwable => errors.add(e); () }
+      }, s"enrich-$par")
+      t.start(); t
+    }
     threads.foreach(_.join())
-    stop.set(true); maint.join(); enrich.join()
+    stop.set(true); maint.join(); enrichers.foreach(_.join())
     val multiSec = (System.nanoTime() - t2) / 1e9
     if (!errors.isEmpty) {
       errors.forEach(e => e.printStackTrace())
