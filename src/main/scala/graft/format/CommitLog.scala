@@ -303,7 +303,14 @@ object CommitLog {
     * create(overwrite=false) is a non-atomic exists-then-create, so the
     * claim is a hard link of a fully-written temp (atomic, fails when
     * the file exists — the [[writeCommit]] pattern); elsewhere the
-    * store's own exclusive create carries it. Returns false on loss. */
+    * store's own exclusive create carries it — WHICH IS A STORE
+    * CONTRACT, not a given: HDFS/viewfs/ABFS/GCS honor it, but plain
+    * S3A create(overwrite=false) is a non-atomic exists-then-PUT, so
+    * neither commit claims nor the branch lock are exclusive there
+    * (the same reason Delta requires a LogStore per store class).
+    * [[withBranchLock]] warns once per non-contract scheme, or throws
+    * when `spark.graft.branchLockStrictStore=true`. Returns false on
+    * loss. */
   private[format] def tryCreateExclusive(f: FileSystem, p: Path,
                                          content: String): Boolean = {
     f.mkdirs(p.getParent)
@@ -322,6 +329,84 @@ object CommitLog {
     }
   }
 
+  /** Schemes whose exclusive create ([[tryCreateExclusive]]) and rename
+    * are genuinely atomic, so the branch lock's claim/steal points hold.
+    * file:// uses the hard-link claim; the rest are the stores whose
+    * semantics publish atomic create/rename (HDFS-like namespaces). */
+  private val AtomicCreateSchemes =
+    Set("file", "hdfs", "viewfs", "abfs", "abfss", "gs", "o3fs", "ofs")
+  private val warnedLockSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Steal a stale branch lock via ATOMIC RENAME to a unique quarantine
+    * name — never delete — then VERIFY the quarantined file is the very
+    * lock we observed as stale before discarding it. N stealers can all
+    * observe the same stale mtime; with the old unconditional delete, B
+    * deletes-and-recreates and C's queued delete then removes B's LIVE
+    * lock — two processes in the "exclusive" section. Rename closes the
+    * queued-action half (a loser renaming an absent source just fails),
+    * and the verify closes the other half: if B already re-created the
+    * lock before C's rename fires, C has quarantined B's FRESH lock —
+    * the token (and unrefreshed mtime; rename preserves mtime on
+    * file://+HDFS) no longer match what C observed, so C RESTORES it by
+    * renaming back and reports a lost steal. The same verify also
+    * protects a holder that woke up and heartbeat-refreshed between our
+    * staleness check and the rename. Returns whether we won the steal. */
+  private[format] def stealBranchLock(f: FileSystem, lock: Path,
+                                      observedToken: Option[String],
+                                      observedMtime: Long): Boolean = {
+    val quarantine = new Path(lock.getParent,
+      s".${lock.getName}.stale.${java.util.UUID.randomUUID()}")
+    if (!scala.util.Try(f.rename(lock, quarantine)).getOrElse(false))
+      return false
+    val tokenOk =
+      scala.util.Try(readString(f, quarantine)).toOption == observedToken
+    val mtimeOk = scala.util.Try(f.getFileStatus(quarantine)).toOption
+      .forall(_.getModificationTime <= observedMtime)
+    if (tokenOk && mtimeOk) {
+      scala.util.Try(f.delete(quarantine, false)); true
+    } else {
+      // we took a lock that is NOT the stale one we observed: restore it
+      if (!scala.util.Try(f.rename(quarantine, lock)).getOrElse(false)) {
+        scala.util.Try(f.delete(quarantine, false))
+        System.err.println("graft: WARN quarantined a live branch lock at " +
+          s"$lock and could not restore it (a waiter re-created the lock " +
+          "first); the displaced holder's section is no longer covered")
+      }
+      false
+    }
+  }
+
+  /** Release the lock IF it still carries our token. `fresh` = the
+    * heartbeat proved the lock's mtime was refreshed within the lease,
+    * so no stealer can have acted between the token read and the
+    * delete — plain delete is safe. When we OVERSTAYED (heartbeat
+    * starved by a pause longer than the lease), a stealer may replace
+    * the lock at any instant, so the non-atomic read-then-delete could
+    * remove the thief's live lock; instead rename to a unique name
+    * (atomic take), verify the renamed file's token, and either delete
+    * (ours) or rename back (a thief's — restoring its lock). The
+    * rename-back can itself lose to a waiter that created a new lock in
+    * the microsecond gap; that residual double-hold window requires
+    * overstay + steal + create inside one rename round-trip and is the
+    * documented floor of mtime-lease locks on stores without
+    * conditional ops. */
+  private[format] def releaseBranchLock(f: FileSystem, lock: Path,
+                                        token: String, fresh: Boolean): Unit = {
+    if (!scala.util.Try(readString(f, lock)).toOption.contains(token)) return
+    if (fresh) { scala.util.Try(f.delete(lock, false)); return }
+    val taken = new Path(lock.getParent, s".${lock.getName}.rel.$token")
+    if (!scala.util.Try(f.rename(lock, taken)).getOrElse(false)) return
+    if (scala.util.Try(readString(f, taken)).toOption.contains(token)) {
+      scala.util.Try(f.delete(taken, false)); ()
+    } else if (!scala.util.Try(f.rename(taken, lock)).getOrElse(false)) {
+      scala.util.Try(f.delete(taken, false))
+      System.err.println(s"graft: WARN lost a stolen branch lock while " +
+        s"restoring it at $lock — a waiter re-created the lock first; " +
+        "the stolen holder's section is no longer covered")
+    }
+  }
+
   /** Cross-PROCESS mutual exclusion for branch-pointer read-check-write
     * sections — the piece the in-JVM [[GraftDataset.branchCasLock]]
     * cannot provide when N DRIVERS write one table. A short-lived lock
@@ -329,15 +414,40 @@ object CommitLog {
     * lock-file LogStore pattern Delta uses on stores without a
     * conditional PUT); a holder that crashed mid-section is STOLEN from
     * after `spark.graft.branchLockLeaseMs` (default 30 s) via the lock
-    * file's mtime. The standard lease caveat applies: a holder paused
-    * longer than the lease (GC, VM freeze) can lose the lock mid-write —
-    * size the lease above worst-case pauses; release only deletes the
-    * lock when it still holds OUR token, so a stolen lock is never
-    * released out from under the thief.
+    * file's mtime — by atomic quarantine-rename ([[stealBranchLock]]),
+    * never delete, so racing stealers cannot destroy a winner's fresh
+    * lock. A HEARTBEAT daemon touches the lock's mtime every lease/3
+    * while the body runs, so a section longer than the lease (slow
+    * store retries, big manifests) keeps its lock instead of silently
+    * losing it; only a JVM-wide pause beyond the lease (GC, VM freeze)
+    * can still starve the heartbeat, and the release path then downgrades
+    * to take-verify-restore ([[releaseBranchLock]]). Worst case of every
+    * residual race is a retried CAS, not corruption: the commit-file
+    * create is itself atomic.
+    *
+    * STORE CONTRACT: mtimes must have second-or-better resolution and
+    * the scheme must give atomic create-if-absent + rename
+    * ([[AtomicCreateSchemes]]). Plain S3A has neither (non-atomic
+    * exists-then-PUT, copy+delete rename) — we warn once per scheme, or
+    * throw when `spark.graft.branchLockStrictStore=true`. Clock skew
+    * between writers shifts WHEN a lease looks expired, never whether
+    * two holders coexist (the create/rename atomics decide that).
     */
   private[format] def withBranchLock[T](spark: SparkSession, root: String)
                                        (body: => T): T = {
     val f = fs(spark, root)
+    val scheme = Option(f.getScheme).getOrElse("").toLowerCase
+    if (!AtomicCreateSchemes.contains(scheme)) {
+      if (spark.conf.get("spark.graft.branchLockStrictStore", "false").toBoolean)
+        throw new java.io.IOException(
+          s"scheme '$scheme' lacks atomic exclusive create/rename; the " +
+            "branch lock cannot guarantee cross-process exclusion there " +
+            "(unset spark.graft.branchLockStrictStore to proceed unsafely)")
+      else if (warnedLockSchemes.add(scheme))
+        System.err.println(s"graft: WARN scheme '$scheme' is not known to " +
+          "provide atomic exclusive create/rename — cross-process branch " +
+          "locking is BEST-EFFORT there (see CommitLog.withBranchLock)")
+    }
     val lock = new Path(root, "_graft/branch.lock")
     val token = java.util.UUID.randomUUID().toString
     val leaseMs = spark.conf.get("spark.graft.branchLockLeaseMs", "30000").toLong
@@ -354,20 +464,36 @@ object CommitLog {
               "a writer is stuck or the lease " +
               "(spark.graft.branchLockLeaseMs) is too long")
         if (st.exists(s => now - s.getModificationTime > leaseMs)) {
-          // holder exceeded its lease (crashed writer): steal. The
-          // delete+create race among stealers is resolved by the atomic
-          // create on the next loop.
-          scala.util.Try(f.delete(lock, false)); ()
+          // win or lose, loop back to the atomic create
+          stealBranchLock(f, lock,
+            scala.util.Try(readString(f, lock)).toOption,
+            st.get.getModificationTime); ()
         } else if (st.isDefined)
           Thread.sleep(5L + scala.util.Random.nextInt(20))
         // st empty: released between our create and stat — retry now
       }
     }
+    val lastBeat = new java.util.concurrent.atomic.AtomicLong(
+      System.currentTimeMillis())
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(leaseMs / 3, 50L))
+          try {
+            val now = System.currentTimeMillis()
+            f.setTimes(lock, now, -1); lastBeat.set(now)
+          } catch { case _: Exception => () } // missed beat: release degrades
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-branch-lock-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
     try body
     finally {
-      if (scala.util.Try(readString(f, lock)).toOption.contains(token)) {
-        scala.util.Try(f.delete(lock, false)); ()
-      }
+      beat.interrupt()
+      val fresh =
+        System.currentTimeMillis() - lastBeat.get() < math.max(leaseMs / 2, 1L)
+      releaseBranchLock(f, lock, token, fresh)
     }
   }
 

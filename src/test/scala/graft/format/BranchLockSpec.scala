@@ -1,0 +1,161 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+/** Cross-process branch-lock hardening: quarantine-rename steal with
+  * observed-state verification, heartbeat lease refresh, and the
+  * overstay-safe release path. These target the failure modes a plain
+  * delete-based mtime lease has on real stores (racing stealers
+  * destroying a winner's fresh lock; a release deleting a thief's
+  * lock; a long section silently losing its lease mid-write). The
+  * reference serializes writers with storage locks
+  * (muller/core/version_control/commits.py:383-399); we keep its lease
+  * semantics but make every transition an atomic create or rename. */
+class BranchLockSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("label", StringType)))
+
+  private def freshTable(): GraftDataset = {
+    val ds = GraftDataset.create(spark, tmpDir("lock"), schema)
+    ds.append(Seq((0L, "a"), (1L, "b")).toDF("id", "label"))
+    ds.commit("rows")
+    ds
+  }
+
+  test("steal verifies the quarantined lock IS the observed stale one") {
+    val ds = freshTable()
+    val f = CommitLog.fs(spark, ds.root)
+    val lock = new Path(ds.root, "_graft/branch.lock")
+    // a second stealer that decided to steal from a STALE observation,
+    // firing after the first stealer already re-created a FRESH lock,
+    // must not displace the fresh lock (the ADVICE delete-race shape)
+    assert(CommitLog.tryCreateExclusive(f, lock, "fresh-winner"))
+    val freshMtime = f.getFileStatus(lock).getModificationTime
+    val won = CommitLog.stealBranchLock(f, lock,
+      observedToken = Some("dead-writer"),
+      observedMtime = freshMtime - 60000L)
+    assert(!won, "stealer verified against a stale observation must lose")
+    assert(f.exists(lock), "the fresh lock must survive the failed steal")
+    assert(CommitLog.tryCreateExclusive(f, lock, "x") == false) // still held
+    val content = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(lock.toUri.getPath)))
+    assert(content == "fresh-winner", "restored lock must keep its token")
+    f.delete(lock, false)
+  }
+
+  test("steal succeeds only against the exact observed stale lock") {
+    val ds = freshTable()
+    val f = CommitLog.fs(spark, ds.root)
+    val lock = new Path(ds.root, "_graft/branch.lock")
+    assert(CommitLog.tryCreateExclusive(f, lock, "dead-writer"))
+    val past = System.currentTimeMillis() - 10000L
+    f.setTimes(lock, past, -1L)
+    val observed = f.getFileStatus(lock).getModificationTime
+    assert(CommitLog.stealBranchLock(f, lock, Some("dead-writer"), observed))
+    assert(!f.exists(lock), "won steal removes the stale lock")
+    // no quarantine litter left behind
+    val litter = f.listStatus(new Path(ds.root, "_graft"))
+      .map(_.getPath.getName).filter(_.contains("branch.lock.stale"))
+    assert(litter.isEmpty, s"quarantine files left: ${litter.mkString(",")}")
+  }
+
+  test("racing stealers: at most one wins, fresh re-creation survives") {
+    val ds = freshTable()
+    val f = CommitLog.fs(spark, ds.root)
+    val lock = new Path(ds.root, "_graft/branch.lock")
+    for (_ <- 0 until 20) { // repeat: the race window is narrow
+      assert(CommitLog.tryCreateExclusive(f, lock, "dead-writer"))
+      f.setTimes(lock, System.currentTimeMillis() - 10000L, -1L)
+      val observed = f.getFileStatus(lock).getModificationTime
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val ths = (0 until 4).map { _ =>
+        val t = new Thread(() => {
+          barrier.await()
+          val won = CommitLog.stealBranchLock(
+            f, lock, Some("dead-writer"), observed)
+          if (won) {
+            wins.incrementAndGet()
+            // winner immediately re-creates, like the acquire loop does
+            assert(CommitLog.tryCreateExclusive(f, lock, "fresh"))
+          }
+        })
+        t.start(); t
+      }
+      ths.foreach(_.join())
+      assert(wins.get() == 1, s"${wins.get()} stealers won one stale lock")
+      // the winner's fresh lock must still be there with its own token
+      val content = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(lock.toUri.getPath)))
+      assert(content == "fresh",
+        "a losing stealer displaced or destroyed the winner's fresh lock")
+      f.delete(lock, false)
+    }
+  }
+
+  test("heartbeat keeps a section longer than the lease from being stolen") {
+    val ds = freshTable()
+    val f = CommitLog.fs(spark, ds.root)
+    spark.conf.set("spark.graft.branchLockLeaseMs", "300")
+    try {
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val holder = new Thread(() =>
+        CommitLog.withBranchLock(spark, ds.root) {
+          val n = inside.incrementAndGet(); maxInside.getAndAccumulate(n, math.max)
+          Thread.sleep(1200) // 4x the lease — pre-heartbeat this IS stolen
+          inside.decrementAndGet(); ()
+        })
+      holder.start()
+      Thread.sleep(150) // let the holder acquire first
+      val waiter = new Thread(() =>
+        CommitLog.withBranchLock(spark, ds.root) {
+          val n = inside.incrementAndGet(); maxInside.getAndAccumulate(n, math.max)
+          Thread.sleep(20)
+          inside.decrementAndGet(); ()
+        })
+      waiter.start()
+      holder.join(); waiter.join()
+      assert(maxInside.get() == 1,
+        s"waiter stole a heartbeat-fresh lock (${maxInside.get()} inside)")
+      assert(!f.exists(new Path(ds.root, "_graft/branch.lock")))
+    } finally spark.conf.unset("spark.graft.branchLockLeaseMs")
+  }
+
+  test("release never removes a lock carrying someone else's token") {
+    val ds = freshTable()
+    val f = CommitLog.fs(spark, ds.root)
+    val lock = new Path(ds.root, "_graft/branch.lock")
+    assert(CommitLog.tryCreateExclusive(f, lock, "thief"))
+    // overstayed holder (fresh=false) releasing after a steal+replace
+    CommitLog.releaseBranchLock(f, lock, token = "overstayed", fresh = false)
+    assert(f.exists(lock), "release deleted the thief's live lock")
+    // fresh holder with a mismatched token must also leave it alone
+    CommitLog.releaseBranchLock(f, lock, token = "overstayed", fresh = true)
+    assert(f.exists(lock))
+    // the actual owner releases it, both on the fresh and overstay paths
+    CommitLog.releaseBranchLock(f, lock, token = "thief", fresh = false)
+    assert(!f.exists(lock), "owner's overstay release must still release")
+    assert(CommitLog.tryCreateExclusive(f, lock, "thief2"))
+    CommitLog.releaseBranchLock(f, lock, token = "thief2", fresh = true)
+    assert(!f.exists(lock))
+    // no .rel litter from the take-verify path
+    val litter = f.listStatus(new Path(ds.root, "_graft"))
+      .map(_.getPath.getName).filter(_.contains("branch.lock.rel"))
+    assert(litter.isEmpty, s"release litter: ${litter.mkString(",")}")
+  }
+
+  test("strict store conf names the contract (file:// passes it)") {
+    val ds = freshTable()
+    spark.conf.set("spark.graft.branchLockStrictStore", "true")
+    try {
+      // file:// IS in the atomic-create contract: strict mode still works
+      CommitLog.withBranchLock(spark, ds.root) { () }
+    } finally spark.conf.unset("spark.graft.branchLockStrictStore")
+  }
+}
