@@ -1042,8 +1042,14 @@ class GraftDataset private[format] (
     stUpdates = head.updates.toVector
     stTombstones = head.tombstones.toVector
     stRenames = head.renames.map(p => (p(0), p(1))).toVector
-    stStats = head.stats.getOrElse(Map.empty) ++ ourStats
-    stEpochs = head.epochs.getOrElse(Map.empty) ++ ourEpochs
+    // adopt the winner's stats/epochs MINUS the entries this rebase just
+    // removed from the manifest — carrying them would commit dead keys
+    // that every descendant inherits forever (metadata bloat, not a
+    // correctness issue: lookups are manifest-driven)
+    stStats = head.stats.getOrElse(Map.empty).view.filterKeys(k =>
+      !replaced.exists(e => k == e || k.startsWith(e + "/"))).toMap ++ ourStats
+    stEpochs = head.epochs.getOrElse(Map.empty)
+      .filter { case (k, _) => !replacedSet(k) } ++ ourEpochs
     // conservative AND: never claim normalized stat keys the winner (or
     // our own pre-rebase handle) did not
     stStatsNormalized = stStatsNormalized &&

@@ -4,22 +4,30 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Randomized MODEL-BASED check of the optimistic-concurrency layer: two
-  * handles load the same head, each stages a random op (append / update
-  * / pop / bin-pack / compact / rename), A commits first and wins, B's
-  * commit then either AUTO-REBASES (when the contract says the changes
-  * commute) or fails with ConcurrentModificationException (when it says
-  * they don't) — the fuzzer PREDICTS which from the contract alone and
+/** Randomized MODEL-BASED check of the optimistic-concurrency layer:
+  * TWO OR THREE handles load the same head, each stages a random op
+  * (append / update / pop / bin-pack / compact / rename), the first
+  * commits and wins, and every later committer either AUTO-REBASES
+  * (when the contract says its change commutes with EVERYTHING that
+  * landed since its snapshot) or fails with
+  * ConcurrentModificationException — the fuzzer PREDICTS which from the
+  * contract alone (pairwise commute against each landed op, with
+  * row-disjointness over the UNION of landed mutation hit-sets) and
   * asserts the engine agrees, then checks the full table content
-  * against an id-keyed model after every round. The serialization the
-  * rebases promise is "winner first, loser's SNAPSHOT-SCOPED change
-  * second": B's mutations touch exactly the rows B's handle read, never
-  * the winner's new rows. Solo rounds interleave so renames, compacts
-  * and outstanding update/tombstone entries build up real state for the
-  * racing rounds to trip over. Complements ConcurrencySoak (threaded,
-  * throughput) with deterministic interaction coverage of the rebase
-  * family's refusal conditions — sequences no hand-written spec
-  * enumerates.
+  * against an id-keyed model after every round. The 3-way rounds prove
+  * the COMMUTE CLOSURE the pairwise contract claims: rebasing C over
+  * (A then B-rebased) must equal the pairwise conjunction — rebase
+  * order introduces no new conflicts and loses no landed change. The
+  * serialization the rebases promise is landing order: each loser's
+  * SNAPSHOT-SCOPED change applies after everything that beat it, and
+  * its mutations touch exactly the rows its handle read. Outstanding-
+  * state tracking is exact: a compact that lands FIRST folds the
+  * round-start lists, but a compact that lands REBASED adopts the
+  * other landers' new update/tombstone entries — they stay outstanding.
+  * Solo rounds interleave so renames, compacts and outstanding lists
+  * build up real state for the racing rounds to trip over. Complements
+  * ConcurrencySoak (threaded, throughput) with deterministic
+  * interaction coverage no hand-written spec enumerates.
   */
 class ConcurrencyFuzzSpec extends SparkSpec {
   import spark.implicits._
@@ -165,23 +173,48 @@ class ConcurrencyFuzzSpec extends SparkSpec {
         a.commit(s"solo $kA $round")
         fxA(); applyFlags(kA)
       } else {
-        val a = GraftDataset.load(spark, root)
-        val b = GraftDataset.load(spark, root)
-        val (kA, fxA, hitA) = stage(a, kinds(rnd.nextInt(kinds.size)), s"a$round")
-        val (kB, fxB, hitB) = stage(b, kinds(rnd.nextInt(kinds.size)), s"b$round")
-        val lands = predictLands(kA, kB, hitA, hitB)
-        a.commit(s"A $kA $round")
-        fxA(); applyFlags(kA)
-        if (lands) {
-          b.commit(s"B $kB $round (rebased)")
-          fxB(); applyFlags(kB)
-        } else {
-          intercept[java.util.ConcurrentModificationException](
-            b.commit(s"B $kB $round (must conflict)"))
-          // the loser's change is dropped; the table must be exactly A's
+        // 2- or 3-way race; every racer stages against the SAME head
+        val racers = 2 + rnd.nextInt(2)
+        val handles = Vector.fill(racers)(GraftDataset.load(spark, root))
+        val staged = handles.zipWithIndex.map { case (h, i) =>
+          stage(h, kinds(rnd.nextInt(kinds.size)),
+            s"${('a' + i).toChar}$round")
         }
-        info(s"round $round: A=$kA B=$kB -> " +
-          (if (lands) "rebased" else "conflict"))
+        // first committer wins outright; later ones rebase iff they
+        // commute PAIRWISE with every op landed since their snapshot
+        // (all predictions evaluate against round-start flags — every
+        // racer staged against the round-start state)
+        handles(0).commit(s"W ${staged(0)._1} $round")
+        staged(0)._2()
+        var landed = Vector((staged(0)._1, staged(0)._3))
+        for (i <- 1 until racers) {
+          val (k, fx, hit) = staged(i)
+          val lands = landed.forall { case (kW, hitW) =>
+            predictLands(kW, k, hitW, hit) }
+          if (lands) {
+            handles(i).commit(s"L$i $k $round (rebased)")
+            fx(); landed :+= ((k, hit))
+          } else {
+            intercept[java.util.ConcurrentModificationException](
+              handles(i).commit(s"L$i $k $round (must conflict)"))
+            // the loser's change is dropped entirely
+          }
+        }
+        // outstanding-state bookkeeping, exact w.r.t. rebase adoption:
+        // at most one Compact lands per racing round (Compact never
+        // rebases over Compact); landing FIRST it folds the round-start
+        // lists, landing REBASED it folds those AND adopts the earlier
+        // landers' new entries — but those entries are re-staged by the
+        // rebase as its own adopted head, so in both positions the
+        // round-start lists are gone while every OTHER landed op's new
+        // entries remain outstanding
+        if (landed.exists(_._1 == Compact)) {
+          hasUpd = false; hasTomb = false; hasRen = false
+        }
+        landed.foreach { case (k, _) => if (k != Compact) applyFlags(k) }
+        info(s"round $round: ${staged.map(_._1).mkString(" vs ")} -> " +
+          s"${landed.size}/$racers landed " +
+          s"(${landed.map(_._1).mkString(",")})")
       }
       checkContent(s"after round $round")
     }

@@ -580,6 +580,38 @@ class GraftDatasetSpec extends SparkSpec {
       Seq((1L, "left", 42.0), (2L, "packed", 9.0), (70L, "right", 7.0)))
   }
 
+  test("rebased rewrite prunes the winner's stats/epochs for replaced entries") {
+    val ds = freshTable()
+    ds.append(Seq((10L, "d", 4.0)).toDF("id", "label", "score"))
+    ds.commit("grow 1")
+    ds.append(Seq((11L, "e", 5.0)).toDF("id", "label", "score"))
+    ds.commit("grow 2")
+    val maint = GraftDataset.load(spark, ds.root)
+    assert(maint.optimizeSmallFiles(targetBytes = 8L << 20)._1 >= 2)
+    ds.append(Seq((90L, "race", 9.0)).toDF("id", "label", "score"))
+    ds.commit("winner append")
+    val rebasedId = maint.commit("maintenance bin-pack")
+    // the rebase adopted the winner's stats/epochs — but the entries the
+    // bin-pack replaced are gone from the manifest, so their keys must
+    // not ride along (they would be inherited by every descendant)
+    val meta = CommitLog.readCommit(spark, ds.root, rebasedId)
+    val live = (meta.files ++ meta.updates ++ meta.tombstones).toSet
+    val deadStats = meta.stats.getOrElse(Map.empty).keys
+      .filterNot(k => live.exists(e => k == e || k.startsWith(e + "/")))
+    assert(deadStats.isEmpty, s"dead stat keys: ${deadStats.mkString(", ")}")
+    val deadEpochs = meta.epochs.getOrElse(Map.empty).keys.filterNot(live)
+    assert(deadEpochs.isEmpty, s"dead epoch keys: ${deadEpochs.mkString(", ")}")
+    // and the pruning didn't throw away LIVE stats: whatever keys the
+    // winner held for surviving entries are still present
+    val winStats = CommitLog.readCommit(spark, ds.root,
+      meta.parent.get).stats.getOrElse(Map.empty)
+    val keptWinKeys = winStats.keys.filter(k =>
+      live.exists(e => k == e || k.startsWith(e + "/")))
+    assert(keptWinKeys.forall(meta.stats.getOrElse(Map.empty).contains),
+      "rebase dropped stats for entries that survived it")
+    assert(meta.stats.exists(_.nonEmpty), "rebased commit lost all stats")
+  }
+
   test("clean-state bin-pack auto-rebases over a concurrent append (Delta OPTIMIZE)") {
     val ds = freshTable()
     ds.append(Seq((10L, "d", 4.0)).toDF("id", "label", "score"))

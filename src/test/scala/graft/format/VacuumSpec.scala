@@ -132,6 +132,69 @@ class VacuumSpec extends SparkSpec {
     assert(finalRows.size == 9)
   }
 
+  test("vacuum races a REBASING mutation writer: staged update/pop files survive") {
+    // r16 added mutation auto-rebase: an updater that loses the branch
+    // CAS re-parents its staged update/tombstone entries onto the new
+    // head. Between the CAS loss and the rebased publish those staged
+    // files are referenced by NO commit — a racing vacuum sees them as
+    // orphans, and only the mtime-vs-retention guard may keep them.
+    val ds = freshTable()
+    val mut = GraftDataset.load(spark, ds.root)
+    assert(mut.update($"id" === 1L, Map("score" -> lit(99.0))) == 1L)
+    // winner takes the head: mut's eventual commit MUST rebase
+    ds.append(Seq((10L, "w", 4.0)).toDF("id", "label", "score"))
+    val winId = ds.commit("winner append")
+    // the sweep fires exactly in the vulnerable window
+    val rep = GraftDataset.load(spark, ds.root)
+      .vacuum(olderThanMs = 30 * 60 * 1000L)
+    assert(rep.filter(col("status") === "deleted").count() == 0,
+      "retention guard must keep the rebasing writer's staged entries")
+    val rebasedId = mut.commit("enrichment lands after the sweep")
+    assert(CommitLog.readCommit(spark, ds.root, rebasedId)
+      .parent.contains(winId), "the mutation must have rebased")
+    val after = GraftDataset.load(spark, ds.root).toDF
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(after == Seq((0L, "a", 1.0), (1L, "b", 99.0), (2L, "c", 3.0),
+      (10L, "w", 4.0)), s"update lost to the vacuum: $after")
+
+    // interleaved soak of the same race: a vacuum loop sweeps while an
+    // enrichment writer keeps losing the CAS to an ingest writer and
+    // rebasing updates + pops; every mutation must land
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vacuumErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val sweeper = new Thread(() => {
+      val h = GraftDataset.load(spark, ds.root)
+      while (!stop.get())
+        try { h.vacuum(olderThanMs = 30 * 60 * 1000L); () }
+        catch { case t: Throwable =>
+          vacuumErr.compareAndSet(null, t); stop.set(true) }
+    })
+    sweeper.start()
+    try {
+      val ingest = GraftDataset.load(spark, ds.root)
+      for (i <- 0 until 4) {
+        val enrich = GraftDataset.load(spark, ds.root)
+        assert(enrich.update($"id" === 2L,
+          Map("score" -> lit(100.0 + i))) == 1L)
+        ingest.reset()
+        ingest.append(Seq((200L + i, s"g$i", i.toDouble))
+          .toDF("id", "label", "score"))
+        ingest.commit(s"ingest wins $i") // takes the head first
+        enrich.commit(s"enrichment rebases $i")
+      }
+    } finally { stop.set(true); sweeper.join(30000) }
+    assert(vacuumErr.get() == null,
+      s"racing vacuum must not fail: ${vacuumErr.get()}")
+    val fin = GraftDataset.load(spark, ds.root)
+    val rows = fin.toDF.orderBy("id").as[(Long, String, Double)]
+      .collect().toSeq
+    assert(rows.collect { case (2L, _, s) => s } == Seq(103.0),
+      s"last rebased update must win: $rows")
+    assert((0 until 4).forall(i => rows.exists(_._1 == 200L + i)),
+      s"every ingest commit's row must survive: $rows")
+    assert(fin.countRows == rows.size.toLong)
+  }
+
   test("view and index pins protect their commits' files") {
     val ds = freshTable()
     ds.saveView("small", $"id" < 2L)
