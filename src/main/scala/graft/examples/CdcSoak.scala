@@ -22,7 +22,10 @@ import graft.streaming.GraftStreaming
   *
   * Finally the REPLICA runs its own maintenance (bin-packing optimize +
   * aggressive vacuum) and must still match the source row-for-row,
-  * uuid-for-uuid.
+  * uuid-for-uuid. Source and replica are two tables advancing under the
+  * marker-idempotency clause of the cross-table contract (SCALE.md
+  * "What spans tables and what doesn't") — convergent and exactly-once
+  * per table, never atomically paired.
   *
   * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.examples.CdcSoak [seedRows] [rounds]"`
   * Prints one JSON line; measured results recorded in SCALE.md.

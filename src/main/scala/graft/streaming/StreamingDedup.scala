@@ -31,7 +31,10 @@ import graft.operators.Dedup
   *     version log makes the lost delta addressable, so the repair is
   *     exact, not heuristic.
   * Both tables must be dedicated to this stream (append-only, one
-  * writer), which the marker protocol assumes.
+  * writer), which the marker protocol assumes. This is the canonical
+  * instance of the engine's cross-table contract — idempotent,
+  * convergent pairs over per-table commits, never a cross-table atomic
+  * commit; see SCALE.md "What spans tables and what doesn't".
   *
   * At 100 TB: each batch pays O(batch) fingerprinting, one band/fp
   * equi-join against the state table, and two appends — the corpus is
