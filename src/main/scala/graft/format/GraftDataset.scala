@@ -1212,6 +1212,41 @@ class GraftDataset private[format] (
     out.result()
   }
 
+  /** Newest first-parent commit from HEAD whose message equals
+    * `message`, or None — the marker-matched read of the cross-table
+    * contract (SCALE.md "What spans tables and what doesn't"). Two
+    * tables coordinated by idempotent commit markers (the streaming
+    * sink's epoch markers, [[graft.streaming.StreamingDedup]]'s
+    * `dedup[token] batch N` pairs, `GraftStreaming.replicate`) have no
+    * cross-table atomic commit; a consistent PAIR is read by resolving
+    * the SAME marker on each table and pinning both snapshots:
+    * {{{
+    *   val c1 = sinkDs.commitForMessage(m).get
+    *   val c2 = stateDs.commitForMessage(m).get
+    *   sinkDs.snapshotAt(c1).join(stateDs.snapshotAt(c2), ...)
+    * }}}
+    * Walks newest→oldest and stops at the first hit, so for a
+    * stream-owned branch (monotone markers) the cost is O(commits
+    * since the marker), not O(history).
+    */
+  def commitForMessage(message: String): Option[String] = {
+    var cur = headId
+    while (cur.isDefined) {
+      val m = CommitLog.readCommit(spark, root, cur.get)
+      if (m.message == message) return Some(m.id)
+      cur = m.parent
+    }
+    None
+  }
+
+  /** [[commitForMessage]] + [[snapshotAt]]: the table as of the newest
+    * commit carrying `message`; errors if no commit does.
+    */
+  def snapshotAtMessage(message: String): DataFrame =
+    snapshotAt(commitForMessage(message).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit on the current branch has message '$message'")))
+
   /** Every commit in the table, newest first (reference `commits`). */
   def allCommits: Seq[CommitMeta] =
     CommitLog.listCommits(spark, root).sorted.reverse

@@ -139,7 +139,6 @@ class ConcurrencyFuzzSpec extends SparkSpec {
           // fold) and A must have kept every file B replaced
           flagsClean && (kA == Append || kA == Update || kA == Pop)
         case Rename => false // schema changes never rebase
-        case Append | Update | Pop | BinPack | Compact | Rename => false
       }
     }
 

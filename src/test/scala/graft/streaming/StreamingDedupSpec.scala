@@ -97,6 +97,46 @@ class StreamingDedupSpec extends SparkSpec {
     assert(GraftDataset.load(spark, state).toDF.count() == 2)
   }
 
+  test("marker-matched pair read is consistent inside the crash window") {
+    val (sink, state) = roots()
+    val fam = StreamingDedup.exactFamily
+    StreamingDedup.processBatch(
+      Seq((0L, "first doc"), (1L, "other doc")).toDF("id", "t"),
+      0L, "tok", sink, state, "t", "id", fam)
+    // crash window of epoch 1: sink commit lands, state never follows
+    val sinkDs = GraftDataset.load(spark, sink)
+    sinkDs.append(Seq((2L, "third doc")).toDF("id", "t"))
+    sinkDs.commit("dedup[tok] batch 1")
+    val stateDs = GraftDataset.load(spark, state)
+
+    // the follower is behind: epoch 1 resolves on the sink only
+    assert(sinkDs.commitForMessage("dedup[tok] batch 1").isDefined)
+    assert(stateDs.commitForMessage("dedup[tok] batch 1").isEmpty)
+    intercept[IllegalArgumentException] {
+      stateDs.snapshotAtMessage("dedup[tok] batch 1")
+    }
+
+    // the newest marker present on BOTH tables pins a consistent pair:
+    // the state snapshot digests the sink snapshot exactly, row for row
+    val m = "dedup[tok] batch 0"
+    val pairSink = sinkDs.snapshotAtMessage(m)
+    val pairState = stateDs.snapshotAtMessage(m)
+    assert(pairSink.count() == 2 && pairState.count() == 2)
+    val sinkFps = pairSink
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("t")).as("_fp"))
+    assert(sinkFps.except(pairState.select("_fp")).isEmpty &&
+      pairState.select("_fp").except(sinkFps).isEmpty,
+      "pinned state must digest exactly the pinned sink's rows")
+    // while the LIVE pair is inconsistent mid-window (sink 3, state 2)
+    assert(sinkDs.toDF.count() == 3 && stateDs.toDF.count() == 2)
+    // duplicate markers resolve newest-first: recommitting the epoch-0
+    // marker (allow_empty) must win over the original
+    val dup = stateDs.commit(m, allowEmpty = true)
+    assert(GraftDataset.load(spark, state).commitForMessage(m)
+      .contains(dup))
+  }
+
   test("simhash family: near-dup shadowing across batches") {
     val (sink, state) = roots()
     val fam = StreamingDedup.simHashFamily(maxHamming = 3)
