@@ -638,6 +638,55 @@ object TextQueries {
           < ${(0.2 * (1L << 60).toDouble).toLong}
         ORDER BY doc_id""")),
 
+    // sequence packing: concatenate-and-chop addresses (stream, block,
+    // offset) for fixed-budget context blocks — deterministic md5 order,
+    // so the trainer can recompute the same layout from the same table
+    QueryDef("q129_pack_sequences",
+      (s, dir) => Sampling.packByBudget(docs(s, dir), "doc_id",
+          T.tokenCount(col("text")), budget = 512L, streams = 8,
+          salt = "pk")
+        .select("doc_id", "stream", "block", "block_offset")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id,
+          CAST(len($duckToks) AS BIGINT) AS ntok,
+          CAST(concat('0x', substr(md5(concat(
+            CAST(doc_id AS VARCHAR), 'pk')), 1, 15)) AS BIGINT) AS coin
+          FROM documents),
+        st AS (SELECT doc_id, ntok, coin, coin % 8 AS stream FROM t),
+        c AS (SELECT doc_id, stream,
+          CAST(SUM(ntok) OVER (PARTITION BY stream ORDER BY coin, doc_id
+            ROWS UNBOUNDED PRECEDING) - ntok AS BIGINT) AS strt
+          FROM st)
+        SELECT doc_id, stream,
+          CAST(FLOOR(strt / 512.0) AS BIGINT) AS block,
+          strt % 512 AS block_offset
+        FROM c ORDER BY doc_id""")),
+
+    // mixture sampling: per-source keep rates from target weights,
+    // md5-coin selection — the pretraining data-mixture step. Weights
+    // derive from the source suffix ((n%4+1)/8) on BOTH sides so the
+    // oracle replays the exact double arithmetic.
+    QueryDef("q130_mixture_by_source",
+      (s, dir) => Sampling.mixBySource(docs(s, dir), "doc_id", "source",
+          weights = (0 until 20).map(i =>
+            s"src$i" -> ((i % 4 + 1) / 8.0)).toMap,
+          salt = "mx")
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""WITH cnt AS (
+          SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+        r AS (SELECT source,
+            ((CAST(substr(source, 4) AS BIGINT) % 4 + 1) / 8.0)
+              / CAST(c AS DOUBLE) AS ratio FROM cnt),
+        mx AS (SELECT MAX(ratio) AS m FROM r),
+        cut AS (SELECT source,
+            CAST(FLOOR(ratio / m * 1152921504606846976.0) AS BIGINT)
+              AS cutoff FROM r, mx)
+        SELECT d.doc_id, d.source FROM documents d
+        JOIN cut USING (source)
+        WHERE CAST(concat('0x', substr(md5(concat(
+            CAST(doc_id AS VARCHAR), 'mx')), 1, 15)) AS BIGINT) < cutoff
+        ORDER BY doc_id""")),
+
     // Gopher-style repetition signals: top/duplicate n-gram occurrence
     // fractions in ONE sorted run-length pass per row. explode(array(..))
     // is a deliberate binding barrier: Generate evaluates the struct once

@@ -52,4 +52,83 @@ object Sampling {
       .filter(col("_rn") <= n)
       .drop("_rn")
   }
+
+  /** Sequence packing for training: assign every document a `(stream,
+    * block, block_offset)` address in the concatenate-and-chop layout
+    * LLM pretraining uses — documents are concatenated in a
+    * deterministic order and the token stream is chopped into
+    * fixed-`budget` context blocks; a document's `block` is where its
+    * FIRST token lands (a doc longer than the remaining block space
+    * overflows into subsequent blocks, exactly like the real packer).
+    * `tokens` is the per-row token count (any expression — whitespace
+    * count, a BPE estimate, a precomputed column).
+    *
+    * Deterministic and engine-replayable like everything in this file:
+    * the stream id and the intra-stream order both derive from the md5
+    * coin, so the layout is a pure function of (row ids, token counts)
+    * — stable under repartitioning, retries, and engine swaps, which is
+    * what lets a downstream trainer and this engine agree on sample
+    * boundaries without shipping an index.
+    *
+    * Scale: one hash shuffle on the stream id + a per-stream
+    * running-sum window — no global sort, no driver state. Pick
+    * `streams` so one stream's rows fit a task's sort (the window sorts
+    * (coin, id, tokens) triples, not document bodies; project narrow
+    * before packing a wide table). The md5 coin is uniform, so streams
+    * are balanced by construction.
+    */
+  def packByBudget(df: DataFrame, idCol: String, tokens: Column,
+                   budget: Long, streams: Int,
+                   salt: String = ""): DataFrame = {
+    require(budget > 0, s"bad budget $budget")
+    require(streams > 0, s"bad stream count $streams")
+    val w = Window.partitionBy(col("_stream"))
+      .orderBy(col("_coin").asc, col(idCol).asc)
+    df.withColumn("_coin", hashCoin(col(idCol), salt))
+      .withColumn("_stream", pmod(col("_coin"), lit(streams.toLong)))
+      .withColumn("_ntok", tokens.cast("long"))
+      .withColumn("_start", sum(col("_ntok")).over(w) - col("_ntok"))
+      .withColumn("stream", col("_stream"))
+      .withColumn("block",
+        floor(col("_start") / lit(budget.toDouble)).cast("long"))
+      .withColumn("block_offset", pmod(col("_start"), lit(budget)))
+      .drop("_coin", "_stream", "_ntok", "_start")
+  }
+
+  /** Mixture sampling: downsample each source so the kept corpus
+    * approaches the target `weights` WITHOUT upsampling — the "data
+    * mixture" step of pretraining curation. Per-source keep rate is
+    * `(w_s / n_s)` normalized so the most over-weighted source keeps
+    * everything (rates are relative: doubling every weight changes
+    * nothing); rows are chosen by the salted md5 coin, so the kept set
+    * is engine-independent and stable under repartitioning. Sources
+    * missing from `weights` are dropped; weights naming absent sources
+    * are ignored.
+    *
+    * Scale: one count aggregate whose result is bounded by the number
+    * of distinct sources (collected driver-side like the ANN centroid
+    * reads), then a broadcast join of per-source cutoffs + one
+    * codegen'd filter at the scan — the corpus itself never shuffles.
+    */
+  def mixBySource(df: DataFrame, idCol: String, sourceCol: String,
+                  weights: Map[String, Double],
+                  salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "empty weights")
+    require(weights.values.forall(w => w > 0 && !w.isInfinite && !w.isNaN),
+      s"weights must be finite and positive: $weights")
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratios = weights.flatMap { case (s, w) =>
+      counts.get(s).map(c => s -> w / c.toDouble) }
+    require(ratios.nonEmpty, "no weighted source present in the data")
+    val maxRatio = ratios.values.max
+    val cutoffs = ratios.toSeq.map { case (s, r) =>
+      (s, ((r / maxRatio) * (1L << 60).toDouble).toLong) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cutDf = cutoffs.toDF(sourceCol, "_cutoff")
+    df.join(broadcast(cutDf), sourceCol)
+      .filter(hashCoin(col(idCol), salt) < col("_cutoff"))
+      .drop("_cutoff")
+  }
 }

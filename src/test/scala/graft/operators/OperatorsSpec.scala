@@ -153,4 +153,61 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Int)].collect().toSet
     assert(q == Set(("a", 1), ("a", 2), ("b", 9))) // lowest-order rows win
   }
+
+  // the engine-independent md5 coin, recomputed outside Spark
+  private def modelCoin(key: String, salt: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((key + salt).getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  test("packing: concat-and-chop layout matches an independent model") {
+    val docs = (0L until 400L).map(i => (i, i % 7 + 1)).toDF("id", "ntok")
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packByBudget(df, "id", col("ntok"), budget = 16L,
+          streams = 4, salt = "p")
+        .select("id", "stream", "block", "block_offset")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = pack(docs)
+    // layout is a pure function of (ids, counts): repartitioning is a no-op
+    assert(got == pack(docs.repartition(13)))
+    // independent model: coin → stream, per-stream (coin, id) order,
+    // running start, chop at the budget boundary
+    val model = (0L until 400L).map { id =>
+      (id, modelCoin(id.toString, "p"), id % 7 + 1) }
+      .groupBy { case (_, c, _) => c % 4 }
+      .flatMap { case (stream, rows) =>
+        var start = 0L
+        rows.sortBy { case (id, c, _) => (c, id) }.map { case (id, _, n) =>
+          val s = start; start += n
+          (id, stream, s / 16, s % 16)
+        }
+      }.toSeq.sortBy(_._1)
+    assert(got == model)
+    // every address is inside its block
+    assert(got.forall { case (_, _, b, off) => b >= 0 && off >= 0 && off < 16 })
+  }
+
+  test("mixture: per-source rates hit the target weights, no upsampling") {
+    val rows = (0 until 900).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("id", "source")
+    // counts are 300 each; weights 0.5 vs 0.25 → s0 keeps all (most
+    // over-weighted), s1 keeps ~half; s2 is unweighted → dropped; the
+    // weight naming an absent source is ignored
+    def mix() = Sampling.mixBySource(rows, "id", "source",
+      Map("s0" -> 0.5, "s1" -> 0.25, "zz" -> 1.0), salt = "m")
+      .select("id", "source").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val kept = mix()
+    assert(kept == mix()) // deterministic
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("s0") == 300, s"max-rate source must keep all: $bySrc")
+    assert(!bySrc.contains("s2"), "unweighted source must drop")
+    assert(math.abs(bySrc("s1") - 150) < 60, s"~half of s1: $bySrc")
+    // the kept set is the coin filter: every kept s1 row's coin is below
+    // the same cutoff an external system would compute
+    val cut = ((0.25 / 300.0) / (0.5 / 300.0) * (1L << 60).toDouble).toLong
+    kept.filter(_._2 == "s1").foreach { case (id, _) =>
+      assert(modelCoin(id.toString, "m") < cut) }
+  }
 }
