@@ -61,6 +61,40 @@ object Bench {
       r
     }
 
+    /** Environment telemetry, captured inside the driver-parsed JSON line
+      * so an inflated capture is refutable from the artifact alone. Two of
+      * the last three rounds produced a misleading official bench (r15
+      * rc 1; r17 a uniform ~1.3x inflation that took two isolated judge
+      * re-runs to refute). Read-out rule (documented in SCALE.md): canary
+      * drift tracking suite drift ⇒ environment; canary flat ⇒ engine.
+      */
+    def loadavg1m: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def memAvailMb: Long =
+      try {
+        val line = scala.io.Source.fromFile("/proc/meminfo").getLines()
+          .find(_.startsWith("MemAvailable:")).getOrElse("")
+        line.split("\\s+")(1).toLong / 1024
+      } catch { case _: Throwable => -1L }
+
+    // Canary: one fixed cheap suite query re-timed at suite start, middle
+    // (between the main pass and the slowest-requery pass), and end, under
+    // the identical GC+reap protocol as every measured query. Its three
+    // samples calibrate what the environment did to the capture.
+    // Min-of-2 like every measured query, so the start sample isn't just
+    // measuring first-query JIT/codegen warmup.
+    val canaryName = "q01_agg_pricing_summary"
+    def canary(): Double =
+      SparkEntry.queries.get(canaryName).map { fn =>
+        val runs = Seq(once(canaryName, fn), once(canaryName, fn)).flatten
+        if (runs.isEmpty) -1.0 else runs.min
+      }.getOrElse(-1.0)
+
+    val loadStart = loadavg1m
+    val memStartMb = memAvailMb
+    val canaryStart = canary()
+
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Two executions per query, report the MIN: the first pays
       // whole-stage-codegen + JIT (measured 2-6x steady state), and either
@@ -82,6 +116,8 @@ object Bench {
     // trustworthy. Re-run the 5 slowest queries once more from the
     // fully-reaped state and keep the min — the official number should
     // track the engine, not the harness's accumulated state.
+    val canaryMid = canary()
+
     val slowest = firstPass.filter(_._2 > 0).sortBy(-_._2).take(5).map(_._1).toSet
     val byName = selected
     val results = firstPass.map { case (name, best) =>
@@ -91,6 +127,14 @@ object Bench {
       } else name -> best
     }
 
+    val canaryEnd = canary()
+    val loadEnd = loadavg1m
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Canary times plus load/memory at the capture boundaries. ~110 chars.
+    val envJson =
+      s""""env":{"load":[${f"$loadStart%.2f"},${f"$loadEnd%.2f"}],""" +
+      s""""mem_mb":$memStartMb,"canary":[${ms(canaryStart)},${ms(canaryMid)},${ms(canaryEnd)}]}"""
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
@@ -99,7 +143,7 @@ object Bench {
     // "failed" is in the JSON line (stdout) so round-over-round comparisons
     // cannot mistake a throwing query (excluded from total) for a speedup.
     // Full-precision, full-name line first — for local runs and logs.
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"failed":$failed,"sf":"$sfDir","env_full":{$envJson}}""")
     // The driver stores only the LAST 2000 chars of output and parses the
     // JSON it finds there: the full-name line above is ~2.6k chars, so its
     // head (and the opening brace) is always truncated away — BENCH_r9-r11
@@ -107,13 +151,39 @@ object Bench {
     // final line guaranteed to fit: qNN keys (unique — full names are in
     // CORRECTNESS_r*.json), ms-precision values, and the failed queries
     // BY NAME (ADVICE r11: "failed":3 with no identities is undiagnosable).
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val shortQs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    //
+    // SELF-SIZING (r18): at 130 queries the fixed-format compact line
+    // outgrew the window — BENCH_r17 recorded parsed:null because the
+    // opening brace fell off the 2000-char tail (which also carries sbt's
+    // ~75-char "[success] Total time" trailer). Budget the line at 1850
+    // chars and degrade deterministically until it fits: (a) 3-decimal
+    // seconds, (b) integer milliseconds ("unit_queries":"ms"), (c) drop
+    // the FASTEST queries and say how many ("omitted":N — the slow band
+    // is the signal; the full detail is on the full-name line above and
+    // in the driver's own stdout capture).
     val failedNames = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","unit":"sec","value":${ms(total)},"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir","queries":$shortQs}""")
+    def msInt(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
+    def compactLine(entries: Seq[(String, Double)], unitMs: Boolean, omitted: Int): String = {
+      val fmt: Double => String = if (unitMs) msInt else ms
+      val qsStr = entries
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val unitKey = if (unitMs) ""","unit_queries":"ms"""" else ""
+      val omitKey = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","unit":"sec","value":${ms(total)},"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir",$envJson$unitKey$omitKey,"queries":$qsStr}"""
+    }
+    val budget = 1850
+    val sorted = results.toSeq
+    val candidates =
+      Iterator(compactLine(sorted, unitMs = false, 0), compactLine(sorted, unitMs = true, 0)) ++
+        // keep the slowest queries (and every failure), dropping fast ones
+        Iterator.from(1).map { drop =>
+          val keep = sorted.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+            .drop(drop).sortBy(_._1)
+          compactLine(keep, unitMs = true, drop)
+        }
+    println(candidates.find(_.length <= budget).get)
     spark.stop()
   }
 }
