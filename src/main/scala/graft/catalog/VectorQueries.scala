@@ -832,6 +832,39 @@ object VectorQueries {
         recallAudit(e, res, queries, k = 5,
           minHits = Map("ivfpq_res" -> 12))
       },
-      Some(recallOracle(Seq("ivfpq_res"), "vec_id < 3", 5)))
+      Some(recallOracle(Seq("ivfpq_res"), "vec_id < 3", 5))),
+
+    // SHARD-ROUTED graph ANN (r18, VERDICT r17 #2): clustered builds
+    // persist a k-means centroid per subgraph shard; each query walks
+    // only its probeParts nearest shards instead of all of them — the
+    // IVF nprobe design (reference faiss_index.py:133-272) applied to
+    // the graph families, making graph search sub-linear in shard count
+    // (10^4 shards at 100 TB ⇒ p beam walks, not 10^4). Probe-all stays
+    // the exactness fallback; sentinel-less shards are always probed.
+    // Recall-audited oracle; the p-directories-read and routes-equal-
+    // probe-all proofs live in GraphRoutingSpec.
+    QueryDef("q131_vector_graph_routed_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 3L)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+        val hnsw = Hnsw.batchTopK(
+            Hnsw.build(e, "embedding", "vec_id", numPartitions = 8,
+              clustered = true),
+            queries, k = 5, ef = 64, colocated = true, probeParts = 4)
+          .select(lit("hnsw_routed").as("idx"), col("query_id").as("qid"),
+            col("ext_id").as("vec_id"))
+        val vamana = graft.operators.Vamana.batchTopK(
+            graft.operators.Vamana.build(e, "embedding", "vec_id",
+              numPartitions = 8, clustered = true),
+            queries, k = 5, beam = 64, rerank = 64, colocated = true,
+            probeParts = 4)
+          .select(lit("vamana_routed").as("idx"), col("query_id").as("qid"),
+            col("ext_id").as("vec_id"))
+        recallAudit(e, hnsw.unionByName(vamana), queries,
+          k = 5, minHits = Map("hnsw_routed" -> 12, "vamana_routed" -> 12))
+      },
+      Some(recallOracle(Seq("hnsw_routed", "vamana_routed"), "vec_id < 3", 5)))
   )
 }

@@ -2202,11 +2202,16 @@ class GraftDataset private[format] (
                 }
                 val offset = lastPart + 1
                 val gIn = graphInput(added, column, idxMetric)
+                // delta shards build CLUSTERED too: their sentinels keep
+                // shard routing correct after appends (a sentinel-less
+                // delta shard would be probed unconditionally — safe but
+                // unroutable, and appends would erode the sub-linearity)
                 val built =
                   if (tpe == "HNSW")
                     graft.operators.Hnsw.build(gIn, column, UuidCol,
                       m = param("graphDegree", 16),
-                      efConstruction = param("buildBeam", 100))
+                      efConstruction = param("buildBeam", 100),
+                      clustered = true)
                   else {
                     val pqM0 = param("pqM", 0)
                     graft.operators.Vamana.build(gIn, column, UuidCol,
@@ -2214,11 +2219,18 @@ class GraftDataset private[format] (
                       buildBeam = param("buildBeam", 100),
                       pqM = if (pqM0 > 0) pqM0
                             else V.autoSubspaces(vectorDim(added, column)),
-                      pqK = param("pqK", 16))
+                      pqK = param("pqK", 16),
+                      clustered = true)
                   }
                 built.withColumn("part",
                     (col("part") + lit(offset)).cast("int"))
                   .write.mode("append").partitionBy("part").parquet(graphPath)
+                // fold the delta shards' centroids into the routing
+                // artifact (one sentinel-filtered pass over the graph
+                // table — row-group pruned, |shards| rows out)
+                writeRoutingArtifact(dir,
+                  if (tpe == "HNSW") graft.operators.Hnsw.CentroidNode
+                  else graft.operators.Vamana.CentroidNode)
               case t => throw new IllegalStateException(s"unknown type $t")
             }
           }
@@ -2448,16 +2460,24 @@ class GraftDataset private[format] (
           .parquet(new Path(dir, "centroids").toString)
         writePqModel(dir, model)
       case "HNSW" =>
+        // clustered: shards are coarse k-means cells, each with a
+        // persisted centroid — probe-all search is unchanged (every row
+        // is in exactly one shard) and probeShards routing becomes
+        // available (see [[vectorSearch]])
         graft.operators.Hnsw.build(graphInput(snap, column, metric),
-            column, UuidCol, m = graphDegree, efConstruction = buildBeam)
+            column, UuidCol, m = graphDegree, efConstruction = buildBeam,
+            clustered = true)
           .write.mode("overwrite").partitionBy("part")
           .parquet(new Path(dir, "graph").toString)
+        writeRoutingArtifact(dir, graft.operators.Hnsw.CentroidNode)
       case "DISKANN" =>
         graft.operators.Vamana.build(graphInput(snap, column, metric),
             column, UuidCol, r = math.max(graphDegree, 4),
-            buildBeam = buildBeam, pqM = subspaces, pqK = pqK)
+            buildBeam = buildBeam, pqM = subspaces, pqK = pqK,
+            clustered = true)
           .write.mode("overwrite").partitionBy("part")
           .parquet(new Path(dir, "graph").toString)
+        writeRoutingArtifact(dir, graft.operators.Vamana.CentroidNode)
       case "FLAT" => () // exact search reads the live snapshot directly
       case t => throw new IllegalArgumentException(
         s"bad index type $t (FLAT | IVF | IVFPQ | HNSW | DISKANN)")
@@ -2491,6 +2511,36 @@ class GraftDataset private[format] (
           "vectors to infer the dimensionality from")
     }
 
+  /** Extract the graph index's per-shard routing centroids (its
+    * centroid-sentinel rows) into a tiny standalone `routing` artifact,
+    * so a routed search reads |shards| rows — never the graph — to pick
+    * its probe set. Re-derived after every incremental append (delta
+    * shards bring their own sentinels); a search on an index whose
+    * routing artifact is missing probes all shards.
+    */
+  private def writeRoutingArtifact(dir: Path, sentinelNode: Int): Unit = {
+    val graphPath = new Path(dir, "graph").toString
+    spark.read.parquet(graphPath)
+      .filter(col("node") === lit(sentinelNode))
+      .select(col("part").cast("int").as("part"), col("vec"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(new Path(dir, "routing").toString)
+  }
+
+  private def readRoutingArtifact(column: String, dir: Path)
+      : Array[(Int, Array[Float])] = {
+    def art: Option[DataFrame] =
+      loadedVector.get(column).flatMap(_.get("routing")).orElse {
+        val p = new Path(dir, "routing")
+        if (CommitLog.fs(spark, root).exists(p))
+          Some(spark.read.parquet(p.toString))
+        else None
+      }
+    art.map(_.select(col("part"), col("vec")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)))
+      .getOrElse(Array.empty)
+  }
+
   private def writePqModel(
       dir: Path, model: graft.operators.VectorSearch.PqModel): Unit = {
     import spark.implicits._
@@ -2519,7 +2569,8 @@ class GraftDataset private[format] (
   private val loadedVector =
     scala.collection.mutable.Map[String, Map[String, DataFrame]]()
 
-  private val VectorArtifacts = Seq("assigned", "centroids", "graph", "pqmodel")
+  private val VectorArtifacts =
+    Seq("assigned", "centroids", "graph", "pqmodel", "routing")
 
   def loadVectorIndex(column: String): Unit = {
     require(indexFresh("vector", column),
@@ -2576,11 +2627,19 @@ class GraftDataset private[format] (
     * grid, the oracle-checkable path). IVFPQ serves the metric it was
     * built for the same way the graphs do (l2, or cosine via the
     * unit-norm build). Requires a fresh index.
+    *
+    * `probeShards` is the graph families' nprobe: > 0 routes the query
+    * to its nearest `probeShards` graph shards by the index's persisted
+    * routing centroids (the tiny `routing` artifact — |shards| rows, the
+    * graph itself is untouched for the decision) and reads ONLY those
+    * part directories; 0 (default) probes every shard — the exactness
+    * fallback and the behavior for pre-routing indexes.
     */
   def vectorSearch(column: String, queryVec: Seq[Float], k: Int,
                    metric: String = "cosine", nprobe: Int = 8,
                    refineFactor: Int = 4, exact: Boolean = false,
-                   tieBreakCols: Seq[String] = Nil): DataFrame = {
+                   tieBreakCols: Seq[String] = Nil,
+                   probeShards: Int = 0): DataFrame = {
     val dir = indexDir("vector", column)
     require(indexFresh("vector", column),
       s"vector index for $column is stale or missing; createVectorIndex first")
@@ -2636,10 +2695,14 @@ class GraftDataset private[format] (
         val hits =
           if (isVectorIndexLoaded(column))
             graft.operators.Hnsw.topK(art("graph"), graphQuery, k,
-              ef = math.max(64, refineFactor * k))
+              ef = math.max(64, refineFactor * k),
+              probeParts = probeShards)
           else graft.operators.Hnsw.topKPersisted(spark,
             new Path(dir, "graph").toString, graphQuery, k,
-            ef = math.max(64, refineFactor * k))
+            ef = math.max(64, refineFactor * k),
+            probeParts = probeShards,
+            centroids = if (probeShards > 0)
+              readRoutingArtifact(column, dir) else Array.empty)
         graphScore(hits)
       case "DISKANN" =>
         requireGraphMetric()
@@ -2647,11 +2710,13 @@ class GraftDataset private[format] (
           if (isVectorIndexLoaded(column))
             graft.operators.Vamana.topK(art("graph"), graphQuery, k,
               beam = math.max(64, refineFactor * k),
-              rerank = refineFactor * k)
+              rerank = refineFactor * k, probeParts = probeShards)
           else graft.operators.Vamana.topKPersisted(spark,
             new Path(dir, "graph").toString, graphQuery, k,
             beam = math.max(64, refineFactor * k),
-            rerank = refineFactor * k)
+            rerank = refineFactor * k, probeParts = probeShards,
+            centroids = if (probeShards > 0)
+              readRoutingArtifact(column, dir) else Array.empty)
         graphScore(hits)
       case t => throw new IllegalStateException(s"unknown index type $t")
     }

@@ -144,34 +144,81 @@ object Hnsw {
     StructField("adj", ArrayType(ArrayType(IntegerType))),
     StructField("entry", IntegerType)))
 
+  /** Centroid sentinel marker in the `node` column (clustered builds
+    * only): `vec` holds the shard's trained routing centroid, `ext_id`
+    * the shard's node count. Graph reassembly skips `node < 0` rows.
+    */
+  val CentroidNode: Int = -1
+
   /** Build per-partition graphs; returns index rows (persist with
     * `.write.partitionBy("part")`). One pass, no shuffle beyond the
     * initial spread; memory bounded by partition size.
+    *
+    * `clustered = true` assigns rows to shards by nearest coarse k-means
+    * centroid instead of round-robin ([[GraphRouting.assignShards]]) and
+    * persists each shard's centroid as a sentinel row — the prerequisite
+    * for sub-linear shard-routed search (`probeParts` on the searchers).
+    * Falls back to the round-robin build when the corpus has no vectors
+    * to train on. Null-cell rows (wrong-dim vectors) are dropped — they
+    * would break the walk's distance loop anyway.
     */
   def build(df: DataFrame, vecCol: String, idCol: String,
             numPartitions: Int = 0, m: Int = 16,
-            efConstruction: Int = 100): DataFrame = {
+            efConstruction: Int = 100,
+            clustered: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     implicit val enc = RowEncoder.encoderFor(indexSchema)
-    df.select(col(idCol).cast("long"), col(vecCol))
-      .filter(col(vecCol).isNotNull)
-      .repartition(parts)
-      .mapPartitions { rows =>
-        val g = new Graph(m, efConstruction)
-        rows.foreach(r => g.insert(r.getLong(0),
-          r.getSeq[Float](1).toArray))
-        if (g.entry < 0) Iterator.empty
-        else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          (0 until g.vecs.length).iterator.map { n =>
-            Row(pid, n, g.extIds(n), g.vecs(n).toSeq, g.levels(n),
-              g.nbrs(n).map(_.toSeq).toSeq, g.entry)
+    val base = df.select(col(idCol).cast("long").as("_gid"),
+        col(vecCol).as("_gvec"))
+      .filter(col("_gvec").isNotNull)
+    if (!clustered) {
+      base.repartition(parts)
+        .mapPartitions { rows =>
+          val g = new Graph(m, efConstruction)
+          rows.foreach(r => g.insert(r.getLong(0),
+            r.getSeq[Float](1).toArray))
+          if (g.entry < 0) Iterator.empty
+          else {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            (0 until g.vecs.length).iterator.map { n =>
+              Row(pid, n, g.extIds(n), g.vecs(n).toSeq, g.levels(n),
+                g.nbrs(n).map(_.toSeq).toSeq, g.entry)
+            }
           }
         }
-      }
+    } else {
+      val (assigned, cents) =
+        GraphRouting.assignShards(base, "_gvec", "_gid", parts)
+      if (cents.isEmpty)
+        return build(df, vecCol, idCol, numPartitions, m, efConstruction)
+      val centMap = cents.toMap
+      // hash-partition by shard: every shard's rows land wholly in one
+      // task (the colocated invariant); a task may hold several shards,
+      // so group and build one graph per shard
+      assigned.filter(col("cell").isNotNull)
+        .select(col("_gid"), col("_gvec"), col("cell").cast("int"))
+        .repartition(parts, col("cell"))
+        .mapPartitions { rows =>
+          val byShard = mutable.LinkedHashMap[Int, Graph]()
+          rows.foreach { r =>
+            val g = byShard.getOrElseUpdate(r.getInt(2),
+              new Graph(m, efConstruction))
+            g.insert(r.getLong(0), r.getSeq[Float](1).toArray)
+          }
+          byShard.iterator.filter(_._2.entry >= 0).flatMap {
+            case (shard, g) =>
+              Iterator.single(Row(shard, CentroidNode, g.vecs.length.toLong,
+                centMap(shard).toSeq, -1, Seq.empty[Seq[Int]], g.entry)) ++
+                (0 until g.vecs.length).iterator.map { n =>
+                  Row(shard, n, g.extIds(n), g.vecs(n).toSeq, g.levels(n),
+                    g.nbrs(n).map(_.toSeq).toSeq, g.entry)
+                }
+          }
+        }
+    }
   }
 
   /** Per-part candidate hits for a broadcast query batch: each subgraph
@@ -183,7 +230,9 @@ object Hnsw {
     * emits one part per task) or [[PartitionedIndex.partScans]].
     */
   private def localHits(index: DataFrame, queries: Seq[(Long, Seq[Float])],
-                        k: Int, ef: Int, colocated: Boolean): DataFrame = {
+                        k: Int, ef: Int, colocated: Boolean,
+                        routing: Option[GraphRouting.Routing] = None)
+      : DataFrame = {
     val outSchema = StructType(Seq(
       StructField("query_id", LongType),
       StructField("ext_id", LongType), StructField("l2sq", DoubleType)))
@@ -198,15 +247,18 @@ object Hnsw {
     // on read-back, and positional access below must stay stable
     val prepared = index.select(col("part").cast("int"), col("node"),
       col("ext_id"), col("vec"), col("level"), col("adj"), col("entry"))
-    val spread = if (colocated) prepared
-      else prepared.repartition(col("part"))
+    // routing prunes shards no query probes BEFORE the scan/shuffle —
+    // partition-pruned on a partitionBy("part") read
+    val scoped = routing.fold(prepared)(r => prepared.filter(r.scanFilter))
+    val spread = if (colocated) scoped
+      else scoped.repartition(col("part"))
     spread.mapPartitions { rows =>
       // a task may hold several parts after the repartition: regroup
       val byPart = mutable.HashMap[Int, mutable.ArrayBuffer[Row]]()
       rows.foreach(r => byPart.getOrElseUpdate(r.getInt(0),
         mutable.ArrayBuffer[Row]()) += r)
-      byPart.valuesIterator.flatMap { rs =>
-        val sorted = rs.sortBy(_.getInt(1))
+      byPart.iterator.flatMap { case (pid, rs) =>
+        val sorted = rs.filter(_.getInt(1) >= 0).sortBy(_.getInt(1))
         val g = new Graph(16, 100)
         sorted.foreach { r =>
           g.vecs += r.getSeq[Float](3).toArray
@@ -216,12 +268,29 @@ object Hnsw {
             .map(a => mutable.ArrayBuffer[Int](a.toSeq: _*)).toArray
         }
         g.entry = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
-        qarr.iterator.flatMap { case (qid, q) =>
-          g.search(q, k, ef).map { case (id, d) => Row(qid, id, d) }
-        }
+        qarr.iterator
+          .filter { case (qid, _) => routing.forall(_.allowed(qid, pid)) }
+          .flatMap { case (qid, q) =>
+            g.search(q, k, ef).map { case (id, d) => Row(qid, id, d) }
+          }
       }
     }
   }
+
+  /** Routing for `queries` against the index's persisted shard centroids
+    * (sentinel rows); None when `probeParts <= 0` or the index has no
+    * sentinels (non-clustered build) — probe-all in both cases.
+    */
+  private def routingFor(index: DataFrame,
+                         queries: Seq[(Long, Seq[Float])],
+                         probeParts: Int): Option[GraphRouting.Routing] =
+    if (probeParts <= 0) None
+    else {
+      val cents = GraphRouting.centroidsOf(index, CentroidNode)
+      if (cents.isEmpty) None
+      else Some(GraphRouting.routesFor(cents,
+        queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
+    }
 
   /** Search a persisted (or freshly-built) index: each partition's rows
     * reassemble their graph(s) in memory, probe locally with beam `ef`,
@@ -230,11 +299,14 @@ object Hnsw {
     * on a freshly-built index to skip the part shuffle entirely.
     */
   def topK(index: DataFrame, query: Seq[Float], k: Int,
-           ef: Int = 64, colocated: Boolean = false): DataFrame =
-    localHits(index, Seq((0L, query)), k, ef, colocated)
+           ef: Int = 64, colocated: Boolean = false,
+           probeParts: Int = 0): DataFrame = {
+    val qs = Seq((0L, query))
+    localHits(index, qs, k, ef, colocated, routingFor(index, qs, probeParts))
       .select(col("ext_id"), col("l2sq"))
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
       .limit(k)
+  }
 
   /** Batched search: the query batch is broadcast, every subgraph is
     * walked once per query in ONE pass over the index, and the global
@@ -242,12 +314,13 @@ object Hnsw {
     * rows — never the corpus. Output: (query_id, ext_id, l2sq, rank).
     */
   def batchTopK(index: DataFrame, queries: Seq[(Long, Seq[Float])],
-                k: Int, ef: Int = 64, colocated: Boolean = false)
-      : DataFrame = {
+                k: Int, ef: Int = 64, colocated: Boolean = false,
+                probeParts: Int = 0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-    localHits(index, queries, k, ef, colocated)
+    localHits(index, queries, k, ef, colocated,
+        routingFor(index, queries, probeParts))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
@@ -258,10 +331,38 @@ object Hnsw {
     * directory ([[PartitionedIndex.partScans]]) — the plan has NO
     * Exchange above the index scan. Falls back to the shuffled path if
     * `path` is not a part-partitioned layout.
+    *
+    * `probeParts > 0` routes the query to its nearest shards before any
+    * scan is planned: `centroids` (e.g. the format layer's tiny `routing`
+    * artifact) selects the directories, so a p-of-P probe READS p
+    * directories. When `centroids` is empty they are read from the
+    * index's sentinel rows instead (one pruned pass); an index with no
+    * sentinels probes all shards.
     */
   def topKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
-                    query: Seq[Float], k: Int, ef: Int = 64): DataFrame =
-    PartitionedIndex.partScans(spark, path)
-      .map(scan => topK(scan, query, k, ef, colocated = true))
-      .getOrElse(topK(spark.read.parquet(path), query, k, ef))
+                    query: Seq[Float], k: Int, ef: Int = 64,
+                    probeParts: Int = 0,
+                    centroids: Array[(Int, Array[Float])] = Array.empty)
+      : DataFrame = {
+    val cents =
+      if (probeParts <= 0) Array.empty[(Int, Array[Float])]
+      else if (centroids.nonEmpty) centroids
+      else GraphRouting.centroidsOf(spark.read.parquet(path), CentroidNode)
+    val routing =
+      if (cents.isEmpty) None
+      else Some(GraphRouting.routesFor(cents,
+        Seq((0L, query.toArray)), probeParts))
+    val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
+    PartitionedIndex.partScans(spark, path, keep = keep)
+      .map { scan =>
+        // the directory selection already applied the routing; the local
+        // walk needs no per-query gating for a single query
+        localHits(scan, Seq((0L, query)), k, ef, colocated = true)
+          .select(col("ext_id"), col("l2sq"))
+          .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
+          .limit(k)
+      }
+      .getOrElse(topK(spark.read.parquet(path), query, k, ef,
+        probeParts = probeParts))
+  }
 }

@@ -40,14 +40,25 @@ private[graft] object PartitionedIndex {
     * `path` has no part directories or has MORE than `maxParts` of them
     * (caller falls back to the shuffled path). The `basePath` option
     * keeps the `part` partition column in each child's schema.
+    *
+    * `keep` prunes directories BEFORE any scan is planned — the shard-
+    * routing read path ([[GraphRouting]]): with `keep = routing.partKept`
+    * only the routed directories are listed into the plan, so a p-of-P
+    * probe reads p directories, not P. A directory whose name does not
+    * parse as `part=<int>` is conservatively kept.
     */
   def partScans(spark: SparkSession, path: String,
-                maxParts: Int = DefaultMaxParts): Option[DataFrame] = {
+                maxParts: Int = DefaultMaxParts,
+                keep: Int => Boolean = _ => true): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val dirs = fs.listStatus(p)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+      .filter { s =>
+        val id = s.getPath.getName.stripPrefix("part=")
+        scala.util.Try(id.toInt).map(keep).getOrElse(true)
+      }
     if (dirs.isEmpty || dirs.length > maxParts) None
     else {
       val sorted = dirs.sortBy(_.getPath.getName)

@@ -305,42 +305,91 @@ object Vamana {
     StructField("adj", ArrayType(IntegerType)),
     StructField("medoid", IntegerType)))
 
+  /** PQ-codebook sentinel marker in the `node` column (every build). */
+  val PqNode: Int = -1
+
+  /** Routing-centroid sentinel marker (clustered builds only): `vec`
+    * holds the shard's trained centroid ([[GraphRouting]]).
+    */
+  val CentroidNode: Int = -2
+
   /** Build per-partition Vamana graphs + PQ codes; returns index rows
     * (persist with `.write.partitionBy("part")`). One `mapPartitions`
     * pass; the partition's codebook travels in a single sentinel row
     * (`node = -1`, flattened into `vec`, dims in `code`) rather than
     * being duplicated per node.
+    *
+    * `clustered = true` assigns rows to shards by nearest coarse k-means
+    * centroid instead of round-robin ([[GraphRouting.assignShards]]) and
+    * persists each shard's centroid as a second sentinel (`node = -2`) —
+    * the prerequisite for sub-linear shard-routed search (`probeParts`
+    * on the searchers). Falls back to the round-robin build when the
+    * corpus has no vectors to train on.
     */
   def build(df: DataFrame, vecCol: String, idCol: String,
             numPartitions: Int = 0, r: Int = 32, alpha: Double = 1.2,
-            buildBeam: Int = 64, pqM: Int = 8, pqK: Int = 16): DataFrame = {
+            buildBeam: Int = 64, pqM: Int = 8, pqK: Int = 16,
+            clustered: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     implicit val enc = RowEncoder.encoderFor(indexSchema)
-    df.select(col(idCol).cast("long"), col(vecCol))
-      .filter(col(vecCol).isNotNull)
-      .repartition(parts)
-      .mapPartitions { rows =>
-        val g = new Graph(r, alpha, buildBeam)
-        rows.foreach(r0 => g.insert(r0.getLong(0),
-          r0.getSeq[Float](1).toArray))
-        if (g.medoid < 0) Iterator.empty
-        else {
-          g.finalizeMedoid()
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val pq = PqLocal.train(g.vecs.toIndexedSeq, pqM, pqK)
-          val sentinel = Row(pid, -1, -1L,
-            pq.codebook.flatten.flatten.toSeq.map(_.toFloat),
-            Seq(pq.m, pq.k, pq.dim), Seq.empty[Int], g.medoid)
-          Iterator.single(sentinel) ++
-            (0 until g.vecs.length).iterator.map { n =>
-              Row(pid, n, g.extIds(n), g.vecs(n).toSeq,
-                pq.encode(g.vecs(n)).toSeq, g.adj(n).toSeq, g.medoid)
-            }
+    val base = df.select(col(idCol).cast("long").as("_gid"),
+        col(vecCol).as("_gvec"))
+      .filter(col("_gvec").isNotNull)
+    // a function VALUE, not a local def: a def compiles to a method on
+    // the (non-serializable) enclosing object and poisons the closure
+    val emit = (shard: Int, g: Graph,
+                centroid: Option[Array[Float]]) => {
+      g.finalizeMedoid()
+      val pq = PqLocal.train(g.vecs.toIndexedSeq, pqM, pqK)
+      val pqSentinel = Row(shard, PqNode, -1L,
+        pq.codebook.flatten.flatten.toSeq.map(_.toFloat),
+        Seq(pq.m, pq.k, pq.dim), Seq.empty[Int], g.medoid)
+      val centSentinel = centroid.map(c => Row(shard, CentroidNode,
+        g.vecs.length.toLong, c.toSeq, Seq.empty[Int], Seq.empty[Int],
+        g.medoid))
+      Iterator.single(pqSentinel) ++ centSentinel.iterator ++
+        (0 until g.vecs.length).iterator.map { n =>
+          Row(shard, n, g.extIds(n), g.vecs(n).toSeq,
+            pq.encode(g.vecs(n)).toSeq, g.adj(n).toSeq, g.medoid)
         }
-      }
+    }
+    if (!clustered) {
+      base.repartition(parts)
+        .mapPartitions { rows =>
+          val g = new Graph(r, alpha, buildBeam)
+          rows.foreach(r0 => g.insert(r0.getLong(0),
+            r0.getSeq[Float](1).toArray))
+          if (g.medoid < 0) Iterator.empty
+          else emit(org.apache.spark.TaskContext.getPartitionId(), g, None)
+        }
+    } else {
+      val (assigned, cents) =
+        GraphRouting.assignShards(base, "_gvec", "_gid", parts)
+      if (cents.isEmpty)
+        return build(df, vecCol, idCol, numPartitions, r, alpha,
+          buildBeam, pqM, pqK)
+      val centMap = cents.toMap
+      // hash-partition by shard: every shard's rows land wholly in one
+      // task (the colocated invariant); a task may hold several shards,
+      // so group and build one graph per shard
+      assigned.filter(col("cell").isNotNull)
+        .select(col("_gid"), col("_gvec"), col("cell").cast("int"))
+        .repartition(parts, col("cell"))
+        .mapPartitions { rows =>
+          val byShard = mutable.LinkedHashMap[Int, Graph]()
+          rows.foreach { r0 =>
+            val g = byShard.getOrElseUpdate(r0.getInt(2),
+              new Graph(r, alpha, buildBeam))
+            g.insert(r0.getLong(0), r0.getSeq[Float](1).toArray)
+          }
+          byShard.iterator.filter(_._2.medoid >= 0).flatMap {
+            case (shard, g) => emit(shard, g, Some(centMap(shard)))
+          }
+        }
+    }
   }
 
   /** Per-part candidate hits for a broadcast query batch: each subgraph
@@ -352,7 +401,9 @@ object Vamana {
     */
   private def localHits(index: DataFrame, queries: Seq[(Long, Seq[Float])],
                         k: Int, beam: Int, rerank: Int,
-                        colocated: Boolean): DataFrame = {
+                        colocated: Boolean,
+                        routing: Option[GraphRouting.Routing] = None)
+      : DataFrame = {
     val outSchema = StructType(Seq(
       StructField("query_id", LongType),
       StructField("ext_id", LongType), StructField("l2sq", DoubleType)))
@@ -363,13 +414,16 @@ object Vamana {
     val qarr = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
     val prepared = index.select(col("part").cast("int"), col("node"),
       col("ext_id"), col("vec"), col("code"), col("adj"), col("medoid"))
-    val spread = if (colocated) prepared
-      else prepared.repartition(col("part"))
+    // routing prunes shards no query probes BEFORE the scan/shuffle —
+    // partition-pruned on a partitionBy("part") read
+    val scoped = routing.fold(prepared)(r => prepared.filter(r.scanFilter))
+    val spread = if (colocated) scoped
+      else scoped.repartition(col("part"))
     spread.mapPartitions { rows =>
       val byPart = mutable.HashMap[Int, mutable.ArrayBuffer[Row]]()
       rows.foreach(r0 => byPart.getOrElseUpdate(r0.getInt(0),
         mutable.ArrayBuffer[Row]()) += r0)
-      byPart.valuesIterator.flatMap { rs =>
+      byPart.iterator.flatMap { case (pid, rs) =>
         val (sentinels, nodes) = rs.partition(_.getInt(1) < 0)
         val sorted = nodes.sortBy(_.getInt(1))
         val g = new Graph(32, 1.2, 64)
@@ -381,10 +435,13 @@ object Vamana {
           g.adj += mutable.ArrayBuffer[Int](r0.getSeq[Int](5).toSeq: _*)
         }
         g.medoid = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
+        // pick the PQ sentinel BY marker: clustered shards also carry a
+        // centroid sentinel (node = -2), and head order is not contractual
+        val pqSentinel = sentinels.find(_.getInt(1) == PqNode)
         val pqOpt =
-          if (rerank <= 0 || sentinels.isEmpty) None
+          if (rerank <= 0 || pqSentinel.isEmpty) None
           else {
-            val s = sentinels.head
+            val s = pqSentinel.get
             val dims = s.getSeq[Int](4)
             val (m, kk, dim) = (dims(0), dims(1), dims(2))
             val flat = s.getSeq[Float](3)
@@ -393,16 +450,33 @@ object Vamana {
               Array.tabulate(sub)(j => flat((mi * kk + ki) * sub + j))))
             Some(PqLocal(m, kk, dim, cb))
           }
-        qarr.iterator.flatMap { case (qid, q) =>
-          val hits = pqOpt match {
-            case Some(pq) => g.searchPq(q, k, beam, rerank, pq, codes)
-            case None => g.search(q, k, beam)
+        qarr.iterator
+          .filter { case (qid, _) => routing.forall(_.allowed(qid, pid)) }
+          .flatMap { case (qid, q) =>
+            val hits = pqOpt match {
+              case Some(pq) => g.searchPq(q, k, beam, rerank, pq, codes)
+              case None => g.search(q, k, beam)
+            }
+            hits.map { case (id, d) => Row(qid, id, d) }
           }
-          hits.map { case (id, d) => Row(qid, id, d) }
-        }
       }
     }
   }
+
+  /** Routing for `queries` against the index's persisted shard centroids
+    * (sentinel rows); None when `probeParts <= 0` or the index has no
+    * sentinels (non-clustered build) — probe-all in both cases.
+    */
+  private def routingFor(index: DataFrame,
+                         queries: Seq[(Long, Seq[Float])],
+                         probeParts: Int): Option[GraphRouting.Routing] =
+    if (probeParts <= 0) None
+    else {
+      val cents = GraphRouting.centroidsOf(index, CentroidNode)
+      if (cents.isEmpty) None
+      else Some(GraphRouting.routesFor(cents,
+        queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
+    }
 
   /** Search a persisted (or freshly-built) index: each partition
     * reassembles its graph + codebook, walks it on ADC distances with
@@ -414,11 +488,14 @@ object Vamana {
     */
   def topK(index: DataFrame, query: Seq[Float], k: Int,
            beam: Int = 64, rerank: Int = 100,
-           colocated: Boolean = false): DataFrame =
-    localHits(index, Seq((0L, query)), k, beam, rerank, colocated)
+           colocated: Boolean = false, probeParts: Int = 0): DataFrame = {
+    val qs = Seq((0L, query))
+    localHits(index, qs, k, beam, rerank, colocated,
+        routingFor(index, qs, probeParts))
       .select(col("ext_id"), col("l2sq"))
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
       .limit(k)
+  }
 
   /** Batched search: the query batch is broadcast, every subgraph is
     * walked once per query in ONE pass over the index (one ADC table per
@@ -428,11 +505,13 @@ object Vamana {
     */
   def batchTopK(index: DataFrame, queries: Seq[(Long, Seq[Float])],
                 k: Int, beam: Int = 64, rerank: Int = 100,
-                colocated: Boolean = false): DataFrame = {
+                colocated: Boolean = false, probeParts: Int = 0)
+      : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-    localHits(index, queries, k, beam, rerank, colocated)
+    localHits(index, queries, k, beam, rerank, colocated,
+        routingFor(index, queries, probeParts))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
@@ -444,10 +523,37 @@ object Vamana {
     * Exchange above the index scan. Falls back to the shuffled path if
     * `path` is not a part-partitioned layout.
     */
+  /** `probeParts > 0` routes the query to its nearest shards before any
+    * scan is planned: `centroids` (e.g. the format layer's tiny `routing`
+    * artifact) selects the directories, so a p-of-P probe READS p
+    * directories. When `centroids` is empty they are read from the
+    * index's sentinel rows instead (one pruned pass); an index with no
+    * sentinels probes all shards.
+    */
   def topKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
                     query: Seq[Float], k: Int, beam: Int = 64,
-                    rerank: Int = 100): DataFrame =
-    PartitionedIndex.partScans(spark, path)
-      .map(scan => topK(scan, query, k, beam, rerank, colocated = true))
-      .getOrElse(topK(spark.read.parquet(path), query, k, beam, rerank))
+                    rerank: Int = 100, probeParts: Int = 0,
+                    centroids: Array[(Int, Array[Float])] = Array.empty)
+      : DataFrame = {
+    val cents =
+      if (probeParts <= 0) Array.empty[(Int, Array[Float])]
+      else if (centroids.nonEmpty) centroids
+      else GraphRouting.centroidsOf(spark.read.parquet(path), CentroidNode)
+    val routing =
+      if (cents.isEmpty) None
+      else Some(GraphRouting.routesFor(cents,
+        Seq((0L, query.toArray)), probeParts))
+    val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
+    PartitionedIndex.partScans(spark, path, keep = keep)
+      .map { scan =>
+        // the directory selection already applied the routing; the local
+        // walk needs no per-query gating for a single query
+        localHits(scan, Seq((0L, query)), k, beam, rerank, colocated = true)
+          .select(col("ext_id"), col("l2sq"))
+          .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
+          .limit(k)
+      }
+      .getOrElse(topK(spark.read.parquet(path), query, k, beam, rerank,
+        probeParts = probeParts))
+  }
 }

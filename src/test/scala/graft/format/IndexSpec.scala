@@ -167,6 +167,56 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("graph shard routing: routing artifact, probeShards search, append refresh") {
+    for (tpe <- Seq("HNSW", "DISKANN")) {
+      val ds = GraftDataset.create(spark, tmpDir(s"idxroute$tpe"),
+        StructType(Seq(StructField("id", LongType),
+          StructField("emb", ArrayType(FloatType)))))
+      // 4 well-separated clusters of 20 rows each
+      val rows = for (c <- 0 until 4; i <- 0 until 20) yield {
+        val id = (c * 20 + i).toLong
+        (id, (0 until 4).map(j =>
+          (if (j == c) 10.0f * (c + 1) else 0.0f) +
+            math.sin(id * 17 + j).toFloat * 0.05f))
+      }
+      ds.append(rows.toDF("id", "emb"))
+      ds.commit("rows")
+      ds.createVectorIndex("emb", indexType = tpe, pqM = 2, pqK = 8,
+        graphDegree = 8, buildBeam = 32)
+      // clustered build persisted a routing artifact beside the graph
+      val routingDir = ds.root + s"/_graft/indexes/vector/emb/routing"
+      val routed0 = spark.read.parquet(routingDir)
+      val shards0 = routed0.count()
+      assert(shards0 > 0, s"$tpe routing artifact empty")
+      // routed search (p=1) finds a cluster's own member, pinned and not
+      val q = rows(45)._2 // cluster 2
+      val uuid45 = ds.snapshotWithUuid().filter($"id" === 45L)
+        .select(col(GraftDataset.UuidCol)).as[Long].head()
+      assert(ds.vectorSearch("emb", q, k = 1, metric = "l2",
+          probeShards = 1).select("row_uuid").as[Long].head() == uuid45,
+        s"$tpe routed persisted")
+      ds.loadVectorIndex("emb")
+      assert(ds.vectorSearch("emb", q, k = 1, metric = "l2",
+          probeShards = 1).select("row_uuid").as[Long].head() == uuid45,
+        s"$tpe routed pinned")
+      ds.unloadVectorIndex("emb")
+      // append far-away rows → delta shard sentinels fold into routing
+      ds.append(Seq((990L, Seq(-50f, -50f, -50f, -50f)))
+        .toDF("id", "emb"))
+      ds.commit("append")
+      ds.updateVectorIndex("emb")
+      val shards1 = spark.read.parquet(routingDir).count()
+      assert(shards1 > shards0,
+        s"$tpe routing artifact must grow with the delta shard")
+      // the appended row is routable as its own nearest neighbor at p=1
+      val uuid990 = ds.snapshotWithUuid().filter($"id" === 990L)
+        .select(col(GraftDataset.UuidCol)).as[Long].head()
+      assert(ds.vectorSearch("emb", Seq(-50f, -50f, -50f, -50f), k = 1,
+          metric = "l2", probeShards = 1)
+        .select("row_uuid").as[Long].head() == uuid990, s"$tpe delta routed")
+    }
+  }
+
   test("optimizeVectorIndex: N appends fragment, one compaction restores build shape") {
     val ds = GraftDataset.create(spark, tmpDir("idxopt"), StructType(Seq(
       StructField("id", LongType),

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shard routing for the graph ANN families (VERDICT r17 #2): clustered
+  * builds persist per-shard centroids, routed search probes only the
+  * query's nearest p shards, and the persisted read path prunes whole
+  * part directories. Probe-all stays the default and the exactness
+  * fallback; shards without a centroid are always probed.
+  */
+class GraphRoutingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private val clusters = 8
+  private val perCluster = 60
+
+  /** Deterministic clustered corpus: `clusters` well-separated Gaussian-ish
+    * blobs on distinct axes (offset 10·c on axis c % dim), jitter from a
+    * hash so rebuilds are identical.
+    */
+  private lazy val corpus: DataFrame = {
+    val rows = for {
+      c <- 0 until clusters
+      i <- 0 until perCluster
+    } yield {
+      val id = (c * perCluster + i).toLong
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d == c % dim) 10.0f * (c + 1) else 0.0f
+        val h = scala.util.hashing.MurmurHash3.productHash((c, i, d))
+        base + (h % 1000) / 2000.0f
+      }
+      (id, v.toSeq)
+    }
+    rows.toDF("vec_id", "emb")
+  }
+
+  /** A query near cluster `c`'s center. */
+  private def queryFor(c: Int): Seq[Float] =
+    Array.tabulate(dim)(d => if (d == c % dim) 10.0f * (c + 1) else 0.0f).toSeq
+
+  private def exactTopK(q: Seq[Float], k: Int): Seq[Long] = {
+    val qa = q.toArray
+    corpus.collect().map { r =>
+      val v = r.getSeq[Float](1)
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = v(i) - qa(i); s += d * d; i += 1 }
+      (s, r.getLong(0))
+    }.sortBy(identity).take(k).map(_._2).toSeq
+  }
+
+  test("clustered build emits one centroid sentinel per non-empty shard") {
+    val idx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
+      clustered = true)
+    val sentinels = idx.filter(col("node") === Hnsw.CentroidNode)
+      .select("part", "ext_id").collect()
+    val parts = idx.filter(col("node") >= 0)
+      .select("part").distinct().as[Int].collect().toSet
+    assert(sentinels.map(_.getInt(0)).toSet === parts,
+      "every shard with graph rows must carry exactly its centroid sentinel")
+    assert(sentinels.length === parts.size)
+    // ext_id of the sentinel records the shard's node count
+    val counts = idx.filter(col("node") >= 0).groupBy("part").count()
+      .as[(Int, Long)].collect().toMap
+    sentinels.foreach(s =>
+      assert(s.getLong(1) === counts(s.getInt(0))))
+  }
+
+  test("vamana clustered build keeps PQ and centroid sentinels distinct") {
+    val idx = Vamana.build(corpus, "emb", "vec_id", numPartitions = clusters,
+      pqM = 4, pqK = 8, clustered = true)
+    val byKind = idx.filter(col("node") < 0)
+      .groupBy("node").count().as[(Int, Long)].collect().toMap
+    assert(byKind.keySet === Set(Vamana.PqNode, Vamana.CentroidNode))
+    assert(byKind(Vamana.PqNode) === byKind(Vamana.CentroidNode),
+      "one PQ codebook and one centroid per shard")
+  }
+
+  test("routing to all shards equals probe-all exactly (both families)") {
+    val hIdx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
+      clustered = true)
+    val vIdx = Vamana.build(corpus, "emb", "vec_id",
+      numPartitions = clusters, pqM = 4, pqK = 8, clustered = true)
+    val q = queryFor(3)
+    val nShards = hIdx.filter(col("node") === Hnsw.CentroidNode).count().toInt
+    val hAll = Hnsw.topK(hIdx, q, 10, colocated = true).collect().toSeq
+    val hRouted = Hnsw.topK(hIdx, q, 10, colocated = true,
+      probeParts = nShards).collect().toSeq
+    assert(hRouted === hAll)
+    val vAll = Vamana.topK(vIdx, q, 10, colocated = true).collect().toSeq
+    val vRouted = Vamana.topK(vIdx, q, 10, colocated = true,
+      probeParts = nShards).collect().toSeq
+    assert(vRouted === vAll)
+  }
+
+  test("routed search at small p keeps recall on clustered data") {
+    val hIdx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
+      clustered = true)
+    val vIdx = Vamana.build(corpus, "emb", "vec_id",
+      numPartitions = clusters, pqM = 4, pqK = 8, clustered = true)
+    (0 until clusters).foreach { c =>
+      val q = queryFor(c)
+      val truth = exactTopK(q, 10).toSet
+      val h = Hnsw.topK(hIdx, q, 10, colocated = true, probeParts = 2)
+        .select("ext_id").as[Long].collect().toSet
+      val v = Vamana.topK(vIdx, q, 10, colocated = true, probeParts = 2)
+        .select("ext_id").as[Long].collect().toSet
+      assert((h intersect truth).size >= 8,
+        s"hnsw p=2 recall collapsed for cluster $c: ${(h intersect truth).size}/10")
+      assert((v intersect truth).size >= 8,
+        s"vamana p=2 recall collapsed for cluster $c: ${(v intersect truth).size}/10")
+    }
+  }
+
+  test("probeParts on a non-clustered index falls back to probe-all") {
+    val idx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = 4)
+    assert(idx.filter(col("node") < 0).count() === 0L)
+    val q = queryFor(1)
+    val all = Hnsw.topK(idx, q, 10, colocated = true).collect().toSeq
+    val routed = Hnsw.topK(idx, q, 10, colocated = true, probeParts = 1)
+      .collect().toSeq
+    assert(routed === all)
+  }
+
+  test("shards without a centroid are always probed (append safety)") {
+    // clustered base index, then graft on an UN-routed shard holding the
+    // true nearest neighbor of a far-away query: p=1 routing must still
+    // find it, because unrouted shards sit outside routedParts
+    val base = Hnsw.build(corpus, "emb", "vec_id",
+      numPartitions = clusters, clustered = true)
+    val farQ = Array.fill(dim)(500.0f).toSeq
+    val extraShard = base.agg(max("part")).head().getInt(0) + 1
+    val extra = Hnsw.build(
+        Seq((999000L, farQ)).toDF("vec_id", "emb"), "emb", "vec_id",
+        numPartitions = 1)
+      .withColumn("part", lit(extraShard))
+    val idx = base.unionByName(extra)
+    val hit = Hnsw.topK(idx, farQ, 1, colocated = true, probeParts = 1)
+      .select("ext_id").as[Long].collect()
+    assert(hit.toSeq === Seq(999000L),
+      "routing pruned a shard it had never seen a centroid for")
+  }
+
+  test("persisted routed read prunes part directories (both families)") {
+    val hPath = tmpDir("hnsw_routed") + "/idx"
+    val vPath = tmpDir("vamana_routed") + "/idx"
+    Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
+        clustered = true)
+      .write.partitionBy("part").parquet(hPath)
+    Vamana.build(corpus, "emb", "vec_id", numPartitions = clusters,
+        pqM = 4, pqK = 8, clustered = true)
+      .write.partitionBy("part").parquet(vPath)
+    val q = queryFor(2)
+    val truth = exactTopK(q, 10).toSet
+
+    val hRouted = Hnsw.topKPersisted(spark, hPath, q, 10, probeParts = 2)
+    val hDirs = hRouted.inputFiles
+      .flatMap(f => "part=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
+      .distinct
+    assert(hDirs.length === 2,
+      s"p=2 probe must read 2 part directories, read ${hDirs.toSeq}")
+    val hHits = hRouted.select("ext_id").as[Long].collect().toSet
+    assert((hHits intersect truth).size >= 8)
+
+    val vRouted = Vamana.topKPersisted(spark, vPath, q, 10, probeParts = 2)
+    val vDirs = vRouted.inputFiles
+      .flatMap(f => "part=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
+      .distinct
+    assert(vDirs.length === 2,
+      s"p=2 probe must read 2 part directories, read ${vDirs.toSeq}")
+    val vHits = vRouted.select("ext_id").as[Long].collect().toSet
+    assert((vHits intersect truth).size >= 8)
+  }
+
+  test("batch routing gates each query to its own shards") {
+    val idx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
+      clustered = true)
+    val queries = Seq(0L -> queryFor(0), 5L -> queryFor(5))
+    val routed = Hnsw.batchTopK(idx, queries, k = 10, colocated = true,
+      probeParts = 2)
+    val got = routed.select("query_id", "ext_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    queries.foreach { case (qid, q) =>
+      val truth = exactTopK(q, 10).toSet
+      assert((got(qid) intersect truth).size >= 8,
+        s"batch routed recall collapsed for query $qid")
+    }
+  }
+}
