@@ -108,6 +108,53 @@ object RecallSoak {
         colocated = true)
         .withColumnRenamed("ext_id", "vec_id"))
 
+    // SHARD-ROUTED graph families (r18): clustered builds (k-means
+    // shards + persisted centroids), queries walk only the p nearest
+    // shards. probe-all (p=shards) pins routing-off parity; small p
+    // shows the recall the sub-linear path buys. Knobs are the measured
+    // clustered-shard settings (SCALE.md): shards ≈ corpus/500 so a
+    // shard is one tight region, HNSW degree 32 (degree-16 graphs
+    // navigate near-tie shards at ~0.93), Vamana rerank 400 (a rerank
+    // pool smaller than a shard's PQ-tie pool picks arbitrarily — 0.49
+    // at rerank=100).
+    val routedShards = 256
+    val (hnswClustered, hBuildSec) = timed {
+      val d = Hnsw.build(data, "emb", "vec_id", routedShards, 32, 100,
+          clustered = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count(); d
+    }
+    val hShards = hnswClustered.filter(col("node") === Hnsw.CentroidNode)
+      .count().toInt
+    for (p <- Seq(4, hShards)) {
+      val (rec, sSec) = timed(recallOf(
+        Hnsw.batchTopK(hnswClustered, queries, k, ef = 64,
+            colocated = true, probeParts = p)
+          .withColumnRenamed("ext_id", "vec_id"), "query_id", "vec_id"))
+      out(s"hnsw_routed_p$p") =
+        f"""{"recall":$rec%.4f,"knobs":"m=32,efC=100,ef=64,shards=$hShards,p=$p",""" +
+          f""""buildSec":$hBuildSec%.1f,"searchSec":$sSec%.1f}"""
+    }
+    hnswClustered.unpersist()
+    val (vamanaClustered, vBuildSec) = timed {
+      val d = Vamana.build(data, "emb", "vec_id", routedShards, 32, 1.2,
+          64, 8, 16, clustered = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count(); d
+    }
+    val vShards = vamanaClustered
+      .filter(col("node") === Vamana.CentroidNode).count().toInt
+    for (p <- Seq(4, vShards)) {
+      val (rec, sSec) = timed(recallOf(
+        Vamana.batchTopK(vamanaClustered, queries, k, beam = 64,
+            rerank = 400, colocated = true, probeParts = p)
+          .withColumnRenamed("ext_id", "vec_id"), "query_id", "vec_id"))
+      out(s"vamana_routed_p$p") =
+        f"""{"recall":$rec%.4f,"knobs":"r=32,beam=64,rerank=400,shards=$vShards,p=$p",""" +
+          f""""buildSec":$vBuildSec%.1f,"searchSec":$sSec%.1f}"""
+    }
+    vamanaClustered.unpersist()
+
     // IVF: nlist cells, probe the nprobe nearest
     val ((assigned, centroids), ivfBuildSec) =
       timed(VectorSearch.ivfBuild(data, "emb", "vec_id", nlist = 256,

@@ -329,12 +329,30 @@ object CommitLog {
     }
   }
 
-  /** Schemes whose exclusive create ([[tryCreateExclusive]]) and rename
-    * are genuinely atomic, so the branch lock's claim/steal points hold.
-    * file:// uses the hard-link claim; the rest are the stores whose
-    * semantics publish atomic create/rename (HDFS-like namespaces). */
+  /** Schemes whose exclusive create ([[tryCreateExclusive]]) is genuinely
+    * atomic, so the branch lock's CLAIM point holds. file:// uses the
+    * hard-link claim; the rest are the stores whose semantics publish
+    * atomic create (HDFS-like namespaces + the object stores with
+    * conditional create). */
   private val AtomicCreateSchemes =
     Set("file", "hdfs", "viewfs", "abfs", "abfss", "gs", "o3fs", "ofs")
+
+  /** The STRICTER contract the rename-based steal/release verification
+    * additionally needs: rename must be atomic AND mtime-preserving.
+    * Only the true filesystem namespaces are vouched for — on GCS the
+    * Hadoop connector's rename is copy+delete (non-atomic: two stealers
+    * can both pass verify), and on stores where rename refreshes mtime
+    * the `mtime <= observed` verify ALWAYS fails, so a crashed writer's
+    * lock could never be stolen and waiters would block to the timeout.
+    * Schemes outside this set use the legacy guarded-delete steal (its
+    * delete race is the documented floor there) and the plain release.
+    */
+  private val MtimeSafeRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  private[format] def renameSafeScheme(f: FileSystem): Boolean =
+    MtimeSafeRenameSchemes.contains(
+      Option(f.getScheme).getOrElse("").toLowerCase)
+
   private val warnedLockSchemes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -354,15 +372,33 @@ object CommitLog {
     * staleness check and the rename. Returns whether we won the steal. */
   private[format] def stealBranchLock(f: FileSystem, lock: Path,
                                       observedToken: Option[String],
-                                      observedMtime: Long): Boolean = {
+                                      observedMtime: Long,
+                                      renameSafe: Boolean = true): Boolean = {
+    if (!renameSafe) {
+      // legacy guarded-delete steal for stores whose rename is not
+      // atomic-and-mtime-preserving: RE-verify from a fresh stat + read
+      // (the observation may be seconds old), then delete only when the
+      // lock is still the one we observed. The delete itself keeps the
+      // pre-quarantine race as its floor — mirrored by the once-per-scheme
+      // warning in withBranchLock.
+      val st = scala.util.Try(f.getFileStatus(lock)).toOption
+      val tok = scala.util.Try(readString(f, lock)).toOption
+      val stillStale = st.exists(_.getModificationTime <= observedMtime) &&
+        observedToken.isDefined && tok == observedToken
+      return stillStale && scala.util.Try(f.delete(lock, false)).getOrElse(false)
+    }
     val quarantine = new Path(lock.getParent,
       s".${lock.getName}.stale.${java.util.UUID.randomUUID()}")
     if (!scala.util.Try(f.rename(lock, quarantine)).getOrElse(false))
       return false
-    val tokenOk =
+    // the verify must POSITIVELY match: a failed quarantine read or stat
+    // (or a pre-steal read that never succeeded) is a verification
+    // FAILURE — treating IO errors as vacuous success would discard a
+    // live holder's lock on transient store hiccups
+    val tokenOk = observedToken.isDefined &&
       scala.util.Try(readString(f, quarantine)).toOption == observedToken
     val mtimeOk = scala.util.Try(f.getFileStatus(quarantine)).toOption
-      .forall(_.getModificationTime <= observedMtime)
+      .exists(_.getModificationTime <= observedMtime)
     if (tokenOk && mtimeOk) {
       scala.util.Try(f.delete(quarantine, false)); true
     } else {
@@ -377,24 +413,26 @@ object CommitLog {
     }
   }
 
-  /** Release the lock IF it still carries our token. `fresh` = the
-    * heartbeat proved the lock's mtime was refreshed within the lease,
-    * so no stealer can have acted between the token read and the
-    * delete — plain delete is safe. When we OVERSTAYED (heartbeat
-    * starved by a pause longer than the lease), a stealer may replace
-    * the lock at any instant, so the non-atomic read-then-delete could
-    * remove the thief's live lock; instead rename to a unique name
-    * (atomic take), verify the renamed file's token, and either delete
-    * (ours) or rename back (a thief's — restoring its lock). The
-    * rename-back can itself lose to a waiter that created a new lock in
-    * the microsecond gap; that residual double-hold window requires
-    * overstay + steal + create inside one rename round-trip and is the
-    * documented floor of mtime-lease locks on stores without
-    * conditional ops. */
+  /** Release the lock IF it still carries our token, by take-verify-
+    * restore: rename to a unique name (atomic take), verify the renamed
+    * file's token, and either delete (ours) or rename back (a thief's —
+    * restoring its lock). This runs UNCONDITIONALLY on rename-safe
+    * schemes — the earlier fast path ("heartbeat was fresh, plain delete
+    * is safe") was still a non-atomic read-then-delete, and a stealer
+    * acting under clock skew greater than the lease could quarantine and
+    * recreate between the token read and the delete; one extra rename
+    * per release closes that. The rename-back can itself lose to a
+    * waiter that created a new lock in the microsecond gap; that
+    * residual double-hold window requires steal + create inside one
+    * rename round-trip and is the documented floor of mtime-lease locks
+    * on stores without conditional ops. Schemes without atomic rename
+    * ([[MtimeSafeRenameSchemes]]) keep the guarded plain delete — rename
+    * cannot help where it is copy+delete. */
   private[format] def releaseBranchLock(f: FileSystem, lock: Path,
-                                        token: String, fresh: Boolean): Unit = {
+                                        token: String,
+                                        renameSafe: Boolean = true): Unit = {
     if (!scala.util.Try(readString(f, lock)).toOption.contains(token)) return
-    if (fresh) { scala.util.Try(f.delete(lock, false)); return }
+    if (!renameSafe) { scala.util.Try(f.delete(lock, false)); return }
     val taken = new Path(lock.getParent, s".${lock.getName}.rel.$token")
     if (!scala.util.Try(f.rename(lock, taken)).getOrElse(false)) return
     if (scala.util.Try(readString(f, taken)).toOption.contains(token)) {
@@ -414,24 +452,33 @@ object CommitLog {
     * lock-file LogStore pattern Delta uses on stores without a
     * conditional PUT); a holder that crashed mid-section is STOLEN from
     * after `spark.graft.branchLockLeaseMs` (default 30 s) via the lock
-    * file's mtime — by atomic quarantine-rename ([[stealBranchLock]]),
-    * never delete, so racing stealers cannot destroy a winner's fresh
-    * lock. A HEARTBEAT daemon touches the lock's mtime every lease/3
-    * while the body runs, so a section longer than the lease (slow
-    * store retries, big manifests) keeps its lock instead of silently
-    * losing it; only a JVM-wide pause beyond the lease (GC, VM freeze)
-    * can still starve the heartbeat, and the release path then downgrades
-    * to take-verify-restore ([[releaseBranchLock]]). Worst case of every
-    * residual race is a retried CAS, not corruption: the commit-file
-    * create is itself atomic.
+    * file's mtime — by atomic quarantine-rename ([[stealBranchLock]])
+    * on rename-safe schemes, never delete, so racing stealers cannot
+    * destroy a winner's fresh lock. A HEARTBEAT task (on one shared
+    * JVM-wide scheduler, no per-commit thread churn) touches the lock's
+    * mtime every lease/3 while the body runs, so a section longer than
+    * the lease (slow store retries, big manifests) keeps its lock
+    * instead of silently losing it; only a JVM-wide pause beyond the
+    * lease (GC, VM freeze) can still starve the heartbeat. Release is
+    * take-verify-restore unconditionally ([[releaseBranchLock]]). Worst
+    * case of every residual race is a retried CAS, not corruption: the
+    * commit-file create is itself atomic.
     *
-    * STORE CONTRACT: mtimes must have second-or-better resolution and
-    * the scheme must give atomic create-if-absent + rename
-    * ([[AtomicCreateSchemes]]). Plain S3A has neither (non-atomic
-    * exists-then-PUT, copy+delete rename) — we warn once per scheme, or
-    * throw when `spark.graft.branchLockStrictStore=true`. Clock skew
-    * between writers shifts WHEN a lease looks expired, never whether
-    * two holders coexist (the create/rename atomics decide that).
+    * STORE CONTRACT, two tiers: (1) atomic create-if-absent
+    * ([[AtomicCreateSchemes]]) makes the CLAIM exclusive — plain S3A
+    * lacks it (non-atomic exists-then-PUT) and gets the once-per-scheme
+    * warning, or a throw under `spark.graft.branchLockStrictStore=true`;
+    * (2) atomic mtime-preserving RENAME ([[MtimeSafeRenameSchemes]])
+    * additionally makes the steal/release verification sound — a scheme
+    * with atomic create but copy+delete rename (GCS connector) or
+    * mtime-refreshing rename falls back to the legacy guarded-delete
+    * steal and plain release, whose delete race is the documented floor
+    * there. On rename-safe schemes, clock skew between writers shifts
+    * WHEN a lease looks expired; the rename verification then restores a
+    * wrongly-quarantined live lock (or WARNs when the restore loses),
+    * and two holders coexisting additionally requires a waiter's create
+    * inside one rename round-trip — the floor documented at
+    * [[releaseBranchLock]], not "never".
     */
   private[format] def withBranchLock[T](spark: SparkSession, root: String)
                                        (body: => T): T = {
@@ -447,7 +494,11 @@ object CommitLog {
         System.err.println(s"graft: WARN scheme '$scheme' is not known to " +
           "provide atomic exclusive create/rename — cross-process branch " +
           "locking is BEST-EFFORT there (see CommitLog.withBranchLock)")
-    }
+    } else if (!renameSafeScheme(f) && warnedLockSchemes.add(s"$scheme:rename"))
+      System.err.println(s"graft: WARN scheme '$scheme' has atomic create " +
+        "but its rename is not trusted to be atomic and mtime-preserving — " +
+        "stale-lock steals use the guarded-delete path there, whose racing-" +
+        "stealer delete window is the documented floor (CommitLog.withBranchLock)")
     val lock = new Path(root, "_graft/branch.lock")
     val token = java.util.UUID.randomUUID().toString
     val leaseMs = spark.conf.get("spark.graft.branchLockLeaseMs", "30000").toLong
@@ -467,35 +518,37 @@ object CommitLog {
           // win or lose, loop back to the atomic create
           stealBranchLock(f, lock,
             scala.util.Try(readString(f, lock)).toOption,
-            st.get.getModificationTime); ()
+            st.get.getModificationTime, renameSafeScheme(f)); ()
         } else if (st.isDefined)
           Thread.sleep(5L + scala.util.Random.nextInt(20))
         // st empty: released between our create and stat — retry now
       }
     }
-    val lastBeat = new java.util.concurrent.atomic.AtomicLong(
-      System.currentTimeMillis())
-    val beat = new Thread(() => {
-      try {
-        while (!Thread.interrupted()) {
-          Thread.sleep(math.max(leaseMs / 3, 50L))
-          try {
-            val now = System.currentTimeMillis()
-            f.setTimes(lock, now, -1); lastBeat.set(now)
-          } catch { case _: Exception => () } // missed beat: release degrades
-        }
-      } catch { case _: InterruptedException => () }
-    }, "graft-branch-lock-heartbeat")
-    beat.setDaemon(true)
-    beat.start()
+    // heartbeat on the SHARED scheduler — a fresh thread per commit
+    // churned at high commit rates; the periodic setTimes is the same
+    val beatPeriod = math.max(leaseMs / 3, 50L)
+    val beatTask = heartbeatExec.scheduleWithFixedDelay(
+      () => try { f.setTimes(lock, System.currentTimeMillis(), -1) }
+        catch { case _: Exception => () }, // missed beat: lease may lapse
+      beatPeriod, beatPeriod, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
-      beat.interrupt()
-      val fresh =
-        System.currentTimeMillis() - lastBeat.get() < math.max(leaseMs / 2, 1L)
-      releaseBranchLock(f, lock, token, fresh)
+      beatTask.cancel(false)
+      releaseBranchLock(f, lock, token, renameSafeScheme(f))
     }
   }
+
+  /** One JVM-wide daemon scheduler for every branch-lock heartbeat: the
+    * beats are tiny metadata touches at lease/3 cadence, so a single
+    * thread serves any realistic number of concurrent sections without
+    * per-commit thread churn.
+    */
+  private lazy val heartbeatExec =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-branch-lock-heartbeat")
+      t.setDaemon(true)
+      t
+    }
 
   /** Commit ids are zero-padded sequence numbers → lexicographic order is
     * creation order (LCA relies on parents having smaller ids; gaps from

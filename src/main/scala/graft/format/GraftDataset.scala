@@ -2424,9 +2424,13 @@ class GraftDataset private[format] (
     */
   def createVectorIndex(column: String, nlist: Int = 64,
                         indexType: String = "IVF", pqM: Int = 0,
-                        pqK: Int = 16, graphDegree: Int = 16,
+                        pqK: Int = 16, graphDegree: Int = 32,
                         buildBeam: Int = 100,
                         metric: String = "l2"): Unit = {
+    // graphDegree default 32 (faiss's HNSW M default): clustered shards
+    // hold a query's near-tie neighborhood whole, and RecallSoak measured
+    // degree-16 graphs navigating such shards at 0.93 recall@10 vs 1.00
+    // at degree 32 (m is THE knob — efConstruction/ef barely move it)
     require(!dirty, "commit before indexing")
     unloadVectorIndex(column) // a pinned copy would go stale on overwrite
     val dir = indexDir("vector", column)
@@ -2706,15 +2710,22 @@ class GraftDataset private[format] (
         graphScore(hits)
       case "DISKANN" =>
         requireGraphMetric()
+        // rerank floor 256: on a CLUSTERED shard the PQ walk pools many
+        // near-identical codes, and an exact re-rank smaller than the tie
+        // pool picks arbitrarily among them — RecallSoak measured 0.49
+        // recall@10 at rerank=40 vs 1.00 at 400 on a 100k 256-center
+        // corpus. Exact-scoring ≤256 vectors per probed shard is noise
+        // next to the walk itself.
+        val vamanaRerank = math.max(256, refineFactor * k)
         val hits =
           if (isVectorIndexLoaded(column))
             graft.operators.Vamana.topK(art("graph"), graphQuery, k,
               beam = math.max(64, refineFactor * k),
-              rerank = refineFactor * k, probeParts = probeShards)
+              rerank = vamanaRerank, probeParts = probeShards)
           else graft.operators.Vamana.topKPersisted(spark,
             new Path(dir, "graph").toString, graphQuery, k,
             beam = math.max(64, refineFactor * k),
-            rerank = refineFactor * k, probeParts = probeShards,
+            rerank = vamanaRerank, probeParts = probeShards,
             centroids = if (probeShards > 0)
               readRoutingArtifact(column, dir) else Array.empty)
         graphScore(hits)

@@ -82,8 +82,14 @@ object Sampling {
                    salt: String = ""): DataFrame = {
     require(budget > 0, s"bad budget $budget")
     require(streams > 0, s"bad stream count $streams")
+    // ROWS, not the default RANGE frame: RANGE sums ALL peers of the
+    // current (coin, id) order key, so a duplicated id would double-count
+    // its ties and silently break the engine-replayable layout. With
+    // unique ids the frames agree; ROWS makes the running sum positional
+    // unconditionally.
     val w = Window.partitionBy(col("_stream"))
       .orderBy(col("_coin").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_coin", hashCoin(col(idCol), salt))
       .withColumn("_stream", pmod(col("_coin"), lit(streams.toLong)))
       .withColumn("_ntok", tokens.cast("long"))
@@ -105,10 +111,17 @@ object Sampling {
     * missing from `weights` are dropped; weights naming absent sources
     * are ignored.
     *
-    * Scale: one count aggregate whose result is bounded by the number
-    * of distinct sources (collected driver-side like the ANN centroid
-    * reads), then a broadcast join of per-source cutoffs + one
-    * codegen'd filter at the scan — the corpus itself never shuffles.
+    * Scale: the per-source cutoffs are computed fully DISTRIBUTED — a
+    * count aggregate keyed by source, joined to the (driver-local)
+    * weights table, normalized by one scalar max — so a high-cardinality
+    * `sourceCol` (a user passing a domain column with 10^6 values) never
+    * produces an unbounded driver collect; the only driver-side value is
+    * the scalar max ratio. The cutoff join is an equi-join on the source
+    * key (auto-broadcast when the cutoff side is small — the common
+    * dozens-of-sources case) + one codegen'd filter at the scan; the
+    * corpus itself never shuffles. The source key is compared AS STRING
+    * (weights are string-keyed), so non-string source columns work;
+    * null-source rows are dropped like any unweighted source.
     */
   def mixBySource(df: DataFrame, idCol: String, sourceCol: String,
                   weights: Map[String, Double],
@@ -116,19 +129,25 @@ object Sampling {
     require(weights.nonEmpty, "empty weights")
     require(weights.values.forall(w => w > 0 && !w.isInfinite && !w.isNaN),
       s"weights must be finite and positive: $weights")
-    val counts = df.groupBy(col(sourceCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ratios = weights.flatMap { case (s, w) =>
-      counts.get(s).map(c => s -> w / c.toDouble) }
-    require(ratios.nonEmpty, "no weighted source present in the data")
-    val maxRatio = ratios.values.max
-    val cutoffs = ratios.toSeq.map { case (s, r) =>
-      (s, ((r / maxRatio) * (1L << 60).toDouble).toLong) }
     val spark = df.sparkSession
     import spark.implicits._
-    val cutDf = cutoffs.toDF(sourceCol, "_cutoff")
-    df.join(broadcast(cutDf), sourceCol)
-      .filter(hashCoin(col(idCol), salt) < col("_cutoff"))
-      .drop("_cutoff")
+    val wDf = broadcast(weights.toSeq.toDF("_mix_src", "_mix_w"))
+    val ratios = df
+      .select(col(sourceCol).cast("string").as("_mix_src"))
+      .filter(col("_mix_src").isNotNull)
+      .groupBy("_mix_src").count()
+      .join(wDf, "_mix_src")
+      .select(col("_mix_src"),
+        (col("_mix_w") / col("count").cast("double")).as("_mix_ratio"))
+    // one scalar to the driver — NOT the per-source table
+    val maxRow = ratios.agg(max(col("_mix_ratio"))).head()
+    require(!maxRow.isNullAt(0), "no weighted source present in the data")
+    val maxRatio = maxRow.getDouble(0)
+    val cutDf = ratios.select(col("_mix_src"),
+      ((col("_mix_ratio") / lit(maxRatio)) * lit((1L << 60).toDouble))
+        .cast("long").as("_mix_cutoff"))
+    df.join(cutDf, col(sourceCol).cast("string") === col("_mix_src"))
+      .filter(hashCoin(col(idCol), salt) < col("_mix_cutoff"))
+      .drop("_mix_src", "_mix_cutoff")
   }
 }

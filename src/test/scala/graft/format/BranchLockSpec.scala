@@ -132,22 +132,70 @@ class BranchLockSpec extends SparkSpec {
     val f = CommitLog.fs(spark, ds.root)
     val lock = new Path(ds.root, "_graft/branch.lock")
     assert(CommitLog.tryCreateExclusive(f, lock, "thief"))
-    // overstayed holder (fresh=false) releasing after a steal+replace
-    CommitLog.releaseBranchLock(f, lock, token = "overstayed", fresh = false)
+    // a displaced holder releasing after a steal+replace must leave the
+    // thief's live lock alone (take-verify-restore path)
+    CommitLog.releaseBranchLock(f, lock, token = "overstayed")
     assert(f.exists(lock), "release deleted the thief's live lock")
-    // fresh holder with a mismatched token must also leave it alone
-    CommitLog.releaseBranchLock(f, lock, token = "overstayed", fresh = true)
+    // ... and on the guarded-delete path for rename-unsafe schemes too
+    CommitLog.releaseBranchLock(f, lock, token = "overstayed",
+      renameSafe = false)
     assert(f.exists(lock))
-    // the actual owner releases it, both on the fresh and overstay paths
-    CommitLog.releaseBranchLock(f, lock, token = "thief", fresh = false)
-    assert(!f.exists(lock), "owner's overstay release must still release")
+    // the actual owner releases it, on both paths
+    CommitLog.releaseBranchLock(f, lock, token = "thief")
+    assert(!f.exists(lock), "owner's release must release")
     assert(CommitLog.tryCreateExclusive(f, lock, "thief2"))
-    CommitLog.releaseBranchLock(f, lock, token = "thief2", fresh = true)
+    CommitLog.releaseBranchLock(f, lock, token = "thief2",
+      renameSafe = false)
     assert(!f.exists(lock))
     // no .rel litter from the take-verify path
     val litter = f.listStatus(new Path(ds.root, "_graft"))
       .map(_.getPath.getName).filter(_.contains("branch.lock.rel"))
     assert(litter.isEmpty, s"release litter: ${litter.mkString(",")}")
+  }
+
+  test("steal fails closed when the pre-steal token read never succeeded") {
+    // ADVICE r17: two transient IO failures (pre-steal read None,
+    // quarantine read None) made tokenOk vacuously true and a live
+    // holder's lock could be discarded on IO errors alone. The verify
+    // must POSITIVELY match: observedToken = None ⇒ steal refused,
+    // lock restored.
+    val ds = freshTable()
+    val f = CommitLog.fs(spark, ds.root)
+    val lock = new Path(ds.root, "_graft/branch.lock")
+    assert(CommitLog.tryCreateExclusive(f, lock, "live-holder"))
+    val mtime = f.getFileStatus(lock).getModificationTime
+    assert(!CommitLog.stealBranchLock(f, lock, observedToken = None,
+      observedMtime = mtime + 60000L))
+    assert(f.exists(lock), "fail-closed steal must restore the lock")
+    val restored = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(lock.toUri.getPath)))
+    assert(restored == "live-holder")
+    f.delete(lock, false)
+  }
+
+  test("guarded-delete steal (rename-unsafe schemes) re-verifies freshly") {
+    val ds = freshTable()
+    val f = CommitLog.fs(spark, ds.root)
+    val lock = new Path(ds.root, "_graft/branch.lock")
+    // stale lock, matching token: the delete-based steal wins
+    assert(CommitLog.tryCreateExclusive(f, lock, "dead-writer"))
+    val mtime = f.getFileStatus(lock).getModificationTime
+    assert(CommitLog.stealBranchLock(f, lock, Some("dead-writer"),
+      observedMtime = mtime + 1000L, renameSafe = false))
+    assert(!f.exists(lock))
+    // re-created (refreshed) lock: the fresh re-stat sees a NEWER mtime
+    // than observed and refuses — the stale observation does not carry
+    assert(CommitLog.tryCreateExclusive(f, lock, "dead-writer"))
+    assert(!CommitLog.stealBranchLock(f, lock, Some("dead-writer"),
+      observedMtime = f.getFileStatus(lock).getModificationTime - 60000L,
+      renameSafe = false))
+    assert(f.exists(lock), "refreshed lock must survive the failed steal")
+    // token mismatch refuses too
+    assert(!CommitLog.stealBranchLock(f, lock, Some("someone-else"),
+      observedMtime = f.getFileStatus(lock).getModificationTime + 1000L,
+      renameSafe = false))
+    assert(f.exists(lock))
+    f.delete(lock, false)
   }
 
   test("strict store conf names the contract (file:// passes it)") {

@@ -210,4 +210,50 @@ class OperatorsSpec extends SparkSpec {
     kept.filter(_._2 == "s1").foreach { case (id, _) =>
       assert(modelCoin(id.toString, "m") < cut) }
   }
+
+  test("mixture: high-cardinality sources never collect to the driver") {
+    // 100k distinct sources (a user passing a domain column): the cutoff
+    // computation is distributed — only a scalar max reaches the driver —
+    // so this must complete, keep every weighted row's source-local
+    // semantics, and drop the unweighted tail
+    val n = 100000
+    val rows = (0 until n).map(i => (i.toLong, s"d$i")).toDF("id", "source")
+    val weights = (0 until n by 2).map(i => s"d$i" -> 1.0).toMap
+    val kept = Sampling.mixBySource(rows, "id", "source", weights, "hc")
+      .select("source").as[String].collect()
+    // every source has exactly 1 row and equal weight → every ratio is
+    // the max → every weighted row kept, every unweighted row dropped
+    assert(kept.length == n / 2)
+    assert(kept.forall(s => s.stripPrefix("d").toInt % 2 == 0))
+  }
+
+  test("mixture: non-string source column and null sources are safe") {
+    val rows = Seq((1L, Some(10)), (2L, Some(20)), (3L, None), (4L, Some(10)))
+      .toDF("id", "source")
+    // int source column: weights are string-keyed, compared as strings
+    val kept = Sampling.mixBySource(rows, "id", "source",
+        Map("10" -> 1.0), salt = "ns")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"int-keyed source must match: $kept")
+    // the null-source row is dropped silently (unweighted), not an NPE;
+    // weights ∝ counts (2:1) → both sources at the max rate, keep all
+    val both = Sampling.mixBySource(rows, "id", "source",
+        Map("10" -> 2.0, "20" -> 1.0), salt = "ns")
+      .select("id").as[Long].collect().toSet
+    assert(both == Set(1L, 2L, 4L))
+  }
+
+  test("packing: duplicate ids never double-count ties (ROWS frame)") {
+    // two rows share id=5: the default RANGE frame would sum BOTH as
+    // peers of each other (start jumps by 2·ntok); the ROWS frame keeps
+    // the running sum positional, so total stream lengths stay exact
+    val docs = ((0L until 10L).map(i => (i, 3)) :+ (5L, 3))
+      .toDF("id", "ntok")
+    val got = Sampling.packByBudget(docs, "id", col("ntok"), budget = 100L,
+        streams = 1, salt = "dup")
+      .select("block_offset").as[Long].collect().sorted.toSeq
+    // 11 rows × 3 tokens in one stream, one block: offsets are exactly
+    // 0,3,6,...,30 — RANGE would emit 15 twice and skip 18
+    assert(got == (0L until 11L).map(_ * 3))
+  }
 }
