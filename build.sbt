@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Snapshot gate (`sbt pregate`): both trees must compile AND graft.Verify
+// must complete on the smallest fixture before a commit that touches
+// src/main — the sbt-native twin of tools/pregate.sh (the r15 outage
+// gate: a snapshot was once taken from a tree whose main didn't compile).
+lazy val pregate = taskKey[Unit](
+  "compile main+test, then run graft.Verify on the sf0.001 fixture")
+pregate := {
+  (Test / compile).value
+  (Compile / runMain).toTask(
+    " graft.Verify /root/testdata/sf0.001 /tmp/pregate_out").value
+}

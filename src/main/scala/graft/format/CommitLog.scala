@@ -217,8 +217,11 @@ object CommitLog {
     */
   private[format] def dropFromAncestry(spark: SparkSession, root: String,
                                        ids: Set[String]): Unit = {
-    val ck = readAncestry(spark, root)
-    if (ck.keys.exists(ids.contains)) writeAncestry(spark, root, ck -- ids)
+    val ck = readAncestryCk(spark, root)
+    if (ck.edges.keys.exists(ids.contains) ||
+        ck.messages.keys.exists(ids.contains))
+      writeAncestry(spark, root,
+        AncestryCk(ck.edges -- ids, ck.messages -- ids))
   }
 
   def listCommits(spark: SparkSession, root: String): Seq[String] = {
@@ -654,15 +657,24 @@ object CommitLog {
 
   // ---- ancestry checkpoint ------------------------------------------------
 
-  /** Rolling checkpoint of the commit DAG's SHAPE (id → parent ids): one
-    * file read replaces one JSON read PER COMMIT in ancestry walks, which
-    * at 10k+ commits made every merge/LCA O(history) round-trips — the
-    * same reason Delta checkpoints its log. Commits are immutable, so any
-    * published checkpoint content stays correct forever; the file is pure
-    * cache (lost/corrupt/raced → walks fall back to per-commit reads and
-    * the next deep walk rewrites it).
+  /** Rolling checkpoint of the commit DAG's SHAPE (id → parent ids) plus
+    * each commit's MESSAGE: one file read replaces one JSON read PER
+    * COMMIT in ancestry walks, which at 10k+ commits made every merge/LCA
+    * O(history) round-trips — the same reason Delta checkpoints its log.
+    * Messages ride along (r18) so the marker-matched reads
+    * ([[GraftDataset.commitForMessage]]) are checkpoint-served too: a
+    * marker MISS on a long-lived branch was O(history) serial commit-file
+    * reads. Commits are immutable, so any published checkpoint content
+    * stays correct forever; the file is pure cache (lost/corrupt/raced/
+    * legacy-format → walks fall back to per-commit reads and the next
+    * deep walk rewrites it in the current format).
     */
   def ancestryFile(root: String) = new Path(root, "_graft/ancestry.json")
+
+  /** Checkpoint payload: `edges` (id → parent ids, first parent first)
+    * and `messages` (id → commit message). */
+  private[format] case class AncestryCk(edges: Map[String, Seq[String]],
+                                        messages: Map[String, String])
 
   /** Rewrite the checkpoint once a walk had to cold-read this many
     * commits: amortizes checkpoint writes to one per `checkpointSlack`
@@ -670,19 +682,32 @@ object CommitLog {
     */
   val checkpointSlack = 32
 
-  def readAncestry(spark: SparkSession, root: String): Map[String, Seq[String]] = {
+  private[format] def readAncestryCk(spark: SparkSession,
+                                     root: String): AncestryCk = {
     val f = fs(spark, root)
     val p = ancestryFile(root)
-    if (!f.exists(p)) Map.empty
-    else scala.util.Try(
-      JsonMethods.parse(readString(f, p)).extract[Map[String, Seq[String]]]
-    ).getOrElse(Map.empty) // torn concurrent overwrite → just a cache miss
+    if (!f.exists(p)) return AncestryCk(Map.empty, Map.empty)
+    scala.util.Try {
+      val j = JsonMethods.parse(readString(f, p))
+      (j \ "edges") match {
+        case org.json4s.JObject(_) => AncestryCk(
+          (j \ "edges").extract[Map[String, Seq[String]]],
+          (j \ "messages").extractOrElse[Map[String, String]](Map.empty))
+        // legacy (≤r17) format: the bare edges map, no messages
+        case _ => AncestryCk(j.extract[Map[String, Seq[String]]], Map.empty)
+      }
+    }.getOrElse(AncestryCk(Map.empty, Map.empty)) // torn overwrite → miss
   }
 
+  /** Back-compat view for callers that only need the DAG shape. */
+  def readAncestry(spark: SparkSession, root: String): Map[String, Seq[String]] =
+    readAncestryCk(spark, root).edges
+
   private def writeAncestry(spark: SparkSession, root: String,
-                            m: Map[String, Seq[String]]): Unit =
+                            ck: AncestryCk): Unit =
     try writeString(fs(spark, root), ancestryFile(root),
-      Serialization.write(m), overwrite = true)
+      Serialization.write(Map(
+        "edges" -> ck.edges, "messages" -> ck.messages)), overwrite = true)
     catch { case _: java.io.IOException => () } // cache write loss is harmless
 
   /** Walk parents (both of them for merge commits) to the root. DAG edges
@@ -691,13 +716,13 @@ object CommitLog {
     * cold-reads more than [[checkpointSlack]] commits refreshes it.
     */
   def ancestors(spark: SparkSession, root: String, id: String): Set[String] = {
-    val ck = readAncestry(spark, root)
-    val fresh = scala.collection.mutable.Map[String, Seq[String]]()
-    def parents(c: String): Seq[String] = ck.getOrElse(c,
+    val ck = readAncestryCk(spark, root)
+    val fresh = scala.collection.mutable.Map[String, (Seq[String], String)]()
+    def parents(c: String): Seq[String] = ck.edges.getOrElse(c,
       fresh.getOrElseUpdate(c, {
         val m = readCommit(spark, root, c)
-        m.parent.toSeq ++ m.mergeParent.toSeq
-      }))
+        (m.parent.toSeq ++ m.mergeParent.toSeq, m.message)
+      })._1)
     val seen = scala.collection.mutable.Set[String]()
     val stack = scala.collection.mutable.Stack(id)
     while (stack.nonEmpty) {
@@ -708,8 +733,46 @@ object CommitLog {
       }
     }
     if (fresh.size > checkpointSlack)
-      writeAncestry(spark, root, ck ++ fresh)
+      writeAncestry(spark, root, AncestryCk(
+        ck.edges ++ fresh.view.mapValues(_._1),
+        ck.messages ++ fresh.view.mapValues(_._2)))
     seen.toSet
+  }
+
+  /** Newest first-parent commit from `head` whose message equals
+    * `message` — the checkpoint-served engine of
+    * [[GraftDataset.commitForMessage]]. A commit whose edge AND message
+    * are both checkpointed costs zero reads; only commits newer than the
+    * last checkpoint (or cached by the pre-r18 edges-only format) cold-
+    * read, and a walk that cold-reads more than [[checkpointSlack]]
+    * refreshes the checkpoint — so a marker MISS on an N-commit branch
+    * costs one checkpoint read + at most `slack` commit reads, not N.
+    */
+  def firstParentByMessage(spark: SparkSession, root: String,
+                           head: Option[String],
+                           message: String): Option[String] = {
+    val ck = readAncestryCk(spark, root)
+    val fresh = scala.collection.mutable.Map[String, (Seq[String], String)]()
+    def meta(c: String): (Seq[String], String) =
+      (ck.edges.get(c), ck.messages.get(c)) match {
+        case (Some(e), Some(m)) => (e, m)
+        case _ => fresh.getOrElseUpdate(c, {
+          val m = readCommit(spark, root, c)
+          (m.parent.toSeq ++ m.mergeParent.toSeq, m.message)
+        })
+      }
+    var cur = head
+    var found: Option[String] = None
+    while (cur.isDefined && found.isEmpty) {
+      val (parents, msg) = meta(cur.get)
+      if (msg == message) found = cur
+      else cur = parents.headOption // first parent
+    }
+    if (fresh.size > checkpointSlack)
+      writeAncestry(spark, root, AncestryCk(
+        ck.edges ++ fresh.view.mapValues(_._1),
+        ck.messages ++ fresh.view.mapValues(_._2)))
+    found
   }
 
   /** Lowest common ancestor of two commits: the ancestor of both with the

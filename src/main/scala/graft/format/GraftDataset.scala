@@ -1225,19 +1225,16 @@ class GraftDataset private[format] (
     *   val c2 = stateDs.commitForMessage(m).get
     *   sinkDs.snapshotAt(c1).join(stateDs.snapshotAt(c2), ...)
     * }}}
-    * Walks newest→oldest and stops at the first hit, so for a
-    * stream-owned branch (monotone markers) the cost is O(commits
-    * since the marker), not O(history).
+    * Walks newest→oldest through the ancestry checkpoint
+    * ([[CommitLog.firstParentByMessage]]) and stops at the first hit:
+    * checkpointed commits cost zero file reads, so both a hit deep in
+    * history and a MISS on a long-lived branch cost one checkpoint read
+    * plus at most [[CommitLog.checkpointSlack]] cold commit reads — the
+    * pre-r18 walk paid one serial driver read per commit, O(history) on
+    * a miss.
     */
-  def commitForMessage(message: String): Option[String] = {
-    var cur = headId
-    while (cur.isDefined) {
-      val m = CommitLog.readCommit(spark, root, cur.get)
-      if (m.message == message) return Some(m.id)
-      cur = m.parent
-    }
-    None
-  }
+  def commitForMessage(message: String): Option[String] =
+    CommitLog.firstParentByMessage(spark, root, headId, message)
 
   /** [[commitForMessage]] + [[snapshotAt]]: the table as of the newest
     * commit carrying `message`; errors if no commit does.

@@ -25,9 +25,15 @@ import org.apache.spark.sql.types._
   * round-start lists, but a compact that lands REBASED adopts the
   * other landers' new update/tombstone entries — they stay outstanding.
   * Solo rounds interleave so renames, compacts and outstanding lists
-  * build up real state for the racing rounds to trip over. Complements
-  * ConcurrencySoak (threaded, throughput) with deterministic
-  * interaction coverage no hand-written spec enumerates.
+  * build up real state for the racing rounds to trip over. MAINTENANCE
+  * ops (r18) join both round shapes: vacuum and deleteBranch take
+  * commit slots in racing rounds (no CAS — they always land, never join
+  * the prediction; their contract is "never reclaims a live or staged
+  * file", enforced by the per-round content check with vacuum under the
+  * 1 h staged-file retention guard), and solo rounds run retention-0
+  * vacuums to a zero-garbage fixpoint plus side-branch delete+purge
+  * cycles. Complements ConcurrencySoak (threaded, throughput) with
+  * deterministic interaction coverage no hand-written spec enumerates.
   */
 class ConcurrencyFuzzSpec extends SparkSpec {
   import spark.implicits._
@@ -39,6 +45,13 @@ class ConcurrencyFuzzSpec extends SparkSpec {
   case object BinPack extends Kind
   case object Compact extends Kind
   case object Rename extends Kind
+  // maintenance kinds (r18, VERDICT r17 #5): no branch-pointer CAS, so
+  // they always "land" and never join the rebase prediction — their
+  // contract is "never reclaims a live or staged file", checked by the
+  // content assert after every round (+ the zero-garbage dry-run on the
+  // solo vacuum path)
+  case object Vacuum extends Kind
+  case object DeleteBranch extends Kind
 
   for (seed <- Seq(402, 7177, 52601))
   test(s"random racing op pairs (seed $seed): commute contract + content") {
@@ -162,41 +175,109 @@ class ConcurrencyFuzzSpec extends SparkSpec {
       assert(t.countRows == model.size, s"$where: metadata count diverged")
     }
 
+    /** Maintenance staging: returns the action to run in this racer's
+      * commit slot. Vacuum runs with a 1 h retention — the STAGED-FILE
+      * guard: other racers have written-but-uncommitted files when it
+      * fires, and recent mtimes must keep them. DeleteBranch populates a
+      * side branch at stage time (a real commit, but on its own branch —
+      * it races nobody on main) and drops+purges it in the commit slot.
+      */
+    def stageMaintenance(h: GraftDataset, kind: Kind,
+                         tag: String): () => Unit = kind match {
+      case Vacuum => () => { h.vacuum(olderThanMs = 3600000L); () }
+      case DeleteBranch =>
+        val side = s"fz-$tag"
+        val sider = GraftDataset.load(spark, root)
+        sider.checkout(side, create = true)
+        appendRows(sider, 2) // side-only rows: never enter the model
+        sider.commit(s"side $tag")
+        () => h.deleteBranch(side)
+      case k => throw new IllegalStateException(s"not maintenance: $k")
+    }
+
+    /** Zero-garbage invariant: after a retention-0 vacuum (safe solo —
+      * nothing is staged between rounds), a second dry-run retention-0
+      * sweep must find NOTHING left to delete, and the content model
+      * must be intact (vacuum never ate a live file).
+      */
+    def vacuumToZeroGarbage(h: GraftDataset, where: String): Unit = {
+      h.vacuum(olderThanMs = 0L)
+      val leftover = h.vacuum(olderThanMs = 0L, dryRun = true)
+        .filter(col("status") === "would_delete").count()
+      assert(leftover == 0L, s"$where: $leftover garbage entries survived " +
+        "a retention-0 vacuum")
+    }
+
     val kinds = Vector(Append, Append, Update, Update, Pop, BinPack,
       Compact, Rename) // appends/updates weighted: they race most often
+    val maint = Vector(Vacuum, DeleteBranch)
     for (round <- 0 until 24) {
       val solo = rnd.nextInt(10) < 3
       if (solo) {
         val a = GraftDataset.load(spark, root)
-        val (kA, fxA, _) = stage(a, kinds(rnd.nextInt(kinds.size)), s"s$round")
-        a.commit(s"solo $kA $round")
-        fxA(); applyFlags(kA)
+        if (rnd.nextInt(3) == 0) {
+          // solo maintenance: retention-0 vacuum to zero garbage, or a
+          // side-branch create→populate→delete cycle that must purge the
+          // branch's exclusive commits and leave main untouched
+          val k = maint(rnd.nextInt(maint.size))
+          if (k == Vacuum) vacuumToZeroGarbage(a, s"solo round $round")
+          else {
+            val commitsBefore = CommitLog.listCommits(spark, root).size
+            stageMaintenance(a, DeleteBranch, s"s$round")()
+            assert(!a.branches.contains(s"fz-s$round"))
+            assert(CommitLog.listCommits(spark, root).size == commitsBefore,
+              s"round $round: deleteBranch must purge the side branch's " +
+                "exclusive commit, not strand it")
+          }
+          info(s"round $round: solo maintenance $k")
+        } else {
+          val (kA, fxA, _) = stage(a, kinds(rnd.nextInt(kinds.size)), s"s$round")
+          a.commit(s"solo $kA $round")
+          fxA(); applyFlags(kA)
+        }
       } else {
-        // 2- or 3-way race; every racer stages against the SAME head
+        // 2- or 3-way race; every racer stages against the SAME head.
+        // With probability ~1/4 one racer is a maintenance op: it takes
+        // a commit slot (so it interleaves with real stagings and
+        // landings) but never joins the rebase prediction — it has no
+        // branch-pointer CAS to win or lose.
         val racers = 2 + rnd.nextInt(2)
         val handles = Vector.fill(racers)(GraftDataset.load(spark, root))
+        val maintIdx =
+          if (rnd.nextInt(4) == 0) Some(rnd.nextInt(racers)) else None
         val staged = handles.zipWithIndex.map { case (h, i) =>
-          stage(h, kinds(rnd.nextInt(kinds.size)),
+          if (maintIdx.contains(i)) {
+            val k = maint(rnd.nextInt(maint.size))
+            (k, stageMaintenance(h, k, s"${('a' + i).toChar}$round"),
+              Set.empty[Long])
+          } else stage(h, kinds(rnd.nextInt(kinds.size)),
             s"${('a' + i).toChar}$round")
         }
+        def isMaint(k: Kind) = k == Vacuum || k == DeleteBranch
         // first committer wins outright; later ones rebase iff they
         // commute PAIRWISE with every op landed since their snapshot
         // (all predictions evaluate against round-start flags — every
         // racer staged against the round-start state)
-        handles(0).commit(s"W ${staged(0)._1} $round")
-        staged(0)._2()
-        var landed = Vector((staged(0)._1, staged(0)._3))
-        for (i <- 1 until racers) {
-          val (k, fx, hit) = staged(i)
-          val lands = landed.forall { case (kW, hitW) =>
-            predictLands(kW, k, hitW, hit) }
-          if (lands) {
-            handles(i).commit(s"L$i $k $round (rebased)")
-            fx(); landed :+= ((k, hit))
+        var landed = Vector.empty[(Kind, Set[Long])]
+        for (i <- 0 until racers) {
+          // for data ops the function is the MODEL effect (applied after
+          // a landing commit); for maintenance it IS the action
+          val (k, fxOrAction, hit) = staged(i)
+          if (isMaint(k)) fxOrAction() // always "lands"; not in prediction
+          else if (landed.isEmpty) {
+            handles(i).commit(s"W $k $round")
+            fxOrAction(); landed :+= ((k, hit))
           } else {
-            intercept[java.util.ConcurrentModificationException](
-              handles(i).commit(s"L$i $k $round (must conflict)"))
-            // the loser's change is dropped entirely
+            val lands = landed.forall { case (kW, hitW) =>
+              predictLands(kW, k, hitW, hit) }
+            if (lands) {
+              handles(i).commit(s"L$i $k $round (rebased)")
+              fxOrAction(); landed :+= ((k, hit))
+            } else {
+              intercept[java.util.ConcurrentModificationException](
+                handles(i).commit(s"L$i $k $round (must conflict)"))
+              // the loser's change is dropped entirely
+            }
           }
         }
         // outstanding-state bookkeeping, exact w.r.t. rebase adoption:

@@ -291,11 +291,33 @@ class GraftDatasetSpec extends SparkSpec {
     assert(l == mainHead) // merge parent: LCA of head and its first parent
     assert(CommitLog.commitReads.get() <= CommitLog.checkpointSlack,
       s"${CommitLog.commitReads.get()} commit reads despite checkpoint")
+    // commitForMessage is checkpoint-served the same way (VERDICT r17
+    // #4): a deep HIT and a full MISS over the 200-commit branch each
+    // cost at most the slack in commit reads, not O(history)
+    CommitLog.commitReads.set(0)
+    assert(ds.commitForMessage("c1").isDefined, "deep marker hit")
+    assert(ds.commitForMessage("no such marker").isEmpty, "marker miss")
+    assert(CommitLog.commitReads.get() <= CommitLog.checkpointSlack,
+      s"${CommitLog.commitReads.get()} commit reads on marker walks " +
+        "despite checkpoint")
+    // newest-first: a duplicated marker resolves to the NEWEST commit
+    ds.commit("c1", allowEmpty = true)
+    assert(ds.commitForMessage("c1") == ds.head,
+      "duplicate marker must resolve newest-first")
     // a torn/corrupt checkpoint is just a cache miss, never an error
     val f = CommitLog.fs(spark, root)
     val out = f.create(CommitLog.ancestryFile(root), true)
     out.write("{not json".getBytes("UTF-8")); out.close()
     assert(CommitLog.ancestors(spark, root, head).size >= 202)
+    // ... and so is a LEGACY (edges-only, pre-r18) checkpoint format
+    val legacy = CommitLog.readAncestry(spark, root)
+      .map { case (k, v) => "\"" + k + "\":[" +
+        v.map("\"" + _ + "\"").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val out2 = f.create(CommitLog.ancestryFile(root), true)
+    out2.write(legacy.getBytes("UTF-8")); out2.close()
+    assert(ds.commitForMessage("c7").isDefined,
+      "legacy edges-only checkpoint must degrade to cold reads, not fail")
   }
 
   test("nextCommitId: O(1) via hint, stale hints probe forward") {
