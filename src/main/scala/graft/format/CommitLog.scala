@@ -741,34 +741,48 @@ object CommitLog {
 
   /** Newest first-parent commit from `head` whose message equals
     * `message` — the checkpoint-served engine of
-    * [[GraftDataset.commitForMessage]]. A commit whose edge AND message
-    * are both checkpointed costs zero reads; only commits newer than the
-    * last checkpoint (or cached by the pre-r18 edges-only format) cold-
-    * read, and a walk that cold-reads more than [[checkpointSlack]]
-    * refreshes the checkpoint — so a marker MISS on an N-commit branch
-    * costs one checkpoint read + at most `slack` commit reads, not N.
+    * [[GraftDataset.commitForMessage]]. A near-HEAD hit costs a few
+    * plain commit reads and no checkpoint IO; past `eagerSteps` the
+    * checkpoint loads, commits whose edge AND message it holds cost
+    * zero reads, only commits newer than the last checkpoint (or cached
+    * by the pre-r18 edges-only format) cold-read, and a deep walk that
+    * cold-reads more than [[checkpointSlack]] refreshes it — so a
+    * marker MISS on an N-commit branch costs one checkpoint read + at
+    * most `eager + slack` commit reads, not N.
     */
   def firstParentByMessage(spark: SparkSession, root: String,
                            head: Option[String],
                            message: String): Option[String] = {
-    val ck = readAncestryCk(spark, root)
+    // the common case (a stream's monotone marker) hits within a few
+    // commits of HEAD — those walks stay as cheap as the pre-checkpoint
+    // path (plain commit reads, zero checkpoint IO); the checkpoint is
+    // loaded lazily only once the walk goes deep
+    val eagerSteps = 8
+    var ck: AncestryCk = null
     val fresh = scala.collection.mutable.Map[String, (Seq[String], String)]()
+    def cold(c: String): (Seq[String], String) =
+      fresh.getOrElseUpdate(c, {
+        val m = readCommit(spark, root, c)
+        (m.parent.toSeq ++ m.mergeParent.toSeq, m.message)
+      })
     def meta(c: String): (Seq[String], String) =
-      (ck.edges.get(c), ck.messages.get(c)) match {
+      if (ck == null) cold(c)
+      else (ck.edges.get(c), ck.messages.get(c)) match {
         case (Some(e), Some(m)) => (e, m)
-        case _ => fresh.getOrElseUpdate(c, {
-          val m = readCommit(spark, root, c)
-          (m.parent.toSeq ++ m.mergeParent.toSeq, m.message)
-        })
+        case _ => cold(c)
       }
     var cur = head
+    var steps = 0
     var found: Option[String] = None
     while (cur.isDefined && found.isEmpty) {
       val (parents, msg) = meta(cur.get)
       if (msg == message) found = cur
       else cur = parents.headOption // first parent
+      steps += 1
+      if (ck == null && steps >= eagerSteps && cur.isDefined)
+        ck = readAncestryCk(spark, root)
     }
-    if (fresh.size > checkpointSlack)
+    if (ck != null && fresh.size > checkpointSlack)
       writeAncestry(spark, root, AncestryCk(
         ck.edges ++ fresh.view.mapValues(_._1),
         ck.messages ++ fresh.view.mapValues(_._2)))
