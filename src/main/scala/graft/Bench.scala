@@ -129,7 +129,7 @@ object Bench {
 
     val canaryEnd = canary()
     val loadEnd = loadavg1m
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    import BenchLine.ms
     // Canary times plus load/memory at the capture boundaries. ~110 chars.
     val envJson =
       s""""env":{"load":[${f"$loadStart%.2f"},${f"$loadEnd%.2f"}],""" +
@@ -161,10 +161,32 @@ object Bench {
     // the FASTEST queries and say how many ("omitted":N — the slow band
     // is the signal; the full detail is on the full-name line above and
     // in the driver's own stdout capture).
+    println(BenchLine.sized(results.toSeq, total, failed, sfDir, envJson))
+    spark.stop()
+  }
+}
+
+/** The driver-parsed compact line, extracted so the sizing ladder is
+  * unit-testable ([[graft.BenchLineSpec]]) — this exact contract broke
+  * the official capture twice (r9-r11 and r17 recorded parsed:null).
+  */
+private[graft] object BenchLine {
+  def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+  def msInt(v: Double): String =
+    if (v < 0) "-1" else math.round(v * 1000).toString
+
+  /** Compact line sized to `budget` chars, degrading deterministically:
+    * 3-decimal seconds → integer milliseconds (`"unit_queries":"ms"`) →
+    * drop the FASTEST queries with an `"omitted":N` marker (failures
+    * sort last, so they are dropped last; their names stay in
+    * `failed_queries` regardless).
+    */
+  def sized(results: Seq[(String, Double)], total: Double, failed: Int,
+            sfDir: String, envJson: String, budget: Int = 1850): String = {
     val failedNames = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    def msInt(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
-    def compactLine(entries: Seq[(String, Double)], unitMs: Boolean, omitted: Int): String = {
+    def compactLine(entries: Seq[(String, Double)], unitMs: Boolean,
+                    omitted: Int): String = {
       val fmt: Double => String = if (unitMs) msInt else ms
       val qsStr = entries
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
@@ -173,17 +195,16 @@ object Bench {
       val omitKey = if (omitted > 0) s""","omitted":$omitted""" else ""
       s"""{"metric":"total","unit":"sec","value":${ms(total)},"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir",$envJson$unitKey$omitKey,"queries":$qsStr}"""
     }
-    val budget = 1850
-    val sorted = results.toSeq
     val candidates =
-      Iterator(compactLine(sorted, unitMs = false, 0), compactLine(sorted, unitMs = true, 0)) ++
+      Iterator(compactLine(results, unitMs = false, 0),
+        compactLine(results, unitMs = true, 0)) ++
         // keep the slowest queries (and every failure), dropping fast ones
         Iterator.from(1).map { drop =>
-          val keep = sorted.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+          val keep = results
+            .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
             .drop(drop).sortBy(_._1)
           compactLine(keep, unitMs = true, drop)
         }
-    println(candidates.find(_.length <= budget).get)
-    spark.stop()
+    candidates.find(_.length <= budget).get
   }
 }

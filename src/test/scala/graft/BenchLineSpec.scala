@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s.jackson.JsonMethods
+import org.json4s.DefaultFormats
+
+/** The bench's driver-parsed compact line must ALWAYS fit the driver's
+  * 2000-char output tail (minus sbt's success trailer) and stay valid
+  * JSON — this contract silently broke twice (BENCH_r9-r11 and
+  * BENCH_r17 recorded parsed:null). Pins the r18 sizing ladder:
+  * 3-decimal seconds → integer ms → drop-fastest with an omitted count.
+  */
+class BenchLineSpec extends AnyFunSuite {
+  implicit val fmts: DefaultFormats.type = DefaultFormats
+
+  private val env =
+    """"env":{"load":[0.50,1.20],"mem_mb":126000,"canary":[0.500,0.260,0.270]}"""
+
+  private def queries(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q$i%03d_some_operator_name", i * 0.013))
+
+  test("small suites keep full 3-decimal seconds") {
+    val line = BenchLine.sized(queries(20), 2.73, 0, "/root/testdata/sf0.1", env)
+    assert(line.length <= 1850)
+    val j = JsonMethods.parse(line)
+    assert((j \ "unit_queries").toOption.isEmpty, "no degrade needed")
+    assert((j \ "queries" \ "q007").extract[Double] == 0.091)
+    assert((j \ "env" \ "canary").extract[Seq[Double]] == Seq(0.5, 0.26, 0.27))
+  }
+
+  test("large suites degrade to integer ms, never overflow the budget") {
+    val line = BenchLine.sized(queries(140), 130.5, 0, "/root/testdata/sf0.1", env)
+    assert(line.length <= 1850, s"line ${line.length} chars")
+    val j = JsonMethods.parse(line)
+    assert((j \ "unit_queries").extract[String] == "ms")
+    assert((j \ "queries" \ "q007").extract[Long] == 91L)
+    assert((j \ "omitted").toOption.isEmpty, "140 queries fit at ms precision")
+  }
+
+  test("extreme suites drop the FASTEST queries and say how many") {
+    val line = BenchLine.sized(queries(600), 999.0, 0, "/sf", env)
+    assert(line.length <= 1850, s"line ${line.length} chars")
+    val j = JsonMethods.parse(line)
+    val omitted = (j \ "omitted").extract[Int]
+    assert(omitted > 0)
+    val kept = (j \ "queries").extract[Map[String, Long]]
+    assert(kept.size == 600 - omitted)
+    // the slowest query always survives; the fastest goes first
+    assert(kept.contains("q600"))
+    assert(!kept.contains("q001"))
+  }
+
+  test("failures sort last in the drop order and stay named") {
+    val qs = queries(600).updated(0, ("q001_failed_one", -1.0))
+    val line = BenchLine.sized(qs, 999.0, 1, "/sf", env, budget = 700)
+    assert(line.length <= 700)
+    val j = JsonMethods.parse(line)
+    assert((j \ "failed").extract[Int] == 1)
+    assert((j \ "failed_queries").extract[Seq[String]] == Seq("q001_failed_one"))
+    val kept = (j \ "queries").extract[Map[String, Long]]
+    // at a 700-char budget almost everything is dropped, but the failed
+    // query (-1) sorts to the very end of the drop order and survives
+    assert(kept.get("q001").contains(-1L))
+    assert(kept.contains("q600"))
+  }
+
+  test("every ladder rung is parseable JSON with the fixed header intact") {
+    for (budget <- Seq(1850, 1200, 900, 700, 500)) {
+      val line = BenchLine.sized(queries(300), 55.5, 0, "/sf", env, budget)
+      assert(line.length <= budget, s"budget $budget: ${line.length}")
+      val j = JsonMethods.parse(line)
+      assert((j \ "metric").extract[String] == "total")
+      assert((j \ "value").extract[Double] == 55.5)
+      assert((j \ "env" \ "mem_mb").extract[Long] == 126000L)
+    }
+  }
+}
