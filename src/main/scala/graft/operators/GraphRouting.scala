@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   * centroid approximates the global mean and top-p selection is
   * uninformative; over k-means shards the query's true neighbors
   * concentrate in the nearest few cells — the IVF argument verbatim.
+  *
+  * Driver cost: the routing decision is O(|queries| x |shards| x dim)
+  * driver-side flops over the collected centroids — the same shape as
+  * the reference's faiss IVF coarse quantizer, and bounded because both
+  * factors are: the query batch is already driver-held (it rides the
+  * task closure), and |shards| tracks build parallelism (10^3-10^4 at
+  * 100 TB — a few hundred MB-flops per batch, microseconds to
+  * milliseconds). A batch large enough to strain this should be
+  * mapPartitions-joined against the index, not routed one closure at a
+  * time.
   */
 object GraphRouting {
 

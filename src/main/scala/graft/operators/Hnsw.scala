@@ -365,4 +365,41 @@ object Hnsw {
       .getOrElse(topK(spark.read.parquet(path), query, k, ef,
         probeParts = probeParts))
   }
+
+  /** Batched [[topKPersisted]]: one exchange-free pass over the UNION of
+    * the batch's routed directories, each query gated inside the walk to
+    * its own shard set — N queries cost one scan of ≤ |union| shards,
+    * not N scans and not the full index. Falls back like the single-
+    * query path (shuffled read when the layout is not part-partitioned;
+    * probe-all when `probeParts = 0` or no centroids exist).
+    */
+  def batchTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: Seq[(Long, Seq[Float])],
+                         k: Int, ef: Int = 64, probeParts: Int = 0,
+                         centroids: Array[(Int, Array[Float])] = Array.empty)
+      : DataFrame = {
+    val cents =
+      if (probeParts <= 0) Array.empty[(Int, Array[Float])]
+      else if (centroids.nonEmpty) centroids
+      else GraphRouting.centroidsOf(spark.read.parquet(path), CentroidNode)
+    val routing =
+      if (cents.isEmpty) None
+      else Some(GraphRouting.routesFor(cents,
+        queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
+    val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
+    PartitionedIndex.partScans(spark, path, keep = keep)
+      .map { scan =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
+        // per-query gating still applies: the union scan holds shards
+        // some queries did not route to
+        localHits(scan, queries, k, ef, colocated = true, routing)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .orderBy(col("query_id"), col("rank"))
+      }
+      .getOrElse(batchTopK(spark.read.parquet(path), queries, k, ef,
+        probeParts = probeParts))
+  }
 }

@@ -174,6 +174,40 @@ class GraphRoutingSpec extends SparkSpec {
     assert((vHits intersect truth).size >= 8)
   }
 
+  test("persisted BATCH routed read scans only the union of routed dirs") {
+    val hPath = tmpDir("hnsw_batch_routed") + "/idx"
+    Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
+        clustered = true)
+      .write.partitionBy("part").parquet(hPath)
+    val vPath = tmpDir("vamana_batch_routed") + "/idx"
+    Vamana.build(corpus, "emb", "vec_id", numPartitions = clusters,
+        pqM = 4, pqK = 8, clustered = true)
+      .write.partitionBy("part").parquet(vPath)
+    val queries = Seq(10L -> queryFor(1), 60L -> queryFor(6))
+    def dirsOf(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.inputFiles.flatMap(f =>
+        "part=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    for ((path, routed) <- Seq(
+        hPath -> Hnsw.batchTopKPersisted(spark, hPath, queries, k = 10,
+          probeParts = 2),
+        vPath -> Vamana.batchTopKPersisted(spark, vPath, queries, k = 10,
+          probeParts = 2))) {
+      // two far-apart queries at p=2: the union is ≤ 4 directories of 8
+      val dirs = dirsOf(routed)
+      assert(dirs.size <= 4 && dirs.nonEmpty,
+        s"$path: union scan read ${dirs.toSeq.sorted}")
+      // each query's hits still reach its own cluster's true neighbors
+      val got = routed.select("query_id", "ext_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      queries.foreach { case (qid, q) =>
+        val truth = exactTopK(q, 10).toSet
+        assert((got(qid) intersect truth).size >= 8,
+          s"$path: batch persisted routed recall collapsed for $qid")
+      }
+    }
+  }
+
   test("batch routing gates each query to its own shards") {
     val idx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
       clustered = true)
