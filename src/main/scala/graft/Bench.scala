@@ -198,13 +198,25 @@ private[graft] object BenchLine {
     val candidates =
       Iterator(compactLine(results, unitMs = false, 0),
         compactLine(results, unitMs = true, 0)) ++
-        // keep the slowest queries (and every failure), dropping fast ones
-        Iterator.from(1).map { drop =>
+        // keep the slowest queries (and every failure), dropping fast
+        // ones; the ladder is FINITE (lines stop shrinking once every
+        // query is dropped), so a budget below the fixed header can
+        // never spin it — the shortest line is the fallback
+        Iterator.range(1, results.size + 1).map { drop =>
           val keep = results
             .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
             .drop(drop).sortBy(_._1)
           compactLine(keep, unitMs = true, drop)
         }
-    candidates.find(_.length <= budget).get
+    // lazy walk: the common case fits on the first rung and builds one
+    // line; the pathological budget gets the shortest rung instead of
+    // a spin
+    var shortest: String = null
+    while (candidates.hasNext) {
+      val line = candidates.next()
+      if (line.length <= budget) return line
+      if (shortest == null || line.length < shortest.length) shortest = line
+    }
+    shortest
   }
 }

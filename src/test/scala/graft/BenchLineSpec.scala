@@ -64,6 +64,14 @@ class BenchLineSpec extends AnyFunSuite {
     assert(kept.contains("q600"))
   }
 
+  test("a budget below the fixed header returns the shortest rung, no spin") {
+    val line = BenchLine.sized(queries(50), 5.0, 0, "/sf", env, budget = 100)
+    assert(line.length > 100, "nothing fits 100 chars — fallback expected")
+    val j = JsonMethods.parse(line)
+    assert((j \ "omitted").extract[Int] == 50, "shortest rung drops all")
+    assert((j \ "metric").extract[String] == "total")
+  }
+
   test("every ladder rung is parseable JSON with the fixed header intact") {
     for (budget <- Seq(1850, 1200, 900, 700, 500)) {
       val line = BenchLine.sized(queries(300), 55.5, 0, "/sf", env, budget)
