@@ -109,15 +109,21 @@ object RecallSoak {
         .withColumnRenamed("ext_id", "vec_id"))
 
     // SHARD-ROUTED graph families (r18): clustered builds (k-means
-    // shards + persisted centroids), queries walk only the p nearest
-    // shards. probe-all (p=shards) pins routing-off parity; small p
-    // shows the recall the sub-linear path buys. Knobs are the measured
-    // clustered-shard settings (SCALE.md): shards ≈ corpus/500 so a
-    // shard is one tight region, HNSW degree 32 (degree-16 graphs
-    // navigate near-tie shards at ~0.93), Vamana rerank 400 (a rerank
-    // pool smaller than a shard's PQ-tie pool picks arbitrarily — 0.49
-    // at rerank=100).
-    val routedShards = 256
+    // shards + persisted centroids), queries walk only their p nearest
+    // shards. Two knobs, both measured (SCALE.md):
+    //  - shard SIZE ≈ 500 rows (shards ≈ n/500): a 1M run at a fixed
+    //    256 shards grew shards to ~4,000 near-tie rows — Vamana's
+    //    rerank=400 covered 10% of its shard's PQ-tie pool (0.70) and
+    //    HNSW walks got harder (0.95); 500-row shards restore probe-all
+    //    to ~1.0. HNSW degree 32 (degree-16 navigates near-tie shards
+    //    at ~0.93), Vamana rerank 400 (rerank=100 scored 0.49).
+    //  - p scales like IVF's nprobe: when shards outnumber natural
+    //    clusters, a query's neighbors spread over several shards, so
+    //    the sweep measures the p→recall curve (p=all pins routing-off
+    //    parity).
+    // Cost: the coarse k-means assignment is O(n·shards·dim), the same
+    // build shape as the reference's faiss IVF train.
+    val routedShards = math.min(4096, math.max(64, (n / 500L).toInt))
     val (hnswClustered, hBuildSec) = timed {
       val d = Hnsw.build(data, "emb", "vec_id", routedShards, 32, 100,
           clustered = true)
@@ -126,7 +132,7 @@ object RecallSoak {
     }
     val hShards = hnswClustered.filter(col("node") === Hnsw.CentroidNode)
       .count().toInt
-    for (p <- Seq(4, hShards)) {
+    for (p <- Seq(4, 16, 64, hShards).distinct.filter(_ <= hShards)) {
       val (rec, sSec) = timed(recallOf(
         Hnsw.batchTopK(hnswClustered, queries, k, ef = 64,
             colocated = true, probeParts = p)
@@ -144,7 +150,7 @@ object RecallSoak {
     }
     val vShards = vamanaClustered
       .filter(col("node") === Vamana.CentroidNode).count().toInt
-    for (p <- Seq(4, vShards)) {
+    for (p <- Seq(4, 16, 64, vShards).distinct.filter(_ <= vShards)) {
       val (rec, sSec) = timed(recallOf(
         Vamana.batchTopK(vamanaClustered, queries, k, beam = 64,
             rerank = 400, colocated = true, probeParts = p)
