@@ -84,6 +84,12 @@ object Bench {
     // samples calibrate what the environment did to the capture.
     // Min-of-2 like every measured query, so the start sample isn't just
     // measuring first-query JIT/codegen warmup.
+    // Protocol note for cross-round comparison: from r18 on, q01's OWN
+    // suite measurement runs after the two canaryStart executions, so it
+    // is warmer (more JIT tiering, cached footers) than prior rounds'
+    // q01 — a small q01 "speedup" vs r17 is partly harness protocol, not
+    // engine. canary[0] likewise carries the JVM's first page-cache
+    // touch of lineitem (documented in SCALE.md's read-out rule).
     val canaryName = "q01_agg_pricing_summary"
     def canary(): Double =
       SparkEntry.queries.get(canaryName).map { fn =>
@@ -143,7 +149,9 @@ object Bench {
     // "failed" is in the JSON line (stdout) so round-over-round comparisons
     // cannot mistake a throwing query (excluded from total) for a speedup.
     // Full-precision, full-name line first — for local runs and logs.
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"failed":$failed,"sf":"$sfDir","env_full":{$envJson}}""")
+    // envJson already carries its own "env" key: interpolate it bare so
+    // both lines expose the same env.load / env.canary path
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"failed":$failed,"sf":"$sfDir",$envJson}""")
     // The driver stores only the LAST 2000 chars of output and parses the
     // JSON it finds there: the full-name line above is ~2.6k chars, so its
     // head (and the opening brace) is always truncated away — BENCH_r9-r11

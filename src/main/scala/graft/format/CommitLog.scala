@@ -527,12 +527,22 @@ object CommitLog {
         // st empty: released between our create and stat — retry now
       }
     }
-    // heartbeat on the SHARED scheduler — a fresh thread per commit
-    // churned at high commit rates; the periodic setTimes is the same
+    // heartbeat on the SHARED timer — a fresh thread per commit churned
+    // at high commit rates. The tick only DISPATCHES: the setTimes IO
+    // runs on the cached IO pool, so one lock's hung store call (the
+    // exact slow-retry case heartbeats exist for) can never starve
+    // another concurrent lock's beats off the shared timer; a lock whose
+    // previous beat is still in flight skips the tick instead of piling
+    // up queued touches.
     val beatPeriod = math.max(leaseMs / 3, 50L)
+    val beatInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beatTask = heartbeatExec.scheduleWithFixedDelay(
-      () => try { f.setTimes(lock, System.currentTimeMillis(), -1) }
-        catch { case _: Exception => () }, // missed beat: lease may lapse
+      () => if (beatInFlight.compareAndSet(false, true))
+        heartbeatIoExec.execute { () =>
+          try f.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: Exception => () } // missed beat: lease may lapse
+          finally beatInFlight.set(false)
+        },
       beatPeriod, beatPeriod, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
@@ -541,14 +551,21 @@ object CommitLog {
     }
   }
 
-  /** One JVM-wide daemon scheduler for every branch-lock heartbeat: the
-    * beats are tiny metadata touches at lease/3 cadence, so a single
-    * thread serves any realistic number of concurrent sections without
-    * per-commit thread churn.
+  /** One JVM-wide daemon timer for every branch-lock heartbeat (ticks
+    * only — never IO), plus a cached daemon pool for the touch itself:
+    * steady-state thread count tracks the number of beats actually in
+    * flight (idle threads reap after 60 s), with no per-commit churn
+    * and no cross-lock starvation.
     */
   private lazy val heartbeatExec =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-branch-lock-heartbeat")
+      t.setDaemon(true)
+      t
+    }
+  private lazy val heartbeatIoExec =
+    java.util.concurrent.Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, "graft-branch-lock-heartbeat-io")
       t.setDaemon(true)
       t
     }

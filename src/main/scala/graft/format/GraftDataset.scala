@@ -2693,17 +2693,20 @@ class GraftDataset private[format] (
         // one narrow scan per part directory, no Exchange. The pinned
         // in-memory copy keeps the shuffled path (its cached partitioning
         // does not preserve the directory co-location).
+        // both branches route from the tiny `routing` artifact (pinned
+        // in memory after loadVectorIndex) — never from a sentinel scan
+        // of the graph itself
+        val routingCents = if (probeShards > 0)
+          readRoutingArtifact(column, dir) else Array.empty[(Int, Array[Float])]
         val hits =
           if (isVectorIndexLoaded(column))
             graft.operators.Hnsw.topK(art("graph"), graphQuery, k,
               ef = math.max(64, refineFactor * k),
-              probeParts = probeShards)
+              probeParts = probeShards, centroids = routingCents)
           else graft.operators.Hnsw.topKPersisted(spark,
             new Path(dir, "graph").toString, graphQuery, k,
             ef = math.max(64, refineFactor * k),
-            probeParts = probeShards,
-            centroids = if (probeShards > 0)
-              readRoutingArtifact(column, dir) else Array.empty)
+            probeParts = probeShards, centroids = routingCents)
         graphScore(hits)
       case "DISKANN" =>
         requireGraphMetric()
@@ -2714,17 +2717,19 @@ class GraftDataset private[format] (
         // corpus. Exact-scoring ≤256 vectors per probed shard is noise
         // next to the walk itself.
         val vamanaRerank = math.max(256, refineFactor * k)
+        val routingCents = if (probeShards > 0)
+          readRoutingArtifact(column, dir) else Array.empty[(Int, Array[Float])]
         val hits =
           if (isVectorIndexLoaded(column))
             graft.operators.Vamana.topK(art("graph"), graphQuery, k,
               beam = math.max(64, refineFactor * k),
-              rerank = vamanaRerank, probeParts = probeShards)
+              rerank = vamanaRerank, probeParts = probeShards,
+              centroids = routingCents)
           else graft.operators.Vamana.topKPersisted(spark,
             new Path(dir, "graph").toString, graphQuery, k,
             beam = math.max(64, refineFactor * k),
             rerank = vamanaRerank, probeParts = probeShards,
-            centroids = if (probeShards > 0)
-              readRoutingArtifact(column, dir) else Array.empty)
+            centroids = routingCents)
         graphScore(hits)
       case t => throw new IllegalStateException(s"unknown index type $t")
     }

@@ -115,14 +115,20 @@ object GraphRouting {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
 
   /** Top-`p` shards for one query by squared-L2 to the shard centroids
-    * (ties broken by shard id — deterministic).
+    * (ties broken by shard id — deterministic). Fails loudly on a
+    * dimension mismatch: routing a wrong-dimensional query by prefix
+    * distance would confidently select arbitrary shards and return
+    * plausible-looking garbage, where the exact paths would surface the
+    * mismatch.
     */
   def route(cents: Array[(Int, Array[Float])], q: Array[Float],
             p: Int): Set[Int] =
     cents.map { case (part, c) =>
+      require(c.length == q.length,
+        s"routing dimension mismatch: query has ${q.length} dims, " +
+          s"shard $part centroid has ${c.length}")
       var s = 0.0; var i = 0
-      val n = math.min(c.length, q.length)
-      while (i < n) { val d = q(i) - c(i); s += d * d; i += 1 }
+      while (i < c.length) { val d = q(i) - c(i); s += d * d; i += 1 }
       (s, part)
     }.sortBy(identity).take(math.max(p, 1)).map(_._2).toSet
 

@@ -277,16 +277,21 @@ object Hnsw {
     }
   }
 
-  /** Routing for `queries` against the index's persisted shard centroids
-    * (sentinel rows); None when `probeParts <= 0` or the index has no
-    * sentinels (non-clustered build) — probe-all in both cases.
+  /** Routing for `queries` against caller-supplied `centroids` (e.g. a
+    * pinned routing artifact) or, when empty, the index's own sentinel
+    * rows; None when `probeParts <= 0` or neither source has centroids
+    * (non-clustered build) — probe-all in both cases.
     */
   private def routingFor(index: DataFrame,
                          queries: Seq[(Long, Seq[Float])],
-                         probeParts: Int): Option[GraphRouting.Routing] =
+                         probeParts: Int,
+                         centroids: Array[(Int, Array[Float])] = Array.empty)
+      : Option[GraphRouting.Routing] =
     if (probeParts <= 0) None
     else {
-      val cents = GraphRouting.centroidsOf(index, CentroidNode)
+      val cents =
+        if (centroids.nonEmpty) centroids
+        else GraphRouting.centroidsOf(index, CentroidNode)
       if (cents.isEmpty) None
       else Some(GraphRouting.routesFor(cents,
         queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
@@ -300,9 +305,11 @@ object Hnsw {
     */
   def topK(index: DataFrame, query: Seq[Float], k: Int,
            ef: Int = 64, colocated: Boolean = false,
-           probeParts: Int = 0): DataFrame = {
+           probeParts: Int = 0,
+           centroids: Array[(Int, Array[Float])] = Array.empty): DataFrame = {
     val qs = Seq((0L, query))
-    localHits(index, qs, k, ef, colocated, routingFor(index, qs, probeParts))
+    localHits(index, qs, k, ef, colocated,
+        routingFor(index, qs, probeParts, centroids))
       .select(col("ext_id"), col("l2sq"))
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
       .limit(k)
@@ -315,12 +322,14 @@ object Hnsw {
     */
   def batchTopK(index: DataFrame, queries: Seq[(Long, Seq[Float])],
                 k: Int, ef: Int = 64, colocated: Boolean = false,
-                probeParts: Int = 0): DataFrame = {
+                probeParts: Int = 0,
+                centroids: Array[(Int, Array[Float])] = Array.empty)
+      : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
     localHits(index, queries, k, ef, colocated,
-        routingFor(index, queries, probeParts))
+        routingFor(index, queries, probeParts, centroids))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
@@ -353,17 +362,21 @@ object Hnsw {
       else Some(GraphRouting.routesFor(cents,
         Seq((0L, query.toArray)), probeParts))
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
+    def ranked(hits: DataFrame): DataFrame = hits
+      .select(col("ext_id"), col("l2sq"))
+      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
+      .limit(k)
     PartitionedIndex.partScans(spark, path, keep = keep)
-      .map { scan =>
-        // the directory selection already applied the routing; the local
-        // walk needs no per-query gating for a single query
-        localHits(scan, Seq((0L, query)), k, ef, colocated = true)
-          .select(col("ext_id"), col("l2sq"))
-          .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-          .limit(k)
-      }
-      .getOrElse(topK(spark.read.parquet(path), query, k, ef,
-        probeParts = probeParts))
+      // the directory selection already applied the routing; the local
+      // walk needs no per-query gating for a single query
+      .map(scan => ranked(localHits(scan, Seq((0L, query)), k, ef,
+        colocated = true)))
+      // fallback (non-part layout / too many dirs): REUSE the routing —
+      // its scanFilter still partition-prunes a partitioned read, and
+      // re-deriving it from topK's sentinel scan would cost the full-
+      // index pass the routing artifact exists to avoid
+      .getOrElse(ranked(localHits(spark.read.parquet(path),
+        Seq((0L, query)), k, ef, colocated = false, routing)))
   }
 
   /** Batched [[topKPersisted]]: one exchange-free pass over the UNION of
@@ -387,19 +400,21 @@ object Hnsw {
       else Some(GraphRouting.routesFor(cents,
         queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
+    def ranked(hits: DataFrame): DataFrame = hits
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
     PartitionedIndex.partScans(spark, path, keep = keep)
-      .map { scan =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id")
-          .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-        // per-query gating still applies: the union scan holds shards
-        // some queries did not route to
-        localHits(scan, queries, k, ef, colocated = true, routing)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .orderBy(col("query_id"), col("rank"))
-      }
-      .getOrElse(batchTopK(spark.read.parquet(path), queries, k, ef,
-        probeParts = probeParts))
+      // per-query gating still applies: the union scan holds shards
+      // some queries did not route to
+      .map(scan => ranked(localHits(scan, queries, k, ef,
+        colocated = true, routing)))
+      // fallback: reuse the routing (partition-prunes a partitioned
+      // read; never re-derive from a full sentinel scan)
+      .getOrElse(ranked(localHits(spark.read.parquet(path), queries, k,
+        ef, colocated = false, routing)))
   }
 }

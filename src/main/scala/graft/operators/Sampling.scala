@@ -111,14 +111,14 @@ object Sampling {
     * missing from `weights` are dropped; weights naming absent sources
     * are ignored.
     *
-    * Scale: the per-source cutoffs are computed fully DISTRIBUTED — a
-    * count aggregate keyed by source, joined to the (driver-local)
-    * weights table, normalized by one scalar max — so a high-cardinality
-    * `sourceCol` (a user passing a domain column with 10^6 values) never
-    * produces an unbounded driver collect; the only driver-side value is
-    * the scalar max ratio. The cutoff join is an equi-join on the source
-    * key (auto-broadcast when the cutoff side is small — the common
-    * dozens-of-sources case) + one codegen'd filter at the scan; the
+    * Scale: the per-source counts are a map-side-combined aggregate
+    * (the shuffle moves partial counts, never corpus rows) INNER-JOINED
+    * to the caller's weights before anything reaches the driver — so
+    * the collect is bounded by `weights.size`, a map the caller already
+    * holds in driver memory, even when `sourceCol` itself has unbounded
+    * cardinality (a domain column: unweighted domains never survive the
+    * join). One aggregation pass total; the cutoffs then ride a
+    * BROADCAST local table into one codegen'd filter at the scan — the
     * corpus itself never shuffles. The source key is compared AS STRING
     * (weights are string-keyed), so non-string source columns work;
     * null-source rows are dropped like any unweighted source.
@@ -132,6 +132,7 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val wDf = broadcast(weights.toSeq.toDF("_mix_src", "_mix_w"))
+    // ≤ weights.size rows by construction (inner join on the weight keys)
     val ratios = df
       .select(col(sourceCol).cast("string").as("_mix_src"))
       .filter(col("_mix_src").isNotNull)
@@ -139,14 +140,13 @@ object Sampling {
       .join(wDf, "_mix_src")
       .select(col("_mix_src"),
         (col("_mix_w") / col("count").cast("double")).as("_mix_ratio"))
-    // one scalar to the driver — NOT the per-source table
-    val maxRow = ratios.agg(max(col("_mix_ratio"))).head()
-    require(!maxRow.isNullAt(0), "no weighted source present in the data")
-    val maxRatio = maxRow.getDouble(0)
-    val cutDf = ratios.select(col("_mix_src"),
-      ((col("_mix_ratio") / lit(maxRatio)) * lit((1L << 60).toDouble))
-        .cast("long").as("_mix_cutoff"))
-    df.join(cutDf, col(sourceCol).cast("string") === col("_mix_src"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    require(ratios.nonEmpty, "no weighted source present in the data")
+    val maxRatio = ratios.map(_._2).max
+    val cutDf = ratios.toSeq.map { case (s, r) =>
+      (s, ((r / maxRatio) * (1L << 60).toDouble).toLong) }
+      .toDF("_mix_src", "_mix_cutoff")
+    df.join(broadcast(cutDf), col(sourceCol).cast("string") === col("_mix_src"))
       .filter(hashCoin(col(idCol), salt) < col("_mix_cutoff"))
       .drop("_mix_src", "_mix_cutoff")
   }

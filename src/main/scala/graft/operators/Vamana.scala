@@ -463,16 +463,21 @@ object Vamana {
     }
   }
 
-  /** Routing for `queries` against the index's persisted shard centroids
-    * (sentinel rows); None when `probeParts <= 0` or the index has no
-    * sentinels (non-clustered build) — probe-all in both cases.
+  /** Routing for `queries` against caller-supplied `centroids` (e.g. a
+    * pinned routing artifact) or, when empty, the index's own sentinel
+    * rows; None when `probeParts <= 0` or neither source has centroids
+    * (non-clustered build) — probe-all in both cases.
     */
   private def routingFor(index: DataFrame,
                          queries: Seq[(Long, Seq[Float])],
-                         probeParts: Int): Option[GraphRouting.Routing] =
+                         probeParts: Int,
+                         centroids: Array[(Int, Array[Float])] = Array.empty)
+      : Option[GraphRouting.Routing] =
     if (probeParts <= 0) None
     else {
-      val cents = GraphRouting.centroidsOf(index, CentroidNode)
+      val cents =
+        if (centroids.nonEmpty) centroids
+        else GraphRouting.centroidsOf(index, CentroidNode)
       if (cents.isEmpty) None
       else Some(GraphRouting.routesFor(cents,
         queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
@@ -488,10 +493,11 @@ object Vamana {
     */
   def topK(index: DataFrame, query: Seq[Float], k: Int,
            beam: Int = 64, rerank: Int = 100,
-           colocated: Boolean = false, probeParts: Int = 0): DataFrame = {
+           colocated: Boolean = false, probeParts: Int = 0,
+           centroids: Array[(Int, Array[Float])] = Array.empty): DataFrame = {
     val qs = Seq((0L, query))
     localHits(index, qs, k, beam, rerank, colocated,
-        routingFor(index, qs, probeParts))
+        routingFor(index, qs, probeParts, centroids))
       .select(col("ext_id"), col("l2sq"))
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
       .limit(k)
@@ -505,13 +511,14 @@ object Vamana {
     */
   def batchTopK(index: DataFrame, queries: Seq[(Long, Seq[Float])],
                 k: Int, beam: Int = 64, rerank: Int = 100,
-                colocated: Boolean = false, probeParts: Int = 0)
+                colocated: Boolean = false, probeParts: Int = 0,
+                centroids: Array[(Int, Array[Float])] = Array.empty)
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
     localHits(index, queries, k, beam, rerank, colocated,
-        routingFor(index, queries, probeParts))
+        routingFor(index, queries, probeParts, centroids))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
@@ -544,17 +551,19 @@ object Vamana {
       else Some(GraphRouting.routesFor(cents,
         Seq((0L, query.toArray)), probeParts))
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
+    def ranked(hits: DataFrame): DataFrame = hits
+      .select(col("ext_id"), col("l2sq"))
+      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
+      .limit(k)
     PartitionedIndex.partScans(spark, path, keep = keep)
-      .map { scan =>
-        // the directory selection already applied the routing; the local
-        // walk needs no per-query gating for a single query
-        localHits(scan, Seq((0L, query)), k, beam, rerank, colocated = true)
-          .select(col("ext_id"), col("l2sq"))
-          .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-          .limit(k)
-      }
-      .getOrElse(topK(spark.read.parquet(path), query, k, beam, rerank,
-        probeParts = probeParts))
+      // the directory selection already applied the routing; the local
+      // walk needs no per-query gating for a single query
+      .map(scan => ranked(localHits(scan, Seq((0L, query)), k, beam,
+        rerank, colocated = true)))
+      // fallback: reuse the routing (partition-prunes a partitioned
+      // read; never re-derive from a full sentinel scan)
+      .getOrElse(ranked(localHits(spark.read.parquet(path),
+        Seq((0L, query)), k, beam, rerank, colocated = false, routing)))
   }
 
   /** Batched [[topKPersisted]]: one exchange-free pass over the UNION of
@@ -578,19 +587,21 @@ object Vamana {
       else Some(GraphRouting.routesFor(cents,
         queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
+    def ranked(hits: DataFrame): DataFrame = hits
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
     PartitionedIndex.partScans(spark, path, keep = keep)
-      .map { scan =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id")
-          .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-        // per-query gating still applies: the union scan holds shards
-        // some queries did not route to
-        localHits(scan, queries, k, beam, rerank, colocated = true, routing)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .orderBy(col("query_id"), col("rank"))
-      }
-      .getOrElse(batchTopK(spark.read.parquet(path), queries, k, beam,
-        rerank, probeParts = probeParts))
+      // per-query gating still applies: the union scan holds shards
+      // some queries did not route to
+      .map(scan => ranked(localHits(scan, queries, k, beam, rerank,
+        colocated = true, routing)))
+      // fallback: reuse the routing (partition-prunes a partitioned
+      // read; never re-derive from a full sentinel scan)
+      .getOrElse(ranked(localHits(spark.read.parquet(path), queries, k,
+        beam, rerank, colocated = false, routing)))
   }
 }
