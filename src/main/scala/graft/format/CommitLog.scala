@@ -536,13 +536,20 @@ object CommitLog {
     // up queued touches.
     val beatPeriod = math.max(leaseMs / 3, 50L)
     val beatInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the tick itself must never throw: an escaping throwable (e.g.
+    // thread-creation failure in execute under resource exhaustion)
+    // would cancel ALL future ticks per scheduleWithFixedDelay's
+    // contract — a silently dead heartbeat, exactly the stolen-live-lock
+    // shape this machinery exists to prevent
     val beatTask = heartbeatExec.scheduleWithFixedDelay(
-      () => if (beatInFlight.compareAndSet(false, true))
-        heartbeatIoExec.execute { () =>
-          try f.setTimes(lock, System.currentTimeMillis(), -1)
-          catch { case _: Exception => () } // missed beat: lease may lapse
-          finally beatInFlight.set(false)
-        },
+      () => try {
+        if (beatInFlight.compareAndSet(false, true))
+          try heartbeatIoExec.execute { () =>
+            try f.setTimes(lock, System.currentTimeMillis(), -1)
+            catch { case _: Exception => () } // missed beat: lease may lapse
+            finally beatInFlight.set(false)
+          } catch { case t: Throwable => beatInFlight.set(false); throw t }
+      } catch { case _: Throwable => () }, // skip this beat, keep the next
       beatPeriod, beatPeriod, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {

@@ -2671,6 +2671,12 @@ class GraftDataset private[format] (
     // break ties by row identity, like the reference's faiss ids
     require(tieBreakCols.isEmpty || tpe == "FLAT",
       s"tieBreakCols is supported on FLAT indexes only (this is $tpe)")
+    // graph families route from the tiny `routing` artifact (pinned in
+    // memory after loadVectorIndex) — never from a sentinel scan of the
+    // graph itself; a def so the non-graph types never read it
+    def routingCents: Array[(Int, Array[Float])] =
+      if (probeShards > 0) readRoutingArtifact(column, dir)
+      else Array.empty
     val V = graft.operators.VectorSearch
     val hits = tpe match {
       case "FLAT" =>
@@ -2693,11 +2699,6 @@ class GraftDataset private[format] (
         // one narrow scan per part directory, no Exchange. The pinned
         // in-memory copy keeps the shuffled path (its cached partitioning
         // does not preserve the directory co-location).
-        // both branches route from the tiny `routing` artifact (pinned
-        // in memory after loadVectorIndex) — never from a sentinel scan
-        // of the graph itself
-        val routingCents = if (probeShards > 0)
-          readRoutingArtifact(column, dir) else Array.empty[(Int, Array[Float])]
         val hits =
           if (isVectorIndexLoaded(column))
             graft.operators.Hnsw.topK(art("graph"), graphQuery, k,
@@ -2717,8 +2718,6 @@ class GraftDataset private[format] (
         // corpus. Exact-scoring ≤256 vectors per probed shard is noise
         // next to the walk itself.
         val vamanaRerank = math.max(256, refineFactor * k)
-        val routingCents = if (probeShards > 0)
-          readRoutingArtifact(column, dir) else Array.empty[(Int, Array[Float])]
         val hits =
           if (isVectorIndexLoaded(column))
             graft.operators.Vamana.topK(art("graph"), graphQuery, k,

@@ -362,21 +362,30 @@ object Hnsw {
       else Some(GraphRouting.routesFor(cents,
         Seq((0L, query.toArray)), probeParts))
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
-    def ranked(hits: DataFrame): DataFrame = hits
-      .select(col("ext_id"), col("l2sq"))
-      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-      .limit(k)
     PartitionedIndex.partScans(spark, path, keep = keep)
       // the directory selection already applied the routing; the local
       // walk needs no per-query gating for a single query
-      .map(scan => ranked(localHits(scan, Seq((0L, query)), k, ef,
-        colocated = true)))
-      // fallback (non-part layout / too many dirs): REUSE the routing —
-      // its scanFilter still partition-prunes a partitioned read, and
-      // re-deriving it from topK's sentinel scan would cost the full-
-      // index pass the routing artifact exists to avoid
-      .getOrElse(ranked(localHits(spark.read.parquet(path),
-        Seq((0L, query)), k, ef, colocated = false, routing)))
+      .map(scan => topK(scan, query, k, ef, colocated = true))
+      // SELF-HEAL: directories exist but the routing selected none of
+      // them — the routing artifact diverged from the graph (e.g. a
+      // crash between the graph overwrite and the artifact rewrite).
+      // Probing nothing would silently return an empty result; probe
+      // ALL real directories instead and say so.
+      .orElse {
+        if (routing.isEmpty) None
+        else PartitionedIndex.partScans(spark, path).map { scan =>
+          System.err.println(s"graft: WARN routing centroids for $path " +
+            "match no existing part directory (stale routing artifact?); " +
+            "probing all shards")
+          topK(scan, query, k, ef, colocated = true)
+        }
+      }
+      // non-partitioned layout (or more dirs than partScans plans):
+      // shuffled read, and routing re-derived from THE INDEX'S OWN
+      // sentinels — caller centroids are not trusted against an
+      // arbitrary path here; correctness over the rare path's cost
+      .getOrElse(topK(spark.read.parquet(path), query, k, ef,
+        probeParts = probeParts))
   }
 
   /** Batched [[topKPersisted]]: one exchange-free pass over the UNION of
@@ -400,21 +409,26 @@ object Hnsw {
       else Some(GraphRouting.routesFor(cents,
         queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-    def ranked(hits: DataFrame): DataFrame = hits
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
     PartitionedIndex.partScans(spark, path, keep = keep)
-      // per-query gating still applies: the union scan holds shards
-      // some queries did not route to
-      .map(scan => ranked(localHits(scan, queries, k, ef,
-        colocated = true, routing)))
-      // fallback: reuse the routing (partition-prunes a partitioned
-      // read; never re-derive from a full sentinel scan)
-      .getOrElse(ranked(localHits(spark.read.parquet(path), queries, k,
-        ef, colocated = false, routing)))
+      // per-query gating still applies (via probeParts + cents): the
+      // union scan holds shards some queries did not route to
+      .map(scan => batchTopK(scan, queries, k, ef, colocated = true,
+        probeParts = probeParts, centroids = cents))
+      // SELF-HEAL: routing matched no existing directory (stale
+      // artifact) — probe all real directories instead of returning
+      // nothing (see topKPersisted)
+      .orElse {
+        if (routing.isEmpty) None
+        else PartitionedIndex.partScans(spark, path).map { scan =>
+          System.err.println(s"graft: WARN routing centroids for $path " +
+            "match no existing part directory (stale routing artifact?); " +
+            "probing all shards")
+          batchTopK(scan, queries, k, ef, colocated = true)
+        }
+      }
+      // non-partitioned layout: shuffled read, routing re-derived from
+      // the index's own sentinels (see topKPersisted)
+      .getOrElse(batchTopK(spark.read.parquet(path), queries, k, ef,
+        probeParts = probeParts))
   }
 }

@@ -551,19 +551,27 @@ object Vamana {
       else Some(GraphRouting.routesFor(cents,
         Seq((0L, query.toArray)), probeParts))
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
-    def ranked(hits: DataFrame): DataFrame = hits
-      .select(col("ext_id"), col("l2sq"))
-      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-      .limit(k)
     PartitionedIndex.partScans(spark, path, keep = keep)
       // the directory selection already applied the routing; the local
       // walk needs no per-query gating for a single query
-      .map(scan => ranked(localHits(scan, Seq((0L, query)), k, beam,
-        rerank, colocated = true)))
-      // fallback: reuse the routing (partition-prunes a partitioned
-      // read; never re-derive from a full sentinel scan)
-      .getOrElse(ranked(localHits(spark.read.parquet(path),
-        Seq((0L, query)), k, beam, rerank, colocated = false, routing)))
+      .map(scan => topK(scan, query, k, beam, rerank, colocated = true))
+      // SELF-HEAL: routing matched no existing directory (stale
+      // artifact) — probe all real directories instead of returning
+      // nothing (see Hnsw.topKPersisted)
+      .orElse {
+        if (routing.isEmpty) None
+        else PartitionedIndex.partScans(spark, path).map { scan =>
+          System.err.println(s"graft: WARN routing centroids for $path " +
+            "match no existing part directory (stale routing artifact?); " +
+            "probing all shards")
+          topK(scan, query, k, beam, rerank, colocated = true)
+        }
+      }
+      // non-partitioned layout: shuffled read, routing re-derived from
+      // the index's own sentinels — caller centroids are not trusted
+      // against an arbitrary path here
+      .getOrElse(topK(spark.read.parquet(path), query, k, beam, rerank,
+        probeParts = probeParts))
   }
 
   /** Batched [[topKPersisted]]: one exchange-free pass over the UNION of
@@ -587,21 +595,26 @@ object Vamana {
       else Some(GraphRouting.routesFor(cents,
         queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-    def ranked(hits: DataFrame): DataFrame = hits
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
     PartitionedIndex.partScans(spark, path, keep = keep)
-      // per-query gating still applies: the union scan holds shards
-      // some queries did not route to
-      .map(scan => ranked(localHits(scan, queries, k, beam, rerank,
-        colocated = true, routing)))
-      // fallback: reuse the routing (partition-prunes a partitioned
-      // read; never re-derive from a full sentinel scan)
-      .getOrElse(ranked(localHits(spark.read.parquet(path), queries, k,
-        beam, rerank, colocated = false, routing)))
+      // per-query gating still applies (via probeParts + cents): the
+      // union scan holds shards some queries did not route to
+      .map(scan => batchTopK(scan, queries, k, beam, rerank,
+        colocated = true, probeParts = probeParts, centroids = cents))
+      // SELF-HEAL: routing matched no existing directory (stale
+      // artifact) — probe all real directories instead of returning
+      // nothing (see Hnsw.topKPersisted)
+      .orElse {
+        if (routing.isEmpty) None
+        else PartitionedIndex.partScans(spark, path).map { scan =>
+          System.err.println(s"graft: WARN routing centroids for $path " +
+            "match no existing part directory (stale routing artifact?); " +
+            "probing all shards")
+          batchTopK(scan, queries, k, beam, rerank, colocated = true)
+        }
+      }
+      // non-partitioned layout: shuffled read, routing re-derived from
+      // the index's own sentinels (see topKPersisted)
+      .getOrElse(batchTopK(spark.read.parquet(path), queries, k, beam,
+        rerank, probeParts = probeParts))
   }
 }

@@ -208,6 +208,37 @@ class GraphRoutingSpec extends SparkSpec {
     }
   }
 
+  test("stale routing centroids self-heal to probe-all, never empty") {
+    // a routing artifact that diverged from the graph (crash between the
+    // graph overwrite and the artifact rewrite) can route a query to
+    // shard ids that no longer exist; the persisted searchers must fall
+    // back to probing every REAL directory instead of silently returning
+    // an empty result
+    val path = tmpDir("stale_routing") + "/idx"
+    Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
+        clustered = true)
+      .write.partitionBy("part").parquet(path)
+    val q = queryFor(3)
+    val truth = exactTopK(q, 10).toSet
+    // stale artifact: it CLAIMS every real shard id (so none counts as
+    // unrouted) but places their centroids far away, and routes the
+    // query to shard 999 — which no longer exists on disk. keep() then
+    // drops every real directory: the empty-result shape
+    val realIds = spark.read.parquet(path)
+      .select("part").distinct().as[Int].collect()
+    val far = Array.fill(dim)(-1000.0f)
+    val bogus = realIds.map(id => (id, far)) :+ (999, q.toArray)
+    val healed = Hnsw.topKPersisted(spark, path, q, 10, probeParts = 1,
+      centroids = bogus)
+    val hits = healed.select("ext_id").as[Long].collect().toSet
+    assert(hits.nonEmpty, "stale routing must not produce an empty result")
+    assert((hits intersect truth).size >= 8, "self-heal must probe all")
+    val batchHealed = Hnsw.batchTopKPersisted(spark, path,
+      Seq(7L -> q), 10, probeParts = 1, centroids = bogus)
+    val bHits = batchHealed.select("ext_id").as[Long].collect().toSet
+    assert((bHits intersect truth).size >= 8)
+  }
+
   test("batch routing gates each query to its own shards") {
     val idx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
       clustered = true)
