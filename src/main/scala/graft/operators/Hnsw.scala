@@ -19,7 +19,11 @@ import scala.collection.mutable
   * memory by partition size, and the search cost is
   * `numPartitions × O(ef·log n_p)` — each partition's probe is
   * logarithmic, and partitions probe concurrently. This is the same
-  * sharding strategy distributed faiss deployments use.
+  * sharding strategy distributed faiss deployments use. With a CLUSTERED
+  * build (`clustered = true` + `probeParts = p` on the searchers — see
+  * [[GraphRouting]]) the cost drops to `p × O(ef·log n_p)`: each query
+  * walks only its p nearest shards by persisted centroid, reading only
+  * p part directories on the persisted layout.
   *
   * Determinism: node levels come from a murmur3 hash of the node's
   * insertion sequence (not a RNG), so a rebuild of the same partition

@@ -34,7 +34,10 @@ import scala.collection.mutable
   * Scale shape: build is one `mapPartitions` pass (memory bounded by
   * partition size, embarrassingly parallel); search reads the persisted
   * rows partition-pruned, probes each subgraph independently, and only
-  * `parts × k` candidate rows ever reach the final merge.
+  * `parts × k` candidate rows ever reach the final merge. With a
+  * CLUSTERED build (`clustered = true` + `probeParts = p` — see
+  * [[GraphRouting]]) each query probes only its p nearest shards by
+  * persisted centroid, making search sub-linear in shard count.
   *
   * Determinism: no RNG anywhere — insertion order is partition row
   * order, PQ seeds are evenly-spaced samples, Lloyd runs a fixed
