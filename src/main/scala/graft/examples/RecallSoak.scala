@@ -2,7 +2,7 @@ package graft.examples
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Hnsw, Vamana, VectorSearch}
+import graft.operators.{GraphRouting, Hnsw, Vamana, VectorSearch}
 
 /** ANN recall soak at realistic scale: 100k × 64-d clustered vectors,
   * 100 held-out queries, recall@10 of every index family vs the exact
@@ -123,7 +123,9 @@ object RecallSoak {
     //    parity).
     // Cost: the coarse k-means assignment is O(n·shards·dim), the same
     // build shape as the reference's faiss IVF train.
-    val routedShards = math.min(4096, math.max(64, (n / 500L).toInt))
+    // the PRODUCTION sizing (GraphRouting.shardsFor — r19 moved the
+    // measured n/500 economics from this soak into the build default)
+    val routedShards = GraphRouting.shardsFor(n)
     val (hnswClustered, hBuildSec) = timed {
       val d = Hnsw.build(data, "emb", "vec_id", routedShards, 32, 100,
           clustered = true)

@@ -2202,13 +2202,16 @@ class GraftDataset private[format] (
                 // delta shards build CLUSTERED too: their sentinels keep
                 // shard routing correct after appends (a sentinel-less
                 // delta shard would be probed unconditionally — safe but
-                // unroutable, and appends would erode the sub-linearity)
+                // unroutable, and appends would erode the sub-linearity).
+                // Shard count derives from the DELTA's footer row count
+                // (already read for the rebuild-threshold check — no
+                // scan), so delta build tasks stay ~500-row bounded too.
                 val built =
                   if (tpe == "HNSW")
                     graft.operators.Hnsw.build(gIn, column, UuidCol,
                       m = param("graphDegree", 16),
                       efConstruction = param("buildBeam", 100),
-                      clustered = true)
+                      clustered = true, rowCountHint = deltaRows)
                   else {
                     val pqM0 = param("pqM", 0)
                     graft.operators.Vamana.build(gIn, column, UuidCol,
@@ -2217,7 +2220,7 @@ class GraftDataset private[format] (
                       pqM = if (pqM0 > 0) pqM0
                             else V.autoSubspaces(vectorDim(added, column)),
                       pqK = param("pqK", 16),
-                      clustered = true)
+                      clustered = true, rowCountHint = deltaRows)
                   }
                 built.withColumn("part",
                     (col("part") + lit(offset)).cast("int"))
@@ -2464,10 +2467,14 @@ class GraftDataset private[format] (
         // clustered: shards are coarse k-means cells, each with a
         // persisted centroid — probe-all search is unchanged (every row
         // is in exactly one shard) and probeShards routing becomes
-        // available (see [[vectorSearch]])
+        // available (see [[vectorSearch]]). Shard count derives from the
+        // MANIFEST row count (countRows — metadata only, no scan), not
+        // from cluster cores: ~500-row shards keep every build task's
+        // in-heap graph bounded at any corpus size and sit at the
+        // recall optimum RecallSoak measured (GraphRouting.shardsFor).
         graft.operators.Hnsw.build(graphInput(snap, column, metric),
             column, UuidCol, m = graphDegree, efConstruction = buildBeam,
-            clustered = true)
+            clustered = true, rowCountHint = countRows)
           .write.mode("overwrite").partitionBy("part")
           .parquet(new Path(dir, "graph").toString)
         writeRoutingArtifact(dir, graft.operators.Hnsw.CentroidNode)
@@ -2475,7 +2482,7 @@ class GraftDataset private[format] (
         graft.operators.Vamana.build(graphInput(snap, column, metric),
             column, UuidCol, r = math.max(graphDegree, 4),
             buildBeam = buildBeam, pqM = subspaces, pqK = pqK,
-            clustered = true)
+            clustered = true, rowCountHint = countRows)
           .write.mode("overwrite").partitionBy("part")
           .parquet(new Path(dir, "graph").toString)
         writeRoutingArtifact(dir, graft.operators.Vamana.CentroidNode)
@@ -2671,6 +2678,12 @@ class GraftDataset private[format] (
     // break ties by row identity, like the reference's faiss ids
     require(tieBreakCols.isEmpty || tpe == "FLAT",
       s"tieBreakCols is supported on FLAT indexes only (this is $tpe)")
+    // graph-only knob, guarded like tieBreakCols: silently ignoring it
+    // would let an IVF caller believe they tuned routing (IVF's probe
+    // knob is nprobe)
+    require(probeShards == 0 || tpe == "HNSW" || tpe == "DISKANN",
+      s"probeShards applies to HNSW/DISKANN indexes only (this is $tpe; " +
+        "IVF/IVFPQ route by nprobe)")
     // graph families route from the tiny `routing` artifact (pinned in
     // memory after loadVectorIndex) — never from a sentinel scan of the
     // graph itself; a def so the non-graph types never read it

@@ -45,6 +45,36 @@ import org.apache.spark.sql.functions._
   */
 object GraphRouting {
 
+  /** Target rows per graph shard. Measured, not guessed: RecallSoak's
+    * 1M-row run at a fixed 256 shards grew shards to ~4,000 near-tie
+    * rows — Vamana's exact re-rank covered 10% of its shard's PQ-tie
+    * pool (recall 0.70) and HNSW walks degraded to 0.95 — while
+    * ~500-row shards restore probe-all to ~1.0 AND bound the build
+    * task's in-heap graph at ~500 vectors regardless of corpus size.
+    */
+  val DefaultShardRows: Long = 500L
+
+  /** Shard-count ceiling: above this the routing artifact and the
+    * per-query top-p selection stop being "tiny" (and a persisted
+    * layout outgrows [[PartitionedIndex]]'s union planning), so shards
+    * grow past [[DefaultShardRows]] instead — the same capped-nlist
+    * economics as faiss IVF sizing (reference faiss_index.py:133-272).
+    */
+  val MaxShards: Int = 4096
+
+  /** Corpus-derived shard count: `ceil(rows / targetRows)`, clamped to
+    * [1, maxShards]. THE default sizing for graph builds — deriving
+    * shard count from cores (`defaultParallelism`) makes the per-task
+    * in-memory graph O(rows/cores): at 100× data that is a multi-GB
+    * build task and an executor OOM, where row-derived sizing keeps
+    * every build task at ~targetRows vectors no matter the corpus.
+    */
+  def shardsFor(rows: Long, targetRows: Long = DefaultShardRows,
+                maxShards: Int = MaxShards): Int = {
+    val t = math.max(1L, targetRows)
+    math.min(maxShards.toLong, math.max(1L, (rows + t - 1) / t)).toInt
+  }
+
   /** A routing decision for one query batch.
     *
     * @param queryParts  per query id, the shard ids its walk may probe
@@ -103,6 +133,88 @@ object GraphRouting {
     (VectorSearch.assignCells(df, vecCol, cents), arr)
   }
 
+  /** [[assignShards]] with a SKEW CAP: a k-means cell holding more than
+    * ~2× the average shard's rows is split into `ceil(rows/avg)`
+    * sub-shards by a secondary hash of the row id, each sub-shard
+    * carrying its parent cell's centroid. Without the cap, one dominant
+    * cell (duplicate-heavy corpora, a hot embedding region) concentrates
+    * most of the corpus into a single build task, which must hold that
+    * entire shard's graph in memory — the exact skew failure
+    * [[Dedup]]'s `maxBucket` guards block, applied to graph builds.
+    *
+    * Routing semantics are preserved: sub-shards are distinct shard ids
+    * with identical centroids, so a query near the hot region routes to
+    * (several of) them at tied distance — jointly they hold exactly what
+    * the unsplit cell did, and probe-all is untouched. The exact
+    * per-cell sizes cost one extra aggregation pass over the assignment
+    * (map-side partial, |cells| rows out) — noise next to the graph
+    * construction it protects.
+    */
+  def assignShardsCapped(df: DataFrame, vecCol: String, idCol: String,
+                         parts: Int, refineIters: Int = 1)
+      : (DataFrame, Array[(Int, Array[Float])]) = {
+    val (assigned, cents) =
+      assignShards(df, vecCol, idCol, parts, refineIters)
+    if (cents.isEmpty) return (assigned, cents)
+    val counts = assigned.filter(col("cell").isNotNull)
+      .groupBy(col("cell").cast("int").as("cell")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val total = counts.values.sum
+    val avg = math.max(1L, total / math.max(parts, 1))
+    // absolute floor: a cell is only a memory hazard when it dwarfs the
+    // ~500-row shard target — without the floor, the modest k-means
+    // imbalance of any small corpus (two natural clusters sharing a
+    // cell) would trigger splits that buy nothing
+    val cap = math.max(2L * avg, 2L * DefaultShardRows)
+    if (!counts.values.exists(_ > cap)) return (assigned, cents)
+    // dense renumber: cell c becomes sub-shards [base, base+splits)
+    var next = 0
+    val plan = cents.map(_._1).sorted.map { c =>
+      val n = counts.getOrElse(c, 0L)
+      val splits = if (n > cap) ((n + avg - 1) / avg).toInt else 1
+      val base = next; next += splits
+      c -> (base, splits)
+    }.toMap
+    val baseM = typedlit(plan.map { case (c, (b, _)) => c -> b })
+    val splitM = typedlit(plan.map { case (c, (_, s)) => c -> s })
+    val cellInt = col("cell").cast("int")
+    val sub = when(element_at(splitM, cellInt) > 1,
+        pmod(xxhash64(col(idCol)),
+          element_at(splitM, cellInt).cast("long")).cast("int"))
+      .otherwise(lit(0))
+    val reassigned = assigned.withColumn("cell",
+      when(cellInt.isNull, lit(null).cast("int"))
+        .otherwise(element_at(baseM, cellInt) + sub))
+    val centMap = cents.toMap
+    val outCents = plan.toSeq.sortBy(_._2._1).flatMap { case (c, (b, s)) =>
+      (0 until s).map(j => (b + j, centMap(c)))
+    }.toArray
+    (reassigned, outCents)
+  }
+
+  /** Re-scope a routing to the part directories that actually exist:
+    * a query whose ENTIRE routed set maps to missing directories (a
+    * routing artifact staler than the graph — e.g. a crash between the
+    * graph overwrite and the artifact rewrite) would otherwise be
+    * silently gated out of every scanned shard and return zero rows —
+    * even inside a batch where other queries succeed. Such queries are
+    * marked probe-all over the REAL directories, with a WARN; queries
+    * whose routed set still intersects reality keep their pruning.
+    */
+  def heal(r: Routing, existing: Set[Int], label: String): Routing = {
+    val stale = r.queryParts.collect {
+      case (qid, sel) if (sel intersect existing).isEmpty => qid
+    }
+    if (stale.isEmpty) r
+    else {
+      System.err.println(s"graft: WARN routing for $label selected no " +
+        s"existing part directory for ${stale.size} of " +
+        s"${r.queryParts.size} queries (stale routing artifact?); " +
+        "probing all shards for those queries")
+      Routing(r.queryParts ++ stale.map(_ -> existing), r.routedParts)
+    }
+  }
+
   /** The persisted per-shard centroids of a graph index: its sentinel
     * rows (`node == sentinelNode`), collected. Bounded by the shard
     * count — the same boundedness class as the IVF centroid reads.
@@ -114,23 +226,35 @@ object GraphRouting {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
 
-  /** Top-`p` shards for one query by squared-L2 to the shard centroids
-    * (ties broken by shard id — deterministic). Fails loudly on a
-    * dimension mismatch: routing a wrong-dimensional query by prefix
-    * distance would confidently select arbitrary shards and return
-    * plausible-looking garbage, where the exact paths would surface the
-    * mismatch.
+  /** Top-`p` LOGICAL CELLS for one query by squared-L2 to the shard
+    * centroids, returned as the union of their shard ids. Shards with
+    * an IDENTICAL centroid are one logical cell: [[assignShardsCapped]]
+    * splits an oversized cell into sub-shards that share the parent's
+    * exact centroid array, and the sub-shards jointly hold what the
+    * cell did — `p` counts CELLS, like IVF's nprobe, so a routed query
+    * probes a split cell whole (across bounded-memory tasks) instead of
+    * a hash-arbitrary fraction of it, which would silently cost recall.
+    * Ties/order are deterministic (distance, then lowest shard id).
+    * Fails loudly on a dimension mismatch: routing a wrong-dimensional
+    * query by prefix distance would confidently select arbitrary shards
+    * and return plausible-looking garbage, where the exact paths would
+    * surface the mismatch.
     */
   def route(cents: Array[(Int, Array[Float])], q: Array[Float],
             p: Int): Set[Int] =
     cents.map { case (part, c) =>
-      require(c.length == q.length,
-        s"routing dimension mismatch: query has ${q.length} dims, " +
-          s"shard $part centroid has ${c.length}")
-      var s = 0.0; var i = 0
-      while (i < c.length) { val d = q(i) - c(i); s += d * d; i += 1 }
-      (s, part)
-    }.sortBy(identity).take(math.max(p, 1)).map(_._2).toSet
+        require(c.length == q.length,
+          s"routing dimension mismatch: query has ${q.length} dims, " +
+            s"shard $part centroid has ${c.length}")
+        var s = 0.0; var i = 0
+        while (i < c.length) { val d = q(i) - c(i); s += d * d; i += 1 }
+        (s, part, c)
+      }
+      .groupBy(_._3.toSeq).values.toArray
+      .map(g => (g.head._1, g.map(_._2).min, g.map(_._2)))
+      .sortBy(t => (t._1, t._2))
+      .take(math.max(p, 1))
+      .flatMap(_._3).toSet
 
   /** Routing for a query batch: each query gets its own top-`p` set. */
   def routesFor(cents: Array[(Int, Array[Float])],

@@ -156,28 +156,41 @@ object Hnsw {
 
   /** Build per-partition graphs; returns index rows (persist with
     * `.write.partitionBy("part")`). One pass, no shuffle beyond the
-    * initial spread; memory bounded by partition size.
+    * initial spread; memory bounded by SHARD size, which is bounded by
+    * construction: when `numPartitions <= 0` the shard count is derived
+    * from the CORPUS SIZE — `ceil(rows / 500)`, capped at 4096
+    * ([[GraphRouting.shardsFor]]) — so every build task holds a ~500-row
+    * graph no matter the corpus, instead of the O(rows/cores) graph a
+    * `defaultParallelism` default would grow into at 100× data. The row
+    * count comes from `rowCountHint` when the caller already knows it
+    * (the format layer reads it from manifest metadata — no scan) and
+    * from one `count()` pass otherwise — noise next to the graph
+    * construction it sizes. An explicit `numPartitions > 0` overrides.
     *
     * `clustered = true` assigns rows to shards by nearest coarse k-means
-    * centroid instead of round-robin ([[GraphRouting.assignShards]]) and
-    * persists each shard's centroid as a sentinel row — the prerequisite
-    * for sub-linear shard-routed search (`probeParts` on the searchers).
-    * Falls back to the round-robin build when the corpus has no vectors
-    * to train on. Null-cell rows (wrong-dim vectors) are dropped — they
-    * would break the walk's distance loop anyway.
+    * centroid instead of round-robin, with a skew cap — a dominant cell
+    * splits into avg-sized sub-shards sharing its centroid
+    * ([[GraphRouting.assignShardsCapped]]) — and persists each shard's
+    * centroid as a sentinel row: the prerequisite for sub-linear
+    * shard-routed search (`probeParts` on the searchers). Falls back to
+    * the round-robin build when the corpus has no vectors to train on.
+    * Null-cell rows (wrong-dim vectors) are dropped — they would break
+    * the walk's distance loop anyway.
     */
   def build(df: DataFrame, vecCol: String, idCol: String,
             numPartitions: Int = 0, m: Int = 16,
             efConstruction: Int = 100,
-            clustered: Boolean = false): DataFrame = {
+            clustered: Boolean = false,
+            rowCountHint: Long = -1L): DataFrame = {
     val spark = df.sparkSession
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sparkContext.defaultParallelism
     implicit val enc = RowEncoder.encoderFor(indexSchema)
     val base = df.select(col(idCol).cast("long").as("_gid"),
         col(vecCol).as("_gvec"))
       .filter(col("_gvec").isNotNull)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else GraphRouting.shardsFor(
+        if (rowCountHint >= 0L) rowCountHint else base.count())
     if (!clustered) {
       base.repartition(parts)
         .mapPartitions { rows =>
@@ -195,9 +208,9 @@ object Hnsw {
         }
     } else {
       val (assigned, cents) =
-        GraphRouting.assignShards(base, "_gvec", "_gid", parts)
-      if (cents.isEmpty)
-        return build(df, vecCol, idCol, numPartitions, m, efConstruction)
+        GraphRouting.assignShardsCapped(base, "_gvec", "_gid", parts)
+      if (cents.isEmpty) // pass the resolved parts: no second count()
+        return build(df, vecCol, idCol, parts, m, efConstruction)
       val centMap = cents.toMap
       // hash-partition by shard: every shard's rows land wholly in one
       // task (the colocated invariant); a task may hold several shards,
@@ -312,12 +325,21 @@ object Hnsw {
            probeParts: Int = 0,
            centroids: Array[(Int, Array[Float])] = Array.empty): DataFrame = {
     val qs = Seq((0L, query))
-    localHits(index, qs, k, ef, colocated,
-        routingFor(index, qs, probeParts, centroids))
+    topKRouted(index, query, k, ef, colocated,
+      routingFor(index, qs, probeParts, centroids))
+  }
+
+  /** [[topK]] against a PRE-BUILT routing (the persisted read path,
+    * where the routing has been healed against the real directories).
+    */
+  private[operators] def topKRouted(index: DataFrame, query: Seq[Float],
+                                    k: Int, ef: Int, colocated: Boolean,
+                                    routing: Option[GraphRouting.Routing])
+      : DataFrame =
+    localHits(index, Seq((0L, query)), k, ef, colocated, routing)
       .select(col("ext_id"), col("l2sq"))
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
       .limit(k)
-  }
 
   /** Batched search: the query batch is broadcast, every subgraph is
     * walked once per query in ONE pass over the index, and the global
@@ -328,12 +350,25 @@ object Hnsw {
                 k: Int, ef: Int = 64, colocated: Boolean = false,
                 probeParts: Int = 0,
                 centroids: Array[(Int, Array[Float])] = Array.empty)
+      : DataFrame =
+    batchTopKRouted(index, queries, k, ef, colocated,
+      routingFor(index, queries, probeParts, centroids))
+
+  /** [[batchTopK]] against a PRE-BUILT routing (the persisted read
+    * path, where the routing has been healed against the real
+    * directories — re-deriving it here from the raw centroids would
+    * re-introduce the stale per-query gating the heal removed).
+    */
+  private[operators] def batchTopKRouted(index: DataFrame,
+                                         queries: Seq[(Long, Seq[Float])],
+                                         k: Int, ef: Int,
+                                         colocated: Boolean,
+                                         routing: Option[GraphRouting.Routing])
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-    localHits(index, queries, k, ef, colocated,
-        routingFor(index, queries, probeParts, centroids))
+    localHits(index, queries, k, ef, colocated, routing)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
@@ -357,33 +392,11 @@ object Hnsw {
                     probeParts: Int = 0,
                     centroids: Array[(Int, Array[Float])] = Array.empty)
       : DataFrame = {
-    val cents =
-      if (probeParts <= 0) Array.empty[(Int, Array[Float])]
-      else if (centroids.nonEmpty) centroids
-      else GraphRouting.centroidsOf(spark.read.parquet(path), CentroidNode)
-    val routing =
-      if (cents.isEmpty) None
-      else Some(GraphRouting.routesFor(cents,
-        Seq((0L, query.toArray)), probeParts))
+    val routing = persistedRouting(spark, path, Seq((0L, query)),
+      probeParts, centroids, CentroidNode)
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
     PartitionedIndex.partScans(spark, path, keep = keep)
-      // the directory selection already applied the routing; the local
-      // walk needs no per-query gating for a single query
-      .map(scan => topK(scan, query, k, ef, colocated = true))
-      // SELF-HEAL: directories exist but the routing selected none of
-      // them — the routing artifact diverged from the graph (e.g. a
-      // crash between the graph overwrite and the artifact rewrite).
-      // Probing nothing would silently return an empty result; probe
-      // ALL real directories instead and say so.
-      .orElse {
-        if (routing.isEmpty) None
-        else PartitionedIndex.partScans(spark, path).map { scan =>
-          System.err.println(s"graft: WARN routing centroids for $path " +
-            "match no existing part directory (stale routing artifact?); " +
-            "probing all shards")
-          topK(scan, query, k, ef, colocated = true)
-        }
-      }
+      .map(scan => topKRouted(scan, query, k, ef, colocated = true, routing))
       // non-partitioned layout (or more dirs than partScans plans):
       // shuffled read, and routing re-derived from THE INDEX'S OWN
       // sentinels — caller centroids are not trusted against an
@@ -404,35 +417,42 @@ object Hnsw {
                          k: Int, ef: Int = 64, probeParts: Int = 0,
                          centroids: Array[(Int, Array[Float])] = Array.empty)
       : DataFrame = {
-    val cents =
-      if (probeParts <= 0) Array.empty[(Int, Array[Float])]
-      else if (centroids.nonEmpty) centroids
-      else GraphRouting.centroidsOf(spark.read.parquet(path), CentroidNode)
-    val routing =
-      if (cents.isEmpty) None
-      else Some(GraphRouting.routesFor(cents,
-        queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
+    val routing = persistedRouting(spark, path, queries, probeParts,
+      centroids, CentroidNode)
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
     PartitionedIndex.partScans(spark, path, keep = keep)
-      // per-query gating still applies (via probeParts + cents): the
-      // union scan holds shards some queries did not route to
-      .map(scan => batchTopK(scan, queries, k, ef, colocated = true,
-        probeParts = probeParts, centroids = cents))
-      // SELF-HEAL: routing matched no existing directory (stale
-      // artifact) — probe all real directories instead of returning
-      // nothing (see topKPersisted)
-      .orElse {
-        if (routing.isEmpty) None
-        else PartitionedIndex.partScans(spark, path).map { scan =>
-          System.err.println(s"graft: WARN routing centroids for $path " +
-            "match no existing part directory (stale routing artifact?); " +
-            "probing all shards")
-          batchTopK(scan, queries, k, ef, colocated = true)
-        }
-      }
+      // per-query gating still applies (via the routing): the union
+      // scan holds shards some queries did not route to
+      .map(scan => batchTopKRouted(scan, queries, k, ef,
+        colocated = true, routing))
       // non-partitioned layout: shuffled read, routing re-derived from
       // the index's own sentinels (see topKPersisted)
       .getOrElse(batchTopK(spark.read.parquet(path), queries, k, ef,
         probeParts = probeParts))
+  }
+
+  /** Routing for a persisted read: centroids from the caller (the
+    * format layer's `routing` artifact) or the index's own sentinels,
+    * routes per query, then HEALED against the part directories that
+    * actually exist ([[GraphRouting.heal]]) — a query whose entire
+    * routed set is missing degrades to probe-all with a WARN, never to
+    * an empty result, and healthy queries keep their pruning.
+    */
+  private[operators] def persistedRouting(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: Seq[(Long, Seq[Float])], probeParts: Int,
+      centroids: Array[(Int, Array[Float])], sentinelNode: Int)
+      : Option[GraphRouting.Routing] = {
+    val cents =
+      if (probeParts <= 0) Array.empty[(Int, Array[Float])]
+      else if (centroids.nonEmpty) centroids
+      else GraphRouting.centroidsOf(spark.read.parquet(path), sentinelNode)
+    if (cents.isEmpty) None
+    else {
+      val r = GraphRouting.routesFor(cents,
+        queries.map { case (qid, v) => (qid, v.toArray) }, probeParts)
+      Some(PartitionedIndex.partIds(spark, path)
+        .fold(r)(ids => GraphRouting.heal(r, ids, path)))
+    }
   }
 }

@@ -36,6 +36,27 @@ private[graft] object PartitionedIndex {
     */
   val DefaultMaxParts = 1024
 
+  /** The shard ids that exist on disk as `part=N` directories — the
+    * ground truth a routing decision is healed against
+    * ([[GraphRouting.heal]]): a routing artifact can claim shards a
+    * crash-interrupted rewrite already removed. None when `path` itself
+    * is missing or holds no parseable part directories (a
+    * non-partitioned layout — the caller falls back to the shuffled
+    * path, where routing is re-derived from the index's own sentinels
+    * and staleness is structurally impossible). One listing RPC.
+    */
+  def partIds(spark: SparkSession, path: String): Option[Set[Int]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val ids = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("part=").toInt).toOption)
+      .toSet
+    if (ids.isEmpty) None else Some(ids)
+  }
+
   /** One `coalesce(1)` scan per `part=N` directory, unioned; None when
     * `path` has no part directories or has MORE than `maxParts` of them
     * (caller falls back to the shuffled path). The `basePath` option

@@ -332,15 +332,20 @@ object Vamana {
   def build(df: DataFrame, vecCol: String, idCol: String,
             numPartitions: Int = 0, r: Int = 32, alpha: Double = 1.2,
             buildBeam: Int = 64, pqM: Int = 8, pqK: Int = 16,
-            clustered: Boolean = false): DataFrame = {
+            clustered: Boolean = false,
+            rowCountHint: Long = -1L): DataFrame = {
     val spark = df.sparkSession
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sparkContext.defaultParallelism
     implicit val enc = RowEncoder.encoderFor(indexSchema)
     val base = df.select(col(idCol).cast("long").as("_gid"),
         col(vecCol).as("_gvec"))
       .filter(col("_gvec").isNotNull)
+    // shard count derived from corpus size, not cores, when the caller
+    // does not pin it — bounds every build task's in-heap graph at
+    // ~GraphRouting.DefaultShardRows vectors (see Hnsw.build's doc)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else GraphRouting.shardsFor(
+        if (rowCountHint >= 0L) rowCountHint else base.count())
     // a function VALUE, not a local def: a def compiles to a method on
     // the (non-serializable) enclosing object and poisons the closure
     val emit = (shard: Int, g: Graph,
@@ -370,9 +375,9 @@ object Vamana {
         }
     } else {
       val (assigned, cents) =
-        GraphRouting.assignShards(base, "_gvec", "_gid", parts)
-      if (cents.isEmpty)
-        return build(df, vecCol, idCol, numPartitions, r, alpha,
+        GraphRouting.assignShardsCapped(base, "_gvec", "_gid", parts)
+      if (cents.isEmpty) // pass the resolved parts: no second count()
+        return build(df, vecCol, idCol, parts, r, alpha,
           buildBeam, pqM, pqK)
       val centMap = cents.toMap
       // hash-partition by shard: every shard's rows land wholly in one
@@ -499,12 +504,22 @@ object Vamana {
            colocated: Boolean = false, probeParts: Int = 0,
            centroids: Array[(Int, Array[Float])] = Array.empty): DataFrame = {
     val qs = Seq((0L, query))
-    localHits(index, qs, k, beam, rerank, colocated,
-        routingFor(index, qs, probeParts, centroids))
+    topKRouted(index, query, k, beam, rerank, colocated,
+      routingFor(index, qs, probeParts, centroids))
+  }
+
+  /** [[topK]] against a PRE-BUILT routing (the persisted read path,
+    * where the routing has been healed against the real directories).
+    */
+  private[operators] def topKRouted(index: DataFrame, query: Seq[Float],
+                                    k: Int, beam: Int, rerank: Int,
+                                    colocated: Boolean,
+                                    routing: Option[GraphRouting.Routing])
+      : DataFrame =
+    localHits(index, Seq((0L, query)), k, beam, rerank, colocated, routing)
       .select(col("ext_id"), col("l2sq"))
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
       .limit(k)
-  }
 
   /** Batched search: the query batch is broadcast, every subgraph is
     * walked once per query in ONE pass over the index (one ADC table per
@@ -516,12 +531,24 @@ object Vamana {
                 k: Int, beam: Int = 64, rerank: Int = 100,
                 colocated: Boolean = false, probeParts: Int = 0,
                 centroids: Array[(Int, Array[Float])] = Array.empty)
+      : DataFrame =
+    batchTopKRouted(index, queries, k, beam, rerank, colocated,
+      routingFor(index, queries, probeParts, centroids))
+
+  /** [[batchTopK]] against a PRE-BUILT routing (the persisted read
+    * path — see Hnsw.batchTopKRouted's doc for why the healed routing
+    * must flow through instead of being re-derived from centroids).
+    */
+  private[operators] def batchTopKRouted(index: DataFrame,
+                                         queries: Seq[(Long, Seq[Float])],
+                                         k: Int, beam: Int, rerank: Int,
+                                         colocated: Boolean,
+                                         routing: Option[GraphRouting.Routing])
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-    localHits(index, queries, k, beam, rerank, colocated,
-        routingFor(index, queries, probeParts, centroids))
+    localHits(index, queries, k, beam, rerank, colocated, routing)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
@@ -545,31 +572,12 @@ object Vamana {
                     rerank: Int = 100, probeParts: Int = 0,
                     centroids: Array[(Int, Array[Float])] = Array.empty)
       : DataFrame = {
-    val cents =
-      if (probeParts <= 0) Array.empty[(Int, Array[Float])]
-      else if (centroids.nonEmpty) centroids
-      else GraphRouting.centroidsOf(spark.read.parquet(path), CentroidNode)
-    val routing =
-      if (cents.isEmpty) None
-      else Some(GraphRouting.routesFor(cents,
-        Seq((0L, query.toArray)), probeParts))
+    val routing = Hnsw.persistedRouting(spark, path, Seq((0L, query)),
+      probeParts, centroids, CentroidNode)
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
     PartitionedIndex.partScans(spark, path, keep = keep)
-      // the directory selection already applied the routing; the local
-      // walk needs no per-query gating for a single query
-      .map(scan => topK(scan, query, k, beam, rerank, colocated = true))
-      // SELF-HEAL: routing matched no existing directory (stale
-      // artifact) — probe all real directories instead of returning
-      // nothing (see Hnsw.topKPersisted)
-      .orElse {
-        if (routing.isEmpty) None
-        else PartitionedIndex.partScans(spark, path).map { scan =>
-          System.err.println(s"graft: WARN routing centroids for $path " +
-            "match no existing part directory (stale routing artifact?); " +
-            "probing all shards")
-          topK(scan, query, k, beam, rerank, colocated = true)
-        }
-      }
+      .map(scan => topKRouted(scan, query, k, beam, rerank,
+        colocated = true, routing))
       // non-partitioned layout: shuffled read, routing re-derived from
       // the index's own sentinels — caller centroids are not trusted
       // against an arbitrary path here
@@ -589,32 +597,14 @@ object Vamana {
                          probeParts: Int = 0,
                          centroids: Array[(Int, Array[Float])] = Array.empty)
       : DataFrame = {
-    val cents =
-      if (probeParts <= 0) Array.empty[(Int, Array[Float])]
-      else if (centroids.nonEmpty) centroids
-      else GraphRouting.centroidsOf(spark.read.parquet(path), CentroidNode)
-    val routing =
-      if (cents.isEmpty) None
-      else Some(GraphRouting.routesFor(cents,
-        queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
+    val routing = Hnsw.persistedRouting(spark, path, queries, probeParts,
+      centroids, CentroidNode)
     val keep: Int => Boolean = routing.fold((_: Int) => true)(r => r.partKept)
     PartitionedIndex.partScans(spark, path, keep = keep)
-      // per-query gating still applies (via probeParts + cents): the
-      // union scan holds shards some queries did not route to
-      .map(scan => batchTopK(scan, queries, k, beam, rerank,
-        colocated = true, probeParts = probeParts, centroids = cents))
-      // SELF-HEAL: routing matched no existing directory (stale
-      // artifact) — probe all real directories instead of returning
-      // nothing (see Hnsw.topKPersisted)
-      .orElse {
-        if (routing.isEmpty) None
-        else PartitionedIndex.partScans(spark, path).map { scan =>
-          System.err.println(s"graft: WARN routing centroids for $path " +
-            "match no existing part directory (stale routing artifact?); " +
-            "probing all shards")
-          batchTopK(scan, queries, k, beam, rerank, colocated = true)
-        }
-      }
+      // per-query gating still applies (via the routing): the union
+      // scan holds shards some queries did not route to
+      .map(scan => batchTopKRouted(scan, queries, k, beam, rerank,
+        colocated = true, routing))
       // non-partitioned layout: shuffled read, routing re-derived from
       // the index's own sentinels (see topKPersisted)
       .getOrElse(batchTopK(spark.read.parquet(path), queries, k, beam,

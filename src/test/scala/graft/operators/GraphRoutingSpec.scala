@@ -239,6 +239,133 @@ class GraphRoutingSpec extends SparkSpec {
     assert((bHits intersect truth).size >= 8)
   }
 
+  test("default shard count tracks corpus rows, not cores (r19)") {
+    // the formula: ~500-row shards, clamped to [1, 4096]
+    assert(GraphRouting.shardsFor(0) === 1)
+    assert(GraphRouting.shardsFor(480) === 1)
+    assert(GraphRouting.shardsFor(501) === 2)
+    assert(GraphRouting.shardsFor(1300) === 3)
+    assert(GraphRouting.shardsFor(100000) === 200)
+    assert(GraphRouting.shardsFor(100L * 1000 * 1000 * 1000) === 4096)
+    // a default build derives its shard count from the row count — it
+    // must NOT scale with defaultParallelism (4 in this suite): 1300
+    // rows → 3 shards, and per-shard build memory stays ~500 rows no
+    // matter how many cores the cluster has
+    val rows = (0 until 1300).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        (i % 13) * 3.0f + d + (i % 7) / 10.0f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "emb")
+    for (idx <- Seq(
+        Hnsw.build(df, "emb", "vec_id", clustered = true),
+        Vamana.build(df, "emb", "vec_id", pqM = 4, pqK = 8,
+          clustered = true))) {
+      val parts = idx.filter(col("node") >= 0)
+        .select("part").distinct().count().toInt
+      assert(parts >= 1 && parts <= 3,
+        s"default build must derive ~n/500 shards (got $parts for 1300 " +
+          s"rows on ${spark.sparkContext.defaultParallelism} cores)")
+    }
+  }
+
+  test("oversized k-means cell splits into capped sub-shards (skew)") {
+    // 1500 near-identical rows (one dominant cell) + 100 spread rows:
+    // without the cap one build task holds a 1500-node graph; with it
+    // the dominant cell splits into ~avg-sized sub-shards sharing its
+    // centroid, so no shard exceeds 2× the average
+    // IDENTICAL vectors: the duplicate-heavy-corpus case — k-means puts
+    // every copy in one cell no matter how many seeds land on it
+    val blob = (0 until 1500).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => 0.25f + d * 0.01f).toSeq)
+    }
+    val spread = (0 until 100).map { i =>
+      (10000L + i, Array.tabulate(dim)(d =>
+        100.0f + (if (d == i % dim) i.toFloat else 0.0f)).toSeq)
+    }
+    val df = (blob ++ spread).toDF("vec_id", "emb")
+    val parts = 4
+    // the cap: 2x the average shard, floored at 2x the 500-row target
+    val cap = math.max(2L * (1600L / parts), 1000L)
+    val idx = Hnsw.build(df, "emb", "vec_id", numPartitions = parts,
+      clustered = true)
+    val perShard = idx.filter(col("node") >= 0)
+      .groupBy("part").count().as[(Int, Long)].collect().toMap
+    assert(perShard.values.max <= cap,
+      s"a shard exceeds the skew cap: $perShard")
+    // every non-empty shard still carries exactly one centroid sentinel,
+    // and the split's sub-shards SHARE their parent cell's centroid —
+    // fewer distinct centroid values than shards proves a split happened
+    val sentinels = idx.filter(col("node") === Hnsw.CentroidNode)
+      .select("part", "vec").as[(Int, Seq[Float])].collect()
+    assert(sentinels.map(_._1).toSet === perShard.keySet)
+    assert(sentinels.map(_._2).distinct.length < sentinels.length,
+      "the dominant cell must have split into centroid-sharing sub-shards")
+    // search semantics preserved: every duplicate ties on distance, so
+    // exact-id recall is meaningless — assert the search lands IN the
+    // blob (ids < 1500), probe-all and routed alike. p counts LOGICAL
+    // cells: p=1 at the blob probes ALL its sub-shards (they share the
+    // centroid) — a hash-arbitrary 1-of-4 fraction would still pass
+    // here, so the spread query below pins the cell-counting semantics
+    val blobQ = Array.tabulate(dim)(d => 0.25f + d * 0.01f).toSeq
+    val all = Hnsw.topK(idx, blobQ, 10, colocated = true)
+      .select("ext_id").as[Long].collect().toSet
+    assert(all.size === 10 && all.forall(_ < 1500L))
+    val routed = Hnsw.topK(idx, blobQ, 10, colocated = true,
+      probeParts = 1)
+      .select("ext_id").as[Long].collect().toSet
+    assert(routed.size === 10 && routed.forall(_ < 1500L),
+      "routing into the split sub-shards lost the blob neighborhood")
+    // a spread query at p=1 must reach its own (unsplit) cell even
+    // though the split flooded the id space with blob sub-shards
+    val spreadQ = spread.head._2
+    val sRouted = Hnsw.topK(idx, spreadQ, 5, colocated = true,
+      probeParts = 1)
+      .select("ext_id").as[Long].collect().toSet
+    assert(sRouted.nonEmpty && sRouted.forall(_ >= 10000L),
+      s"spread query routed into the blob: $sRouted")
+  }
+
+  test("heal marks only fully-stale queries probe-all") {
+    val r = GraphRouting.Routing(
+      Map(1L -> Set(0, 9), 2L -> Set(8, 9)), Set(0, 1, 8, 9))
+    val healed = GraphRouting.heal(r, existing = Set(0, 1, 2), "t")
+    // query 1 still reaches shard 0 — untouched, keeps its pruning
+    assert(healed.queryParts(1L) === Set(0, 9))
+    // query 2's whole set is gone — probe-all over the real directories
+    assert(healed.queryParts(2L) === Set(0, 1, 2))
+    assert(healed.routedParts === r.routedParts)
+  }
+
+  test("batch: a query routed only to missing dirs heals, others prune") {
+    // the ADVICE r18 case: PARTIAL staleness — one query's entire routed
+    // set maps to directories that no longer exist while another query's
+    // routing is healthy. The stale query must NOT silently return zero
+    // rows: it degrades to probe-all; the healthy query keeps pruning.
+    val path = tmpDir("partial_stale") + "/idx"
+    Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
+        clustered = true)
+      .write.partitionBy("part").parquet(path)
+    val real = GraphRouting.centroidsOf(
+      spark.read.parquet(path), Hnsw.CentroidNode)
+    val farQ = Array.fill(dim)(999.0f).toSeq
+    // two bogus shards sit exactly at farQ: at p=2 the victim query
+    // routes ONLY to them (both missing on disk); the healthy query's
+    // nearest centroids are all real
+    val bogus = real ++ Array(998 -> farQ.toArray, 999 -> farQ.toArray)
+    val healthyQ = queryFor(2)
+    val out = Hnsw.batchTopKPersisted(spark, path,
+        Seq(1L -> healthyQ, 2L -> farQ), k = 10, probeParts = 2,
+        centroids = bogus)
+      .select("query_id", "ext_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.contains(2L) && out(2L).nonEmpty,
+      "fully-stale query silently returned zero rows")
+    assert((out(2L) intersect exactTopK(farQ, 10).toSet).size >= 8,
+      "healed query must probe all real shards")
+    assert((out(1L) intersect exactTopK(healthyQ, 10).toSet).size >= 8,
+      "healthy query's routing broke under a batch-mate's heal")
+  }
+
   test("batch routing gates each query to its own shards") {
     val idx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
       clustered = true)
