@@ -21,6 +21,10 @@ object NativeExpressions {
   def nearestCell(vec: Column, nlist: Int, dim: Int,
                   centroids: Array[Float]): Column =
     N.nearestCell(vec, nlist, dim, centroids)
+  def nearestShards(vec: Column, groups: Int, dim: Int, p: Int,
+                    centroids: Array[Float], offsets: Array[Int],
+                    shards: Array[Int]): Column =
+    N.nearestShards(vec, groups, dim, p, centroids, offsets, shards)
   def pqAdc(codes: Column, m: Int, k: Int, table: Array[Double]): Column =
     N.pqAdc(codes, m, k, table)
   def pqAdcBatch(codes: Column, qidx: Column, m: Int, k: Int,

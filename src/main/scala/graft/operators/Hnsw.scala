@@ -275,16 +275,7 @@ object Hnsw {
       rows.foreach(r => byPart.getOrElseUpdate(r.getInt(0),
         mutable.ArrayBuffer[Row]()) += r)
       byPart.iterator.flatMap { case (pid, rs) =>
-        val sorted = rs.filter(_.getInt(1) >= 0).sortBy(_.getInt(1))
-        val g = new Graph(16, 100)
-        sorted.foreach { r =>
-          g.vecs += r.getSeq[Float](3).toArray
-          g.extIds += r.getLong(2)
-          g.levels += r.getInt(4)
-          g.nbrs += r.getSeq[scala.collection.Seq[Int]](5)
-            .map(a => mutable.ArrayBuffer[Int](a.toSeq: _*)).toArray
-        }
-        g.entry = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
+        val g = reassemble(rs)
         qarr.iterator
           .filter { case (qid, _) => routing.forall(_.allowed(qid, pid)) }
           .flatMap { case (qid, q) =>
@@ -292,6 +283,24 @@ object Hnsw {
           }
       }
     }
+  }
+
+  /** Rebuild one shard's in-memory graph from its persisted index rows
+    * (column order part,node,ext_id,vec,level,adj,entry; sentinel rows
+    * skipped). Shared by the searchers and [[KnnJoin]].
+    */
+  private[operators] def reassemble(rs: scala.collection.Seq[Row]): Graph = {
+    val sorted = rs.filter(_.getInt(1) >= 0).sortBy(_.getInt(1))
+    val g = new Graph(16, 100)
+    sorted.foreach { r =>
+      g.vecs += r.getSeq[Float](3).toArray
+      g.extIds += r.getLong(2)
+      g.levels += r.getInt(4)
+      g.nbrs += r.getSeq[scala.collection.Seq[Int]](5)
+        .map(a => mutable.ArrayBuffer[Int](a.toSeq: _*)).toArray
+    }
+    g.entry = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
+    g
   }
 
   /** Routing for `queries` against caller-supplied `centroids` (e.g. a

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DataFrame-native routed k-NN JOIN over the graph ANN families — the
+  * corpus-scale generalization of the reference's batched `vector_search`
+  * (muller/core/api/dataset/vector_search_ops.py:84-101): every ROW of a
+  * query DataFrame finds its k nearest neighbors in the indexed corpus.
+  *
+  * Why it exists: [[Hnsw.batchTopK]]/[[Vamana.batchTopK]] take a
+  * driver-held `Seq` and ride it through the task closure, and
+  * [[GraphRouting.routesFor]] is a driver-side O(|queries|·|shards|·dim)
+  * loop — the right shape for a query batch, the wrong shape for the
+  * 100 TB semantic-dedup/retrieval form "every row of table A finds k
+  * neighbors in table B". Here the query table NEVER touches the driver:
+  *
+  *   1. each query row computes its `probeParts` nearest LOGICAL CELLS
+  *      distributed, via one codegen'd expression carrying the broadcast
+  *      |shards| centroids ([[org.apache.spark.sql.graftnative
+  *      .NearestShards]] — identical cell-grouping/tie semantics to the
+  *      driver-side [[GraphRouting.route]]), and explodes to
+  *      (shard, query) rows — sentinel-less shards are appended
+  *      unconditionally, exactly like `Routing.allowed`;
+  *   2. an equi-join on shard id (a `cogroup`) meets each shard's index
+  *      rows with exactly the queries routed to it: each task
+  *      reassembles its shard graph ONCE (bounded ~500 rows by the
+  *      corpus-derived build sizing) and STREAMS its queries through —
+  *      no cartesian, no broadcast of either table;
+  *   3. the global per-query top-k is a window over |queries|·p·k
+  *      candidate rows — never the corpus.
+  *
+  * `probeParts <= 0` (or a non-clustered index) is the probe-all
+  * fallback: every query meets every shard — exact w.r.t. the per-shard
+  * walks, but |queries|·|shards| exploded rows; at corpus scale always
+  * pass `probeParts`. Null or wrong-dimension query vectors produce no
+  * output rows (the builds drop such vectors the same way).
+  *
+  * Output: (query_id, ext_id, l2sq, rank), rank 1..k per query —
+  * the [[Hnsw.batchTopK]] contract, and provably identical to it at
+  * probe-all (KnnJoinSpec pins the parity on both families).
+  */
+object KnnJoin {
+
+  private val outSchema = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("ext_id", LongType),
+    StructField("l2sq", DoubleType)))
+
+  /** k-NN join against an [[Hnsw]] index (pre-built or re-read). */
+  def hnsw(index: DataFrame, queries: DataFrame, qIdCol: String,
+           qVecCol: String, k: Int, ef: Int = 64,
+           probeParts: Int = 0): DataFrame = {
+    val prepared = index.select(col("part").cast("int"), col("node"),
+      col("ext_id"), col("vec"), col("level"), col("adj"), col("entry"))
+    val kk = k
+    val efC = math.max(ef, k)
+    run(prepared, queries, qIdCol, qVecCol, k, probeParts,
+      Hnsw.CentroidNode,
+      rows => {
+        val g = Hnsw.reassemble(rows)
+        (q: Array[Float]) => g.search(q, kk, efC)
+      })
+  }
+
+  /** k-NN join against a [[Vamana]] (DiskANN) index: PQ/ADC walk +
+    * exact re-rank per query, like [[Vamana.batchTopK]] (`rerank = 0`
+    * walks on exact distances).
+    */
+  def vamana(index: DataFrame, queries: DataFrame, qIdCol: String,
+             qVecCol: String, k: Int, beam: Int = 64, rerank: Int = 100,
+             probeParts: Int = 0): DataFrame = {
+    val prepared = index.select(col("part").cast("int"), col("node"),
+      col("ext_id"), col("vec"), col("code"), col("adj"), col("medoid"))
+    val kk = k
+    val bm = math.max(beam, k)
+    val rr = rerank
+    run(prepared, queries, qIdCol, qVecCol, k, probeParts,
+      Vamana.CentroidNode,
+      rows => {
+        val (g, codes, pqOpt) = Vamana.reassemble(rows, wantPq = rr > 0)
+        (q: Array[Float]) => pqOpt match {
+          case Some(pq) => g.searchPq(q, kk, bm, rr, pq, codes)
+          case None => g.search(q, kk, bm)
+        }
+      })
+  }
+
+  /** The shared join: `prepared` has `part` (int) first and `node`
+    * second; `mkSearcher` turns one shard's rows into a per-query
+    * walker. Driver state is bounded by |shards| (part ids + centroids)
+    * — the query table is never collected.
+    */
+  private def run(prepared: DataFrame, queries: DataFrame, qIdCol: String,
+                  qVecCol: String, k: Int, probeParts: Int,
+                  sentinelNode: Int,
+                  mkSearcher: Seq[Row] => Array[Float] => Seq[(Long, Double)])
+      : DataFrame = {
+    val spark = prepared.sparkSession
+    import spark.implicits._
+    val allParts = prepared.select(col("part")).distinct()
+      .as[Int].collect().sorted // |shards| rows — bounded like centroids
+    val cents =
+      if (probeParts <= 0) Array.empty[(Int, Array[Float])]
+      else GraphRouting.centroidsOf(prepared, sentinelNode)
+    val q0 = queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).as("_qv")).filter(col("_qv").isNotNull)
+    val routedQ =
+      if (cents.isEmpty)
+        q0.withColumn("part", explode(typedlit(allParts.toSeq)))
+      else {
+        val dim = cents.head._2.length
+        // group sub-shards by identical centroid (one logical cell per
+        // skew split), ordered by min shard id — route()'s tie order
+        val groups = cents.groupBy(_._2.toSeq).values.toArray
+          .map(g => (g.map(_._1).min, g.map(_._1).sorted, g.head._2))
+          .sortBy(_._1)
+        val flat = new Array[Float](groups.length * dim)
+        groups.iterator.zipWithIndex.foreach { case ((_, _, c), i) =>
+          System.arraycopy(c, 0, flat, i * dim, dim)
+        }
+        val offsets = groups.scanLeft(0)((acc, g) => acc + g._2.length)
+        val shardsFlat = groups.flatMap(_._2)
+        val routedSet = cents.map(_._1).toSet
+        val unrouted = allParts.filterNot(routedSet) // ALWAYS probed
+        val sel = graft.functions.NativeExpressions.nearestShards(
+          col("_qv"), groups.length, dim, probeParts, flat,
+          offsets, shardsFlat)
+        val withUnrouted =
+          if (unrouted.isEmpty) sel
+          else concat(sel, typedlit(unrouted.toSeq))
+        q0.withColumn("part", explode(withUnrouted))
+      }
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val idxK = prepared.groupByKey(_.getInt(0))(Encoders.scalaInt)
+    val qK = routedQ.select(col("part").cast("int"), col("query_id"),
+        col("_qv"))
+      .groupByKey(_.getInt(0))(Encoders.scalaInt)
+    val hits = idxK.cogroup(qK) { (_, idxRows, qRows) =>
+      val rows = idxRows.toVector // ONE shard — bounded by build sizing
+      val dim0 = rows.collectFirst {
+        case r if r.getInt(1) >= 0 => r.getSeq[Float](3).length
+      }
+      if (dim0.isEmpty) Iterator.empty
+      else {
+        val search = mkSearcher(rows)
+        qRows.flatMap { q =>
+          val qv = q.getSeq[Float](2).toArray
+          // wrong-dim queries walk nowhere (a prefix distance would
+          // return plausible garbage; the exact paths surface it)
+          if (qv.length != dim0.get) Iterator.empty
+          else search(qv).iterator
+            .map { case (id, d) => Row(q.getLong(1), id, d) }
+        }
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

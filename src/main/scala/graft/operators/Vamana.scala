@@ -432,32 +432,7 @@ object Vamana {
       rows.foreach(r0 => byPart.getOrElseUpdate(r0.getInt(0),
         mutable.ArrayBuffer[Row]()) += r0)
       byPart.iterator.flatMap { case (pid, rs) =>
-        val (sentinels, nodes) = rs.partition(_.getInt(1) < 0)
-        val sorted = nodes.sortBy(_.getInt(1))
-        val g = new Graph(32, 1.2, 64)
-        val codes = new Array[Array[Int]](sorted.length)
-        sorted.foreach { r0 =>
-          codes(g.vecs.length) = r0.getSeq[Int](4).toArray
-          g.vecs += r0.getSeq[Float](3).toArray
-          g.extIds += r0.getLong(2)
-          g.adj += mutable.ArrayBuffer[Int](r0.getSeq[Int](5).toSeq: _*)
-        }
-        g.medoid = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
-        // pick the PQ sentinel BY marker: clustered shards also carry a
-        // centroid sentinel (node = -2), and head order is not contractual
-        val pqSentinel = sentinels.find(_.getInt(1) == PqNode)
-        val pqOpt =
-          if (rerank <= 0 || pqSentinel.isEmpty) None
-          else {
-            val s = pqSentinel.get
-            val dims = s.getSeq[Int](4)
-            val (m, kk, dim) = (dims(0), dims(1), dims(2))
-            val flat = s.getSeq[Float](3)
-            val sub = dim / m
-            val cb = Array.tabulate(m)(mi => Array.tabulate(kk)(ki =>
-              Array.tabulate(sub)(j => flat((mi * kk + ki) * sub + j))))
-            Some(PqLocal(m, kk, dim, cb))
-          }
+        val (g, codes, pqOpt) = reassemble(rs, wantPq = rerank > 0)
         qarr.iterator
           .filter { case (qid, _) => routing.forall(_.allowed(qid, pid)) }
           .flatMap { case (qid, q) =>
@@ -469,6 +444,42 @@ object Vamana {
           }
       }
     }
+  }
+
+  /** Rebuild one shard's in-memory graph + PQ codes from its persisted
+    * index rows (column order part,node,ext_id,vec,code,adj,medoid).
+    * The PQ sentinel is picked BY marker: clustered shards also carry a
+    * centroid sentinel (node = -2), and head order is not contractual.
+    * Shared by the searchers and [[KnnJoin]].
+    */
+  private[operators] def reassemble(rs: scala.collection.Seq[Row],
+                                    wantPq: Boolean)
+      : (Graph, Array[Array[Int]], Option[PqLocal]) = {
+    val (sentinels, nodes) = rs.partition(_.getInt(1) < 0)
+    val sorted = nodes.sortBy(_.getInt(1))
+    val g = new Graph(32, 1.2, 64)
+    val codes = new Array[Array[Int]](sorted.length)
+    sorted.foreach { r0 =>
+      codes(g.vecs.length) = r0.getSeq[Int](4).toArray
+      g.vecs += r0.getSeq[Float](3).toArray
+      g.extIds += r0.getLong(2)
+      g.adj += mutable.ArrayBuffer[Int](r0.getSeq[Int](5).toSeq: _*)
+    }
+    g.medoid = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
+    val pqSentinel = sentinels.find(_.getInt(1) == PqNode)
+    val pqOpt =
+      if (!wantPq || pqSentinel.isEmpty) None
+      else {
+        val s = pqSentinel.get
+        val dims = s.getSeq[Int](4)
+        val (m, kk, dim) = (dims(0), dims(1), dims(2))
+        val flat = s.getSeq[Float](3)
+        val sub = dim / m
+        val cb = Array.tabulate(m)(mi => Array.tabulate(kk)(ki =>
+          Array.tabulate(sub)(j => flat((mi * kk + ki) * sub + j))))
+        Some(PqLocal(m, kk, dim, cb))
+      }
+    (g, codes, pqOpt)
   }
 
   /** Routing for `queries` against caller-supplied `centroids` (e.g. a

@@ -74,6 +74,13 @@ object NativeExpressions {
     ExpressionUtils.column(
       NearestCell(ExpressionUtils.expression(vec), nlist, dim, centroids))
 
+  def nearestShards(vec: Column, groups: Int, dim: Int, p: Int,
+                    centroids: Array[Float], offsets: Array[Int],
+                    shards: Array[Int]): Column =
+    ExpressionUtils.column(
+      NearestShards(ExpressionUtils.expression(vec), groups, dim, p,
+        centroids, offsets, shards))
+
   def pqAdc(codes: Column, m: Int, k: Int, table: Array[Double]): Column =
     ExpressionUtils.column(
       PqAdc(ExpressionUtils.expression(codes), m, k, table))
@@ -1008,6 +1015,150 @@ case class NearestCell(child: Expression, nlist: Int, dim: Int,
             if ($d < $bestD) { $bestD = $d; $best = $c; }
           }
           ${ev.value} = $best;
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distributed query→shard routing for the graph-ANN knn join
+  * ([[graft.operators.KnnJoin]]): the DataFrame-native form of
+  * [[graft.operators.GraphRouting.route]]. Returns the shard ids of the
+  * query's `p` nearest LOGICAL CELLS (centroid groups — sub-shards of a
+  * skew-split cell share one centroid and count as one cell, exactly
+  * like the driver-side route()). The group centroids ride the plan as
+  * one flat `float[]` (`[group][dim]`, groups pre-sorted by min shard
+  * id so index order breaks distance ties identically to route());
+  * `offsets`/`shards` flatten the group→shard-ids map. One codegen'd
+  * argselect per query row — no |queries| × |shards| explode, no
+  * driver collect of the query table. Null / wrong-dimension query
+  * vectors → null (the row routes nowhere, mirroring the builds'
+  * null-vector drop).
+  */
+case class NearestShards(child: Expression, groups: Int, dim: Int, p: Int,
+                         centroids: Array[Float], offsets: Array[Int],
+                         shards: Array[Int])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(groups > 0 && dim > 0 && p > 0)
+  require(centroids.length == groups * dim, "centroid layout mismatch")
+  require(offsets.length == groups + 1 && offsets.last == shards.length,
+    "group offset layout mismatch")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_shards"
+
+  private def pp: Int = math.min(p, groups)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val d = new Array[Double](groups)
+    var g = 0
+    while (g < groups) {
+      var s = 0.0
+      var j = 0
+      val off = g * dim
+      while (j < dim) {
+        val diff = v.getFloat(j).toDouble - centroids(off + j)
+        s += diff * diff
+        j += 1
+      }
+      d(g) = s
+      g += 1
+    }
+    // partial selection over group indices: top-pp by (dist, index) —
+    // index order IS min-shard-id order by construction
+    val sel = new Array[Int](pp)
+    val taken = new Array[Boolean](groups)
+    var t = 0
+    while (t < pp) {
+      var best = -1
+      var g2 = 0
+      while (g2 < groups) {
+        if (!taken(g2) && (best < 0 || d(g2) < d(best))) best = g2
+        g2 += 1
+      }
+      taken(best) = true
+      sel(t) = best
+      t += 1
+    }
+    var total = 0
+    t = 0
+    while (t < pp) { total += offsets(sel(t) + 1) - offsets(sel(t)); t += 1 }
+    val out = new Array[Int](total)
+    var w = 0
+    t = 0
+    while (t < pp) {
+      var i = offsets(sel(t))
+      while (i < offsets(sel(t) + 1)) { out(w) = shards(i); w += 1; i += 1 }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("routeCentroids", centroids, "float[]")
+    val offs = ctx.addReferenceObj("routeOffsets", offsets, "int[]")
+    val shrd = ctx.addReferenceObj("routeShards", shards, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val d = ctx.freshName("d")
+      val g = ctx.freshName("g")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val diff = ctx.freshName("diff")
+      val off = ctx.freshName("off")
+      val sel = ctx.freshName("sel")
+      val taken = ctx.freshName("taken")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val total = ctx.freshName("total")
+      val out = ctx.freshName("out")
+      val w = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      s"""
+        if ($v.numElements() != $dim) {
+          ${ev.isNull} = true;
+        } else {
+          double[] $d = new double[$groups];
+          for (int $g = 0; $g < $groups; $g++) {
+            double $s = 0.0;
+            int $off = $g * $dim;
+            for (int $j = 0; $j < $dim; $j++) {
+              double $diff = (double) $v.getFloat($j)
+                - (double) $cents[$off + $j];
+              $s += $diff * $diff;
+            }
+            $d[$g] = $s;
+          }
+          int[] $sel = new int[$pp];
+          boolean[] $taken = new boolean[$groups];
+          for (int $t = 0; $t < $pp; $t++) {
+            int $best = -1;
+            for (int $g = 0; $g < $groups; $g++) {
+              if (!$taken[$g] && ($best < 0 || $d[$g] < $d[$best])) $best = $g;
+            }
+            $taken[$best] = true;
+            $sel[$t] = $best;
+          }
+          int $total = 0;
+          for (int $t = 0; $t < $pp; $t++) {
+            $total += $offs[$sel[$t] + 1] - $offs[$sel[$t]];
+          }
+          int[] $out = new int[$total];
+          int $w = 0;
+          for (int $t = 0; $t < $pp; $t++) {
+            for (int $i = $offs[$sel[$t]]; $i < $offs[$sel[$t] + 1]; $i++) {
+              $out[$w++] = $shrd[$i];
+            }
+          }
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
         }
       """
     })
