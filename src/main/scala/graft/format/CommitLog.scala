@@ -436,7 +436,10 @@ object CommitLog {
                                         renameSafe: Boolean = true): Unit = {
     if (!scala.util.Try(readString(f, lock)).toOption.contains(token)) return
     if (!renameSafe) { scala.util.Try(f.delete(lock, false)); return }
-    val taken = new Path(lock.getParent, s".${lock.getName}.rel.$token")
+    // `token` is the FULL lock content (uuid + scheme/mode tags since
+    // r19); only its uuid head is filename-safe
+    val fname = token.takeWhile(_ != ' ')
+    val taken = new Path(lock.getParent, s".${lock.getName}.rel.$fname")
     if (!scala.util.Try(f.rename(lock, taken)).getOrElse(false)) return
     if (scala.util.Try(readString(f, taken)).toOption.contains(token)) {
       scala.util.Try(f.delete(taken, false)); ()
@@ -500,10 +503,20 @@ object CommitLog {
     } else if (!renameSafeScheme(f) && warnedLockSchemes.add(s"$scheme:rename"))
       System.err.println(s"graft: WARN scheme '$scheme' has atomic create " +
         "but its rename is not trusted to be atomic and mtime-preserving — " +
-        "stale-lock steals use the guarded-delete path there, whose racing-" +
-        "stealer delete window is the documented floor (CommitLog.withBranchLock)")
+        "stale-lock steals DEGRADE to the guarded-delete mode there: two " +
+        "stealers observing the same stale lock can both pass the fresh " +
+        "re-verify and double-hold the section (the copy+delete-rename " +
+        "floor; a conditional-PUT store closes it). The lock file records " +
+        "mode=guarded-delete so a post-mortem can tell which contract held " +
+        "(CommitLog.withBranchLock)")
     val lock = new Path(root, "_graft/branch.lock")
-    val token = java.util.UUID.randomUUID().toString
+    // the lock CONTENT is "<uuid> scheme=<s> mode=<m>": the uuid keeps
+    // every content unique (the compare-exact steal/release semantics),
+    // and the scheme + steal mode pin WHICH contract protected this
+    // section — after an incident, the surviving lock file itself says
+    // whether its holder ran rename-verify or the guarded-delete floor
+    val mode = if (renameSafeScheme(f)) "rename-verify" else "guarded-delete"
+    val token = s"${java.util.UUID.randomUUID()} scheme=$scheme mode=$mode"
     val leaseMs = spark.conf.get("spark.graft.branchLockLeaseMs", "30000").toLong
     val deadline = System.currentTimeMillis() + math.max(leaseMs * 4, 60000L)
     var acquired = false
@@ -536,17 +549,24 @@ object CommitLog {
     // up queued touches.
     val beatPeriod = math.max(leaseMs / 3, 50L)
     val beatInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // set BEFORE releaseBranchLock: cancel(false) does not drain an
+    // in-flight beat, and a setTimes dispatched just before release
+    // could otherwise land AFTER a successor claimed the lock, stamping
+    // the successor's mtime with this JVM's wall clock (under forward
+    // skew that delays a legitimate steal of the successor by the skew).
+    // The flag closes the queued-but-not-started window; a setTimes
+    // already in its store round-trip remains the documented floor.
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     // the tick itself must never throw: an escaping throwable (e.g.
-    // thread-creation failure in execute under resource exhaustion)
-    // would cancel ALL future ticks per scheduleWithFixedDelay's
-    // contract — a silently dead heartbeat, exactly the stolen-live-lock
-    // shape this machinery exists to prevent
+    // rejection from a saturated IO pool, thread-creation failure under
+    // resource exhaustion) would cancel ALL future ticks per
+    // scheduleWithFixedDelay's contract — a silently dead heartbeat,
+    // exactly the stolen-live-lock shape this machinery exists to prevent
     val beatTask = heartbeatExec.scheduleWithFixedDelay(
       () => try {
         if (beatInFlight.compareAndSet(false, true))
           try heartbeatIoExec.execute { () =>
-            try f.setTimes(lock, System.currentTimeMillis(), -1)
-            catch { case _: Exception => () } // missed beat: lease may lapse
+            try beatOnce(f, lock, released)
             finally beatInFlight.set(false)
           } catch { case t: Throwable => beatInFlight.set(false); throw t }
       } catch { case _: Throwable => () }, // skip this beat, keep the next
@@ -554,15 +574,28 @@ object CommitLog {
     try body
     finally {
       beatTask.cancel(false)
+      released.set(true)
       releaseBranchLock(f, lock, token, renameSafeScheme(f))
     }
   }
 
+  /** One heartbeat touch, gated on the holder's `released` flag (see
+    * [[withBranchLock]]); a missed beat only risks a lapsed lease.
+    * Factored out so the post-release gating is unit-testable.
+    */
+  private[format] def beatOnce(
+      f: FileSystem, lock: Path,
+      released: java.util.concurrent.atomic.AtomicBoolean): Unit =
+    if (!released.get)
+      try f.setTimes(lock, System.currentTimeMillis(), -1)
+      catch { case _: Exception => () } // missed beat: lease may lapse
+
   /** One JVM-wide daemon timer for every branch-lock heartbeat (ticks
-    * only — never IO), plus a cached daemon pool for the touch itself:
+    * only — never IO), plus a BOUNDED daemon pool for the touch itself:
     * steady-state thread count tracks the number of beats actually in
-    * flight (idle threads reap after 60 s), with no per-commit churn
-    * and no cross-lock starvation.
+    * flight (idle threads reap after 60 s, never more than
+    * [[HeartbeatIoMaxThreads]]), with no per-commit churn and no
+    * cross-lock starvation.
     */
   private lazy val heartbeatExec =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
@@ -570,12 +603,24 @@ object CommitLog {
       t.setDaemon(true)
       t
     }
-  private lazy val heartbeatIoExec =
-    java.util.concurrent.Executors.newCachedThreadPool { r =>
-      val t = new Thread(r, "graft-branch-lock-heartbeat-io")
-      t.setDaemon(true)
-      t
-    }
+  /** Ceiling on concurrently-running heartbeat touches. Each held lock
+    * dispatches at most ONE beat at a time (`beatInFlight`), so the pool
+    * only fills when ≥ this many locks are simultaneously wedged on a
+    * hanging store; past it, `execute` rejects and the tick's catch
+    * skips that beat instead of growing threads without bound (the r18
+    * `newCachedThreadPool` could, one thread per wedged lock, forever).
+    */
+  private[format] val HeartbeatIoMaxThreads = 32
+
+  private[format] lazy val heartbeatIoExec =
+    new java.util.concurrent.ThreadPoolExecutor(
+      0, HeartbeatIoMaxThreads, 60L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.SynchronousQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-branch-lock-heartbeat-io")
+        t.setDaemon(true)
+        t
+      })
 
   /** Commit ids are zero-padded sequence numbers → lexicographic order is
     * creation order (LCA relies on parents having smaller ids; gaps from

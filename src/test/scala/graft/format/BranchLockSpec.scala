@@ -198,6 +198,81 @@ class BranchLockSpec extends SparkSpec {
     f.delete(lock, false)
   }
 
+  test("lock file records scheme and steal mode for post-mortems (r19)") {
+    val ds = freshTable()
+    val f = CommitLog.fs(spark, ds.root)
+    val lock = new Path(ds.root, "_graft/branch.lock")
+    CommitLog.withBranchLock(spark, ds.root) {
+      val content = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(lock.toUri.getPath)))
+      val parts = content.split(' ')
+      assert(parts.length === 3, s"lock content: '$content'")
+      assert(java.util.UUID.fromString(parts(0)) != null)
+      assert(parts(1) === "scheme=file")
+      assert(parts(2) === "mode=rename-verify",
+        "file:// must run the rename-verify steal contract")
+    }
+    assert(!f.exists(lock))
+  }
+
+  test("steal-mode selection follows the scheme's rename contract") {
+    def fsWithScheme(s: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.RawLocalFileSystem {
+        override def getScheme: String = s
+      }
+    // true filesystem namespaces: rename is atomic + mtime-preserving
+    for (s <- Seq("file", "hdfs", "viewfs"))
+      assert(CommitLog.renameSafeScheme(fsWithScheme(s)), s)
+    // object stores with atomic create but copy+delete / mtime-refreshing
+    // rename: must degrade to the guarded-delete steal
+    for (s <- Seq("gs", "abfs", "abfss", "o3fs", "ofs", "s3a", ""))
+      assert(!CommitLog.renameSafeScheme(fsWithScheme(s)), s)
+  }
+
+  test("a beat queued before release never touches the successor's lock") {
+    val ds = freshTable()
+    val f = CommitLog.fs(spark, ds.root)
+    val lock = new Path(ds.root, "_graft/branch.lock")
+    // successor holds the lock with a deliberately OLD mtime (stealable)
+    assert(CommitLog.tryCreateExclusive(f, lock, "successor"))
+    val old = System.currentTimeMillis() - 60000L
+    f.setTimes(lock, old, -1L)
+    // the previous holder's released flag is set (release ran): its
+    // queued beat must NOT stamp the successor's lock with fresh time
+    val released = new java.util.concurrent.atomic.AtomicBoolean(true)
+    CommitLog.beatOnce(f, lock, released)
+    assert(f.getFileStatus(lock).getModificationTime === old,
+      "post-release beat refreshed the successor's lease")
+    // sanity: an un-released holder's beat does touch
+    released.set(false)
+    CommitLog.beatOnce(f, lock, released)
+    assert(f.getFileStatus(lock).getModificationTime > old)
+    f.delete(lock, false)
+  }
+
+  test("heartbeat IO pool is bounded: saturation skips beats, no pile-up") {
+    val cap = CommitLog.HeartbeatIoMaxThreads
+    assert(CommitLog.heartbeatIoExec.getMaximumPoolSize === cap)
+    // wedge `cap` fake beats (a hanging store), then assert the next
+    // dispatch REJECTS (the tick's catch skips the beat) instead of
+    // growing the pool
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(cap)
+    try {
+      (0 until cap).foreach { _ =>
+        CommitLog.heartbeatIoExec.execute { () =>
+          started.countDown()
+          gate.await(10, java.util.concurrent.TimeUnit.SECONDS); ()
+        }
+      }
+      assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      intercept[java.util.concurrent.RejectedExecutionException] {
+        CommitLog.heartbeatIoExec.execute(() => ())
+      }
+      assert(CommitLog.heartbeatIoExec.getPoolSize <= cap)
+    } finally gate.countDown()
+  }
+
   test("strict store conf names the contract (file:// passes it)") {
     val ds = freshTable()
     spark.conf.set("spark.graft.branchLockStrictStore", "true")
