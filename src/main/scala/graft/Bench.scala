@@ -136,10 +136,16 @@ object Bench {
     val canaryEnd = canary()
     val loadEnd = loadavg1m
     import BenchLine.ms
-    // Canary times plus load/memory at the capture boundaries. ~110 chars.
+    // Canary times plus load/memory at the capture boundaries, plus the
+    // COMPUTED verdict (r19): the r18 read-out rule lived in SCALE.md
+    // prose and needed a human to apply it — now the artifact labels
+    // itself. ~135 chars.
+    val verdict = BenchLine.envVerdict(loadStart, loadEnd, canaryMid,
+      canaryEnd)
     val envJson =
       s""""env":{"load":[${f"$loadStart%.2f"},${f"$loadEnd%.2f"}],""" +
-      s""""mem_mb":$memStartMb,"canary":[${ms(canaryStart)},${ms(canaryMid)},${ms(canaryEnd)}]}"""
+      s""""mem_mb":$memStartMb,"canary":[${ms(canaryStart)},${ms(canaryMid)},${ms(canaryEnd)}]},""" +
+      s""""env_verdict":"$verdict""""
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -179,6 +185,40 @@ object Bench {
   * the official capture twice (r9-r11 and r17 recorded parsed:null).
   */
 private[graft] object BenchLine {
+
+  /** The 1-minute load past which this machine's captures have measured
+    * per-query inflation (SCALE.md r15/r17/r18 post-mortems: the r18
+    * capture ran at load 3.4→7.3 and inflated q50 by 2.3×).
+    */
+  val LoadPollutionThreshold = 2.0
+
+  /** Upper edge of the canary's clean band, with margin: q01's min-of-2
+    * measured 0.26–0.39 s across every isolated fresh-JVM run since r16
+    * (SCALE.md); a MID or END canary above this means the whole capture
+    * window was uniformly slowed. canary[0] is excluded — it carries
+    * the JVM's first page-cache touch of lineitem.
+    */
+  val CanaryBandHiSec = 0.45
+
+  /** The capture's self-label (VERDICT r18 #5), from the SCALE.md
+    * read-out rule the judge previously applied by hand:
+    *   - `inflated`: a mid/end canary above the clean band — the canary
+    *     proves uniform measurement distortion from the artifact alone;
+    *   - `loaded`: load average above the pollution threshold at either
+    *     boundary — contention that inflates long shuffle-heavy queries
+    *     SPIKILY (a 0.3 s canary can slip through it, r18's capture did
+    *     exactly that — which is why load outranks a clean canary);
+    *   - `clean`: neither signal fired.
+    * Failed canary samples (-1) judge on load alone.
+    */
+  def envVerdict(loadStart: Double, loadEnd: Double,
+                 canaryMid: Double, canaryEnd: Double): String = {
+    val canaries = Seq(canaryMid, canaryEnd).filter(_ >= 0)
+    if (canaries.nonEmpty && canaries.min > CanaryBandHiSec) "inflated"
+    else if (math.max(loadStart, loadEnd) > LoadPollutionThreshold) "loaded"
+    else "clean"
+  }
+
   def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
   def msInt(v: Double): String =
     if (v < 0) "-1" else math.round(v * 1000).toString

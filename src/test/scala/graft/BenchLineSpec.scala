@@ -14,7 +14,7 @@ class BenchLineSpec extends AnyFunSuite {
   implicit val fmts: DefaultFormats.type = DefaultFormats
 
   private val env =
-    """"env":{"load":[0.50,1.20],"mem_mb":126000,"canary":[0.500,0.260,0.270]}"""
+    """"env":{"load":[0.50,1.20],"mem_mb":126000,"canary":[0.500,0.260,0.270]},"env_verdict":"clean""""
 
   private def queries(n: Int): Seq[(String, Double)] =
     (1 to n).map(i => (f"q$i%03d_some_operator_name", i * 0.013))
@@ -70,6 +70,34 @@ class BenchLineSpec extends AnyFunSuite {
     val j = JsonMethods.parse(line)
     assert((j \ "omitted").extract[Int] == 50, "shortest rung drops all")
     assert((j \ "metric").extract[String] == "total")
+  }
+
+  test("env verdict: clean / loaded / inflated from the read-out rule") {
+    // clean: low load, canary inside the 0.26-0.39 band
+    assert(BenchLine.envVerdict(0.5, 1.2, 0.26, 0.27) == "clean")
+    // loaded: the r18 capture's shape — load 3.44→7.26 while the canary
+    // slipped through contention inside its band
+    assert(BenchLine.envVerdict(3.44, 7.26, 0.265, 0.376) == "loaded")
+    assert(BenchLine.envVerdict(0.4, 2.5, 0.30, 0.30) == "loaded")
+    // inflated: mid/end canary above the band — uniform slowdown proven
+    // from the artifact; outranks the load signal
+    assert(BenchLine.envVerdict(7.0, 7.0, 0.80, 0.90) == "inflated")
+    assert(BenchLine.envVerdict(0.3, 0.3, 0.50, 0.60) == "inflated")
+    // one failed canary sample: judge on the valid one
+    assert(BenchLine.envVerdict(0.3, 0.3, -1.0, 0.60) == "inflated")
+    // both failed: judge on load alone
+    assert(BenchLine.envVerdict(0.3, 0.3, -1.0, -1.0) == "clean")
+    assert(BenchLine.envVerdict(0.3, 3.0, -1.0, -1.0) == "loaded")
+    // canary[0] (first page-cache touch) plays no part — only mid/end
+    // reach the function by construction in Bench.main
+  }
+
+  test("the verdict field rides the compact line inside the budget") {
+    val line = BenchLine.sized(queries(140), 130.5, 0,
+      "/root/testdata/sf0.1", env)
+    assert(line.length <= 1850, s"line ${line.length} chars")
+    val j = JsonMethods.parse(line)
+    assert((j \ "env_verdict").extract[String] == "clean")
   }
 
   test("every ladder rung is parseable JSON with the fixed header intact") {
