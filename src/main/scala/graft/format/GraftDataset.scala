@@ -2747,6 +2747,60 @@ class GraftDataset private[format] (
     }
     hits.withColumnRenamed(UuidCol, "row_uuid")
   }
+
+  /** Routed k-NN JOIN through the persisted graph index — the
+    * dataset-level face of [[graft.operators.KnnJoin]] (r19): every row
+    * of a query DATAFRAME finds its k nearest corpus rows, with the
+    * query table never touching the driver. This is the 100 TB form of
+    * batched `vector_search` (reference vector_search_ops.py:84-101
+    * batches driver-held arrays only): semantic dedup and retrieval
+    * joins pass a corpus-scale query table here, [[vectorSearch]] stays
+    * the single-vector/driver-batch path. Graph index types only
+    * (HNSW/DISKANN — IVF families route by nprobe, FLAT needs no index);
+    * the metric must be the one the graph was built for (cosine rides
+    * the unit-norm build, scores map back to cosine similarity).
+    * `probeShards = 0` probes every shard (exact w.r.t. the per-shard
+    * walks, |queries|·|shards| routed pairs); at scale pass
+    * `probeShards` — routing reads only the tiny `routing` artifact.
+    * Output: (query_id, row_uuid, score, rank), rank 1..k per query.
+    */
+  def vectorKnnJoin(column: String, queries: DataFrame, qIdCol: String,
+                    qVecCol: String, k: Int, metric: String = "cosine",
+                    refineFactor: Int = 4,
+                    probeShards: Int = 0): DataFrame = {
+    val dir = indexDir("vector", column)
+    require(indexFresh("vector", column),
+      s"vector index for $column is stale or missing; createVectorIndex first")
+    val tpe = indexMetaField(dir, "type").getOrElse("IVF")
+    require(tpe == "HNSW" || tpe == "DISKANN",
+      s"vectorKnnJoin requires a graph index (HNSW/DISKANN), this is $tpe")
+    val graphMetric = indexMetaField(dir, "metric").getOrElse("l2")
+    require(metric == graphMetric,
+      s"$tpe index was built for metric $graphMetric, not $metric")
+    def art(name: String): DataFrame =
+      loadedVector.get(column).flatMap(_.get(name)).getOrElse(
+        spark.read.parquet(new Path(dir, name).toString))
+    val qPrepared =
+      if (graphMetric == "l2") queries
+      else queries.withColumn(qVecCol,
+        graft.functions.VectorFunctions.normalize(col(qVecCol)))
+    val cents = if (probeShards > 0) readRoutingArtifact(column, dir)
+                else Array.empty[(Int, Array[Float])]
+    val hits =
+      if (tpe == "HNSW")
+        graft.operators.KnnJoin.hnsw(art("graph"), qPrepared, qIdCol,
+          qVecCol, k, ef = math.max(64, refineFactor * k),
+          probeParts = probeShards, centroids = cents)
+      else
+        graft.operators.KnnJoin.vamana(art("graph"), qPrepared, qIdCol,
+          qVecCol, k, beam = math.max(64, refineFactor * k),
+          rerank = math.max(256, refineFactor * k),
+          probeParts = probeShards, centroids = cents)
+    val score = if (graphMetric == "l2") col("l2sq")
+                else lit(1.0) - col("l2sq") / lit(2.0) // unit vecs → cosine
+    hits.select(col("query_id"), col("ext_id").as("row_uuid"),
+      score.as("score"), col("rank"))
+  }
 }
 
 object GraftDataset {

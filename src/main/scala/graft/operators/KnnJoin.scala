@@ -49,16 +49,21 @@ object KnnJoin {
     StructField("ext_id", LongType),
     StructField("l2sq", DoubleType)))
 
-  /** k-NN join against an [[Hnsw]] index (pre-built or re-read). */
+  /** k-NN join against an [[Hnsw]] index (pre-built or re-read).
+    * `centroids` (e.g. the format layer's tiny `routing` artifact)
+    * skips the sentinel scan; when empty they are read from the index's
+    * own sentinel rows.
+    */
   def hnsw(index: DataFrame, queries: DataFrame, qIdCol: String,
            qVecCol: String, k: Int, ef: Int = 64,
-           probeParts: Int = 0): DataFrame = {
+           probeParts: Int = 0,
+           centroids: Array[(Int, Array[Float])] = Array.empty): DataFrame = {
     val prepared = index.select(col("part").cast("int"), col("node"),
       col("ext_id"), col("vec"), col("level"), col("adj"), col("entry"))
     val kk = k
     val efC = math.max(ef, k)
     run(prepared, queries, qIdCol, qVecCol, k, probeParts,
-      Hnsw.CentroidNode,
+      Hnsw.CentroidNode, centroids,
       rows => {
         val g = Hnsw.reassemble(rows)
         (q: Array[Float]) => g.search(q, kk, efC)
@@ -71,14 +76,15 @@ object KnnJoin {
     */
   def vamana(index: DataFrame, queries: DataFrame, qIdCol: String,
              qVecCol: String, k: Int, beam: Int = 64, rerank: Int = 100,
-             probeParts: Int = 0): DataFrame = {
+             probeParts: Int = 0,
+             centroids: Array[(Int, Array[Float])] = Array.empty): DataFrame = {
     val prepared = index.select(col("part").cast("int"), col("node"),
       col("ext_id"), col("vec"), col("code"), col("adj"), col("medoid"))
     val kk = k
     val bm = math.max(beam, k)
     val rr = rerank
     run(prepared, queries, qIdCol, qVecCol, k, probeParts,
-      Vamana.CentroidNode,
+      Vamana.CentroidNode, centroids,
       rows => {
         val (g, codes, pqOpt) = Vamana.reassemble(rows, wantPq = rr > 0)
         (q: Array[Float]) => pqOpt match {
@@ -96,15 +102,31 @@ object KnnJoin {
   private def run(prepared: DataFrame, queries: DataFrame, qIdCol: String,
                   qVecCol: String, k: Int, probeParts: Int,
                   sentinelNode: Int,
+                  centroids: Array[(Int, Array[Float])],
                   mkSearcher: Seq[Row] => Array[Float] => Seq[(Long, Double)])
       : DataFrame = {
     val spark = prepared.sparkSession
     import spark.implicits._
     val allParts = prepared.select(col("part")).distinct()
       .as[Int].collect().sorted // |shards| rows — bounded like centroids
-    val cents =
+    val rawCents =
       if (probeParts <= 0) Array.empty[(Int, Array[Float])]
+      else if (centroids.nonEmpty) centroids
       else GraphRouting.centroidsOf(prepared, sentinelNode)
+    // caller-supplied centroids can be staler than the frame (a routing
+    // artifact surviving a crash-interrupted rewrite): a shard id the
+    // frame does not hold can never be met by the cogroup, so a query
+    // routed only to such ids would silently return nothing — re-route
+    // every query against the surviving cells instead (the frame's own
+    // shard list is ground truth here), probe-all when none survive
+    val allSet = allParts.toSet
+    val cents = rawCents.filter(c => allSet.contains(c._1))
+    if (cents.length < rawCents.length)
+      System.err.println("graft: WARN knn-join routing centroids name " +
+        s"${rawCents.length - cents.length} shard(s) absent from the " +
+        "index (stale routing artifact?); " +
+        (if (cents.isEmpty) "probing all shards"
+         else "re-routing against the surviving cells"))
     val q0 = queries.select(col(qIdCol).cast("long").as("query_id"),
       col(qVecCol).as("_qv")).filter(col("_qv").isNotNull)
     val routedQ =

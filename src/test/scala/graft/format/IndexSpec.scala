@@ -217,6 +217,69 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("vectorKnnJoin: dataset-level routed knn join, parity + guards (r19)") {
+    for (tpe <- Seq("HNSW", "DISKANN")) {
+      val ds = GraftDataset.create(spark, tmpDir(s"knnjoin$tpe"),
+        StructType(Seq(StructField("id", LongType),
+          StructField("emb", ArrayType(FloatType)))))
+      val rows = for (c <- 0 until 4; i <- 0 until 20) yield {
+        val id = (c * 20 + i).toLong
+        (id, (0 until 4).map(j =>
+          (if (j == c) 10.0f * (c + 1) else 0.0f) +
+            math.sin(id * 17 + j).toFloat * 0.05f))
+      }
+      ds.append(rows.toDF("id", "emb"))
+      ds.commit("rows")
+      ds.createVectorIndex("emb", indexType = tpe, pqM = 2, pqK = 8,
+        graphDegree = 8, buildBeam = 32, metric = "l2")
+      // query TABLE: one row per cluster; routed p=1 must hit each
+      // query's own zero-distance row (full-rebuild self-cell soundness)
+      val qdf = Seq(5L, 25L, 45L, 65L)
+        .map(id => (id, rows(id.toInt)._2)).toDF("qid", "qv")
+      val joined = ds.vectorKnnJoin("emb", qdf, "qid", "qv", k = 3,
+        metric = "l2", probeShards = 1)
+      val uuidToId = ds.snapshotWithUuid()
+        .select(col(GraftDataset.UuidCol), col("id"))
+        .as[(Long, Long)].collect().toMap
+      val top1 = joined.filter(col("rank") === 1)
+        .select("query_id", "row_uuid", "score")
+        .as[(Long, Long, Double)].collect()
+      assert(top1.length === 4, s"$tpe: one rank-1 row per query")
+      top1.foreach { case (qid, u, s) =>
+        assert(uuidToId(u) === qid && s === 0.0,
+          s"$tpe: routed knn join missed query $qid's own row")
+      }
+      // probe-all knn join ≡ per-query vectorSearch (same walks, same
+      // scores) for one query
+      val q = rows(45)._2
+      val single = ds.vectorSearch("emb", q, k = 3, metric = "l2")
+        .select("row_uuid", "score").as[(Long, Double)].collect().toSeq
+        .sortBy(identity)
+      val viaJoin = ds.vectorKnnJoin("emb",
+          Seq((45L, q)).toDF("qid", "qv"), "qid", "qv", k = 3,
+          metric = "l2")
+        .select("row_uuid", "score").as[(Long, Double)].collect().toSeq
+        .sortBy(identity)
+      assert(viaJoin === single,
+        s"$tpe: knn join diverged from vectorSearch on the same query")
+      // guards: metric mismatch and non-graph types refuse loudly
+      intercept[IllegalArgumentException] {
+        ds.vectorKnnJoin("emb", qdf, "qid", "qv", k = 3, metric = "cosine")
+      }
+    }
+    // non-graph index type refuses
+    val flat = GraftDataset.create(spark, tmpDir("knnjoinflat"),
+      StructType(Seq(StructField("id", LongType),
+        StructField("emb", ArrayType(FloatType)))))
+    flat.append(Seq((1L, Seq(1f, 0f))).toDF("id", "emb"))
+    flat.commit("row")
+    flat.createVectorIndex("emb", indexType = "FLAT")
+    intercept[IllegalArgumentException] {
+      flat.vectorKnnJoin("emb",
+        Seq((1L, Seq(1f, 0f))).toDF("qid", "qv"), "qid", "qv", k = 1)
+    }
+  }
+
   test("optimizeVectorIndex: N appends fragment, one compaction restores build shape") {
     val ds = GraftDataset.create(spark, tmpDir("idxopt"), StructType(Seq(
       StructField("id", LongType),
