@@ -884,16 +884,25 @@ object VectorQueries {
         val e = emb(s, dir)
         val qdf = e.filter(col("vec_id") < 500L)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val hnsw = KnnJoin.hnsw(
-            Hnsw.build(e, "embedding", "vec_id", numPartitions = 8,
-              clustered = true),
-            qdf, "qid", "qv", k = 5, probeParts = 4)
+        // persist the indexes, as a real deployment would (the format
+        // layer pins or part-partitions them): the join's shard-list
+        // pass and the walk re-read the index, and an unpersisted build
+        // lineage would re-run graph construction for each
+        def pin(df: DataFrame): DataFrame = {
+          val p = df.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count(); p
+        }
+        val hIdx = pin(Hnsw.build(e, "embedding", "vec_id",
+          numPartitions = 8, clustered = true))
+        val vIdx = pin(graft.operators.Vamana.build(e, "embedding",
+          "vec_id", numPartitions = 8, clustered = true))
+        val hnsw = KnnJoin.hnsw(hIdx, qdf, "qid", "qv", k = 5,
+            probeParts = 4)
           .select(lit("hnsw_knn").as("idx"), col("query_id").as("qid"),
             col("ext_id").as("vec_id"))
-        val vamana = KnnJoin.vamana(
-            graft.operators.Vamana.build(e, "embedding", "vec_id",
-              numPartitions = 8, clustered = true),
-            qdf, "qid", "qv", k = 5, rerank = 64, probeParts = 4)
+        val vamana = KnnJoin.vamana(vIdx, qdf, "qid", "qv", k = 5,
+            rerank = 64, probeParts = 4)
           .select(lit("vamana_knn").as("idx"), col("query_id").as("qid"),
             col("ext_id").as("vec_id"))
         // the p=4-of-8 recall on this near-uniform synthetic table is

@@ -32,4 +32,7 @@ object NativeExpressions {
     N.pqAdcBatch(codes, qidx, m, k, tables)
   def dotF(a: Column, b: Column): Column = N.dotF(a, b)
   def l2SqF(a: Column, b: Column): Column = N.l2SqF(a, b)
+  def dotScaledQ(a: Column, b: Column): Column = N.dotScaledQ(a, b)
+  def l2SqScaledQ(a: Column, b: Column): Column = N.l2SqScaledQ(a, b)
+  def dotQL(a: Column, b: Column): Column = N.dotQL(a, b)
 }

@@ -54,20 +54,26 @@ object VectorFunctions {
   }
 
   // ---- exact scaled-int path (deterministic across engines) -------------
+  // Backed by codegen'd native kernels since r19: the HOF formulation
+  // evaluated an interpreted tree per element with three array
+  // allocations per row — q132's 10^6-pair audit measured 50 µs/pair
+  // there, ~100× the native loop. The HOF twins below remain the
+  // equivalence oracles (NativeExpressionsSpec pins bit-identity on
+  // finite values, exact .5 ties, negatives, nulls, and length
+  // mismatches — the quantization is HALF_UP either way, see
+  // QintPairReduction.halfUp's proof sketch).
 
   /** Exact dot product on the 1e-7 grid. 64 dims × (1e7)^2 ≈ 6.4e15 — fits
     * int64 with huge margin and converts to double losslessly (< 2^53).
     */
   def dotScaled(a: Column, b: Column): Column =
-    aggregate(zip_with(qint(a), qint(b), (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v)
+    NativeExpressions.dotScaledQ(a, b)
 
   /** Dot of two ALREADY-quantized int64 arrays. Pairwise operators should
     * quantize each row once (`qint`) and then use this per pair — for an
     * n-row block that is O(n) quantizations instead of O(n²).
     */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  def dotQ(a: Column, b: Column): Column = NativeExpressions.dotQL(a, b)
 
   def normSqScaled(a: Column): Column = dotScaled(a, a)
 
@@ -79,6 +85,19 @@ object VectorFunctions {
       sqrt(normSqScaled(a).cast("double")) * sqrt(normSqScaled(b).cast("double")))
 
   def l2SqScaled(a: Column, b: Column): Column =
+    NativeExpressions.l2SqScaledQ(a, b)
+
+  // ---- HOF twins: the spec-pinned equivalence oracles for the native
+  // scaled kernels (kept OUT of hot paths) ----
+
+  private[graft] def dotScaledHof(a: Column, b: Column): Column =
+    aggregate(zip_with(qint(a), qint(b), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+
+  private[graft] def dotQHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private[graft] def l2SqScaledHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(qint(a), qint(b), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)

@@ -107,12 +107,20 @@ object KnnJoin {
       : DataFrame = {
     val spark = prepared.sparkSession
     import spark.implicits._
-    val allParts = prepared.select(col("part")).distinct()
-      .as[Int].collect().sorted // |shards| rows — bounded like centroids
+    // ONE bounded pass gives both the shard list and the sentinel
+    // centroids (|shards| rows out): on an UNPERSISTED index frame a
+    // second driver collect would re-run the whole build lineage
+    val partInfo = prepared.groupBy(col("part"))
+      .agg(max(when(col("node") === lit(sentinelNode), col("vec")))
+        .as("cent"))
+      .collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_ =>
+        r.getSeq[Float](1).toArray)))
+    val allParts = partInfo.map(_._1).sorted
     val rawCents =
       if (probeParts <= 0) Array.empty[(Int, Array[Float])]
       else if (centroids.nonEmpty) centroids
-      else GraphRouting.centroidsOf(prepared, sentinelNode)
+      else partInfo.collect { case (p, Some(c)) => (p, c) }
     // caller-supplied centroids can be staler than the frame (a routing
     // artifact surviving a crash-interrupted rewrite): a shard id the
     // frame does not hold can never be met by the cogroup, so a query

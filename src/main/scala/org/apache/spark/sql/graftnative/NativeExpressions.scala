@@ -98,6 +98,18 @@ object NativeExpressions {
   def l2SqF(a: Column, b: Column): Column =
     ExpressionUtils.column(
       L2SqF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dotScaledQ(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      QintDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def l2SqScaledQ(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      QintL2Sq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dotQL(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotQL(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** MinHash signature of a string array: `array<int>` of length
@@ -1294,6 +1306,186 @@ case class PqAdcBatch(left: Expression, right: Expression, m: Int, k: Int,
       """
     })
   }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object QintPairReduction {
+  /** HALF_UP round of `v` to a long — BIT-IDENTICAL to Spark's
+    * `round(cast(x as double) * 1e7).cast("long")` on finite inputs:
+    * Spark's Round applies BigDecimal HALF_UP to the double's SHORTEST
+    * DECIMAL representation, but every tie boundary `n + 0.5`
+    * (n < 2^52) is itself exactly representable as a double, so a
+    * value's side-of-tie can never differ between its binary form and
+    * its shortest decimal form — decimal-HALF_UP ≡ binary-HALF_UP
+    * (away from zero on exact ties, floor/ceil of v±0.5 otherwise).
+    * NaN → 0 and ±Infinity saturate (Java's double→long conversion);
+    * non-finite elements are OUTSIDE the oracle contract (embeddings
+    * are finite by data contract) — the spec pins equivalence with the
+    * HOF form over finite values, ties, negatives, and nulls.
+    */
+  @inline def halfUp(v: Double): Long =
+    (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+
+  /** Java statements assigning `halfUp(x * 1e7)` to long `target`
+    * (`tmp` names the scratch double — must be unique per call site).
+    */
+  def halfUpJava(target: String, tmp: String, x: String): String =
+    s"double $tmp = ((double) $x) * 1.0E7; " +
+      s"long $target = (long) ($tmp >= 0 ? Math.floor($tmp + 0.5) " +
+      s": Math.ceil($tmp - 0.5));"
+}
+
+/** Exact scaled-int64 pairwise reductions — the codegen'd form of the
+  * oracle-determinism kernels (`VectorFunctions.dotScaled`/
+  * `l2SqScaled`): quantize each element onto the 1e-7 grid with
+  * [[QintPairReduction.halfUp]], combine, accumulate in int64. The
+  * HOF formulation these replace (`aggregate(zip_with(transform...)))`)
+  * evaluates an interpreted expression tree per element with boxing
+  * and three array allocations per row — measured 50 µs/row on 64-dim
+  * pairs (q132's 10^6-pair audit spent 49 s there); this is one
+  * primitive loop inside whole-stage codegen. Null propagation matches
+  * the HOF chain exactly: a length mismatch or ANY null element →
+  * null result. The HOF twins stay in VectorFunctions, equivalence
+  * spec-pinned (NativeExpressionsSpec).
+  */
+abstract class QintPairReduction extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  protected def combineScala(qx: Long, qy: Long): Long
+  protected def combineJava(acc: String, qx: String, qy: String): String
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (x.isNullAt(j) || y.isNullAt(j)) return null
+        acc += combineScala(
+          QintPairReduction.halfUp(x.getFloat(j).toDouble * 1e7),
+          QintPairReduction.halfUp(y.getFloat(j).toDouble * 1e7))
+        j += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val qx = ctx.freshName("qx")
+      val qy = ctx.freshName("qy")
+      val sx = ctx.freshName("sx")
+      val sy = ctx.freshName("sy")
+      val bad = ctx.freshName("bad")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          long $acc = 0L;
+          boolean $bad = false;
+          for (int $j = 0; $j < $n && !$bad; $j++) {
+            if ($a.isNullAt($j) || $b.isNullAt($j)) { $bad = true; }
+            else {
+              ${QintPairReduction.halfUpJava(qx, sx, s"$a.getFloat($j)")}
+              ${QintPairReduction.halfUpJava(qy, sy, s"$b.getFloat($j)")}
+              ${combineJava(acc, qx, qy)}
+            }
+          }
+          if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+        }
+      """
+    })
+}
+
+/** Exact int64-grid dot product (`Σ q(x)·q(y)`), codegen'd. */
+case class QintDot(left: Expression, right: Expression)
+  extends QintPairReduction {
+  override def prettyName: String = "graft_qint_dot"
+  override protected def combineScala(qx: Long, qy: Long): Long = qx * qy
+  override protected def combineJava(acc: String, qx: String,
+                                     qy: String): String =
+    s"$acc += $qx * $qy;"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Exact int64-grid squared L2 (`Σ (q(x)−q(y))²`), codegen'd. */
+case class QintL2Sq(left: Expression, right: Expression)
+  extends QintPairReduction {
+  override def prettyName: String = "graft_qint_l2sq"
+  override protected def combineScala(qx: Long, qy: Long): Long = {
+    val d = qx - qy; d * d
+  }
+  override protected def combineJava(acc: String, qx: String,
+                                     qy: String): String =
+    s"{ long _d = $qx - $qy; $acc += _d * _d; }"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Dot of two ALREADY-quantized int64 arrays (the per-pair kernel of
+  * the embedding near-dup family, which quantizes each row once and
+  * scores O(n²) bounded-bucket pairs) — same null/length semantics as
+  * [[QintPairReduction]], one codegen'd loop per pair.
+  */
+case class DotQL(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_ql"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (x.isNullAt(j) || y.isNullAt(j)) return null
+        acc += x.getLong(j) * y.getLong(j)
+        j += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          long $acc = 0L;
+          boolean $bad = false;
+          for (int $j = 0; $j < $n && !$bad; $j++) {
+            if ($a.isNullAt($j) || $b.isNullAt($j)) { $bad = true; }
+            else { $acc += $a.getLong($j) * $b.getLong($j); }
+          }
+          if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+        }
+      """
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)

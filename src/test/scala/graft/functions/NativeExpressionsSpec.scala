@@ -53,6 +53,60 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("scaled-int kernels ≡ HOF round/zip_with/aggregate (r19)") {
+    // the oracle-determinism contract: the codegen'd QintDot/QintL2Sq
+    // must be BIT-IDENTICAL to the round(x*1e7) HOF chain they replaced
+    // — on a deterministic random sweep, negatives, magnitudes around
+    // the grid step, and the exact-.5 tie boundary (0.45f: the double
+    // product 0.45*1e7 lands exactly on 4500000 ± representation — the
+    // sweep also crafts v*1e7 = n+0.5 hits via (n+0.5)/1e7 floats)
+    val rnd = new scala.util.Random(99)
+    // magnitudes stay inside the documented grid contract (embedding-
+    // scale values; 8 dims × (5e8)² products fit int64) — the HOF twin
+    // throws on ANSI long overflow where the native wraps, and neither
+    // behavior is part of the oracle contract
+    val crafted = Seq(0.45f, -0.45f, 0.05f, -0.05f, 1.5e-8f, -1.5e-8f,
+      0.0f, -0.0f, 12.3456f, -9.87654f) ++
+      (0 until 50).map(n => ((n + 0.5) / 1e7).toFloat) ++
+      (0 until 50).map(n => (-(n + 0.5) / 1e7).toFloat)
+    val sweep = crafted ++ (0 until 20000).map(_ =>
+      (rnd.nextFloat() - 0.5f) * math.pow(10, rnd.nextInt(6) - 4).toFloat)
+    val pairs = sweep.grouped(8).toSeq.sliding(2).collect {
+      case Seq(a, b) => (a.toSeq, b.take(a.length).toSeq)
+    }.toSeq
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      NativeExpressions.dotScaledQ(col("a"), col("b")).as("nd"),
+      VectorFunctions.dotScaledHof(col("a"), col("b")).as("hd"),
+      NativeExpressions.l2SqScaledQ(col("a"), col("b")).as("nl"),
+      VectorFunctions.l2SqScaledHof(col("a"), col("b")).as("hl"),
+      NativeExpressions.dotQL(VectorFunctions.qint(col("a")),
+        VectorFunctions.qint(col("b"))).as("nq"),
+      VectorFunctions.dotQHof(VectorFunctions.qint(col("a")),
+        VectorFunctions.qint(col("b"))).as("hq"))
+      .collect()
+    rows.foreach { r => // null-tolerant compare: a ragged last group
+      assert(r.get(0) == r.get(1), s"dotScaled: $r") // legitimately nulls
+      assert(r.get(2) == r.get(3), s"l2SqScaled: $r") // BOTH sides
+      assert(r.get(4) == r.get(5), s"dotQ: $r")
+    }
+    // null element / length mismatch → null, matching HOF propagation
+    val edge = Seq(
+      (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))),
+      (Seq(Some(1.0f)), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+      .select(
+        NativeExpressions.dotScaledQ(col("a"), col("b")).as("nd"),
+        VectorFunctions.dotScaledHof(col("a"), col("b")).as("hd"),
+        NativeExpressions.l2SqScaledQ(col("a"), col("b")).as("nl"),
+        VectorFunctions.l2SqScaledHof(col("a"), col("b")).as("hl"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+        s"null semantics diverged: $r")
+    }
+  }
+
   test("simHash32 ≡ HOF vote-array formulation") {
     val df = Seq("the quick brown fox", "one", "", "a b a b c",
       "vector join stream batch window").toDF("t")
