@@ -912,7 +912,41 @@ object VectorQueries {
         knnRecallAudit(e, hnsw.unionByName(vamana), qdf, k = 5,
           minHits = Map("hnsw_knn" -> 1800, "vamana_knn" -> 1800))
       },
-      Some(recallOracle(Seq("hnsw_knn", "vamana_knn"), "vec_id < 500", 5)))
+      Some(recallOracle(Seq("hnsw_knn", "vamana_knn"), "vec_id < 500", 5))),
+
+    // IVF k-NN JOIN, probe-all + exact scoring (r19): the IVF flavor of
+    // the DataFrame-native knn join — queries route to cells with the
+    // same codegen'd expression, one equi-join on cell scores pairs on
+    // the scaled-int grid. At nprobe = nlist the result PROVABLY equals
+    // per-query brute force, so unlike the graph families' recall
+    // audits this oracle pins every row and score EXACTLY — 500 queries
+    // against the corpus, no driver collect of either side (KnnJoinSpec
+    // holds the routed-nprobe and batch-parity proofs).
+    QueryDef("q133_vector_ivf_knn_join",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val qdf = e.filter(col("vec_id") < 500L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val (assigned, centroids) =
+          VectorSearch.ivfBuild(e, "embedding", "vec_id", nlist = 16)
+        KnnJoin.ivf(assigned, centroids, "embedding", "vec_id", qdf,
+            "qid", "qv", metric = "l2", k = 5, nprobe = 16, exact = true)
+          .select(col("query_id"), col("ext_id").as("vec_id"),
+            col("rank"), col("score").cast("long").as("l2sq_scaled"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 500),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 ${dl2("e.embedding", "q.qv")} AS l2sq_scaled,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dl2("e.embedding", "q.qv")} ASC,
+                            e.vec_id ASC) AS rank
+          FROM embeddings e, q)
+        SELECT query_id, vec_id, rank, l2sq_scaled
+        FROM scored WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 
   /** [[recallAudit]] for the knn JOIN, where queries are a DataFrame:

@@ -94,6 +94,58 @@ object KnnJoin {
       })
   }
 
+  /** k-NN join against an IVF index (`VectorSearch.ivfBuild`'s
+    * cell-assigned table + centroids): each query row computes its
+    * `nprobe` nearest cells with the same codegen'd routing expression
+    * the graph join uses (every cell is its own singleton group here),
+    * explodes to (cell, query) rows, and one equi-join against the
+    * cell-partitioned assignments scores each surviving (row, query)
+    * pair with the codegen'd metric — the DataFrame-native form of
+    * [[VectorSearch.ivfBatchTopK]], whose driver-side probe-pair
+    * construction is O(|queries|·nlist) and whose broadcast pairs table
+    * carries every query vector; here the query table never touches the
+    * driver. With `nprobe = nlist` and `exact = true` the result
+    * provably equals per-query brute force (q133's oracle pins it).
+    * Output: (query_id, ext_id, score, rank), best-first per query.
+    */
+  def ivf(assigned: DataFrame, centroids: DataFrame, vecCol: String,
+          idCol: String, queries: DataFrame, qIdCol: String,
+          qVecCol: String, metric: String, k: Int, nprobe: Int,
+          exact: Boolean = false): DataFrame = {
+    val cents = centroids.collect() // nlist rows — bounded by construction
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "no centroids")
+    val dim = cents.head._2.length
+    val flat = new Array[Float](cents.length * dim)
+    cents.iterator.zipWithIndex.foreach { case ((_, c), i) =>
+      System.arraycopy(c, 0, flat, i * dim, dim)
+    }
+    val offsets = Array.tabulate(cents.length + 1)(identity)
+    val sel = graft.functions.NativeExpressions.nearestShards(
+      col("_qv"), cents.length, dim, nprobe, flat, offsets,
+      cents.map(_._1))
+    val routedQ = queries
+      .select(col(qIdCol).cast("long").as("query_id"),
+        col(qVecCol).as("_qv"))
+      .filter(col("_qv").isNotNull)
+      .withColumn("cell", explode(sel))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(VectorSearch.rankOrder(metric, col("_score")),
+        col("ext_id").asc)
+    assigned.withColumn("cell", col("cell").cast("int"))
+      .join(routedQ, "cell")
+      .withColumn("_score",
+        VectorSearch.score(metric, col(vecCol), col("_qv"), exact))
+      .withColumn("ext_id", col(idCol).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("ext_id"), col("_score").as("score"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The shared join: `prepared` has `part` (int) first and `node`
     * second; `mkSearcher` turns one shard's rows into a per-query
     * walker. Driver state is bounded by |shards| (part ids + centroids)

@@ -43,7 +43,7 @@ object VectorSearch {
     * dimension-mismatched vectors) always rank LAST — `asc` alone would
     * put nulls first for l2 and displace real neighbors.
     */
-  private def rankOrder(metric: String, s: Column): Column =
+  private[operators] def rankOrder(metric: String, s: Column): Column =
     if (metric == "l2") s.asc_nulls_last else s.desc_nulls_last
 
   /** Exact top-k for one query vector (as a literal array). */

@@ -122,6 +122,35 @@ class KnnJoinSpec extends SparkSpec {
       "knn join pruned a shard it had never seen a centroid for")
   }
 
+  test("ivf knn join: probe-all ≡ ivfBatchTopK; routed nprobe prunes") {
+    val (assigned, centroids) =
+      VectorSearch.ivfBuild(corpus, "emb", "vec_id", nlist = clusters)
+    val cs = Seq(1, 4, 7)
+    // probe-all + exact: row-identical to the driver-batch form
+    val joined = KnnJoin.ivf(assigned, centroids, "emb", "vec_id",
+        qdf(cs), "qid", "qv", metric = "l2", k = 10, nprobe = clusters,
+        exact = true)
+      .select("query_id", "ext_id", "rank", "score").collect().toSeq
+    val batch = VectorSearch.ivfBatchTopK(assigned, centroids, "emb",
+        "vec_id", cs.map(c => (c.toLong, queryFor(c))), metric = "l2",
+        k = 10, nprobe = clusters, exact = true)
+      .select(col("query_id"), col("vec_id").as("ext_id"), col("rank"),
+        col("score"))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(joined === batch)
+    // routed nprobe=2 keeps each cluster query's own neighborhood
+    val routed = KnnJoin.ivf(assigned, centroids, "emb", "vec_id",
+        qdf(0 until clusters), "qid", "qv", metric = "l2", k = 10,
+        nprobe = 2)
+      .select("query_id", "ext_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until clusters).foreach { c =>
+      val truth = exactTopK(queryFor(c), 10).toSet
+      assert((routed(c.toLong) intersect truth).size >= 8,
+        s"ivf knn-join nprobe=2 recall collapsed for cluster $c")
+    }
+  }
+
   test("null and wrong-dimension query vectors produce no rows") {
     val idx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
       clustered = true)
