@@ -849,6 +849,10 @@ object VectorQueries {
         val queries = e.filter(col("vec_id") < 3L)
           .select("vec_id", "embedding").collect()
           .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+        // NOT pinned, unlike q132: at suite scale the routed batch
+        // reads the index twice (sentinel routing + walk) and two cheap
+        // re-evaluations beat a persist's materialization cost
+        // (measured 4.2 s pinned vs 2.8-3.2 s unpinned at sf0.1)
         val hnsw = Hnsw.batchTopK(
             Hnsw.build(e, "embedding", "vec_id", numPartitions = 8,
               clustered = true),
