@@ -1,0 +1,141 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphRouting, Hnsw, KnnJoin, VectorSearch}
+
+/** Corpus-scale k-NN JOIN soak (r19): 100k × 64-d clustered corpus, a
+  * 10k-row query TABLE (the semantic-dedup/retrieval shape — "every
+  * row of A finds k in B"), measured three ways:
+  *
+  *   - `knn_hnsw_routed`: the DataFrame-native routed join
+  *     ([[KnnJoin.hnsw]]) — queries route themselves via the codegen'd
+  *     centroid expression, cogroup on shard id, NO driver collect;
+  *   - `batch_hnsw_routed`: the driver-batch comparator
+  *     ([[Hnsw.batchTopK]] with all 10k queries collected) — the shape
+  *     that works for query batches but carries every query vector in
+  *     the task closure and routes driver-side;
+  *   - `knn_ivf_routed`: the IVF join flavor ([[KnnJoin.ivf]]).
+  *
+  * Recall is audited on a 100-query sample against exact brute force
+  * (auditing all 10k exactly would be a 10^9-pair job — the sample
+  * keeps the soak honest without dwarfing the thing it measures).
+  * Default corpus-derived sizing throughout (shardsFor ⇒ ~200 shards
+  * of ~500 rows at 100k).
+  *
+  * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.examples.KnnJoinSoak
+  * [rows] [queries]"`. Prints one JSON line; results in SCALE.md.
+  */
+object KnnJoinSoak {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val nq = args.drop(1).headOption.map(_.toInt).getOrElse(10000)
+    val dim = 64; val k = 10; val nCenters = 256; val sample = 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val centers: Array[Array[Float]] = {
+      val r = new scala.util.Random(42)
+      Array.fill(nCenters, dim)((r.nextGaussian() * 4).toFloat)
+    }
+    val bc = spark.sparkContext.broadcast(centers)
+    def vecOf(id: Long): Seq[Float] = {
+      val r = new scala.util.Random(id * 2654435761L + 7)
+      val c = bc.value((id % nCenters).toInt)
+      Seq.tabulate(dim)(j => c(j) + (r.nextGaussian() * 0.5).toFloat)
+    }
+    val data = spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, vecOf(id))))
+      .toDF("vec_id", "emb")
+      .repartition(cpus.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    data.count()
+    // the query TABLE: nq rows with ids outside the corpus id space —
+    // built distributed and NEVER collected by the joins under test
+    val qdf = spark.range(nq).as[Long]
+      .mapPartitions(_.map(i => (i, vecOf(n + i * 31L))))
+      .toDF("qid", "qv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qdf.count()
+
+    // exact truth for the audit sample only
+    val sampleQ = qdf.filter(col("qid") < sample)
+    val truth: Map[Long, Set[Long]] = VectorSearch
+      .batchTopK(data, "emb", "vec_id", sampleQ, "qid", "qv", "l2", k,
+        exact = true)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def sampleRecall(hits: DataFrame): Double = {
+      val got = hits.filter(col("query_id") < sample)
+        .select("query_id", "ext_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (qid, t) =>
+        t.intersect(got.getOrElse(qid, Set.empty)).size.toDouble / k
+      }.sum / truth.size
+    }
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    val shards = GraphRouting.shardsFor(n)
+    val (hIdx, hBuild) = timed {
+      val d = Hnsw.build(data, "emb", "vec_id", clustered = true,
+          rowCountHint = n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count(); d
+    }
+
+    val p = 4
+    // DataFrame-native routed join: full nq×k result materialized
+    val (rows1, t1) = timed(
+      KnnJoin.hnsw(hIdx, qdf, "qid", "qv", k, probeParts = p).count())
+    val rec1 = sampleRecall(
+      KnnJoin.hnsw(hIdx, qdf, "qid", "qv", k, probeParts = p))
+    out("knn_hnsw_routed") =
+      f"""{"rows":$rows1,"recall":$rec1%.4f,"sec":$t1%.1f,"shards":$shards,"p":$p}"""
+
+    // driver-batch comparator: the pre-r19 shape (collect + closure)
+    val batch = qdf.as[(Long, Seq[Float])].collect().toSeq
+    val (rows2, t2) = timed(
+      Hnsw.batchTopK(hIdx, batch, k, colocated = true,
+        probeParts = p).count())
+    val rec2 = sampleRecall(
+      Hnsw.batchTopK(hIdx, batch, k, colocated = true, probeParts = p))
+    out("batch_hnsw_routed") =
+      f"""{"rows":$rows2,"recall":$rec2%.4f,"sec":$t2%.1f,"shards":$shards,"p":$p}"""
+    hIdx.unpersist()
+
+    // IVF join flavor at the same cell granularity
+    val ((assigned, centroids), ivfBuild) = timed {
+      val (a, c) = VectorSearch.ivfBuild(data, "emb", "vec_id",
+        nlist = shards)
+      val ap = a.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ap.count(); (ap, c)
+    }
+    val (rows3, t3) = timed(
+      KnnJoin.ivf(assigned, centroids, "emb", "vec_id", qdf, "qid",
+        "qv", "l2", k, nprobe = p).count())
+    val rec3 = sampleRecall(
+      KnnJoin.ivf(assigned, centroids, "emb", "vec_id", qdf, "qid",
+        "qv", "l2", k, nprobe = p))
+    out("knn_ivf_routed") =
+      f"""{"rows":$rows3,"recall":$rec3%.4f,"sec":$t3%.1f,"nlist":$shards,"nprobe":$p}"""
+    assigned.unpersist()
+
+    val body = out.map { case (kk, v) => s""""$kk":$v""" }.mkString(",")
+    println(s"""{"soak":"knn_join","n":$n,"nq":$nq,"dim":$dim,""" +
+      s""""hnswBuildSec":${f"$hBuild%.1f"},"ivfBuildSec":${f"$ivfBuild%.1f"},$body}""")
+    spark.stop()
+  }
+}
