@@ -2748,58 +2748,101 @@ class GraftDataset private[format] (
     hits.withColumnRenamed(UuidCol, "row_uuid")
   }
 
-  /** Routed k-NN JOIN through the persisted graph index — the
-    * dataset-level face of [[graft.operators.KnnJoin]] (r19): every row
-    * of a query DATAFRAME finds its k nearest corpus rows, with the
-    * query table never touching the driver. This is the 100 TB form of
-    * batched `vector_search` (reference vector_search_ops.py:84-101
-    * batches driver-held arrays only): semantic dedup and retrieval
-    * joins pass a corpus-scale query table here, [[vectorSearch]] stays
-    * the single-vector/driver-batch path. Graph index types only
-    * (HNSW/DISKANN — IVF families route by nprobe, FLAT needs no index);
-    * the metric must be the one the graph was built for (cosine rides
-    * the unit-norm build, scores map back to cosine similarity).
-    * `probeShards = 0` probes every shard (exact w.r.t. the per-shard
-    * walks, |queries|·|shards| routed pairs); at scale pass
-    * `probeShards` — routing reads only the tiny `routing` artifact.
-    * Output: (query_id, row_uuid, score, rank), rank 1..k per query.
+  /** Routed k-NN JOIN through the persisted index — the dataset-level
+    * face of [[graft.operators.KnnJoin]] (r19): every row of a query
+    * DATAFRAME finds its k nearest corpus rows, with the query table
+    * never touching the driver. This is the 100 TB form of batched
+    * `vector_search` (reference vector_search_ops.py:84-101 batches
+    * driver-held arrays only): semantic dedup and retrieval joins pass
+    * a corpus-scale query table here, [[vectorSearch]] stays the
+    * single-vector/driver-batch path. Every index type is served:
+    *
+    *   - HNSW/DISKANN: shard-routed graph walks (`probeShards` is the
+    *     pruning knob; 0 probes every shard — exact w.r.t. the walks);
+    *   - IVF/IVFPQ: cell-routed exact scoring over the `nprobe`
+    *     nearest cells per query (the IVFPQ join exact-scores its
+    *     stored vectors — with routing pruning cells, the ADC
+    *     approximation buys nothing a join-shaped scan can't);
+    *   - FLAT: exact brute force — the query table is broadcast
+    *     (|q|·|corpus| scored pairs: the inherent cost of exact);
+    *
+    * always on the metric the index was built for (cosine rides the
+    * unit-norm build where applicable, scores map back to cosine
+    * similarity). Output: (query_id, row_uuid, score, rank), rank 1..k
+    * best-first per query.
     */
   def vectorKnnJoin(column: String, queries: DataFrame, qIdCol: String,
                     qVecCol: String, k: Int, metric: String = "cosine",
-                    refineFactor: Int = 4,
+                    refineFactor: Int = 4, nprobe: Int = 8,
+                    exact: Boolean = false,
                     probeShards: Int = 0): DataFrame = {
     val dir = indexDir("vector", column)
     require(indexFresh("vector", column),
       s"vector index for $column is stale or missing; createVectorIndex first")
     val tpe = indexMetaField(dir, "type").getOrElse("IVF")
-    require(tpe == "HNSW" || tpe == "DISKANN",
-      s"vectorKnnJoin requires a graph index (HNSW/DISKANN), this is $tpe")
-    val graphMetric = indexMetaField(dir, "metric").getOrElse("l2")
-    require(metric == graphMetric,
-      s"$tpe index was built for metric $graphMetric, not $metric")
+    require(probeShards == 0 || tpe == "HNSW" || tpe == "DISKANN",
+      s"probeShards applies to HNSW/DISKANN indexes only (this is $tpe; " +
+        "IVF/IVFPQ route by nprobe)")
     def art(name: String): DataFrame =
       loadedVector.get(column).flatMap(_.get(name)).getOrElse(
         spark.read.parquet(new Path(dir, name).toString))
-    val qPrepared =
-      if (graphMetric == "l2") queries
+    val idxMetric = indexMetaField(dir, "metric").getOrElse("l2")
+    def requireIdxMetric(): Unit = require(metric == idxMetric,
+      s"$tpe index was built for metric $idxMetric, not $metric")
+    // unit-normalized query side for the metrics that ride the
+    // unit-norm build (graphs + IVFPQ cosine)
+    def qNormalized: DataFrame =
+      if (idxMetric == "l2") queries
       else queries.withColumn(qVecCol,
         graft.functions.VectorFunctions.normalize(col(qVecCol)))
-    val cents = if (probeShards > 0) readRoutingArtifact(column, dir)
-                else Array.empty[(Int, Array[Float])]
-    val hits =
-      if (tpe == "HNSW")
-        graft.operators.KnnJoin.hnsw(art("graph"), qPrepared, qIdCol,
-          qVecCol, k, ef = math.max(64, refineFactor * k),
-          probeParts = probeShards, centroids = cents)
-      else
-        graft.operators.KnnJoin.vamana(art("graph"), qPrepared, qIdCol,
-          qVecCol, k, beam = math.max(64, refineFactor * k),
+    def l2ToMetric(hits: DataFrame): DataFrame = {
+      val score = if (idxMetric == "l2") col("l2sq")
+                  else lit(1.0) - col("l2sq") / lit(2.0) // unit → cosine
+      hits.select(col("query_id"), col("ext_id").as("row_uuid"),
+        score.as("score"), col("rank"))
+    }
+    tpe match {
+      case "FLAT" =>
+        graft.operators.VectorSearch.batchTopK(snapshotWithUuid(),
+            column, UuidCol, queries, qIdCol, qVecCol, metric, k, exact)
+          .withColumnRenamed(UuidCol, "row_uuid")
+          .select(col("query_id"), col("row_uuid"), col("score"),
+            col("rank"))
+      case "IVF" =>
+        graft.operators.KnnJoin.ivf(art("assigned"), art("centroids"),
+            column, UuidCol, queries, qIdCol, qVecCol, metric, k,
+            nprobe, exact)
+          .withColumnRenamed("ext_id", "row_uuid")
+      case "IVFPQ" =>
+        requireIdxMetric() // stored vectors are metric-prepared
+        // cosine rides the unit-norm build scored in DOUBLE l2 (the
+        // scaled-int grid would need its own 1e14 mapping); l2 keeps
+        // the caller's exact knob
+        val hits = graft.operators.KnnJoin.ivf(art("assigned"),
+          art("centroids"), column, UuidCol, qNormalized, qIdCol,
+          qVecCol, "l2", k, nprobe, exact && idxMetric == "l2")
+        if (idxMetric == "l2") hits.withColumnRenamed("ext_id", "row_uuid")
+        else hits.select(col("query_id"), col("ext_id").as("row_uuid"),
+          (lit(1.0) - col("score") / lit(2.0)).as("score"), col("rank"))
+      case "HNSW" =>
+        requireIdxMetric()
+        val cents = if (probeShards > 0) readRoutingArtifact(column, dir)
+                    else Array.empty[(Int, Array[Float])]
+        l2ToMetric(graft.operators.KnnJoin.hnsw(art("graph"),
+          qNormalized, qIdCol, qVecCol, k,
+          ef = math.max(64, refineFactor * k),
+          probeParts = probeShards, centroids = cents))
+      case "DISKANN" =>
+        requireIdxMetric()
+        val cents = if (probeShards > 0) readRoutingArtifact(column, dir)
+                    else Array.empty[(Int, Array[Float])]
+        l2ToMetric(graft.operators.KnnJoin.vamana(art("graph"),
+          qNormalized, qIdCol, qVecCol, k,
+          beam = math.max(64, refineFactor * k),
           rerank = math.max(256, refineFactor * k),
-          probeParts = probeShards, centroids = cents)
-    val score = if (graphMetric == "l2") col("l2sq")
-                else lit(1.0) - col("l2sq") / lit(2.0) // unit vecs → cosine
-    hits.select(col("query_id"), col("ext_id").as("row_uuid"),
-      score.as("score"), col("rank"))
+          probeParts = probeShards, centroids = cents))
+      case t => throw new IllegalStateException(s"unknown index type $t")
+    }
   }
 }
 

@@ -267,16 +267,29 @@ class IndexSpec extends SparkSpec {
         ds.vectorKnnJoin("emb", qdf, "qid", "qv", k = 3, metric = "cosine")
       }
     }
-    // non-graph index type refuses
-    val flat = GraftDataset.create(spark, tmpDir("knnjoinflat"),
+    // non-graph types are served too: FLAT = exact brute force, IVF =
+    // cell-routed exact scoring; probeShards stays a graph-only knob
+    val flatEtAl = GraftDataset.create(spark, tmpDir("knnjoinflat"),
       StructType(Seq(StructField("id", LongType),
         StructField("emb", ArrayType(FloatType)))))
-    flat.append(Seq((1L, Seq(1f, 0f))).toDF("id", "emb"))
-    flat.commit("row")
-    flat.createVectorIndex("emb", indexType = "FLAT")
-    intercept[IllegalArgumentException] {
-      flat.vectorKnnJoin("emb",
-        Seq((1L, Seq(1f, 0f))).toDF("qid", "qv"), "qid", "qv", k = 1)
+    flatEtAl.append(Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(0.9f, 0.1f))).toDF("id", "emb"))
+    flatEtAl.commit("rows")
+    val u1 = flatEtAl.snapshotWithUuid().filter(col("id") === 1L)
+      .select(col(GraftDataset.UuidCol)).as[Long].head()
+    for (t <- Seq("FLAT", "IVF", "IVFPQ")) {
+      flatEtAl.createVectorIndex("emb", nlist = 2, pqM = 2, pqK = 4,
+        indexType = t, metric = "l2")
+      val top = flatEtAl.vectorKnnJoin("emb",
+          Seq((1L, Seq(1f, 0f))).toDF("qid", "qv"), "qid", "qv", k = 1,
+          metric = "l2", nprobe = 2)
+        .select("row_uuid").as[Long].head()
+      assert(top === u1, s"$t knn join missed the exact self match")
+      intercept[IllegalArgumentException] {
+        flatEtAl.vectorKnnJoin("emb",
+          Seq((1L, Seq(1f, 0f))).toDF("qid", "qv"), "qid", "qv", k = 1,
+          metric = "l2", probeShards = 2)
+      }
     }
   }
 
