@@ -114,6 +114,17 @@ class VectorRoutingFuzzSpec extends SparkSpec {
       if (selfCellSound)
         assert(routed.exists { case (u, s) => uuidMap(u) == qid && s == 0.0 },
           s"$where: p=1 routing pruned the query's own cell")
+      // the DATASET-LEVEL knn join must agree with vectorSearch at
+      // probe-all after every lifecycle transition (same walks, same
+      // scores — a one-row query table exercises the whole join path:
+      // routing artifact read, cell grouping, cogroup, score mapping)
+      val viaJoin = ds.vectorKnnJoin("emb",
+          Seq((qid, q)).toDF("qid", "qv"), "qid", "qv", k,
+          metric = "l2")
+        .select(col("row_uuid"), col("score"))
+        .as[(Long, Double)].collect().toSeq.sortBy(h => (h._2, h._1))
+      assert(viaJoin == all,
+        s"$where: vectorKnnJoin diverged from vectorSearch at probe-all")
     }
 
     appendBatch(40)
