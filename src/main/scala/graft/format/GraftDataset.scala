@@ -2748,6 +2748,18 @@ class GraftDataset private[format] (
     hits.withColumnRenamed(UuidCol, "row_uuid")
   }
 
+  /** Shard list for [[vectorKnnJoin]]'s graph paths from the persisted
+    * layout's `part=N` directory listing — ground truth for the same dir
+    * the join reads, and zero index scans (the way the driver-batch
+    * persisted reads dir-prune). None when the index is pinned in memory
+    * ([[loadVectorIndex]]): the join then enumerates the CACHED frame,
+    * which is cheap and can never disagree with itself.
+    */
+  private def knnPartsHint(column: String, dir: Path): Option[Set[Int]] =
+    if (isVectorIndexLoaded(column)) None
+    else graft.operators.PartitionedIndex.partIds(spark,
+      new Path(dir, "graph").toString)
+
   /** Routed k-NN JOIN through the persisted index — the dataset-level
     * face of [[graft.operators.KnnJoin]] (r19): every row of a query
     * DATAFRAME finds its k nearest corpus rows, with the query table
@@ -2815,15 +2827,23 @@ class GraftDataset private[format] (
           .withColumnRenamed("ext_id", "row_uuid")
       case "IVFPQ" =>
         requireIdxMetric() // stored vectors are metric-prepared
-        // cosine rides the unit-norm build scored in DOUBLE l2 (the
-        // scaled-int grid would need its own 1e14 mapping); l2 keeps
-        // the caller's exact knob
+        // BOTH metrics keep the caller's exact knob: cosine rides the
+        // unit-norm build scored on the scaled-int l2 grid (unit values
+        // quantize on the same 1e-7 grid; max l2² of 4 → 4e14, well
+        // inside int64 and lossless in double), then maps to cosine
         val hits = graft.operators.KnnJoin.ivf(art("assigned"),
           art("centroids"), column, UuidCol, qNormalized, qIdCol,
-          qVecCol, "l2", k, nprobe, exact && idxMetric == "l2")
+          qVecCol, "l2", k, nprobe, exact)
         if (idxMetric == "l2") hits.withColumnRenamed("ext_id", "row_uuid")
-        else hits.select(col("query_id"), col("ext_id").as("row_uuid"),
-          (lit(1.0) - col("score") / lit(2.0)).as("score"), col("rank"))
+        else {
+          // unit vectors: cos = 1 − l2²/2. Exact scores are 1e14-scaled
+          // longs (qint products), doubles are raw l2² — one
+          // deterministic affine step either way
+          val half = if (exact) lit(2.0e14) else lit(2.0)
+          hits.select(col("query_id"), col("ext_id").as("row_uuid"),
+            (lit(1.0) - col("score").cast("double") / half).as("score"),
+            col("rank"))
+        }
       case "HNSW" =>
         requireIdxMetric()
         val cents = if (probeShards > 0) readRoutingArtifact(column, dir)
@@ -2831,7 +2851,8 @@ class GraftDataset private[format] (
         l2ToMetric(graft.operators.KnnJoin.hnsw(art("graph"),
           qNormalized, qIdCol, qVecCol, k,
           ef = math.max(64, refineFactor * k),
-          probeParts = probeShards, centroids = cents))
+          probeParts = probeShards, centroids = cents,
+          partsHint = knnPartsHint(column, dir)))
       case "DISKANN" =>
         requireIdxMetric()
         val cents = if (probeShards > 0) readRoutingArtifact(column, dir)
@@ -2840,7 +2861,8 @@ class GraftDataset private[format] (
           qNormalized, qIdCol, qVecCol, k,
           beam = math.max(64, refineFactor * k),
           rerank = math.max(256, refineFactor * k),
-          probeParts = probeShards, centroids = cents))
+          probeParts = probeShards, centroids = cents,
+          partsHint = knnPartsHint(column, dir)))
       case t => throw new IllegalStateException(s"unknown index type $t")
     }
   }

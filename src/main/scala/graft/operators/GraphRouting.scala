@@ -130,7 +130,12 @@ object GraphRouting {
     val arr = cents.collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    (VectorSearch.assignCells(df, vecCol, cents), arr)
+    // hand assignCells a LOCAL table rebuilt from the already-collected
+    // array: its internal collect is then free, instead of re-running
+    // the whole refine lineage (one df scan per iter) a second time
+    val centsLocal = arr.toIndexedSeq
+      .map { case (c, v) => (c, v.toSeq) }.toDF("cell", "_centroid")
+    (VectorSearch.assignCells(df, vecCol, centsLocal), arr)
   }
 
   /** [[assignShards]] with a SKEW CAP: a k-means cell holding more than

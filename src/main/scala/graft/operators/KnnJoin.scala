@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.{VectorFunctions => V}
 
 /** DataFrame-native routed k-NN JOIN over the graph ANN families — the
   * corpus-scale generalization of the reference's batched `vector_search`
@@ -52,18 +53,21 @@ object KnnJoin {
   /** k-NN join against an [[Hnsw]] index (pre-built or re-read).
     * `centroids` (e.g. the format layer's tiny `routing` artifact)
     * skips the sentinel scan; when empty they are read from the index's
-    * own sentinel rows.
+    * own sentinel rows. `partsHint` (the `part=N` directory listing of a
+    * persisted layout) skips the shard-enumeration scan entirely — with
+    * both supplied, NO index action runs before the join itself.
     */
   def hnsw(index: DataFrame, queries: DataFrame, qIdCol: String,
            qVecCol: String, k: Int, ef: Int = 64,
            probeParts: Int = 0,
-           centroids: Array[(Int, Array[Float])] = Array.empty): DataFrame = {
+           centroids: Array[(Int, Array[Float])] = Array.empty,
+           partsHint: Option[Set[Int]] = None): DataFrame = {
     val prepared = index.select(col("part").cast("int"), col("node"),
       col("ext_id"), col("vec"), col("level"), col("adj"), col("entry"))
     val kk = k
     val efC = math.max(ef, k)
     run(prepared, queries, qIdCol, qVecCol, k, probeParts,
-      Hnsw.CentroidNode, centroids,
+      Hnsw.CentroidNode, centroids, partsHint,
       rows => {
         val g = Hnsw.reassemble(rows)
         (q: Array[Float]) => g.search(q, kk, efC)
@@ -72,19 +76,20 @@ object KnnJoin {
 
   /** k-NN join against a [[Vamana]] (DiskANN) index: PQ/ADC walk +
     * exact re-rank per query, like [[Vamana.batchTopK]] (`rerank = 0`
-    * walks on exact distances).
+    * walks on exact distances). `centroids`/`partsHint` as in [[hnsw]].
     */
   def vamana(index: DataFrame, queries: DataFrame, qIdCol: String,
              qVecCol: String, k: Int, beam: Int = 64, rerank: Int = 100,
              probeParts: Int = 0,
-             centroids: Array[(Int, Array[Float])] = Array.empty): DataFrame = {
+             centroids: Array[(Int, Array[Float])] = Array.empty,
+             partsHint: Option[Set[Int]] = None): DataFrame = {
     val prepared = index.select(col("part").cast("int"), col("node"),
       col("ext_id"), col("vec"), col("code"), col("adj"), col("medoid"))
     val kk = k
     val bm = math.max(beam, k)
     val rr = rerank
     run(prepared, queries, qIdCol, qVecCol, k, probeParts,
-      Vamana.CentroidNode, centroids,
+      Vamana.CentroidNode, centroids, partsHint,
       rows => {
         val (g, codes, pqOpt) = Vamana.reassemble(rows, wantPq = rr > 0)
         (q: Array[Float]) => pqOpt match {
@@ -112,6 +117,15 @@ object KnnJoin {
           idCol: String, queries: DataFrame, qIdCol: String,
           qVecCol: String, metric: String, k: Int, nprobe: Int,
           exact: Boolean = false): DataFrame = {
+    // ext_id is the long output/tie-break identity: a non-integral id
+    // column would silently cast to all-null ext_ids — fail loudly
+    // instead (internal callers pass the long _uuid/vec_id)
+    assigned.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case t => throw new IllegalArgumentException(
+        s"idCol $idCol must be an integral type for ext_id, got $t " +
+          "(join against a long surrogate id, e.g. the hidden _uuid)")
+    }
     val cents = centroids.collect() // nlist rows — bounded by construction
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -125,19 +139,60 @@ object KnnJoin {
     val sel = graft.functions.NativeExpressions.nearestShards(
       col("_qv"), cents.length, dim, nprobe, flat, offsets,
       cents.map(_._1))
-    val routedQ = queries
-      .select(col(qIdCol).cast("long").as("query_id"),
-        col(qVecCol).as("_qv"))
-      .filter(col("_qv").isNotNull)
-      .withColumn("cell", explode(sel))
+    // exact cosine scores pairs on the int64 grid with the quantization
+    // and self-norm hoisted to ONCE PER ROW on each side (O(n + |q|)
+    // quantizations, one pre-quantized dot per pair) — the composite
+    // cosineScaled expression re-quantizes both vectors and recomputes
+    // both norms for EVERY pair (3 dots + 2 array allocs: q134's 2k-row
+    // self-join measured 17 s that way). Bit-identical by construction:
+    // dotScaledQ ≡ dotQL ∘ qint and the final double ops are IEEE-exact
+    // on integer inputs (NativeExpressionsSpec pins both kernels to
+    // their shared HOF twins; q134's oracle pins the end-to-end scores).
+    val exactCos = exact && metric == "cosine"
+    val q1 = {
+      val base = queries
+        .select(col(qIdCol).cast("long").as("query_id"),
+          col(qVecCol).as("_qv"))
+        .filter(col("_qv").isNotNull)
+      if (!exactCos) base
+      else base.withColumn("_qq", V.qint(col("_qv")))
+        .withColumn("_qn",
+          sqrt(V.dotQ(col("_qq"), col("_qq")).cast("double")))
+    }
+    val routedQ = q1.withColumn("cell", explode(sel))
+    // prune the assigned side to the cells SOME query probes, BEFORE the
+    // join: one bounded action (distinct cell ids, ≤ nlist rows) over the
+    // routing-only query lineage — on a partitionBy("cell") layout the
+    // isin prunes whole directories; skipped at probe-all, where every
+    // cell is met by construction
+    val scopedIdx =
+      if (nprobe >= cents.length) assigned
+      else {
+        val used = routedQ.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (used.isEmpty) assigned.filter(lit(false)) // no usable queries
+        else if (used.size >= cents.length) assigned
+        // raw column (no cast): the literals coerce to the column type,
+        // so the IN pushes down / partition-prunes a cell-partitioned read
+        else assigned.filter(col("cell").isin(used.toSeq.map(Int.box): _*))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(VectorSearch.rankOrder(metric, col("_score")),
         col("ext_id").asc)
-    assigned.withColumn("cell", col("cell").cast("int"))
+    val idxSide =
+      if (!exactCos) scopedIdx
+      else scopedIdx.withColumn("_iq", V.qint(col(vecCol)))
+        .withColumn("_in",
+          sqrt(V.dotQ(col("_iq"), col("_iq")).cast("double")))
+    val scoreExpr =
+      if (exactCos)
+        try_divide(V.dotQ(col("_iq"), col("_qq")).cast("double"),
+          col("_in") * col("_qn"))
+      else VectorSearch.score(metric, col(vecCol), col("_qv"), exact)
+    idxSide.withColumn("cell", col("cell").cast("int"))
       .join(routedQ, "cell")
-      .withColumn("_score",
-        VectorSearch.score(metric, col(vecCol), col("_qv"), exact))
+      .withColumn("_score", scoreExpr)
       .withColumn("ext_id", col(idCol).cast("long"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -155,24 +210,46 @@ object KnnJoin {
                   qVecCol: String, k: Int, probeParts: Int,
                   sentinelNode: Int,
                   centroids: Array[(Int, Array[Float])],
+                  partsHint: Option[Set[Int]],
                   mkSearcher: Seq[Row] => Array[Float] => Seq[(Long, Double)])
       : DataFrame = {
     val spark = prepared.sparkSession
     import spark.implicits._
-    // ONE bounded pass gives both the shard list and the sentinel
-    // centroids (|shards| rows out): on an UNPERSISTED index frame a
-    // second driver collect would re-run the whole build lineage
-    val partInfo = prepared.groupBy(col("part"))
-      .agg(max(when(col("node") === lit(sentinelNode), col("vec")))
-        .as("cent"))
-      .collect()
-      .map(r => (r.getInt(0), Option(r.get(1)).map(_ =>
-        r.getSeq[Float](1).toArray)))
-    val allParts = partInfo.map(_._1).sorted
+    // shard enumeration, cheapest source first: a persisted layout's
+    // directory listing (partsHint — zero index actions), else a
+    // column-pruned part scan that never touches vec; the sentinel
+    // centroids are only read at all when routing has no caller-supplied
+    // centroids — then via a PUSHED node filter (persisted path) or, on
+    // an unpersisted build lineage needing BOTH, one combined pass (a
+    // second collect there would re-run the whole build)
+    val (allParts: Array[Int], sentinelCents: Array[(Int, Array[Float])]) =
+      partsHint match {
+        case Some(ps) =>
+          val cs =
+            if (probeParts > 0 && centroids.isEmpty)
+              prepared.filter(col("node") === lit(sentinelNode))
+                .select(col("part"), col("vec")).collect()
+                .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+            else Array.empty[(Int, Array[Float])]
+          (ps.toArray.sorted, cs)
+        case None if probeParts <= 0 || centroids.nonEmpty =>
+          (prepared.select(col("part")).distinct().collect()
+             .map(_.getInt(0)).sorted,
+           Array.empty[(Int, Array[Float])])
+        case None =>
+          val info = prepared.groupBy(col("part"))
+            .agg(max(when(col("node") === lit(sentinelNode), col("vec")))
+              .as("cent"))
+            .collect()
+            .map(r => (r.getInt(0), Option(r.get(1)).map(_ =>
+              r.getSeq[Float](1).toArray)))
+          (info.map(_._1).sorted,
+           info.collect { case (p, Some(c)) => (p, c) })
+      }
     val rawCents =
       if (probeParts <= 0) Array.empty[(Int, Array[Float])]
       else if (centroids.nonEmpty) centroids
-      else partInfo.collect { case (p, Some(c)) => (p, c) }
+      else sentinelCents
     // caller-supplied centroids can be staler than the frame (a routing
     // artifact surviving a crash-interrupted rewrite): a shard id the
     // frame does not hold can never be met by the cogroup, so a query
@@ -187,8 +264,14 @@ object KnnJoin {
         "index (stale routing artifact?); " +
         (if (cents.isEmpty) "probing all shards"
          else "re-routing against the surviving cells"))
+    // null ELEMENTS are dropped like null/wrong-dim vectors (the routing
+    // expression and the shard walk would otherwise read the null slot
+    // as 0 and return plausible garbage) — same contract on the
+    // probe-all path, which never runs the routing expression
     val q0 = queries.select(col(qIdCol).cast("long").as("query_id"),
-      col(qVecCol).as("_qv")).filter(col("_qv").isNotNull)
+        col(qVecCol).as("_qv"))
+      .filter(col("_qv").isNotNull)
+      .filter(!exists(col("_qv"), e => e.isNull))
     val routedQ =
       if (cents.isEmpty)
         q0.withColumn("part", explode(typedlit(allParts.toSeq)))
@@ -215,26 +298,45 @@ object KnnJoin {
           else concat(sel, typedlit(unrouted.toSeq))
         q0.withColumn("part", explode(withUnrouted))
       }
+    // prune the INDEX side to the routed-part union before the cogroup:
+    // one bounded action (distinct part ids, ≤ MaxShards rows) over the
+    // routing-only query lineage spares shuffling — and, on a
+    // partitionBy("part") layout, even READING — every shard no query in
+    // the batch routed to. Skipped at probe-all, where every shard is
+    // met by construction and the extra query-table pass buys nothing.
+    val scopedIdx =
+      if (cents.isEmpty) prepared
+      else {
+        val used = routedQ.select(col("part")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (used.isEmpty) prepared.filter(lit(false)) // no usable queries
+        else if (allParts.forall(used)) prepared
+        else prepared.filter(col("part").isin(used.toSeq.map(Int.box): _*))
+      }
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    val idxK = prepared.groupByKey(_.getInt(0))(Encoders.scalaInt)
+    val idxK = scopedIdx.groupByKey(_.getInt(0))(Encoders.scalaInt)
     val qK = routedQ.select(col("part").cast("int"), col("query_id"),
         col("_qv"))
       .groupByKey(_.getInt(0))(Encoders.scalaInt)
     val hits = idxK.cogroup(qK) { (_, idxRows, qRows) =>
-      val rows = idxRows.toVector // ONE shard — bounded by build sizing
-      val dim0 = rows.collectFirst {
-        case r if r.getInt(1) >= 0 => r.getSeq[Float](3).length
-      }
-      if (dim0.isEmpty) Iterator.empty
+      // a shard no query reached must not pay graph reassembly
+      if (!qRows.hasNext) Iterator.empty
       else {
-        val search = mkSearcher(rows)
-        qRows.flatMap { q =>
-          val qv = q.getSeq[Float](2).toArray
-          // wrong-dim queries walk nowhere (a prefix distance would
-          // return plausible garbage; the exact paths surface it)
-          if (qv.length != dim0.get) Iterator.empty
-          else search(qv).iterator
-            .map { case (id, d) => Row(q.getLong(1), id, d) }
+        val rows = idxRows.toVector // ONE shard — bounded by build sizing
+        val dim0 = rows.collectFirst {
+          case r if r.getInt(1) >= 0 => r.getSeq[Float](3).length
+        }
+        if (dim0.isEmpty) Iterator.empty
+        else {
+          val search = mkSearcher(rows)
+          qRows.flatMap { q =>
+            val qv = q.getSeq[Float](2).toArray
+            // wrong-dim queries walk nowhere (a prefix distance would
+            // return plausible garbage; the exact paths surface it)
+            if (qv.length != dim0.get) Iterator.empty
+            else search(qv).iterator
+              .map { case (id, d) => Row(q.getLong(1), id, d) }
+          }
         }
       }
     }

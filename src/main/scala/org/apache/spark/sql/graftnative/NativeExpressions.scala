@@ -1070,6 +1070,14 @@ case class NearestShards(child: Expression, groups: Int, dim: Int, p: Int,
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() != dim) return null
+    // a null ELEMENT would route on a 0-substituted slot — treat it like
+    // a wrong-dimension array (null ⇒ the query is dropped), matching
+    // QintPairReduction's null-element semantics
+    var nj = 0
+    while (nj < dim) {
+      if (v.isNullAt(nj)) return null
+      nj += 1
+    }
     val d = new Array[Double](groups)
     var g = 0
     while (g < groups) {
@@ -1133,8 +1141,16 @@ case class NearestShards(child: Expression, groups: Int, dim: Int, p: Int,
       val out = ctx.freshName("out")
       val w = ctx.freshName("w")
       val i = ctx.freshName("i")
+      val hasNull = ctx.freshName("hasNull")
+      val nj = ctx.freshName("nj")
       s"""
-        if ($v.numElements() != $dim) {
+        boolean $hasNull = false;
+        if ($v.numElements() == $dim) {
+          for (int $nj = 0; $nj < $dim; $nj++) {
+            if ($v.isNullAt($nj)) { $hasNull = true; break; }
+          }
+        }
+        if ($v.numElements() != $dim || $hasNull) {
           ${ev.isNull} = true;
         } else {
           double[] $d = new double[$groups];

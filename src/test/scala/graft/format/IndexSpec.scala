@@ -293,6 +293,48 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("vectorKnnJoin IVFPQ cosine honors the exact knob (r20)") {
+    // r19 silently downgraded exact=true to double scoring for cosine;
+    // now the unit-norm build scores on the scaled-int l2 grid and the
+    // 1e14-scaled long maps to cosine — deterministic AND correct
+    val ds = GraftDataset.create(spark, tmpDir("knnjoin_pq_cos"),
+      StructType(Seq(StructField("id", LongType),
+        StructField("emb", ArrayType(FloatType)))))
+    val rows = (0 until 40).map { i =>
+      val ang = i * 0.15
+      (i.toLong, Seq((math.cos(ang) * (1 + i % 3)).toFloat,
+        (math.sin(ang) * (1 + i % 3)).toFloat))
+    }
+    ds.append(rows.toDF("id", "emb"))
+    ds.commit("rows")
+    ds.createVectorIndex("emb", nlist = 4, pqM = 2, pqK = 4,
+      indexType = "IVFPQ", metric = "cosine")
+    val qdf = Seq((7L, rows(7)._2), (30L, rows(30)._2)).toDF("qid", "qv")
+    def run(exact: Boolean) = ds.vectorKnnJoin("emb", qdf, "qid", "qv",
+        k = 3, metric = "cosine", nprobe = 4, exact = exact)
+      .select("query_id", "row_uuid", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val exactHits = run(exact = true)
+    // deterministic: bit-identical across runs
+    assert(exactHits === run(exact = true))
+    // rank-1 is each query's own row at cosine ≈ 1 (quantization only)
+    val idOf = ds.snapshotWithUuid()
+      .select(col(GraftDataset.UuidCol), col("id"))
+      .as[(Long, Long)].collect().toMap
+    exactHits.filter(_._4 == 1).foreach { case (qid, u, s, _) =>
+      assert(idOf(u) === qid && math.abs(s - 1.0) < 1e-6,
+        s"exact cosine self-match broken: q$qid -> id ${idOf(u)} score $s")
+    }
+    // same neighbors, same order as the double path (scores within eps)
+    val dbl = run(exact = false)
+    assert(exactHits.map(t => (t._1, t._2, t._4)) ===
+      dbl.map(t => (t._1, t._2, t._4)))
+    exactHits.zip(dbl).foreach { case (e, d) =>
+      assert(math.abs(e._3 - d._3) < 1e-5,
+        s"exact/double cosine scores diverged: $e vs $d")
+    }
+  }
+
   test("optimizeVectorIndex: N appends fragment, one compaction restores build shape") {
     val ds = GraftDataset.create(spark, tmpDir("idxopt"), StructType(Seq(
       StructField("id", LongType),

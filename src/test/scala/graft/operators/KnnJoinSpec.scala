@@ -166,4 +166,98 @@ class KnnJoinSpec extends SparkSpec {
       assert(got === Set(1L), s"probeParts=$p returned $got")
     }
   }
+
+  test("a query vector with null ELEMENTS is dropped like a wrong dim") {
+    // a null slot would otherwise route (and walk) on a 0-substituted
+    // value — ADVICE r19: match QintPairReduction's null-element contract
+    val idx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
+      clustered = true)
+    val good = queryFor(2).map(Option(_))
+    val holed = good.updated(3, Option.empty[Float])
+    val queries = Seq((1L, good), (2L, holed)).toDF("qid", "qv")
+    for (p <- Seq(0, 2)) { // probe-all AND routed paths
+      val got = KnnJoin.hnsw(idx, queries, "qid", "qv", k = 5,
+          probeParts = p)
+        .select("query_id").distinct().as[Long].collect().toSet
+      assert(got === Set(1L), s"probeParts=$p returned $got")
+    }
+  }
+
+  /** Partition directories actually read by `df`'s file scan(s), from
+    * the executed plan's `numPartitions` metric — `inputFiles` cannot
+    * prove partition pruning (it lists the relation's whole FileIndex,
+    * filters ignored). Collects `df` first so the metric is populated.
+    */
+  private def partitionsRead(df: DataFrame): Long = {
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val ss = scans(df.queryExecution.executedPlan)
+    assert(ss.nonEmpty, "no file scan in the executed plan")
+    ss.map(_.metrics("numPartitions").value).sum
+  }
+
+  test("routed join reads only the routed part directories (persisted)") {
+    // VERDICT r19 #1: the index side must prune to the routed-part union
+    // — on a partitionBy("part") layout that is whole directories, the
+    // same proof GraphRoutingSpec pins for the driver-batch reads
+    val path = tmpDir("knnjoin_pruned") + "/idx"
+    Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
+        clustered = true)
+      .write.partitionBy("part").parquet(path)
+    val reread = spark.read.parquet(path)
+    val hint = PartitionedIndex.partIds(spark, path)
+    assert(hint.exists(_.size >= 4), s"expected a sharded layout, got $hint")
+    val joined = KnnJoin.hnsw(reread, qdf(Seq(1, 6)), "qid", "qv", k = 10,
+      probeParts = 1, partsHint = hint)
+    val read = partitionsRead(joined)
+    assert(read <= 2 && read > 0,
+      s"two queries at p=1 must read ≤2 of ${hint.get.size} part " +
+        s"directories, read $read")
+    // pruning must not cost recall: each query still finds its cluster
+    val got = joined.select("query_id", "ext_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    Seq(1, 6).foreach { c =>
+      val truth = exactTopK(queryFor(c), 10).toSet
+      assert((got(c.toLong) intersect truth).size >= 8,
+        s"pruned knn-join recall collapsed for cluster $c")
+    }
+  }
+
+  test("ivf join prunes the assigned side to the probed cells") {
+    val path = tmpDir("knnjoin_ivf_pruned") + "/assigned"
+    val (assigned, centroids) =
+      VectorSearch.ivfBuild(corpus, "emb", "vec_id", nlist = clusters)
+    assigned.write.partitionBy("cell").parquet(path)
+    val reread = spark.read.parquet(path)
+    val joined = KnnJoin.ivf(reread, centroids, "emb", "vec_id",
+      qdf(Seq(2)), "qid", "qv", metric = "l2", k = 10, nprobe = 1)
+    val read = partitionsRead(joined)
+    assert(read === 1L,
+      s"one query at nprobe=1 must read 1 cell directory, read $read")
+    val truth = exactTopK(queryFor(2), 10).toSet
+    val got = joined.select("ext_id").as[Long].collect().toSet
+    assert((got intersect truth).size >= 8, "pruned ivf join lost recall")
+  }
+
+  test("ivf join refuses a non-integral id column loudly") {
+    // ADVICE r19: a string id would silently cast to all-null ext_ids
+    val (assigned, centroids) =
+      VectorSearch.ivfBuild(corpus.withColumn("vec_id",
+        concat(lit("row-"), col("vec_id"))), "emb", "vec_id",
+        nlist = clusters)
+    val e = intercept[IllegalArgumentException] {
+      KnnJoin.ivf(assigned, centroids, "emb", "vec_id", qdf(Seq(1)),
+        "qid", "qv", metric = "l2", k = 5, nprobe = clusters)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
