@@ -144,6 +144,7 @@ object Bench {
       canaryEnd)
     val envJson =
       s""""env":{"load":[${f"$loadStart%.2f"},${f"$loadEnd%.2f"}],""" +
+      s""""load_base":${f"${BenchLine.IdleLoadBaseline}%.2f"},""" +
       s""""mem_mb":$memStartMb,"canary":[${ms(canaryStart)},${ms(canaryMid)},${ms(canaryEnd)}]},""" +
       s""""env_verdict":"$verdict""""
 
@@ -186,11 +187,36 @@ object Bench {
   */
 private[graft] object BenchLine {
 
-  /** The 1-minute load past which this machine's captures have measured
-    * per-query inflation (SCALE.md r15/r17/r18 post-mortems: the r18
-    * capture ran at load 3.4→7.3 and inflated q50 by 2.3×).
+  /** The 1-minute load EXCESS (above the idle baseline) past which this
+    * machine's captures have measured per-query inflation (SCALE.md
+    * r15/r17/r18 post-mortems: the r18 capture ran at load 3.4→7.3 and
+    * inflated q50 by 2.3×, against a near-0 idle).
     */
   val LoadPollutionThreshold = 2.0
+
+  /** The box's chronic idle 1-minute load, subtracted before the
+    * pollution threshold applies (VERDICT r19 #3): every r19 capture ran
+    * at load 1.25–3.78 with FLAT canaries and reproducible totals
+    * (116.4–127.1 s, SCALE.md r19 table) — this box idles near 2, so the
+    * r18 ABSOLUTE rule labeled every honest capture `loaded` and the
+    * verdict stopped discriminating. The capture line records the
+    * baseline it judged against (`load_base`), so a reader can re-apply
+    * either rule; override per host via SPARK_GRAFT_LOAD_BASELINE.
+    */
+  val IdleLoadBaseline: Double =
+    sys.env.get("SPARK_GRAFT_LOAD_BASELINE")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(2.0)
+
+  /** The suite's OWN contribution to the 1-minute loadavg at capture
+    * end — local[32] bursting through ~120 queries for ~2 minutes
+    * drives the end sample up regardless of ambient contention
+    * (measured on honest captures with flat canaries and reproducible
+    * totals: end − start up to +2.6, e.g. r20's 1.45→4.03 at canary
+    * 0.185–0.195 s). Granted to the END boundary only: the start
+    * sample precedes the suite's work, so it gets no allowance.
+    */
+  val SelfLoadAllowance = 2.5
 
   /** Upper edge of the canary's clean band, with margin: q01's min-of-2
     * measured 0.26–0.39 s across every isolated fresh-JVM run since r16
@@ -204,18 +230,27 @@ private[graft] object BenchLine {
     * read-out rule the judge previously applied by hand:
     *   - `inflated`: a mid/end canary above the clean band — the canary
     *     proves uniform measurement distortion from the artifact alone;
-    *   - `loaded`: load average above the pollution threshold at either
-    *     boundary — contention that inflates long shuffle-heavy queries
-    *     SPIKILY (a 0.3 s canary can slip through it, r18's capture did
-    *     exactly that — which is why load outranks a clean canary);
+    *   - `loaded`: load average more than the pollution threshold ABOVE
+    *     what the capture legitimately carries at that boundary —
+    *     contention that inflates long shuffle-heavy queries SPIKILY
+    *     (a 0.3 s canary can slip through it, r18's capture did exactly
+    *     that — which is why load outranks a clean canary). Judged
+    *     RELATIVE (r20): against [[IdleLoadBaseline]] at the start
+    *     boundary (on a box that chronically idles near 2, the r18
+    *     absolute rule fired on every capture and discriminated
+    *     nothing), plus [[SelfLoadAllowance]] at the end boundary (the
+    *     suite's own threads are not ambient contention);
     *   - `clean`: neither signal fired.
     * Failed canary samples (-1) judge on load alone.
     */
   def envVerdict(loadStart: Double, loadEnd: Double,
-                 canaryMid: Double, canaryEnd: Double): String = {
+                 canaryMid: Double, canaryEnd: Double,
+                 loadBaseline: Double = IdleLoadBaseline): String = {
     val canaries = Seq(canaryMid, canaryEnd).filter(_ >= 0)
     if (canaries.nonEmpty && canaries.min > CanaryBandHiSec) "inflated"
-    else if (math.max(loadStart, loadEnd) > LoadPollutionThreshold) "loaded"
+    else if (loadStart > loadBaseline + LoadPollutionThreshold ||
+        loadEnd > loadBaseline + SelfLoadAllowance + LoadPollutionThreshold)
+      "loaded"
     else "clean"
   }
 

@@ -950,7 +950,69 @@ object VectorQueries {
           FROM embeddings e, q)
         SELECT query_id, vec_id, rank, l2sq_scaled
         FROM scored WHERE rank <= 5
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // SEMANTIC DEDUP VIA THE K-NN SELF-JOIN (r20, VERDICT r19 #2): the
+    // retrieval-shaped form of q87 for the 100 TB pipeline — instead of
+    // blocking into IVF cells and verifying all pairs inside each cell,
+    // EVERY corpus row queries the index for its nearest OTHER row (the
+    // corpus IS the query table; one cell-routed equi-join, no driver
+    // collect of either side), and a row is a duplicate iff that
+    // neighbor clears the threshold from a LOWER id — SemDeDup's keep-
+    // min-id rule (Abbas 2023; reference README.md:19's hybrid-search
+    // motivation applied to dedup). At nprobe = nlist with exact
+    // scaled-int cosine the join provably equals per-row brute force
+    // (q133's guarantee), so the oracle pins every row: nearest-other
+    // id, exact cosine on the 1e6 grid, and the drop verdict. At scale,
+    // nprobe < nlist routes each row to its few nearest cells and the
+    // top-k window sees |rows|·k candidates, never the corpus²; the
+    // KnnJoinSoak dedup leg measures that form against this exact one.
+    QueryDef("q134_semantic_dedup_knn_join",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val clones = e.filter(col("vec_id") < 25L)
+          .withColumn("vec_id", col("vec_id") + lit(100000L))
+        val corpus = e.unionByName(clones).select("vec_id", "embedding")
+        val qdf = corpus.select(col("vec_id").as("qid"),
+          col("embedding").as("qv"))
+        val (assigned, centroids) =
+          VectorSearch.ivfBuild(corpus, "embedding", "vec_id", nlist = 16)
+        // k=2 suffices for nearest-OTHER: the self row (cos 1.0) can
+        // displace at most one of the two returned rows
+        KnnJoin.ivf(assigned, centroids, "embedding", "vec_id", qdf,
+            "qid", "qv", metric = "cosine", k = 2, nprobe = 16,
+            exact = true)
+          .filter(col("ext_id") =!= col("query_id"))
+          .withColumn("_r", row_number().over(Window
+            .partitionBy("query_id")
+            .orderBy(col("score").desc, col("ext_id").asc)))
+          .filter(col("_r") === 1)
+          .select(col("query_id").as("vec_id"),
+            col("ext_id").as("nn_id"),
+            round(col("score") * lit(1e6)).cast("long").as("cos_x1e6"),
+            (col("score") >= lit(0.9999) &&
+              col("ext_id") < col("query_id")).as("is_dup"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 25),
+        prep AS (SELECT vec_id, ${dq("embedding")} AS qv FROM corpus),
+        normed AS (SELECT vec_id, qv,
+          sqrt(CAST(${qdot("qv", "qv")} AS DOUBLE)) AS nrm FROM prep),
+        pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+            CAST(${qdot("a.qv", "b.qv")} AS DOUBLE) / (a.nrm * b.nrm) AS cos
+          FROM normed a JOIN normed b ON a.vec_id <> b.vec_id),
+        nn AS (SELECT vec_id, nn_id, cos,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, nn_id ASC) AS r
+          FROM pairs)
+        SELECT vec_id, nn_id,
+          CAST(round(cos * 1000000.0) AS BIGINT) AS cos_x1e6,
+          (cos >= 0.9999 AND nn_id < vec_id) AS is_dup
+        FROM nn WHERE r = 1
+        ORDER BY vec_id"""))
   )
 
   /** [[recallAudit]] for the knn JOIN, where queries are a DataFrame:

@@ -133,9 +133,59 @@ object KnnJoinSoak {
       f"""{"rows":$rows3,"recall":$rec3%.4f,"sec":$t3%.1f,"nlist":$shards,"nprobe":$p}"""
     assigned.unpersist()
 
+    // SEMANTIC-DEDUP LEG (r20, VERDICT r19 #2): the 100 TB retrieval-
+    // dedup form — the corpus IS the query table (a knn SELF-join over
+    // the routed IVF join; a row is dropped iff its nearest OTHER row
+    // clears the threshold from a lower id), cross-checked against the
+    // blocked exact path ([[graft.operators.Dedup.semanticDedup]]: IVF
+    // cells as blocks, all pairs inside each cell). ndup exact clones
+    // are planted; identical vectors assign and route identically, so
+    // even the ROUTED join can never miss a clone pair — the two paths'
+    // dropped-row SETS must match exactly, not approximately.
+    val ndup = math.max(1, (n / 20).toInt)
+    val thr = 0.9999
+    val dupCorpus = data.unionByName(
+        data.filter(col("vec_id") < ndup)
+          .withColumn("vec_id", col("vec_id") + lit(n)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dn = dupCorpus.count()
+    val dShards = GraphRouting.shardsFor(dn)
+    val ((dAssigned, dCents), dedupBuild) = timed {
+      val (a, c) = VectorSearch.ivfBuild(dupCorpus, "emb", "vec_id",
+        nlist = dShards)
+      val ap = a.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ap.count(); (ap, c)
+    }
+    val selfQ = dupCorpus.select(col("vec_id").as("qid"),
+      col("emb").as("qv"))
+    val (knnDropped, t4) = timed {
+      // k=2 suffices for nearest-other: the self row displaces at most
+      // one of the two returned rows (q134 pins this form exactly)
+      KnnJoin.ivf(dAssigned, dCents, "emb", "vec_id", selfQ, "qid",
+          "qv", "cosine", k = 2, nprobe = p, exact = true)
+        .filter(col("ext_id") =!= col("query_id") &&
+          col("score") >= lit(thr) && col("ext_id") < col("query_id"))
+        .select(col("query_id")).distinct()
+        .as[Long].collect().toSet
+    }
+    val (blockedDropped, t5) = timed {
+      graft.operators.Dedup.semanticDedup(dupCorpus, "emb", "vec_id",
+          nlist = dShards, threshold = thr)
+        .select(col("vec_id_b")).distinct()
+        .as[Long].collect().toSet
+    }
+    val parity = knnDropped == blockedDropped
+    out("dedup_knn_join") =
+      f"""{"dropped":${knnDropped.size},"survivors":${dn - knnDropped.size},"sec":$t4%.1f,"nprobe":$p}"""
+    out("dedup_blocked") =
+      f"""{"dropped":${blockedDropped.size},"survivors":${dn - blockedDropped.size},"sec":$t5%.1f,"parity":$parity}"""
+    dAssigned.unpersist(); dupCorpus.unpersist()
+
     val body = out.map { case (kk, v) => s""""$kk":$v""" }.mkString(",")
     println(s"""{"soak":"knn_join","n":$n,"nq":$nq,"dim":$dim,""" +
-      s""""hnswBuildSec":${f"$hBuild%.1f"},"ivfBuildSec":${f"$ivfBuild%.1f"},$body}""")
+      s""""hnswBuildSec":${f"$hBuild%.1f"},"ivfBuildSec":${f"$ivfBuild%.1f"},""" +
+      s""""dedupBuildSec":${f"$dedupBuild%.1f"},$body}""")
     spark.stop()
   }
 }

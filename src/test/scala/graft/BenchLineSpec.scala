@@ -14,7 +14,7 @@ class BenchLineSpec extends AnyFunSuite {
   implicit val fmts: DefaultFormats.type = DefaultFormats
 
   private val env =
-    """"env":{"load":[0.50,1.20],"mem_mb":126000,"canary":[0.500,0.260,0.270]},"env_verdict":"clean""""
+    """"env":{"load":[0.50,1.20],"load_base":2.00,"mem_mb":126000,"canary":[0.500,0.260,0.270]},"env_verdict":"clean""""
 
   private def queries(n: Int): Seq[(String, Double)] =
     (1 to n).map(i => (f"q$i%03d_some_operator_name", i * 0.013))
@@ -73,23 +73,44 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("env verdict: clean / loaded / inflated from the read-out rule") {
+    // explicit baseline 0 = the r18 absolute rule (an idle-at-0 host)
     // clean: low load, canary inside the 0.26-0.39 band
-    assert(BenchLine.envVerdict(0.5, 1.2, 0.26, 0.27) == "clean")
+    assert(BenchLine.envVerdict(0.5, 1.2, 0.26, 0.27, 0.0) == "clean")
     // loaded: the r18 capture's shape — load 3.44→7.26 while the canary
     // slipped through contention inside its band
-    assert(BenchLine.envVerdict(3.44, 7.26, 0.265, 0.376) == "loaded")
-    assert(BenchLine.envVerdict(0.4, 2.5, 0.30, 0.30) == "loaded")
+    assert(BenchLine.envVerdict(3.44, 7.26, 0.265, 0.376, 0.0) == "loaded")
+    // the start boundary precedes the suite's own work: no allowance
+    assert(BenchLine.envVerdict(2.5, 2.5, 0.30, 0.30, 0.0) == "loaded")
     // inflated: mid/end canary above the band — uniform slowdown proven
     // from the artifact; outranks the load signal
-    assert(BenchLine.envVerdict(7.0, 7.0, 0.80, 0.90) == "inflated")
-    assert(BenchLine.envVerdict(0.3, 0.3, 0.50, 0.60) == "inflated")
+    assert(BenchLine.envVerdict(7.0, 7.0, 0.80, 0.90, 0.0) == "inflated")
+    assert(BenchLine.envVerdict(0.3, 0.3, 0.50, 0.60, 0.0) == "inflated")
     // one failed canary sample: judge on the valid one
-    assert(BenchLine.envVerdict(0.3, 0.3, -1.0, 0.60) == "inflated")
+    assert(BenchLine.envVerdict(0.3, 0.3, -1.0, 0.60, 0.0) == "inflated")
     // both failed: judge on load alone
-    assert(BenchLine.envVerdict(0.3, 0.3, -1.0, -1.0) == "clean")
-    assert(BenchLine.envVerdict(0.3, 3.0, -1.0, -1.0) == "loaded")
+    assert(BenchLine.envVerdict(0.3, 0.3, -1.0, -1.0, 0.0) == "clean")
+    assert(BenchLine.envVerdict(0.3, 4.6, -1.0, -1.0, 0.0) == "loaded")
     // canary[0] (first page-cache touch) plays no part — only mid/end
     // reach the function by construction in Bench.main
+  }
+
+  test("env verdict is judged relative to idle baseline + self-load (r20)") {
+    // THIS box idles near 2 (SCALE.md r19: every honest capture ran at
+    // load 1.25–3.78 with flat canaries), and the suite's own local[32]
+    // bursts add up to ~2.6 to the END sample — at baseline 2.0 those
+    // genuinely-clean captures now label `clean`...
+    assert(BenchLine.envVerdict(1.59, 3.09, 0.182, 0.200, 2.0) == "clean")
+    assert(BenchLine.envVerdict(2.15, 3.78, 0.244, 0.231, 2.0) == "clean")
+    assert(BenchLine.envVerdict(1.45, 4.03, 0.195, 0.185, 2.0) == "clean")
+    // ...while the r18 pollution regime (end 7.26, excess 2.8 past even
+    // the self-load allowance) still fires
+    assert(BenchLine.envVerdict(3.44, 7.26, 0.265, 0.376, 2.0) == "loaded")
+    // a polluted START has no self-load excuse: baseline + threshold
+    assert(BenchLine.envVerdict(4.01, 4.01, 0.30, 0.30, 2.0) == "loaded")
+    // an inflated canary outranks the baseline math entirely
+    assert(BenchLine.envVerdict(2.0, 2.0, 0.80, 0.90, 2.0) == "inflated")
+    // the default baseline comes from SPARK_GRAFT_LOAD_BASELINE or 2.0
+    assert(BenchLine.IdleLoadBaseline >= 0.0)
   }
 
   test("the verdict field rides the compact line inside the budget") {

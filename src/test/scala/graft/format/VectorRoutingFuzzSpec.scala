@@ -125,6 +125,28 @@ class VectorRoutingFuzzSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq.sortBy(h => (h._2, h._1))
       assert(viaJoin == all,
         s"$where: vectorKnnJoin diverged from vectorSearch at probe-all")
+      // the ROUTED join (p=1) under the same invariants as routed
+      // vectorSearch: full-k, live rows only, pointwise score dominance
+      // vs probe-all, self hit when assignment is single-epoch — this is
+      // the r19 stale-centroid re-route path (KnnJoin.run) under every
+      // lifecycle transition, not just the pointwise specs
+      val joinRouted = ds.vectorKnnJoin("emb",
+          Seq((qid, q)).toDF("qid", "qv"), "qid", "qv", k,
+          metric = "l2", probeShards = 1)
+        .select(col("row_uuid"), col("score"))
+        .as[(Long, Double)].collect().toSeq.sortBy(h => (h._2, h._1))
+      assert(joinRouted.size == k,
+        s"$where: routed join returned ${joinRouted.size} of $k")
+      joinRouted.foreach { case (u, _) =>
+        assert(uuidMap.contains(u), s"$where: routed join returned a dead row $u")
+      }
+      joinRouted.zip(all).foreach { case ((_, rs), (_, as)) =>
+        assert(rs >= as,
+          s"$where: routed join found a closer row than probe-all")
+      }
+      if (selfCellSound)
+        assert(joinRouted.exists { case (u, s) => uuidMap(u) == qid && s == 0.0 },
+          s"$where: routed join pruned the query's own cell")
     }
 
     appendBatch(40)
@@ -187,5 +209,16 @@ class VectorRoutingFuzzSpec extends SparkSpec {
     assert(healedRouted == probeAll,
       "corrupted routing artifact must heal to probe-all results")
     assert(healedRouted.exists { case (u, s) => uuidMap(u) == qid && s == 0.0 })
+    // the routed JOIN must heal the same way: its bogus shard id (999)
+    // is re-routed against the surviving cells, which all carry the
+    // artifact's lying identical centroid — one logical cell spanning
+    // every real shard, so the healed route IS probe-all
+    val healedJoin = ds.vectorKnnJoin("emb",
+        Seq((qid, live(qid))).toDF("qid", "qv"), "qid", "qv", k,
+        metric = "l2", probeShards = 1)
+      .select(col("row_uuid"), col("score"))
+      .as[(Long, Double)].collect().toSeq.sortBy(h => (h._2, h._1))
+    assert(healedJoin == probeAll,
+      "corrupted routing artifact must heal the routed knn join too")
   }
 }
