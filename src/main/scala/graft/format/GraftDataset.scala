@@ -2866,6 +2866,56 @@ class GraftDataset private[format] (
       case t => throw new IllegalStateException(s"unknown index type $t")
     }
   }
+
+  /** SEMANTIC DEDUP over the persisted vector index, via the routed
+    * k-NN SELF-join (r20, the 100 TB retrieval-dedup form): every live
+    * row queries the index for its nearest OTHER row, and is marked a
+    * duplicate iff that neighbor clears `threshold` from a LOWER
+    * `_uuid` — SemDeDup's keep-first rule (Abbas 2023) with the hidden
+    * uuid as the deterministic tie. The corpus is the query table of
+    * [[vectorKnnJoin]]: no driver collect of either side, cell/shard
+    * routing prunes the pair space (`nprobe` for IVF/IVFPQ,
+    * `probeShards` for the graph families, exact for FLAT).
+    *
+    * k = 2 suffices for nearest-other (the self row displaces at most
+    * one of the two returned hits), and an EXACT tie at the top score
+    * resolves to the lowest uuid — so a clique of m identical rows
+    * keeps exactly its min-uuid member: the min's nearest other is a
+    * higher-uuid clique-mate (survives), every other member's is the
+    * min (dropped). Near-dup CHAINS (a≈b≈c, a≉c) are judged per row
+    * against the nearest neighbor only — the same non-transitive
+    * contract as SemDeDup's per-cell argmax, q134's oracle pins the
+    * exact form and KnnJoinSoak's dedup leg pins blocked-path parity.
+    *
+    * Returns one row per live corpus row that HAS another row to
+    * compare against (a 1-row corpus yields nothing): `(row_uuid,
+    * nn_uuid, score, is_dup)`. Survivors = `filter(!is_dup)` joined
+    * back on `_uuid`; approximate index families can miss true
+    * neighbors like any ANN search — probe-all / `nprobe = nlist` is
+    * the exactness fallback.
+    */
+  def semanticDedupIndexed(column: String, threshold: Double,
+                           metric: String = "cosine", nprobe: Int = 8,
+                           exact: Boolean = false,
+                           probeShards: Int = 0): DataFrame = {
+    val qdf = snapshotWithUuid()
+      .select(col(UuidCol).cast("long").as("qid"), col(column).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rank").asc)
+    // threshold sides with the metric's rank order: l2 is a distance
+    // (dup at score ≤ threshold), cosine/ip are similarities (≥)
+    val clears =
+      if (metric == "l2") col("score") <= lit(threshold)
+      else col("score") >= lit(threshold)
+    vectorKnnJoin(column, qdf, "qid", "qv", k = 2, metric,
+        nprobe = nprobe, exact = exact, probeShards = probeShards)
+      .filter(col("row_uuid") =!= col("query_id"))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("query_id").as("row_uuid"),
+        col("row_uuid").as("nn_uuid"), col("score"),
+        (clears && col("row_uuid") < col("query_id")).as("is_dup"))
+  }
 }
 
 object GraftDataset {

@@ -194,6 +194,10 @@ object KnnJoin {
       .join(routedQ, "cell")
       .withColumn("_score", scoreExpr)
       .withColumn("ext_id", col(idCol).cast("long"))
+      // shed the vectors BEFORE the window's exchange: the rank shuffle
+      // moves every scored pair, and carrying the vector columns there
+      // is ~100× the 24-byte (query_id, ext_id, score) row it needs
+      .select(col("query_id"), col("ext_id"), col("_score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("ext_id"), col("_score").as("score"),

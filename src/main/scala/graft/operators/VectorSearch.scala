@@ -76,7 +76,12 @@ object VectorSearch {
       .withColumn("_score", score(metric, col(vecCol), col("_qvec"), exact))
     val w = Window.partitionBy("_qid")
       .orderBy(rankOrder(metric, col("_score")), col(idCol).asc)
-    joined.withColumn("_rank", row_number().over(w))
+    // shed the vectors before the window's exchange: the rank shuffle
+    // moves every scored (row, query) pair — carrying vecCol/_qvec there
+    // multiplies the exchange by the vector width for columns the rank
+    // does not read (r20, found via KnnJoin.ivf's 105k self-join)
+    joined.select(col("_qid"), col(idCol), col("_score"))
+      .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <= k)
       .select(col("_qid").as("query_id"), col(idCol), col("_rank").as("rank"),
         col("_score").as("score"))
@@ -440,6 +445,8 @@ object VectorSearch {
       .orderBy(rankOrder(metric, col("_score")), col(idCol).asc)
     assigned.join(broadcast(pairsDf), "cell")
       .withColumn("_score", score(metric, col(vecCol), col("_qvec"), exact))
+      // vectors shed before the window exchange (see batchTopK)
+      .select(col("_qid"), col(idCol), col("_score"))
       .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <= k)
       .select(col("_qid").as("query_id"), col(idCol),
@@ -471,9 +478,15 @@ object VectorSearch {
     val qdf = queries.zipWithIndex
       .map { case ((qid, qv), qi) => (qi, qid, qv) }
       .toDF("_qidx", "_qid", "_qvec")
-    val scored = encoded.crossJoin(broadcast(qdf))
+    // ADC needs only (_qidx → table offset): neither the query vector
+    // nor the corpus vector/code rides past the scoring projection, so
+    // the window's corpus×batch exchange moves 32-byte rows (r20 —
+    // previously vec + code + _qvec multiplied it ~50×)
+    val scored = encoded
+      .crossJoin(broadcast(qdf.select(col("_qidx"), col("_qid"))))
       .withColumn("_adc", graft.functions.NativeExpressions.pqAdcBatch(
         col(codeCol), col("_qidx"), mm, kk, tables))
+      .select(col("_qid"), col("_qidx"), col(idCol), col("_adc"))
     val wAdc = Window.partitionBy("_qid")
       .orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
     if (rerank <= 0)
@@ -482,12 +495,19 @@ object VectorSearch {
         .select(col("_qid").as("query_id"), col(idCol),
           col("_rank").as("rank"), col("_adc").as("score"))
     else {
+      // true vectors for the BOUNDED candidate set (≤ |q|·rerank rows)
+      // come back via one column-pruned corpus pass + broadcast join —
+      // not by dragging vecCol through the corpus-wide ADC exchange
       val cand = scored.withColumn("_rank", row_number().over(wAdc))
         .filter(col("_rank") <= math.max(rerank, k))
+        .join(broadcast(qdf.select(col("_qidx"), col("_qvec"))), "_qidx")
       val wExact = Window.partitionBy("_qid")
         .orderBy(col("_exact").asc_nulls_last, col(idCol).asc)
-      cand.withColumn("_exact",
+      encoded.select(col(idCol), col(vecCol))
+        .join(broadcast(cand), Seq(idCol))
+        .withColumn("_exact",
           score("l2", col(vecCol), col("_qvec"), exact = false))
+        .select(col("_qid"), col(idCol), col("_exact"))
         .withColumn("_erank", row_number().over(wExact))
         .filter(col("_erank") <= k)
         .select(col("_qid").as("query_id"), col(idCol),
@@ -525,17 +545,29 @@ object VectorSearch {
         .map { case (_, cell) => (qi, qid, cell, qv) }
     }
     val pairsDf = pairs.toDF("_qidx", "_qid", "cell", "_qvec")
-    val scored = encoded.join(broadcast(pairsDf), "cell")
+    // probe pairs ride WITHOUT the query vector, and the scoring
+    // projection sheds code/vec columns before the window's exchange
+    // (see pqBatchTopK — same 100 TB shuffle-width economics)
+    val scored = encoded
+      .join(broadcast(pairsDf.select(col("_qidx"), col("_qid"),
+        col("cell"))), "cell")
       .withColumn("_adc", graft.functions.NativeExpressions.pqAdcBatch(
         col("_pq"), col("_qidx"), mm, kk, tables))
+      .select(col("_qid"), col("_qidx"), col(idCol), col("_adc"))
     val wAdc = Window.partitionBy("_qid")
       .orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
+    val qvecDf = queries.zipWithIndex
+      .map { case ((_, qv), qi) => (qi, qv) }.toDF("_qidx", "_qvec")
     val cand = scored.withColumn("_rank", row_number().over(wAdc))
       .filter(col("_rank") <= math.max(rerank, k))
+      .join(broadcast(qvecDf), "_qidx")
     val wExact = Window.partitionBy("_qid")
       .orderBy(col("_exact").asc_nulls_last, col(idCol).asc)
-    cand.withColumn("_exact",
+    encoded.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .withColumn("_exact",
         score("l2", col(vecCol), col("_qvec"), exact = false))
+      .select(col("_qid"), col(idCol), col("_exact"))
       .withColumn("_erank", row_number().over(wExact))
       .filter(col("_erank") <= k)
       .select(col("_qid").as("query_id"), col(idCol),
@@ -607,19 +639,29 @@ object VectorSearch {
         mm * kk)
     }
     val pairsDf = pairs.zipWithIndex
-      .map { case ((qid, cell, qv, _), pi) => (pi, qid, cell, qv) }
-      .toDF("_pidx", "_qid", "cell", "_qvec")
+      .map { case ((qid, cell, _, _), pi) => (pi, qid, cell) }
+      .toDF("_pidx", "_qid", "cell")
+    // probe pairs ride WITHOUT the query vector; code/vec shed before
+    // the window exchange; true vectors return for the bounded
+    // candidate set only (see pqBatchTopK — same shuffle-width rule)
     val scored = encoded.join(broadcast(pairsDf), "cell")
       .withColumn("_adc", graft.functions.NativeExpressions.pqAdcBatch(
         col("_pq"), col("_pidx"), mm, kk, tables))
+      .select(col("_qid"), col(idCol), col("_adc"))
     val wAdc = Window.partitionBy("_qid")
       .orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
+    val qvecDf = queries.map { case (qid, qv) => (qid, qv) }
+      .toDF("_qid", "_qvec")
     val cand = scored.withColumn("_rank", row_number().over(wAdc))
       .filter(col("_rank") <= math.max(rerank, k))
+      .join(broadcast(qvecDf), "_qid")
     val wExact = Window.partitionBy("_qid")
       .orderBy(col("_exact").asc_nulls_last, col(idCol).asc)
-    cand.withColumn("_exact",
+    encoded.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .withColumn("_exact",
         score("l2", col(vecCol), col("_qvec"), exact = false))
+      .select(col("_qid"), col(idCol), col("_exact"))
       .withColumn("_erank", row_number().over(wExact))
       .filter(col("_erank") <= k)
       .select(col("_qid").as("query_id"), col(idCol),

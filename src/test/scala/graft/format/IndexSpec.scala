@@ -335,6 +335,65 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupIndexed: knn self-join dedup keeps min-uuid per clique (r20)") {
+    val dim = 16
+    val ds = GraftDataset.create(spark, tmpDir("semdedup_idx"),
+      StructType(Seq(StructField("id", LongType),
+        StructField("emb", ArrayType(FloatType)))))
+    // 16 mutually-orthogonal rows (cosine 0 between any two), plus a
+    // 2-clique (100, 101 clone row 3) and a 3-clique (200-202 clone
+    // row 7) — the 0.9999 threshold separates cliques perfectly
+    def oneHot(axis: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == axis) scale else 0.0f)
+    val base = (0 until dim).map(i => (i.toLong, oneHot(i, 1.0f + i)))
+    val clones = Seq(100L -> base(3)._2, 101L -> base(3)._2,
+      200L -> base(7)._2, 201L -> base(7)._2, 202L -> base(7)._2)
+    ds.append((base ++ clones).toDF("id", "emb"))
+    ds.commit("rows")
+    ds.createVectorIndex("emb", nlist = 4, indexType = "IVF")
+    val uuidToId = ds.snapshotWithUuid()
+      .select(col(GraftDataset.UuidCol), col("id"))
+      .as[(Long, Long)].collect().toMap
+    // exact cosine at nprobe = nlist: provably the brute-force answer
+    val out = ds.semanticDedupIndexed("emb", threshold = 0.9999,
+        metric = "cosine", nprobe = 4, exact = true)
+      .select("row_uuid", "nn_uuid", "is_dup")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length === base.size + clones.size,
+      "every row has a nearest other in a >1-row corpus")
+    val droppedIds = out.filter(_._3).map(t => uuidToId(t._1)).toSet
+    // each clique keeps exactly its min-UUID member (uuid order need
+    // not follow id order — derive the expectation from the real map)
+    val idToUuid = uuidToId.map(_.swap)
+    val expectedDropped = Seq(Seq(3L, 100L, 101L), Seq(7L, 200L, 201L, 202L))
+      .flatMap(clique => clique.filterNot(_ == clique.minBy(idToUuid)))
+      .toSet
+    assert(droppedIds === expectedDropped,
+      s"knn dedup dropped $droppedIds, expected $expectedDropped")
+    // every dropped row's representative is a clique-mate
+    val cliqueOf = Map(100L -> 3L, 101L -> 3L, 200L -> 7L, 201L -> 7L,
+      202L -> 7L) ++ (0 until dim).map(i => i.toLong -> i.toLong)
+    out.filter(_._3).foreach { case (u, nn, _) =>
+      assert(cliqueOf(uuidToId(nn)) === cliqueOf(uuidToId(u)),
+        s"dropped ${uuidToId(u)} against non-clique ${uuidToId(nn)}")
+    }
+    // parity with the blocked exact path (Dedup.semanticDedup): the
+    // drop rule "exists a lower id within threshold" agrees on cliques
+    val blockedDropped = graft.operators.Dedup.semanticDedup(
+        ds.snapshotWithUuid().select(col(GraftDataset.UuidCol), col("emb")),
+        "emb", GraftDataset.UuidCol, nlist = 4, threshold = 0.9999)
+      .select(col(s"${GraftDataset.UuidCol}_b")).distinct()
+      .as[Long].collect().map(uuidToId).toSet
+    assert(blockedDropped === droppedIds,
+      "knn-self-join dedup diverged from the blocked exact path")
+    // l2 flips the threshold side: distances ≤ threshold qualify
+    val l2Dropped = ds.semanticDedupIndexed("emb", threshold = 1e-6,
+        metric = "l2", nprobe = 4, exact = true)
+      .filter(col("is_dup")).select("row_uuid")
+      .as[Long].collect().map(uuidToId).toSet
+    assert(l2Dropped === droppedIds, s"l2 side returned $l2Dropped")
+  }
+
   test("optimizeVectorIndex: N appends fragment, one compaction restores build shape") {
     val ds = GraftDataset.create(spark, tmpDir("idxopt"), StructType(Seq(
       StructField("id", LongType),
