@@ -35,4 +35,7 @@ object NativeExpressions {
   def dotScaledQ(a: Column, b: Column): Column = N.dotScaledQ(a, b)
   def l2SqScaledQ(a: Column, b: Column): Column = N.l2SqScaledQ(a, b)
   def dotQL(a: Column, b: Column): Column = N.dotQL(a, b)
+  def topKPairs(score: Column, id: Column, k: Int, asc: Boolean): Column =
+    org.apache.spark.sql.graftnative.TopKAggregate
+      .topKPairs(score, id, k, asc)
 }

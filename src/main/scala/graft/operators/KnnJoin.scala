@@ -176,10 +176,6 @@ object KnnJoin {
         // so the IN pushes down / partition-prunes a cell-partitioned read
         else assigned.filter(col("cell").isin(used.toSeq.map(Int.box): _*))
       }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(VectorSearch.rankOrder(metric, col("_score")),
-        col("ext_id").asc)
     val idxSide =
       if (!exactCos) scopedIdx
       else scopedIdx.withColumn("_iq", V.qint(col(vecCol)))
@@ -190,16 +186,17 @@ object KnnJoin {
         try_divide(V.dotQ(col("_iq"), col("_qq")).cast("double"),
           col("_in") * col("_qn"))
       else VectorSearch.score(metric, col(vecCol), col("_qv"), exact)
-    idxSide.withColumn("cell", col("cell").cast("int"))
+    val scored = idxSide.withColumn("cell", col("cell").cast("int"))
       .join(routedQ, "cell")
       .withColumn("_score", scoreExpr)
       .withColumn("ext_id", col(idCol).cast("long"))
-      // shed the vectors BEFORE the window's exchange: the rank shuffle
-      // moves every scored pair, and carrying the vector columns there
-      // is ~100× the 24-byte (query_id, ext_id, score) row it needs
+      // shed the vectors at the scoring projection, then rank via the
+      // PARTIAL top-k aggregate: each task reduces its pairs to ≤ k per
+      // query locally, so the rank exchange carries |q|·k rows — never
+      // the |q|·candidates pair set a window would shuffle whole
       .select(col("query_id"), col("ext_id"), col("_score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    VectorSearch.topKPerGroup(scored, "query_id", "ext_id", "_score",
+        asc = metric == "l2", k)
       .select(col("query_id"), col("ext_id"), col("_score").as("score"),
         col("rank"))
       .orderBy(col("query_id"), col("rank"))
@@ -344,11 +341,10 @@ object KnnJoin {
         }
       }
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-    hits.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // per-query global top-k over the per-shard k-hit streams, via the
+    // partial aggregate: |q|·k exchanged, not |q|·p·k
+    VectorSearch.topKPerGroup(hits.toDF(), "query_id", "ext_id", "l2sq",
+        asc = true, k)
       .orderBy(col("query_id"), col("rank"))
   }
 }

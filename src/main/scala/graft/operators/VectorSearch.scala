@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.functions.{VectorFunctions => V}
 
 /** Vector (ANN) search over an embedding column — the Spark-native
@@ -46,6 +47,42 @@ object VectorSearch {
   private[operators] def rankOrder(metric: String, s: Column): Column =
     if (metric == "l2") s.asc_nulls_last else s.desc_nulls_last
 
+  /** Per-group top-k of `(groupCol, idCol, scoreCol)` with MAP-SIDE
+    * PARTIAL COMBINE ([[graft.functions.NativeExpressions.topKPairs]],
+    * r20): each task reduces its scored pairs to ≤ k per group before
+    * the exchange, so the rank shuffle carries |groups|·k rows instead
+    * of EVERY scored (row, query) pair — the window formulation it
+    * replaces shuffled all of them (a 105k-row knn self-join spent
+    * >100 s there). Ordering is the windows' exactly: (score asc/desc
+    * nulls-last, id asc); output appends int `rank` 1..k. Falls back to
+    * the window for a non-integral id column (the aggregate's id slot
+    * is a long).
+    */
+  private[operators] def topKPerGroup(df: DataFrame, groupCol: String,
+                                      idCol: String, scoreCol: String,
+                                      asc: Boolean, k: Int): DataFrame = {
+    val idT = df.schema(idCol).dataType
+    idT match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        df.groupBy(col(groupCol))
+          .agg(graft.functions.NativeExpressions.topKPairs(
+            col(scoreCol), col(idCol).cast("long"), k, asc).as("_tk"))
+          .select(col(groupCol),
+            posexplode(col("_tk")).as(Seq("_pos", "_hit")))
+          .select(col(groupCol),
+            col("_hit.ext_id").cast(idT).as(idCol),
+            col("_hit.score").as(scoreCol),
+            (col("_pos") + 1).cast("int").as("rank"))
+      case _ =>
+        val ord = if (asc) col(scoreCol).asc_nulls_last
+                  else col(scoreCol).desc_nulls_last
+        val w = Window.partitionBy(groupCol).orderBy(ord, col(idCol).asc)
+        df.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col(groupCol), col(idCol), col(scoreCol), col("rank"))
+    }
+  }
+
   /** Exact top-k for one query vector (as a literal array). */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
                      query: Seq[Float], metric: String, k: Int,
@@ -74,16 +111,12 @@ object VectorSearch {
     val joined = df.crossJoin(broadcast(
         queries.select(col(qIdCol).as("_qid"), col(qVecCol).as("_qvec"))))
       .withColumn("_score", score(metric, col(vecCol), col("_qvec"), exact))
-    val w = Window.partitionBy("_qid")
-      .orderBy(rankOrder(metric, col("_score")), col(idCol).asc)
-    // shed the vectors before the window's exchange: the rank shuffle
-    // moves every scored (row, query) pair — carrying vecCol/_qvec there
-    // multiplies the exchange by the vector width for columns the rank
-    // does not read (r20, found via KnnJoin.ivf's 105k self-join)
-    joined.select(col("_qid"), col(idCol), col("_score"))
-      .withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") <= k)
-      .select(col("_qid").as("query_id"), col(idCol), col("_rank").as("rank"),
+    // vectors shed at the scoring projection, then the partial top-k
+    // aggregate — the rank exchange carries |q|·k rows, never the
+    // corpus×batch pair set (r20, found via KnnJoin.ivf's 105k self-join)
+    topKPerGroup(joined.select(col("_qid"), col(idCol), col("_score")),
+        "_qid", idCol, "_score", asc = metric == "l2", k)
+      .select(col("_qid").as("query_id"), col(idCol), col("rank"),
         col("_score").as("score"))
   }
 
@@ -441,16 +474,14 @@ object VectorSearch {
         .map { case (_, cell) => (qid, cell, qv) }
     }
     val pairsDf = pairs.toDF("_qid", "cell", "_qvec")
-    val w = Window.partitionBy("_qid")
-      .orderBy(rankOrder(metric, col("_score")), col(idCol).asc)
-    assigned.join(broadcast(pairsDf), "cell")
+    val scored = assigned.join(broadcast(pairsDf), "cell")
       .withColumn("_score", score(metric, col(vecCol), col("_qvec"), exact))
-      // vectors shed before the window exchange (see batchTopK)
+      // vectors shed at the scoring projection (see batchTopK)
       .select(col("_qid"), col(idCol), col("_score"))
-      .withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") <= k)
+    topKPerGroup(scored, "_qid", idCol, "_score",
+        asc = metric == "l2", k)
       .select(col("_qid").as("query_id"), col(idCol),
-        col("_rank").as("rank"), col("_score").as("score"))
+        col("rank"), col("_score").as("score"))
   }
 
   /** Batched PQ search: one ADC table per query is computed driver-side
@@ -487,31 +518,29 @@ object VectorSearch {
       .withColumn("_adc", graft.functions.NativeExpressions.pqAdcBatch(
         col(codeCol), col("_qidx"), mm, kk, tables))
       .select(col("_qid"), col("_qidx"), col(idCol), col("_adc"))
-    val wAdc = Window.partitionBy("_qid")
-      .orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
     if (rerank <= 0)
-      scored.withColumn("_rank", row_number().over(wAdc))
-        .filter(col("_rank") <= k)
+      topKPerGroup(scored.select(col("_qid"), col(idCol), col("_adc")),
+          "_qid", idCol, "_adc", asc = true, k)
         .select(col("_qid").as("query_id"), col(idCol),
-          col("_rank").as("rank"), col("_adc").as("score"))
+          col("rank"), col("_adc").as("score"))
     else {
       // true vectors for the BOUNDED candidate set (≤ |q|·rerank rows)
       // come back via one column-pruned corpus pass + broadcast join —
       // not by dragging vecCol through the corpus-wide ADC exchange
-      val cand = scored.withColumn("_rank", row_number().over(wAdc))
-        .filter(col("_rank") <= math.max(rerank, k))
-        .join(broadcast(qdf.select(col("_qidx"), col("_qvec"))), "_qidx")
-      val wExact = Window.partitionBy("_qid")
-        .orderBy(col("_exact").asc_nulls_last, col(idCol).asc)
-      encoded.select(col(idCol), col(vecCol))
+      // (the ranking was per _qid already, so the _qid→_qvec join is
+      // sound for the same reason the window grouping was)
+      val cand = topKPerGroup(
+          scored.select(col("_qid"), col(idCol), col("_adc")),
+          "_qid", idCol, "_adc", asc = true, math.max(rerank, k))
+        .join(broadcast(qdf.select(col("_qid"), col("_qvec"))), "_qid")
+      val rescored = encoded.select(col(idCol), col(vecCol))
         .join(broadcast(cand), Seq(idCol))
         .withColumn("_exact",
           score("l2", col(vecCol), col("_qvec"), exact = false))
         .select(col("_qid"), col(idCol), col("_exact"))
-        .withColumn("_erank", row_number().over(wExact))
-        .filter(col("_erank") <= k)
+      topKPerGroup(rescored, "_qid", idCol, "_exact", asc = true, k)
         .select(col("_qid").as("query_id"), col(idCol),
-          col("_erank").as("rank"), col("_exact").as("score"))
+          col("rank"), col("_exact").as("score"))
     }
   }
 
@@ -553,25 +582,20 @@ object VectorSearch {
         col("cell"))), "cell")
       .withColumn("_adc", graft.functions.NativeExpressions.pqAdcBatch(
         col("_pq"), col("_qidx"), mm, kk, tables))
-      .select(col("_qid"), col("_qidx"), col(idCol), col("_adc"))
-    val wAdc = Window.partitionBy("_qid")
-      .orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
-    val qvecDf = queries.zipWithIndex
-      .map { case ((_, qv), qi) => (qi, qv) }.toDF("_qidx", "_qvec")
-    val cand = scored.withColumn("_rank", row_number().over(wAdc))
-      .filter(col("_rank") <= math.max(rerank, k))
-      .join(broadcast(qvecDf), "_qidx")
-    val wExact = Window.partitionBy("_qid")
-      .orderBy(col("_exact").asc_nulls_last, col(idCol).asc)
-    encoded.select(col(idCol), col(vecCol))
+      .select(col("_qid"), col(idCol), col("_adc"))
+    val qvecDf = queries.map { case (qid, qv) => (qid, qv) }
+      .toDF("_qid", "_qvec")
+    val cand = topKPerGroup(scored, "_qid", idCol, "_adc", asc = true,
+        math.max(rerank, k))
+      .join(broadcast(qvecDf), "_qid")
+    val rescored = encoded.select(col(idCol), col(vecCol))
       .join(broadcast(cand), Seq(idCol))
       .withColumn("_exact",
         score("l2", col(vecCol), col("_qvec"), exact = false))
       .select(col("_qid"), col(idCol), col("_exact"))
-      .withColumn("_erank", row_number().over(wExact))
-      .filter(col("_erank") <= k)
+    topKPerGroup(rescored, "_qid", idCol, "_exact", asc = true, k)
       .select(col("_qid").as("query_id"), col(idCol),
-        col("_erank").as("rank"), col("_exact").as("score"))
+        col("rank"), col("_exact").as("score"))
   }
 
   /** Residual IVFPQ build — the reference's actual faiss IVFPQ layout
@@ -648,24 +672,19 @@ object VectorSearch {
       .withColumn("_adc", graft.functions.NativeExpressions.pqAdcBatch(
         col("_pq"), col("_pidx"), mm, kk, tables))
       .select(col("_qid"), col(idCol), col("_adc"))
-    val wAdc = Window.partitionBy("_qid")
-      .orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
     val qvecDf = queries.map { case (qid, qv) => (qid, qv) }
       .toDF("_qid", "_qvec")
-    val cand = scored.withColumn("_rank", row_number().over(wAdc))
-      .filter(col("_rank") <= math.max(rerank, k))
+    val cand = topKPerGroup(scored, "_qid", idCol, "_adc", asc = true,
+        math.max(rerank, k))
       .join(broadcast(qvecDf), "_qid")
-    val wExact = Window.partitionBy("_qid")
-      .orderBy(col("_exact").asc_nulls_last, col(idCol).asc)
-    encoded.select(col(idCol), col(vecCol))
+    val rescored = encoded.select(col(idCol), col(vecCol))
       .join(broadcast(cand), Seq(idCol))
       .withColumn("_exact",
         score("l2", col(vecCol), col("_qvec"), exact = false))
       .select(col("_qid"), col(idCol), col("_exact"))
-      .withColumn("_erank", row_number().over(wExact))
-      .filter(col("_erank") <= k)
+    topKPerGroup(rescored, "_qid", idCol, "_exact", asc = true, k)
       .select(col("_qid").as("query_id"), col(idCol),
-        col("_erank").as("rank"), col("_exact").as("score"))
+        col("rank"), col("_exact").as("score"))
   }
 
   /** IVFPQ search (the reference's faiss IVFPQ index type + its

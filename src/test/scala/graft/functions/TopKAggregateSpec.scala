@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[NativeExpressions.topKPairs]] must be EXACTLY the window it
+  * replaces (`row_number over partitionBy(group) orderBy(score, id)`),
+  * including tie order, null-score placement, long-vs-double score
+  * comparison, and groups smaller than k — the batched vector searches
+  * swap the window for it to get map-side partial combine, and any
+  * divergence would silently break the q133/q134 exact oracles.
+  */
+class TopKAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viaWindow(df: DataFrame, k: Int, asc: Boolean) = {
+    val ord = if (asc) col("score").asc_nulls_last
+              else col("score").desc_nulls_last
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(ord, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("g"), col("id"), col("score"), col("rank"))
+      .as[(Int, Long, Option[Double], Int)].collect().toSeq.sorted
+  }
+
+  private def viaAgg(df: DataFrame, k: Int, asc: Boolean) =
+    df.groupBy(col("g"))
+      .agg(NativeExpressions.topKPairs(col("score"), col("id"), k, asc)
+        .as("_tk"))
+      .select(col("g"), posexplode(col("_tk")).as(Seq("_pos", "_hit")))
+      .select(col("g"), col("_hit.ext_id").as("id"),
+        col("_hit.score").as("score"),
+        (col("_pos") + 1).cast("int").as("rank"))
+      .as[(Int, Long, Option[Double], Int)].collect().toSeq.sorted
+
+  test("agg ≡ window on random doubles with ties, nulls, small groups") {
+    val rnd = new scala.util.Random(4217)
+    for (trial <- 0 until 4; asc <- Seq(true, false)) {
+      val k = Seq(1, 3, 5, 17)(trial)
+      val rows = (0 until 3000).map { i =>
+        val g = rnd.nextInt(40) // group 39 often has < k rows
+        val score: Option[Double] =
+          if (rnd.nextInt(20) == 0) None
+          else Some((rnd.nextInt(50) - 25) / 8.0) // heavy ties
+        (g, i.toLong, score)
+      } ++ (0 until 5).map(i => (99, i.toLong, None: Option[Double]))
+      val df = rows.toDF("g", "id", "score").repartition(7)
+      assert(viaAgg(df, k, asc) === viaWindow(df, k, asc),
+        s"trial $trial asc=$asc diverged")
+    }
+  }
+
+  test("long scores compare exactly past double precision") {
+    // 2^53 + {0,1}: double rounds both to the same value — long must not
+    val big = 9007199254740992L
+    val df = Seq((1, 10L, big + 1), (1, 11L, big), (1, 12L, big + 3))
+      .toDF("g", "id", "score")
+    val got = df.groupBy(col("g"))
+      .agg(NativeExpressions.topKPairs(col("score"), col("id"), 2,
+        asc = true).as("_tk"))
+      .select(posexplode(col("_tk")).as(Seq("_pos", "_hit")))
+      .select(col("_hit.ext_id"), col("_hit.score"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((11L, big), (10L, big + 1)),
+      s"long grid rounded through double: $got")
+  }
+
+  test("null ids are dropped; all-null-score groups emit ids ascending") {
+    val df = Seq((1, Some(7L), Some(1.0)), (1, None, Some(0.5)),
+        (2, Some(3L), None), (2, Some(1L), None), (2, Some(2L), None))
+      .toDF("g", "id", "score")
+    val got = df.groupBy(col("g"))
+      .agg(NativeExpressions.topKPairs(col("score"), col("id"), 2,
+        asc = true).as("_tk"))
+      .select(col("g"), posexplode(col("_tk")).as(Seq("_pos", "_hit")))
+      .select(col("g"), col("_hit.ext_id"))
+      .as[(Int, Long)].collect().toSeq.sorted
+    assert(got === Seq((1, 7L), (2, 1L), (2, 2L)))
+  }
+}
