@@ -374,12 +374,11 @@ object Hnsw {
                                          colocated: Boolean,
                                          routing: Option[GraphRouting.Routing])
       : DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("l2sq").asc_nulls_last, col("ext_id").asc)
-    localHits(index, queries, k, ef, colocated, routing)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // per-query global top-k over the per-shard hit streams via the
+    // partial aggregate (r20): |q|·k rows exchanged, not |q|·p·k
+    VectorSearch.topKPerGroup(
+        localHits(index, queries, k, ef, colocated, routing),
+        "query_id", "ext_id", "l2sq", asc = true, k)
       .orderBy(col("query_id"), col("rank"))
   }
 
