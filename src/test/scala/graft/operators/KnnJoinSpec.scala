@@ -103,6 +103,13 @@ class KnnJoinSpec extends SparkSpec {
     // expression), not on a driver collect
     assert(joined.queryExecution.analyzed.toString
       .contains("graft_nearest_shards"))
+    // r20: the per-query rank is the PARTIAL top-k aggregate (map-side
+    // combine: |q|·k rows exchanged), never a window over every hit
+    assert(!plan.contains("Window"),
+      s"knn join must rank via the partial aggregate, not a window:\n$plan")
+    assert(plan.contains("graft_top_k_pairs") &&
+      plan.contains("partial_graft_top_k_pairs"),
+      s"knn join rank must be the partial top-k aggregate:\n$plan")
   }
 
   test("sentinel-less shards are always probed (append safety)") {
