@@ -1028,6 +1028,9 @@ object VectorQueries {
     val kth = e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(qdf)) // bounded: |queries| ≤ 500 rows
       .withColumn("_l2", V.l2SqScaled(col("embedding"), col("qv")))
+      // vectors shed before the rank exchange: the window shuffles every
+      // (row, query) audit pair, and embedding+qv multiply its width ~20×
+      .select(col("qid"), col("vec_id"), col("_l2"))
       .withColumn("_r", row_number().over(Window.partitionBy("qid")
         .orderBy(col("_l2").asc, col("vec_id").asc)))
       .filter(col("_r") === k)

@@ -2893,28 +2893,56 @@ class GraftDataset private[format] (
     * back on `_uuid`; approximate index families can miss true
     * neighbors like any ANN search — probe-all / `nprobe = nlist` is
     * the exactness fallback.
+    *
+    * `threshold` is ALWAYS in raw metric units (cosine similarity, raw
+    * squared l2 distance) regardless of `exact`: the exact l2 paths
+    * emit 1e14-scaled integer scores (q133's oracle grid), and the
+    * comparison rescales the threshold to match — the `score` COLUMN
+    * keeps the join's native units (the grid, for exact l2), only the
+    * threshold comparison adapts. FLAT is served (the only exact
+    * option the reference's FLAT
+    * maps to) but WARNS here: its join broadcasts the query table, and
+    * the corpus IS the query table — driver-bounded corpora only;
+    * corpus-scale dedup wants a clustered index family.
     */
   def semanticDedupIndexed(column: String, threshold: Double,
                            metric: String = "cosine", nprobe: Int = 8,
                            exact: Boolean = false,
                            probeShards: Int = 0): DataFrame = {
+    val tpe = indexMetaField(indexDir("vector", column), "type")
+      .getOrElse("IVF")
+    if (tpe == "FLAT")
+      System.err.println("graft: WARN semanticDedupIndexed over a FLAT " +
+        "index broadcasts the corpus as the query table — fine for " +
+        "driver-bounded corpora, use a clustered index type at scale")
     val qdf = snapshotWithUuid()
       .select(col(UuidCol).cast("long").as("qid"), col(column).as("qv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("rank").asc)
     // threshold sides with the metric's rank order: l2 is a distance
-    // (dup at score ≤ threshold), cosine/ip are similarities (≥)
-    val clears =
-      if (metric == "l2") col("score") <= lit(threshold)
-      else col("score") >= lit(threshold)
+    // (dup at score ≤ threshold), cosine/ip are similarities (≥).
+    // The exact l2 score arrives on the 1e14 grid from the IVF-family
+    // joins (graph walks stay raw doubles and ignore `exact`), so the
+    // threshold is rescaled onto the same grid there — the caller's
+    // units are ALWAYS raw metric units
+    val l2GridScaled =
+      exact && metric == "l2" && tpe != "HNSW" && tpe != "DISKANN"
+    def clears(score: Column) =
+      if (metric == "l2") {
+        val t = if (l2GridScaled) threshold * 1e14 else threshold
+        score <= lit(t)
+      } else score >= lit(threshold)
+    // nearest-other = min rank after the self filter — via min_by, a
+    // partial-combinable aggregate (rank is unique per query, so the
+    // pick is deterministic), not yet another corpus-wide rank window
     vectorKnnJoin(column, qdf, "qid", "qv", k = 2, metric,
         nprobe = nprobe, exact = exact, probeShards = probeShards)
       .filter(col("row_uuid") =!= col("query_id"))
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") === 1)
+      .groupBy(col("query_id"))
+      .agg(min_by(struct(col("row_uuid"), col("score")), col("rank"))
+        .as("_nn"))
       .select(col("query_id").as("row_uuid"),
-        col("row_uuid").as("nn_uuid"), col("score"),
-        (clears && col("row_uuid") < col("query_id")).as("is_dup"))
+        col("_nn.row_uuid").as("nn_uuid"), col("_nn.score").as("score"),
+        (clears(col("_nn.score")) &&
+          col("_nn.row_uuid") < col("query_id")).as("is_dup"))
   }
 }
 

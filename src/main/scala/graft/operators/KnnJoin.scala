@@ -117,13 +117,16 @@ object KnnJoin {
           idCol: String, queries: DataFrame, qIdCol: String,
           qVecCol: String, metric: String, k: Int, nprobe: Int,
           exact: Boolean = false): DataFrame = {
-    // ext_id is the long output/tie-break identity: a non-integral id
-    // column would silently cast to all-null ext_ids — fail loudly
-    // instead (internal callers pass the long _uuid/vec_id)
+    // ext_id is the long output/tie-break identity: an id column whose
+    // values can fail the long cast (non-numeric strings, decimals past
+    // 2^63) would silently become null ext_ids — fail loudly on any
+    // type that does not PROVABLY fit (internal callers pass the long
+    // _uuid/vec_id; long-safe integer decimals are accepted)
     assigned.schema(idCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType => ()
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => ()
       case t => throw new IllegalArgumentException(
-        s"idCol $idCol must be an integral type for ext_id, got $t " +
+        s"idCol $idCol must fit a long ext_id losslessly, got $t " +
           "(join against a long surrogate id, e.g. the hidden _uuid)")
     }
     val cents = centroids.collect() // nlist rows — bounded by construction
@@ -139,25 +142,32 @@ object KnnJoin {
     val sel = graft.functions.NativeExpressions.nearestShards(
       col("_qv"), cents.length, dim, nprobe, flat, offsets,
       cents.map(_._1))
-    // exact cosine scores pairs on the int64 grid with the quantization
-    // and self-norm hoisted to ONCE PER ROW on each side (O(n + |q|)
+    // exact scoring runs on the int64 grid with the quantization and
+    // self-norm hoisted to ONCE PER ROW on each side (O(n + |q|)
     // quantizations, one pre-quantized dot per pair) — the composite
-    // cosineScaled expression re-quantizes both vectors and recomputes
-    // both norms for EVERY pair (3 dots + 2 array allocs: q134's 2k-row
-    // self-join measured 17 s that way). Bit-identical by construction:
-    // dotScaledQ ≡ dotQL ∘ qint and the final double ops are IEEE-exact
-    // on integer inputs (NativeExpressionsSpec pins both kernels to
-    // their shared HOF twins; q134's oracle pins the end-to-end scores).
+    // cosineScaled/l2SqScaled expressions re-quantize both vectors for
+    // EVERY pair (3 dots + 2 array allocs: q134's 2k-row self-join
+    // measured 17 s that way). Bit-identical by construction: dotScaledQ
+    // ≡ dotQL ∘ qint, the cosine's double ops are IEEE-exact on integer
+    // inputs, and the l2 identity Σ(a−b)² = Σa² + Σb² − 2Σab is exact
+    // integer algebra (≤ 2.6e16, well inside int64; NativeExpressionsSpec
+    // pins the kernels to their HOF twins, q133/q134's oracles pin the
+    // end-to-end scores).
     val exactCos = exact && metric == "cosine"
+    val exactL2 = exact && metric == "l2"
     val q1 = {
       val base = queries
         .select(col(qIdCol).cast("long").as("query_id"),
           col(qVecCol).as("_qv"))
         .filter(col("_qv").isNotNull)
-      if (!exactCos) base
-      else base.withColumn("_qq", V.qint(col("_qv")))
-        .withColumn("_qn",
-          sqrt(V.dotQ(col("_qq"), col("_qq")).cast("double")))
+      if (exactCos)
+        base.withColumn("_qq", V.qint(col("_qv")))
+          .withColumn("_qn",
+            sqrt(V.dotQ(col("_qq"), col("_qq")).cast("double")))
+      else if (exactL2)
+        base.withColumn("_qq", V.qint(col("_qv")))
+          .withColumn("_qn2", V.dotQ(col("_qq"), col("_qq")))
+      else base
     }
     val routedQ = q1.withColumn("cell", explode(sel))
     // prune the assigned side to the cells SOME query probes, BEFORE the
@@ -177,14 +187,21 @@ object KnnJoin {
         else assigned.filter(col("cell").isin(used.toSeq.map(Int.box): _*))
       }
     val idxSide =
-      if (!exactCos) scopedIdx
-      else scopedIdx.withColumn("_iq", V.qint(col(vecCol)))
-        .withColumn("_in",
-          sqrt(V.dotQ(col("_iq"), col("_iq")).cast("double")))
+      if (exactCos)
+        scopedIdx.withColumn("_iq", V.qint(col(vecCol)))
+          .withColumn("_in",
+            sqrt(V.dotQ(col("_iq"), col("_iq")).cast("double")))
+      else if (exactL2)
+        scopedIdx.withColumn("_iq", V.qint(col(vecCol)))
+          .withColumn("_in2", V.dotQ(col("_iq"), col("_iq")))
+      else scopedIdx
     val scoreExpr =
       if (exactCos)
         try_divide(V.dotQ(col("_iq"), col("_qq")).cast("double"),
           col("_in") * col("_qn"))
+      else if (exactL2)
+        col("_in2") + col("_qn2") -
+          lit(2L) * V.dotQ(col("_iq"), col("_qq"))
       else VectorSearch.score(metric, col(vecCol), col("_qv"), exact)
     val scored = idxSide.withColumn("cell", col("cell").cast("int"))
       .join(routedQ, "cell")
@@ -305,6 +322,10 @@ object KnnJoin {
     // partitionBy("part") layout, even READING — every shard no query in
     // the batch routed to. Skipped at probe-all, where every shard is
     // met by construction and the extra query-table pass buys nothing.
+    // The collect and the join each evaluate the query lineage (the
+    // standard Spark recomputation contract: a non-deterministic query
+    // expression is unsound under ANY recomputation, stage retries
+    // included — persist such a table before joining it).
     val scopedIdx =
       if (cents.isEmpty) prepared
       else {

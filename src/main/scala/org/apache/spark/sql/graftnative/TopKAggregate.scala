@@ -165,8 +165,14 @@ case class TopKPairs(left: Expression, right: Expression, k: Int,
       val s = left.eval(input)
       if (s == null) b.offerNull(id.asInstanceOf[Long])
       else if (b.isLong) b.offer(s.asInstanceOf[Long], id.asInstanceOf[Long])
-      else b.offer(java.lang.Double.doubleToRawLongBits(
-        s.asInstanceOf[Double]), id.asInstanceOf[Long])
+      else {
+        // normalize -0.0 → 0.0: SQL ordering ties the two zeros (the id
+        // breaks the tie), but Double.compare ranks -0.0 below 0.0 —
+        // without this a -0.0 score would jump the id tie-break
+        val d = s.asInstanceOf[Double]
+        b.offer(java.lang.Double.doubleToRawLongBits(
+          if (d == 0.0) 0.0 else d), id.asInstanceOf[Long])
+      }
     }
     b
   }

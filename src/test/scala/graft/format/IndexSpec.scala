@@ -394,6 +394,40 @@ class IndexSpec extends SparkSpec {
     assert(l2Dropped === droppedIds, s"l2 side returned $l2Dropped")
   }
 
+  test("semanticDedupIndexed l2 threshold is raw units over the exact grid") {
+    // the exact-l2 join emits 1e14-grid longs; the caller's threshold is
+    // raw squared distance — the rescale must catch a NEAR (non-zero
+    // distance) duplicate, not just bit-identical clones
+    val dim = 8
+    val ds = GraftDataset.create(spark, tmpDir("semdedup_l2"),
+      StructType(Seq(StructField("id", LongType),
+        StructField("emb", ArrayType(FloatType)))))
+    def oneHot(axis: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == axis) scale else 0.0f)
+    val near = oneHot(0, 1.0f).updated(1, 0.001f) // raw l2² = 1e-6 to row 0
+    ds.append(Seq((0L, oneHot(0, 1.0f)), (1L, near), (2L, oneHot(2, 3.0f)))
+      .toDF("id", "emb"))
+    ds.commit("rows")
+    ds.createVectorIndex("emb", nlist = 2, indexType = "IVF")
+    val uuidToId = ds.snapshotWithUuid()
+      .select(col(GraftDataset.UuidCol), col("id"))
+      .as[(Long, Long)].collect().toMap
+    val out = ds.semanticDedupIndexed("emb", threshold = 1e-5,
+        metric = "l2", nprobe = 2, exact = true)
+      .select("row_uuid", "score", "is_dup")
+      .as[(Long, Double, Boolean)].collect()
+      .map { case (u, s, d) => (uuidToId(u), s, d) }.sortBy(_._1)
+    // exactly one of the near pair drops (the higher-uuid one — uuid
+    // order within one append is not pinned here); the far row survives
+    val dropped = out.filter(_._3).map(_._1).toSet
+    assert(dropped.size === 1 && dropped.subsetOf(Set(0L, 1L)),
+      s"raw 1e-5 threshold must catch the 1e-6 near-dup: ${out.toSeq}")
+    // the score COLUMN keeps the join's native grid units: the 0.001
+    // perturbation quantizes to exactly 1e4, squared 1e8 on the grid
+    val nearScore = out.find(_._1 == 1L).get._2
+    assert(nearScore === 1e8, s"exact grid score drifted: $nearScore")
+  }
+
   test("optimizeVectorIndex: N appends fragment, one compaction restores build shape") {
     val ds = GraftDataset.create(spark, tmpDir("idxopt"), StructType(Seq(
       StructField("id", LongType),

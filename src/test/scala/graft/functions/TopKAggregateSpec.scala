@@ -67,6 +67,20 @@ class TopKAggregateSpec extends SparkSpec {
       s"long grid rounded through double: $got")
   }
 
+  test("-0.0 ties +0.0 like SQL ordering; the id breaks the tie") {
+    // Double.compare would rank -0.0 below +0.0 and jump the id
+    // tie-break; the aggregate normalizes the zeros like SQL does
+    val df = Seq((1, 5L, 0.0), (1, 9L, -0.0), (2, 9L, -0.0), (2, 5L, 0.0))
+      .toDF("g", "id", "score")
+    val got = df.groupBy(col("g"))
+      .agg(NativeExpressions.topKPairs(col("score"), col("id"), 1,
+        asc = true).as("_tk"))
+      .select(col("g"), posexplode(col("_tk")).as(Seq("_pos", "_hit")))
+      .select(col("g"), col("_hit.ext_id"))
+      .as[(Int, Long)].collect().toSeq.sorted
+    assert(got === Seq((1, 5L), (2, 5L)), s"-0.0 outranked the id tie: $got")
+  }
+
   test("null ids are dropped; all-null-score groups emit ids ascending") {
     val df = Seq((1, Some(7L), Some(1.0)), (1, None, Some(0.5)),
         (2, Some(3L), None), (2, Some(1L), None), (2, Some(2L), None))

@@ -265,6 +265,6 @@ class KnnJoinSpec extends SparkSpec {
       KnnJoin.ivf(assigned, centroids, "emb", "vec_id", qdf(Seq(1)),
         "qid", "qv", metric = "l2", k = 5, nprobe = clusters)
     }
-    assert(e.getMessage.contains("integral"))
+    assert(e.getMessage.contains("fit a long ext_id"))
   }
 }
