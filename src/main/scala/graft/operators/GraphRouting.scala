@@ -150,17 +150,38 @@ object GraphRouting {
     * Routing semantics are preserved: sub-shards are distinct shard ids
     * with identical centroids, so a query near the hot region routes to
     * (several of) them at tied distance — jointly they hold exactly what
-    * the unsplit cell did, and probe-all is untouched. The exact
-    * per-cell sizes cost one extra aggregation pass over the assignment
-    * (map-side partial, |cells| rows out) — noise next to the graph
-    * construction it protects.
+    * the unsplit cell did, and probe-all is untouched.
+    *
+    * The assignment is MATERIALIZED (an InternalRow RDD `persist`)
+    * before the counting pass: the cap's exact per-cell sizes and the
+    * downstream build both consume the corpus-wide argmin (rows × cells
+    * × dim — the dominant assignment cost at scale), and without the
+    * cache each would re-run it from the scan. The counts must be
+    * exact, not estimated from the refine pass: one Lloyd mean-update
+    * can move a duplicate-heavy cell WHOLESALE across an exact-centroid
+    * tie, so pre-update statistics misplace the very cell the cap
+    * exists for. The persistence level is deliberate twice over:
+    *  - RDD-level, not Dataset-level — the blocks are reference-tracked,
+    *    so Spark's ContextCleaner reclaims them once the caller drops
+    *    the built index, with no CacheManager entry to leak or to match
+    *    a later plan against; and the lineage is kept, so losing an
+    *    executor mid-build recomputes its partitions instead of failing
+    *    the job (`localCheckpoint` would trade that away);
+    *  - INTERNAL rows ([[org.apache.spark.sql.graftnative.InternalDf]]),
+    *    not `df.rdd` — the external-Row boundary boxes every vector
+    *    element on write AND re-encodes it on every read (measured at
+    *    sf0.1: the Row-RDD form regressed the knn-join build family
+    *    ~45%, q132 5.6 → 8.1 s; the InternalRow form pays one UnsafeRow
+    *    copy at fill and reads raw).
     */
   def assignShardsCapped(df: DataFrame, vecCol: String, idCol: String,
                          parts: Int, refineIters: Int = 1)
       : (DataFrame, Array[(Int, Array[Float])]) = {
-    val (assigned, cents) =
+    val (assigned0, cents) =
       assignShards(df, vecCol, idCol, parts, refineIters)
-    if (cents.isEmpty) return (assigned, cents)
+    if (cents.isEmpty) return (assigned0, cents)
+    val (assigned, _) = org.apache.spark.sql.graftnative.InternalDf
+      .detachBatchCached(assigned0)
     val counts = assigned.filter(col("cell").isNotNull)
       .groupBy(col("cell").cast("int").as("cell")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap

@@ -366,6 +366,68 @@ class GraphRoutingSpec extends SparkSpec {
       "healthy query's routing broke under a batch-mate's heal")
   }
 
+  test("capped assignment materializes the argmin once, exactly") {
+    // ADVICE r19 #4: the cap's counting pass and the downstream build
+    // both consume the corpus-wide argmin; without materialization each
+    // re-runs it from the scan. The counts must be EXACT, not estimated
+    // from the refine pass — one Lloyd mean-update can move a
+    // duplicate-heavy cell wholesale across an exact-centroid tie (this
+    // corpus does exactly that when seeds land on blob duplicates), so
+    // pre-update statistics misplace the very cell the cap exists for.
+    val blob = (0 until 1500).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => 0.25f + d * 0.01f).toSeq)
+    }
+    val spread = (0 until 100).map { i =>
+      (10000L + i, Array.tabulate(dim)(d =>
+        100.0f + (if (d == i % dim) i.toFloat else 0.0f)).toSeq)
+    }
+    val df = (blob ++ spread).toDF("vec_id", "emb")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (assigned, cents) =
+      GraphRouting.assignShardsCapped(df, "emb", "vec_id", 4)
+    assert(cents.length > 4, "the dominant cell must have split")
+    // the assignment RDD was persisted (reference-tracked — ContextCleaner
+    // reclaims it with the index; no Dataset-level CacheManager entry)
+    val cached = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+    assert(cached.nonEmpty, "capped assignment must persist the argmin")
+    assert(cached.values.exists(_.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // consumers of the returned frame read materialized cells — the plan
+    // carries no argmin expression to re-run per consumer
+    val plan = assigned.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_nearest_cell"),
+      s"capped assignment consumers must not re-run the argmin:\n$plan")
+    // and the materialized assignment is the REAL one: cap holds on the
+    // actual shard sizes, blob and spread land apart
+    val perShard = assigned.filter(col("cell").isNotNull)
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    val cap = math.max(2L * (1600L / 4), 1000L)
+    assert(perShard.values.max <= cap,
+      s"a shard exceeds the skew cap: $perShard")
+    cached.keys.foreach(spark.sparkContext.getPersistentRDDs(_).unpersist())
+  }
+
+  test("skew cap holds with refineIters = 0 (unrefined seed centroids)") {
+    val blob = (0 until 1500).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => 0.25f + d * 0.01f).toSeq)
+    }
+    val spread = (0 until 100).map { i =>
+      (10000L + i, Array.tabulate(dim)(d =>
+        100.0f + (if (d == i % dim) i.toFloat else 0.0f)).toSeq)
+    }
+    val df = (blob ++ spread).toDF("vec_id", "emb")
+    val (assigned, cents) =
+      GraphRouting.assignShardsCapped(df, "emb", "vec_id", 4,
+        refineIters = 0)
+    assert(cents.length > 4, "split must fire on the skewed corpus")
+    val cap = math.max(2L * (1600L / 4), 1000L)
+    val perShard = assigned.filter(col("cell").isNotNull)
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(perShard.values.max <= cap,
+      s"a shard exceeds the skew cap: $perShard")
+  }
+
   test("batch routing gates each query to its own shards") {
     val idx = Hnsw.build(corpus, "emb", "vec_id", numPartitions = clusters,
       clustered = true)
