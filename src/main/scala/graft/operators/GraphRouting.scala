@@ -173,6 +173,18 @@ object GraphRouting {
     *    sf0.1: the Row-RDD form regressed the knn-join build family
     *    ~45%, q132 5.6 → 8.1 s; the InternalRow form pays one UnsafeRow
     *    copy at fill and reads raw).
+    *
+    * Cache lifetime is BOUNDED, not left to GC alone: the builders
+    * return lazy frames, so there is no in-function point to unpersist
+    * at, and ContextCleaner only reclaims the blocks after the index
+    * frame is GC'd (periodic-GC default: 30 min). One cache is
+    * corpus-sized — back-to-back builds in a long-lived session would
+    * otherwise accumulate unbounded local-disk blocks — so each call
+    * evicts all but the newest [[MaxLiveAssignmentCaches]] caches.
+    * Eviction is correctness-neutral (lineage kept: a not-yet-consumed
+    * build recomputes its assignment); the bound only makes a second
+    * argmin unlikely for builds racing more than
+    * [[MaxLiveAssignmentCaches]] deep.
     */
   def assignShardsCapped(df: DataFrame, vecCol: String, idCol: String,
                          parts: Int, refineIters: Int = 1)
@@ -180,8 +192,9 @@ object GraphRouting {
     val (assigned0, cents) =
       assignShards(df, vecCol, idCol, parts, refineIters)
     if (cents.isEmpty) return (assigned0, cents)
-    val (assigned, _) = org.apache.spark.sql.graftnative.InternalDf
+    val (assigned, cacheRdd) = org.apache.spark.sql.graftnative.InternalDf
       .detachBatchCached(assigned0)
+    trackAssignmentCache(cacheRdd)
     val counts = assigned.filter(col("cell").isNotNull)
       .groupBy(col("cell").cast("int").as("cell")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
@@ -216,6 +229,27 @@ object GraphRouting {
       (0 until s).map(j => (b + j, centMap(c)))
     }.toArray
     (reassigned, outCents)
+  }
+
+  /** Newest-last ring of [[assignShardsCapped]]'s persisted assignment
+    * RDDs (see the cache-lifetime note there). Unpersisting an already
+    * unpersisted RDD is a no-op, so explicit caller cleanup (tests,
+    * [[graft.Bench]]'s reaper) composes with the bound.
+    */
+  private val liveAssignmentCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]()
+
+  /** How many capped-assignment caches may stay persisted at once. */
+  private[operators] val MaxLiveAssignmentCaches = 4
+
+  private def trackAssignmentCache(
+      rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    liveAssignmentCaches.add(rdd)
+    while (liveAssignmentCaches.size > MaxLiveAssignmentCaches) {
+      val old = liveAssignmentCaches.poll()
+      if (old != null) old.unpersist(blocking = false)
+    }
   }
 
   /** Re-scope a routing to the part directories that actually exist:

@@ -50,8 +50,16 @@ object InternalDf {
 
   /** [[detachBatch]] with the row RDD persisted (memory-and-disk): a
     * consumer that runs multiple actions over the batch executes the
-    * upstream streaming plan once. Caller must `unpersist` the returned
-    * RDD when done.
+    * upstream plan once. Two valid lifecycles for the returned RDD:
+    * `unpersist` it explicitly when the last consumer is done (the sink
+    * path — `GraftStreaming`'s try/finally), or, when the frame is
+    * returned LAZILY and no in-function unpersist point exists, rely on
+    * the reference-tracked blocks (ContextCleaner reclaims them once
+    * the frame is unreachable) plus a caller-side bound on live caches
+    * (the [[graft.operators.GraphRouting]] path — do NOT "fix" that
+    * call site with a try/finally: evicting before the downstream
+    * consumer runs silently reinstates the recomputation the cache
+    * exists to remove).
     */
   def detachBatchCached(df: DataFrame)
       : (DataFrame, RDD[InternalRow]) = {

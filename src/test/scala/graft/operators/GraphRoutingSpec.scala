@@ -385,27 +385,48 @@ class GraphRoutingSpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (assigned, cents) =
       GraphRouting.assignShardsCapped(df, "emb", "vec_id", 4)
-    assert(cents.length > 4, "the dominant cell must have split")
     // the assignment RDD was persisted (reference-tracked — ContextCleaner
     // reclaims it with the index; no Dataset-level CacheManager entry)
     val cached = spark.sparkContext.getPersistentRDDs
       .filterNot { case (id, _) => before.contains(id) }
-    assert(cached.nonEmpty, "capped assignment must persist the argmin")
-    assert(cached.values.exists(_.getStorageLevel ==
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // consumers of the returned frame read materialized cells — the plan
-    // carries no argmin expression to re-run per consumer
-    val plan = assigned.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("graft_nearest_cell"),
-      s"capped assignment consumers must not re-run the argmin:\n$plan")
-    // and the materialized assignment is the REAL one: cap holds on the
-    // actual shard sizes, blob and spread land apart
-    val perShard = assigned.filter(col("cell").isNotNull)
-      .groupBy("cell").count().as[(Int, Long)].collect().toMap
-    val cap = math.max(2L * (1600L / 4), 1000L)
-    assert(perShard.values.max <= cap,
-      s"a shard exceeds the skew cap: $perShard")
-    cached.keys.foreach(spark.sparkContext.getPersistentRDDs(_).unpersist())
+    try {
+      assert(cents.length > 4, "the dominant cell must have split")
+      assert(cached.nonEmpty, "capped assignment must persist the argmin")
+      assert(cached.values.exists(_.getStorageLevel ==
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // consumers of the returned frame read materialized cells — the plan
+      // carries no argmin expression to re-run per consumer
+      val plan = assigned.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("graft_nearest_cell"),
+        s"capped assignment consumers must not re-run the argmin:\n$plan")
+      // and the materialized assignment is the REAL one: cap holds on the
+      // actual shard sizes, blob and spread land apart
+      val perShard = assigned.filter(col("cell").isNotNull)
+        .groupBy("cell").count().as[(Int, Long)].collect().toMap
+      val cap = math.max(2L * (1600L / 4), 1000L)
+      assert(perShard.values.max <= cap,
+        s"a shard exceeds the skew cap: $perShard")
+    } finally cached.values.foreach(_.unpersist(blocking = false))
+  }
+
+  test("assignment caches are bounded across repeated capped builds") {
+    // a build's cache has no deterministic unpersist point (the builders
+    // return lazy frames), so repeated builds must evict beyond the ring
+    // bound instead of accumulating one corpus-sized cache per build
+    val df = (0 until 1200).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        (i % 3) * 30.0f + (if (d == i % dim) 1.0f else 0.0f)).toSeq)
+    }.toDF("vec_id", "emb")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (0 until GraphRouting.MaxLiveAssignmentCaches + 3).foreach { _ =>
+      GraphRouting.assignShardsCapped(df, "emb", "vec_id", 3); ()
+    }
+    val live = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+    try assert(live.size <= GraphRouting.MaxLiveAssignmentCaches,
+      s"capped builds leaked ${live.size} assignment caches " +
+        s"(bound ${GraphRouting.MaxLiveAssignmentCaches})")
+    finally live.values.foreach(_.unpersist(blocking = false))
   }
 
   test("skew cap holds with refineIters = 0 (unrefined seed centroids)") {
@@ -417,15 +438,20 @@ class GraphRoutingSpec extends SparkSpec {
         100.0f + (if (d == i % dim) i.toFloat else 0.0f)).toSeq)
     }
     val df = (blob ++ spread).toDF("vec_id", "emb")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (assigned, cents) =
       GraphRouting.assignShardsCapped(df, "emb", "vec_id", 4,
         refineIters = 0)
-    assert(cents.length > 4, "split must fire on the skewed corpus")
-    val cap = math.max(2L * (1600L / 4), 1000L)
-    val perShard = assigned.filter(col("cell").isNotNull)
-      .groupBy("cell").count().as[(Int, Long)].collect().toMap
-    assert(perShard.values.max <= cap,
-      s"a shard exceeds the skew cap: $perShard")
+    try {
+      assert(cents.length > 4, "split must fire on the skewed corpus")
+      val cap = math.max(2L * (1600L / 4), 1000L)
+      val perShard = assigned.filter(col("cell").isNotNull)
+        .groupBy("cell").count().as[(Int, Long)].collect().toMap
+      assert(perShard.values.max <= cap,
+        s"a shard exceeds the skew cap: $perShard")
+    } finally spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
   }
 
   test("batch routing gates each query to its own shards") {
