@@ -160,8 +160,18 @@ object KnnJoinSoak {
     val selfQ = dupCorpus.select(col("vec_id").as("qid"),
       col("emb").as("qv"))
     val (knnDropped, t4) = timed {
-      // k=2 suffices for nearest-other: the self row displaces at most
-      // one of the two returned rows (q134 pins this form exactly)
+      // Rule: drop iff ANY returned hit clears the threshold from a
+      // lower id — the blocked comparator's any-pair semantics,
+      // truncated at k. At THIS data the truncation is lossless and all
+      // three dedup forms coincide (any-pair ≡ any-of-top-k ≡
+      // nearest-other): thr=0.9999 admits only exact clones, cliques
+      // are size 2 (orig + 1 planted copy), and the self row displaces
+      // at most one of the k=2 slots, so a row's clearing partner is
+      // always in view. At lower thresholds / denser cliques the forms
+      // diverge — any-pair sees partners k-truncation hides, and
+      // nearest-other (q134's / semanticDedupIndexed's contract) judges
+      // only the closest hit — so a generalized soak must widen k or
+      // compare like-for-like before trusting `parity`.
       KnnJoin.ivf(dAssigned, dCents, "emb", "vec_id", selfQ, "qid",
           "qv", "cosine", k = 2, nprobe = p, exact = true)
         .filter(col("ext_id") =!= col("query_id") &&

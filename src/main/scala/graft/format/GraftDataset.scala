@@ -2895,10 +2895,11 @@ class GraftDataset private[format] (
     * the exactness fallback.
     *
     * `threshold` is ALWAYS in raw metric units (cosine similarity, raw
-    * squared l2 distance) regardless of `exact`: the exact l2 paths
-    * emit 1e14-scaled integer scores (q133's oracle grid), and the
-    * comparison rescales the threshold to match — the `score` COLUMN
-    * keeps the join's native units (the grid, for exact l2), only the
+    * squared l2 distance, raw inner product) regardless of `exact`: the
+    * exact l2 AND ip paths emit 1e14-scaled integer scores (q133's
+    * oracle grid; `dotScaled` = raw × 1e14), and the comparison
+    * rescales the threshold to match — the `score` COLUMN keeps the
+    * join's native units (the grid, for exact l2/ip), only the
     * threshold comparison adapts. FLAT is served (the only exact
     * option the reference's FLAT
     * maps to) but WARNS here: its join broadcasts the query table, and
@@ -2919,17 +2920,22 @@ class GraftDataset private[format] (
       .select(col(UuidCol).cast("long").as("qid"), col(column).as("qv"))
     // threshold sides with the metric's rank order: l2 is a distance
     // (dup at score ≤ threshold), cosine/ip are similarities (≥).
-    // The exact l2 score arrives on the 1e14 grid from the IVF-family
-    // joins (graph walks stay raw doubles and ignore `exact`), so the
-    // threshold is rescaled onto the same grid there — the caller's
-    // units are ALWAYS raw metric units
-    val l2GridScaled =
-      exact && metric == "l2" && tpe != "HNSW" && tpe != "DISKANN"
-    def clears(score: Column) =
-      if (metric == "l2") {
-        val t = if (l2GridScaled) threshold * 1e14 else threshold
-        score <= lit(t)
-      } else score >= lit(threshold)
+    // BOTH grid metrics' exact scores arrive 1e14-scaled from the
+    // IVF-family joins — l2 as qint squared distance, ip as the qint
+    // dot (`dotScaled` = raw × 1e14) — while exact cosine divides back
+    // to raw by construction and the graph walks stay raw doubles and
+    // ignore `exact`; the threshold is rescaled onto whichever grid the
+    // score column is on — the caller's units are ALWAYS raw metric
+    // units
+    val gridScaled = exact && (metric match {
+      case "l2" => tpe != "HNSW" && tpe != "DISKANN"
+      case "ip" => tpe == "IVF" || tpe == "FLAT"
+      case _    => false
+    })
+    def clears(score: Column) = {
+      val t = if (gridScaled) threshold * 1e14 else threshold
+      if (metric == "l2") score <= lit(t) else score >= lit(t)
+    }
     // nearest-other = min rank after the self filter — via min_by, a
     // partial-combinable aggregate (rank is unique per query, so the
     // pick is deterministic), not yet another corpus-wide rank window

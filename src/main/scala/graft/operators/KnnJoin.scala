@@ -50,6 +50,29 @@ object KnnJoin {
     StructField("ext_id", LongType),
     StructField("l2sq", DoubleType)))
 
+  /** Prune the INDEX side to the `keyCol` values SOME query routed to,
+    * before the cogroup/join: one bounded action (distinct keys,
+    * ≤ `MaxShards` rows) over the routing-only query lineage spares
+    * shuffling — and, on a `partitionBy(keyCol)` layout, even READING —
+    * every shard/cell no query in the batch reached. `coversAll(used)`
+    * short-circuits the filter when the routed union provably spans the
+    * index. The raw column (no cast) keeps the IN pushable so it
+    * partition-prunes a key-partitioned read. The collect and the join
+    * each evaluate the query lineage (the standard Spark recomputation
+    * contract: a non-deterministic query expression is unsound under
+    * ANY recomputation, stage retries included — persist such a table
+    * before joining it).
+    */
+  private def pruneToRouted(idx: DataFrame, keyCol: String,
+                            routedQ: DataFrame,
+                            coversAll: Set[Int] => Boolean): DataFrame = {
+    val used = routedQ.select(col(keyCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (used.isEmpty) idx.filter(lit(false)) // no usable queries
+    else if (coversAll(used)) idx
+    else idx.filter(col(keyCol).isin(used.toSeq.map(Int.box): _*))
+  }
+
   /** k-NN join against an [[Hnsw]] index (pre-built or re-read).
     * `centroids` (e.g. the format layer's tiny `routing` artifact)
     * skips the sentinel scan; when empty they are read from the index's
@@ -170,22 +193,13 @@ object KnnJoin {
       else base
     }
     val routedQ = q1.withColumn("cell", explode(sel))
-    // prune the assigned side to the cells SOME query probes, BEFORE the
-    // join: one bounded action (distinct cell ids, ≤ nlist rows) over the
-    // routing-only query lineage — on a partitionBy("cell") layout the
-    // isin prunes whole directories; skipped at probe-all, where every
-    // cell is met by construction
+    // prune the assigned side to the cells SOME query probes
+    // ([[pruneToRouted]]); skipped at probe-all, where every cell is
+    // met by construction
     val scopedIdx =
       if (nprobe >= cents.length) assigned
-      else {
-        val used = routedQ.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        if (used.isEmpty) assigned.filter(lit(false)) // no usable queries
-        else if (used.size >= cents.length) assigned
-        // raw column (no cast): the literals coerce to the column type,
-        // so the IN pushes down / partition-prunes a cell-partitioned read
-        else assigned.filter(col("cell").isin(used.toSeq.map(Int.box): _*))
-      }
+      else pruneToRouted(assigned, "cell", routedQ,
+        used => used.size >= cents.length)
     val idxSide =
       if (exactCos)
         scopedIdx.withColumn("_iq", V.qint(col(vecCol)))
@@ -316,25 +330,13 @@ object KnnJoin {
           else concat(sel, typedlit(unrouted.toSeq))
         q0.withColumn("part", explode(withUnrouted))
       }
-    // prune the INDEX side to the routed-part union before the cogroup:
-    // one bounded action (distinct part ids, ≤ MaxShards rows) over the
-    // routing-only query lineage spares shuffling — and, on a
-    // partitionBy("part") layout, even READING — every shard no query in
-    // the batch routed to. Skipped at probe-all, where every shard is
-    // met by construction and the extra query-table pass buys nothing.
-    // The collect and the join each evaluate the query lineage (the
-    // standard Spark recomputation contract: a non-deterministic query
-    // expression is unsound under ANY recomputation, stage retries
-    // included — persist such a table before joining it).
+    // prune to the routed-part union ([[pruneToRouted]]); skipped at
+    // probe-all, where every shard is met by construction and the extra
+    // query-table pass buys nothing
     val scopedIdx =
       if (cents.isEmpty) prepared
-      else {
-        val used = routedQ.select(col("part")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        if (used.isEmpty) prepared.filter(lit(false)) // no usable queries
-        else if (allParts.forall(used)) prepared
-        else prepared.filter(col("part").isin(used.toSeq.map(Int.box): _*))
-      }
+      else pruneToRouted(prepared, "part", routedQ,
+        used => allParts.forall(used))
     implicit val enc = RowEncoder.encoderFor(outSchema)
     val idxK = scopedIdx.groupByKey(_.getInt(0))(Encoders.scalaInt)
     val qK = routedQ.select(col("part").cast("int"), col("query_id"),

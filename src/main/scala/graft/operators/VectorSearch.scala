@@ -54,9 +54,12 @@ object VectorSearch {
     * of EVERY scored (row, query) pair — the window formulation it
     * replaces shuffled all of them (a 105k-row knn self-join spent
     * >100 s there). Ordering is the windows' exactly: (score asc/desc
-    * nulls-last, id asc); output appends int `rank` 1..k. Falls back to
-    * the window for a non-integral id column (the aggregate's id slot
-    * is a long).
+    * nulls-last, id asc); output appends int `rank` 1..k. Rows with a
+    * NULL id are dropped on BOTH paths — a hit without identity is
+    * unusable downstream (every consumer joins/tie-breaks on the id),
+    * and the aggregate's long id slot cannot carry one; the window
+    * fallback (non-integral id columns) filters them explicitly so the
+    * result set never depends on the id column's TYPE.
     */
   private[operators] def topKPerGroup(df: DataFrame, groupCol: String,
                                       idCol: String, scoreCol: String,
@@ -77,7 +80,8 @@ object VectorSearch {
         val ord = if (asc) col(scoreCol).asc_nulls_last
                   else col(scoreCol).desc_nulls_last
         val w = Window.partitionBy(groupCol).orderBy(ord, col(idCol).asc)
-        df.withColumn("rank", row_number().over(w))
+        df.filter(col(idCol).isNotNull)
+          .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
           .select(col(groupCol), col(idCol), col(scoreCol), col("rank"))
     }
@@ -523,25 +527,35 @@ object VectorSearch {
           "_qid", idCol, "_adc", asc = true, k)
         .select(col("_qid").as("query_id"), col(idCol),
           col("rank"), col("_adc").as("score"))
-    else {
-      // true vectors for the BOUNDED candidate set (≤ |q|·rerank rows)
-      // come back via one column-pruned corpus pass + broadcast join —
-      // not by dragging vecCol through the corpus-wide ADC exchange
-      // (the ranking was per _qid already, so the _qid→_qvec join is
-      // sound for the same reason the window grouping was)
-      val cand = topKPerGroup(
-          scored.select(col("_qid"), col(idCol), col("_adc")),
-          "_qid", idCol, "_adc", asc = true, math.max(rerank, k))
-        .join(broadcast(qdf.select(col("_qid"), col("_qvec"))), "_qid")
-      val rescored = encoded.select(col(idCol), col(vecCol))
-        .join(broadcast(cand), Seq(idCol))
-        .withColumn("_exact",
-          score("l2", col(vecCol), col("_qvec"), exact = false))
-        .select(col("_qid"), col(idCol), col("_exact"))
-      topKPerGroup(rescored, "_qid", idCol, "_exact", asc = true, k)
-        .select(col("_qid").as("query_id"), col(idCol),
-          col("rank"), col("_exact").as("score"))
-    }
+    else adcRerank(scored.select(col("_qid"), col(idCol), col("_adc")),
+      encoded, qdf.select(col("_qid"), col("_qvec")), vecCol, idCol,
+      k, rerank)
+  }
+
+  /** Exact re-rank tail shared by the ADC search paths: pick each
+    * query's best `max(rerank, k)` ADC candidates (partial top-k
+    * aggregate), recover true vectors for that BOUNDED set
+    * (≤ |q|·rerank rows) via one column-pruned corpus pass + broadcast
+    * join — never by dragging vec/code columns through the corpus-wide
+    * ADC exchange — and rank the exact scores. The _qid→_qvec join is
+    * sound because the candidate ranking was per _qid already. Inputs:
+    * `scored` = (_qid, idCol, _adc), `qvecDf` = (_qid, _qvec).
+    * Output: (query_id, idCol, rank, score).
+    */
+  private def adcRerank(scored: DataFrame, encoded: DataFrame,
+                        qvecDf: DataFrame, vecCol: String, idCol: String,
+                        k: Int, rerank: Int): DataFrame = {
+    val cand = topKPerGroup(scored, "_qid", idCol, "_adc", asc = true,
+        math.max(rerank, k))
+      .join(broadcast(qvecDf), "_qid")
+    val rescored = encoded.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .withColumn("_exact",
+        score("l2", col(vecCol), col("_qvec"), exact = false))
+      .select(col("_qid"), col(idCol), col("_exact"))
+    topKPerGroup(rescored, "_qid", idCol, "_exact", asc = true, k)
+      .select(col("_qid").as("query_id"), col(idCol),
+        col("rank"), col("_exact").as("score"))
   }
 
   /** Batched IVFPQ search: per-query cell pruning (driver-computed probe
@@ -585,17 +599,7 @@ object VectorSearch {
       .select(col("_qid"), col(idCol), col("_adc"))
     val qvecDf = queries.map { case (qid, qv) => (qid, qv) }
       .toDF("_qid", "_qvec")
-    val cand = topKPerGroup(scored, "_qid", idCol, "_adc", asc = true,
-        math.max(rerank, k))
-      .join(broadcast(qvecDf), "_qid")
-    val rescored = encoded.select(col(idCol), col(vecCol))
-      .join(broadcast(cand), Seq(idCol))
-      .withColumn("_exact",
-        score("l2", col(vecCol), col("_qvec"), exact = false))
-      .select(col("_qid"), col(idCol), col("_exact"))
-    topKPerGroup(rescored, "_qid", idCol, "_exact", asc = true, k)
-      .select(col("_qid").as("query_id"), col(idCol),
-        col("rank"), col("_exact").as("score"))
+    adcRerank(scored, encoded, qvecDf, vecCol, idCol, k, rerank)
   }
 
   /** Residual IVFPQ build — the reference's actual faiss IVFPQ layout
@@ -674,17 +678,7 @@ object VectorSearch {
       .select(col("_qid"), col(idCol), col("_adc"))
     val qvecDf = queries.map { case (qid, qv) => (qid, qv) }
       .toDF("_qid", "_qvec")
-    val cand = topKPerGroup(scored, "_qid", idCol, "_adc", asc = true,
-        math.max(rerank, k))
-      .join(broadcast(qvecDf), "_qid")
-    val rescored = encoded.select(col(idCol), col(vecCol))
-      .join(broadcast(cand), Seq(idCol))
-      .withColumn("_exact",
-        score("l2", col(vecCol), col("_qvec"), exact = false))
-      .select(col("_qid"), col(idCol), col("_exact"))
-    topKPerGroup(rescored, "_qid", idCol, "_exact", asc = true, k)
-      .select(col("_qid").as("query_id"), col(idCol),
-        col("rank"), col("_exact").as("score"))
+    adcRerank(scored, encoded, qvecDf, vecCol, idCol, k, rerank)
   }
 
   /** IVFPQ search (the reference's faiss IVFPQ index type + its

@@ -54,9 +54,17 @@ final class TopKBuf(val k: Int, val asc: Boolean, val isLong: Boolean) {
   var n = 0
   val sLong = new Array[Long](k) // long scores, or doubleToRawLongBits
   val ids = new Array[Long](k)
-  // null-score entries: worst (= largest) id at root, bounded at k
+  // null-score entries: worst (= largest) id at root, bounded at k.
+  // Allocated on the FIRST null score: null scores are the rare case
+  // (corrupt / dimension-mismatched vectors), and hash aggregation
+  // creates one buffer per group — at the rerank paths' k (e.g. 256) an
+  // eager third array is ~2 KB of dead weight per query in every task
   var nn = 0
-  val nullIds = new Array[Long](k)
+  private var nullIds0: Array[Long] = null
+  def nullIds: Array[Long] = {
+    if (nullIds0 == null) nullIds0 = new Array[Long](k)
+    nullIds0
+  }
 
   private def scoreWorse(aS: Long, aId: Long, bS: Long, bId: Long): Boolean = {
     val c =
@@ -103,30 +111,32 @@ final class TopKBuf(val k: Int, val asc: Boolean, val isLong: Boolean) {
   /** Offer a null-score entry: kept only while fewer than k ids, or
     * when smaller than the current worst (largest) kept id.
     */
-  def offerNull(id: Long): Unit =
+  def offerNull(id: Long): Unit = {
+    val h = nullIds // materializes the lazy heap on first use
     if (nn < k) {
-      nullIds(nn) = id; nn += 1
+      h(nn) = id; nn += 1
       var i = nn - 1
-      while (i > 0 && nullIds(i) > nullIds((i - 1) / 2)) {
-        val t = nullIds(i); nullIds(i) = nullIds((i - 1) / 2)
-        nullIds((i - 1) / 2) = t; i = (i - 1) / 2
+      while (i > 0 && h(i) > h((i - 1) / 2)) {
+        val t = h(i); h(i) = h((i - 1) / 2)
+        h((i - 1) / 2) = t; i = (i - 1) / 2
       }
-    } else if (nn > 0 && id < nullIds(0)) {
-      nullIds(0) = id
+    } else if (nn > 0 && id < h(0)) {
+      h(0) = id
       var i = 0
       var done = false
       while (!done) {
         val l = 2 * i + 1; val r = 2 * i + 2
         var m = i
-        if (l < nn && nullIds(l) > nullIds(m)) m = l
-        if (r < nn && nullIds(r) > nullIds(m)) m = r
+        if (l < nn && h(l) > h(m)) m = l
+        if (r < nn && h(r) > h(m)) m = r
         if (m == i) done = true
         else {
-          val t = nullIds(i); nullIds(i) = nullIds(m); nullIds(m) = t
+          val t = h(i); h(i) = h(m); h(m) = t
           i = m
         }
       }
     }
+  }
 
   /** Best-first (score, id) pairs: non-null scores first, then null-
     * score ids ascending, truncated at k. Score = None for the nulls.
@@ -135,8 +145,9 @@ final class TopKBuf(val k: Int, val asc: Boolean, val isLong: Boolean) {
     val nonNull = Array.tabulate(n)(i => (sLong(i), ids(i)))
       .sortWith((a, b) => scoreWorse(b._1, b._2, a._1, a._2))
       .map { case (s, id) => (Some(s): Option[Long], id) }
-    val nulls = nullIds.take(nn).sorted
-      .map(id => (None: Option[Long], id))
+    val nulls =
+      if (nn == 0) Array.empty[(Option[Long], Long)]
+      else nullIds.take(nn).sorted.map(id => (None: Option[Long], id))
     (nonNull ++ nulls).take(k)
   }
 }

@@ -428,6 +428,45 @@ class IndexSpec extends SparkSpec {
     assert(nearScore === 1e8, s"exact grid score drifted: $nearScore")
   }
 
+  test("semanticDedupIndexed ip threshold is raw units over the exact grid") {
+    // metric="ip" + exact=true: the IVF join scores with dotScaled
+    // (raw inner product × 1e14) — the raw threshold must rescale onto
+    // that grid, or every positive-dot neighbor clears a similarity
+    // threshold of any size and the corpus mass-drops
+    val dim = 8
+    val ds = GraftDataset.create(spark, tmpDir("semdedup_ip"),
+      StructType(Seq(StructField("id", LongType),
+        StructField("emb", ArrayType(FloatType)))))
+    def vec(axis: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == axis) scale else 0.01f)
+    // rows 0/1 share an axis: raw dot ≈ 1.0; row 2 is near-orthogonal
+    // to both (raw dot ≈ 0.02) but POSITIVE — unscaled it would "clear"
+    // any threshold once compared against grid-scaled scores. Row 2 is
+    // appended SECOND so its uuid is provably the highest: under the
+    // bug its nearest-other always has a lower uuid, so the wrong drop
+    // is deterministic, not uuid-order luck
+    ds.append(Seq((0L, vec(0, 1.0f)), (1L, vec(0, 1.0f)))
+      .toDF("id", "emb"))
+    ds.commit("rows")
+    ds.append(Seq((2L, vec(4, 1.0f))).toDF("id", "emb"))
+    ds.commit("more")
+    ds.createVectorIndex("emb", nlist = 2, indexType = "IVF")
+    val uuidToId = ds.snapshotWithUuid()
+      .select(col(GraftDataset.UuidCol), col("id"))
+      .as[(Long, Long)].collect().toMap
+    for (exact <- Seq(false, true)) {
+      val out = ds.semanticDedupIndexed("emb", threshold = 0.5,
+          metric = "ip", nprobe = 2, exact = exact)
+        .select("row_uuid", "is_dup").as[(Long, Boolean)].collect()
+        .map { case (u, d) => (uuidToId(u), d) }.toMap
+      assert(out(2L) === false,
+        s"near-orthogonal row dropped at exact=$exact — threshold " +
+          "compared against the wrong score units")
+      assert(Seq(out(0L), out(1L)).count(identity) === 1,
+        s"exactly one of the aligned pair must drop at exact=$exact")
+    }
+  }
+
   test("optimizeVectorIndex: N appends fragment, one compaction restores build shape") {
     val ds = GraftDataset.create(spark, tmpDir("idxopt"), StructType(Seq(
       StructField("id", LongType),

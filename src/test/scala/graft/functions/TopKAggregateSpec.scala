@@ -93,4 +93,31 @@ class TopKAggregateSpec extends SparkSpec {
       .as[(Int, Long)].collect().toSeq.sorted
     assert(got === Seq((1, 7L), (2, 1L), (2, 2L)))
   }
+
+  test("batchTopK membership is id-type independent for null ids") {
+    // topKPerGroup takes the aggregate for integral ids (null ids can't
+    // ride the long slot → dropped) and the window for everything else —
+    // the fallback must drop null-id rows too, or the same corpus would
+    // return different top-k membership depending on the id column's
+    // TYPE (a window's `id asc` ranks nulls FIRST, so an unfiltered
+    // null-id row would even displace a real neighbor at a score tie)
+    val corpusLong = Seq((Some(10L), Seq(1.0f, 0.0f)),
+        (None, Seq(1.0f, 0.0f)), (Some(11L), Seq(0.0f, 1.0f)))
+      .toDF("id", "emb")
+    val corpusStr = Seq((Some("a10"), Seq(1.0f, 0.0f)),
+        (Option.empty[String], Seq(1.0f, 0.0f)),
+        (Some("a11"), Seq(0.0f, 1.0f)))
+      .toDF("id", "emb")
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("qid", "qv")
+    val gotLong = graft.operators.VectorSearch.batchTopK(
+        corpusLong, "emb", "id", q, "qid", "qv", "cosine", 2)
+      .select("id").as[Long].collect().toSet
+    val gotStr = graft.operators.VectorSearch.batchTopK(
+        corpusStr, "emb", "id", q, "qid", "qv", "cosine", 2)
+      .select("id").as[String].collect().toSet
+    assert(gotLong === Set(10L, 11L),
+      s"aggregate path must drop the null-id row: $gotLong")
+    assert(gotStr === Set("a10", "a11"),
+      s"window fallback must drop the null-id row: $gotStr")
+  }
 }
