@@ -107,12 +107,17 @@ object CommitLog {
     finally in.close()
   }
 
-  /** Atomic publish: create-without-overwrite is the commit point; a
-    * concurrent writer of the same id loses with an exception. On
-    * file:// Hadoop's create(false) is a non-atomic exists-then-create,
-    * so the publish is a hard-link of a fully-written temp file instead —
-    * link creation is atomic, fails when the winner's commit exists, and
-    * readers can never observe a partially-written commit.
+  /** Atomic publish: a fully-written temp made visible in one atomic
+    * step is the commit point; a concurrent writer of the same id loses
+    * with an exception, and readers can never observe a partially-written
+    * commit. On file:// the step is a hard link (Hadoop's create(false)
+    * is a non-atomic exists-then-create). Elsewhere it is a
+    * no-overwrite rename of the temp: HDFS-like namespaces rename
+    * atomically (a direct create(false) there claims atomically but
+    * STREAMS content after the claim, so a concurrent maintenance sweep
+    * or a writer crash could expose a zero/partial-length commit file —
+    * the one torn-commit window this layout had); object stores copy a
+    * fully-written source object, which appears whole per PUT semantics.
     */
   def writeCommit(spark: SparkSession, root: String, meta: CommitMeta): Unit = {
     val f = fs(spark, root)
@@ -132,8 +137,24 @@ object CommitLog {
               s"commit ${meta.id} already exists (concurrent writer won)", e)
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)
-    } else
-      writeString(f, dest, Serialization.write(meta), overwrite = false)
+    } else {
+      // invisible to listCommits (no .json suffix) until the rename
+      val tmp = new Path(commitsDir(root),
+        s".${meta.id}-${java.util.UUID.randomUUID()}.tmp")
+      writeString(f, tmp, Serialization.write(meta), overwrite = false)
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dest.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(fc.makeQualified(tmp), fc.makeQualified(dest),
+          org.apache.hadoop.fs.Options.Rename.NONE) // fails if dest exists
+      } catch {
+        case e: Throwable =>
+          scala.util.Try(f.delete(tmp, false))
+          throw new java.io.IOException(
+            s"commit ${meta.id} publish failed (a concurrent writer may " +
+              "have won)", e)
+      }
+    }
   }
 
   /** Commit-file reads performed (test instrumentation: specs assert the
@@ -245,10 +266,16 @@ object CommitLog {
     val tmp = new Path(target.getParent,
       s".${target.getName}-${java.util.UUID.randomUUID()}.tmp")
     writeString(f, tmp, content, overwrite = false)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Throwable => // don't orphan the temp sibling on a failed swap
+        scala.util.Try(f.delete(tmp, false))
+        throw e
+    }
   }
 
   // roots whose branches file has been OBSERVED by this JVM: once seen,
@@ -272,7 +299,17 @@ object CommitLog {
     while (true) {
       try {
         if (!f.exists(p)) {
-          if (!seenBranches.contains(root)) return Map.empty
+          // A FRESH JVM cannot tell a new table from a mid-rename window
+          // by absence alone (object stores rename by copy+delete), and
+          // callers feed this map into read-modify-write branch
+          // publishes — a spurious empty map would be written back over
+          // EVERY existing branch pointer. Disambiguate by history: a
+          // table with committed history must have branch pointers, so
+          // absence there is transient (retry) or corruption (loud),
+          // never license to return empty. A genuinely fresh table (no
+          // commits) keeps the fast empty return.
+          if (!seenBranches.contains(root) &&
+              listCommits(spark, root).isEmpty) return Map.empty
           throw new java.io.FileNotFoundException(p.toString) // transient
         }
         val parsed =
@@ -283,10 +320,14 @@ object CommitLog {
         case e: Exception if attempt < 5 =>
           attempt += 1; Thread.sleep(10L << attempt)
         case _: java.io.FileNotFoundException =>
-          // still absent after the retries: the table was deleted, not
-          // mid-rename — forget it so the next read is fast again
+          // still absent after the retries
           seenBranches.remove(root)
-          return Map.empty
+          if (listCommits(spark, root).isEmpty) return Map.empty // deleted
+          throw new java.io.IOException(
+            s"branches file missing but commits exist under $root — " +
+              "refusing to read an empty branch map over live history " +
+              s"(mid-rename window outlasted the retries, or $p was " +
+              "deleted out-of-band)")
         case e: Exception =>
           throw new java.io.IOException(
             s"branches file unreadable after $attempt retries: $p", e)
@@ -299,6 +340,19 @@ object CommitLog {
                     branches: Map[String, String]): Unit = {
     atomicReplace(spark, branchesFile(root), Serialization.write(branches))
     seenBranches.add(root)
+  }
+
+  /** Create-if-absent publish of an EMPTY branch map at table creation
+    * (see [[GraftDataset.create]]): exclusive create, so a racing second
+    * creator is a no-op and can never wipe a winner's already-published
+    * pointers.
+    */
+  private[format] def ensureBranchesFile(spark: SparkSession,
+                                         root: String): Unit = {
+    val f = fs(spark, root)
+    if (tryCreateExclusive(f, branchesFile(root), "{}"))
+      seenBranches.add(root)
+    ()
   }
 
   /** Atomic create-if-absent of a small file: the commit point of every
@@ -434,7 +488,27 @@ object CommitLog {
   private[format] def releaseBranchLock(f: FileSystem, lock: Path,
                                         token: String,
                                         renameSafe: Boolean = true): Unit = {
-    if (!scala.util.Try(readString(f, lock)).toOption.contains(token)) return
+    // ownership pre-check, with a bounded retry on TRANSIENT read
+    // failures: the heartbeat is already cancelled here, so abandoning
+    // release on one store hiccup would leave our own lock to age out
+    // and stall the next writer a full lease for a clean exit. An absent
+    // file or a foreign token genuinely means nothing to release.
+    var owned = false
+    var attempt = 0
+    var decided = false
+    while (!decided) {
+      scala.util.Try(readString(f, lock)) match {
+        case scala.util.Success(c) => owned = c.contains(token); decided = true
+        case scala.util.Failure(_: java.io.FileNotFoundException) =>
+          decided = true // nothing to release
+        case scala.util.Failure(_) if attempt < 3 =>
+          attempt += 1; Thread.sleep(10L << attempt)
+        case scala.util.Failure(_) => decided = true // could not confirm:
+          // leave the lock to lease expiry rather than risk deleting a
+          // successor's lock on an unverified read
+      }
+    }
+    if (!owned) return
     if (!renameSafe) { scala.util.Try(f.delete(lock, false)); return }
     // `token` is the FULL lock content (uuid + scheme/mode tags since
     // r19); only its uuid head is filename-safe
@@ -527,9 +601,9 @@ object CommitLog {
         val now = System.currentTimeMillis()
         if (now > deadline)
           throw new java.io.IOException(
-            s"branch lock $lock not acquired within ${leaseMs * 4} ms; " +
-              "a writer is stuck or the lease " +
-              "(spark.graft.branchLockLeaseMs) is too long")
+            s"branch lock $lock not acquired within " +
+              s"${math.max(leaseMs * 4, 60000L)} ms; a writer is stuck " +
+              "or the lease (spark.graft.branchLockLeaseMs) is too long")
         if (st.exists(s => now - s.getModificationTime > leaseMs)) {
           // win or lose, loop back to the atomic create
           stealBranchLock(f, lock,
@@ -566,7 +640,7 @@ object CommitLog {
       () => try {
         if (beatInFlight.compareAndSet(false, true))
           try heartbeatIoExec.execute { () =>
-            try beatOnce(f, lock, released)
+            try beatOnce(f, lock, token, released)
             finally beatInFlight.set(false)
           } catch { case t: Throwable => beatInFlight.set(false); throw t }
       } catch { case _: Throwable => () }, // skip this beat, keep the next
@@ -580,15 +654,26 @@ object CommitLog {
   }
 
   /** One heartbeat touch, gated on the holder's `released` flag (see
-    * [[withBranchLock]]); a missed beat only risks a lapsed lease.
-    * Factored out so the post-release gating is unit-testable.
+    * [[withBranchLock]]) AND on the lock still carrying the holder's
+    * token: a holder whose lock was already STOLEN (it paused past the
+    * lease, a waiter quarantined and re-created) must not keep stamping
+    * the SUCCESSOR's lock — perpetual foreign beats would make the
+    * successor's lock unstealable if the successor then crashed, and
+    * every later waiter would block to the acquire deadline. The
+    * read-then-touch is not atomic (a steal between them still lands
+    * one foreign beat — the single-beat floor, self-correcting by the
+    * next lease); a failed read skips the beat (a missed beat only
+    * risks a lapsed lease). Factored out so the gating is
+    * unit-testable.
     */
   private[format] def beatOnce(
-      f: FileSystem, lock: Path,
+      f: FileSystem, lock: Path, token: String,
       released: java.util.concurrent.atomic.AtomicBoolean): Unit =
     if (!released.get)
-      try f.setTimes(lock, System.currentTimeMillis(), -1)
-      catch { case _: Exception => () } // missed beat: lease may lapse
+      try {
+        if (readString(f, lock).contains(token))
+          f.setTimes(lock, System.currentTimeMillis(), -1)
+      } catch { case _: Exception => () } // missed beat: lease may lapse
 
   /** One JVM-wide daemon timer for every branch-lock heartbeat (ticks
     * only — never IO), plus a BOUNDED daemon pool for the touch itself:
@@ -646,8 +731,18 @@ object CommitLog {
           // capacity) is distrusted → fall back to the listing
           .filter(v => v >= 0L && v <= MaxCommitId)
       else None)
-      .getOrElse { // legacy/cold table: one listing to find the watermark
-        listCommits(spark, root)
+      .getOrElse {
+        // legacy/cold table (or lost/corrupt hint): watermark from the
+        // listing PLUS the ancestry checkpoint's ids. The checkpoint
+        // floor matters after a branch purge: the purged ids vanish from
+        // the listing, but if any still ride the checkpoint (the
+        // dropFromAncestry/refresh race, see [[mergeAncestry]]),
+        // reissuing such an id would graft its stale DAG edges onto a
+        // brand-new commit — flooring here makes a lingering stale edge
+        // permanently unreachable instead
+        val ck = readAncestryCk(spark, root)
+        (listCommits(spark, root).iterator ++
+            ck.edges.keysIterator ++ ck.messages.keysIterator)
           .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
           .foldLeft(-1L)(math.max) + 1
       }
@@ -694,14 +789,20 @@ object CommitLog {
     val hintPath = new Path(dir, "_next")
     var n = (if (f.exists(hintPath))
         scala.util.Try(readString(f, hintPath).trim.toLong).toOption
+          // a corrupt/oversized hint (torn rewrite, out-of-band edit) is
+          // distrusted → fall back to the listing, like nextCommitId's
+          // hint filter — trusting e.g. 10^11 would fail the exhaustion
+          // require below FOREVER and brick every append on this table
+          .filter(v => v >= 1L && v < maxReservation)
       else None)
-      .getOrElse { // legacy/cold table: one listing to find the watermark
+      .getOrElse { // legacy/cold/corrupt hint: one listing → watermark
         f.listStatus(dir).toSeq.map(_.getPath.getName)
           .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
           .foldLeft(0L)(math.max) + 1
       }
     if (n < 1) n = 1
     var claimed = false
+    var consecutiveIoErrors = 0
     while (!claimed) {
       require(n < maxReservation,
         s"reservation space exhausted ($n >= 2^23): uuids would cross the " +
@@ -717,7 +818,22 @@ object CommitLog {
         else
           f.create(new Path(dir, n.toString), false).close()
         claimed = true
-      } catch { case _: java.io.IOException => n += 1 }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          consecutiveIoErrors = 0; n += 1 // number taken: probe forward
+        case e: java.io.IOException =>
+          // some stores signal "exists" only as a generic IOException, so
+          // a few are probed past — but a persistent run is a REAL error
+          // (permissions, disk full): surface it instead of looping to
+          // the exhaustion require with a misleading message
+          consecutiveIoErrors += 1
+          if (consecutiveIoErrors > 5)
+            throw new java.io.IOException(
+              s"reservation claim failing persistently under $dir " +
+                "(not an already-claimed number)", e)
+          n += 1
+      }
     }
     try writeString(f, hintPath, (n + 1).toString, overwrite = true)
     catch { case _: java.io.IOException => () } // hint loss is harmless
@@ -779,6 +895,26 @@ object CommitLog {
         "edges" -> ck.edges, "messages" -> ck.messages)), overwrite = true)
     catch { case _: java.io.IOException => () } // cache write loss is harmless
 
+  /** Checkpoint refresh used by the deep walks: merge THIS walk's fresh
+    * commit reads into the checkpoint as it is on disk NOW — re-read
+    * immediately before the write, not the (possibly minutes-old)
+    * snapshot the walk started from. A concurrent branch purge drops its
+    * freed ids from the checkpoint ([[dropFromAncestry]]); merging onto
+    * the walk's stale base would write those ids straight back — the
+    * resurrection hazard dropFromAncestry exists to close. `fresh` is
+    * safe to add (its commit files were read during this walk); the
+    * residual window — a purged commit read into `fresh` just before its
+    * delete — is additionally defused by [[nextCommitId]]'s checkpoint
+    * floor, which never reissues an id the checkpoint still carries.
+    */
+  private def mergeAncestry(spark: SparkSession, root: String,
+      fresh: scala.collection.Map[String, (Seq[String], String)]): Unit = {
+    val base = readAncestryCk(spark, root)
+    writeAncestry(spark, root, AncestryCk(
+      base.edges ++ fresh.view.mapValues(_._1),
+      base.messages ++ fresh.view.mapValues(_._2)))
+  }
+
   /** Walk parents (both of them for merge commits) to the root. DAG edges
     * come from the ancestry checkpoint when present; only commits newer
     * than the last checkpoint cost a file read, and a walk that
@@ -801,10 +937,7 @@ object CommitLog {
         parents(c).foreach(stack.push)
       }
     }
-    if (fresh.size > checkpointSlack)
-      writeAncestry(spark, root, AncestryCk(
-        ck.edges ++ fresh.view.mapValues(_._1),
-        ck.messages ++ fresh.view.mapValues(_._2)))
+    if (fresh.size > checkpointSlack) mergeAncestry(spark, root, fresh)
     seen.toSet
   }
 
@@ -852,9 +985,7 @@ object CommitLog {
         ck = readAncestryCk(spark, root)
     }
     if (ck != null && fresh.size > checkpointSlack)
-      writeAncestry(spark, root, AncestryCk(
-        ck.edges ++ fresh.view.mapValues(_._1),
-        ck.messages ++ fresh.view.mapValues(_._2)))
+      mergeAncestry(spark, root, fresh)
     found
   }
 

@@ -3060,6 +3060,15 @@ object GraftDataset {
   def create(spark: SparkSession, root: String, schema: StructType,
              branch: String = "main"): GraftDataset = {
     require(CommitLog.listCommits(spark, root).isEmpty, s"table exists: $root")
+    // publish the (empty) branch map BEFORE the first commit file: the
+    // invariant "a table with commits has a branches file" is what lets
+    // readBranches refuse a spurious empty map over live history (an
+    // object-store rename window) instead of letting a read-modify-write
+    // caller clobber every branch pointer — a crashed first publish must
+    // not be indistinguishable from that window. Create-if-absent: a
+    // RACING creator (the documented table-CREATE race) must never wipe
+    // a winner's already-published pointer with a fresh empty map.
+    CommitLog.ensureBranchesFile(spark, root)
     val ds = new GraftDataset(spark, root, Some(branch), None)
     ds.stSchema = schema
     ds.dirty = true

@@ -240,12 +240,18 @@ class BranchLockSpec extends SparkSpec {
     // the previous holder's released flag is set (release ran): its
     // queued beat must NOT stamp the successor's lock with fresh time
     val released = new java.util.concurrent.atomic.AtomicBoolean(true)
-    CommitLog.beatOnce(f, lock, released)
+    CommitLog.beatOnce(f, lock, "successor", released)
     assert(f.getFileStatus(lock).getModificationTime === old,
       "post-release beat refreshed the successor's lease")
-    // sanity: an un-released holder's beat does touch
+    // an un-released holder whose lock was STOLEN (token no longer its
+    // own) must not stamp the successor's lock either: perpetual foreign
+    // beats would make the successor's lock unstealable after a crash
     released.set(false)
-    CommitLog.beatOnce(f, lock, released)
+    CommitLog.beatOnce(f, lock, "displaced-holder", released)
+    assert(f.getFileStatus(lock).getModificationTime === old,
+      "a displaced holder's beat refreshed the successor's lease")
+    // sanity: the un-released OWNER's beat does touch
+    CommitLog.beatOnce(f, lock, "successor", released)
     assert(f.getFileStatus(lock).getModificationTime > old)
     f.delete(lock, false)
   }

@@ -356,13 +356,61 @@ class GraftDatasetSpec extends SparkSpec {
     assert(got.forall(_ > 0))
     // later sequential claim is strictly above everything claimed so far
     assert(CommitLog.claimReservation(spark, root) > got.max)
-    // poison the hint past the 23-bit space → the claim fails loudly
-    // instead of minting sign-bit-crossing uuids
+    // a hint poisoned past the 23-bit space is DISTRUSTED (best-effort
+    // cache, like nextCommitId's): the claim falls back to the listing
+    // watermark instead of bricking every append with a false
+    // "exhausted" error
     val f = CommitLog.fs(spark, root)
     val hint = new org.apache.hadoop.fs.Path(root, "_graft/reservations/_next")
     val out = f.create(hint, true)
-    out.write(CommitLog.maxReservation.toString.getBytes("UTF-8")); out.close()
+    out.write("99999999999".getBytes("UTF-8")); out.close()
+    val afterPoison = CommitLog.claimReservation(spark, root)
+    assert(afterPoison > got.max && afterPoison < CommitLog.maxReservation,
+      s"corrupt hint must fall back to the listing, got $afterPoison")
+    // GENUINE exhaustion — the claimed watermark itself at the boundary —
+    // still fails loudly instead of minting sign-bit-crossing uuids
+    f.create(new org.apache.hadoop.fs.Path(root,
+      s"_graft/reservations/${CommitLog.maxReservation - 1}"), true).close()
+    f.delete(hint, false)
     intercept[IllegalArgumentException](CommitLog.claimReservation(spark, root))
+  }
+
+  test("nextCommitId floors at the ancestry checkpoint after a purge") {
+    // a branch purge frees ids from the LISTING, but any id the ancestry
+    // checkpoint still carries (the dropFromAncestry/refresh race) must
+    // never be reissued — a reused id would graft the checkpoint's stale
+    // DAG edges onto a brand-new commit
+    val ds = freshTable()
+    val root = ds.root
+    val f = CommitLog.fs(spark, root)
+    // simulate the post-purge shape: checkpoint knows id 50, no commit
+    // file for it, hint lost
+    val ck = """{"edges":{"00000050":["00000001"]},"messages":{"00000050":"x"}}"""
+    val out = f.create(CommitLog.ancestryFile(root), true)
+    out.write(ck.getBytes("UTF-8")); out.close()
+    f.delete(new org.apache.hadoop.fs.Path(root, "_graft/commit_next"), false)
+    val next = CommitLog.nextCommitId(spark, root)
+    assert(next.toLong > 50L,
+      s"allocator reissued a checkpoint-retained id: $next")
+  }
+
+  test("readBranches refuses an empty map over live history") {
+    // the branches file vanishing while commits exist is a mid-rename
+    // window or out-of-band damage — returning empty would let a
+    // read-modify-write caller publish over every existing branch
+    // pointer; it must surface loudly instead. A genuinely fresh root
+    // (no commits) still reads empty fast.
+    val ds = freshTable()
+    ds.commit("c1", allowEmpty = true)
+    val f = CommitLog.fs(spark, ds.root)
+    f.delete(new org.apache.hadoop.fs.Path(ds.root, "_graft/branches.json"),
+      false)
+    val e = intercept[java.io.IOException](
+      CommitLog.readBranches(spark, ds.root))
+    assert(e.getMessage.contains("commits exist"),
+      s"wrong failure: ${e.getMessage}")
+    assert(CommitLog.readBranches(spark,
+      tmpDir("fresh_no_table")) === Map.empty)
   }
 
   test("merge-on-read stays one join regardless of update-file count") {
