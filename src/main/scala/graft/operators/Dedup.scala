@@ -117,9 +117,14 @@ object Dedup {
     *
     * Scale shape: explode-to-bands (rows × bands), shuffle on
     * (band, bucket-hash), self-join WITHIN buckets only — never a full
-    * cross join. Skew guard: buckets larger than `maxBucket` are dropped
-    * (they are degenerate near-identical floods; flagged for a separate
-    * exact pass).
+    * cross join. Skew guard: buckets larger than `maxBucket` are
+    * DROPPED from candidate generation — silently, with no side output:
+    * a bucket that large is a degenerate near-identical flood, and the
+    * right tool for it is a content-dedup pass ([[exact]] /
+    * [[dedupCorpus]]) run FIRST, which collapses the flood before LSH
+    * ever sees it. Callers who need to know whether the guard fired can
+    * count oversized buckets from the same banding
+    * (`groupBy(band, bucket).count().filter(_ > maxBucket)`).
     */
   def lshCandidates(sig: DataFrame, idCol: String, numHashes: Int,
                     bands: Int, maxBucket: Int = 1000,
@@ -211,12 +216,8 @@ object Dedup {
         col("_cnt").as("_ca")), s"${idCol}_a")
       .join(sh.select(col(idCol).as(s"${idCol}_b"), col("_sh").as("_sb"),
         col("_cnt").as("_cb")), s"${idCol}_b")
-      // |A∪B| = |A| + |B| − |A∩B|: one array_intersect per pair, no
-      // array_union pass (shingle arrays are distinct by construction)
-      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
       .withColumn("jaccard",
-        col("_inter").cast("double") /
-          (col("_ca") + col("_cb") - col("_inter")).cast("double"))
+        jaccardOf(col("_sa"), col("_sb"), col("_ca"), col("_cb")))
       .filter(col("jaccard") >= threshold)
       .select(s"${idCol}_a", s"${idCol}_b", "jaccard")
   }
@@ -282,8 +283,15 @@ object Dedup {
           .minHashBands(col("_mh"), rowsPerBand)
       st.select(col(idCol), posexplode(bandCol).as(Seq("band", "bucket")))
     }
+    // hash-exchange ABOVE the delta's state computation, as in
+    // simHashIncremental: band extraction, both verify b-sides, and the
+    // delta-internal a-side all consume (id, _sh, _mh), so the exchange
+    // is reused and the expensive tokenize+shingle+signature subtree
+    // runs ONCE per delta row instead of once per consumer (~5x)
     val dstate = minHashState(delta, textCol, idCol, numHashes, shingleN,
       portable)
+      .repartition(delta.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
     val db = bandsOf(dstate)
     val cbAll = bandsOf(state)
     val cb =
@@ -306,9 +314,7 @@ object Dedup {
     def droppedIds(cand: DataFrame, aSide: DataFrame): DataFrame = cand
       .join(shingleSide(aSide, "_da", "_sa", "_na"), "_da")
       .join(shingleSide(dstate, "_db", "_sb", "_nb"), "_db")
-      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
-      .filter(col("_inter").cast("double") /
-        (col("_na") + col("_nb") - col("_inter")).cast("double")
+      .filter(jaccardOf(col("_sa"), col("_sb"), col("_na"), col("_nb"))
         >= threshold)
       .select(col("_db").as(idCol))
     val dropped = droppedIds(crossCand, state)
@@ -406,10 +412,8 @@ object Dedup {
         col("_cnt").as("_ca")), "_ida")
       .join(base.select(col("_id").as("_idb"), col("_sh").as("_shb"),
         col("_cnt").as("_cb")), "_idb")
-      .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))))
       .withColumn("jaccard",
-        col("_inter").cast("double") /
-          (col("_ca") + col("_cb") - col("_inter")).cast("double"))
+        jaccardOf(col("_sha"), col("_shb"), col("_ca"), col("_cb")))
       .filter(col("jaccard") >= threshold)
       .select(col("_ida").as(s"${idCol}_a"), col("_idb").as(s"${idCol}_b"),
         col("jaccard"))
@@ -516,6 +520,27 @@ object Dedup {
   /** Hamming distance between two int64 fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Exact Jaccard |A∩B| / (|A|+|B|−|A∩B|) from ONE `array_intersect` —
+    * the single verify formula behind the batch ([[minHashLsh]]),
+    * incremental ([[minHashLshIncremental]]), and PPJoin
+    * ([[ngramJaccardPairs]]) paths, which must stay bit-identical to
+    * each other (shingle arrays are distinct by construction, so no
+    * `array_union` pass is needed for |A∪B|).
+    */
+  private def jaccardOf(sa: Column, sb: Column,
+                        ca: Column, cb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    inter.cast("double") / (ca + cb - inter).cast("double")
+  }
+
+  /** All-ones mask of the low `w` bits. `1L << 64` wraps to 1 in JVM
+    * shift semantics, so a full-width band (fpBits = 64 with
+    * maxHamming = 0) must mask with -1 — the wrapped mask of 0 would
+    * silently throw every fingerprint into one bucket, which the flood
+    * guard then drops, returning ZERO pairs for an exact-duplicate query.
+    */
+  private def lowBits(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+
   /** SimHash near-dup pairs with banded candidate generation: split the
     * 32-bit fingerprint into `maxHamming + 1` bit bands — two fingerprints
     * within hamming distance r must agree EXACTLY on at least one of r+1
@@ -545,7 +570,7 @@ object Dedup {
       val lo = b * width
       val w = if (b == bands - 1) fpBits - lo else width
       struct(lit(b).as("band"),
-        shiftright(col("_sh32"), lo).bitwiseAND(lit((1L << w) - 1)).as("bucket"))
+        shiftright(col("_sh32"), lo).bitwiseAND(lit(lowBits(w))).as("bucket"))
     }
     val buckets = fp.withColumn("_bb", explode(array(bandCols: _*)))
       .select(col(idCol), col("_sh32"),
@@ -594,6 +619,17 @@ object Dedup {
     * Returns surviving delta rows with all their columns; carry the
     * state forward as
     * `state.unionByName(simHashState(survivors, textCol, idCol))`.
+    *
+    * EMPTY-DOC contract differs from the minHash family by
+    * construction: a tokenless (empty/whitespace) doc fingerprints to 0
+    * (the documented, oracle-pinned [[simHash60Md5]] coalesce), so all
+    * empty docs are mutual hamming-0 duplicates and only the
+    * lowest-id one survives — where [[minHashLshIncremental]] cannot
+    * shingle such docs and they ALWAYS survive. A NULL text yields a
+    * null fingerprint under the default [[simHash32]] (never pairs);
+    * [[simHash60Md5]] coalesces NULL to 0 like an empty doc. Pick the
+    * family (or pre-filter empties) with that difference in mind when
+    * swapping `StreamingDedup` families.
     */
   def simHashIncremental(state: DataFrame, delta: DataFrame,
                          textCol: String, idCol: String,
@@ -615,7 +651,7 @@ object Dedup {
         val lo = b * width
         val w = if (b == bands - 1) fpBits - lo else width
         struct(lit(b).as("band"),
-          shiftright(col("_fp"), lo).bitwiseAND(lit((1L << w) - 1))
+          shiftright(col("_fp"), lo).bitwiseAND(lit(lowBits(w)))
             .as("bucket"))
       }
       fp.withColumn("_bb", explode(array(bandCols: _*)))
@@ -630,10 +666,15 @@ object Dedup {
         cbAll.groupBy("band", "bucket").count()
           .filter(col("count") > maxBucket).select("band", "bucket"),
         Seq("band", "bucket"), "left_anti")
+    // merge hint, as in minHashLshIncremental's crossCand: the pair
+    // table's size is estimated from the pre-explode generator children,
+    // while its REAL cardinality is the cross-bucket pair count — an
+    // unhinted planner broadcast/hash-builds it into the verify joins
+    // (the driver-OOM class expandPairs documents)
     val crossCand = db.select(col(idCol).as("_db"), col("band"), col("bucket"))
       .join(cb.select(col(idCol).as("_da"), col("band"), col("bucket")),
         Seq("band", "bucket"))
-      .select("_da", "_db").distinct()
+      .select("_da", "_db").distinct().hint("merge")
     val deltaCand = expandPairs(db, idCol, maxBucket)
       .select(col(s"${idCol}_a").as("_da"), col(s"${idCol}_b").as("_db"))
     def fpSide(fp: DataFrame, as: String, f: String) =
@@ -726,24 +767,17 @@ object Dedup {
       .join(renamed("_b"), s"${idCol}_b")
       .filter(equalCols.map(c => col(s"_${c}_a") === col(s"_${c}_b"))
         .foldLeft(lit(true))(_ && _))
+      // try_divide, the codebase's zero-divisor convention (KnnJoin,
+      // TextFunctions): a zero-norm embedding (a failed embedding call
+      // quantizes to all zeros) pairs with its LSH twins but must fail
+      // the verify as null, not ride IEEE NaN through the filter
       .withColumn("cos_sim",
-        V.dotQ(col("_q_a"), col("_q_b")).cast("double") /
-          (col("_n_a") * col("_n_b")))
+        try_divide(V.dotQ(col("_q_a"), col("_q_b")).cast("double"),
+          col("_n_a") * col("_n_b")))
       .filter(col("cos_sim") >= threshold)
       .select(s"${idCol}_a", s"${idCol}_b", "cos_sim")
   }
 
-  /** Near-duplicate pairs by embedding cosine similarity, blocked on
-    * `blockCol` so the self-join never goes quadratic in the full corpus.
-    * Uses the exact scaled-int path so the result is engine-deterministic.
-    *
-    * Each row is quantized and self-dotted ONCE before the join (O(n)
-    * prep), so the per-pair work inside the O(pairs) join is a single
-    * int64 dot. ONLY correct at scale with a HIGH-CARDINALITY block key
-    * (an LSH bucket, a shard id): a low-cardinality block (a label) makes
-    * this O(n²/L) — use [[embeddingNearDupLsh]] with `equalCols` for that
-    * case, which is why the oracle query routes through it.
-    */
   /** SemDeDup-style semantic dedup (Abbas et al., 2023: cluster the
     * embedding space, near-dup WITHIN clusters): IVF cells from
     * [[VectorSearch.ivfBuild]] become the blocking key — `nlist` scales
@@ -799,9 +833,9 @@ object Dedup {
     cand
       .join(side("_a"), s"${idCol}_a")
       .join(side("_b"), s"${idCol}_b")
-      .withColumn("cos_sim",
-        V.dotQ(col("_q_a"), col("_q_b")).cast("double") /
-          (col("_n_a") * col("_n_b")))
+      .withColumn("cos_sim", // try_divide: zero-norm rows verify as null
+        try_divide(V.dotQ(col("_q_a"), col("_q_b")).cast("double"),
+          col("_n_a") * col("_n_b")))
       .filter(col("cos_sim") >= threshold)
       .select(s"${idCol}_a", s"${idCol}_b", "cos_sim")
   }

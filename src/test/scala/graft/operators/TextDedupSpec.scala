@@ -408,6 +408,22 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simHash bands: a full-width 64-bit band masks correctly") {
+    // maxHamming = 0 over a 64-bit fingerprint makes ONE 64-bit band:
+    // `(1L << 64)` wraps to 1 in JVM shift semantics, so the old mask of
+    // 0 threw every doc into bucket 0 — the flood guard then dropped the
+    // lone oversized bucket and an exact-duplicate query silently
+    // returned ZERO pairs
+    val docs = (0 until 70).map(i => (i.toLong, s"distinct doc $i")) ++
+      Seq((100L, "the same text"), (101L, "the same text"))
+    val pairs = Dedup.simHashNearDup(docs.toDF("id", "t"), "t", "id",
+        maxHamming = 0, maxBucket = 64,
+        fingerprint = xxhash64(_), fpBits = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((100L, 101L)),
+      s"full-width band lost the exact-duplicate pair: $pairs")
+  }
+
   test("embedding near-dup via RP-LSH blocks matches brute force") {
     val rnd = new scala.util.Random(7)
     def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
