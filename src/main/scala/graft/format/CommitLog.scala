@@ -954,7 +954,20 @@ object CommitLog {
     */
   def firstParentByMessage(spark: SparkSession, root: String,
                            head: Option[String],
-                           message: String): Option[String] = {
+                           message: String): Option[String] =
+    firstParentWhere(spark, root, head, _ == message).map(_._1)
+
+  /** The checkpoint-served walk behind [[firstParentByMessage]],
+    * generalized to an arbitrary message predicate — the streaming
+    * sink's marker lookup matches a token PREFIX rather than one exact
+    * message and needs the same O(eager + slack) cost on a marker miss
+    * (a new query over a 50k-commit table must not pay 50k serial
+    * commit reads to learn it has no marker yet). Returns the newest
+    * matching (commit id, message) on the first-parent chain.
+    */
+  def firstParentWhere(spark: SparkSession, root: String,
+                       head: Option[String],
+                       pred: String => Boolean): Option[(String, String)] = {
     // the common case (a stream's monotone marker) hits within a few
     // commits of HEAD — those walks stay as cheap as the pre-checkpoint
     // path (plain commit reads, zero checkpoint IO); the checkpoint is
@@ -975,10 +988,10 @@ object CommitLog {
       }
     var cur = head
     var steps = 0
-    var found: Option[String] = None
+    var found: Option[(String, String)] = None
     while (cur.isDefined && found.isEmpty) {
       val (parents, msg) = meta(cur.get)
-      if (msg == message) found = cur
+      if (pred(msg)) found = cur.map(_ -> msg)
       else cur = parents.headOption // first parent
       steps += 1
       if (ck == null && steps >= eagerSteps && cur.isDefined)

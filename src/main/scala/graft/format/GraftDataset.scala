@@ -870,12 +870,30 @@ class GraftDataset private[format] (
 
   // ---- version control ----------------------------------------------------
 
-  def commit(message: String, allowEmpty: Boolean = false): String = {
+  def commit(message: String, allowEmpty: Boolean = false): String =
+    commitGuarded(message, allowEmpty).get
+
+  /** [[commit]] with a DUPLICATE GUARD re-checked after every lost
+    * branch-pointer CAS: when `alreadyApplied(newHeadId)` is true the
+    * commit ABORTS (None) instead of rebasing onto the winner — the
+    * Delta txnVersion-recheck, for the streaming sink's exactly-once
+    * markers. Two zombie runs of one query both pass the sink's
+    * PRE-commit marker check (read-then-act), both publish, one loses
+    * the CAS; without the guard the loser's rebase auto-commutes the
+    * pure append and the batch lands twice. An aborted commit's staged
+    * data files are unreferenced (the lost-race commit file is already
+    * reclaimed below) and vacuum collects them like any lost-race
+    * leftovers.
+    */
+  private[format] def commitGuarded(message: String,
+      allowEmpty: Boolean = false,
+      alreadyApplied: String => Boolean = _ => false): Option[String] = {
     require(dirty || allowEmpty, "nothing to commit (allowEmpty=false)")
     var result: Option[String] = None
+    var aborted = false
     var rebasesLeft = MaxCommitRebases
     var idRetries = 64
-    while (result.isEmpty) {
+    while (result.isEmpty && !aborted) {
       val id = CommitLog.nextCommitId(spark, root)
       try { publishCommit(id, message, headId, None); result = Some(id) }
       catch {
@@ -911,6 +929,13 @@ class GraftDataset private[format] (
             CommitLog.deleteCommitFile(spark, root, id)
             CommitLog.dropFromAncestry(spark, root, Set(id))
           } catch { case _: java.io.IOException => () } // best-effort
+          // duplicate guard BEFORE rebasing: the winner that took the
+          // pointer may BE this very change (a zombie twin of this
+          // query) — republishing would apply it twice
+          if (branchName.exists(b => CommitLog.readBranches(spark, root)
+              .get(b).exists(alreadyApplied))) {
+            aborted = true
+          } else {
           if (rebasesLeft <= 0 || !(rebaseAppendsOntoBranchHead() ||
               rebaseRewriteOntoBranchHead() ||
               rebaseMutationsOntoBranchHead())) throw e
@@ -923,9 +948,10 @@ class GraftDataset private[format] (
           val lost = MaxCommitRebases - rebasesLeft
           Thread.sleep(
             scala.util.Random.nextInt(25 * math.min(lost, 8)).toLong)
+          }
       }
     }
-    result.get
+    if (aborted) None else result
   }
 
   /** Rebase a lost optimistic commit onto the branch's new head, when

@@ -84,12 +84,12 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           "exactly-once commits (the session-conf default is resolved by " +
           "the engine and does not reach the sink)"))
     val token = GraftStream.queryToken(checkpoint)
-    // dual-read: markers persisted before the md5 token switch carry the
-    // legacy murmur form; accept both so an upgraded stream resumes
-    // without re-appending its last checkpoint-replayed batch
+    // the sink resolves its PRIMARY token from <checkpoint>/metadata's
+    // query id lazily (see GraftSink); the path tokens ride along as
+    // read-accepted legacy forms so pre-id streams resume seamlessly
     new GraftSink(sqlContext.sparkSession, root(parameters),
-      parameters.getOrElse("branch", "main"), token,
-      Set(token, GraftStream.legacyQueryToken(checkpoint)))
+      parameters.getOrElse("branch", "main"), checkpoint, token,
+      Set(GraftStream.legacyQueryToken(checkpoint)))
   }
 
   override def sourceSchema(sqlContext: SQLContext,

@@ -60,22 +60,21 @@ object GraftStream {
   /** The most recent epoch THIS query committed, walking the first-parent
     * chain from the branch head. Stops at the first marker with a
     * matching token: epochs are monotone per query, so one marker
-    * decides. For a stream-owned branch this reads exactly one commit;
-    * a new query over an existing table walks past the other tokens'
-    * markers once (its own first commit ends later walks).
+    * decides. For a stream-owned branch this reads exactly one commit; a
+    * new query over a LONG-LIVED table is the expensive case — a marker
+    * MISS must conclude None, so the walk is checkpoint-served
+    * ([[CommitLog.firstParentWhere]]): one ancestry-checkpoint read plus
+    * O(eager + slack) commit reads, never O(history) serial round-trips.
     */
   private[graft] def lastBatchId(spark: SparkSession, root: String,
                                   head: Option[String],
                                   tokens: Set[String]): Option[Long] = {
-    var cur = head
-    while (cur.isDefined) {
-      val m = CommitLog.readCommit(spark, root, cur.get)
-      m.message match {
-        case MarkerRe(t, id) if tokens(t) => return Some(id.toLong)
-        case _ => cur = m.parent
-      }
+    def matches(msg: String): Boolean = msg match {
+      case MarkerRe(t, _) => tokens(t)
+      case _ => false
     }
-    None
+    CommitLog.firstParentWhere(spark, root, head, matches)
+      .map(_._2 match { case MarkerRe(_, id) => id.toLong })
   }
 
   private[format] def offsetValue(o: Offset): Long = o match {
@@ -301,18 +300,53 @@ object GraftStream {
   * epoch marker. The input DataFrame is bound to the engine's in-flight
   * incremental plan — it is detached (planned rows, rewrapped) before
   * entering the append path, which re-plans frames for uuid assignment.
+  *
+  * Query identity: the PRIMARY marker token is the engine's own query id
+  * (persisted by StreamExecution in `<checkpoint>/metadata`), which is
+  * REGENERATED when the checkpoint is wiped — so a user who deletes the
+  * checkpoint to reset a stream gets a fresh identity, and the new
+  * query's replayed batch ids are not skipped as duplicates of the old
+  * one's (the checkpoint PATH alone cannot tell a reset from a restart,
+  * and a reset's early batches carry brand-new source data). Markers
+  * written by pre-id versions carry the path-md5 (or older murmur)
+  * token; both stay accepted for READ so existing streams resume
+  * seamlessly — such streams keep the path-token reset caveat until
+  * their first id-token marker lands.
   */
 class GraftSink(spark: SparkSession, root: String, branch: String,
-                queryToken: String, acceptTokens: Set[String])
+                checkpointLocation: String, pathToken: String,
+                legacyTokens: Set[String])
     extends Sink {
 
+  // resolved lazily: StreamExecution writes <checkpoint>/metadata before
+  // the first addBatch, but possibly after this sink is constructed
+  private lazy val idToken: Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(checkpointLocation, "metadata")
+      val f = CommitLog.fs(spark, checkpointLocation)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        (org.json4s.jackson.JsonMethods.parse(s) \ "id")
+          .extractOpt[String].filter(_.nonEmpty)
+          .map(GraftStream.queryToken) // md5: MarkerRe wants [0-9a-f]+
+      }
+    } catch { case _: Exception => None }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val writeToken = idToken.getOrElse(pathToken)
+    val acceptTokens = idToken.toSet + pathToken ++ legacyTokens
     val exists = CommitLog.listCommits(spark, root).nonEmpty
     val ds =
       if (exists) GraftDataset.load(spark, root, branch)
       else GraftDataset.create(spark, root, data.schema, branch)
-    val dup = GraftStream.lastBatchId(spark, root, ds.head, acceptTokens)
-      .exists(_ >= batchId)
+    def committed(head: String): Boolean =
+      GraftStream.lastBatchId(spark, root, Some(head), acceptTokens)
+        .exists(_ >= batchId)
+    val dup = ds.head.exists(committed)
     if (!dup) {
       // append runs TWO actions over the batch (per-partition counts for
       // uuid assignment, then the write) — persist the planned rows so
@@ -320,7 +354,13 @@ class GraftSink(spark: SparkSession, root: String, branch: String,
       val (batch, rdd) = InternalDf.detachBatchCached(data)
       try {
         ds.append(batch)
-        ds.commit(GraftStream.marker(queryToken, batchId))
+        // the guard closes the zombie window the pre-check above cannot:
+        // a concurrent twin of this query may commit THIS batch between
+        // our check and our CAS — the lost CAS re-checks the marker
+        // against the winning head and aborts instead of rebasing the
+        // batch in twice (GraftDataset.commitGuarded)
+        ds.commitGuarded(GraftStream.marker(writeToken, batchId),
+          alreadyApplied = committed)
         ()
       } finally rdd.unpersist(false)
     }
@@ -337,10 +377,16 @@ class GraftSink(spark: SparkSession, root: String, branch: String,
   *
   * In-place changes (updates / pops) between offsets cannot be expressed
   * as an append stream: the source fails loudly unless
-  * `ignoreChanges=true`, which emits only the appended files and skips
-  * the in-place mutations (the consumer sees inserts only — Delta's
-  * `ignoreChanges` contract). Column renames always fail: the emitted
-  * schema is pinned at stream start.
+  * `ignoreChanges=true`, which skips merge-on-read update/tombstone
+  * files and emits new BASE files as inserts — Delta's `ignoreChanges`
+  * contract INCLUDING its documented duplicate delivery: a commit that
+  * folds prior state into rewritten base files (compaction over staged
+  * changes, a merge) re-delivers the rewritten rows as inserts, because
+  * new appends folded into those files are indistinguishable from old
+  * rows without row-level diffing — downstream must tolerate duplicates
+  * (or use `changeFeed=true`, which refuses such commits loudly).
+  * Column renames always fail: the emitted schema is pinned at stream
+  * start.
   *
   * `maxCommitsPerTrigger=N` paces catch-up: at most N commits advance
   * per micro-batch instead of folding a whole backlog into one batch.
@@ -482,7 +528,13 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
   }
 
   private def extendChain(headId: Long): Unit = {
-    val known = chain.lastOption.getOrElse(-1L)
+    // floor the walk at floorV too: everything at or below it is
+    // immediately discarded by pending's dropWhile, and on a RESTART the
+    // memoized chain is empty while the persisted floor is not — without
+    // the floor seed the first trigger of a rate-limited stream over a
+    // 100k-commit table walks the whole first-parent chain to the root
+    // (O(history) serial driver reads) to rebuild ids it will never use
+    val known = math.max(chain.lastOption.getOrElse(-1L), floorV)
     if (headId <= known) return
     var cur = Option(GraftStream.commitId(headId))
     val add = Vector.newBuilder[Long]
@@ -639,10 +691,18 @@ class GraftTailSource(spark: SparkSession, root: String, branch: String,
         }
         var prev = CommitLog.readCommit(spark, root,
           GraftStream.commitId(startV))
+        // a replayed range can outlive the vacuum retention (a stream
+        // down longer than the retention window): fail with the clean
+        // expiry message BEFORE scheduling scans over reclaimed files —
+        // the batch feed (GraftDataset.changes) makes the same per-commit
+        // check; without it the batch dies executor-side on a raw
+        // FileNotFoundException mid-scan
+        lazy val expiryDs = GraftDataset.loadCommit(spark, root, endId)
         val added = Vector.newBuilder[String]
         val cdfBatches = Vector.newBuilder[DataFrame]
         for (m <- metas) {
           if (!m.rewrite.contains(true)) {
+            expiryDs.assertNotExpired(m)
             // schema equality, not rename-chain equality: a compact-on-
             // dirty commit FOLDS the cumulative rename chain into the
             // data (chain resets to empty with no logical rename), while

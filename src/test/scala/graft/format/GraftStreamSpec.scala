@@ -37,10 +37,13 @@ class GraftStreamSpec extends SparkSpec {
     val markers = ds.log.map(_.message).filter(_.startsWith("stream["))
     assert(markers.size >= 2)
     // a redelivered epoch (checkpoint recovery replays the last batch)
-    // must be a no-op — same query identity, same token
-    val token = GraftStream.queryToken(ckpt)
-    val sink = new GraftSink(spark, root, "main", token, Set(token))
-    val replay = GraftStream.lastBatchId(spark, root, ds.head, Set(token)).get
+    // must be a no-op — same query identity (the checkpoint's metadata
+    // query id), same token
+    val GraftStream.MarkerRe(liveToken, _) = markers.head: @unchecked
+    val sink = new GraftSink(spark, root, "main", ckpt,
+      GraftStream.queryToken(ckpt), Set.empty)
+    val replay =
+      GraftStream.lastBatchId(spark, root, ds.head, Set(liveToken)).get
     sink.addBatch(replay, Seq((9L, "dup")).toDF("id", "v"))
     assert(GraftDataset.load(spark, root).toDF.count() == 3)
     // and the NEXT epoch appends
@@ -49,13 +52,45 @@ class GraftStreamSpec extends SparkSpec {
     // a DIFFERENT query (fresh checkpoint → epochs restart at 0) writing
     // to the same table must NOT be deduped against the first query's
     // markers — epoch-only matching would silently drop its batches
-    val t2 = GraftStream.queryToken(tmpDir("gsinkckpt2"))
-    val sink2 = new GraftSink(spark, root, "main", t2, Set(t2))
+    val ck2 = tmpDir("gsinkckpt2")
+    val sink2 = new GraftSink(spark, root, "main", ck2,
+      GraftStream.queryToken(ck2), Set.empty)
     sink2.addBatch(0L, Seq((5L, "e")).toDF("id", "v"))
     assert(GraftDataset.load(spark, root).toDF.count() == 5)
     // but ITS OWN retry of epoch 0 is still a no-op
     sink2.addBatch(0L, Seq((5L, "e")).toDF("id", "v"))
     assert(GraftDataset.load(spark, root).toDF.count() == 5)
+  }
+
+  test("a wiped-and-recreated checkpoint resets the sink's identity") {
+    // the marker token follows the checkpoint's METADATA QUERY ID, which
+    // the engine regenerates when the checkpoint is wiped: the reset
+    // query's restarted batch ids must NOT be skipped as duplicates of
+    // the old query's (its early batches carry brand-new source data) —
+    // the checkpoint PATH alone cannot tell a reset from a restart
+    val root = tmpDir("gsinkwipe") + "/t"
+    val ckpt = tmpDir("gsinkwipeck")
+    def writeMeta(id: String): Unit = {
+      val f = CommitLog.fs(spark, ckpt)
+      val out = f.create(new org.apache.hadoop.fs.Path(ckpt, "metadata"), true)
+      out.write(s"""{"id":"$id"}""".getBytes("UTF-8")); out.close()
+    }
+    writeMeta("11111111-1111-1111-1111-111111111111")
+    val pathToken = GraftStream.queryToken(ckpt)
+    val s1 = new GraftSink(spark, root, "main", ckpt, pathToken, Set.empty)
+    s1.addBatch(0L, Seq((1L, "a")).toDF("id", "v"))
+    s1.addBatch(1L, Seq((2L, "b")).toDF("id", "v"))
+    assert(GraftDataset.load(spark, root).toDF.count() == 2)
+    // the wipe: same path, regenerated query id → fresh identity, so
+    // batch 0 of the NEW query appends instead of being skipped
+    writeMeta("22222222-2222-2222-2222-222222222222")
+    val s2 = new GraftSink(spark, root, "main", ckpt, pathToken, Set.empty)
+    s2.addBatch(0L, Seq((3L, "c")).toDF("id", "v"))
+    assert(GraftDataset.load(spark, root).toDF.count() == 3,
+      "a reset query's batch 0 was skipped as the old query's duplicate")
+    // its own redelivery still dedupes
+    s2.addBatch(0L, Seq((3L, "c")).toDF("id", "v"))
+    assert(GraftDataset.load(spark, root).toDF.count() == 3)
   }
 
   test("two live streams append to one table: exactly-once across a restart of each") {
@@ -96,13 +131,15 @@ class GraftStreamSpec extends SparkSpec {
     assert(ids == ((1L to 300L) ++ (1001L to 1350L)),
       s"every row exactly once: got ${ids.size} rows, " +
         s"dupes=${ids.groupBy(identity).filter(_._2.size > 1).keys.take(5)}")
-    // both queries' tokens interleave in the ONE commit log
-    val t1 = GraftStream.queryToken(ck1)
-    val t2 = GraftStream.queryToken(ck2)
-    val markers = ds.log.map(_.message)
-    assert(markers.exists(_.startsWith(s"stream[$t1]")) &&
-      markers.exists(_.startsWith(s"stream[$t2]")),
-      s"both stream tokens must appear: $markers")
+    // both queries' tokens interleave in the ONE commit log (tokens are
+    // the checkpoints' metadata QUERY IDS, not the paths — assert two
+    // distinct identities rather than specific values, and that each
+    // survived its restart under ONE identity)
+    val tokens = ds.log.map(_.message).collect {
+      case GraftStream.MarkerRe(t, _) => t
+    }
+    assert(tokens.distinct.size == 2,
+      s"exactly two stream identities must appear: ${tokens.distinct}")
   }
 
   test("graft source: initial snapshot then per-commit append deltas") {
