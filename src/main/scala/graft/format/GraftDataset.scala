@@ -598,8 +598,13 @@ class GraftDataset private[format] (
       s"a partition holds >= 2^33 rows (max ${counts.map(_._2).max}); " +
         "repartition the input before append")
     // pass 2: uuid = base + offset(partition) + row-in-partition. An
-    // unseen partition id means the input's partitioning changed between
-    // the two jobs → raise, never null
+    // unseen partition id — or a partition that produced MORE rows than
+    // the count pass saw (a non-deterministic input re-executing between
+    // the two jobs) — raises, never writes: an overgrown partition's
+    // extra rows would otherwise take uuids from the NEXT partition's
+    // range and silently collide, corrupting every later update/pop/
+    // merge keyed on those uuids (a shrunken partition only leaves
+    // harmless uuid gaps).
     val offsetOf = coalesce(
       element_at(typedlit(offsets), spark_partition_id()),
       raise_error(concat(
@@ -607,9 +612,19 @@ class GraftDataset private[format] (
         spark_partition_id().cast("string"),
         lit(" absent from the count pass - input partitioning is " +
           "unstable across jobs; persist() or repartition the input"))))
+    val rowIdx =
+      monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+    val countOf = coalesce(
+      element_at(typedlit(counts.toMap), spark_partition_id()), lit(0L))
+    val guardedIdx = when(rowIdx < countOf, rowIdx)
+      .otherwise(raise_error(concat(
+        lit("graft append: partition "),
+        spark_partition_id().cast("string"),
+        lit(" produced more rows than the count pass saw - the input " +
+          "re-executes non-deterministically; persist() or repartition " +
+          "the input"))))
     val withUuid = prepared.withColumn(UuidCol,
-      lit(base) + offsetOf +
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      lit(base) + offsetOf + guardedIdx)
     stFiles :+= writeData(withUuid, "base")
     dirty = true; pendingRewrite = false
   }
@@ -1685,12 +1700,34 @@ class GraftDataset private[format] (
       "reconcileDeletes needs the replica uuid scan dedupInserts provides")
     val tpe = col(GraftStream.ChangeTypeCol)
     val dataCols = withUuidSchema(stSchema).fieldNames.toIndexedSeq.map(col)
+    // loud contract at schema-evolution boundaries: this is the LOW-LEVEL
+    // apply — events map onto file kinds under the REPLICA's current
+    // schema. A feed carrying data columns this replica lacks (a source
+    // column ADD) or schema_change events (add or rename announcements)
+    // spans a source schema change; projecting to dataCols would silently
+    // DISCARD the new column's values and the announcement, permanently
+    // diverging the replica with no error. The caller adopts first
+    // (GraftStreaming.replicate adopts renames and trailing adds
+    // automatically) or aligns/filters the feed explicitly.
+    val unknownCols = events.columns.toSet --
+      Set(GraftStream.ChangeTypeCol, GraftStream.CommitIdCol) --
+      withUuidSchema(stSchema).fieldNames
+    require(unknownCols.isEmpty,
+      s"change feed carries columns this replica lacks: " +
+        s"${unknownCols.mkString(", ")} — adopt the source's schema " +
+        "change first (GraftStreaming.replicate does this automatically) " +
+        "or align the feed to the replica's schema")
     // three writes consume the feed — persist so the (possibly
     // expensive: bootstrap snapshot, multi-commit delta) plan runs once
     val cached = events.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var replicaIdsCache: Option[DataFrame] = None
     try {
+      require(cached.filter(tpe === "schema_change").limit(1).count() == 0L,
+        "change feed contains schema_change events (a source rename or " +
+          "column add in range) — apply them to the replica first " +
+          "(GraftStreaming.replicate does this automatically) or filter " +
+          "them out explicitly after aligning the feed")
       def land(df: DataFrame, kind: String,
                register: String => Unit): Long = {
         val rel = writeData(df, kind)
@@ -1747,8 +1784,28 @@ class GraftDataset private[format] (
         cached.filter(tpe === "update_postimage").unionByName(staleIns)
           .select((dataCols :+ seq.as("_seq")): _*), "_seq")
       val nUpd = land(latestUpd, "update", stUpdates :+= _)
-      var nDel = land(cached.filter(tpe === "delete").select(col(UuidCol)),
-        "tombstone", stTombstones :+= _)
+      // delete idempotency must hold at the FILE level, not just the
+      // snapshot level: countRows subtracts tombstone-file row counts
+      // assuming every tombstoned uuid was live exactly once, so a
+      // re-delivered delete (the same lost-checkpoint replay dedupInserts
+      // exists for) landing a second tombstone row would double-subtract
+      // and drift the metadata count negative while the snapshot stays
+      // correct. distinct() folds same-feed repeats; the anti-join against
+      // the replica's existing tombstones (bounded by churn, skipped on
+      // the epoch-guarded steady-state path like the insert dedup) folds
+      // cross-apply replays.
+      val delEvents =
+        cached.filter(tpe === "delete").select(col(UuidCol)).distinct()
+      val freshDel =
+        if (dedupInserts && stTombstones.nonEmpty)
+          delEvents.join(
+            spark.read.schema(StructType(Seq(
+                StructField(UuidCol, LongType, nullable = false))))
+              .parquet(stTombstones.map(t =>
+                new Path(root, t).toString): _*),
+            Seq(UuidCol), "left_anti")
+        else delEvents
+      var nDel = land(freshDel, "tombstone", stTombstones :+= _)
       // a BOOTSTRAP feed (the complete live snapshot as insert events)
       // carries no delete events for rows that died before it was cut —
       // a behind replica re-synced from a fresh checkpoint would keep
@@ -1877,7 +1934,21 @@ class GraftDataset private[format] (
     stTombstones = Vector.empty
     dirty = true; pendingRewrite = false
     val id = CommitLog.nextCommitId(spark, root)
-    publishCommit(id, s"merge $targetRef", Some(ourId), Some(theirId))
+    // no auto-rebase for merges (a lost CAS means the branch moved —
+    // the three-way inputs are stale and the USER must re-merge), but
+    // the already-written commit file must not be stranded: without the
+    // reclaim every lost race (or allocation collision) accrues one
+    // orphan in _graft/commits — never on a branch, never vacuumed —
+    // exactly what commit()'s lost-CAS cleanup exists to prevent.
+    try publishCommit(id, s"merge $targetRef", Some(ourId), Some(theirId))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        try {
+          CommitLog.deleteCommitFile(spark, root, id)
+          CommitLog.dropFromAncestry(spark, root, Set(id))
+        } catch { case _: java.io.IOException => () } // best-effort
+        throw e
+    }
     id
   }
 
@@ -2029,18 +2100,8 @@ class GraftDataset private[format] (
     }
   }
 
-  private def indexCommit(dir: Path): Option[String] = {
-    val f = CommitLog.fs(spark, root)
-    val p = new Path(dir, "meta.json")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      org.json4s.jackson.JsonMethods.parse(s)
-        .\("commit").extractOpt[String](org.json4s.DefaultFormats,
-          implicitly[Manifest[String]])
-    }
-  }
+  private def indexCommit(dir: Path): Option[String] =
+    indexMetaField(dir, "commit")
 
   /** True if the persisted index for `column` matches HEAD. */
   def indexFresh(kind: String, column: String): Boolean =
@@ -2145,9 +2206,14 @@ class GraftDataset private[format] (
 
   /** Full rebuild over the live snapshot with the index's own recorded
     * params, bumping the `rebuilds` maintenance counter in the meta.
+    * `nlistDefault` backstops an index whose meta never recorded nlist —
+    * it must carry the CALLER's value, not a hardcoded 64, or
+    * `updateVectorIndex(column, nlist = 256)`'s rebuild path silently
+    * builds a 64-cell index.
     */
-  private def rebuildVectorIndex(column: String, dir: Path): Unit = {
-    val carried = carriedVectorMeta(dir)
+  private def rebuildVectorIndex(column: String, dir: Path,
+                                 nlistDefault: Int = 64): Unit = {
+    val carried = carriedVectorMeta(dir, nlistDefault)
     createVectorIndex(column, carried("nlist").toInt,
       indexType = carried("type"), pqM = carried("pqM").toInt,
       pqK = carried("pqK").toInt, graphDegree = carried("graphDegree").toInt,
@@ -2167,7 +2233,7 @@ class GraftDataset private[format] (
     val V = graft.operators.VectorSearch
     val idxMetric = indexMetaField(dir, "metric").getOrElse("l2")
     val carried = carriedVectorMeta(dir, nlist)
-    def rebuild(): Unit = rebuildVectorIndex(column, dir)
+    def rebuild(): Unit = rebuildVectorIndex(column, dir, nlist)
     indexCommit(dir).flatMap(appendOnlyDelta) match {
       case _ if tpe == "FLAT" => writeIndexMeta(dir, carried)
       case Some(newFiles) if newFiles.isEmpty =>
@@ -2427,7 +2493,11 @@ class GraftDataset private[format] (
     */
   def sizeApprox: Long = {
     val f = CommitLog.fs(spark, root)
-    (stFiles ++ stUpdates ++ stTombstones).map { rel =>
+    // bounded-parallel like every other driver-side metadata sweep here
+    // (footerRows, optimizeSmallFiles, vacuum): serial per-entry
+    // round-trips on a 10k-entry object-store manifest are minutes of
+    // wall clock for a size estimate
+    CommitLog.parMap((stFiles ++ stUpdates ++ stTombstones).toSeq) { rel =>
       val p = new Path(root, rel)
       if (f.exists(p)) f.getContentSummary(p).getLength else 0L
     }.sum

@@ -238,6 +238,30 @@ class GraftDatasetSpec extends SparkSpec {
     intercept[IllegalArgumentException](ds.createTensor("score/sub", LongType))
   }
 
+  test("tensor groups: adding a leaf keeps OLD files readable") {
+    // struct casts demand equal field arity, so aligning an old file's
+    // struct<source> to the extended struct<source, lang> must rebuild
+    // the struct field-by-field (new leaf null-backfilled) — a plain
+    // cast fails analysis on EVERY pre-extension file, bricking reads
+    val ds = freshTable()
+    ds.createTensor("meta/source", StringType)
+    ds.append(Seq((5L, "e", 9.0)).toDF("id", "label", "score")
+      .withColumn("meta", struct(lit("web").as("source"))))
+    ds.commit("grouped")
+    ds.createTensor("meta/lang", StringType)
+    ds.append(Seq((6L, "f", 2.0)).toDF("id", "label", "score")
+      .withColumn("meta",
+        struct(lit("pdf").as("source"), lit("en").as("lang"))))
+    ds.commit("extended")
+    val got = ds.toDF.filter(col("meta").isNotNull)
+      .select(col("id"), col("meta.source"), col("meta.lang"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got === Set((5L, "web", None), (6L, "pdf", Some("en"))),
+      s"old-file group rows misaligned: $got")
+    // a whole-group NULL row stays null (not a struct of nulls)
+    assert(ds.toDF.filter(col("meta").isNull).count() == 3)
+  }
+
   test("writeCommit raced on one id: exactly one winner, content complete") {
     val ds = freshTable()
     val root = ds.root
