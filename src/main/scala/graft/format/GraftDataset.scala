@@ -450,6 +450,15 @@ class GraftDataset private[format] (
     require(parts.head != UuidCol, s"$UuidCol is reserved")
     require(parts.forall(p => !p.startsWith(DropPrefix)),
       s"$DropPrefix names are reserved")
+    // '.' is the GROUP separator in every column-path consumer (string
+    // queries, the merge/diff payload addressing `_w.<name>`, dotted
+    // DataFrame access) and '`' would break the quoting those paths rely
+    // on — a name containing either would be accepted here and then make
+    // the table un-mergeable/un-diffable (AnalysisException resolving a
+    // phantom nested path). Refuse at creation, the only safe altitude.
+    require(parts.forall(p => !p.contains('.') && !p.contains('`')),
+      s"bad tensor name $name: '.' and '`' are reserved " +
+        "(use '/' to nest groups)")
     stSchema = addNested(stSchema, parts, dataType, md)
     // every EXISTING file physically lacks the new column (align
     // null-backfills it), so synthesize all-null skipping stats where

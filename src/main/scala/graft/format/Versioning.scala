@@ -52,10 +52,16 @@ object Versioning {
     packed(lca, schema, "l")
       .join(packed(ours, schema, "o"), Seq(U), "full_outer")
       .join(packed(theirs, schema, "t"), Seq(U), "full_outer")
+      // change detection is EXACT null-safe struct comparison, never a
+      // hash: Spark's hash functions skip null fields without mixing in
+      // position, so hash(struct("x", null)) == hash(struct(null, "x"))
+      // — a real update that moves a value across a null slot would be
+      // silently classified unchanged (and 64-bit hash equality is
+      // approximate besides). <=> compares field-wise with null == null.
       .withColumn("o_ch", col("o").isNotNull && col("l").isNotNull &&
-        xxhash64(col("o")) =!= xxhash64(col("l")))
+        !(col("o") <=> col("l")))
       .withColumn("t_ch", col("t").isNotNull && col("l").isNotNull &&
-        xxhash64(col("t")) =!= xxhash64(col("l")))
+        !(col("t") <=> col("l")))
 
   /** Winning payload per uuid under the given resolutions; null = dropped. */
   private def winner(r: MergeResolutions): Column = {
@@ -73,19 +79,19 @@ object Versioning {
         when(lit(honorOurDelete), lit(null)).otherwise(t))
       .when(t.isNull, // deleted in theirs
         when(lit(honorTheirDelete), lit(null)).otherwise(o))
-      .when(col("o_ch") && col("t_ch") && xxhash64(o) =!= xxhash64(t),
+      .when(col("o_ch") && col("t_ch") && !(o <=> t),
         if (r.update == "theirs") t else o) // update/update conflict
       .when(col("t_ch") && !col("o_ch"), t)
       .otherwise(o)
   }
 
-  /** Merged snapshot (with `_uuid`) of ours+theirs vs their LCA. */
   def validate(r: MergeResolutions): Unit =
     require(Set("ours", "theirs", "both").contains(r.append) &&
       Set("ours", "theirs").contains(r.update) &&
       Set("ours", "theirs", "both").contains(r.pop),
       s"bad resolutions $r")
 
+  /** Merged snapshot (with `_uuid`) of ours+theirs vs their LCA. */
   def mergeSnapshots(lca: DataFrame, ours: DataFrame, theirs: DataFrame,
                      schema: StructType, r: MergeResolutions): DataFrame = {
     validate(r)
@@ -104,7 +110,7 @@ object Versioning {
                 schema: StructType): DataFrame = {
     val j = threeWay(lca, ours, theirs, schema)
     j.withColumn("conflict_type",
-        when(col("o_ch") && col("t_ch") && xxhash64(col("o")) =!= xxhash64(col("t")),
+        when(col("o_ch") && col("t_ch") && !(col("o") <=> col("t")),
           lit("update_update"))
           .when(col("o").isNull && col("l").isNotNull && col("t_ch"),
             lit("delete_ours_update_theirs"))
@@ -122,17 +128,24 @@ object Versioning {
     */
   def diffReport(lca: DataFrame, ours: DataFrame, theirs: DataFrame,
                  schema: StructType): DataFrame = {
+    // one pass: both sides ride an explode over the SAME three-way join
+    // (the tensorDiff shape) — the unioned two-scan form evaluated the
+    // chained full-outer join and the change flags twice
     val j = threeWay(lca, ours, theirs, schema)
-    def side(name: String, p: Column, changed: Column): DataFrame =
-      j.withColumn("change",
-          when(col("l").isNull && p.isNotNull, lit("append"))
-            .when(col("l").isNotNull && p.isNull, lit("delete"))
-            .when(changed, lit("update"))
-            .otherwise(lit(null)))
-        .filter(col("change").isNotNull)
-        .select(lit(name).as("side"), col("change"), col(U))
-    side("ours", col("o"), col("o_ch"))
-      .unionByName(side("theirs", col("t"), col("t_ch")))
+    def changeOf(p: Column, changed: Column): Column =
+      when(col("l").isNull && p.isNotNull, lit("append"))
+        .when(col("l").isNotNull && p.isNull, lit("delete"))
+        .when(changed, lit("update"))
+        .otherwise(lit(null))
+    val sides = array(
+      struct(lit("ours").as("side"),
+        changeOf(col("o"), col("o_ch")).as("change")),
+      struct(lit("theirs").as("side"),
+        changeOf(col("t"), col("t_ch")).as("change")))
+    j.select(col(U), explode(sides).as("_s"))
+      .filter(col("_s.change").isNotNull)
+      .select(col("_s.side").as("side"), col("_s.change").as("change"),
+        col(U))
   }
 
   /** Per-tensor change sets between two snapshots (reference
@@ -147,7 +160,9 @@ object Versioning {
   def tensorDiff(a: DataFrame, b: DataFrame, schema: StructType,
                  tensors: Seq[String]): DataFrame = {
     val known = schema.fieldNames.filterNot(_ == U).toSeq
-    val ts = if (tensors.isEmpty) known else tensors
+    // distinct: a repeated name would emit every change row twice and
+    // double-count in per-tensor consumers (incremental index sets)
+    val ts = if (tensors.isEmpty) known else tensors.distinct
     ts.foreach(t => require(known.contains(t), s"unknown tensor $t"))
     val j = packed(a, schema, "a")
       .join(packed(b, schema, "b"), Seq(U), "full_outer")
@@ -155,8 +170,10 @@ object Versioning {
       struct(lit(t).as("tensor"),
         when(col("a").isNull, lit("added"))
           .when(col("b").isNull, lit("removed"))
-          .when(xxhash64(col("a").getField(t)) =!=
-            xxhash64(col("b").getField(t)), lit("updated"))
+          // null-safe: a value appearing in (or vanishing from) a
+          // previously-null tensor slot IS an update
+          .when(!(col("a").getField(t) <=> col("b").getField(t)),
+            lit("updated"))
           .otherwise(lit(null)).as("change"))
     }
     j.select(col(U), explode(array(changes.toIndexedSeq: _*)).as("_c"))
@@ -173,7 +190,7 @@ object Versioning {
       .withColumn("status",
         when(col("a").isNull, lit("added"))
           .when(col("b").isNull, lit("removed"))
-          .when(xxhash64(col("a")) =!= xxhash64(col("b")), lit("changed"))
+          .when(!(col("a") <=> col("b")), lit("changed"))
           .otherwise(lit(null)))
       .filter(col("status").isNotNull)
       .select(col("status"), col(U),

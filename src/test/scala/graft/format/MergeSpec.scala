@@ -69,6 +69,35 @@ class MergeSpec extends SparkSpec {
     assert(rows(theirs).contains((1L, "dev-edit")))
   }
 
+  test("a value moving across a null slot IS a change (null-safe detect)") {
+    // Spark's hash functions skip null fields without mixing position,
+    // so hash(struct("x", null)) == hash(struct(null, "x")) — hash-based
+    // change detection would classify ours' committed update as
+    // "unchanged", take theirs wholesale, and report NO conflict. The
+    // null-safe struct comparison must catch it.
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("a", StringType), StructField("b", StringType)))
+    val ds = GraftDataset.create(spark, tmpDir("merge_nullslot"), sch)
+    ds.append(Seq((1L, Some("x"), Option.empty[String]))
+      .toDF("id", "a", "b"))
+    ds.commit("base")
+    ds.checkout("dev", create = true)
+    ds.update($"id" === 1L, Map("b" -> lit("y"))) // theirs: b null → y
+    ds.commit("dev edit")
+    ds.checkout("main") // ours: the value MOVES across the null slot
+    ds.update($"id" === 1L,
+      Map("a" -> lit(null).cast("string"), "b" -> lit("x")))
+    ds.commit("main edit")
+    assert(ds.detectMergeConflict("dev")
+        .filter($"conflict_type" === "update_update").count() == 1,
+      "both sides changed the row — the null-slot move was missed")
+    ds.merge("dev") // update = ours (default)
+    val got = ds.toDF.as[(Long, Option[String], Option[String])]
+      .collect().toSet
+    assert(got === Set((1L, None, Some("x"))),
+      s"ours' null-slot update was discarded: $got")
+  }
+
   test("one-sided update flows through without conflict") {
     val ds = baseTable()
     ds.checkout("dev")
