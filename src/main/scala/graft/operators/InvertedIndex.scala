@@ -47,10 +47,12 @@ object InvertedIndex {
   def build(df: DataFrame, textCol: String, idCol: String,
             numShards: Int = 16,
             tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column
-              = T.tokens): DataFrame =
+              = T.tokens): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
     df.select(col(idCol).as("id"),
         explode(array_distinct(tokenizer(col(textCol)))).as("term"))
       .withColumn("shard", pmod(xxhash64(col("term")), lit(numShards)).cast("int"))
+  }
 
   /** Persist postings + the stats sidecar. The sidecar costs one
     * top-(hotN+1) aggregation at BUILD time (TakeOrderedAndProject —
@@ -59,7 +61,13 @@ object InvertedIndex {
     */
   def save(index: DataFrame, path: String): Unit = {
     index.write.mode("overwrite").partitionBy("shard").parquet(path)
-    saveStats(index.sparkSession, path, computeStats(index))
+    // stats from the WRITTEN postings, not the build lineage: the lineage
+    // re-runs the corpus tokenize+explode twice more (computeStats is two
+    // actions) where the written parquet is two cheap columnar scans —
+    // and a non-deterministic source could diverge the persisted stats
+    // from the persisted postings
+    val spark = index.sparkSession
+    saveStats(spark, path, computeStats(load(spark, path)))
   }
 
   def load(spark: SparkSession, path: String): DataFrame =
@@ -93,13 +101,27 @@ object InvertedIndex {
                 stats: IndexStats): Unit = {
     val p = new org.apache.hadoop.fs.Path(postingsPath, statsFileName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    // temp + swap, never truncate-in-place: a concurrent loadStats
+    // between create and close would read zero/partial JSON and fail the
+    // query with a parse error; the delete+rename window instead reads
+    // ABSENT, which loadStats already degrades on gracefully (statsless
+    // query, no forced broadcast)
+    val tmp = new org.apache.hadoop.fs.Path(postingsPath,
+      s".$statsFileName.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(org.json4s.jackson.Serialization.write(
       Map("maxOtherCount" -> stats.maxOtherCount,
         "docCount" -> stats.docCount, "avgDocLen" -> stats.avgDocLen) ++
         Map("hotTerms" -> stats.hotTerms))(org.json4s.DefaultFormats)
       .getBytes("UTF-8"))
     finally out.close()
+    try {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"stats sidecar swap failed: $p")
+    } catch {
+      case e: Throwable => scala.util.Try(fs.delete(tmp, false)); throw e
+    }
     statsCache.remove(postingsPath)
   }
 
@@ -138,14 +160,20 @@ object InvertedIndex {
     * The conjunctive/distinct id set can only be smaller.
     */
   def statsBound(stats: IndexStats, query: String): Long =
-    queryTokens(query)
-      .map(t => stats.hotTerms.getOrElse(t, stats.maxOtherCount)).sum
+    statsBound(stats, queryTokens(query))
+
+  /** [[statsBound]] over pre-tokenized terms (a custom query tokenizer
+    * must bound with ITS tokens, or the decision reads the wrong counts).
+    */
+  def statsBound(stats: IndexStats, toks: Seq[String]): Long =
+    toks.map(t => stats.hotTerms.getOrElse(t, stats.maxOtherCount)).sum
 
   /** Shard of a term — MUST match the build-side expression
     * `pmod(xxhash64(term), numShards)` so query-time shard routing prunes
     * to the same partitions the build wrote.
     */
   def shardOf(term: String, numShards: Int): Int = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString(term),
       org.apache.spark.sql.types.StringType, 42L)
@@ -161,17 +189,21 @@ object InvertedIndex {
     * (inverted_index_vectorized.py:1012-1036).
     */
   def fuzzyMatchIds(index: DataFrame, query: String,
-                    numShards: Option[Int] = None): DataFrame = {
-    val toks = query.trim.split("\\s+").toSeq.distinct.filter(_.nonEmpty)
+                    numShards: Option[Int] = None,
+                    queryTokenizer: Option[org.apache.spark.sql.Column =>
+                      org.apache.spark.sql.Column] = None): DataFrame = {
+    val toks = queryAlts(index.sparkSession, query, queryTokenizer)
+      .flatten.distinct
     require(toks.nonEmpty, "empty query")
     matchIds(index, Seq(toks), numShards)
   }
 
   /** Ids for `"a b||c"` = (a AND b) OR (c) (reference complex_fuzzy_match). */
   def complexFuzzyIds(index: DataFrame, query: String,
-                      numShards: Option[Int] = None): DataFrame = {
-    val alts = query.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
-      .map(_.split("\\s+").toSeq.filter(_.nonEmpty).distinct)
+                      numShards: Option[Int] = None,
+                      queryTokenizer: Option[org.apache.spark.sql.Column =>
+                        org.apache.spark.sql.Column] = None): DataFrame = {
+    val alts = queryAlts(index.sparkSession, query, queryTokenizer)
     require(alts.nonEmpty, "empty query")
     matchIds(index, alts, numShards)
   }
@@ -182,16 +214,24 @@ object InvertedIndex {
     * per-alternative groupBy + union + distinct shape costs one shuffle
     * PER alternative and re-reads the postings each time.
     */
-  private def matchIds(index: DataFrame, alts: Seq[Seq[String]],
-                       numShards: Option[Int]): DataFrame = {
-    val toks = alts.flatten.distinct
-    val base = numShards match {
+  /** Postings filtered to `toks`, shard-pruned when the count is known —
+    * [[shardOf]] must mirror the build expression; ONE shared helper so
+    * the fuzzy and BM25 paths can never drift apart on the routing.
+    */
+  private def prunedPostings(index: DataFrame, toks: Seq[String],
+                             numShards: Option[Int]): DataFrame =
+    numShards match {
       case Some(n) =>
         val shards = toks.map(shardOf(_, n)).distinct
         index.filter(col("shard").isin(shards: _*) &&
           col("term").isin(toks: _*))
       case None => index.filter(col("term").isin(toks: _*))
     }
+
+  private def matchIds(index: DataFrame, alts: Seq[Seq[String]],
+                       numShards: Option[Int]): DataFrame = {
+    val toks = alts.flatten.distinct
+    val base = prunedPostings(index, toks, numShards)
     base.groupBy("id").agg(collect_set("term").as("_ts"))
       .filter(alts.map(a =>
           a.map(t => array_contains(col("_ts"), t)).reduce(_ && _))
@@ -203,6 +243,36 @@ object InvertedIndex {
   def queryTokens(query: String): Seq[String] =
     query.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
       .flatMap(_.split("\\s+").toSeq.filter(_.nonEmpty)).distinct
+
+  /** Tokenize a query SEGMENT with the index's own tokenizer: terms only
+    * match postings tokenized the same way (case folding, CJK dictionary
+    * segmentation) — an index built with `T.tokensDict` holds "spark"
+    * and segmented CJK terms, which a raw whitespace split of the query
+    * can never hit. Evaluated over a one-row local relation
+    * (ConvertToLocalRelation folds it driver-side — no job).
+    */
+  def queryTokensWith(spark: SparkSession, segment: String,
+                      tokenizer: org.apache.spark.sql.Column =>
+                        org.apache.spark.sql.Column): Seq[String] = {
+    import spark.implicits._
+    Seq(segment).toDF("_q")
+      .select(tokenizer(col("_q")).as("_t"))
+      .head().getSeq[String](0).distinct
+  }
+
+  /** The OR-alternatives of `"a b||c"`, each tokenized — by whitespace
+    * (the default contract) or by the index's own tokenizer.
+    */
+  private def queryAlts(spark: SparkSession, query: String,
+                        queryTokenizer: Option[org.apache.spark.sql.Column =>
+                          org.apache.spark.sql.Column]): Seq[Seq[String]] =
+    query.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { seg =>
+        queryTokenizer match {
+          case Some(tok) => queryTokensWith(spark, seg, tok)
+          case None => seg.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+        }
+      }.filter(_.nonEmpty)
 
   /** Default cap on posting-id sets we force-broadcast: ~4M ids ≈ 32 MB
     * of longs — comfortably under executor broadcast budgets. Common
@@ -245,18 +315,21 @@ object InvertedIndex {
                  k: Int = 0, k1: Double = 1.2, b: Double = 0.75,
                  numShards: Option[Int] = None,
                  tokenizer: org.apache.spark.sql.Column =>
-                   org.apache.spark.sql.Column = T.tokens): DataFrame = {
+                   org.apache.spark.sql.Column = T.tokens,
+                 queryTokenizer: Option[org.apache.spark.sql.Column =>
+                   org.apache.spark.sql.Column] = None): DataFrame = {
     require(stats.docCount > 0,
       "index stats lack docCount — rebuild/re-save the index")
-    val toks = queryTokens(query)
-    require(toks.nonEmpty, "empty query")
-    val post = numShards match {
-      case Some(n) =>
-        val shards = toks.map(shardOf(_, n)).distinct
-        index.filter(col("shard").isin(shards: _*) &&
-          col("term").isin(toks: _*))
-      case None => index.filter(col("term").isin(toks: _*))
+    // query terms under the same contract the INDEX was tokenized with:
+    // pass queryTokenizer = Some(<the build tokenizer>) for an index
+    // built with a non-default one (case folding / CJK segmentation),
+    // or the raw whitespace terms can never hit its postings
+    val toks = queryTokenizer match {
+      case Some(tok) => queryTokensWith(df.sparkSession, query, tok)
+      case None => queryTokens(query)
     }
+    require(toks.nonEmpty, "empty query")
+    val post = prunedPostings(index, toks, numShards)
     // df_t per query term — bounded by |terms|, becomes idf literals
     val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -265,6 +338,13 @@ object InvertedIndex {
       val d = dfreq.getOrElse(t, 0L).toDouble
       math.log(1.0 + (n - d + 0.5) / (d + 0.5))
     }).filter(_._2 > 0)
+    // idf can only empty when every term's df EXCEEDS the recorded
+    // docCount — i.e. the caller-held stats predate index growth; the
+    // bare reduce below would throw an opaque UnsupportedOperationException
+    require(idf.nonEmpty,
+      "every query term's document frequency exceeds the stats docCount " +
+        "— the IndexStats are stale for this posting table; re-save the " +
+        "index (or reload the sidecar) and retry")
     val cand = post.select(col("id").as(idCol)).distinct()
     val scored = df.join(cand, Seq(idCol), "left_semi")
       .withColumn("_toks", tokenizer(col(textCol)))
@@ -288,11 +368,18 @@ object InvertedIndex {
   def search(df: DataFrame, idCol: String, index: DataFrame,
              query: String, numShards: Option[Int] = None,
              broadcastIdLimit: Long = defaultBroadcastIdLimit,
-             stats: Option[IndexStats] = None): DataFrame = {
-    val ids = complexFuzzyIds(index, query, numShards)
+             stats: Option[IndexStats] = None,
+             queryTokenizer: Option[org.apache.spark.sql.Column =>
+               org.apache.spark.sql.Column] = None): DataFrame = {
+    val alts = queryAlts(index.sparkSession, query, queryTokenizer)
+    require(alts.nonEmpty, "empty query")
+    val ids = matchIds(index, alts, numShards)
       .withColumnRenamed("id", idCol)
     val rhs = stats match {
-      case Some(st) if statsBound(st, query) <= broadcastIdLimit =>
+      // bound with the SAME tokens the lookup uses — a custom tokenizer's
+      // terms, not the raw whitespace split
+      case Some(st)
+          if statsBound(st, alts.flatten.distinct) <= broadcastIdLimit =>
         broadcast(ids)
       case _ => ids
     }

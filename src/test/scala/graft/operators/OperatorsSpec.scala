@@ -112,6 +112,48 @@ class OperatorsSpec extends SparkSpec {
     assert(viaIndex == viaScan && viaIndex == Set(3L))
   }
 
+  test("custom-tokenizer index is queryable via queryTokenizer") {
+    // an index built with a non-default tokenizer (case folding, CJK
+    // bigrams) holds terms a raw whitespace split of the query can never
+    // hit — the query must pass through the SAME tokenizer
+    val corpus = Seq((1L, "Spark 机器学习 toolkit"), (2L, "plain text"))
+      .toDF("id", "text")
+    val tok = (c: org.apache.spark.sql.Column) =>
+      graft.functions.TextFunctions.tokensCjk(lower(c))
+    val idx = InvertedIndex.build(corpus, "text", "id", tokenizer = tok)
+    // whitespace query tokens miss (case + unsegmented CJK)
+    assert(InvertedIndex.fuzzyMatchIds(idx, "Spark")
+      .as[Long].collect().isEmpty)
+    // routed through the index's tokenizer, they hit
+    assert(InvertedIndex.fuzzyMatchIds(idx, "Spark",
+        queryTokenizer = Some(tok)).as[Long].collect().toSet == Set(1L))
+    assert(InvertedIndex.fuzzyMatchIds(idx, "机器学习",
+        queryTokenizer = Some(tok)).as[Long].collect().toSet == Set(1L))
+    assert(InvertedIndex.search(corpus, "id", idx, "SPARK 机器学习",
+        queryTokenizer = Some(tok))
+      .select("id").as[Long].collect().toSet == Set(1L))
+    // bm25 with the same contract on both sides
+    val stats = InvertedIndex.computeStats(idx)
+    val ranked = InvertedIndex.bm25Search(corpus, "text", "id", idx,
+      "Spark", stats, tokenizer = tok, queryTokenizer = Some(tok))
+    assert(ranked.select("id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("bm25: stale stats (df past docCount) fail loudly, not with an empty reduce") {
+    val corpus = Seq((1L, "apple"), (2L, "apple"), (3L, "apple"))
+      .toDF("id", "text")
+    val idx = InvertedIndex.build(corpus, "text", "id")
+    // stats claiming a 1-doc corpus while the postings hold 3 docs:
+    // idf(apple) goes negative and is filtered — the old code crashed on
+    // an empty reduce; now the inconsistency is named
+    val stale = IndexStats(Map("apple" -> 3L), 0L, docCount = 1L,
+      avgDocLen = 1.0)
+    val e = intercept[IllegalArgumentException](
+      InvertedIndex.bm25Search(corpus, "text", "id", idx, "apple", stale)
+        .collect())
+    assert(e.getMessage.contains("stale"), e.getMessage)
+  }
+
   test("bm25: index-routed ranking matches the formula over candidates only") {
     val corpus = Seq(
       (1L, "apple banana apple"),
