@@ -322,4 +322,26 @@ object GraphRouting {
     Routing(
       queries.map { case (qid, q) => qid -> route(cents, q, p) }.toMap,
       cents.map(_._1).toSet)
+
+  /** Routing for `queries` against caller-supplied `centroids` (e.g. a
+    * pinned routing artifact) or, when empty, the index's own sentinel
+    * rows; None when `probeParts <= 0` or neither source has centroids
+    * (non-clustered build) — probe-all in both cases. ONE shared shape
+    * for the HNSW and Vamana searchers (the sentinel node id is their
+    * only difference); `index` is by-name so the sentinel scan is paid
+    * only when the caller supplied no centroids.
+    */
+  def routingFor(index: => DataFrame, queries: Seq[(Long, Seq[Float])],
+                 probeParts: Int, sentinelNode: Int,
+                 centroids: Array[(Int, Array[Float])] = Array.empty)
+      : Option[Routing] =
+    if (probeParts <= 0) None
+    else {
+      val cents =
+        if (centroids.nonEmpty) centroids
+        else centroidsOf(index, sentinelNode)
+      if (cents.isEmpty) None
+      else Some(routesFor(cents,
+        queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
+    }
 }

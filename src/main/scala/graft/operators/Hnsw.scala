@@ -33,6 +33,11 @@ object Hnsw {
 
   /** In-memory graph over one partition's vectors (L2 metric). */
   final class Graph(val m: Int, val efConstruction: Int) extends Serializable {
+    // m = 0 builds an EDGELESS graph (take(0) neighbor selection) that
+    // silently answers ~1 hit per shard; m = 1 makes mL infinite (every
+    // node at level 31). Both are degenerate, never useful — refuse.
+    require(m >= 2, s"HNSW degree m must be >= 2, got $m")
+    require(efConstruction >= 1, s"bad efConstruction $efConstruction")
     private val mL = 1.0 / math.log(m.toDouble)
     private val maxM0 = 2 * m
     val vecs = mutable.ArrayBuffer[Array[Float]]()
@@ -92,6 +97,14 @@ object Hnsw {
     }
 
     def insert(id: Long, v: Array[Float]): Unit = {
+      // loud on mixed dimensions: a shorter vector would insert under
+      // PREFIX distance and a longer one crashes later searches mid-walk
+      // with an opaque AIOOBE — the clustered build drops wrong-dim rows
+      // at cell assignment, the round-robin build has no reference dim
+      // until its first row, so the graph itself holds the contract
+      require(vecs.isEmpty || v.length == vecs(0).length,
+        s"vector for id $id has ${v.length} dims, graph holds " +
+          s"${vecs(0).length}-dim vectors")
       val node = vecs.length
       val lvl = levelOf(node)
       vecs += v; extIds += id; levels += lvl
@@ -131,6 +144,13 @@ object Hnsw {
 
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
       if (entry < 0) return Seq.empty
+      // loud on a query-dimension mismatch: a shorter query ranks every
+      // stored vector by PREFIX distance — k plausible-looking wrong
+      // neighbors, no error — and a longer one crashes with an opaque
+      // AIOOBE; same contract as GraphRouting.route / KnnJoin's filter
+      require(q.length == vecs(entry).length,
+        s"query has ${q.length} dims, index vectors have " +
+          s"${vecs(entry).length}")
       var ep = entry
       var l = levels(entry)
       while (l > 0) { ep = searchLayer(q, Seq(ep), 1, l).head._2; l -= 1 }
@@ -182,7 +202,6 @@ object Hnsw {
             efConstruction: Int = 100,
             clustered: Boolean = false,
             rowCountHint: Long = -1L): DataFrame = {
-    val spark = df.sparkSession
     implicit val enc = RowEncoder.encoderFor(indexSchema)
     val base = df.select(col(idCol).cast("long").as("_gid"),
         col(vecCol).as("_gvec"))
@@ -292,7 +311,16 @@ object Hnsw {
   private[operators] def reassemble(rs: scala.collection.Seq[Row]): Graph = {
     val sorted = rs.filter(_.getInt(1) >= 0).sortBy(_.getInt(1))
     val g = new Graph(16, 100)
+    var expect = 0
     sorted.foreach { r =>
+      // adjacency lists index by POSITION: a duplicate or missing node id
+      // (a doubly-appended delta shard, an interrupted rewrite) would
+      // shift every later neighbor pointer onto the wrong vector —
+      // silently wrong ext_ids. Loud beats plausible-looking garbage.
+      require(r.getInt(1) == expect,
+        s"corrupt graph shard: expected node $expect, found " +
+          s"${r.getInt(1)} (duplicate or missing node rows)")
+      expect += 1
       g.vecs += r.getSeq[Float](3).toArray
       g.extIds += r.getLong(2)
       g.levels += r.getInt(4)
@@ -303,25 +331,14 @@ object Hnsw {
     g
   }
 
-  /** Routing for `queries` against caller-supplied `centroids` (e.g. a
-    * pinned routing artifact) or, when empty, the index's own sentinel
-    * rows; None when `probeParts <= 0` or neither source has centroids
-    * (non-clustered build) — probe-all in both cases.
-    */
+  /** See [[GraphRouting.routingFor]] — shared with [[Vamana]]. */
   private def routingFor(index: DataFrame,
                          queries: Seq[(Long, Seq[Float])],
                          probeParts: Int,
                          centroids: Array[(Int, Array[Float])] = Array.empty)
       : Option[GraphRouting.Routing] =
-    if (probeParts <= 0) None
-    else {
-      val cents =
-        if (centroids.nonEmpty) centroids
-        else GraphRouting.centroidsOf(index, CentroidNode)
-      if (cents.isEmpty) None
-      else Some(GraphRouting.routesFor(cents,
-        queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
-    }
+    GraphRouting.routingFor(index, queries, probeParts, CentroidNode,
+      centroids)
 
   /** Search a persisted (or freshly-built) index: each partition's rows
     * reassemble their graph(s) in memory, probe locally with beam `ef`,
@@ -352,8 +369,10 @@ object Hnsw {
 
   /** Batched search: the query batch is broadcast, every subgraph is
     * walked once per query in ONE pass over the index, and the global
-    * per-query top-k is a window over `parts × k × |queries|` candidate
-    * rows — never the corpus. Output: (query_id, ext_id, l2sq, rank).
+    * per-query top-k is the PARTIAL top-k aggregate over the per-shard
+    * hit streams (r20) — the rank exchange moves |q|·k rows, never the
+    * `parts × k × |queries|` candidate set the former window shuffled.
+    * Output: (query_id, ext_id, l2sq, rank).
     */
   def batchTopK(index: DataFrame, queries: Seq[(Long, Seq[Float])],
                 k: Int, ef: Int = 64, colocated: Boolean = false,
@@ -406,11 +425,16 @@ object Hnsw {
     PartitionedIndex.partScans(spark, path, keep = keep)
       .map(scan => topKRouted(scan, query, k, ef, colocated = true, routing))
       // non-partitioned layout (or more dirs than partScans plans):
-      // shuffled read, and routing re-derived from THE INDEX'S OWN
-      // sentinels — caller centroids are not trusted against an
-      // arbitrary path here; correctness over the rare path's cost
-      .getOrElse(topK(spark.read.parquet(path), query, k, ef,
-        probeParts = probeParts))
+      // shuffled read. Caller centroids are not trusted against an
+      // arbitrary path here, but a routing persistedRouting derived from
+      // THE INDEX'S OWN sentinels is — reuse it instead of paying a
+      // second full sentinel scan per call
+      .getOrElse {
+        val scan = spark.read.parquet(path)
+        if (centroids.isEmpty && routing.isDefined)
+          topKRouted(scan, query, k, ef, colocated = false, routing)
+        else topK(scan, query, k, ef, probeParts = probeParts)
+      }
   }
 
   /** Batched [[topKPersisted]]: one exchange-free pass over the UNION of
@@ -433,10 +457,14 @@ object Hnsw {
       // scan holds shards some queries did not route to
       .map(scan => batchTopKRouted(scan, queries, k, ef,
         colocated = true, routing))
-      // non-partitioned layout: shuffled read, routing re-derived from
-      // the index's own sentinels (see topKPersisted)
-      .getOrElse(batchTopK(spark.read.parquet(path), queries, k, ef,
-        probeParts = probeParts))
+      // non-partitioned layout: shuffled read, sentinel-derived routing
+      // reused (see topKPersisted)
+      .getOrElse {
+        val scan = spark.read.parquet(path)
+        if (centroids.isEmpty && routing.isDefined)
+          batchTopKRouted(scan, queries, k, ef, colocated = false, routing)
+        else batchTopK(scan, queries, k, ef, probeParts = probeParts)
+      }
   }
 
   /** Routing for a persisted read: centroids from the caller (the
@@ -450,17 +478,10 @@ object Hnsw {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: Seq[(Long, Seq[Float])], probeParts: Int,
       centroids: Array[(Int, Array[Float])], sentinelNode: Int)
-      : Option[GraphRouting.Routing] = {
-    val cents =
-      if (probeParts <= 0) Array.empty[(Int, Array[Float])]
-      else if (centroids.nonEmpty) centroids
-      else GraphRouting.centroidsOf(spark.read.parquet(path), sentinelNode)
-    if (cents.isEmpty) None
-    else {
-      val r = GraphRouting.routesFor(cents,
-        queries.map { case (qid, v) => (qid, v.toArray) }, probeParts)
-      Some(PartitionedIndex.partIds(spark, path)
+      : Option[GraphRouting.Routing] =
+    GraphRouting
+      .routingFor(spark.read.parquet(path), queries, probeParts,
+        sentinelNode, centroids) // by-name index: scanned only if needed
+      .map(r => PartitionedIndex.partIds(spark, path)
         .fold(r)(ids => GraphRouting.heal(r, ids, path)))
-    }
-  }
 }

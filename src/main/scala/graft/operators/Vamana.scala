@@ -122,6 +122,12 @@ object Vamana {
     }
 
     def insert(id: Long, v: Array[Float]): Unit = {
+      // loud on mixed dimensions — same contract as Hnsw.Graph.insert:
+      // a shorter vector inserts under PREFIX distance, a longer one
+      // crashes later searches with an opaque AIOOBE
+      require(vecs.isEmpty || v.length == vecs(0).length,
+        s"vector for id $id has ${v.length} dims, graph holds " +
+          s"${vecs(0).length}-dim vectors")
       val node = vecs.length
       vecs += v; extIds += id; adj += mutable.ArrayBuffer[Int]()
       if (node == 0) { medoid = 0; return }
@@ -161,6 +167,10 @@ object Vamana {
       */
     def search(q: Array[Float], k: Int, beam: Int): Seq[(Long, Double)] = {
       if (medoid < 0) return Seq.empty
+      // loud on a query-dimension mismatch (see Hnsw.Graph.search)
+      require(q.length == vecs(medoid).length,
+        s"query has ${q.length} dims, index vectors have " +
+          s"${vecs(medoid).length}")
       beamSearch(q, medoid, math.max(beam, k))
         .sortInPlace()(Ordering.by(_._1))
         .take(k).map { case (d, n) => (extIds(n), d) }.toSeq
@@ -174,6 +184,10 @@ object Vamana {
                  pq: PqLocal, codes: Array[Array[Int]])
         : Seq[(Long, Double)] = {
       if (medoid < 0) return Seq.empty
+      // loud on a query-dimension mismatch (see Hnsw.Graph.search)
+      require(q.length == vecs(medoid).length,
+        s"query has ${q.length} dims, index vectors have " +
+          s"${vecs(medoid).length}")
       val table = pq.adcTable(q)
       def approx(n: Int): Double = {
         val code = codes(n)
@@ -482,25 +496,14 @@ object Vamana {
     (g, codes, pqOpt)
   }
 
-  /** Routing for `queries` against caller-supplied `centroids` (e.g. a
-    * pinned routing artifact) or, when empty, the index's own sentinel
-    * rows; None when `probeParts <= 0` or neither source has centroids
-    * (non-clustered build) — probe-all in both cases.
-    */
+  /** See [[GraphRouting.routingFor]] — shared with [[Hnsw]]. */
   private def routingFor(index: DataFrame,
                          queries: Seq[(Long, Seq[Float])],
                          probeParts: Int,
                          centroids: Array[(Int, Array[Float])] = Array.empty)
       : Option[GraphRouting.Routing] =
-    if (probeParts <= 0) None
-    else {
-      val cents =
-        if (centroids.nonEmpty) centroids
-        else GraphRouting.centroidsOf(index, CentroidNode)
-      if (cents.isEmpty) None
-      else Some(GraphRouting.routesFor(cents,
-        queries.map { case (qid, v) => (qid, v.toArray) }, probeParts))
-    }
+    GraphRouting.routingFor(index, queries, probeParts, CentroidNode,
+      centroids)
 
   /** Search a persisted (or freshly-built) index: each partition
     * reassembles its graph + codebook, walks it on ADC distances with
