@@ -41,8 +41,12 @@ import org.apache.spark.sql.types._
   */
 object FileSkipping {
 
-  /** Files pruned since JVM start (test instrumentation, same pattern
-    * as [[CommitLog.commitReads]]). */
+  /** Prune events since JVM start (test instrumentation, same pattern
+    * as [[CommitLog.commitReads]]). UNIT CAVEAT: the per-file stat path
+    * counts one per pruned FILE; the legacy entry-level fallback (stats
+    * predating per-file capture) counts one per pruned ENTRY, whose file
+    * count is unknown without a listing — compare deltas only within one
+    * stat format. */
   val prunedFiles = new java.util.concurrent.atomic.AtomicLong
 
   /** Spark types whose parquet footer stats we can compare soundly.
@@ -109,10 +113,16 @@ object FileSkipping {
     // is a round-trip on an object store).
     val files = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val schemaFields = schema.fieldNames.toSet // hoisted: checked per chunk
     CommitLog.parMap(files.toSeq) { st =>
         val fileRel = rel + "/" + st.getPath.getName
+        // per-FILE failure containment: one transient footer-read error
+        // (an object-store 503 on one of 1000 files) must cost that one
+        // file its stats — the "present, no stats" marker — not silently
+        // discard the whole entry's capture forever (stats are only
+        // taken at write time). NonFatal keeps interrupts fatal.
         if (wanted.isEmpty) fileRel -> Map.empty[String, ColStats]
-        else {
+        else try {
           // per column: (min, max) accumulated over row groups; a column
           // hit by one stat-less row group is dropped
           val acc = scala.collection.mutable.Map[String, (String, String)]()
@@ -138,8 +148,7 @@ object FileSkipping {
               rowCount += block.getRowCount
               block.getColumns.forEach { cc =>
                 val path = cc.getPath.toDotString
-                if (wanted.contains(path) ||
-                    schema.fieldNames.contains(path)) {
+                if (wanted.contains(path) || schemaFields.contains(path)) {
                   val s0 = cc.getStatistics
                   val cnt =
                     if (s0 != null && !s0.isEmpty && s0.isNumNullsSet)
@@ -190,7 +199,16 @@ object FileSkipping {
                       case PrimitiveTypeName.BINARY => domain == "string"
                       case _ => false
                     })
-                  if (!ok) dropped += path
+                  val allNullChunk = s != null && !s.isEmpty &&
+                    !s.hasNonNullValue && s.isNumNullsSet
+                  if (allNullChunk) {
+                    // the chunk holds NO values: its null count already
+                    // accumulated above, and the other row groups' bounds
+                    // stay valid — dropping the column here would disable
+                    // value pruning for the file and (via statMinMax's
+                    // no-stats refusal) metadata MIN/MAX for the whole
+                    // table, because of one sparse row group
+                  } else if (!ok) dropped += path
                   else {
                     // MILLIS-annotated values scale ×1000 into the micros
                     // domain — exact, no rounding either direction
@@ -254,7 +272,10 @@ object FileSkipping {
               }
             }
           } finally r.close()
-          val withRange = (seen -- dropped).iterator.map { c =>
+          val withRange = (seen -- dropped).iterator
+            .filter(acc.contains) // a column all-null in EVERY row group
+                                  // has counts but no bounds: countOnly
+            .map { c =>
             val (mn, mx) = acc(c)
             c -> ColStats(mn, mx, wanted(c),
               nulls = nullAcc.getOrElse(c, None), rows = Some(rowCount),
@@ -271,9 +292,11 @@ object FileSkipping {
                 nulls = Some(n), rows = Some(rowCount))
           }.toMap
           fileRel -> (withRange ++ countOnly)
+        } catch { case scala.util.control.NonFatal(_) =>
+          fileRel -> Map.empty[String, ColStats]
         }
       }.toMap
-  } catch { case _: Exception => Map.empty }
+  } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   private def finite(s: String): Boolean =
     s != null && s.nonEmpty &&
@@ -407,7 +430,7 @@ object FileSkipping {
         cmp(v, s.min, s.typ).exists(_ <= 0))
       case LessThanOrEqual(a, v) => st(a).exists(s =>
         cmp(v, s.min, s.typ).exists(_ < 0))
-      case StringStartsWith(a, p) => st(a).exists { s =>
+      case StringStartsWith(a, p) => p != null && st(a).exists { s =>
         s.typ == "string" && {
           // byte space throughout (see utf8Cmp): every value < p (max
           // too small), or every value already beyond any p-prefixed

@@ -238,6 +238,28 @@ class GraftDataset private[format] (
     rel
   }
 
+  // stat keys grouped by their entry (parent dir), memoized per stStats
+  // INSTANCE (staged mutations swap the map, invalidating the cache):
+  // the three metadata consumers below each used to scan EVERY stat key
+  // per manifest entry — O(entries × keys) driver work per planned query,
+  // ~10^8 startsWith calls on the 10k-file tables this machinery exists
+  // for — where one pass over the keys suffices.
+  @transient private var statKeysByEntryCache
+      : (AnyRef, Map[String, Seq[String]]) = null
+  private def statKeysByEntry: Map[String, Seq[String]] = {
+    val cur = stStats
+    val c = statKeysByEntryCache
+    if (c != null && (c._1 eq cur)) c._2
+    else {
+      val grouped = cur.keysIterator.flatMap { k =>
+        val cut = k.lastIndexOf('/')
+        if (cut <= 0) None else Some(k.substring(0, cut) -> k)
+      }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      statKeysByEntryCache = (cur, grouped)
+      grouped
+    }
+  }
+
   /** Base manifest entries surviving the pushed filters' min/max check
     * ([[FileSkipping]]). Stat keys are normalized EAGERLY at each
     * rename/delete ([[renameTensor]]/[[deleteTensor]]), so they stay in
@@ -252,11 +274,11 @@ class GraftDataset private[format] (
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] =
     if (filters.isEmpty || (stRenames.nonEmpty && !stStatsNormalized)) stFiles
     else stFiles.flatMap { entry =>
-      val prefix = entry + "/"
       // per-file stats (keyed entry/part-file) give file-granular
       // pruning; an entry with none falls back to entry-level stats
       // (or, absent those, is always kept)
-      val perFile = stStats.view.filterKeys(_.startsWith(prefix)).toMap
+      val perFile = statKeysByEntry.getOrElse(entry, Nil)
+        .iterator.map(k => k -> stStats(k)).toMap
       if (perFile.isEmpty) {
         val keep = stStats.get(entry)
           .forall(st => !filters.exists(FileSkipping.excludes(st, _)))
@@ -314,11 +336,8 @@ class GraftDataset private[format] (
     * every file of the entry carries one (None → caller falls back to a
     * footer read). */
   private def entryStatRows(entry: String): Option[Long] = {
-    val prefix = entry + "/"
-    val per = stStats.iterator.collect {
-      case (k, m) if k.startsWith(prefix) =>
-        m.values.flatMap(_.rows).headOption
-    }.toVector
+    val per = statKeysByEntry.getOrElse(entry, Nil)
+      .map(k => stStats(k).values.flatMap(_.rows).headOption)
     if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
     else None
   }
@@ -363,10 +382,10 @@ class GraftDataset private[format] (
     var mn: String = null
     var mx: String = null
     for (entry <- stFiles) {
-      val prefix = entry + "/"
-      val perFile = stStats.view.filterKeys(_.startsWith(prefix)).toSeq
+      val perFile = statKeysByEntry.getOrElse(entry, Nil)
       if (perFile.isEmpty) return None // unstatted entry: can't prove
-      for ((_, m) <- perFile) {
+      for (k <- perFile) {
+        val m = stStats(k)
         m.get(column) match {
           case Some(cs) if cs.rows.contains(0L) => () // empty file
           case Some(cs) if cs.typ == "null" =>

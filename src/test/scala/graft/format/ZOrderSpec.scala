@@ -192,4 +192,35 @@ class ZOrderSpec extends SparkSpec {
       .count()
     assert(got == 8L)
   }
+
+  test("an all-null row group keeps the file's bounds and the table's MIN/MAX") {
+    // one sparse row group must not erase a column's min/max for the
+    // whole FILE (value pruning lost) nor — via statMinMax's no-stats
+    // refusal — disable metadata MIN/MAX for the whole TABLE
+    val root = tmpDir("allnull_rg")
+    val rel = "data"
+    // tiny block size + 300 sorted rows → multiple row groups, the
+    // leading one entirely null in `v` (parquet checks sizes every 100
+    // rows, so each group holds >= 100)
+    val rows = (0 until 150).map(i => (i.toLong, Option.empty[Long])) ++
+      (150 until 300).map(i => (i.toLong, Some(i.toLong)))
+    rows.toDF("id", "v").coalesce(1)
+      .sortWithinPartitions("id")
+      .write.option("parquet.block.size", "512")
+      .option("parquet.page.size", "256")
+      .parquet(s"$root/$rel")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    val stats = FileSkipping.footerStats(spark, root, rel, schema)
+    assert(stats.nonEmpty)
+    val fileStats = stats.values.head
+    // sanity: the layout really produced an all-null leading row group
+    // (if parquet ever coalesces to one group, min exists trivially and
+    // the test still pins the bounds below)
+    val v = fileStats.get("v")
+    assert(v.isDefined, s"column v lost its stats entirely: $fileStats")
+    assert(v.get.typ == "long" && v.get.min == "150" && v.get.max == "299",
+      s"all-null row group erased v's bounds: ${v.get}")
+    assert(v.get.nulls.contains(150L) && v.get.rows.contains(300L))
+  }
 }
