@@ -1025,16 +1025,30 @@ object VectorQueries {
     */
   def knnRecallAudit(e: DataFrame, approx: DataFrame, qdf: DataFrame,
                      k: Int, minHits: Map[String, Int]): DataFrame = {
+    // r21: the |corpus|×|q| exact-truth scoring ran in ONE task (the
+    // corpus is a single parquet file → one scan partition; measured
+    // 3.0 s of q132's 3.3 s) — spread it over the cores first (guide
+    // §2.5 input skew). The kth radius itself is a per-query top-k:
+    // the partial top-k aggregate reduces each task's pairs to ≤ k per
+    // query before the exchange (|q|·k rows), where the row_number
+    // window this replaces shuffled every scored pair (identical
+    // (score asc, id asc) order; scores are non-null by the same
+    // dropped-null-vector contract the joined families already hold).
+    val par = e.sparkSession.sparkContext.defaultParallelism
     val kth = e.select(col("vec_id"), col("embedding"))
+      .repartition(par)
       .crossJoin(broadcast(qdf)) // bounded: |queries| ≤ 500 rows
       .withColumn("_l2", V.l2SqScaled(col("embedding"), col("qv")))
-      // vectors shed before the rank exchange: the window shuffles every
-      // (row, query) audit pair, and embedding+qv multiply its width ~20×
+      // vectors shed before the rank exchange
       .select(col("qid"), col("vec_id"), col("_l2"))
-      .withColumn("_r", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("_l2").asc, col("vec_id").asc)))
-      .filter(col("_r") === k)
-      .select(col("qid"), col("_l2").as("_kth"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.NativeExpressions.topKPairs(
+        col("_l2"), col("vec_id"), k, asc = true).as("_tk"))
+      // kth element absent (corpus < k rows) drops the qid, exactly as
+      // the window's `_r === k` filter did
+      .select(col("qid"), get(col("_tk"), lit(k - 1)).getField("score")
+        .as("_kth"))
+      .filter(col("_kth").isNotNull)
     val minExpr = minHits.tail.foldLeft(
         when(col("idx") === minHits.head._1, lit(minHits.head._2))) {
       case (acc, (f, m)) => acc.when(col("idx") === f, lit(m))

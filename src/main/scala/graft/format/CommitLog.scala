@@ -148,6 +148,17 @@ object CommitLog {
         fc.rename(fc.makeQualified(tmp), fc.makeQualified(dest),
           org.apache.hadoop.fs.Options.Rename.NONE) // fails if dest exists
       } catch {
+        // a lost id-allocation race must surface in the exact shape
+        // commitGuarded's retry matchers recognize (typed
+        // FileAlreadyExistsException, or a message containing "already
+        // exists" — mirroring the file:// hard-link branch); the generic
+        // wrap below would abort the whole commit() instead of retrying
+        // with the next id on HDFS/object stores
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
+          scala.util.Try(f.delete(tmp, false))
+          throw new java.io.IOException(
+            s"commit ${meta.id} already exists (concurrent writer won)", e)
         case e: Throwable =>
           scala.util.Try(f.delete(tmp, false))
           throw new java.io.IOException(
@@ -828,10 +839,19 @@ object CommitLog {
           // (permissions, disk full): surface it instead of looping to
           // the exhaustion require with a misleading message
           consecutiveIoErrors += 1
-          if (consecutiveIoErrors > 5)
-            throw new java.io.IOException(
-              s"reservation claim failing persistently under $dir " +
-                "(not an already-claimed number)", e)
+          if (consecutiveIoErrors > 5) {
+            // on a store that signals "number taken" ONLY as a generic
+            // IOException, six consecutively-claimed numbers under normal
+            // writer contention are plausible — a present file is a taken
+            // number, not a persistent failure (ADVICE r20)
+            if (scala.util.Try(f.exists(new Path(dir, n.toString)))
+                  .getOrElse(false))
+              consecutiveIoErrors = 0
+            else
+              throw new java.io.IOException(
+                s"reservation claim failing persistently under $dir " +
+                  "(not an already-claimed number)", e)
+          }
           n += 1
       }
     }

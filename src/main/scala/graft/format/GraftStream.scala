@@ -319,11 +319,16 @@ class GraftSink(spark: SparkSession, root: String, branch: String,
     extends Sink {
 
   // resolved lazily: StreamExecution writes <checkpoint>/metadata before
-  // the first addBatch, but possibly after this sink is constructed
-  private lazy val idToken: Option[String] =
+  // the first addBatch, but possibly after this sink is constructed.
+  // None ONLY on confirmed absence — a transient read error must NOT be
+  // cached as "no id token" (a lazy val that throws is retried on next
+  // access, and the failed batch is retried by the engine): silently
+  // dropping the primary token would stop earlier runs' id-token markers
+  // from being recognized and replay a committed batch twice (ADVICE r20)
+  private lazy val idToken: Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(checkpointLocation, "metadata")
+    val f = CommitLog.fs(spark, checkpointLocation)
     try {
-      val p = new org.apache.hadoop.fs.Path(checkpointLocation, "metadata")
-      val f = CommitLog.fs(spark, checkpointLocation)
       if (!f.exists(p)) None
       else {
         val in = f.open(p)
@@ -334,7 +339,10 @@ class GraftSink(spark: SparkSession, root: String, branch: String,
           .extractOpt[String].filter(_.nonEmpty)
           .map(GraftStream.queryToken) // md5: MarkerRe wants [0-9a-f]+
       }
-    } catch { case _: Exception => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None // raced genuine absence
+    }
+  }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val writeToken = idToken.getOrElse(pathToken)

