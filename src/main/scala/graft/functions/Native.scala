@@ -38,4 +38,12 @@ object NativeExpressions {
   def topKPairs(score: Column, id: Column, k: Int, asc: Boolean): Column =
     org.apache.spark.sql.graftnative.TopKAggregate
       .topKPairs(score, id, k, asc)
+
+  /** Single-evaluation pin for an expensive derived column (guide §4.4):
+    * a deterministic pass-through the optimizer treats as
+    * non-deterministic, so filters referencing the column stay above its
+    * projection (no pushdown re-evaluation below a repartition) and
+    * CollapseProject cannot inline the definition into every use site.
+    */
+  def fence(c: Column): Column = N.fence(c)
 }

@@ -103,9 +103,14 @@ object Dedup {
       } else graft.functions.NativeExpressions.minHashSig(col("_sh"), numHashes)
     // repartition first: signature cost is CPU-per-row, so partitioning
     // must follow cores, not input file sizes (a single small parquet file
-    // would otherwise run the whole corpus on one task)
+    // would otherwise run the whole corpus on one task). The shingle
+    // column is FENCED (guide §4.4): unfenced, the size(_sh) > 0 filter
+    // pushes its definition below the repartition and re-tokenizes the
+    // corpus inside the single-task scan stage (measured 2.2-2.5 s per
+    // path on q66 at sf0.1), then the signature evaluates it again.
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("_sh", T.tokenShingles(col(textCol), shingleN))
+      .withColumn("_sh", graft.functions.NativeExpressions.fence(
+        T.tokenShingles(col(textCol), shingleN)))
       .filter(size(col("_sh")) > 0)
       .withColumn("_mh", sig)
       .drop("_sh")
@@ -208,16 +213,16 @@ object Dedup {
     // exchanges are reused).
     val sh = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), T.tokenShingles(col(textCol), shingleN).as("_sh"))
+      .select(col(idCol), graft.functions.NativeExpressions.fence(
+        T.tokenShingles(col(textCol), shingleN)).as("_sh"))
       .withColumn("_cnt", size(col("_sh")))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    cand
-      .join(sh.select(col(idCol).as(s"${idCol}_a"), col("_sh").as("_sa"),
-        col("_cnt").as("_ca")), s"${idCol}_a")
-      .join(sh.select(col(idCol).as(s"${idCol}_b"), col("_sh").as("_sb"),
-        col("_cnt").as("_cb")), s"${idCol}_b")
-      .withColumn("jaccard",
-        jaccardOf(col("_sa"), col("_sb"), col("_ca"), col("_cb")))
+    withJaccard(cand
+        .join(sh.select(col(idCol).as(s"${idCol}_a"), col("_sh").as("_sa"),
+          col("_cnt").as("_ca")), s"${idCol}_a")
+        .join(sh.select(col(idCol).as(s"${idCol}_b"), col("_sh").as("_sb"),
+          col("_cnt").as("_cb")), s"${idCol}_b"),
+        col("_sa"), col("_sb"), col("_ca"), col("_cb"))
       .filter(col("jaccard") >= threshold)
       .select(s"${idCol}_a", s"${idCol}_b", "jaccard")
   }
@@ -239,7 +244,8 @@ object Dedup {
           .minHashSigMod(col("_sh"), a, b, portableP)
       } else graft.functions.NativeExpressions.minHashSig(col("_sh"), numHashes)
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("_sh", T.tokenShingles(col(textCol), shingleN))
+      .withColumn("_sh", graft.functions.NativeExpressions.fence(
+        T.tokenShingles(col(textCol), shingleN)))
       .filter(size(col("_sh")) > 0)
       .select(col(idCol), col("_sh"), sig.as("_mh"))
   }
@@ -283,17 +289,19 @@ object Dedup {
           .minHashBands(col("_mh"), rowsPerBand)
       st.select(col(idCol), posexplode(bandCol).as(Seq("band", "bucket")))
     }
-    // hash-exchange ABOVE the delta's state computation, as in
-    // simHashIncremental: band extraction, both verify b-sides, and the
-    // delta-internal a-side all consume (id, _sh, _mh), so the exchange
-    // is reused and the expensive tokenize+shingle+signature subtree
-    // runs ONCE per delta row instead of once per consumer (~5x)
-    val dstate = minHashState(delta, textCol, idCol, numHashes, shingleN,
-      portable)
-      .repartition(delta.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    // CACHE both sides' planned rows once (r21, [[cacheFrame]]): band
+    // extraction, the oversized-bucket count, and the verify sides each
+    // consume (id, _sh, _mh) through differently-pruned subtrees, so
+    // the r20 hoisted-exchange reuse de-canonicalized and the expensive
+    // tokenize+shingle+signature lineage re-ran per consumer; the cache
+    // is one evaluation by construction, and each consumer shuffles the
+    // small state rows directly to the key it needs (one hop fewer
+    // than through the hoisted id-exchange)
+    val dstate = cacheFrame(
+      minHashState(delta, textCol, idCol, numHashes, shingleN, portable))
+    val sstate = cacheFrame(state)
     val db = bandsOf(dstate)
-    val cbAll = bandsOf(state)
+    val cbAll = bandsOf(sstate)
     val cb =
       if (maxBucket == Int.MaxValue) cbAll
       else cbAll.join(
@@ -311,13 +319,14 @@ object Dedup {
       st.select(col(idCol).as(as), col("_sh").as(sh),
         size(col("_sh")).as(cnt))
     // exact-Jaccard verify; b-side (the delta row) is the drop target
-    def droppedIds(cand: DataFrame, aSide: DataFrame): DataFrame = cand
-      .join(shingleSide(aSide, "_da", "_sa", "_na"), "_da")
-      .join(shingleSide(dstate, "_db", "_sb", "_nb"), "_db")
-      .filter(jaccardOf(col("_sa"), col("_sb"), col("_na"), col("_nb"))
-        >= threshold)
-      .select(col("_db").as(idCol))
-    val dropped = droppedIds(crossCand, state)
+    def droppedIds(cand: DataFrame, aSide: DataFrame): DataFrame =
+      withJaccard(cand
+          .join(shingleSide(aSide, "_da", "_sa", "_na"), "_da")
+          .join(shingleSide(dstate, "_db", "_sb", "_nb"), "_db"),
+          col("_sa"), col("_sb"), col("_na"), col("_nb"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("_db").as(idCol))
+    val dropped = droppedIds(crossCand, sstate)
       .unionByName(droppedIds(deltaCand, dstate))
       .distinct()
     delta.join(dropped, Seq(idCol), "left_anti")
@@ -368,7 +377,8 @@ object Dedup {
       .repartition(par)
       .select(
         (Seq(col(idCol).as("_id")) ++ blk.map(col)) :+
-          T.tokenShingles(col(textCol), shingleN).as("_sh"): _*)
+          graft.functions.NativeExpressions.fence(
+            T.tokenShingles(col(textCol), shingleN)).as("_sh"): _*)
       .withColumn("_cnt", size(col("_sh")))
       .filter(col("_cnt") > 0)
       .repartition(par, col("_id"))
@@ -407,13 +417,12 @@ object Dedup {
     val cand = prefix.as("a").join(prefix.as("b"), joinCond)
       .select(col("a._id").as("_ida"), col("b._id").as("_idb"))
       .distinct()
-    cand
-      .join(base.select(col("_id").as("_ida"), col("_sh").as("_sha"),
-        col("_cnt").as("_ca")), "_ida")
-      .join(base.select(col("_id").as("_idb"), col("_sh").as("_shb"),
-        col("_cnt").as("_cb")), "_idb")
-      .withColumn("jaccard",
-        jaccardOf(col("_sha"), col("_shb"), col("_ca"), col("_cb")))
+    withJaccard(cand
+        .join(base.select(col("_id").as("_ida"), col("_sh").as("_sha"),
+          col("_cnt").as("_ca")), "_ida")
+        .join(base.select(col("_id").as("_idb"), col("_sh").as("_shb"),
+          col("_cnt").as("_cb")), "_idb"),
+        col("_sha"), col("_shb"), col("_ca"), col("_cb"))
       .filter(col("jaccard") >= threshold)
       .select(col("_ida").as(s"${idCol}_a"), col("_idb").as(s"${idCol}_b"),
         col("jaccard"))
@@ -520,18 +529,54 @@ object Dedup {
   /** Hamming distance between two int64 fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Bounded registry of live incremental-dedup state caches (the
+    * [[GraphRouting]] assignment-cache pattern): the incremental paths
+    * consume their delta/state frames from several subtrees whose
+    * column pruning de-canonicalizes the hoisted exchange copies, so
+    * exchange reuse cannot be relied on to run the expensive
+    * tokenize+fingerprint lineage once — a persisted InternalRow RDD
+    * can (measured on q104: four ~3-8 s fingerprint stages collapse to
+    * one per side). Blocks are reference-tracked (ContextCleaner
+    * reclaims them with the frame); the bound keeps a long-lived
+    * session from accumulating state-sized caches on local disk.
+    */
+  private val MaxLiveStateCaches = 8
+  private val liveStateCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]
+  private def cacheFrame(df: DataFrame): DataFrame = {
+    val (cached, rdd) =
+      org.apache.spark.sql.graftnative.InternalDf.detachBatchCached(df)
+    liveStateCaches.add(rdd)
+    while (liveStateCaches.size > MaxLiveStateCaches) {
+      val old = liveStateCaches.poll()
+      if (old != null) old.unpersist(blocking = false)
+    }
+    cached
+  }
+
   /** Exact Jaccard |A∩B| / (|A|+|B|−|A∩B|) from ONE `array_intersect` —
     * the single verify formula behind the batch ([[minHashLsh]]),
     * incremental ([[minHashLshIncremental]]), and PPJoin
     * ([[ngramJaccardPairs]]) paths, which must stay bit-identical to
     * each other (shingle arrays are distinct by construction, so no
     * `array_union` pass is needed for |A∪B|).
+    *
+    * The intersection count lands in its own FENCED projection
+    * (`_jint`) so it is evaluated ONCE per candidate pair: unfenced,
+    * the `jaccard >= threshold` filter pushes the whole
+    * `array_intersect` into its predicate and the two references in
+    * the ratio inline it again — q50's verify stage measured 93 s of
+    * CPU at sf0.1 (≈4 evaluations per pair); fenced it is one. Callers
+    * filter/emit `jaccard` (cheap arithmetic over `_jint`) and drop
+    * `_jint`.
     */
-  private def jaccardOf(sa: Column, sb: Column,
-                        ca: Column, cb: Column): Column = {
-    val inter = size(array_intersect(sa, sb))
-    inter.cast("double") / (ca + cb - inter).cast("double")
-  }
+  private def withJaccard(df: DataFrame, sa: Column, sb: Column,
+                          ca: Column, cb: Column): DataFrame =
+    df.withColumn("_jint", graft.functions.NativeExpressions.fence(
+        size(array_intersect(sa, sb))))
+      .withColumn("jaccard",
+        col("_jint").cast("double") / (ca + cb - col("_jint")).cast("double"))
 
   /** All-ones mask of the low `w` bits. `1L << 64` wraps to 1 in JVM
     * shift semantics, so a full-width band (fpBits = 64 with
@@ -640,12 +685,14 @@ object Dedup {
       s"maxHamming in [0, $fpBits)")
     val bands = maxHamming + 1
     val width = fpBits / bands
-    // hash-exchange above the fingerprint projection, as in
-    // simHashNearDup: band extraction + both verify sides reuse it, so
-    // the fingerprint aggregate runs once per delta row
-    val dfp = simHashState(delta, textCol, idCol, fingerprint)
-      .repartition(delta.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    // CACHE both sides' (id, _fp) rows once (r21, [[cacheFrame]]): the
+    // bucket branch, the oversized-bucket count, and the verify sides
+    // consume them through differently-pruned subtrees, so exchange
+    // reuse de-canonicalizes and the md5 fingerprint lineage re-ran per
+    // consumer (measured: four ~3-8 s stages on q104 at sf0.1 → one per
+    // side). 16 B/row: the smallest cache in the family.
+    val dfp = cacheFrame(simHashState(delta, textCol, idCol, fingerprint))
+    val sfp = cacheFrame(state)
     def buckets(fp: DataFrame): DataFrame = {
       val bandCols = (0 until bands).map { b =>
         val lo = b * width
@@ -659,7 +706,7 @@ object Dedup {
           col("_bb.bucket").as("bucket"))
     }
     val db = buckets(dfp)
-    val cbAll = buckets(state)
+    val cbAll = buckets(sfp)
     val cb =
       if (maxBucket == Int.MaxValue) cbAll
       else cbAll.join(
@@ -684,7 +731,7 @@ object Dedup {
       .join(fpSide(dfp, "_db", "_fb"), "_db")
       .filter(hamming(col("_fa"), col("_fb")) <= maxHamming)
       .select(col("_db").as(idCol))
-    val dropped = droppedIds(crossCand, state)
+    val dropped = droppedIds(crossCand, sfp)
       .unionByName(droppedIds(deltaCand, dfp))
       .distinct()
     delta.join(dropped, Seq(idCol), "left_anti")

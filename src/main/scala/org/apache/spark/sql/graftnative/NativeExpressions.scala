@@ -110,6 +110,35 @@ object NativeExpressions {
   def dotQL(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotQL(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def fence(c: Column): Column =
+    ExpressionUtils.column(OptimizerFence(ExpressionUtils.expression(c)))
+}
+
+/** Pass-through marked non-deterministic: pins an EXPENSIVE derived
+  * column where it is written (the spark_optimization_guide §4.4 remedy,
+  * applied to JVM expressions). Without it, predicate pushdown
+  * substitutes the column's definition into filters and sinks them below
+  * repartitions — q66's `filter(size(shingles) > 0)` re-ran the whole
+  * tokenize+shingle tree per row inside the single-task scan stage
+  * (measured 2.2-2.5 s per path at sf0.1), then the projection above the
+  * exchange ran it AGAIN — and CollapseProject inlines a multiply-
+  * referenced definition into every use site (one `array_intersect` per
+  * candidate pair became up to four). The expression is genuinely
+  * deterministic, so retry/recomputation stays sound — the flag only
+  * switches the optimizer to single-evaluation placement.
+  */
+case class OptimizerFence(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Nondeterministic {
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = child.dataType
+  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+  override protected def evalInternal(input: InternalRow): Any =
+    child.eval(input)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.genCode(ctx)
+  override protected def withNewChildInternal(
+      newChild: Expression): OptimizerFence = copy(child = newChild)
 }
 
 /** MinHash signature of a string array: `array<int>` of length
