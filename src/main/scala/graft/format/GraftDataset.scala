@@ -137,8 +137,32 @@ class GraftDataset private[format] (
       files.groupBy(f => stRenames.drop(epochOf(f))).toSeq
         .sortBy(_._2.head).map { case (chain, fs) =>
           val paths = fs.map(f => new Path(root, f).toString)
-          align(spark.read.option("mergeSchema", "true").parquet(paths: _*),
-                target, chain)
+          // The physical schema of an epoch group is KNOWN: each target
+          // column's written-time name is the chain suffix inverted
+          // (collisions — a renamed-away name recreated later — resolve
+          // to the chain-mapped field, the recreated column reads as
+          // null exactly as [[align]]'s conditional produced). Passing
+          // it explicitly replaces the mergeSchema footer-union, which
+          // ran a footer-read JOB on every snapshot read (~30-60 ms per
+          // read at suite scale, a full footer pass over every data
+          // file at planning on a big table). A column a file lacks
+          // reads as nulls, which is what align emitted for it.
+          def backName(n: String): String =
+            chain.reverseIterator.foldLeft(n) { case (cur, (from, to)) =>
+              if (to == cur) from else cur
+            }
+          def forwardName(n: String): String =
+            chain.foldLeft(n) { case (cur, (from, to)) =>
+              if (from == cur) to else cur
+            }
+          val byName = target.fields.map(f => f.name -> f).toMap
+          val physNames = scala.collection.mutable.LinkedHashSet[String]()
+          target.fields.foreach(f => physNames += backName(f.name))
+          val physical = StructType(physNames.toSeq.map { p =>
+            val serves = byName.get(forwardName(p)).orElse(byName.get(p)).get
+            StructField(p, serves.dataType, nullable = true)
+          })
+          align(spark.read.schema(physical).parquet(paths: _*), target, chain)
         }.reduce(_ unionByName _)
     }
 
