@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import scala.collection.mutable
 
@@ -30,7 +30,11 @@ object Profile {
                         tasks: Int, shufReadMb: Double, shufWriteMb: Double,
                         inputMb: Double)
     val stages = mutable.ArrayBuffer[StageRow]()
-    val jobs = mutable.ArrayBuffer[(Int, Long, String)]() // id, t0, desc
+    // (id, startMs, endMs, callsite) — gaps between a job's end and the
+    // next job's start are DRIVER time (planning, metadata IO, commit
+    // protocol), invisible to stage metrics
+    val jobs = mutable.ArrayBuffer[(Int, Long, Long, String)]()
+    val jobStarts = mutable.Map[Int, (Long, String)]()
     var recording = false
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -46,9 +50,16 @@ object Profile {
             m.inputMetrics.bytesRead / 1e6)
         }
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        if (recording) jobs += ((js.jobId, js.time,
-          Option(js.properties.getProperty("spark.job.description"))
-            .getOrElse("")))
+        if (recording) jobStarts.synchronized {
+          jobStarts(js.jobId) = (js.time, js.stageInfos.lastOption
+            .map(_.name).getOrElse(""))
+        }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        if (recording) jobStarts.synchronized {
+          jobStarts.remove(je.jobId).foreach { case (t0, name) =>
+            jobs += ((je.jobId, t0, je.time, name))
+          }
+        }
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -65,7 +76,7 @@ object Profile {
       // warmup run (codegen+JIT), not recorded
       fn(spark, sfDir).count(); reap()
       System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(500)
-      stages.clear(); jobs.clear(); recording = true
+      stages.clear(); jobs.clear(); jobStarts.clear(); recording = true
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -81,6 +92,20 @@ object Profile {
         println(f"  stage ${s.id}%4d ${s.wallMs}%6d ms cpu=${s.cpuMs}%6d ms " +
           f"tasks=${s.tasks}%3d in=${s.inputMb}%7.1f MB " +
           f"sr=${s.shufReadMb}%7.2f MB sw=${s.shufWriteMb}%7.2f MB  ${s.name.take(110)}")
+      }
+      // driver gaps: time between one job's end and the next job's start
+      val ordered = jobs.sortBy(_._2).toVector
+      if (ordered.nonEmpty) {
+        val gaps = ordered.sliding(2).collect { case Vector(a, b) =>
+            (b._2 - a._3, a._4, b._4)
+          }.toVector.filter(_._1 > 0)
+        val jobWall = ordered.map(j => j._3 - j._2).sum
+        println(f"driver gaps: ${gaps.map(_._1).sum} ms total " +
+          f"(jobs wall $jobWall ms); largest:")
+        gaps.sortBy(-_._1).take(12).foreach { case (g, prev, next) =>
+          println(f"  gap $g%5d ms after [${prev.take(55)}] before " +
+            f"[${next.take(55)}]")
+        }
       }
       reap()
     }

@@ -138,30 +138,36 @@ class GraftDataset private[format] (
         .sortBy(_._2.head).map { case (chain, fs) =>
           val paths = fs.map(f => new Path(root, f).toString)
           // The physical schema of an epoch group is KNOWN: each target
-          // column's written-time name is the chain suffix inverted
-          // (collisions — a renamed-away name recreated later — resolve
-          // to the chain-mapped field, the recreated column reads as
-          // null exactly as [[align]]'s conditional produced). Passing
-          // it explicitly replaces the mergeSchema footer-union, which
-          // ran a footer-read JOB on every snapshot read (~30-60 ms per
-          // read at suite scale, a full footer pass over every data
-          // file at planning on a big table). A column a file lacks
-          // reads as nulls, which is what align emitted for it.
-          def backName(n: String): String =
-            chain.reverseIterator.foldLeft(n) { case (cur, (from, to)) =>
-              if (to == cur) from else cur
+          // column's written-time name comes from inverting the chain
+          // suffix WITH CONSUMPTION — walking the chain backwards, a
+          // step whose `to` is the current name maps it to `from`; a
+          // step whose `from` is the current name means that name was
+          // consumed earlier in forward time (renamed away / retired by
+          // a drop marker), so the target column has NO physical source
+          // in this group and is left out of the read schema entirely —
+          // the scan fills it with nulls, exactly what [[align]]'s
+          // conditional produced for it. Passing the schema explicitly
+          // replaces the mergeSchema footer-union, which ran a
+          // footer-read JOB on every snapshot read (~30-60 ms per read
+          // at suite scale, a full footer pass over every data file at
+          // planning on a big table).
+          def physSource(n: String): Option[String] = {
+            var cur = n
+            var i = chain.length - 1
+            while (i >= 0) {
+              val (from, to) = chain(i)
+              if (to == cur) cur = from
+              else if (from == cur) return None // consumed: no source
+              i -= 1
             }
-          def forwardName(n: String): String =
-            chain.foldLeft(n) { case (cur, (from, to)) =>
-              if (from == cur) to else cur
-            }
-          val byName = target.fields.map(f => f.name -> f).toMap
-          val physNames = scala.collection.mutable.LinkedHashSet[String]()
-          target.fields.foreach(f => physNames += backName(f.name))
-          val physical = StructType(physNames.toSeq.map { p =>
-            val serves = byName.get(forwardName(p)).orElse(byName.get(p)).get
-            StructField(p, serves.dataType, nullable = true)
-          })
+            Some(cur)
+          }
+          val seen = scala.collection.mutable.HashSet[String]()
+          val physical = StructType(target.fields.flatMap(f =>
+            physSource(f.name).collect {
+              case p if seen.add(p) =>
+                StructField(p, f.dataType, nullable = true)
+            }))
           align(spark.read.schema(physical).parquet(paths: _*), target, chain)
         }.reduce(_ unionByName _)
     }
