@@ -261,4 +261,45 @@ class NativeExpressionsSpec extends SparkSpec {
       assert(pq.getDouble(1) == 1.0)
     } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
   }
+
+  test("fence: values pass through; filters stay above the projection") {
+    // r21: the single-evaluation pin (guide §4.4). Value identity first —
+    // fenced and unfenced columns must be byte-identical on both the
+    // codegen and interpreted paths (the fence only marks, never computes)
+    val df = Seq("a b c d", "x y", "").toDF("t")
+    val expr = size(split(col("t"), " "))
+    val rows = df.select(expr.as("plain"),
+        NativeExpressions.fence(expr).as("fenced")).collect()
+    rows.foreach(r => assert(r.get(0) == r.get(1)))
+    // Placement: an UNfenced derived column referenced by a filter is
+    // pushed below the repartition (its definition inlined into the
+    // predicate — the double-evaluation q66/q50 paid); a FENCED one
+    // must keep the Filter above the exchange. A parquet-backed frame,
+    // as in the real operators — a LocalRelation control would
+    // constant-fold the filter away entirely.
+    val path = tmpDir("fence") + "/t"
+    df.write.parquet(path)
+    val pq = spark.read.parquet(path)
+    def planOf(fenced: Boolean): String = {
+      val c = if (fenced) NativeExpressions.fence(expr) else expr
+      pq.repartition(4)
+        .withColumn("_n", c)
+        .filter(col("_n") > 0)
+        .queryExecution.optimizedPlan.toString
+    }
+    val unfenced = planOf(fenced = false)
+    val fenced = planOf(fenced = true)
+    def filterBelowRepartition(plan: String): Boolean = {
+      // optimizedPlan prints parents above children: a pushed filter
+      // appears AFTER (below) the Repartition line
+      val lines = plan.linesIterator.toVector
+      val rep = lines.indexWhere(_.contains("Repartition"))
+      val flt = lines.indexWhere(_.contains("Filter"))
+      rep >= 0 && flt > rep
+    }
+    assert(filterBelowRepartition(unfenced),
+      s"expected the unfenced filter to push below the exchange:\n$unfenced")
+    assert(!filterBelowRepartition(fenced),
+      s"fenced filter must stay above the exchange:\n$fenced")
+  }
 }
