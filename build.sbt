@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout/stderr through VERBATIM instead of
+// re-logging each line with an "[info] " prefix: the driver parses the
+// bench's final JSON line from the captured tail, and the prefix (plus
+// sbt's own trailer) has broken that parse since r15 (PERF_r* all null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,7 +18,17 @@ object Tables {
     * [[load]]).
     */
   val requiredConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // local FS without libhadoop natives fork/execs `chmod`/`readlink`
+      // on every create/mkdirs/FileContext-rename — measured as the
+      // largest non-idle driver bucket on the streaming/CDC family
+      // (plans/r22/stacks_q121_q105.txt). These subclasses keep stock
+      // Hadoop semantics and use NIO syscalls instead; cluster
+      // filesystems (HDFS/object stores) never had this tax — see
+      // graft.format.NioLocalFs.
+      "spark.hadoop.fs.file.impl" -> "graft.format.NioLocalFileSystem",
+      "spark.hadoop.fs.AbstractFileSystem.file.impl" ->
+        "graft.format.NioLocalFs")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

@@ -127,6 +127,21 @@ class GraftDataset private[format] (
       if (cut <= 0) 0 else stEpochs.getOrElse(f.substring(0, cut), 0)
     })
 
+  /** Whether `f`'s rename epoch was RECORDED (vs defaulted): renames
+    * predate the epochs map, so a legacy manifest can hold a file that
+    * was physically written AFTER a rename but carries no epoch entry —
+    * for such a file the derived epoch-0 schema would invert to the OLD
+    * name, the scan would null-fill it, and align would rename the
+    * all-null column onto the target (ADVICE r21). Epoch-absent entries
+    * on a renamed table keep the legacy mergeSchema read, whose footer
+    * names align's presence-conditional handles correctly.
+    */
+  private def epochKnown(f: String): Boolean =
+    stEpochs.contains(f) || {
+      val cut = f.lastIndexOf('/')
+      cut > 0 && stEpochs.contains(f.substring(0, cut))
+    }
+
   private def readManifest(files: Seq[String], target: StructType): DataFrame =
     if (files.isEmpty) emptyDf(target)
     else {
@@ -134,7 +149,25 @@ class GraftDataset private[format] (
       // suffixes (a post-rename file already carries current names; a
       // recreated column must not be re-renamed). Group by the actual
       // suffix so the no-rename common case stays ONE parquet relation.
-      files.groupBy(f => stRenames.drop(epochOf(f))).toSeq
+      // Legacy entries (no recorded epoch on a RENAMED table) cannot
+      // trust the derived schema — see [[epochKnown]].
+      val (derivable, legacy) =
+        files.partition(f => stRenames.isEmpty || epochKnown(f))
+      // PER-ENTRY footer reads for legacy entries: one merged group
+      // cannot tell a pre-rename file (footer carries the OLD name — the
+      // whole chain must apply) from a post-rename one (footer already
+      // carries the new name — renaming would be wrong); merged, the
+      // union footer holds BOTH names and align's presence-conditional
+      // goes quiet on the new one, null-wiping the pre-rename rows. Each
+      // entry's own footer makes the conditional exact. Plan width grows
+      // with the LEGACY entry count only — tables written since the
+      // epochs map never take this path.
+      val legacyDfs = legacy.sorted.map { f =>
+        align(spark.read.option("mergeSchema", "true")
+            .parquet(new Path(root, f).toString),
+          target, stRenames)
+      }
+      val derivedDfs = derivable.groupBy(f => stRenames.drop(epochOf(f))).toSeq
         .sortBy(_._2.head).map { case (chain, fs) =>
           val paths = fs.map(f => new Path(root, f).toString)
           // The physical schema of an epoch group is KNOWN: each target
@@ -169,7 +202,8 @@ class GraftDataset private[format] (
                 StructField(p, f.dataType, nullable = true)
             }))
           align(spark.read.schema(physical).parquet(paths: _*), target, chain)
-        }.reduce(_ unionByName _)
+        }
+      (legacyDfs ++ derivedDfs).reduce(_ unionByName _)
     }
 
   /** Snapshot with the hidden `_uuid` column (internal + merge/diff +

@@ -17,6 +17,12 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // every spec runs through the NIO local FS the bench/verify
+      // sessions use (Tables.requiredConfs) — same semantics, no
+      // fork/exec chmod/readlink
+      .config("spark.hadoop.fs.file.impl", "graft.format.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.format.NioLocalFs")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
