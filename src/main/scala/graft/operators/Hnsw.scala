@@ -31,8 +31,20 @@ import scala.collection.mutable
   */
 object Hnsw {
 
-  /** In-memory graph over one partition's vectors (L2 metric). */
+  /** In-memory graph over one partition's vectors (L2 metric).
+    *
+    * r22: the hot loops (searchLayer's frontier heaps + visited set, the
+    * backlink prune) run on primitive structures ([[GraphPrims]]) instead
+    * of boxed `(Double, Int)` priority queues and `HashSet[Int]` — the
+    * heap replicates scala PriorityQueue's algorithm verbatim and the
+    * sort is stable like the one it replaces, so the built graphs and
+    * search results are BIT-IDENTICAL (GraphEquivalenceSpec pins
+    * adjacency + hits against the pre-rewrite implementation on fixed
+    * seeds). Allocation per candidate drops to zero, which is what the
+    * 32-way concurrent builds were GC-bound on (VERDICT r21 #2/#4).
+    */
   final class Graph(val m: Int, val efConstruction: Int) extends Serializable {
+    import GraphPrims.{DistHeap, IntVec, ScoredBuf}
     // m = 0 builds an EDGELESS graph (take(0) neighbor selection) that
     // silently answers ~1 hit per shard; m = 1 makes mL infinite (every
     // node at level 31). Both are degenerate, never useful — refuse.
@@ -44,7 +56,7 @@ object Hnsw {
     val extIds = mutable.ArrayBuffer[Long]()
     val levels = mutable.ArrayBuffer[Int]()
     // neighbors(node)(level) = adjacency list
-    val nbrs = mutable.ArrayBuffer[Array[mutable.ArrayBuffer[Int]]]()
+    val nbrs = mutable.ArrayBuffer[Array[IntVec]]()
     var entry: Int = -1
 
     private def dist(a: Array[Float], b: Array[Float]): Double = {
@@ -60,41 +72,61 @@ object Hnsw {
       math.min((-math.log(u) * mL).toInt, 31)
     }
 
-    /** Greedy beam search on one layer from `eps`, beam width `ef`. */
-    private def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int,
-                            level: Int): mutable.ArrayBuffer[(Double, Int)] = {
-      val visited = mutable.HashSet[Int]()
+    /** Greedy beam search on one layer from `eps` (first `epsLen` ids),
+      * beam width `ef`. Returns hits ascending by dist (stable — tie
+      * order matches the boxed PriorityQueue drain + stable sort).
+      */
+    private def searchLayer(q: Array[Float], eps: Array[Int], epsLen: Int,
+                            ef: Int, level: Int): ScoredBuf = {
+      val visited = new java.util.BitSet(vecs.length)
       // candidates: nearest-first; results: farthest-first (bounded by ef)
-      val cand = mutable.PriorityQueue.empty[(Double, Int)](
-        Ordering.by[(Double, Int), Double](_._1).reverse)
-      val res = mutable.PriorityQueue.empty[(Double, Int)](
-        Ordering.by[(Double, Int), Double](_._1))
-      eps.foreach { e =>
-        if (visited.add(e)) {
-          val d = dist(q, vecs(e)); cand.enqueue((d, e)); res.enqueue((d, e))
+      val cand = new DistHeap(nearestFirst = true)
+      val res = new DistHeap(nearestFirst = false)
+      var ei = 0
+      while (ei < epsLen) {
+        val e = eps(ei)
+        if (!visited.get(e)) {
+          visited.set(e)
+          val d = dist(q, vecs(e)); cand.enqueue(d, e); res.enqueue(d, e)
         }
+        ei += 1
       }
       while (cand.nonEmpty) {
-        val (dc, c) = cand.dequeue()
-        if (res.nonEmpty && dc > res.head._1 && res.size >= ef) cand.clear()
+        val dc = cand.headDist; val c = cand.headNode; cand.dequeue()
+        if (res.nonEmpty && dc > res.headDist && res.size >= ef) cand.clear()
         else {
           val adj = nbrs(c)
-          if (level < adj.length) adj(level).foreach { n =>
-            if (visited.add(n)) {
-              val d = dist(q, vecs(n))
-              if (res.size < ef || d < res.head._1) {
-                cand.enqueue((d, n)); res.enqueue((d, n))
-                if (res.size > ef) res.dequeue()
+          if (level < adj.length) {
+            val a = adj(level)
+            var i = 0
+            while (i < a.length) {
+              val n = a(i)
+              if (!visited.get(n)) {
+                visited.set(n)
+                val d = dist(q, vecs(n))
+                if (res.size < ef || d < res.headDist) {
+                  cand.enqueue(d, n); res.enqueue(d, n)
+                  if (res.size > ef) res.dequeue()
+                }
               }
+              i += 1
             }
           }
         }
       }
-      val out = mutable.ArrayBuffer[(Double, Int)]()
-      while (res.nonEmpty) out += res.dequeue()
-      out.sortInPlace()(Ordering.by(_._1))
+      val out = new ScoredBuf(res.size + 1)
+      while (res.nonEmpty) {
+        out.add(res.headDist, res.headNode); res.dequeue()
+      }
+      out.stableSortByDist()
       out
     }
+
+    private def searchLayer1(q: Array[Float], ep: Int, level: Int): Int = {
+      oneEp(0) = ep
+      searchLayer(q, oneEp, 1, 1, level).node(0)
+    }
+    private val oneEp = new Array[Int](1)
 
     def insert(id: Long, v: Array[Float]): Unit = {
       // loud on mixed dimensions: a shorter vector would insert under
@@ -108,35 +140,55 @@ object Hnsw {
       val node = vecs.length
       val lvl = levelOf(node)
       vecs += v; extIds += id; levels += lvl
-      nbrs += Array.fill(lvl + 1)(mutable.ArrayBuffer[Int]())
+      nbrs += Array.fill(lvl + 1)(new IntVec())
       if (entry < 0) { entry = node; return }
       var ep = entry
       val topLvl = levels(entry)
       // greedy descend above the node's level
       var l = topLvl
       while (l > lvl) {
-        ep = searchLayer(v, Seq(ep), 1, l).head._2
+        ep = searchLayer1(v, ep, l)
         l -= 1
       }
       // connect at each level from min(topLvl, lvl) down to 0
       l = math.min(topLvl, lvl)
-      var eps = Seq(ep)
+      var eps = new Array[Int](1); eps(0) = ep; var epsLen = 1
+      val pruneBuf = new ScoredBuf(maxM0 + 2)
       while (l >= 0) {
-        val cands = searchLayer(v, eps, efConstruction, l)
+        val cands = searchLayer(v, eps, epsLen, efConstruction, l)
         val cap = if (l == 0) maxM0 else m
-        val selected = cands.take(m).map(_._2)
-        nbrs(node)(l) ++= selected
-        selected.foreach { s =>
-          val a = nbrs(s)(l)
-          a += node
-          if (a.length > cap) {
-            // prune to the cap nearest (simple heuristic)
-            val pruned = a.map(x => (dist(vecs(s), vecs(x)), x))
-              .sortBy(_._1).take(cap).map(_._2)
-            a.clear(); a ++= pruned
-          }
+        val nSel = math.min(m, cands.len)
+        val own = nbrs(node)(l)
+        var si = 0
+        while (si < nSel) {
+          val s = cands.node(si)
+          own.add(s)
+          si += 1
         }
-        eps = cands.map(_._2).toSeq
+        si = 0
+        while (si < nSel) {
+          val s = cands.node(si)
+          val a = nbrs(s)(l)
+          a.add(node)
+          if (a.length > cap) {
+            // prune to the cap nearest (simple heuristic; stable on ties
+            // like the sortBy it replaces)
+            pruneBuf.len = 0
+            var i = 0
+            while (i < a.length) {
+              pruneBuf.add(dist(vecs(s), vecs(a(i))), a(i)); i += 1
+            }
+            pruneBuf.stableSortByDist()
+            a.clear()
+            i = 0
+            while (i < cap) { a.add(pruneBuf.node(i)); i += 1 }
+          }
+          si += 1
+        }
+        if (cands.len > eps.length) eps = new Array[Int](cands.len)
+        var i = 0
+        while (i < cands.len) { eps(i) = cands.node(i); i += 1 }
+        epsLen = cands.len
         l -= 1
       }
       if (lvl > levels(entry)) entry = node
@@ -153,9 +205,14 @@ object Hnsw {
           s"${vecs(entry).length}")
       var ep = entry
       var l = levels(entry)
-      while (l > 0) { ep = searchLayer(q, Seq(ep), 1, l).head._2; l -= 1 }
-      searchLayer(q, Seq(ep), math.max(ef, k), 0)
-        .take(k).map { case (d, n) => (extIds(n), d) }.toSeq
+      while (l > 0) { ep = searchLayer1(q, ep, l); l -= 1 }
+      oneEp(0) = ep
+      val hits = searchLayer(q, oneEp, 1, math.max(ef, k), 0)
+      val out = Seq.newBuilder[(Long, Double)]
+      var i = 0
+      val n = math.min(k, hits.len)
+      while (i < n) { out += ((extIds(hits.node(i)), hits.dist(i))); i += 1 }
+      out.result()
     }
   }
 
@@ -325,7 +382,10 @@ object Hnsw {
       g.extIds += r.getLong(2)
       g.levels += r.getInt(4)
       g.nbrs += r.getSeq[scala.collection.Seq[Int]](5)
-        .map(a => mutable.ArrayBuffer[Int](a.toSeq: _*)).toArray
+        .map { a =>
+          val v = new GraphPrims.IntVec(a.length)
+          a.foreach(v.add); v
+        }.toArray
     }
     g.entry = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
     g

@@ -46,12 +46,22 @@ import scala.collection.mutable
   */
 object Vamana {
 
-  /** In-memory Vamana graph over one partition's vectors (L2 metric). */
+  /** In-memory Vamana graph over one partition's vectors (L2 metric).
+    *
+    * r22: beamSearch / robustPrune run on primitive structures
+    * ([[GraphPrims]]) — heap, visited bitset, pool arrays — instead of
+    * boxed `(Double, Int)` queues and `HashSet[Int]`; the heap replicates
+    * scala PriorityQueue's algorithm verbatim and the pool sort is
+    * stable, so built graphs and search results stay BIT-IDENTICAL
+    * (GraphEquivalenceSpec). The α-prune's O(kept·pool) distance math is
+    * DiskANN's algorithm and stays; only its allocations went.
+    */
   final class Graph(val r: Int, val alpha: Double, val buildBeam: Int)
       extends Serializable {
+    import GraphPrims.{DistHeap, IntVec, ScoredBuf}
     val vecs = mutable.ArrayBuffer[Array[Float]]()
     val extIds = mutable.ArrayBuffer[Long]()
-    val adj = mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]()
+    val adj = mutable.ArrayBuffer[IntVec]()
     var medoid: Int = -1
 
     private def dist(a: Array[Float], b: Array[Float]): Double = {
@@ -60,32 +70,36 @@ object Vamana {
       s
     }
 
-    /** Greedy beam search from `ep`: returns (visited (dist,node) in
-      * visit order, beam top) — the visited set is what robust prune
-      * consumes during build, per the paper's GreedySearch(s, p, k, L).
+    /** Greedy beam search from `ep`: returns visited (dist,node) in
+      * visit order — what robust prune consumes during build, per the
+      * paper's GreedySearch(s, p, k, L).
       */
-    private def beamSearch(q: Array[Float], ep: Int, beam: Int)
-        : mutable.ArrayBuffer[(Double, Int)] = {
-      val visited = mutable.HashSet[Int]()
-      val out = mutable.ArrayBuffer[(Double, Int)]()
-      val cand = mutable.PriorityQueue.empty[(Double, Int)](
-        Ordering.by[(Double, Int), Double](_._1).reverse)
-      val res = mutable.PriorityQueue.empty[(Double, Int)](
-        Ordering.by[(Double, Int), Double](_._1))
+    private def beamSearch(q: Array[Float], ep: Int, beam: Int): ScoredBuf = {
+      val visited = new java.util.BitSet(vecs.length)
+      val out = new ScoredBuf(beam * 4)
+      val cand = new DistHeap(nearestFirst = true)
+      val res = new DistHeap(nearestFirst = false)
       val d0 = dist(q, vecs(ep))
-      visited += ep; out += ((d0, ep)); cand.enqueue((d0, ep))
-      res.enqueue((d0, ep))
+      visited.set(ep); out.add(d0, ep); cand.enqueue(d0, ep)
+      res.enqueue(d0, ep)
       while (cand.nonEmpty) {
-        val (dc, c) = cand.dequeue()
-        if (res.size >= beam && dc > res.head._1) cand.clear()
-        else adj(c).foreach { n =>
-          if (visited.add(n)) {
-            val d = dist(q, vecs(n))
-            out += ((d, n))
-            if (res.size < beam || d < res.head._1) {
-              cand.enqueue((d, n)); res.enqueue((d, n))
-              if (res.size > beam) res.dequeue()
+        val dc = cand.headDist; val c = cand.headNode; cand.dequeue()
+        if (res.size >= beam && dc > res.headDist) cand.clear()
+        else {
+          val a = adj(c)
+          var i = 0
+          while (i < a.length) {
+            val n = a(i)
+            if (!visited.get(n)) {
+              visited.set(n)
+              val d = dist(q, vecs(n))
+              out.add(d, n)
+              if (res.size < beam || d < res.headDist) {
+                cand.enqueue(d, n); res.enqueue(d, n)
+                if (res.size > beam) res.dequeue()
+              }
             }
+            i += 1
           }
         }
       }
@@ -94,25 +108,33 @@ object Vamana {
 
     /** RobustPrune(p, V, α, R): repeatedly keep the closest remaining
       * candidate c and discard every candidate it dominates
-      * (`α·d(c,v) ≤ d(p,v)`), until R are kept.
+      * (`α·d(c,v) ≤ d(p,v)`), until R are kept. Pool = `cands` minus
+      * `p` and duplicate nodes (first occurrence wins), stable-sorted
+      * ascending by dist — exactly the filter/distinctBy/sortInPlace it
+      * replaces.
       */
-    private def robustPrune(p: Int,
-                            cands: mutable.ArrayBuffer[(Double, Int)])
-        : mutable.ArrayBuffer[Int] = {
-      val pool = cands.filter(_._2 != p).distinctBy(_._2)
-        .sortInPlace()(Ordering.by(_._1))
-      val kept = mutable.ArrayBuffer[Int]()
+    private def robustPrune(p: Int, cands: ScoredBuf): IntVec = {
+      val seen = new java.util.BitSet(vecs.length)
+      val pool = new ScoredBuf(cands.len)
       var i = 0
-      val dead = mutable.HashSet[Int]()
-      while (i < pool.length && kept.length < r) {
-        val c = pool(i)._2
-        if (!dead.contains(c)) {
-          kept += c
+      while (i < cands.len) {
+        val n = cands.node(i)
+        if (n != p && !seen.get(n)) { seen.set(n); pool.add(cands.dist(i), n) }
+        i += 1
+      }
+      pool.stableSortByDist()
+      val kept = new IntVec(r)
+      val dead = new Array[Boolean](pool.len)
+      i = 0
+      while (i < pool.len && kept.length < r) {
+        if (!dead(i)) {
+          val c = pool.node(i)
+          kept.add(c)
           var j = i + 1
-          while (j < pool.length) {
-            val (dpv, v) = pool(j)
-            if (!dead.contains(v) && alpha * dist(vecs(c), vecs(v)) <= dpv)
-              dead += v
+          while (j < pool.len) {
+            if (!dead(j) &&
+                alpha * dist(vecs(c), vecs(pool.node(j))) <= pool.dist(j))
+              dead(j) = true
             j += 1
           }
         }
@@ -129,21 +151,29 @@ object Vamana {
         s"vector for id $id has ${v.length} dims, graph holds " +
           s"${vecs(0).length}-dim vectors")
       val node = vecs.length
-      vecs += v; extIds += id; adj += mutable.ArrayBuffer[Int]()
+      vecs += v; extIds += id; adj += new IntVec()
       if (node == 0) { medoid = 0; return }
       val visited = beamSearch(v, medoid, buildBeam)
       val nbrs = robustPrune(node, visited)
-      adj(node) ++= nbrs
-      nbrs.foreach { s =>
+      adj(node).addAll(nbrs)
+      val backBuf = new ScoredBuf(r + 2)
+      var bi = 0
+      while (bi < nbrs.length) {
+        val s = nbrs(bi)
         val a = adj(s)
         if (!a.contains(node)) {
-          a += node
+          a.add(node)
           if (a.length > r) {
-            val pruned = robustPrune(s,
-              a.map(x => (dist(vecs(s), vecs(x)), x)))
-            a.clear(); a ++= pruned
+            backBuf.len = 0
+            var i = 0
+            while (i < a.length) {
+              backBuf.add(dist(vecs(s), vecs(a(i))), a(i)); i += 1
+            }
+            val pruned = robustPrune(s, backBuf)
+            a.clear(); a.addAll(pruned)
           }
         }
+        bi += 1
       }
     }
 
@@ -171,9 +201,13 @@ object Vamana {
       require(q.length == vecs(medoid).length,
         s"query has ${q.length} dims, index vectors have " +
           s"${vecs(medoid).length}")
-      beamSearch(q, medoid, math.max(beam, k))
-        .sortInPlace()(Ordering.by(_._1))
-        .take(k).map { case (d, n) => (extIds(n), d) }.toSeq
+      val hits = beamSearch(q, medoid, math.max(beam, k))
+      hits.stableSortByDist()
+      val out = Seq.newBuilder[(Long, Double)]
+      var i = 0
+      val n = math.min(k, hits.len)
+      while (i < n) { out += ((extIds(hits.node(i)), hits.dist(i))); i += 1 }
+      out.result()
     }
 
     /** PQ/ADC beam search + exact re-rank (the on-disk flavor): the walk
@@ -195,36 +229,53 @@ object Vamana {
         while (mi < code.length) { s += table(mi)(code(mi)); mi += 1 }
         s
       }
-      val visited = mutable.HashSet[Int]()
-      val pool = mutable.ArrayBuffer[(Double, Int)]()
-      val cand = mutable.PriorityQueue.empty[(Double, Int)](
-        Ordering.by[(Double, Int), Double](_._1).reverse)
-      val res = mutable.PriorityQueue.empty[(Double, Int)](
-        Ordering.by[(Double, Int), Double](_._1))
+      val visited = new java.util.BitSet(vecs.length)
+      val pool = new ScoredBuf(beam * 4)
+      val cand = new DistHeap(nearestFirst = true)
+      val res = new DistHeap(nearestFirst = false)
       val d0 = approx(medoid)
-      visited += medoid; pool += ((d0, medoid)); cand.enqueue((d0, medoid))
-      res.enqueue((d0, medoid))
+      visited.set(medoid); pool.add(d0, medoid); cand.enqueue(d0, medoid)
+      res.enqueue(d0, medoid)
       while (cand.nonEmpty) {
-        val (dc, c) = cand.dequeue()
-        if (res.size >= beam && dc > res.head._1) cand.clear()
-        else adj(c).foreach { n =>
-          if (visited.add(n)) {
-            val d = approx(n)
-            pool += ((d, n))
-            if (res.size < beam || d < res.head._1) {
-              cand.enqueue((d, n)); res.enqueue((d, n))
-              if (res.size > beam) res.dequeue()
+        val dc = cand.headDist; val c = cand.headNode; cand.dequeue()
+        if (res.size >= beam && dc > res.headDist) cand.clear()
+        else {
+          val a = adj(c)
+          var i = 0
+          while (i < a.length) {
+            val n = a(i)
+            if (!visited.get(n)) {
+              visited.set(n)
+              val d = approx(n)
+              pool.add(d, n)
+              if (res.size < beam || d < res.headDist) {
+                cand.enqueue(d, n); res.enqueue(d, n)
+                if (res.size > beam) res.dequeue()
+              }
             }
+            i += 1
           }
         }
       }
       // exact re-rank of the approximate pool's best `rerank` members —
       // the only place full vectors are touched
-      pool.sortInPlace()(Ordering.by(_._1))
-      pool.take(math.max(rerank, k))
-        .map { case (_, n) => (dist(q, vecs(n)), n) }
-        .sortBy(_._1).take(k)
-        .map { case (d, n) => (extIds(n), d) }.toSeq
+      pool.stableSortByDist()
+      val exact = new ScoredBuf(math.max(rerank, k))
+      var i = 0
+      val nRe = math.min(math.max(rerank, k), pool.len)
+      while (i < nRe) {
+        val n = pool.node(i)
+        exact.add(dist(q, vecs(n)), n)
+        i += 1
+      }
+      exact.stableSortByDist()
+      val out = Seq.newBuilder[(Long, Double)]
+      i = 0
+      val nOut = math.min(k, exact.len)
+      while (i < nOut) {
+        out += ((extIds(exact.node(i)), exact.dist(i))); i += 1
+      }
+      out.result()
     }
   }
 
@@ -477,7 +528,11 @@ object Vamana {
       codes(g.vecs.length) = r0.getSeq[Int](4).toArray
       g.vecs += r0.getSeq[Float](3).toArray
       g.extIds += r0.getLong(2)
-      g.adj += mutable.ArrayBuffer[Int](r0.getSeq[Int](5).toSeq: _*)
+      g.adj += {
+        val a = r0.getSeq[Int](5)
+        val v = new GraphPrims.IntVec(a.length)
+        a.foreach(v.add); v
+      }
     }
     g.medoid = if (sorted.nonEmpty) sorted.head.getInt(6) else -1
     val pqSentinel = sentinels.find(_.getInt(1) == PqNode)
